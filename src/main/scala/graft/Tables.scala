@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (TESTDATA.md): one parquet per
+  * table under the given scale-factor directory.
+  *
+  * All query builders in this repo take `(SparkSession, sfDir)` and go
+  * through here, so scan-level concerns (nanosecond-timestamp handling,
+  * future bucketing/partitioning of the test tables) live in one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4.1 refuses to
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the column as
+    * nanos-since-epoch (legacy conf) and floor to microseconds —
+    * `timestamp_micros(ns div 1000)` — which matches DuckDB's
+    * `ts::TIMESTAMP` truncation bit-for-bit (verified empirically).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

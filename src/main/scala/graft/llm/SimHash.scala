@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash document fingerprint as a native Catalyst Expression.
+  *
+  * SimHash (Charikar 2002): hash every token to 64 bits; for each bit
+  * position, vote +1/-1 by the bit value across tokens; the fingerprint
+  * takes the sign of each vote. Near-duplicate texts differ in a few bits
+  * (small Hamming distance), so dedup = group by a fingerprint prefix and
+  * compare Hamming distance within buckets — no pairwise scan.
+  *
+  * A custom Expression (not a Scala UDF) keeps null handling and
+  * serialization inside Catalyst; the per-token hash is a standard
+  * FNV-1a 64-bit over UTF-8 bytes, so the fingerprint is deterministic
+  * everywhere. CodegenFallback is acceptable here: the expression is
+  * evaluated once per document, not in a hot inner join loop.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = SimHash64.fnv1a64(text, start, i)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** FNV-1a 64-bit over the UTF-16 chars' low bytes is NOT enough for
+    * non-ASCII; hash real UTF-8 bytes of the slice.
+    */
+  private[llm] def fnv1a64(s: String, from: Int, until: Int): Long = {
+    val bytes = s.substring(from, until).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def simhash64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(SimHash64(ColumnBridge.toExpression(c)))
+  }
+}
+
+/** SimHash dedup surface over `documents`. */
+object SimHashDedup {
+  import SimHash64.simhash64
+
+  /** Hamming distance between two long fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Per-document fingerprint + 16-bit prefix bucket (deterministic). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+      .orderBy(col("doc_id"))
+
+  /** Near-dup candidate pairs: same 16-bit prefix bucket AND Hamming
+    * distance <= maxHamming. Bucketing bounds the pair count (prefix
+    * collisions), the Hamming filter verifies. Rotation/multi-table
+    * probing would raise recall at scale; one prefix table suffices for
+    * the planted near-identical dups the corpus carries.
+    */
+  def nearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val fp = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+    val a = fp.select(col("bucket16"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = fp.select(col("bucket16"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    a.join(b, Seq("bucket16"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming(col("a_fp"), col("b_fp")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * 64-dim): brute-force cosine top-k as the correctness baseline, and a
+  * sign-random-projection LSH bucketed variant as the 100 TB path.
+  *
+  * All vector math uses codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) over `array<double>` — no UDFs, no
+  * driver-side collects. The in-order fold of `aggregate` makes the dot
+  * product bit-identical to DuckDB's `list_sum(list_transform(...))`
+  * (verified empirically), which is what lets the oracle hash-match on
+  * doubles.
+  */
+object EmbeddingQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** in-order double dot product of two array<double> columns */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  // --- brute-force top-k ANN -------------------------------------------------
+  /** Exact cosine top-10 neighbors for a small query set (vec_id < 5).
+    * Scale shape: the query side is tiny and broadcast; the candidate side
+    * is a single pass over the full table (no shuffle until the final
+    * per-query top-k, which is k-bounded). This is the correct plan for
+    * "few queries against a 100 TB corpus"; for self-join-all-pairs use
+    * the LSH variant below.
+    */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sim AS (
+      |  SELECT q_id, neighbor_id,
+      |    list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+      |  FROM q, c WHERE q_id <> neighbor_id),
+      |r AS (SELECT q_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+      |      AS BIGINT) AS rank
+      |  FROM sim)
+      |SELECT q_id, rank, neighbor_id, cos FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  // --- LSH near-dup ------------------------------------------------------------
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
+    * a cheap integer hash (xxhash64 of the pair) mapped to ±1.
+    */
+  private def signComponent(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** 1 sign bit for one hyperplane: sign(sum_k v[k] * s(plane,k)). */
+  private def signBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, k) => x * signComponent(plane, k)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Band signature: `bits` sign bits packed into a long, offset by band. */
+  private def bandSig(v: Column, band: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      signBit(v, band * bits + j) * lit(1L << j)
+    }.reduce(_ + _)
+
+  /** Near-duplicate embedding pairs via sign-random-projection LSH:
+    * 8 bands x 4 bits; candidates = pairs sharing any band bucket;
+    * verified with exact cosine >= 0.4. The only shuffles are the
+    * groupBy-band-bucket exchanges — never an all-pairs cross join, so the
+    * plan survives a 100x scale-up (bucket sizes, not table sizes, drive
+    * the pair count).
+    */
+  def nearDupLsh(s: SparkSession, dir: String,
+                 bands: Int = 8, bits: Int = 4, minCos: Double = 0.4): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // one row per (band, bucket, vec) — a posexplode over band signatures
+    val sigs = e.select(col("vec_id"), col("v"),
+      array((0 until bands).map(b => bandSig(col("v"), b, bits)): _*).as("sigs"))
+    val buckets = sigs.select(col("vec_id"), col("v"),
+        posexplode(col("sigs")).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct()  // a pair may collide in several bands
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // --- centroids ---------------------------------------------------------------
+  /** Per-label count and mean vector norm — grouped vector aggregation
+    * demo (sums are order-dependent in fp, so no SQL oracle; spec asserts
+    * invariants instead).
+    */
+  def centroidByLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), avg(norm(col("v"))).as("avg_norm"))
+      .orderBy(col("label"))
+  }
+}

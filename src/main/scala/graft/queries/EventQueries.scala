@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators over the `events` table: the reference's
+  * interval query re-expressed on driver test data, tumbling-window
+  * aggregation, moving averages, lag/delta, and gap-based
+  * sessionization. These are the batch duals of the Structured Streaming
+  * surface in graft.streaming (same logical shapes, verified for parity
+  * in StreamingSpec).
+  *
+  * The oracle timestamps: events carries TIMESTAMP(NANOS); both engines
+  * floor to microseconds the same way (see Tables.events), and every
+  * emitted timestamp is also second- or hour-truncated, so values are
+  * exactly comparable.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // --- the reference interval query, on events -------------------------------
+  /** Reference query semantics on test data (SURVEY §2 B1/B2/C1/F1/F2):
+    * second-truncated event time, inclusive-inclusive bounds, ascending
+    * sort. See graft.queries.IntervalQuery for the exact dolar-table
+    * version with request validation.
+    */
+  def intervalEvents(s: SparkSession, dir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    ev(s, dir)
+      .select(date_trunc("second", col("ts")).as("fechahora"),
+        col("value").as("valor"))
+      .filter(col("fechahora").between(lit(lo), lit(hi)))
+      .orderBy(col("fechahora"), col("valor"))
+  }
+
+  val intervalEventsSql: String =
+    """SELECT date_trunc('second', ts)::TIMESTAMP AS fechahora, value AS valor
+      |FROM events
+      |WHERE date_trunc('second', ts)::TIMESTAMP
+      |  BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+      |ORDER BY fechahora, valor""".stripMargin
+
+  // --- tumbling window --------------------------------------------------------
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val tumblingHourlySql: String =
+    """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  // --- moving average ---------------------------------------------------------
+  /** 3-row moving average of `value` per user (frame aggregate). The sum
+    * runs over DECIMAL so the frame result is order-exact; the average is
+    * an IEEE division.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (sum(dec(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val movingAvgSql: String =
+    """SELECT user_id, event_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |   / COUNT(*) OVER w AS moving_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // --- lag / delta -------------------------------------------------------------
+  def lagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val lagDeltaSql: String =
+    """SELECT user_id, event_id, value,
+      | value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // --- sessionization -----------------------------------------------------------
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * per (user, session) event count and value total. Batch dual of the
+    * streaming flatMapGroupsWithState sessionizer.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd)
+    val brk = when(gap > 30L * 60 * 1000000, 1L).otherwise(0L)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("session_id", sum(brk).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP)
+      |           - LAG(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |se AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM se GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis + deduplication surface over the `documents` table —
+  * the LLM-training-pipeline operators (builder brief; VERDICT.md round-1
+  * item 4/6): tokenization, quality scoring, language-ID heuristic,
+  * fingerprinting, exact dedup, and exact n-gram-shingle Jaccard
+  * near-dup verification (the verify stage that MinHash-LSH candidates
+  * feed at scale; see graft.llm.MinHashDedup for the candidate stage).
+  *
+  * All functions here are Spark built-ins (codegen'd); no UDFs.
+  * Determinism notes as in [[Relational]]: integer-derived doubles and
+  * IEEE division are bit-identical across engines.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** words of a document, split on single spaces (the corpus separator) */
+  private val words: Column = split(col("text"), " ")
+
+  // --- token counting ---------------------------------------------------
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        size(array_distinct(words)).cast("long").as("n_unique_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+      | n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- corpus stats by language ------------------------------------------
+  def statsByLang(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(dec(col("n_chars"))).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(size(words).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  val statsByLangSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      | CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_chars,
+      | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- quality scoring -----------------------------------------------------
+  /** Cheap quality signals: token diversity, vowel ratio, mean token
+    * length — the length/punct/stopword-ratio family (all built-ins).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        (size(array_distinct(words)).cast("double") / size(words))
+          .as("token_diversity"),
+        (length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double")
+          / col("n_chars")).as("vowel_ratio"),
+        ((col("n_chars") - size(words) + lit(1)).cast("double") / size(words))
+          .as("mean_token_len"))
+      .orderBy(col("doc_id"))
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS token_diversity,
+      | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+      |   / n_chars AS vowel_ratio,
+      | CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- language-ID heuristic ----------------------------------------------
+  /** Marker-word language guess (n-gram-heuristic stand-in), reported as a
+    * (labeled lang × guessed lang) confusion matrix.
+    */
+  def langGuessConfusion(s: SparkSession, dir: String): DataFrame = {
+    val guess = when(col("text").contains("the"), "en")
+      .when(col("text").contains("la"), "es")
+      .otherwise("other")
+    docs(s, dir)
+      .groupBy(col("lang"), guess.as("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
+  val langGuessConfusionSql: String =
+    """SELECT lang,
+      | CASE WHEN contains(text, 'the') THEN 'en'
+      |      WHEN contains(text, 'la') THEN 'es'
+      |      ELSE 'other' END AS lang_guess,
+      | COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin
+
+  // --- fingerprinting -------------------------------------------------------
+  /** Document fingerprints: full-text hash + prefix hash (cheap
+    * locality-insensitive fingerprint family).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        md5(substring(lower(col("text")), 1, 64)).as("fp_prefix64"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_full,
+      | md5(substr(lower(text), 1, 64)) AS fp_prefix64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- exact dedup -----------------------------------------------------------
+  /** Exact dedup by content hash: one row per distinct text with the
+    * surviving (minimum) doc_id and the number of copies. At scale this is
+    * a single hash-partitioned shuffle on the 128-bit digest — never on
+    * the full text.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      | COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // --- exact n-gram-shingle Jaccard near-dup ---------------------------------
+  /** 3-gram word shingles of a document (distinct set). */
+  private def shingles(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3))))
+  }
+
+  /** Near-duplicate pairs by exact Jaccard over 3-gram shingles, language-
+    * bucketed. This is the *verify* stage: candidate pairs come from a
+    * same-language self-join (a partitioned shuffle join on the bucket
+    * key), never an unbucketed cross join. At 100 TB the bucket key is the
+    * MinHash-LSH band hash (graft.llm.MinHashDedup) instead of `lang` —
+    * the shape of this plan (bucket join -> exact verify) is the same.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      shingles(col("text")).as("sh"))
+    val a = d.select(col("lang"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = d.select(col("lang"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+      |           || '_' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.2
+      |ORDER BY a_id, b_id""".stripMargin
+}

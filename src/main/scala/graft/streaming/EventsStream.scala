@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.G
+  * extended): watermarked tumbling-window aggregation and gap-based
+  * stateful sessionization. StreamingSpec drives both with
+  * Trigger.AvailableNow over the test parquet and checks parity with the
+  * batch duals in graft.queries.EventQueries.
+  */
+object EventsStream {
+
+  /** events file-source schema (ts read as nanos-long; see Tables.events) */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events parquet dir (schema must be explicit
+    * for a streaming file source; ts arrives as nanos and is floored to
+    * microseconds exactly like the batch reader).
+    */
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked hourly tumbling-window counts per event type — the
+    * streaming dual of EventQueries.tumblingHourly. Late data beyond 2
+    * hours is dropped by the watermark (the reference tolerates unbounded
+    * lateness by sorting at read time, G4 — batch mode keeps that; the
+    * stream declares its tolerance explicitly).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  // --- stateful sessionization ------------------------------------------------
+
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  case class SessionState(sessionId: Long, lastTsMicros: Long,
+                          n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        session_value: Double)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** Gap-based sessionizer over per-user event groups. Within one
+    * AvailableNow batch the group iterator is NOT time-ordered, so the
+    * function sorts its group (bounded by events-per-user per batch);
+    * across batches the GroupState carries (open session, last seen ts).
+    * Emits every session CLOSED by a gap; the final open session stays in
+    * state (flushed by timeout in continuous mode).
+    */
+  def sessionizeFn(userId: Long, rows: Iterator[Ev],
+                   state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    var out = List.empty[SessionOut]
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+    sorted.foreach { e =>
+      if (st.n > 0 && e.tsMicros - st.lastTsMicros > GapMicros) {
+        out = SessionOut(userId, st.sessionId, st.n, st.total) :: out
+        st = SessionState(st.sessionId + 1, e.tsMicros, 1L, e.value)
+      } else {
+        st = SessionState(st.sessionId, e.tsMicros, st.n + 1, st.total + e.value)
+      }
+    }
+    state.update(st)
+    out.reverse.iterator
+  }
+
+  /** flatMapGroupsWithState sessionization — the streaming dual of
+    * EventQueries.sessionize (which can emit the still-open final session
+    * too; the spec compares the closed ones).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(sessionizeFn)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.llm.{MinHashDedup, SimHashDedup}
+import graft.queries.TextQueries
+
+/** Dedup-family invariants: the candidate-generation plans must never
+  * materialize the all-pairs product (no CartesianProduct /
+  * BroadcastNestedLoopJoin), MinHash-LSH candidates must recover the
+  * high-Jaccard pairs the exact n-gram verify finds, and SimHash must
+  * assign near-identical docs nearby fingerprints.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def assertNoAllPairs(plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs plan:\n$plan")
+  }
+
+  test("MinHash-LSH near-dup plan is bucket-joined, never all-pairs") {
+    assertNoAllPairs(planOf(MinHashDedup.nearDupPairs(spark, sf)))
+  }
+
+  test("SimHash near-dup plan is bucket-joined, never all-pairs") {
+    assertNoAllPairs(planOf(SimHashDedup.nearDupPairs(spark, sf)))
+  }
+
+  test("embedding LSH near-dup plan is bucket-joined, never all-pairs") {
+    assertNoAllPairs(planOf(graft.queries.EmbeddingQueries.nearDupLsh(spark, sf)))
+  }
+
+  test("MinHash-LSH recall: finds every exact-Jaccard>=0.5 same-lang pair") {
+    val exact = TextQueries.dedupNgramJaccard(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashDedup.nearDupPairs(spark, sf, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding (16 bands x 4 rows) catches s>=0.5 pairs w.p. ~1-(1-s^4)^16
+    // >= 98.7% at s=0.5 and ->1 fast above; the planted corpus dups are
+    // near-identical, so exact recall is expected here.
+    assert(exact.subsetOf(lsh),
+      s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("MinHash-LSH precision: every reported pair passes exact verify") {
+    val pairs = MinHashDedup.nearDupPairs(spark, sf).collect()
+    assert(pairs.nonEmpty, "corpus should contain planted near-dups")
+    pairs.foreach { r =>
+      assert(r.getDouble(2) >= 0.2, s"pair below verify threshold: $r")
+      assert(r.getLong(0) < r.getLong(1), "pair not canonicalized a<b")
+    }
+  }
+
+  test("SimHash: identical texts collide, different texts differ") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated text about database engines and parquet"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.SimHash64.simhash64(col("text")).as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 8)
+  }
+
+  test("exact dedup keeps the minimum doc_id per distinct text") {
+    val rows = TextQueries.dedupExact(spark, sf).collect()
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total)   // copies partition the corpus
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+  }
+}

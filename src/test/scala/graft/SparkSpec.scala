@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session —
+  * getOrCreate — so suites don't pay repeated startup).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf: String = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** physical plan text of a DataFrame (for plan-shape assertions) */
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

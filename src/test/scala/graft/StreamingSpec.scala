@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{DolarIngest, RawZone}
+import graft.queries.EventQueries
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (G1-G5): the event-driven incremental loads must
+  * produce byte-identical tables to the batch loads (per-batch
+  * atomicity + checkpointed exactly-once), and the streaming event
+  * aggregations must agree with their batch duals.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("G1/G3: AvailableNow streaming ingest == batch ingest, exactly-once on restart") {
+    val tmp = Files.createTempDirectory("graft_stream_spec")
+    val raw = tmp.resolve("raw").toString
+    RawZone.write(raw, 1L, """[["1757509256000","3920.00"],["1757509266000","3921.50"]]""")
+    RawZone.write(raw, 2L, """[["1757509276000","3922.25"]]""")
+
+    val batchDest = tmp.resolve("batch").toString
+    DolarIngest.batchToPath(spark, raw, batchDest)
+
+    val streamDest = tmp.resolve("stream").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    DolarIngest.stream(spark, raw, streamDest, ckpt).awaitTermination()
+
+    def dump(p: String) = spark.read.parquet(p)
+      .orderBy(col("fechahora"))
+      .select(date_format(col("fechahora"), "yyyy-MM-dd HH:mm:ss"), col("valor").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(dump(streamDest) == dump(batchDest))
+
+    // restart with same checkpoint: no new files -> no duplicates (G3)
+    DolarIngest.stream(spark, raw, streamDest, ckpt).awaitTermination()
+    assert(dump(streamDest) == dump(batchDest))
+
+    // new file arrives -> only it is processed (G2 incremental)
+    RawZone.write(raw, 3L, """[["1757509286000","3923.00"]]""")
+    DolarIngest.stream(spark, raw, streamDest, ckpt).awaitTermination()
+    assert(spark.read.parquet(streamDest).count() == 4)
+  }
+
+  test("streaming hourly window agg matches batch tumblingHourly") {
+    val tmp = Files.createTempDirectory("graft_stream_ev")
+    val out = tmp.resolve("hourly").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    EventsStream.hourlyCounts(EventsStream.readStream(spark, sf))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+      .awaitTermination()
+
+    // watermark in append mode withholds windows not yet past the
+    // watermark; compare only the emitted (closed) windows.
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventQueries.tumblingHourly(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streamed windows disagree with batch")
+  }
+
+  test("stateful sessionize (closed sessions) agrees with batch sessionize") {
+    val tmp = Files.createTempDirectory("graft_stream_sess")
+    val out = tmp.resolve("sessions").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    EventsStream.sessionize(spark, EventsStream.readStream(spark, sf))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventQueries.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // stream emits only gap-closed sessions; each must match the batch
+    // session with the same (user, session_id, n_events)
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"closed streaming sessions not found in batch: ${streamed -- batch}")
+  }
+}
