@@ -7,23 +7,27 @@ import org.apache.spark.sql.functions._
 /** MinHash + LSH near-duplicate detection over `documents` — the
   * 100 TB-viable candidate-generation stage for fuzzy dedup.
   *
-  * Pipeline (all built-in, codegen'd HOFs; no UDFs, no cross join):
-  *   1. shingle: 3-gram word shingles per doc (distinct)
-  *   2. minhash: P=64 permutations; sig_p = min over shingles of
-  *      xxhash64(p, shingle)
+  * Pipeline (all built-in, codegen'd; no UDFs, no cross join):
+  *   1. shingle: 3-gram word shingles per doc, EXPLODED to rows
+  *   2. minhash: P=64 permutations computed as ONE hash-aggregation —
+  *      `groupBy(doc_id).agg(min(xxhash64(p, shingle)) for p <- 0..63)`.
+  *      Partial (map-side) min-combine keeps the shuffle at one row of
+  *      64 longs per doc regardless of document size, and the whole
+  *      stage is codegen'd — unlike a higher-order `transform` per
+  *      permutation, which evaluates lambdas interpreted.
   *   3. band: 16 bands x 4 rows; band hash = xxhash64 of the 4 sig slots
   *   4. bucket join: posexplode (band, bucket) -> self-join on
-  *      (band, bucket) -> distinct candidate pairs
-  *   5. verify: exact shingle-set Jaccard on candidates only
+  *      (band, bucket) carrying ONLY doc ids -> dropDuplicates(a,b).
+  *      The shuffle payload is (band, bucket, id) — never the shingle
+  *      sets — so exchange size is bands x ids, not bands x documents.
+  *   5. verify: join the distinct candidate pairs back to the shingle
+  *      sets (hash join on id) and compute exact Jaccard on candidates
+  *      only.
   *
-  * Only shuffles: the (band,bucket) exchange and the final distinct —
-  * both keyed, partial-aggregated, and skew-bounded by bucket size. The
-  * all-pairs product is never materialized (asserted in DedupSpec by
+  * The all-pairs product is never materialized (asserted in DedupSpec by
   * checking the physical plan contains no CartesianProduct /
-  * BroadcastNestedLoopJoin).
-  *
-  * Hashes are fixed-seed, so results are deterministic across runs and
-  * cluster sizes.
+  * BroadcastNestedLoopJoin). Hashes are fixed-seed, so results are
+  * deterministic across runs and cluster sizes.
   */
 object MinHashDedup {
 
@@ -41,17 +45,26 @@ object MinHashDedup {
           element_at(ws, i + 3))))
   }
 
-  /** 64-slot MinHash signature of a shingle-array column */
-  def signature(sh: Column): Column =
-    array((0 until NumPerms).map { p =>
-      array_min(transform(sh, s => xxhash64(lit(p), s)))
-    }: _*)
+  /** (doc_id, sh) — the shingle SET per doc, for the exact verify stage */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
 
-  /** 16 band hashes over a signature column */
-  def bandHashes(sig: Column): Column =
+  /** One row per doc with columns h0..h63: the MinHash signature,
+    * computed as a single partial-aggregated groupBy over exploded
+    * shingles (see class doc).
+    */
+  def signatureCols(s: SparkSession, dir: String): DataFrame = {
+    val exploded = shingleSets(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val aggs = (0 until NumPerms).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 16 band hashes as an array column over the h0..h63 signature cols */
+  private def bandArray: Column =
     array((0 until Bands).map { b =>
-      xxhash64((0 until RowsPerBand)
-        .map(r => element_at(sig, b * RowsPerBand + r + 1)): _*)
+      xxhash64((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
     }: _*)
 
   /** exact Jaccard of two distinct-element array columns */
@@ -63,19 +76,18 @@ object MinHashDedup {
     */
   def nearDupPairs(s: SparkSession, dir: String,
                    minJaccard: Double = 0.2): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("bands", bandHashes(signature(col("sh"))))
-    val buckets = d.select(col("doc_id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("band", "bucket"))
+    val buckets = signatureCols(s, dir)
+      .select(col("doc_id"), posexplode(bandArray).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
-      .distinct() // a pair may share several bands
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id") // a pair may share several bands
+    val sets = shingleSets(s, dir)
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -83,16 +95,13 @@ object MinHashDedup {
   }
 
   /** Per-doc MinHash summary (deterministic; one row per doc): the
-    * signature's first slot and its band hashes — used by DedupSpec and
-    * as a registered rows-only query exercising the signature path.
+    * signature's first slot and its first band hash — a registered
+    * rows-only query exercising the signature path.
     */
   def signatures(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", signature(col("sh")))
-      .withColumn("bands", bandHashes(col("sig")))
+    signatureCols(s, dir)
       .select(col("doc_id"),
-        element_at(col("sig"), 1).as("sig0"),
-        element_at(col("bands"), 1).as("band0"))
+        col("h0").as("sig0"),
+        xxhash64((0 until RowsPerBand).map(r => col(s"h$r")): _*).as("band0"))
       .orderBy(col("doc_id"))
 }

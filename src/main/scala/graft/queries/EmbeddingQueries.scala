@@ -80,46 +80,49 @@ object EmbeddingQueries {
   private def signComponent(plane: Int, dim: Column): Column =
     when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** 1 sign bit for one hyperplane: sign(sum_k v[k] * s(plane,k)). */
-  private def signBit(v: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, k) => x * signComponent(plane, k)),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
-
-  /** Band signature: `bits` sign bits packed into a long, offset by band. */
-  private def bandSig(v: Column, band: Int, bits: Int): Column =
-    (0 until bits).map { j =>
-      signBit(v, band * bits + j) * lit(1L << j)
-    }.reduce(_ + _)
-
   /** Near-duplicate embedding pairs via sign-random-projection LSH:
     * 8 bands x 4 bits; candidates = pairs sharing any band bucket;
-    * verified with exact cosine >= 0.4. The only shuffles are the
-    * groupBy-band-bucket exchanges — never an all-pairs cross join, so the
-    * plan survives a 100x scale-up (bucket sizes, not table sizes, drive
-    * the pair count).
+    * verified with exact cosine >= 0.4.
+    *
+    * Plan shape (100 TB posture):
+    *   - all 32 hyperplane projections are computed in ONE codegen'd
+    *     partial aggregation over posexploded (vec_id, k, x) rows —
+    *     `groupBy(vec_id).agg(sum(x * sign(p,k)) for p)` — instead of
+    *     interpreted higher-order lambdas per plane;
+    *   - the (band, bucket) self-join carries ONLY vec ids; pairs are
+    *     deduplicated before the verify join pulls the two vectors back
+    *     by id, so no shuffle ever carries an embedding more than once
+    *     per candidate;
+    *   - never an all-pairs cross join — bucket sizes, not table sizes,
+    *     drive the pair count, so the plan survives a 100x scale-up.
     */
   def nearDupLsh(s: SparkSession, dir: String,
                  bands: Int = 8, bits: Int = 4, minCos: Double = 0.4): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // one row per (band, bucket, vec) — a posexplode over band signatures
-    val sigs = e.select(col("vec_id"), col("v"),
-      array((0 until bands).map(b => bandSig(col("v"), b, bits)): _*).as("sigs"))
-    val buckets = sigs.select(col("vec_id"), col("v"),
-        posexplode(col("sigs")).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("vec_id").as("a_id"), col("v").as("a_v"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("vec_id").as("b_id"), col("v").as("b_v"))
-    a.join(b, Seq("band", "bucket"))
+    val exploded = e.select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
+    val nPlanes = bands * bits
+    val projAggs = (0 until nPlanes)
+      .map(p => sum(col("x") * signComponent(p, col("k"))).as(s"p$p"))
+    val projs = exploded.groupBy(col("vec_id")).agg(projAggs.head, projAggs.tail: _*)
+    val bandArr = array((0 until bands).map { b =>
+      (0 until bits).map { j =>
+        when(col(s"p${b * bits + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val buckets = projs.select(col("vec_id"),
+      posexplode(bandArr).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+    val b = buckets.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id") // a pair may collide in several bands
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
       .filter(col("cos") >= minCos)
-      .distinct()  // a pair may collide in several bands
       .orderBy(col("a_id"), col("b_id"))
   }
 
