@@ -76,6 +76,8 @@ object SparkEntry {
     "sessionize_events" -> (EventQueries.sessionize _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
+    "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
+    "text_winnow_fp" -> (TextQueries.winnowFingerprint _),
     "text_stats_by_lang" -> (TextQueries.statsByLang _),
     "text_quality_score" -> (TextQueries.qualityScore _),
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
@@ -88,6 +90,7 @@ object SparkEntry {
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
     // similarity search
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
+    "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     // multimodal
@@ -123,6 +126,8 @@ object SparkEntry {
     "window_lag_delta" -> EventQueries.lagDeltaSql,
     "sessionize_events" -> EventQueries.sessionizeSql,
     "text_token_count" -> TextQueries.tokenCountSql,
+    "text_token_bpeish" -> TextQueries.tokenCountBpeSql,
+    "text_winnow_fp" -> TextQueries.winnowFingerprintSql,
     "text_stats_by_lang" -> TextQueries.statsByLangSql,
     "text_quality_score" -> TextQueries.qualityScoreSql,
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,

@@ -126,6 +126,58 @@ object EmbeddingQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // --- IVF-style ANN -----------------------------------------------------------
+  /** IVF-flat approximate top-k: a deterministic coarse codebook (the
+    * first `nCent` vectors), every vector assigned to its nearest
+    * centroid, queries probing their `nProbe` nearest cells.
+    *
+    * Scale shape: assignment is a broadcast of the tiny codebook against
+    * the full table (narrow, no shuffle of the big side beyond the
+    * argmax exchange); the search joins queries to ONLY the probed
+    * cells' vectors — a keyed hash join on cent_id — so the scored
+    * candidate set is |corpus| * nProbe / nCent instead of |corpus|.
+    * With a trained k-means codebook (out of scope here) this is
+    * textbook IVF; the plan shape is identical.
+    */
+  def annIvfTopK(s: SparkSession, dir: String,
+                 nCent: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // nearest-centroid assignment for every corpus vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("v"))
+    // queries probe their nProbe nearest cells
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probes = q.join(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("cent_id"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    // score only vectors in probed cells; top-k per query
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // --- centroids ---------------------------------------------------------------
   /** Per-label count and mean vector norm — grouped vector aggregation
     * demo (sums are order-dependent in fp, so no SQL oracle; spec asserts

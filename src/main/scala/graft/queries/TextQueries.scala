@@ -109,6 +109,28 @@ object TextQueries {
       | COUNT(*) AS n
       |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin
 
+  // --- BPE-ish regex tokenization ------------------------------------------
+  /** GPT-2-style pre-tokenizer token count: contractions, letter runs,
+    * digit runs, punctuation runs (RE2-compatible — no lookahead — so
+    * Spark's Java regex and DuckDB's RE2 agree).
+    */
+  private val bpeish = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+          .cast("long").as("n_bpeish_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit(bpeish), lit(0))))
+          .cast("long").as("n_unique_bpeish"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountBpeSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpeish_tokens,
+      | CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS n_unique_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- fingerprinting -------------------------------------------------------
   /** Document fingerprints: full-text hash + prefix hash (cheap
     * locality-insensitive fingerprint family).
@@ -123,6 +145,24 @@ object TextQueries {
   val fingerprintSql: String =
     """SELECT doc_id, md5(text) AS fp_full,
       | md5(substr(lower(text), 1, 64)) AS fp_prefix64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Winnowing-style rolling fingerprint: the minimum digest over all
+    * 8-char windows of the text (Schleimer et al. 2003's min-selection,
+    * with md5-over-window standing in for the rolling hash so Spark and
+    * DuckDB produce identical hex digests). One narrow map per doc.
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substr(text, i, 8))))")
+          .as("winnow_fp"))
+      .orderBy(col("doc_id"))
+
+  val winnowFingerprintSql: String =
+    """SELECT doc_id,
+      | list_min(list_transform(range(1, greatest(length(text)-7, 1) + 1),
+      |   i -> md5(substr(text, i, 8)))) AS winnow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- exact dedup -----------------------------------------------------------
@@ -159,17 +199,41 @@ object TextQueries {
     * key), never an unbucketed cross join. At 100 TB the bucket key is the
     * MinHash-LSH band hash (graft.llm.MinHashDedup) instead of `lang` —
     * the shape of this plan (bucket join -> exact verify) is the same.
+    *
+    * Execution shape:
+    *   - shingle sets are hashed to distinct 64-bit longs BEFORE the
+    *     join, so the pairwise intersection compares integers, not
+    *     strings, and the shuffle carries 8 bytes per shingle (same
+    *     Jaccard values: a 64-bit collision within one doc pair is
+    *     ~2^-50 at these set sizes);
+    *   - Jaccard = i / (|A| + |B| - i) from the intersection size alone
+    *     — no materialized union array;
+    *   - each language is block-split (8x8 triangle join) so
+    *     parallelism is langs x 36 keys instead of one task per
+    *     language — with few-and-large buckets, the block trick is what
+    *     keeps every core busy at scale.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = 8
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      shingles(col("text")).as("sh"))
-    val a = d.select(col("lang"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = d.select(col("lang"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("lang"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
+      .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int"))
+    // a-side: doc in block i joins every key (i, j>=i); b-side: (i<=j, j)
+    val aKeys = explode(sequence(col("blk"), lit(nBlocks - 1))).as("blk_b")
+    val bKeys = explode(sequence(lit(0), col("blk"))).as("blk_a")
+    val a = d.select(col("lang"), col("blk").as("blk_a"), aKeys,
+      col("doc_id").as("a_id"), col("sh").as("a_sh"), size(col("sh")).as("a_n"))
+    val b = d.select(col("lang"), bKeys, col("blk").as("blk_b"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"), size(col("sh")).as("b_n"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    a.join(b, Seq("lang", "blk_a", "blk_b"))
+      // same block: order by id; cross block: docs are distinct by
+      // construction and each unordered pair meets exactly once
+      .filter((col("blk_a") =!= col("blk_b")) || (col("a_id") < col("b_id")))
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (inter / (col("a_n") + col("b_n") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.EmbeddingQueries
+
+/** ANN invariants: IVF-flat probing recovers most of the exact top-k
+  * (recall), both variants return k-bounded ranked lists, and the IVF
+  * candidate set is cell-bounded (its plan joins on cent_id, never
+  * all-pairs against the full corpus).
+  */
+class EmbeddingSpec extends SparkSpec {
+
+  test("ann_topk returns exactly k ranked neighbors per query") {
+    val rows = EmbeddingQueries.annTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+      // ranks are ordered by descending cosine
+      val coss = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(coss == coss.sorted.reverse)
+    }
+  }
+
+  test("IVF probe recall >= 60% of exact top-10 at sf0.001") {
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keyset(EmbeddingQueries.annTopK(spark, sf))
+    val ivf = keyset(EmbeddingQueries.annIvfTopK(spark, sf))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
+  test("IVF search joins probed cells only — keyed join on cent_id") {
+    val plan = planOf(EmbeddingQueries.annIvfTopK(spark, sf))
+    // the probe->corpus join must be a hash join on cent_id, and the only
+    // nested-loop joins are against the 16-row broadcast codebook
+    assert(plan.contains("cent_id"))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+}
