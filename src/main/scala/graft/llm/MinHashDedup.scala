@@ -45,10 +45,15 @@ object MinHashDedup {
           element_at(ws, i + 3))))
   }
 
-  /** (doc_id, sh) — the shingle SET per doc, for the exact verify stage */
+  /** (doc_id, sh) — the shingle set per doc as SORTED 64-bit hashes:
+    * integer merge-compare in the verify stage, 8-byte elements on the
+    * wire (Jaccard is unchanged w.h.p. — a collision within one pair is
+    * ~2^-50 at these set sizes).
+    */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        array_sort(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
 
   /** One row per doc with columns h0..h63: the MinHash signature,
     * computed as a single partial-aggregated groupBy over exploded
@@ -67,9 +72,13 @@ object MinHashDedup {
       xxhash64((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
     }: _*)
 
-  /** exact Jaccard of two distinct-element array columns */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** exact Jaccard of two SORTED distinct-long array columns:
+    * i / (|A| + |B| - i) with a codegen'd merge-scan intersection count.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = graft.functions.SortedLongIntersectSize(a, b).cast("double")
+    i / (size(a) + size(b) - i)
+  }
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard.
     * Output: (a_id, b_id, jaccard) for pairs with jaccard >= minJaccard.

@@ -216,7 +216,7 @@ object TextQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 8
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-        transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
+        array_sort(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
       .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int"))
     // a-side: doc in block i joins every key (i, j>=i); b-side: (i<=j, j)
     val aKeys = explode(sequence(col("blk"), lit(nBlocks - 1))).as("blk_b")
@@ -225,7 +225,9 @@ object TextQueries {
       col("doc_id").as("a_id"), col("sh").as("a_sh"), size(col("sh")).as("a_n"))
     val b = d.select(col("lang"), bKeys, col("blk").as("blk_b"),
       col("doc_id").as("b_id"), col("sh").as("b_sh"), size(col("sh")).as("b_n"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    // sorted-merge intersection count: codegen'd, zero allocation per pair
+    val inter = graft.functions.SortedLongIntersectSize(col("a_sh"), col("b_sh"))
+      .cast("double")
     a.join(b, Seq("lang", "blk_a", "blk_b"))
       // same block: order by id; cross block: docs are distinct by
       // construction and each unordered pair meets exactly once

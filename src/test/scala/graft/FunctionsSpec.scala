@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.SortedLongIntersectSize
+import org.apache.spark.sql.functions._
+
+/** Unit behavior of the custom codegen'd intersection-size expression,
+  * cross-checked against the built-in array_intersect on random sorted
+  * inputs (both interpreted eval and the whole-stage-codegen path run —
+  * Spark fuses the projection, so the generated Java is what executes).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def isect(a: Seq[Long], b: Seq[Long]): Int =
+    Seq((a, b)).toDF("a", "b")
+      .select(SortedLongIntersectSize(col("a"), col("b")).as("c"))
+      .collect().head.getInt(0)
+
+  test("empty, disjoint, identical, partial overlap") {
+    assert(isect(Seq.empty, Seq.empty) == 0)
+    assert(isect(Seq(1L, 2L), Seq.empty) == 0)
+    assert(isect(Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)) == 0)
+    assert(isect(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 3)
+    assert(isect(Seq(-5L, 0L, 7L, 9L), Seq(0L, 9L, 11L)) == 2)
+  }
+
+  test("null input propagates null") {
+    val r = Seq((Seq(1L, 2L))).toDF("a")
+      .select(SortedLongIntersectSize(col("a"), lit(null).cast("array<bigint>")))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("agrees with built-in array_intersect on random sorted sets") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 50).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = cases.toDF("a", "b").select(
+      SortedLongIntersectSize(col("a"), col("b")).as("custom"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(df.filter(col("custom") =!= col("builtin")).count() == 0)
+  }
+}
