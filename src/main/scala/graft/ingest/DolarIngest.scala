@@ -124,6 +124,20 @@ object DolarIngest {
   def batchToPath(spark: SparkSession, rawDir: String, dest: String): LoadReport =
     load(spark, rawDir)(_.write.mode("append").parquet(dest))
 
+  /** Date-partitioned append — the engine's analogue of the index the
+    * reference's DDL never declares (SURVEY §4 "access path"): laying the
+    * table out as p_date=YYYY-MM-DD directories lets interval queries
+    * prune whole partitions instead of scanning the full table
+    * (IntervalQuery adds the matching p_date bounds; see
+    * IntervalQuery.overPartitioned).
+    */
+  def batchToPartitionedPath(spark: SparkSession, rawDir: String,
+                             dest: String): LoadReport =
+    load(spark, rawDir) { df =>
+      df.withColumn("p_date", to_date(col("fechahora")))
+        .write.mode("append").partitionBy("p_date").parquet(dest)
+    }
+
   /** G2-G5: event-driven incremental load as Structured Streaming — the
     * file source discovers new raw objects, each microbatch applies the
     * identical parse/validate/append (via the same `load`), and the

@@ -1,0 +1,33 @@
+package graft.plans
+
+import graft.functions.SortedLongIntersectSize
+import graft.llm.SimHash64
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions,
+  * the idiomatic Spark extension point — enable with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * after which `simhash64(text)` and `sorted_intersect_size(a, b)` work
+  * from SQL, not just the Scala DSL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedLongIntersectSize].getName,
+        "sorted_intersect_size"),
+      (children: Seq[Expression]) =>
+        SortedLongIntersectSize(children(0), children(1))))
+  }
+}

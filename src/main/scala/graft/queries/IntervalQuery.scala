@@ -40,6 +40,26 @@ object IntervalQuery {
       .orderBy(col("fechahora").asc)
   }
 
+  /** The query over a date-partitioned dolar layout
+    * (DolarIngest.batchToPartitionedPath): identical row semantics, plus
+    * p_date bounds derived from the interval so the scan prunes whole
+    * day-partitions (PartitionFilters in the plan) — the 100 TB answer
+    * to the reference's index-less full scan (main.py:69-74 over the
+    * no-index DDL subirDB.py:72-77).
+    */
+  def overPartitioned(table: DataFrame, start: LocalDateTime,
+                      end: LocalDateTime): DataFrame = {
+    validate(start, end)
+    table
+      .filter(col("p_date").between(
+        lit(java.sql.Date.valueOf(start.toLocalDate)),
+        lit(java.sql.Date.valueOf(end.toLocalDate))))
+      .select(col("fechahora"), col("valor").cast("double").as("valor"))
+      .filter(col("fechahora").between(
+        lit(truncToSecond(start)), lit(truncToSecond(end))))
+      .orderBy(col("fechahora").asc)
+  }
+
   /** A9 + the query: against the managed `dolar` table. */
   def run(spark: SparkSession, start: LocalDateTime, end: LocalDateTime,
           table: String = "dolar"): DataFrame =

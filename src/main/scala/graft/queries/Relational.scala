@@ -75,9 +75,11 @@ object Relational {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
-    // customer side is ~1/5 of an already-small dim: broadcast, so the
-    // orders->lineitem join is the only shuffle.
-    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+    // customer scales with SF, so no forced broadcast: the static planner
+    // (file-size stats) or AQE (runtime stats) picks broadcast while the
+    // filtered side fits, and degrades to a shuffle join beyond that —
+    // the right behavior at 100 TB where customer is a fact-sized table.
+    c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"))
@@ -104,12 +106,14 @@ object Relational {
     val su = t(s, dir, "supplier")
     val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
-    // region/nation/supplier are tiny: broadcast all three, leaving the
-    // single orders<->lineitem shuffle as the only exchange.
+    // region (5 rows) and nation (25 rows) are bounded by geography —
+    // broadcast them explicitly. supplier/customer scale with SF, so
+    // their join strategy is left to the planner/AQE (broadcast while
+    // small, shuffle at 100 TB).
     val dimNation = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey")))
     val factO = o.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
     l.join(factO, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(cu, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(dimNation, col("s_nationkey") === col("n_nationkey"))

@@ -1,0 +1,50 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the custom expressions as SQL functions on
+  * a session built with .withExtensions (the standard deployment path
+  * via spark.sql.extensions).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate reuses any existing session and silently drops
+    // withExtensions — detach the shared test session first so this
+    // builder really constructs a new session (same SparkContext).
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    prior.foreach(SparkSession.setDefaultSession)
+    prior.foreach(SparkSession.setActiveSession)
+    s
+  }
+
+  test("simhash64 callable from SQL, deterministic, text-sensitive") {
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS a,
+        |       simhash64('the quick brown fox') AS b,
+        |       simhash64('totally different words entirely') AS c""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("sorted_intersect_size callable from SQL") {
+    val r = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n")
+      .collect().head
+    assert(r.getInt(0) == 2)
+  }
+}
