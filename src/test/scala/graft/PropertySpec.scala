@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.ingest.{DolarIngest, RawZone}
+import graft.queries.IntervalQuery
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 plan item 2), ScalaCheck-generated and
+  * batched into single Spark jobs:
+  *   - interval query ≡ brute-force filter+sort on random series;
+  *   - ingest conservation: inserted + bad == wire rows, per file and
+  *     in total, for random dirty payloads (H2/H3/D2 invariants);
+  *   - epoch-ms → second-truncated timestamp round trip.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(params, Seed(seed))
+
+  private val genTsMs: Gen[Long] = Gen.choose(1600000000000L, 1800000000000L)
+  private val genValor: Gen[Double] =
+    Gen.choose(100000L, 99999999L).map(_ / 10000.0) // 4dp-exact doubles
+
+  test("interval query ≡ brute-force filter+sort on random series") {
+    val pairs = (1 to 300).map { i =>
+      (sample(genTsMs, i.toLong), sample(genValor, 1000L + i))
+    }
+    val schema = StructType(Seq(
+      StructField("fechahora", TimestampType),
+      StructField("valor", DecimalType(12, 4))))
+    val rows = pairs.map { case (ms, v) =>
+      Row(new java.sql.Timestamp(ms - ms % 1000), BigDecimal(v).bigDecimal)
+    }
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    for (seed <- 1L to 10L) {
+      val aMs = sample(genTsMs, 5000L + seed)
+      val bMs = sample(genTsMs, 6000L + seed)
+      val (loMs, hiMs) = if (aMs < bMs) (aMs, bMs) else (bMs, aMs)
+      val lo = LocalDateTime.ofEpochSecond(loMs / 1000, 0, java.time.ZoneOffset.UTC)
+      val hi = LocalDateTime.ofEpochSecond(hiMs / 1000 + 1, 0, java.time.ZoneOffset.UTC)
+      val got = IntervalQuery.over(table, lo, hi).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+
+      val expect = pairs
+        .map { case (ms, v) => (ms - ms % 1000, v) }
+        .filter { case (sec, _) => sec >= (loMs - loMs % 1000) && sec <= (hiMs - hiMs % 1000) + 1000 }
+      // same multiset...
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+        expect.groupBy(identity).view.mapValues(_.size).toMap,
+        s"seed=$seed interval=[$lo,$hi]")
+      // ...and ascending fechahora
+      assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    }
+  }
+
+  test("ingest conservation: inserted + bad == wire rows, per file and total") {
+    val raw = Files.createTempDirectory("graft_prop_ingest").resolve("raw").toString
+    case class FileTruth(file: Int, valid: Int, bad: Int)
+    val genRow: Gen[(String, Boolean)] = Gen.frequency(
+      6 -> Gen.zip(genTsMs, genValor).map { case (ts, v) => (s"""["$ts","$v"]""", true) },
+      1 -> Gen.const(("""["not_a_ts","123.4"]""", false)),
+      1 -> Gen.const(("""["1700000000000","garbage"]""", false)),
+      1 -> Gen.const(("""["only_one"]""", false)),
+      1 -> Gen.const(("""["1700000000000","1.0","extra"]""", false)))
+
+    val truths = (0 until 12).map { f =>
+      val nRows = sample(Gen.choose(0, 15), 100L + f)
+      val rows = (0 until nRows).map(r => sample(genRow, f * 1000L + r))
+      RawZone.write(raw, f.toLong, rows.map(_._1).mkString("[", ",", "]"))
+      FileTruth(f, rows.count(_._2), rows.count(!_._2))
+    }
+
+    val report = DolarIngest.batchToPath(spark, raw,
+      Files.createTempDirectory("graft_prop_dest").toString + "/dolar")
+
+    assert(report.totalRowsInserted == truths.map(_.valid).sum)
+    assert(report.filesProcessed == truths.count(_.valid > 0)) // H3
+    report.details.foreach { d =>
+      val f = truths.find(t => d.file.contains(s"dolar-${t.file}.json")).get
+      assert(d.inserted == f.valid && d.bad == f.bad, s"file ${f.file}")
+    }
+    // files with zero valid rows never appear in details (H3)
+    assert(report.details.size == truths.count(_.valid > 0))
+  }
+
+  test("epoch-ms -> second-truncated UTC timestamp round trip") {
+    val raw = Files.createTempDirectory("graft_prop_ts").resolve("raw").toString
+    val msSamples = (1 to 50).map(i => sample(genTsMs, 7000L + i))
+    RawZone.write(raw, 1L,
+      msSamples.map(ms => s"""["$ms","1234.5678"]""").mkString("[", ",", "]"))
+    val dest = Files.createTempDirectory("graft_prop_ts_d").toString + "/dolar"
+    DolarIngest.batchToPath(spark, raw, dest)
+    val got = spark.read.parquet(dest).collect()
+      .map(_.getTimestamp(0).getTime).sorted
+    val expect = msSamples.map(ms => ms - ms % 1000).sorted
+    assert(got.toSeq == expect.toSeq)
+  }
+}
