@@ -74,6 +74,7 @@ object SparkEntry {
     "window_moving_avg" -> (EventQueries.movingAvg _),
     "window_lag_delta" -> (EventQueries.lagDelta _),
     "sessionize_events" -> (EventQueries.sessionize _),
+    "asof_purchase" -> (EventQueries.asofPurchase _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "window_moving_avg" -> EventQueries.movingAvgSql,
     "window_lag_delta" -> EventQueries.lagDeltaSql,
     "sessionize_events" -> EventQueries.sessionizeSql,
+    "asof_purchase" -> EventQueries.asofPurchaseSql,
     "text_token_count" -> TextQueries.tokenCountSql,
     "text_token_bpeish" -> TextQueries.tokenCountBpeSql,
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,

@@ -101,6 +101,44 @@ object EventQueries {
       | value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // --- as-of join ---------------------------------------------------------------
+  /** Per-key as-of join — the time-series operator Spark has no native
+    * node for: every 'click' event picks the same user's most recent
+    * 'purchase' value at-or-before its timestamp.
+    *
+    * Spark-first composition (preference (a) of the custom-operator
+    * ladder): one pass over the unioned stream with a per-user
+    * cumulative window — `last(purchase_value, ignoreNulls)` over
+    * (ts, event_id) — instead of a join at all. Scale shape: a single
+    * hash exchange on user_id + an in-partition sort; no range join, no
+    * broadcast, no per-row probing, and skew is bounded by events per
+    * user. The DuckDB oracle is its native ASOF LEFT JOIN.
+    */
+  def asofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isPurchase = col("event_type") === "purchase"
+    ev(s, dir)
+      .withColumn("last_purchase_value",
+        last(when(isPurchase, col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("last_purchase_value"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  val asofPurchaseSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id AS click_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.value AS last_purchase_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.user_id, c.click_id""".stripMargin
+
   // --- sessionization -----------------------------------------------------------
   /** Gap-based sessionization (30-minute inactivity closes a session):
     * per (user, session) event count and value total. Batch dual of the
