@@ -55,6 +55,10 @@ object SparkEntry {
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_minmax_by_brand" -> (Relational.aggMinMaxByBrand _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_median_price" -> (Relational.aggMedianPrice _),
+    "agg_nations_by_region" -> (Relational.aggNationsByRegion _),
+    "pivot_status_counts" -> (Relational.pivotStatusCounts _),
     // relational: joins
     "q3_top_revenue" -> (Relational.q3TopRevenue _),
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
@@ -75,6 +79,7 @@ object SparkEntry {
     "window_lag_delta" -> (EventQueries.lagDelta _),
     "sessionize_events" -> (EventQueries.sessionize _),
     "asof_purchase" -> (EventQueries.asofPurchase _),
+    "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -110,6 +115,10 @@ object SparkEntry {
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_count_distinct" -> Relational.aggCountDistinctSql,
     "agg_minmax_by_brand" -> Relational.aggMinMaxByBrandSql,
+    "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
+    "agg_median_price" -> Relational.aggMedianPriceSql,
+    "agg_nations_by_region" -> Relational.aggNationsByRegionSql,
+    "pivot_status_counts" -> Relational.pivotStatusCountsSql,
     "q3_top_revenue" -> Relational.q3TopRevenueSql,
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,
     "join_broadcast_dim" -> Relational.joinBroadcastDimSql,
@@ -127,6 +136,7 @@ object SparkEntry {
     "window_lag_delta" -> EventQueries.lagDeltaSql,
     "sessionize_events" -> EventQueries.sessionizeSql,
     "asof_purchase" -> EventQueries.asofPurchaseSql,
+    "events_gapfill_daily" -> EventQueries.gapfillDailySql,
     "text_token_count" -> TextQueries.tokenCountSql,
     "text_token_bpeish" -> TextQueries.tokenCountBpeSql,
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,

@@ -101,6 +101,52 @@ object EventQueries {
       | value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // --- resample / gap-fill ------------------------------------------------------
+  /** Daily resample with gap-fill: one user's purchase series densified
+    * to a continuous daily calendar (missing days count 0) plus a
+    * forward-filled last-observed daily total.
+    *
+    * Scale note: the calendar axis is bounded by the time horizon (days,
+    * not data rows), so the unpartitioned forward-fill window is a
+    * metadata-sized frame; the data-sized work (the daily aggregation)
+    * is a normal partial-aggregated groupBy. For per-key gap-fill the
+    * same plan partitions the window by key.
+    */
+  def gapfillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .filter(col("user_id") === 7 && col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    val cal = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val wFill = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("day"), "left")
+      .select(col("day").cast("timestamp").as("day"), // timestamp: oracle-comparable type both engines
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        last(col("total"), ignoreNulls = true).over(wFill).as("ffill_total"))
+      .orderBy(col("day"))
+  }
+
+  val gapfillDailySql: String =
+    """WITH daily AS (
+      |  SELECT ts::DATE AS day, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |  FROM events WHERE user_id = 7 AND event_type = 'purchase'
+      |  GROUP BY 1),
+      |cal AS (
+      |  SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+      |    (SELECT MAX(day) FROM daily), INTERVAL 1 DAY)) AS day)
+      |SELECT CAST(c.day AS TIMESTAMP) AS day,
+      |  COALESCE(d.n, 0) AS n, COALESCE(d.total, 0.0) AS total,
+      |  LAST_VALUE(d.total IGNORE NULLS) OVER (ORDER BY c.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_total
+      |FROM cal c LEFT JOIN daily d ON c.day = d.day
+      |ORDER BY c.day""".stripMargin
+
   // --- as-of join ---------------------------------------------------------------
   /** Per-key as-of join — the time-series operator Spark has no native
     * node for: every 'click' event picks the same user's most recent

@@ -286,6 +286,88 @@ object Relational {
       |FROM part GROUP BY p_brand, CAST(FLOOR(p_size / 10) AS BIGINT)
       |ORDER BY p_brand, size_bucket""".stripMargin
 
+  /** GROUPING SETS — the general form behind cube/rollup; the DataFrame
+    * API only exposes the latter two, so this goes through spark.sql over
+    * a temp view (the other declarative entry point of the engine).
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  /** Exact interpolated percentiles (Spark `percentile` == SQL-standard
+    * PERCENTILE_CONT == DuckDB quantile_cont: sort + linear
+    * interpolation at (n-1)*p — same IEEE arithmetic both engines).
+    */
+  def aggMedianPrice(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggMedianPriceSql: String =
+    """SELECT o_orderpriority,
+      | quantile_cont(o_totalprice, 0.5) AS median_price,
+      | quantile_cont(o_totalprice, 0.9) AS p90_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Pivot (one output column per o_orderstatus value) via the DataFrame
+    * pivot API with an explicit value list — explicit values keep the
+    * plan a single pass (no extra distinct-values job) and make the
+    * output schema static, which is what you want at scale.
+    */
+  def pivotStatusCounts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val pivotStatusCountsSql: String =
+    """SELECT o_orderpriority,
+      | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Ordered string aggregation: nations per region as a sorted
+    * comma-joined list (sort_array(collect_list) keeps the result
+    * deterministic regardless of partial-aggregation order).
+    */
+  def aggNationsByRegion(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  val aggNationsByRegionSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // --- windows ---------------------------------------------------------------
   def windowRankOrders(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
