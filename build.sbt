@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~50 whole-stage-codegen'd queries in one JVM generate enough classes
+  // to fill the default 240m code cache, after which the JIT shuts off
+  // and everything runs interpreted — size it for the full query suite.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

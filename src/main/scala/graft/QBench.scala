@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one SparkEntry query in a fresh JVM.
+  * Usage: runMain graft.QBench <queryName> [repeats]
+  * (sfDir from SPARK_GRAFT_SF_DIR, threads from SPARK_GRAFT_CPUS)
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 1
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[qbench] $name rep$r rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    if (sys.env.contains("QBENCH_EXPLAIN"))
+      fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

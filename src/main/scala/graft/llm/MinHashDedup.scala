@@ -35,25 +35,34 @@ object MinHashDedup {
   val Bands = 16
   val RowsPerBand: Int = NumPerms / Bands
 
-  /** distinct 3-gram word shingles of a text column */
-  def shingles(textCol: Column): Column = {
-    val ws = split(textCol, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), size(ws) - 3),
-        i => concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3))))
-  }
+  /** Distinct 3-gram word shingles of a PRE-SPLIT words column, hashed
+    * straight to sorted 64-bit longs — `xxhash64(w1, w2, w3)` per
+    * position, no intermediate concatenated strings.
+    *
+    * `ws` MUST be its own projected column (split once per row), never
+    * an inline `split(...)`: an inline split gets re-evaluated inside
+    * every lambda element on the interpreted path (only whole-stage
+    * codegen CSEs it away), turning shingling O(words^2) whenever a
+    * stage falls back from codegen — observed as a 40x blowup.
+    */
+  def hashedShingles(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_sort(array_distinct(
+        transform(
+          sequence(lit(0), size(ws) - 3),
+          i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2),
+            element_at(ws, i + 3))))))
+      .otherwise(array().cast("array<bigint>"))
 
-  /** (doc_id, sh) — the shingle set per doc as SORTED 64-bit hashes:
-    * integer merge-compare in the verify stage, 8-byte elements on the
-    * wire (Jaccard is unchanged w.h.p. — a collision within one pair is
-    * ~2^-50 at these set sizes).
+  /** (doc_id, sh) — the shingle set per doc as sorted 64-bit hashes:
+    * integer merge-compare in the verify stage, 8 bytes per shingle on
+    * the wire (Jaccard is unchanged w.h.p. — a collision within one
+    * pair is ~2^-50 at these set sizes).
     */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        array_sort(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), hashedShingles(col("ws")).as("sh"))
 
   /** One row per doc with columns h0..h63: the MinHash signature,
     * computed as a single partial-aggregated groupBy over exploded

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.SortedLongIntersectSize
+import graft.functions.{DotProductF64, SortedLongIntersectSize}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_size"),
       (children: Seq[Expression]) =>
         SortedLongIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
+      (children: Seq[Expression]) => DotProductF64(children(0), children(1))))
   }
 }

@@ -21,12 +21,14 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** in-order double dot product of two array<double> columns */
+  /** in-order double dot product — native codegen'd expression (see
+    * graft.functions.DotProductF64; bit-identical to the HOF spelling
+    * and to DuckDB's list arithmetic)
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductF64(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -118,10 +120,16 @@ object EmbeddingQueries {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id") // a pair may collide in several bands
+    // norms precomputed per vector (not per pair); the verify dot is a
+    // codegen'd loop, so each candidate pair costs one 64-wide FMA scan
+    val en = e.withColumn("nrm", norm(col("v")))
     cand
-      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
-      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+      .join(en.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(en.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_nrm")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy(col("a_id"), col("b_id"))
   }

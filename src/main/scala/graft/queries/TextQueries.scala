@@ -183,16 +183,6 @@ object TextQueries {
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   // --- exact n-gram-shingle Jaccard near-dup ---------------------------------
-  /** 3-gram word shingles of a document (distinct set). */
-  private def shingles(textCol: Column): Column = {
-    val ws = split(textCol, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), size(ws) - 3),
-        i => concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3))))
-  }
-
   /** Near-duplicate pairs by exact Jaccard over 3-gram shingles, language-
     * bucketed. This is the *verify* stage: candidate pairs come from a
     * same-language self-join (a partitioned shuffle join on the bucket
@@ -215,8 +205,10 @@ object TextQueries {
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 8
-    val d = docs(s, dir).select(col("doc_id"), col("lang"),
-        array_sort(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
       .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int"))
     // a-side: doc in block i joins every key (i, j>=i); b-side: (i<=j, j)
     val aKeys = explode(sequence(col("blk"), lit(nBlocks - 1))).as("blk_b")

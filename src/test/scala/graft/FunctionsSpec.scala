@@ -32,6 +32,30 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("DotProductF64 bit-identical to the HOF spelling on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 30).map { _ =>
+      (Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = vecs.toDF("a", "b").select(
+      graft.functions.DotProductF64(col("a"), col("b")).as("custom"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+    // exact equality: both accumulate strictly left-to-right
+    assert(df.filter(col("custom") =!= col("hof")).count() == 0)
+  }
+
+  test("DotProductF64 edge cases: empty arrays, null propagation") {
+    val r1 = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(graft.functions.DotProductF64(col("a"), col("b")))
+      .collect().head
+    assert(r1.getDouble(0) == 0.0)
+    val r2 = Seq(Seq(1.0, 2.0)).toDF("a")
+      .select(graft.functions.DotProductF64(col("a"), lit(null).cast("array<double>")))
+      .collect().head
+    assert(r2.isNullAt(0))
+  }
+
   test("agrees with built-in array_intersect on random sorted sets") {
     val rnd = new scala.util.Random(42)
     val cases = (1 to 50).map { _ =>
