@@ -102,6 +102,7 @@ object SparkEntry {
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -111,6 +111,23 @@ object DolarIngest {
     } finally rows.unpersist()
   }
 
+  /** D2 via the observe API: attach named load metrics (wire rows /
+    * valid / bad / corrupt-file count) to a parsed batch. Metrics ride
+    * the existing job as accumulators — zero extra passes, readable from
+    * `Observation.get` in batch or `StreamingQueryProgress.observedMetrics`
+    * per microbatch.
+    */
+  def observed(parsed: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_load")
+    val df = parsed.observe(obs,
+      count(lit(1)).as("wire_rows"),
+      sum(when(col("valid"), 1L).otherwise(0L)).as("valid_rows"),
+      sum(when(!col("valid") && !col("file_corrupt") && col("pair").isNotNull, 1L)
+        .otherwise(0L)).as("bad_rows"),
+      sum(when(col("file_corrupt"), 1L).otherwise(0L)).as("corrupt_markers"))
+    (df, obs)
+  }
+
   /** A7/A8/A9: idempotent DDL + append into the managed `dolar` table. */
   def batchToTable(spark: SparkSession, rawDir: String,
                    table: String = "dolar"): LoadReport = {

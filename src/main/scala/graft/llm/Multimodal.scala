@@ -85,4 +85,40 @@ object Multimodal {
       }(enc)
       .orderBy(col("media_id"))
   }
+
+  /** One row per sampled frame per media. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_sha256_8", StringType),
+    StructField("frame_bytes", IntegerType)))
+
+  /** Frame sampling as a one-to-many partition-wise transform (the
+    * video-frame-extraction shape): every k-th fixed-size byte slice of
+    * the payload becomes a frame row. The slicing stands in for a codec
+    * seek — schema, fan-out, and partition-wise batching are the real
+    * contract; a decoder swap changes only the slice step.
+    */
+  def sampleFrames(s: SparkSession, dir: String,
+                   frameBytes: Int = 256, every: Int = 4): DataFrame = {
+    val enc = ExpressionEncoder(frameSchema)
+    mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = math.max(payload.length / frameBytes, 1)
+          (0 until nFrames by every).map { f =>
+            val from = math.min(f * frameBytes, payload.length)
+            val until = math.min(from + frameBytes, payload.length)
+            val slice = java.util.Arrays.copyOfRange(payload, from, until)
+            val sha = digest.digest(slice).take(4).map("%02x".format(_)).mkString
+            Row(id, f, sha, until - from)
+          }
+        }
+      }(enc)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
 }

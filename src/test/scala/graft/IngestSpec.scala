@@ -86,6 +86,20 @@ class IngestSpec extends SparkSpec {
     assert(!RawZone.matchesKey("dolar-123.txt"))
   }
 
+  test("D2 via observe: load metrics ride the job as accumulators") {
+    val (raw, _) = freshDirs()
+    RawZone.write(raw, 1L,
+      """[["1757509256000","3920.12"],["bad","row"],["1757509266000","3921.55"]]""")
+    val (df, obs) = DolarIngest.observed(
+      DolarIngest.parse(DolarIngest.readRaw(spark, raw)))
+    df.collect() // one action; metrics observed on the same pass
+    val m = obs.get
+    assert(m("wire_rows") == 3L)
+    assert(m("valid_rows") == 2L)
+    assert(m("bad_rows") == 1L)
+    assert(m("corrupt_markers") == 0L)
+  }
+
   test("A8: idempotent DDL + append to managed table, duplicate-tolerant") {
     val (raw, _) = freshDirs()
     RawZone.write(raw, 1L, """[["1757509256000","3920.12"]]""")

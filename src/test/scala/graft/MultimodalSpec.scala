@@ -31,6 +31,21 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("sampleFrames: one-to-many fan-out, deterministic, bounded slices") {
+    val df = Multimodal.sampleFrames(spark, sf)
+    assert(df.schema == Multimodal.frameSchema)
+    val rows = df.collect()
+    val nMedia = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length >= nMedia) // at least frame 0 per media
+    rows.foreach { r =>
+      assert(r.getInt(1) % 4 == 0)       // every-4th sampling
+      assert(r.getInt(3) > 0 && r.getInt(3) <= 256)
+      assert(r.getString(2).length == 8) // truncated hex digest
+    }
+    val again = Multimodal.sampleFrames(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("decode runs partition-wise (no driver-side loop)") {
     val plan = planOf(Multimodal.decodeFrames(spark, sf))
     assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
