@@ -15,14 +15,15 @@ object QBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[qbench] $name rep$r rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[qbench] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (sys.env.contains("QBENCH_EXPLAIN"))
       fn(spark, sfDir).explain("formatted")

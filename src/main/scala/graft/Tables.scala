@@ -20,13 +20,17 @@ object Tables {
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4.1 refuses to
     * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the column as
-    * nanos-since-epoch (legacy conf) and floor to microseconds —
+    * nanos-since-epoch and floor to microseconds —
     * `timestamp_micros(ns div 1000)` — which matches DuckDB's
     * `ts::TIMESTAMP` truncation bit-for-bit (verified empirically).
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session, set once by the session owner (Bench/QBench/Verify/test
+    * builders all do) — a query builder must not mutate session conf
+    * (racy under concurrent query construction, and it would silently
+    * change how unrelated code reads nanos parquet).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 }

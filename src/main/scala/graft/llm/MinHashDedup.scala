@@ -7,14 +7,12 @@ import org.apache.spark.sql.functions._
 /** MinHash + LSH near-duplicate detection over `documents` — the
   * 100 TB-viable candidate-generation stage for fuzzy dedup.
   *
-  * Pipeline (all built-in, codegen'd; no UDFs, no cross join):
-  *   1. shingle: 3-gram word shingles per doc, EXPLODED to rows
-  *   2. minhash: P=64 permutations computed as ONE hash-aggregation —
-  *      `groupBy(doc_id).agg(min(xxhash64(p, shingle)) for p <- 0..63)`.
-  *      Partial (map-side) min-combine keeps the shuffle at one row of
-  *      64 longs per doc regardless of document size, and the whole
-  *      stage is codegen'd — unlike a higher-order `transform` per
-  *      permutation, which evaluates lambdas interpreted.
+  * Pipeline (all codegen'd; no UDFs, no cross join):
+  *   1. shingle: 3-gram word shingles per doc as sorted hashed longs
+  *   2. minhash: P=64 permutations computed per doc by the codegen'd
+  *      [[graft.functions.MinHashSignature]] expression — one narrow
+  *      pass over the shingle array, NO explode and NO shuffle; at any
+  *      scale the signature stage is a pure map over documents.
   *   3. band: 16 bands x 4 rows; band hash = xxhash64 of the 4 sig slots
   *   4. bucket join: posexplode (band, bucket) -> self-join on
   *      (band, bucket) carrying ONLY doc ids -> dropDuplicates(a,b).
@@ -35,50 +33,52 @@ object MinHashDedup {
   val Bands = 16
   val RowsPerBand: Int = NumPerms / Bands
 
-  /** Distinct 3-gram word shingles of a PRE-SPLIT words column, hashed
-    * straight to sorted 64-bit longs — `xxhash64(w1, w2, w3)` per
-    * position, no intermediate concatenated strings.
-    *
-    * `ws` MUST be its own projected column (split once per row), never
-    * an inline `split(...)`: an inline split gets re-evaluated inside
-    * every lambda element on the interpreted path (only whole-stage
-    * codegen CSEs it away), turning shingling O(words^2) whenever a
-    * stage falls back from codegen — observed as a 40x blowup.
+  /** Distinct 3-gram word shingles of a words column, hashed straight to
+    * sorted 64-bit longs — the codegen'd
+    * [[graft.functions.HashedShingles3]] expression (`xxhash64(w1, w2,
+    * w3)` per position, no intermediate concatenated strings, no
+    * higher-order functions — a HOF here knocks the whole projection
+    * out of codegen and re-splits the document per lambda element
+    * wherever the optimizer inlines it into a Filter).
     */
-  def hashedShingles(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_sort(array_distinct(
-        transform(
-          sequence(lit(0), size(ws) - 3),
-          i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2),
-            element_at(ws, i + 3))))))
-      .otherwise(array().cast("array<bigint>"))
+  def hashedShingles(ws: Column): Column = graft.functions.HashedShingles3(ws)
 
   /** (doc_id, sh) — the shingle set per doc as sorted 64-bit hashes:
     * integer merge-compare in the verify stage, 8 bytes per shingle on
     * the wire (Jaccard is unchanged w.h.p. — a collision within one
-    * pair is ~2^-50 at these set sizes).
+    * pair is ~2^-50 at these set sizes). Docs under 3 words (no
+    * shingles) are dropped by a cheap word-count filter BEFORE hashing
+    * — cheap because it never mentions the shingle column, so predicate
+    * pushdown can't inline the shingling work into a Filter.
     */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), hashedShingles(col("ws")).as("sh"))
 
-  /** One row per doc with columns h0..h63: the MinHash signature,
-    * computed as a single partial-aggregated groupBy over exploded
-    * shingles (see class doc).
+  /** One row per doc with `sig`: the 64-slot MinHash signature as an
+    * `array<bigint>`, computed by the codegen'd
+    * [[graft.functions.MinHashSignature]] expression in a single narrow
+    * pass — NO explode, NO shuffle. (The earlier
+    * `explode + groupBy(doc).agg(64 x min(xxhash64(p, s)))` formulation
+    * generated an update method past the codegen/JIT limits and
+    * degraded to interpreted eval — 650 s for 270 K shingles inside the
+    * full-suite bench JVM; this plan is a pure map.)
+    *
+    * Docs with no shingles (< 3 words) are excluded by shingleSets,
+    * matching the explode-based formulation (empty arrays explode to
+    * zero rows).
     */
-  def signatureCols(s: SparkSession, dir: String): DataFrame = {
-    val exploded = shingleSets(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val aggs = (0 until NumPerms).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def signatureCols(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir)
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature(col("sh"), NumPerms).as("sig"))
 
-  /** 16 band hashes as an array column over the h0..h63 signature cols */
-  private def bandArray: Column =
+  /** 16 band hashes as an array column over the signature array */
+  private def bandArray(sig: Column): Column =
     array((0 until Bands).map { b =>
-      xxhash64((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+      xxhash64((1 to RowsPerBand).map(r => element_at(sig, b * RowsPerBand + r)): _*)
     }: _*)
 
   /** exact Jaccard of two SORTED distinct-long array columns:
@@ -95,7 +95,7 @@ object MinHashDedup {
   def nearDupPairs(s: SparkSession, dir: String,
                    minJaccard: Double = 0.2): DataFrame = {
     val buckets = signatureCols(s, dir)
-      .select(col("doc_id"), posexplode(bandArray).as(Seq("band", "bucket")))
+      .select(col("doc_id"), posexplode(bandArray(col("sig"))).as(Seq("band", "bucket")))
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val cand = a.join(b, Seq("band", "bucket"))
@@ -119,7 +119,7 @@ object MinHashDedup {
   def signatures(s: SparkSession, dir: String): DataFrame =
     signatureCols(s, dir)
       .select(col("doc_id"),
-        col("h0").as("sig0"),
-        xxhash64((0 until RowsPerBand).map(r => col(s"h$r")): _*).as("band0"))
+        element_at(col("sig"), 1).as("sig0"),
+        xxhash64((1 to RowsPerBand).map(r => element_at(col("sig"), r)): _*).as("band0"))
       .orderBy(col("doc_id"))
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductF64, SortedLongIntersectSize}
+import graft.functions.{DotProductF64, HashedShingles3, MinHashSignature, SortedLongIntersectSize}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_size"),
       (children: Seq[Expression]) =>
         SortedLongIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_shingles3"),
+      new ExpressionInfo(classOf[HashedShingles3].getName, "hashed_shingles3"),
+      (children: Seq[Expression]) => HashedShingles3(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        children(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

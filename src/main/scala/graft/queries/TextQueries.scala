@@ -186,9 +186,18 @@ object TextQueries {
   /** Near-duplicate pairs by exact Jaccard over 3-gram shingles, language-
     * bucketed. This is the *verify* stage: candidate pairs come from a
     * same-language self-join (a partitioned shuffle join on the bucket
-    * key), never an unbucketed cross join. At 100 TB the bucket key is the
-    * MinHash-LSH band hash (graft.llm.MinHashDedup) instead of `lang` —
-    * the shape of this plan (bucket join -> exact verify) is the same.
+    * key), never an unbucketed cross join.
+    *
+    * Exact all-pairs verify is inherently quadratic in the bucket size,
+    * so this oracle-checkable variant is RESTRICTED to the bounded
+    * `doc_id < 500` bucket (the full corpus at the oracle scale
+    * factors, a fixed 500-doc golden bucket beyond) — bounded-exact is
+    * what keeps both engines linear-ish while still hash-checking the
+    * verify math end to end. The UNBOUNDED scale path is LSH-candidates
+    * -> exact verify ([[graft.llm.MinHashDedup.nearDupPairs]], the
+    * `dedup_minhash_lsh` query): at 100 TB the bucket key is the
+    * MinHash band hash, never `lang`/all-pairs — the shape of this plan
+    * (bucket join -> exact verify) is the same.
     *
     * Execution shape:
     *   - shingle sets are hashed to distinct 64-bit longs BEFORE the
@@ -206,6 +215,7 @@ object TextQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 8
     val d = docs(s, dir)
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"),
         graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
@@ -238,7 +248,7 @@ object TextQueries {
       |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
       |           || '_' || string_split(text,' ')[i+2])) AS s
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 500),
       |p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

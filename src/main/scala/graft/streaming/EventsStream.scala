@@ -24,16 +24,16 @@ object EventsStream {
 
   /** Streaming read of the events parquet dir (schema must be explicit
     * for a streaming file source; ts arrives as nanos and is floored to
-    * microseconds exactly like the batch reader).
+    * microseconds exactly like the batch reader). Like Tables.events,
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session — set by the session owner, never in here.
     */
-  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Watermarked hourly tumbling-window counts per event type — the
     * streaming dual of EventQueries.tumblingHourly. Late data beyond 2

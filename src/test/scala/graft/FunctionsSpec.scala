@@ -56,6 +56,41 @@ class FunctionsSpec extends SparkSpec {
     assert(r2.isNullAt(0))
   }
 
+  test("MinHashSignature matches a per-permutation reference min") {
+    val rnd = new scala.util.Random(11)
+    val sets = (1 to 20).map(_ => Seq.fill(1 + rnd.nextInt(80))(rnd.nextLong()).distinct)
+    val seeds = graft.functions.MinHashSignature.seeds(16)
+    def ref(set: Seq[Long]): Seq[Long] =
+      seeds.toSeq.map(sd => set.map(s => graft.functions.MinHashSignature.mix64(s ^ sd)).min)
+    val rows = sets.toDF("sh")
+      .select(graft.functions.MinHashSignature(col("sh"), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    rows.zip(sets).foreach { case (sig, set) =>
+      assert(sig.length == 16)
+      assert(sig == ref(set))
+    }
+  }
+
+  test("MinHashSignature: similar sets share slots, null propagates, empty = maxed") {
+    val base = (1L to 100L).toSeq
+    val near = base.drop(2) ++ Seq(1001L, 1002L)   // jaccard ~ 0.92
+    val far = (1000L to 1100L).toSeq
+    val rows = Seq(base, near, far).toDF("sh")
+      .select(graft.functions.MinHashSignature(col("sh"), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    def agree(a: Seq[Long], b: Seq[Long]): Int = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(rows(0), rows(1)) > 40, "near-identical sets must share most slots")
+    assert(agree(rows(0), rows(2)) < 10, "disjoint sets must share almost none")
+    val nullRow = Seq(Seq(1L)).toDF("sh")
+      .select(graft.functions.MinHashSignature(lit(null).cast("array<bigint>"), 8))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+    val empty = Seq(Seq.empty[Long]).toDF("sh")
+      .select(graft.functions.MinHashSignature(col("sh"), 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
   test("agrees with built-in array_intersect on random sorted sets") {
     val rnd = new scala.util.Random(42)
     val cases = (1 to 50).map { _ =>
