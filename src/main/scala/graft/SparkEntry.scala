@@ -6,7 +6,7 @@ import java.time.LocalDateTime
 import graft.ingest.{DolarIngest, RawZone}
 import graft.llm.{Multimodal, MinHashDedup, SimHashDedup}
 import graft.queries._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,10 +42,59 @@ object SparkEntry {
       LocalDateTime.parse("2025-09-11T00:00:00"))
   }
 
+  /** Wire fixture for the oracle-checked reference-parity query: two good
+    * pairs, a bad valor, a wrong-arity row, an over-arity row, and one
+    * pair outside the queried interval (ts values from
+    * /root/reference/tests/tests.py:83's payload epoch family).
+    */
+  private val ParityWire =
+    """[["1757509256000","3920.12"],["1757509266000","3921.55"],""" +
+      """["1757509276000","abc"],["3922.77"],["x","y","z"],""" +
+      """["1788888888000","4000.00"]]"""
+
+  /** Reference-parity chain (A6/B4/H2 parse -> F1 truncate -> F3 cast ->
+    * B2 inclusive interval -> C1 sort -> F2 format), hash-checked
+    * against DuckDB running the SAME wire literal through its JSON
+    * functions — closes the round-2 gap where the flagship parity path
+    * had only a rows-only check (`dolar_e2e_interval` materializes a tmp
+    * fixture DuckDB can't see; this variant keeps the payload in the
+    * query text so both engines parse identical bytes).
+    */
+  private def dolarParity(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.range(1).select(
+      functions.lit("wire-literal").as("file"),
+      functions.lit(ParityWire).as("value"))
+    val rows = DolarIngest.parse(raw)
+      .filter(functions.col("valid"))
+      .select(functions.col("fechahora"), functions.col("valor"))
+    IntervalQuery.formatted(IntervalQuery.over(rows,
+      LocalDateTime.parse("2025-09-10T00:00:00"),
+      LocalDateTime.parse("2025-09-11T00:00:00")))
+  }
+
+  private val dolarParitySql: String =
+    s"""WITH pairs AS (
+       |  SELECT unnest(from_json('$ParityWire', '["JSON"]')) AS pair
+       |), rows_ AS (
+       |  SELECT date_trunc('second',
+       |           epoch_ms(TRY_CAST(json_extract_string(pair, '$$[0]') AS BIGINT))) AS ts,
+       |         TRY_CAST(json_extract_string(pair, '$$[1]') AS DECIMAL(12,4)) AS v,
+       |         json_array_length(pair) AS arity
+       |  FROM pairs
+       |)
+       |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS fechahora,
+       |       CAST(v AS DOUBLE) AS valor
+       |FROM rows_
+       |WHERE arity = 2 AND ts IS NOT NULL AND v IS NOT NULL
+       |  AND ts >= TIMESTAMP '2025-09-10 00:00:00'
+       |  AND ts <= TIMESTAMP '2025-09-11 00:00:00'
+       |ORDER BY fechahora""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity
     "dolar_e2e_interval" -> (dolarE2e _),
+    "dolar_parity" -> (dolarParity _),
     "interval_events" -> (EventQueries.intervalEvents _),
     // relational: aggregation
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -109,6 +158,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "dolar_parity" -> dolarParitySql,
     "interval_events" -> EventQueries.intervalEventsSql,
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
     "agg_orders_by_priority" -> Relational.aggOrdersByPrioritySql,

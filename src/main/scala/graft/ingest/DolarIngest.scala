@@ -141,6 +141,20 @@ object DolarIngest {
   def batchToPath(spark: SparkSession, rawDir: String, dest: String): LoadReport =
     load(spark, rawDir)(_.write.mode("append").parquet(dest))
 
+  /** A7 JDBC parity leg: the same parse/validate batch appended through
+    * Spark's JDBC sink, mirroring the reference's INSERT path into a
+    * relational store (/root/reference/lambda/subirDB.py:64-67,113).
+    * Works against any dialect Spark knows; JdbcSpec drives it with the
+    * embedded Derby that ships on the Spark classpath. The write is
+    * partition-parallel (one connection per partition) — the 100 TB
+    * posture is "JDBC is for serving-sized results", matching the
+    * reference's row-at-a-time Lambda inserts, not a bulk-data path.
+    */
+  def batchToJdbc(spark: SparkSession, rawDir: String, url: String,
+                  table: String = "dolar"): LoadReport =
+    load(spark, rawDir)(_.write.mode("append")
+      .format("jdbc").option("url", url).option("dbtable", table).save())
+
   /** Date-partitioned append — the engine's analogue of the index the
     * reference's DDL never declares (SURVEY §4 "access path"): laying the
     * table out as p_date=YYYY-MM-DD directories lets interval queries

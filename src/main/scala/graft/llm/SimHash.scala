@@ -96,23 +96,49 @@ object SimHashDedup {
       .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
       .orderBy(col("doc_id"))
 
-  /** Near-dup candidate pairs: same 16-bit prefix bucket AND Hamming
-    * distance <= maxHamming. Bucketing bounds the pair count (prefix
-    * collisions), the Hamming filter verifies. Rotation/multi-table
-    * probing would raise recall at scale; one prefix table suffices for
-    * the planted near-identical dups the corpus carries.
+  /** Number of rotation tables probed by nearDupPairs. With 4 disjoint
+    * 16-bit windows covering the 64-bit fingerprint, any pair within
+    * Hamming distance 3 is GUARANTEED to collide in at least one table
+    * (pigeonhole: <=3 differing bits touch <=3 of the 4 windows);
+    * larger distances collide with high probability. One table alone
+    * misses any near-dup whose differing bits land inside the prefix.
     */
-  def nearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val fp = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
-      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
-    val a = fp.select(col("bucket16"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
-    val b = fp.select(col("bucket16"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
-    a.join(b, Seq("bucket16"))
+  val ProbeTables = 4
+
+  /** Rotation-table near-dup pairs over a `(doc_id, simhash)` frame:
+    * for table t, the bucket key is the top 16 bits of the fingerprint
+    * rotated left by 16*t — i.e. each table indexes a different 16-bit
+    * window. Candidates = same (table, bucket); verify = Hamming <=
+    * maxHamming. The join carries only (id, fp) — 16 bytes — and the
+    * pair count is bounded by bucket collisions, never |docs|^2.
+    */
+  def nearDupPairsOf(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val windows = array((0 until ProbeTables).map { t =>
+      val rot = if (t == 0) col("simhash")
+        else shiftleft(col("simhash"), 16 * t)
+          .bitwiseOR(shiftrightunsigned(col("simhash"), 64 - 16 * t))
+      shiftrightunsigned(rot, 48)
+    }: _*)
+    val probes = fp.select(col("doc_id"), col("simhash"),
+      posexplode(windows).as(Seq("tbl", "bucket")))
+    val a = probes.select(col("tbl"), col("bucket"),
+      col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = probes.select(col("tbl"), col("bucket"),
+      col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+      .dropDuplicates("a_id", "b_id") // a pair may collide in several tables
       .select(col("a_id"), col("b_id"),
         hamming(col("a_fp"), col("b_fp")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** nearDupPairsOf over the documents table's SimHash fingerprints. */
+  def nearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
+    nearDupPairsOf(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), simhash64(col("text")).as("simhash")),
+      maxHamming)
 }

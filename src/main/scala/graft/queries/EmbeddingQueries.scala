@@ -135,24 +135,69 @@ object EmbeddingQueries {
   }
 
   // --- IVF-style ANN -----------------------------------------------------------
-  /** IVF-flat approximate top-k: a deterministic coarse codebook (the
-    * first `nCent` vectors), every vector assigned to its nearest
-    * centroid, queries probing their `nProbe` nearest cells.
+  /** Lloyd's k-means codebook over the embeddings, trained with
+    * DataFrame ops: assignment = broadcast of the tiny codebook against
+    * the full table + per-vector argmax (cosine), update = per-(cell,
+    * dim) mean via a partial-aggregated groupBy. The driver holds ONLY
+    * the k centroids between iterations (k x dim doubles — metadata,
+    * not data; k-means is inherently iterative-with-sync, and this sync
+    * is the centroids themselves). Deterministic: first-nCent init,
+    * deterministic data order independence (avg is over a fixed set),
+    * fixed iteration count.
+    *
+    * Empty cells keep their previous centroid (standard Lloyd fallback).
+    */
+  def trainCodebook(s: SparkSession, dir: String, nCent: Int = 16,
+                    iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var codebook: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").cast("int").as("cent_id"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    (0 until iters).foreach { _ =>
+      val cent = centDf(s, codebook)
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = e.join(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          cosine(col("v"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      // per-(cell, dim) means: nCent x dim groups — metadata-sized result
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("k", "x")))
+        .groupBy(col("cent_id"), col("k")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      codebook = codebook.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    codebook
+  }
+
+  private def centDf(s: SparkSession, codebook: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    codebook.toDF("cent_id", "cv")
+  }
+
+  /** IVF-flat approximate top-k: a k-means-trained coarse codebook
+    * (trainCodebook above; first-nCent init), every vector assigned to
+    * its nearest centroid, queries probing their `nProbe` nearest cells.
     *
     * Scale shape: assignment is a broadcast of the tiny codebook against
     * the full table (narrow, no shuffle of the big side beyond the
     * argmax exchange); the search joins queries to ONLY the probed
     * cells' vectors — a keyed hash join on cent_id — so the scored
     * candidate set is |corpus| * nProbe / nCent instead of |corpus|.
-    * With a trained k-means codebook (out of scope here) this is
-    * textbook IVF; the plan shape is identical.
+    * EmbeddingSpec measures recall@10 against the brute-force baseline.
     */
   def annIvfTopK(s: SparkSession, dir: String,
-                 nCent: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
+                 nCent: Int = 16, nProbe: Int = 6, k: Int = 10,
+                 trainIters: Int = 3): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cent = centDf(s, trainCodebook(s, dir, nCent, trainIters))
     // nearest-centroid assignment for every corpus vector
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))

@@ -65,6 +65,18 @@ object IntervalQuery {
           table: String = "dolar"): DataFrame =
     over(spark.table(table), start, end)
 
+  /** A9 JDBC parity leg: the same query over a JDBC source, mirroring
+    * the reference's SELECT through a relational connector
+    * (/root/reference/main.py:39-53,69-74). The interval predicate
+    * composes over the JDBC relation, so Spark pushes it into the
+    * remote WHERE clause (JDBC filter pushdown) instead of scanning the
+    * table — the serving-path behavior the reference gets from SQL.
+    */
+  def runJdbc(spark: SparkSession, url: String, start: LocalDateTime,
+              end: LocalDateTime, table: String = "dolar"): DataFrame =
+    over(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load(), start, end)
+
   /** D1 + serving shape: (count, rows) like IntervalResponse
     * (main.py:86). The collect here IS the API response materialization —
     * interval responses are bounded by the interval, exactly as the

@@ -50,6 +50,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SimHash rotation probing finds a near-dup differing INSIDE the prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fingerprints differing only in bit 60 — inside the top-16 window,
+    // so single-prefix bucketing would separate them; rotation table
+    // t=1 (bits 32..47 window... i.e. a window excluding bit 60) must
+    // still bucket them together. A far fingerprint guards precision.
+    val base = 0x0123456789abcdefL
+    val fps = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 60)),
+      (3L, ~base))
+    val pairs = graft.llm.SimHashDedup
+      .nearDupPairsOf(fps.toDF("doc_id", "simhash"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"rotation probing must find exactly the planted cross-prefix pair, got $pairs")
+  }
+
   test("SimHash: identical texts collide, different texts differ") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
