@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductF64, HashedShingles3, MinHashSignature, SortedLongIntersectSize}
+import graft.functions.{DotProductF64, HashedShingles3, MinHashSignature, SortedLongIntersectSize, WinnowMinMd5}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(children(0),
         children(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_min_md5"),
+      new ExpressionInfo(classOf[WinnowMinMd5].getName, "winnow_min_md5"),
+      (children: Seq[Expression]) => WinnowMinMd5(children.head)))
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

@@ -150,13 +150,15 @@ object TextQueries {
   /** Winnowing-style rolling fingerprint: the minimum digest over all
     * 8-char windows of the text (Schleimer et al. 2003's min-selection,
     * with md5-over-window standing in for the rolling hash so Spark and
-    * DuckDB produce identical hex digests). One narrow map per doc.
+    * DuckDB produce identical hex digests). One narrow map per doc,
+    * codegen'd end to end via [[graft.functions.WinnowMinMd5]] (the
+    * `transform`-lambda spelling is interpreted and allocated three
+    * objects per window — the most expensive projection in the suite).
     */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
-        expr("array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substr(text, i, 8))))")
-          .as("winnow_fp"))
+        graft.functions.WinnowMinMd5(col("text")).as("winnow_fp"))
       .orderBy(col("doc_id"))
 
   val winnowFingerprintSql: String =

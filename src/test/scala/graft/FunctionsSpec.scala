@@ -91,6 +91,22 @@ class FunctionsSpec extends SparkSpec {
     assert(empty.forall(_ == Long.MaxValue))
   }
 
+  test("WinnowMinMd5 bit-identical to the HOF spelling, incl. short and non-ASCII") {
+    val rnd = new scala.util.Random(23)
+    val strs = (1 to 40).map { _ =>
+      val n = 1 + rnd.nextInt(300)
+      new String(Array.fill(n)(("abcdefgh XYZ.,!").charAt(rnd.nextInt(15))))
+    } ++ Seq("a", "1234567", "12345678", "ñandú über café corazón niño")
+    val df = strs.toDF("s").select(
+      graft.functions.WinnowMinMd5(col("s")).as("custom"),
+      expr("array_min(transform(sequence(1, greatest(length(s)-7, 1)), i -> md5(substr(s, i, 8))))")
+        .as("hof"))
+    assert(df.filter(col("custom") =!= col("hof")).count() == 0)
+    val nullRow = Seq("x").toDF("s")
+      .select(graft.functions.WinnowMinMd5(lit(null).cast("string"))).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("agrees with built-in array_intersect on random sorted sets") {
     val rnd = new scala.util.Random(42)
     val cases = (1 to 50).map { _ =>
