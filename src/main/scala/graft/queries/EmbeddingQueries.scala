@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * 64-dim): brute-force cosine top-k as the correctness baseline, and a
   * sign-random-projection LSH bucketed variant as the 100 TB path.
   *
-  * All vector math uses codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) over `array<double>` — no UDFs, no
-  * driver-side collects. The in-order fold of `aggregate` makes the dot
-  * product bit-identical to DuckDB's `list_sum(list_transform(...))`
-  * (verified empirically), which is what lets the oracle hash-match on
-  * doubles.
+  * All vector math goes through the codegen'd
+  * [[graft.functions.DotProductF64]] expression over `array<double>` —
+  * no UDFs, no interpreted higher-order lambdas, no driver-side
+  * collects (k-means training syncs only the k centroids). Its strict
+  * left-to-right accumulation makes the dot product bit-identical to
+  * DuckDB's `list_sum(list_transform(...))` (verified empirically),
+  * which is what lets the oracle hash-match on doubles.
   */
 object EmbeddingQueries {
 
