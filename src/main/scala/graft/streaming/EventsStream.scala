@@ -50,6 +50,19 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup with bounded state — the streaming leg of the
+    * LLM-pipeline dedup family: drop events whose `event_id` was already
+    * seen, keeping only ids inside the watermark horizon in state
+    * (`dropDuplicatesWithinWatermark`), so state size is bounded by the
+    * id-arrival rate x horizon instead of growing forever — the only
+    * formulation that survives an unbounded 100 TB/day stream. Within
+    * the horizon the semantics equal batch `dropDuplicates("event_id")`.
+    */
+  def dedupStream(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- stateful sessionization ------------------------------------------------
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), s"streamed windows disagree with batch")
   }
 
+  test("streaming dedup within watermark emits each event_id exactly once") {
+    val tmp = Files.createTempDirectory("graft_stream_dedup")
+    val out = tmp.resolve("dedup").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    EventsStream.dedupStream(EventsStream.readStream(spark, sf))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+      .awaitTermination()
+
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    assert(ids.length == ids.distinct.length, "duplicate event_id emitted")
+    // within-horizon semantics equal the batch exact dedup on event_id
+    val batchDistinct = graft.Tables.events(spark, sf)
+      .dropDuplicates("event_id").count()
+    assert(ids.length == batchDistinct)
+  }
+
   test("stateful sessionize (closed sessions) agrees with batch sessionize") {
     val tmp = Files.createTempDirectory("graft_stream_sess")
     val out = tmp.resolve("sessions").toString
