@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Sign-random-projection LSH band buckets of an `array<double>` vector
+  * in ONE codegen'd pass: project the vector onto `bands * bits`
+  * pseudo-random ±1 hyperplanes and pack each band's `bits` projection
+  * signs into a bucket id — `bucket[b] = sum_j (proj[b*bits+j] >= 0 ?
+  * 1<<j : 0)`.
+  *
+  * The hyperplane component for (plane p, dim k) is
+  * `xxhash64(p, k) % 2 == 0 ? +1 : -1`, reproducing the built-in
+  * spelling `pmod(xxhash64(lit(p), k), 2)` bit-for-bit (xxhash64 chains
+  * seed 42 through its int arguments, replicated via
+  * [[XXH64.hashInt]]), so buckets equal the former
+  * posexplode + 32-aggregate-groupBy formulation exactly — but as a
+  * shuffle-free narrow map instead of exploding vectors to
+  * (vec, dim, x) rows and hash-aggregating them back together (that
+  * wide-agg shape is also what falls out of whole-stage codegen and
+  * degrades interpreted in a long-lived JVM; see BENCHNOTES.md).
+  */
+case class SignBandBuckets(child: Expression, bands: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    new GenericArrayData(SignBandBuckets.eval(v, bands, bits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SignBandBuckets.eval($a, $bands, $bits));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBandBuckets =
+    copy(child = newChild)
+}
+
+object SignBandBuckets {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** ±1 for (plane, dim): xxhash64(plane, dim) even => +1 (matches the
+    * built-in `pmod(xxhash64(lit(plane), dim), 2) === 0` spelling).
+    */
+  private def sign(plane: Int, dim: Int): Double = {
+    val h = XXH64.hashInt(dim, XXH64.hashInt(plane, 42L))
+    // pmod(h, 2) == 0  <=>  h is even
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** called from both interpreted eval and generated code */
+  def eval(v: ArrayData, bands: Int, bits: Int): Array[Long] = {
+    val n = v.numElements()
+    val nPlanes = bands * bits
+    val projs = new Array[Double](nPlanes)
+    var k = 0
+    while (k < n) {
+      val x = v.getDouble(k)
+      var p = 0
+      while (p < nPlanes) {
+        projs(p) += x * sign(p, k)
+        p += 1
+      }
+      k += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        if (projs(b * bits + j) >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      buckets(b) = bucket
+      b += 1
+    }
+    buckets
+  }
+
+  def apply(v: Column, bands: Int, bits: Int): Column =
+    ColumnBridge.toColumn(SignBandBuckets(ColumnBridge.toExpression(v), bands, bits))
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductF64, HashedShingles3, MinHashSignature, SortedLongIntersectSize, WinnowMinMd5}
+import graft.functions.{DotProductF64, HashedShingles3, MinHashSignature, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(children(0),
         children(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("sign_band_buckets"),
+      new ExpressionInfo(classOf[SignBandBuckets].getName, "sign_band_buckets"),
+      (children: Seq[Expression]) => SignBandBuckets(children(0),
+        children(1).eval(null).asInstanceOf[Int],
+        children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("winnow_min_md5"),
       new ExpressionInfo(classOf[WinnowMinMd5].getName, "winnow_min_md5"),

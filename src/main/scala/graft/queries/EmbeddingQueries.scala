@@ -77,21 +77,17 @@ object EmbeddingQueries {
       |ORDER BY q_id, rank""".stripMargin
 
   // --- LSH near-dup ------------------------------------------------------------
-  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * a cheap integer hash (xxhash64 of the pair) mapped to ±1.
-    */
-  private def signComponent(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
   /** Near-duplicate embedding pairs via sign-random-projection LSH:
     * 8 bands x 4 bits; candidates = pairs sharing any band bucket;
     * verified with exact cosine >= 0.4.
     *
     * Plan shape (100 TB posture):
-    *   - all 32 hyperplane projections are computed in ONE codegen'd
-    *     partial aggregation over posexploded (vec_id, k, x) rows —
-    *     `groupBy(vec_id).agg(sum(x * sign(p,k)) for p)` — instead of
-    *     interpreted higher-order lambdas per plane;
+    *   - all 32 hyperplane projections AND the band-bucket packing are
+    *     ONE codegen'd expression per vector
+    *     ([[graft.functions.SignBandBuckets]]) — a shuffle-free narrow
+    *     map (the former posexplode + 32-aggregate groupBy shuffled
+    *     (vec, dim, x) rows and is the wide-agg shape that falls out of
+    *     whole-stage codegen);
     *   - the (band, bucket) self-join carries ONLY vec ids; pairs are
     *     deduplicated before the verify join pulls the two vectors back
     *     by id, so no shuffle ever carries an embedding more than once
@@ -103,18 +99,9 @@ object EmbeddingQueries {
                  bands: Int = 8, bits: Int = 4, minCos: Double = 0.4): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val exploded = e.select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
-    val nPlanes = bands * bits
-    val projAggs = (0 until nPlanes)
-      .map(p => sum(col("x") * signComponent(p, col("k"))).as(s"p$p"))
-    val projs = exploded.groupBy(col("vec_id")).agg(projAggs.head, projAggs.tail: _*)
-    val bandArr = array((0 until bands).map { b =>
-      (0 until bits).map { j =>
-        when(col(s"p${b * bits + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    val buckets = projs.select(col("vec_id"),
-      posexplode(bandArr).as(Seq("band", "bucket")))
+    val buckets = e.select(col("vec_id"),
+      posexplode(graft.functions.SignBandBuckets(col("v"), bands, bits))
+        .as(Seq("band", "bucket")))
     val a = buckets.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = buckets.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
     val cand = a.join(b, Seq("band", "bucket"))

@@ -107,6 +107,30 @@ class FunctionsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("SignBandBuckets equals the posexplode + wide-agg spelling") {
+    val bands = 8; val bits = 4
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "v")
+    def signComponent(plane: Int, dim: org.apache.spark.sql.Column) =
+      when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+    val projAggs = (0 until bands * bits)
+      .map(p => sum(col("x") * signComponent(p, col("k"))).as(s"p$p"))
+    val bandArr = array((0 until bands).map { b =>
+      (0 until bits).map { j =>
+        when(col(s"p${b * bits + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val legacy = df.select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
+      .groupBy(col("vec_id")).agg(projAggs.head, projAggs.tail: _*)
+      .select(col("vec_id"), bandArr.as("buckets"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val custom = df.select(col("vec_id"),
+        graft.functions.SignBandBuckets(col("v"), bands, bits).as("buckets"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(custom == legacy)
+  }
+
   test("agrees with built-in array_intersect on random sorted sets") {
     val rnd = new scala.util.Random(42)
     val cases = (1 to 50).map { _ =>
