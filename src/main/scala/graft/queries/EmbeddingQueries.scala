@@ -123,15 +123,38 @@ object EmbeddingQueries {
   }
 
   // --- IVF-style ANN -----------------------------------------------------------
+  /** Nearest-centroid cell id for every row of `e` (expects columns
+    * `vec_id`, `v`) as a PURE NARROW MAP: the codebook rides into the
+    * plan as literals, all k cosines land in one projected array, and
+    * the argmax is `array_position(arr, array_max(arr))` — first
+    * maximum wins, i.e. the lowest cell id on ties, matching a
+    * `(csim desc, cent_id asc)` ordering. No join, no window, and
+    * crucially NO shuffle of the corpus: at 100 TB a window-argmax
+    * would re-exchange every vector once per k-means iteration; this
+    * assigns cells at scan speed.
+    */
+  private def assignCells(e: DataFrame,
+                          codebook: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cosArr = array(codebook.map { case (_, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
+    }: _*)
+    val idArr = typedLit(codebook.map(_._1))
+    e.withColumn("nrm", norm(col("v")))
+      .withColumn("cos_arr", cosArr)
+      .withColumn("cent_id",
+        element_at(idArr, array_position(col("cos_arr"), array_max(col("cos_arr"))).cast("int")))
+      .drop("cos_arr", "nrm")
+  }
+
   /** Lloyd's k-means codebook over the embeddings, trained with
-    * DataFrame ops: assignment = broadcast of the tiny codebook against
-    * the full table + per-vector argmax (cosine), update = per-(cell,
-    * dim) mean via a partial-aggregated groupBy. The driver holds ONLY
-    * the k centroids between iterations (k x dim doubles — metadata,
-    * not data; k-means is inherently iterative-with-sync, and this sync
-    * is the centroids themselves). Deterministic: first-nCent init,
-    * deterministic data order independence (avg is over a fixed set),
-    * fixed iteration count.
+    * DataFrame ops: assignment = the shuffle-free literal-codebook
+    * argmax map (assignCells above), update = per-(cell, dim) mean via
+    * a partial-aggregated groupBy. The driver holds ONLY the k
+    * centroids between iterations (k x dim doubles — metadata, not
+    * data; k-means is inherently iterative-with-sync, and this sync is
+    * the centroids themselves). Deterministic: first-nCent init, means
+    * over fixed sets, fixed iteration count.
     *
     * Empty cells keep their previous centroid (standard Lloyd fallback).
     */
@@ -143,15 +166,8 @@ object EmbeddingQueries {
       .select(col("vec_id").cast("int").as("cent_id"), col("v"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     (0 until iters).foreach { _ =>
-      val cent = centDf(s, codebook)
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cent_id"))
-      val assigned = e.join(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("cent_id"),
-          cosine(col("v"), col("cv")).as("csim"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       // per-(cell, dim) means: nCent x dim groups — metadata-sized result
-      val means = assigned
+      val means = assignCells(e, codebook)
         .select(col("cent_id"), posexplode(col("v")).as(Seq("k", "x")))
         .groupBy(col("cent_id"), col("k")).agg(avg(col("x")).as("m"))
         .collect()
@@ -173,27 +189,23 @@ object EmbeddingQueries {
     * (trainCodebook above; first-nCent init), every vector assigned to
     * its nearest centroid, queries probing their `nProbe` nearest cells.
     *
-    * Scale shape: assignment is a broadcast of the tiny codebook against
-    * the full table (narrow, no shuffle of the big side beyond the
-    * argmax exchange); the search joins queries to ONLY the probed
-    * cells' vectors — a keyed hash join on cent_id — so the scored
-    * candidate set is |corpus| * nProbe / nCent instead of |corpus|.
-    * EmbeddingSpec measures recall@10 against the brute-force baseline.
+    * Scale shape: corpus-side cell assignment is the shuffle-free
+    * literal-codebook argmax map (assignCells — the corpus is never
+    * exchanged to pick its cell); the search joins queries to ONLY the
+    * probed cells' vectors — a keyed hash join on cent_id — so the
+    * scored candidate set is |corpus| * nProbe / nCent instead of
+    * |corpus|. EmbeddingSpec measures recall@10 against the
+    * brute-force baseline.
     */
   def annIvfTopK(s: SparkSession, dir: String,
                  nCent: Int = 16, nProbe: Int = 6, k: Int = 10,
                  trainIters: Int = 3): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = centDf(s, trainCodebook(s, dir, nCent, trainIters))
-    // nearest-centroid assignment for every corpus vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val codebook = trainCodebook(s, dir, nCent, trainIters)
+    val cent = centDf(s, codebook)
+    // nearest-centroid assignment for every corpus vector — narrow map
+    val assigned = assignCells(e, codebook)
       .select(col("cent_id"), col("vec_id").as("neighbor_id"), col("v"))
     // queries probe their nProbe nearest cells
     val q = e.filter(col("vec_id") < 5)
