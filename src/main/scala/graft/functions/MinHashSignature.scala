@@ -31,11 +31,14 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val seedArr: Array[Long] =
+    MinHashSignature.seeds(numPerms)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(numPerms)(Long.MaxValue)
-    val seeds = MinHashSignature.seeds(numPerms)
+    val seeds = seedArr
     var i = 0
     while (i < n) {
       val s = arr.getLong(i)

@@ -57,20 +57,43 @@ object SignBandBuckets {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** memoized ±1 hyperplane matrix [plane * dims + dim] — the signs are
+    * pure functions of (plane, dim), so recomputing two xxhash rounds
+    * per (plane, dim) PER ROW would dominate the projection's FMA work
+    * at scale; one matrix per (nPlanes, dims) shape serves every row.
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def signMatrix(nPlanes: Int, dims: Int): Array[Double] =
+    signCache.computeIfAbsent((nPlanes, dims), { key =>
+      val (np, d) = key
+      val m = new Array[Double](np * d)
+      var p = 0
+      while (p < np) {
+        var k = 0
+        while (k < d) { m(p * d + k) = sign(p, k); k += 1 }
+        p += 1
+      }
+      m
+    })
+
   /** called from both interpreted eval and generated code */
   def eval(v: ArrayData, bands: Int, bits: Int): Array[Long] = {
     val n = v.numElements()
     val nPlanes = bands * bits
+    val signs = signMatrix(nPlanes, n)
     val projs = new Array[Double](nPlanes)
-    var k = 0
-    while (k < n) {
-      val x = v.getDouble(k)
-      var p = 0
-      while (p < nPlanes) {
-        projs(p) += x * sign(p, k)
-        p += 1
+    var p = 0
+    while (p < nPlanes) {
+      var k = 0
+      var acc = 0.0
+      while (k < n) {
+        acc += v.getDouble(k) * signs(p * n + k)
+        k += 1
       }
-      k += 1
+      projs(p) = acc
+      p += 1
     }
     val buckets = new Array[Long](bands)
     var b = 0
