@@ -30,42 +30,12 @@ case class HashedShingles3(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val ws = input.asInstanceOf[ArrayData]
-    val n = ws.numElements()
-    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val hs = new Array[Long](n - 2)
-    var i = 0
-    while (i < n - 2) {
-      var h = 42L
-      h = XXH64.hashUTF8String(ws.getUTF8String(i), h)
-      h = XXH64.hashUTF8String(ws.getUTF8String(i + 1), h)
-      h = XXH64.hashUTF8String(ws.getUTF8String(i + 2), h)
-      hs(i) = h
-      i += 1
-    }
-    new GenericArrayData(HashedShingles3.sortedDistinct(hs))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashedShingles3.eval(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val h = ctx.freshName("h"); val hs = ctx.freshName("hs")
-      val xxh = classOf[XXH64].getName
-      val helper = "graft.functions.HashedShingles3"
-      s"""
-         |int $n = $a.numElements();
-         |long[] $hs = new long[$n < 3 ? 0 : $n - 2];
-         |for (int $i = 0; $i < $n - 2; $i++) {
-         |  long $h = 42L;
-         |  $h = $xxh.hashUTF8String($a.getUTF8String($i), $h);
-         |  $h = $xxh.hashUTF8String($a.getUTF8String($i + 1), $h);
-         |  $h = $xxh.hashUTF8String($a.getUTF8String($i + 2), $h);
-         |  $hs[$i] = $h;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  $helper.sortedDistinct($hs));
-       """.stripMargin
+      s"${ev.value} = graft.functions.HashedShingles3.eval($a);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): HashedShingles3 =
@@ -75,7 +45,31 @@ case class HashedShingles3(child: Expression) extends UnaryExpression {
 object HashedShingles3 {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** sort ascending + in-place dedupe (called from generated code too) */
+  /** shared by interpreted eval and generated code (one implementation,
+    * no interpreted-vs-codegen divergence risk). Null elements are
+    * SKIPPED within their shingle, matching the built-in `xxhash64`
+    * spelling, which hashes past null arguments.
+    */
+  def eval(ws: ArrayData): GenericArrayData = {
+    val n = ws.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      var h = 42L
+      var j = i
+      while (j < i + 3) {
+        val w = if (ws.isNullAt(j)) null else ws.getUTF8String(j)
+        if (w != null) h = XXH64.hashUTF8String(w, h)
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(hs))
+  }
+
+  /** sort ascending + in-place dedupe */
   def sortedDistinct(hs: Array[Long]): Array[Long] = {
     if (hs.length == 0) return hs
     java.util.Arrays.sort(hs)

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -19,6 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * touches each shingle once, and needs NO shuffle at all — the 100 TB
   * plan is a pure map over documents.
   *
+  * An EMPTY shingle set has no signature: the result is NULL (mirroring
+  * the explode+groupBy formulation, where empty sets produce no row).
+  * Returning a constant sentinel signature instead would band-collide
+  * every shingle-less document with every other — the unbounded-bucket
+  * pathology LSH exists to avoid — so callers must drop null signatures
+  * before banding (the MinHashDedup pipeline filters short docs before
+  * hashing).
+  *
   * The permutation family is `mix64(s ^ seed_p)` where `mix64` is the
   * MurmurHash3 finalizer (a bijection on 64-bit ints) and the seeds are
   * a fixed SplitMix64 stream — deterministic across runs, partitions,
@@ -29,54 +38,32 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
 
-  @transient private lazy val seedArr: Array[Long] =
-    MinHashSignature.seeds(numPerms)
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numPerms)(Long.MaxValue)
-    val seeds = seedArr
-    var i = 0
-    while (i < n) {
-      val s = arr.getLong(i)
-      var p = 0
-      while (p < numPerms) {
-        val h = MinHashSignature.mix64(s ^ seeds(p))
-        if (h < mins(p)) mins(p) = h
-        p += 1
-      }
-      i += 1
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null
+      else new GenericArrayData(MinHashSignature.eval(arr, numPerms))
     }
-    new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val seedsRef = ctx.addReferenceObj("minhashSeeds",
-      MinHashSignature.seeds(numPerms), "long[]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val p = ctx.freshName("p"); val s = ctx.freshName("s")
-      val h = ctx.freshName("h"); val mins = ctx.freshName("mins")
-      s"""
-         |int $n = $a.numElements();
-         |long[] $mins = new long[$numPerms];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $s = $a.getLong($i);
-         |  for (int $p = 0; $p < $numPerms; $p++) {
-         |    long $h = $s ^ $seedsRef[$p];
-         |    $h = ($h ^ ($h >>> 33)) * 0xff51afd7ed558ccdL;
-         |    $h = ($h ^ ($h >>> 33)) * 0xc4ceb9fe1a85ec53L;
-         |    $h = $h ^ ($h >>> 33);
-         |    if ($h < $mins[$p]) $mins[$p] = $h;
-         |  }
+    val c = child.genCode(ctx)
+    val tp = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = true;
+         |$tp ${ev.value} = null;
+         |if (!${c.isNull} && ${c.value}.numElements() > 0) {
+         |  ${ev.isNull} = false;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.MinHashSignature.eval(${c.value}, $numPerms));
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
-       """.stripMargin
-    })
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -93,10 +80,38 @@ object MinHashSignature {
     z ^ (z >>> 33)
   }
 
-  /** Fixed SplitMix64 seed stream — one seed per permutation. */
-  def seeds(n: Int): Array[Long] = {
-    var x = 0x9e3779b97f4a7c15L
-    Array.fill(n) { x += 0x9e3779b97f4a7c15L; mix64(x) }
+  /** Fixed SplitMix64 seed stream — one seed per permutation (memoized
+    * per permutation count; shared by every row and both eval paths).
+    */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  def seeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n, { k =>
+      var x = 0x9e3779b97f4a7c15L
+      Array.fill(k) { x += 0x9e3779b97f4a7c15L; mix64(x) }
+    })
+
+  /** shared by interpreted eval and generated code; requires a NON-EMPTY
+    * input array (empty sets have a NULL signature, enforced by the
+    * expression).
+    */
+  def eval(arr: ArrayData, numPerms: Int): Array[Long] = {
+    val n = arr.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    val seedArr = seeds(numPerms)
+    var i = 0
+    while (i < n) {
+      val s = arr.getLong(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = mix64(s ^ seedArr(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    mins
   }
 
   def apply(a: Column, numPerms: Int): Column =

@@ -82,13 +82,22 @@ object WinnowMinMd5 {
         i += 1
       }
     } else {
+      // non-ASCII path: `substr`/`length` in both engines count CODE
+      // POINTS, not UTF-16 units — index windows by code point so
+      // supplementary characters (surrogate pairs) window identically
       val str = s.toString
-      val n = str.length
-      val nWin = math.max(n - Window + 1, 1)
+      val nCp = str.codePointCount(0, str.length)
+      // UTF-16 offset of each code-point boundary (nCp + 1 entries)
+      val off = new Array[Int](nCp + 1)
+      var u = 0
+      var c = 0
+      while (c < nCp) { off(c) = u; u = str.offsetByCodePoints(u, 1); c += 1 }
+      off(nCp) = str.length
+      val nWin = math.max(nCp - Window + 1, 1)
       var i = 0
       while (i < nWin) {
         md.reset()
-        md.update(str.substring(i, math.min(i + Window, n))
+        md.update(str.substring(off(i), off(math.min(i + Window, nCp)))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         digestInto(md, digest)
         if (!have || unsignedLess(digest, min)) {

@@ -18,6 +18,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** A clean error for non-literal / non-integral static arguments
+    * instead of a ClassCastException from a blind
+    * `eval(null).asInstanceOf[Int]` (BIGINT literals and column
+    * references both reach here through the SQL path).
+    */
+  private def intArg(fn: String, name: String, e: Expression): Int = {
+    require(e.foldable,
+      s"$fn: argument '$name' must be a literal integer, got ${e.sql}")
+    e.eval(null) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
@@ -37,13 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(children(0),
-        children(1).eval(null).asInstanceOf[Int])))
+        intArg("minhash_sig", "num_perms", children(1)))))
     ext.injectFunction((
       FunctionIdentifier("sign_band_buckets"),
       new ExpressionInfo(classOf[SignBandBuckets].getName, "sign_band_buckets"),
       (children: Seq[Expression]) => SignBandBuckets(children(0),
-        children(1).eval(null).asInstanceOf[Int],
-        children(2).eval(null).asInstanceOf[Int])))
+        intArg("sign_band_buckets", "bands", children(1)),
+        intArg("sign_band_buckets", "bits", children(2)))))
     ext.injectFunction((
       FunctionIdentifier("winnow_min_md5"),
       new ExpressionInfo(classOf[WinnowMinMd5].getName, "winnow_min_md5"),

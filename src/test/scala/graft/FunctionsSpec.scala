@@ -71,7 +71,7 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("MinHashSignature: similar sets share slots, null propagates, empty = maxed") {
+  test("MinHashSignature: similar sets share slots, null propagates, empty = null") {
     val base = (1L to 100L).toSeq
     val near = base.drop(2) ++ Seq(1001L, 1002L)   // jaccard ~ 0.92
     val far = (1000L to 1100L).toSeq
@@ -85,10 +85,12 @@ class FunctionsSpec extends SparkSpec {
       .select(graft.functions.MinHashSignature(lit(null).cast("array<bigint>"), 8))
       .collect().head
     assert(nullRow.isNullAt(0))
+    // an empty set has NO signature — null, never a shared sentinel that
+    // would band-collide every shingle-less doc with every other
     val empty = Seq(Seq.empty[Long]).toDF("sh")
       .select(graft.functions.MinHashSignature(col("sh"), 8).as("sig"))
-      .collect().head.getSeq[Long](0)
-    assert(empty.forall(_ == Long.MaxValue))
+      .collect().head
+    assert(empty.isNullAt(0))
   }
 
   test("WinnowMinMd5 bit-identical to the HOF spelling, incl. short and non-ASCII") {
@@ -96,7 +98,10 @@ class FunctionsSpec extends SparkSpec {
     val strs = (1 to 40).map { _ =>
       val n = 1 + rnd.nextInt(300)
       new String(Array.fill(n)(("abcdefgh XYZ.,!").charAt(rnd.nextInt(15))))
-    } ++ Seq("a", "1234567", "12345678", "ñandú über café corazón niño")
+    } ++ Seq("a", "1234567", "12345678", "ñandú über café corazón niño",
+      // supplementary (astral) chars: one emoji = 2 UTF-16 units but ONE
+      // code point for substr/length in both engines
+      "ab😀cdefghij", "😀😁😂")
     val df = strs.toDF("s").select(
       graft.functions.WinnowMinMd5(col("s")).as("custom"),
       expr("array_min(transform(sequence(1, greatest(length(s)-7, 1)), i -> md5(substr(s, i, 8))))")
@@ -105,6 +110,30 @@ class FunctionsSpec extends SparkSpec {
     val nullRow = Seq("x").toDF("s")
       .select(graft.functions.WinnowMinMd5(lit(null).cast("string"))).collect().head
     assert(nullRow.isNullAt(0))
+  }
+
+  test("HashedShingles3 equals the HOF xxhash64 spelling, skips null words") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "niño", "über")
+    val docs = (1 to 25).map(_ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))) ++
+      Seq(Seq.empty, Seq("one"), Seq("one", "two"))
+    val df = docs.toDF("ws").select(
+      graft.functions.HashedShingles3(col("ws")).as("custom"),
+      when(size(col("ws")) >= 3,
+        array_sort(array_distinct(transform(
+          sequence(lit(0), size(col("ws")) - 3),
+          i => xxhash64(element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))))))
+        .otherwise(array().cast("array<bigint>")).as("hof"))
+    assert(df.filter(col("custom") =!= col("hof")).count() == 0)
+    // null elements are skipped within their shingle, like xxhash64
+    val withNull = Seq(1).toDF("i").select(
+      graft.functions.HashedShingles3(
+        array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"))).as("custom"),
+      array_sort(array_distinct(array(
+        xxhash64(lit("a"), lit("b")), xxhash64(lit("b"), lit("c"))))).as("expected"))
+    assert(withNull.filter(col("custom") =!= col("expected")).count() == 0)
   }
 
   test("SignBandBuckets equals the posexplode + wide-agg spelling") {

@@ -20,14 +20,21 @@ class JdbcSpec extends SparkSpec {
     s"jdbc:derby:$db;create=true"
   }
 
-  test("A7/A9: JDBC sink ingest + JDBC source interval query round-trip") {
+  /** ingest-once fixture shared by both tests, so each test can run in
+    * isolation (a bare `-z`-filtered run of the pushdown test must not
+    * depend on the round-trip test having populated the table first).
+    */
+  private lazy val loadReport = {
     val tmp = Files.createTempDirectory("graft_jdbc_raw").toString
     RawZone.write(tmp, 1704164645L,
       """[["1757509256000","3920.12"],["1757509266000","3921.55"]]""")
     RawZone.write(tmp, 1704164646L,
       """[["1757509276000","abc"],["1757509286000","3922.77"],["x"]]""")
+    DolarIngest.batchToJdbc(spark, tmp, url, "dolar")
+  }
 
-    val report = DolarIngest.batchToJdbc(spark, tmp, url, "dolar")
+  test("A7/A9: JDBC sink ingest + JDBC source interval query round-trip") {
+    val report = loadReport
     assert(report.filesProcessed == 2)
     assert(report.totalRowsInserted == 3) // bad valor + bad arity dropped
 
@@ -42,6 +49,7 @@ class JdbcSpec extends SparkSpec {
   }
 
   test("interval predicate is pushed into the JDBC scan") {
+    loadReport // ensure the table exists independent of test order
     val plan = planOf(IntervalQuery.runJdbc(spark, url,
       LocalDateTime.parse("2025-09-10T00:00:00"),
       LocalDateTime.parse("2025-09-11T00:00:00"), "dolar"))
