@@ -104,4 +104,45 @@ class PropertySpec extends SparkSpec {
     val expect = msSamples.map(ms => ms - ms % 1000).sorted
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("MinHash slot agreement estimates exact Jaccard (64 perms, ±0.25)") {
+    // random overlapping long-sets: est = |{p : sigA[p]==sigB[p]}| / P is
+    // an unbiased Jaccard estimator with std sqrt(j(1-j)/64) <= 0.0625 —
+    // a fixed-seed ±0.25 band is > 3 sigma for every pair
+    val rnd = new scala.util.Random(97)
+    val pairs = (1 to 15).map { _ =>
+      val base = Seq.fill(60 + rnd.nextInt(60))(rnd.nextLong()).distinct
+      val keep = base.filter(_ => rnd.nextDouble() < 0.3 + rnd.nextDouble() * 0.6)
+      val extra = Seq.fill(rnd.nextInt(40))(rnd.nextLong()).distinct
+      (base, (keep ++ extra).distinct)
+    }
+    pairs.foreach { case (a, b) =>
+      val j = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+      val sa = graft.functions.MinHashSignature.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray), 64)
+      val sb = graft.functions.MinHashSignature.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray), 64)
+      val est = sa.zip(sb).count(p => p._1 == p._2) / 64.0
+      assert(math.abs(est - j) < 0.25, s"jaccard=$j est=$est")
+    }
+  }
+
+  test("HashedShingles3 invariants: sorted, distinct, size bounded by n-2") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 50).foreach { _ =>
+      val n = rnd.nextInt(20)
+      val ws = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val out = graft.functions.HashedShingles3.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+        .toLongArray()
+      assert(out.toSeq == out.toSeq.sorted)
+      assert(out.toSeq == out.toSeq.distinct)
+      if (n < 3) assert(out.isEmpty) else assert(out.length <= n - 2)
+      // repeated trigram words must actually dedupe: distinct triples bound
+      val triples = ws.sliding(3).filter(_.size == 3).toSeq.distinct.size
+      if (n >= 3) assert(out.length == triples)
+    }
+  }
 }
