@@ -10,14 +10,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, and run decode / feature-extract / thumbnail
   * steps as distributed per-partition batch transforms.
   *
-  * No image/audio codecs ship in this container, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — the Spark-side
-  * contract (schema, binary column handling, partition-wise batch
-  * processing via mapPartitions, metadata struct shape) is real and
-  * tested; swapping the stub for a JNI/codec call changes no plan shape.
+  * Decode has two legs:
+  *   - [[decodeImages]] — REAL decode + mean-luma feature extraction
+  *     for the formats the JDK reads natively (PNG/JPEG/BMP/GIF via
+  *     `javax.imageio`, headless, zero external codecs), spec-driven
+  *     on real encoded fixtures;
+  *   - [[decodeStub]] — a clearly-marked DETERMINISTIC STUB standing in
+  *     for beyond-JDK codecs (video/audio), which don't ship in this
+  *     container. The Spark-side contract (schema, binary columns,
+  *     partition-wise mapPartitions batching) is identical for both, so
+  *     swapping the stub for a JNI/codec call changes no plan shape.
   *
-  * The `documents` table stands in for a media table: its UTF-8 bytes
-  * play the role of an encoded image payload.
+  * The `documents` table stands in for a media table in the registered
+  * queries: its UTF-8 bytes play the role of an encoded payload.
   */
 object Multimodal {
 
@@ -84,6 +89,77 @@ object Multimodal {
         rows.map { r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)) }
       }(enc)
       .orderBy(col("media_id"))
+  }
+
+  /** Real-decode output: null width/height/format marks an undecodable
+    * payload (kept, not dropped — at pipeline scale you audit decode
+    * failures, you don't silently lose them).
+    */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("mean_luma", DoubleType)))
+
+  /** REAL image decode + feature extraction for the formats the JDK
+    * itself can read (PNG/JPEG/BMP/GIF via `javax.imageio` — part of
+    * every JDK, headless-safe, no external codec libraries): dimensions,
+    * container format, and a mean-luminance feature (Rec.601 luma
+    * averaged over all pixels). Runs partition-wise exactly like
+    * [[decodeFrames]]; payloads outside the JDK's format set yield a
+    * null-metadata row — for those, [[decodeStub]] remains the declared
+    * seam where a JNI/codec dependency would slot in.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(imageSchema)
+    media
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          decodeImage(payload) match {
+            case Some((w, h, fmt, luma)) => Row(id, w, h, fmt, luma)
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }(enc)
+      .orderBy(col("media_id"))
+  }
+
+  private[llm] def decodeImage(payload: Array[Byte])
+      : Option[(Int, Int, String, Double)] = {
+    import javax.imageio.ImageIO
+    val in = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, fmt, sum / (255.0 * w * h)))
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => None
+    } finally in.close()
   }
 
   /** One row per sampled frame per media. */

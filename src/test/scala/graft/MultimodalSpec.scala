@@ -46,6 +46,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("decodeImages: REAL JDK decode of PNG and BMP payloads, null for garbage") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, encode(8, 5, "png")),
+      (2L, encode(16, 9, "bmp")),
+      (3L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeImages(media).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 8 && byId(1L).getInt(2) == 5)
+    assert(byId(1L).getString(3) == "png")
+    assert(byId(2L).getInt(1) == 16 && byId(2L).getInt(2) == 9)
+    assert(byId(2L).getString(3) == "bmp")
+    // checkerboard: mean luma ~ 0.5 (within integer-rounding slack)
+    assert(math.abs(byId(1L).getDouble(4) - 0.5) < 0.1)
+    assert(byId(3L).isNullAt(1) && byId(3L).isNullAt(3))
+  }
+
   test("decode runs partition-wise (no driver-side loop)") {
     val plan = planOf(Multimodal.decodeFrames(spark, sf))
     assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
