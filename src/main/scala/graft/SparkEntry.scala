@@ -137,6 +137,7 @@ object SparkEntry {
     "text_quality_score" -> (TextQueries.qualityScore _),
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
+    "text_scrub_pii" -> (TextQueries.scrubPii _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "text_quality_score" -> TextQueries.qualityScoreSql,
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
+    "text_scrub_pii" -> TextQueries.scrubPiiSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,

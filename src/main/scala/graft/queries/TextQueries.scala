@@ -131,6 +131,35 @@ object TextQueries {
       | CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS n_unique_bpeish
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- PII-style scrubbing --------------------------------------------------
+  /** Training-data scrub pass: redact email addresses and URLs, count
+    * the redactions, and fingerprint the cleaned text. Patterns are
+    * RE2-compatible (no lookaround), so Spark's Java regex and DuckDB's
+    * RE2 agree byte-for-byte — which is what makes the scrub
+    * oracle-checkable. One narrow codegen'd map per doc.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^ ]+"
+
+  def scrubPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
+          emailRe, "<EMAIL>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
+  val scrubPiiSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+      | md5(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- fingerprinting -------------------------------------------------------
   /** Document fingerprints: full-text hash + prefix hash (cheap
     * locality-insensitive fingerprint family).
