@@ -6,7 +6,8 @@ import java.time.LocalDateTime
 import graft.ingest.{DolarIngest, RawZone}
 import graft.llm.{Multimodal, MinHashDedup, SimHashDedup}
 import graft.queries._
-import org.apache.spark.sql.{functions, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,11 +63,11 @@ object SparkEntry {
     */
   private def dolarParity(s: SparkSession, dir: String): DataFrame = {
     val raw = s.range(1).select(
-      functions.lit("wire-literal").as("file"),
-      functions.lit(ParityWire).as("value"))
+      lit("wire-literal").as("file"),
+      lit(ParityWire).as("value"))
     val rows = DolarIngest.parse(raw)
-      .filter(functions.col("valid"))
-      .select(functions.col("fechahora"), functions.col("valor"))
+      .filter(col("valid"))
+      .select(col("fechahora"), col("valor"))
     IntervalQuery.formatted(IntervalQuery.over(rows,
       LocalDateTime.parse("2025-09-10T00:00:00"),
       LocalDateTime.parse("2025-09-11T00:00:00")))

@@ -70,7 +70,7 @@ object HashedShingles3 {
   }
 
   /** sort ascending + in-place dedupe */
-  def sortedDistinct(hs: Array[Long]): Array[Long] = {
+  private def sortedDistinct(hs: Array[Long]): Array[Long] = {
     if (hs.length == 0) return hs
     java.util.Arrays.sort(hs)
     var w = 1
