@@ -139,6 +139,7 @@ object SparkEntry {
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_scrub_pii" -> (TextQueries.scrubPii _),
+    "text_repetition" -> (TextQueries.repetitionStats _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_scrub_pii" -> TextQueries.scrubPiiSql,
+    "text_repetition" -> TextQueries.repetitionStatsSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,

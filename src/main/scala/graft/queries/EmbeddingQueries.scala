@@ -162,22 +162,29 @@ object EmbeddingQueries {
                     iters: Int = 3): Seq[(Int, Seq[Double])] = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var codebook: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").cast("int").as("cent_id"), col("v"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    (0 until iters).foreach { _ =>
-      // per-(cell, dim) means: nCent x dim groups — metadata-sized result
-      val means = assignCells(e, codebook)
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("k", "x")))
-        .groupBy(col("cent_id"), col("k")).agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      codebook = codebook.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    codebook
+    // Lloyd's iterations re-scan the corpus once per pass — cache it for
+    // the training loop (the standard iterative-algorithm posture; at
+    // cluster scale this is the same .cache()/checkpoint every k-means
+    // implementation puts around its iteration set) and release after.
+    if (iters > 0) e.cache()
+    try {
+      var codebook: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nCent)
+        .select(col("vec_id").cast("int").as("cent_id"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      (0 until iters).foreach { _ =>
+        // per-(cell, dim) means: nCent x dim groups — metadata-sized result
+        val means = assignCells(e, codebook)
+          .select(col("cent_id"), posexplode(col("v")).as(Seq("k", "x")))
+          .groupBy(col("cent_id"), col("k")).agg(avg(col("x")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        codebook = codebook.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+      codebook
+    } finally if (iters > 0) { e.unpersist(); () }
   }
 
   private def centDf(s: SparkSession, codebook: Seq[(Int, Seq[Double])]): DataFrame = {

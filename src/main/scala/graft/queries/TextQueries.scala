@@ -131,6 +131,38 @@ object TextQueries {
       | CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS n_unique_bpeish
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- repetition signals ---------------------------------------------------
+  /** Gopher/C4-style repetition quality signals: the most-frequent-word
+    * fraction and the duplicate-word fraction per document. Shaped as
+    * explode -> partial-aggregated (doc, word) counts -> per-doc
+    * aggregate — the formulation whose shuffle carries one row per
+    * DISTINCT (doc, word) (map-side combine collapses repeats), which
+    * is how per-doc term statistics stay linear at corpus scale. All
+    * output doubles are ratios of small exact integers, so both engines
+    * compute identical bits.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_word_frac"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("c"))).as("dup_word_frac"))
+      .orderBy(col("doc_id"))
+
+  val repetitionStatsSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+      |SELECT doc_id,
+      | CAST(SUM(c) AS BIGINT) AS n_words,
+      | CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+      | CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac,
+      | 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_word_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- PII-style scrubbing --------------------------------------------------
   /** Training-data scrub pass: redact email addresses and URLs, count
     * the redactions, and fingerprint the cleaned text. Patterns are
