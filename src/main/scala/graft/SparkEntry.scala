@@ -148,6 +148,7 @@ object SparkEntry {
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
     // similarity search
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
+    "ann_topk_cosine_i8" -> ((s, d) => EmbeddingQueries.annTopKI8(s, d)),
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),

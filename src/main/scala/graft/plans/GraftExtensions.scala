@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductF64, HashedShingles3, MinHashSignature, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
+import graft.functions.{DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_min_md5"),
       new ExpressionInfo(classOf[WinnowMinMd5].getName, "winnow_min_md5"),
       (children: Seq[Expression]) => WinnowMinMd5(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
+      (children: Seq[Expression]) => DotProductI8(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

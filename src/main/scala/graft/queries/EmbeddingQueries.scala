@@ -76,6 +76,40 @@ object EmbeddingQueries {
       |SELECT q_id, rank, neighbor_id, cos FROM r WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  // --- int8-quantized top-k ANN ---------------------------------------------
+  /** Brute-force cosine top-k over INT8-QUANTIZED embeddings — the
+    * bandwidth-tier ANN: the corpus is stored/scanned as one BINARY
+    * column (8x smaller than `array<double>`), and cosine runs entirely
+    * on integers ([[graft.functions.DotProductI8]]; per-vector scales
+    * cancel in cosine, so quantized search never touches a float until
+    * the final division). Same plan shape as [[annTopK]] (broadcast
+    * queries, single corpus pass, k-bounded top-k). EmbeddingSpec
+    * measures recall@10 and cosine error against the f64 baseline.
+    */
+  def annTopKI8(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val scaleOf = greatest(array_max(col("v")), -array_min(col("v"))) / 127d
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        graft.functions.QuantizeI8(col("v"), scaleOf).as("q"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("q"))
+    def dotI8(a: Column, b: Column) =
+      graft.functions.DotProductI8(a, b).cast("double")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (dotI8(col("qq"), col("q")) /
+          (sqrt(dotI8(col("qq"), col("qq"))) * sqrt(dotI8(col("q"), col("q")))))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // --- LSH near-dup ------------------------------------------------------------
   /** Near-duplicate embedding pairs via sign-random-projection LSH:
     * 8 bands x 4 bits; candidates = pairs sharing any band bucket;

@@ -31,6 +31,24 @@ class EmbeddingSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
   }
 
+  test("int8-quantized ANN: recall >= 90% of f64 top-10, cosine error < 0.02") {
+    val f64 = EmbeddingQueries.annTopK(spark, sf).collect()
+    val i8 = EmbeddingQueries.annTopKI8(spark, sf).collect()
+    val f64Keys = f64.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val i8Keys = i8.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (f64Keys & i8Keys).size.toDouble / f64Keys.size
+    info(s"int8 recall@10 = $recall")
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9")
+    // quantized cosine tracks the exact cosine closely on shared pairs
+    val exactCos = f64.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    i8.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(r.getDouble(3) - c) < 0.02,
+          s"int8 cosine ${r.getDouble(3)} vs exact $c")
+      }
+    }
+  }
+
   test("k-means training moves centroids and keeps them finite") {
     val init = EmbeddingQueries.trainCodebook(spark, sf, nCent = 16, iters = 0)
     val trained = EmbeddingQueries.trainCodebook(spark, sf, nCent = 16, iters = 3)
