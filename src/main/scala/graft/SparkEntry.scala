@@ -129,6 +129,7 @@ object SparkEntry {
     "window_lag_delta" -> (EventQueries.lagDelta _),
     "sessionize_events" -> (EventQueries.sessionize _),
     "asof_purchase" -> (EventQueries.asofPurchase _),
+    "range_join_nearby" -> ((s, d) => EventQueries.rangeJoinNearby(s, d)),
     "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "window_lag_delta" -> EventQueries.lagDeltaSql,
     "sessionize_events" -> EventQueries.sessionizeSql,
     "asof_purchase" -> EventQueries.asofPurchaseSql,
+    "range_join_nearby" -> EventQueries.rangeJoinNearbySql,
     "events_gapfill_daily" -> EventQueries.gapfillDailySql,
     "text_token_count" -> TextQueries.tokenCountSql,
     "text_token_bpeish" -> TextQueries.tokenCountBpeSql,

@@ -219,4 +219,47 @@ object EventQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |FROM se GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  // --- range join (binned) ----------------------------------------------------
+  /** Time-proximity range self-join: pairs of same-user events within
+    * `windowSec` of each other. A naive `|t_a - t_b| <= W` predicate
+    * plans a nested-loop join (O(n^2) per user); the scale-correct form
+    * BINS time into W-wide buckets and equi-joins on (user, bin) with
+    * the probe side exploded to its 3 adjacent bins — any qualifying
+    * pair's bins differ by at most 1, and the (a.bin = b.probe,
+    * a_id < b_id) combination matches each unordered pair EXACTLY once,
+    * so no post-join dedup is needed. The refine filter then applies
+    * the exact microsecond predicate. Candidate volume is bounded by
+    * bin occupancy, never |events|^2 — the standard interval-join
+    * banding that survives a 100x scale-up.
+    */
+  def rangeJoinNearby(s: SparkSession, dir: String,
+                      windowSec: Int = 300): DataFrame = {
+    val wUs = windowSec * 1000000L
+    val e = ev(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val a = e.select(col("user_id"), expr(s"us div $wUs").as("bin"),
+      col("event_id").as("a_id"), col("us").as("a_us"))
+    val b = e.select(col("user_id"),
+      explode(array(expr(s"us div $wUs") - 1, expr(s"us div $wUs"),
+        expr(s"us div $wUs") + 1)).as("bin"),
+      col("event_id").as("b_id"), col("us").as("b_us"))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(col("a_us") - col("b_us")) <= wUs)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        abs(col("a_us") - col("b_us")).as("dt_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val rangeJoinNearbySql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+      |           FROM events)
+      |SELECT a.user_id,
+      |       a.event_id AS a_id, b.event_id AS b_id,
+      |       abs(a.us - b.us) AS dt_us
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(a.us - b.us) <= 300000000
+      |ORDER BY a_id, b_id""".stripMargin
 }

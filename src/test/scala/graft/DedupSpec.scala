@@ -28,6 +28,10 @@ class DedupSpec extends SparkSpec {
     assertNoAllPairs(planOf(graft.queries.EmbeddingQueries.nearDupLsh(spark, sf)))
   }
 
+  test("binned range join plans as an equi-join, never a nested loop") {
+    assertNoAllPairs(planOf(graft.queries.EventQueries.rangeJoinNearby(spark, sf)))
+  }
+
   test("MinHash-LSH recall: finds every exact-Jaccard>=0.5 same-lang pair") {
     val exact = TextQueries.dedupNgramJaccard(spark, sf).collect()
       .filter(_.getDouble(2) >= 0.5)
