@@ -141,6 +141,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_scrub_pii" -> (TextQueries.scrubPii _),
     "text_repetition" -> (TextQueries.repetitionStats _),
+    "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),

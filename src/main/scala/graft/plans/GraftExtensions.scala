@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
+import graft.functions.{CmsEstimate, CmsSketchAgg, DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_min_md5"),
       new ExpressionInfo(classOf[WinnowMinMd5].getName, "winnow_min_md5"),
       (children: Seq[Expression]) => WinnowMinMd5(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      // an AggregateFunction returned bare — the analyzer wraps it in
+      // an AggregateExpression at resolution
+      (children: Seq[Expression]) => CmsSketchAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),

@@ -163,6 +163,31 @@ object TextQueries {
       | 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_word_frac
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- Count-Min sketch word frequencies ------------------------------------
+  /** Per-language word-frequency estimates from a COUNT-MIN SKETCH
+    * aggregate ([[graft.functions.CmsSketchAgg]], a custom
+    * TypedImperativeAggregate): executors sketch their partitions
+    * independently and the shuffle carries one fixed 16 KiB counter
+    * matrix per language instead of per-word rows — the sketch shape
+    * for frequency queries over corpora too large to count exactly.
+    * Probes a fixed word list against each language's sketch.
+    * No SQL oracle (DuckDB has no CMS); SketchSpec bounds the estimates
+    * against exact counts (CMS never underestimates; overestimate is
+    * eps*N-bounded) and checks partitioning-independence of the merge.
+    */
+  def sketchWordFreq(s: SparkSession, dir: String): DataFrame = {
+    val probes = Seq("the", "data", "spark", "query", "value")
+    docs(s, dir)
+      .select(col("lang"), explode(words).as("w"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.CmsSketchAgg(xxhash64(col("w"))).as("sketch"))
+      .select(col("lang"), col("sketch"), explode(typedLit(probes)).as("word"))
+      .select(col("lang"), col("word"),
+        graft.functions.CmsEstimate(col("sketch"), xxhash64(col("word")))
+          .as("est_count"))
+      .orderBy(col("lang"), col("word"))
+  }
+
   // --- PII-style scrubbing --------------------------------------------------
   /** Training-data scrub pass: redact email addresses and URLs, count
     * the redactions, and fingerprint the cleaned text. Patterns are
