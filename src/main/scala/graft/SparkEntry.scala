@@ -123,6 +123,9 @@ object SparkEntry {
     "setop_except" -> (Relational.setopExcept _),
     "topk_orders" -> (Relational.topkOrders _),
     "scan_filter_project" -> (Relational.scanFilterProject _),
+    "subquery_exists" -> (Relational.subqueryExists _),
+    "subquery_not_exists" -> (Relational.subqueryNotExists _),
+    "subquery_scalar_avg" -> (Relational.subqueryScalarAvg _),
     // time series / streaming duals
     "window_tumbling_hourly" -> (EventQueries.tumblingHourly _),
     "window_moving_avg" -> (EventQueries.movingAvg _),
@@ -188,6 +191,9 @@ object SparkEntry {
     "setop_except" -> Relational.setopExceptSql,
     "topk_orders" -> Relational.topkOrdersSql,
     "scan_filter_project" -> Relational.scanFilterProjectSql,
+    "subquery_exists" -> Relational.subqueryExistsSql,
+    "subquery_not_exists" -> Relational.subqueryNotExistsSql,
+    "subquery_scalar_avg" -> Relational.subqueryScalarAvgSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,
     "window_moving_avg" -> EventQueries.movingAvgSql,
     "window_lag_delta" -> EventQueries.lagDeltaSql,

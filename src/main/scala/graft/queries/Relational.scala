@@ -447,4 +447,68 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- subqueries (SQL front-end; Catalyst decorrelation) --------------------
+  /** Correlated/scalar subqueries exercised through `spark.sql` — the
+    * DataFrame DSL cannot spell a correlated EXISTS, and the value here
+    * is Catalyst's DECORRELATION: EXISTS plans as a left-semi join,
+    * NOT EXISTS as a left-anti join, and the scalar subquery as a
+    * broadcast one-row join (asserted in RelationalSpec) — never a
+    * per-row re-execution of the inner query, which is what makes
+    * correlated predicates survive at fact-table scale.
+    */
+  private def sqlOver(s: SparkSession, dir: String, sql: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+    t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+    s.sql(sql)
+  }
+
+  def subqueryExists(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, dir,
+      """SELECT c_custkey, c_name FROM sq_customer c
+        |WHERE EXISTS (SELECT 1 FROM sq_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+
+  val subqueryExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def subqueryNotExists(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, dir,
+      """SELECT c_custkey, c_name FROM sq_customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM sq_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+
+  val subqueryNotExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar subquery; the global average goes through the decimal-sum /
+    * count spelling so both engines compute the identical threshold
+    * (class doc determinism discipline).
+    */
+  def subqueryScalarAvg(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, dir,
+      """SELECT o_orderkey, o_totalprice FROM sq_orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |           / COUNT(*) FROM sq_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+
+  val subqueryScalarAvgSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |           / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
 }

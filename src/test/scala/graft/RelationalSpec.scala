@@ -59,4 +59,15 @@ class RelationalSpec extends SparkSpec {
         s"flag $k: approx $ap vs exact $ex")
     }
   }
+
+  test("subqueries decorrelate: EXISTS -> semi join, NOT EXISTS -> anti join") {
+    val existsPlan = planOf(Relational.subqueryExists(spark, sf))
+    assert(existsPlan.contains("LeftSemi"), s"plan:\n$existsPlan")
+    val notExistsPlan = planOf(Relational.subqueryNotExists(spark, sf))
+    assert(notExistsPlan.contains("LeftAnti"), s"plan:\n$notExistsPlan")
+    // neither re-executes the inner query per outer row
+    Seq(existsPlan, notExistsPlan).foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+  }
 }
