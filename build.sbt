@@ -26,6 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // java.sql.Timestamp literals (interval bounds, shipdate windows)
+  // convert to epoch micros through the JVM DEFAULT timezone —
+  // spark.sql.session.timeZone does NOT cover that conversion, so a
+  // non-UTC host would silently shift every timestamp bound relative
+  // to the DuckDB oracle's naive literals. Pin the JVM itself to UTC.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // ~50 whole-stage-codegen'd queries in one JVM generate enough classes
   // to fill the default 240m code cache, after which the JIT shuts off

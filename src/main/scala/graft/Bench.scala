@@ -22,19 +22,27 @@ object Bench {
         .orderBy(col("q"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write: runs the DECLARED plan end to end (a bare
       // .count() would let the optimizer delete top-level sorts, so
       // every orderBy query's final sort would go unmeasured).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a crashing query must be LOUD — recorded as a failure, never
+        // as a suspiciously fast success that lowers the suite total
+        failed ::= name
+        System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

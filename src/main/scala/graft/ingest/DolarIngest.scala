@@ -78,6 +78,16 @@ object DolarIngest {
           col("fechahora").isNotNull && col("valor").isNotNull)
   }
 
+  /** D2 counter columns over a parsed batch — ONE definition shared by
+    * the per-file LoadReport and the observe-API metrics, so the two
+    * surfaces can never disagree about what counts as a bad row.
+    */
+  private def validCount: org.apache.spark.sql.Column =
+    sum(when(col("valid"), 1L).otherwise(0L))
+  private def badCount: org.apache.spark.sql.Column =
+    sum(when(!col("valid") && !col("file_corrupt") && col("pair").isNotNull, 1L)
+      .otherwise(0L))
+
   /** Run the batch load from `rawDir`, appending valid rows via `write`.
     * Enforces H1 (corrupt file fails the whole batch before any write)
     * and H3 (zero-valid files not counted), and returns the D2 counters.
@@ -91,9 +101,8 @@ object DolarIngest {
       val perFile = rows.groupBy(col("file"))
         .agg(
           max(col("file_corrupt")).as("corrupt"),
-          sum(when(col("valid"), 1L).otherwise(0L)).as("inserted"),
-          sum(when(!col("valid") && !col("file_corrupt") && col("pair").isNotNull, 1L)
-            .otherwise(0L)).as("bad"))
+          validCount.as("inserted"),
+          badCount.as("bad"))
         .collect()
 
       val corrupt = perFile.filter(_.getAs[Boolean]("corrupt")).map(_.getAs[String]("file"))
@@ -121,9 +130,8 @@ object DolarIngest {
     val obs = org.apache.spark.sql.Observation("graft_load")
     val df = parsed.observe(obs,
       count(lit(1)).as("wire_rows"),
-      sum(when(col("valid"), 1L).otherwise(0L)).as("valid_rows"),
-      sum(when(!col("valid") && !col("file_corrupt") && col("pair").isNotNull, 1L)
-        .otherwise(0L)).as("bad_rows"),
+      validCount.as("valid_rows"),
+      badCount.as("bad_rows"),
       sum(when(col("file_corrupt"), 1L).otherwise(0L)).as("corrupt_markers"))
     (df, obs)
   }

@@ -36,20 +36,24 @@ object Multimodal {
 
   /** Metadata extraction over opaque binary payloads — byte length,
     * content digest, magic-byte sniff. Pure built-ins, oracle-checkable.
+    * The magic sniff is reported as HEX of the first 4 BYTES (how magic
+    * numbers are actually compared) — a string-decode of those bytes
+    * would be char-based in the oracle and diverge on any multi-byte
+    * content.
     */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir).select(
         col("media_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         sha2(col("payload"), 256).as("content_sha256"),
-        substring(col("payload"), 1, 4).cast("string").as("magic4"))
+        hex(substring(col("payload"), 1, 4)).as("magic4_hex"))
       .orderBy(col("media_id"))
 
   val mediaMetaSql: String =
     """SELECT doc_id AS media_id,
       | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       | sha256(text) AS content_sha256,
-      | substr(text, 1, 4) AS magic4
+      | substr(hex(encode(text)), 1, 8) AS magic4_hex
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Decoded-frame schema a real decoder would produce. */

@@ -43,7 +43,14 @@ object EmbeddingQueries {
     * the LSH variant below.
     */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
+    // zero-norm vectors have no cosine: 0/0 = NaN, which Spark sorts
+    // ABOVE every real similarity under desc (NaN > all doubles), so an
+    // unguarded zero vector would be every query's rank-1 "neighbor".
+    // Exclude them on both sides (the oracle does the same).
     val e = emb(s, dir)
+      .filter(graft.functions.DotProductF64(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")) > 0)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"),
@@ -60,9 +67,10 @@ object EmbeddingQueries {
   }
 
   val annTopKSql: String =
-    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-      |           FROM embeddings WHERE vec_id < 5),
-      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM nz WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, v FROM nz),
       |sim AS (
       |  SELECT q_id, neighbor_id,
       |    list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
@@ -90,6 +98,7 @@ object EmbeddingQueries {
     val scaleOf = greatest(array_max(col("v")), -array_min(col("v"))) / 127d
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(scaleOf > 0) // zero vectors have no cosine (see annTopK)
       .select(col("vec_id"),
         graft.functions.QuantizeI8(col("v"), scaleOf).as("q"))
     val q = e.filter(col("vec_id") < 5)
@@ -133,6 +142,7 @@ object EmbeddingQueries {
                  bands: Int = 8, bits: Int = 4, minCos: Double = 0.4): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0) // see annTopK
     val buckets = e.select(col("vec_id"),
       posexplode(graft.functions.SignBandBuckets(col("v"), bands, bits))
         .as(Seq("band", "bucket")))
@@ -205,6 +215,11 @@ object EmbeddingQueries {
       var codebook: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nCent)
         .select(col("vec_id").cast("int").as("cent_id"), col("v"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      // first-nCent init assumes ids 0..nCent-1 exist; a gapped or
+      // renumbered corpus would silently train a smaller codebook (or
+      // hand assignCells an empty argmax array) — fail fast instead
+      require(codebook.size == nCent,
+        s"k-means init expects vec_ids 0..${nCent - 1} present, found ${codebook.size}")
       (0 until iters).foreach { _ =>
         // per-(cell, dim) means: nCent x dim groups — metadata-sized result
         val means = assignCells(e, codebook)

@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Time-series operators over the `events` table: the reference's
   * interval query re-expressed on driver test data, tumbling-window
@@ -23,8 +22,7 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  import Exact.{dec, dsum}
 
   // --- the reference interval query, on events -------------------------------
   /** Reference query semantics on test data (SURVEY §2 B1/B2/C1/F1/F2):
@@ -161,10 +159,15 @@ object EventQueries {
     * user. The DuckDB oracle is its native ASOF LEFT JOIN.
     */
   def asofPurchase(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isPurchase = col("event_type") === "purchase"
+    // at EQUAL timestamps a purchase must sort before the click — the
+    // ASOF contract is "at-or-before" (c.ts >= p.ts, inclusive), so a
+    // same-instant purchase is visible to the click; ordering by
+    // (ts, event_id) alone would hide a same-ts purchase whose
+    // event_id is larger than the click's
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev(s, dir)
       .withColumn("last_purchase_value",
         last(when(isPurchase, col("value")), ignoreNulls = true).over(w))

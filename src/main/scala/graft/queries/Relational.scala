@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator surface over the TPC-H-ish driver test data:
   * scans, filters, projections, joins (inner/left/semi/anti, broadcast),
@@ -40,9 +39,7 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Exact-sum helper: double -> DECIMAL(18,6) (see class doc). */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  import Exact.{dec, dsum}
 
   private val ONE = lit(1.0)
 
@@ -291,13 +288,14 @@ object Relational {
     * a temp view (the other declarative entry point of the engine).
     */
   def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    val view = s"orders_gs_${java.lang.Integer.toHexString(dir.hashCode)}"
+    t(s, dir, "orders").createOrReplaceTempView(view)
     s.sql(
-      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
-        |FROM orders_gs
-        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+         |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
   }
 
   val aggGroupingSetsSql: String =
@@ -457,10 +455,20 @@ object Relational {
     * per-row re-execution of the inner query, which is what makes
     * correlated predicates survive at fact-table scale.
     */
+  /** Registers per-sfDir-named temp views and rewrites the SQL to use
+    * them: view names carry the data directory's identity, so two
+    * concurrent builders over DIFFERENT sfDirs register different names
+    * instead of clobbering a shared one (same-dir re-registration is
+    * idempotent) — the temp-view analogue of the no-session-conf-in-
+    * builders rule (see Tables.events).
+    */
   private def sqlOver(s: SparkSession, dir: String, sql: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("sq_customer")
-    t(s, dir, "orders").createOrReplaceTempView("sq_orders")
-    s.sql(sql)
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    t(s, dir, "customer").createOrReplaceTempView(s"sq_customer_$tag")
+    t(s, dir, "orders").createOrReplaceTempView(s"sq_orders_$tag")
+    s.sql(sql
+      .replace("sq_customer", s"sq_customer_$tag")
+      .replace("sq_orders", s"sq_orders_$tag"))
   }
 
   def subqueryExists(s: SparkSession, dir: String): DataFrame =

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis + deduplication surface over the `documents` table —
   * the LLM-training-pipeline operators (builder brief; VERDICT.md round-1
@@ -21,7 +20,7 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  import Exact.dec
 
   /** words of a document, split on single spaces (the corpus separator) */
   private val words: Column = split(col("text"), " ")
@@ -305,6 +304,11 @@ object TextQueries {
     val d = docs(s, dir)
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      // drop shingle-less docs (< 3 words) BEFORE pairing: two empty
+      // shingle sets would make jaccard 0/0 = NaN, which Spark's
+      // `>= 0.2` ACCEPTS (NaN sorts above all doubles) while the
+      // oracle's NULL is rejected — the same guard shingleSets applies
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), col("lang"),
         graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
       .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int"))
