@@ -18,6 +18,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Format-portable source/sink leg: the driver tables are parquet, but
+    * the engine reads and writes any Spark-native columnar/text format
+    * the classpath carries (parquet, orc, json, csv). Text formats get
+    * an explicit schema on read — csv/json carry none (csv also needs
+    * its header) — so a round trip is type-identical, not just
+    * value-identical. SourceFormatsSpec round-trips the test tables
+    * through each format and asserts set equality.
+    */
+  def writeAs(df: DataFrame, format: String, path: String): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
+  def readAs(spark: SparkSession, format: String, path: String,
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val r = spark.read.format(format).schema(schema)
+    (if (format == "csv") r.option("header", "true") else r).load(path)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4.1 refuses to
     * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the column as
     * nanos-since-epoch and floor to microseconds —
