@@ -158,7 +158,11 @@ object EventQueries {
     * broadcast, no per-row probing, and skew is bounded by events per
     * user. The DuckDB oracle is its native ASOF LEFT JOIN.
     */
-  def asofPurchase(s: SparkSession, dir: String): DataFrame = {
+  /** The as-of transform over any (user_id, event_id, ts, event_type,
+    * value) frame — separated from the table scan so AsofSpec can plant
+    * edge cases (same-timestamp ties) the generated data never carries.
+    */
+  def asofOver(events: DataFrame): DataFrame = {
     val isPurchase = col("event_type") === "purchase"
     // at EQUAL timestamps a purchase must sort before the click — the
     // ASOF contract is "at-or-before" (c.ts >= p.ts, inclusive), so a
@@ -168,7 +172,7 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev(s, dir)
+    events
       .withColumn("last_purchase_value",
         last(when(isPurchase, col("value")), ignoreNulls = true).over(w))
       .filter(col("event_type") === "click")
@@ -176,6 +180,9 @@ object EventQueries {
         col("last_purchase_value"))
       .orderBy(col("user_id"), col("click_id"))
   }
+
+  def asofPurchase(s: SparkSession, dir: String): DataFrame =
+    asofOver(ev(s, dir))
 
   val asofPurchaseSql: String =
     """WITH clicks AS (

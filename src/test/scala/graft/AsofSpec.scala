@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.EventQueries
+
+/** As-of join edge cases the generated events data never carries —
+  * planted directly so the at-or-before contract is tested, not assumed:
+  * a purchase at the click's EXACT timestamp must be visible (ASOF is
+  * inclusive), regardless of event_id ordering.
+  */
+class AsofSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("same-timestamp purchase is visible to the click (inclusive as-of)") {
+    val events = Seq(
+      // user 1: purchase shares the click's instant, with LARGER event_id
+      (1L, 3L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, 10L, ts("2024-01-01 10:00:00"), "purchase", 5.0),
+      // user 2: purchase strictly before the click (the ordinary case)
+      (2L, 1L, ts("2024-01-01 09:00:00"), "purchase", 7.0),
+      (2L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      // user 3: click with NO purchase at-or-before -> null
+      (3L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (3L, 2L, ts("2024-01-01 11:00:00"), "purchase", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventQueries.asofOver(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(5.0)),  // inclusive: same-instant purchase counts
+      (2L, 2L, Some(7.0)),
+      (3L, 1L, None)))      // future purchase must NOT leak backwards
+  }
+}
