@@ -1,5 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+/** Per-query JVM state snapshot, so a timing anomaly carries its own
+  * diagnosis (r4: a contiguous band of 12 queries ran 10-600x steady
+  * state with no per-plan explanation — the suspects are all JVM-level:
+  * JIT/code-cache pressure, GC storms, codegen-cache churn).
+  */
+object JvmStats {
+  private val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+  private val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+  private val comp = Option(ManagementFactory.getCompilationMXBean)
+  private val mem = ManagementFactory.getMemoryMXBean
+
+  def gcTimeMs: Long = gcBeans.map(_.getCollectionTime).sum
+  def gcCount: Long = gcBeans.map(_.getCollectionCount).sum
+  /** Cumulative JIT compilation wall time (all compiler threads). */
+  def jitTimeMs: Long = comp.map(_.getTotalCompilationTime).getOrElse(-1L)
+  /** Bytes used across the code-cache pools (CodeHeap segments on 17). */
+  def codeCacheUsed: Long =
+    pools.filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum
+  def heapUsed: Long = mem.getHeapMemoryUsage.getUsed
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,26 +48,38 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = JvmStats.gcTimeMs; val gcN0 = JvmStats.gcCount
+      val jit0 = JvmStats.jitTimeMs
       val t0 = System.nanoTime()
       // noop-format write: runs the DECLARED plan end to end (a bare
       // .count() would let the optimizer delete top-level sorts, so
       // every orderBy query's final sort would go unmeasured).
+      var ok = true
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         // a crashing query must be LOUD — recorded as a failure, never
         // as a suspiciously fast success that lowers the suite total
+        ok = false
         failed ::= name
         System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(200))
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val sec = (System.nanoTime() - t0) / 1e9
+      stats(name) = s"""{"gc_ms":${JvmStats.gcTimeMs - gc0},"gc_n":${JvmStats.gcCount - gcN0},""" +
+        s""""jit_ms":${JvmStats.jitTimeMs - jit0},"cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
+        s""""heap_mb":${JvmStats.heapUsed / (1 << 20)}}"""
+      (name, sec, ok)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // headline total counts only successful queries: a crashing query's
+    // (typically fast) elapsed time must not lower the suite total
+    val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val statsJson = stats.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"jvm_stats":$statsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

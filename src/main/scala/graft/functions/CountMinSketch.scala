@@ -56,9 +56,39 @@ object CountMinSketch {
   }
 
   def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    requireSketch(bytes)
     val out = new Array[Long](bytes.length / 8)
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
     out
+  }
+
+  /** cms_estimate is SQL-registered, so an arbitrary/truncated BINARY can
+    * reach it — fail with a descriptive error instead of an
+    * ArrayIndexOutOfBounds from the fixed D*W indexing.
+    */
+  def requireSketch(bytes: Array[Byte]): Unit =
+    if (bytes.length != D * W * 8)
+      throw new IllegalArgumentException(
+        s"not a CMS sketch: expected ${D * W * 8} bytes (D=$D rows x W=$W " +
+          s"counters x 8), got ${bytes.length}")
+
+  /** Point estimate straight off the serialized sketch — reads only the
+    * D counters the item maps to (no 16 KiB long[] materialization per
+    * row, which matters when cms_estimate runs in a hot projection).
+    */
+  def estimateBytes(bytes: Array[Byte], item: Long): Long = {
+    requireSketch(bytes)
+    var min = Long.MaxValue
+    var r = 0
+    while (r < D) {
+      val off = (r * W + rowIndex(item, r)) * 8
+      var c = 0L
+      var i = 7
+      while (i >= 0) { c = (c << 8) | (bytes(off + i) & 0xffL); i -= 1 }
+      if (c < min) min = c
+      r += 1
+    }
+    min
   }
 }
 
@@ -124,15 +154,12 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(sketch: Any, item: Any): Any =
-    CountMinSketch.estimate(
-      CountMinSketch.fromBytes(sketch.asInstanceOf[Array[Byte]]),
+    CountMinSketch.estimateBytes(sketch.asInstanceOf[Array[Byte]],
       item.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, i) =>
-      s"""${ev.value} = graft.functions.CountMinSketch.estimate(
-         |  graft.functions.CountMinSketch.fromBytes($s), $i);
-       """.stripMargin)
+      s"${ev.value} = graft.functions.CountMinSketch.estimateBytes($s, $i);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =

@@ -23,11 +23,11 @@ case class DotProductI8(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotProductI8.eval(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    DotProductI8.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProductI8.eval($a, $b);")
+      s"${ev.value} = graft.functions.DotProductI8.dot($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductI8 =
@@ -37,8 +37,13 @@ case class DotProductI8(left: Expression, right: Expression)
 object DotProductI8 {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** shared by interpreted eval and generated code */
-  def eval(a: Array[Byte], b: Array[Byte]): Long = {
+  /** shared by interpreted eval and generated code. MUST NOT be named
+    * `eval`: a same-name class member (here the inherited
+    * `Expression.eval`) suppresses the static forwarder the generated
+    * Java calls, silently de-codegen-ing every plan containing this
+    * expression (CodegenSpec pins this).
+    */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
     val n = math.min(a.length, b.length)
     var acc = 0L
     var i = 0

@@ -31,11 +31,11 @@ case class HashedShingles3(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    HashedShingles3.eval(input.asInstanceOf[ArrayData])
+    HashedShingles3.shingles(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      s"${ev.value} = graft.functions.HashedShingles3.eval($a);"
+      s"${ev.value} = graft.functions.HashedShingles3.shingles($a);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): HashedShingles3 =
@@ -49,8 +49,12 @@ object HashedShingles3 {
     * no interpreted-vs-codegen divergence risk). Null elements are
     * SKIPPED within their shingle, matching the built-in `xxhash64`
     * spelling, which hashes past null arguments.
+    *
+    * MUST NOT be named `eval`: a same-name class member (the inherited
+    * `Expression.eval`) suppresses the static forwarder the generated
+    * Java calls, silently de-codegen-ing the plan (CodegenSpec pins this).
     */
-  def eval(ws: ArrayData): GenericArrayData = {
+  def shingles(ws: ArrayData): GenericArrayData = {
     val n = ws.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](n - 2)

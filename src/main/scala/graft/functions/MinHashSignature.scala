@@ -46,7 +46,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     else {
       val arr = v.asInstanceOf[ArrayData]
       if (arr.numElements() == 0) null
-      else new GenericArrayData(MinHashSignature.eval(arr, numPerms))
+      else new GenericArrayData(MinHashSignature.signature(arr, numPerms))
     }
   }
 
@@ -61,7 +61,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |if (!${c.isNull} && ${c.value}.numElements() > 0) {
          |  ${ev.isNull} = false;
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    graft.functions.MinHashSignature.eval(${c.value}, $numPerms));
+         |    graft.functions.MinHashSignature.signature(${c.value}, $numPerms));
          |}
        """.stripMargin)
   }
@@ -95,8 +95,12 @@ object MinHashSignature {
   /** shared by interpreted eval and generated code; requires a NON-EMPTY
     * input array (empty sets have a NULL signature, enforced by the
     * expression).
+    *
+    * MUST NOT be named `eval`: a same-name class member (the overridden
+    * `Expression.eval`) suppresses the static forwarder the generated
+    * Java calls, silently de-codegen-ing the plan (CodegenSpec pins this).
     */
-  def eval(arr: ArrayData, numPerms: Int): Array[Long] = {
+  def signature(arr: ArrayData, numPerms: Int): Array[Long] = {
     val n = arr.numElements()
     val mins = Array.fill(numPerms)(Long.MaxValue)
     val seedArr = seeds(numPerms)

@@ -27,11 +27,11 @@ case class QuantizeI8(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any, scale: Any): Any =
-    QuantizeI8.eval(v.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
+    QuantizeI8.quantize(v.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, s) =>
-      s"${ev.value} = graft.functions.QuantizeI8.eval($a, $s);")
+      s"${ev.value} = graft.functions.QuantizeI8.quantize($a, $s);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizeI8 =
@@ -43,8 +43,14 @@ object QuantizeI8 {
 
   /** shared by interpreted eval and generated code; a zero/absent scale
     * (all-zero vector) quantizes to all zeros rather than dividing by 0.
+    *
+    * MUST NOT be named `eval`: the companion class inherits
+    * `Expression.eval`, and scalac suppresses a companion-object static
+    * forwarder whenever the class has ANY member of the same name — the
+    * generated Java then fails to compile and the whole plan silently
+    * falls back to interpreted execution (CodegenSpec pins this).
     */
-  def eval(v: ArrayData, scale: Double): Array[Byte] = {
+  def quantize(v: ArrayData, scale: Double): Array[Byte] = {
     val n = v.numElements()
     val out = new Array[Byte](n)
     if (scale > 0) {

@@ -31,13 +31,13 @@ case class SignBandBuckets(child: Expression, bands: Int, bits: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    new GenericArrayData(SignBandBuckets.eval(v, bands, bits))
+    new GenericArrayData(SignBandBuckets.buckets(v, bands, bits))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.SignBandBuckets.eval($a, $bands, $bits));
+         |  graft.functions.SignBandBuckets.buckets($a, $bands, $bits));
        """.stripMargin
     })
 
@@ -78,8 +78,12 @@ object SignBandBuckets {
       m
     })
 
-  /** called from both interpreted eval and generated code */
-  def eval(v: ArrayData, bands: Int, bits: Int): Array[Long] = {
+  /** called from both interpreted eval and generated code. MUST NOT be
+    * named `eval`: a same-name class member (the inherited
+    * `Expression.eval`) suppresses the static forwarder the generated
+    * Java calls, silently de-codegen-ing the plan (CodegenSpec pins this).
+    */
+  def buckets(v: ArrayData, bands: Int, bits: Int): Array[Long] = {
     val n = v.numElements()
     val nPlanes = bands * bits
     val signs = signMatrix(nPlanes, n)

@@ -36,7 +36,7 @@ case class WinnowMinMd5(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    WinnowMinMd5.eval(input.asInstanceOf[UTF8String],
+    WinnowMinMd5.winnow(input.asInstanceOf[UTF8String],
       MessageDigest.getInstance("MD5"))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -46,7 +46,7 @@ case class WinnowMinMd5(child: Expression) extends UnaryExpression {
               |  throw new RuntimeException(e);
               |}""".stripMargin)
     nullSafeCodeGen(ctx, ev, a => {
-      s"${ev.value} = graft.functions.WinnowMinMd5.eval($a, $md);"
+      s"${ev.value} = graft.functions.WinnowMinMd5.winnow($a, $md);"
     })
   }
 
@@ -61,8 +61,12 @@ object WinnowMinMd5 {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  /** called from both interpreted eval and generated code */
-  def eval(s: UTF8String, md: MessageDigest): UTF8String = {
+  /** called from both interpreted eval and generated code. MUST NOT be
+    * named `eval`: a same-name class member (the inherited
+    * `Expression.eval`) suppresses the static forwarder the generated
+    * Java calls, silently de-codegen-ing the plan (CodegenSpec pins this).
+    */
+  def winnow(s: UTF8String, md: MessageDigest): UTF8String = {
     val nBytes = s.numBytes()
     val min = new Array[Byte](16)
     var have = false

@@ -30,7 +30,7 @@ object Config {
       "host" -> Seq("MYSQL_HOST", "DB_HOST"),
       "user" -> Seq("MYSQL_USER", "DB_USER"),
       "pass" -> Seq("MYSQL_PASS", "DB_PASS"),
-      "name" -> Seq("MYSQL_DB", "DB_NAME"))
+      "name" -> Seq("MYSQL_DB", "MYSQL_NAME", "DB_NAME"))
     val resolved = wanted.map { case (k, aliases) => k -> first(env, aliases: _*) }
 
     val missing = resolved.collect { case (k, None) => k }

@@ -22,6 +22,13 @@ class ConfigSpec extends SparkSpec {
     assert(db == Config.Db("h", "u", "p", "n", 3306))
   }
 
+  test("F8: MYSQL_NAME db-name alias coalesces (subirDB.py:28)") {
+    val db = Config.readDb(good - "MYSQL_DB" + ("MYSQL_NAME" -> "named"))
+    assert(db.name == "named")
+    // MYSQL_DB still wins when both are present (alias order)
+    assert(Config.readDb(good + ("MYSQL_NAME" -> "named")).name == "testdb")
+  }
+
   test("H5: missing env fails fast listing names (tests.py:114-120)") {
     val e = intercept[Config.ConfigError] { Config.readDb(Map.empty) }
     assert(e.getMessage.contains("ENV faltantes"))

@@ -118,9 +118,9 @@ class PropertySpec extends SparkSpec {
     }
     pairs.foreach { case (a, b) =>
       val j = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
-      val sa = graft.functions.MinHashSignature.eval(
+      val sa = graft.functions.MinHashSignature.signature(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray), 64)
-      val sb = graft.functions.MinHashSignature.eval(
+      val sb = graft.functions.MinHashSignature.signature(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray), 64)
       val est = sa.zip(sb).count(p => p._1 == p._2) / 64.0
       assert(math.abs(est - j) < 0.25, s"jaccard=$j est=$est")
@@ -133,7 +133,7 @@ class PropertySpec extends SparkSpec {
     (1 to 50).foreach { _ =>
       val n = rnd.nextInt(20)
       val ws = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
-      val out = graft.functions.HashedShingles3.eval(
+      val out = graft.functions.HashedShingles3.shingles(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
         .toLongArray()
