@@ -16,6 +16,19 @@ object JvmStats {
 
   def gcTimeMs: Long = gcBeans.map(_.getCollectionTime).sum
   def gcCount: Long = gcBeans.map(_.getCollectionCount).sum
+  /** Cumulative CPU nanoseconds consumed by THIS process (all threads).
+    * The starvation discriminator: a query whose wall time balloons
+    * while its cpu delta stays flat was waiting on the host (external
+    * load, cgroup throttling), not executing slowly.
+    */
+  def processCpuNs: Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+  /** 1-minute system load average (runnable tasks host-wide). */
+  def loadAvg: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
   /** Cumulative JIT compilation wall time (all compiler threads). */
   def jitTimeMs: Long = comp.map(_.getTotalCompilationTime).getOrElse(-1L)
   /** Bytes used across the code-cache pools (CodeHeap segments on 17). */
@@ -51,7 +64,7 @@ object Bench {
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = JvmStats.gcTimeMs; val gcN0 = JvmStats.gcCount
-      val jit0 = JvmStats.jitTimeMs
+      val jit0 = JvmStats.jitTimeMs; val cpu0 = JvmStats.processCpuNs
       val t0 = System.nanoTime()
       // noop-format write: runs the DECLARED plan end to end (a bare
       // .count() would let the optimizer delete top-level sorts, so
@@ -67,8 +80,11 @@ object Bench {
           String.valueOf(e.getMessage).take(200))
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpuSec = (JvmStats.processCpuNs - cpu0) / 1e9
       stats(name) = s"""{"gc_ms":${JvmStats.gcTimeMs - gc0},"gc_n":${JvmStats.gcCount - gcN0},""" +
-        s""""jit_ms":${JvmStats.jitTimeMs - jit0},"cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
+        s""""jit_ms":${JvmStats.jitTimeMs - jit0},"cpu_s":${math.round(cpuSec * 1000) / 1000.0},""" +
+        s""""load":${math.round(JvmStats.loadAvg * 10) / 10.0},""" +
+        s""""cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
         s""""heap_mb":${JvmStats.heapUsed / (1 << 20)}}"""
       (name, sec, ok)
     }

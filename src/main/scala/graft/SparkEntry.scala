@@ -116,6 +116,7 @@ object SparkEntry {
     "join_left_outer" -> (Relational.joinLeftOuter _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
+    "bucketed_join" -> (graft.plans.Bucketing.bucketedJoinDemo _),
     // relational: windows / set ops / sort-limit / scan
     "window_rank_orders" -> (Relational.windowRankOrders _),
     "setop_union" -> (Relational.setopUnion _),
@@ -147,7 +148,7 @@ object SparkEntry {
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
-    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatures _),
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "join_left_outer" -> Relational.joinLeftOuterSql,
     "join_semi" -> Relational.joinSemiSql,
     "join_anti" -> Relational.joinAntiSql,
+    "bucketed_join" -> graft.plans.Bucketing.bucketedJoinDemoSql,
     "window_rank_orders" -> Relational.windowRankOrdersSql,
     "setop_union" -> Relational.setopUnionSql,
     "setop_intersect" -> Relational.setopIntersectSql,
@@ -213,6 +215,7 @@ object SparkEntry {
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
+    "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,
   )
 }

@@ -39,4 +39,42 @@ object Bucketing {
   def bucketedEquiJoin(spark: SparkSession, left: String, right: String,
                        key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Registered-query leg: build the bucketed layout from the test
+    * tables in a tmp dir, then run the exchange-free join — per-nation
+    * order counts and spend through a customer⋈orders co-located on
+    * custkey. The bucketed write is billed to this query in Bench (like
+    * the dolar e2e fixture); the RESULT is layout-independent, which is
+    * what lets DuckDB oracle-check a physical-plan feature.
+    */
+  def bucketedJoinDemo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // per-dir table names: concurrent sessions/dirs must not collide in
+    // the shared session catalog
+    val tag = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong & 0xffffffffL)
+    val custT = s"graft_bkt_cust_$tag"
+    val ordT = s"graft_bkt_ord_$tag"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    writeBucketed(
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey")),
+      custT, "custkey", 8, s"$tmp/cust")
+    writeBucketed(
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+      ordT, "custkey", 8, s"$tmp/ord")
+    bucketedEquiJoin(s, custT, ordT, "custkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val bucketedJoinDemoSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 }

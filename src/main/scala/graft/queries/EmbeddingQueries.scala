@@ -204,8 +204,12 @@ object EmbeddingQueries {
     */
   def trainCodebook(s: SparkSession, dir: String, nCent: Int = 16,
                     iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    // zero-norm vectors have no cosine (see annTopK) — unguarded they
+    // make assignCells' cos_arr all-NaN and the argmax position 0, which
+    // throws under ANSI element_at; exclude them like every other path
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0)
     // Lloyd's iterations re-scan the corpus once per pass — cache it for
     // the training loop (the standard iterative-algorithm posture; at
     // cluster scale this is the same .cache()/checkpoint every k-means
@@ -258,6 +262,7 @@ object EmbeddingQueries {
                  trainIters: Int = 3): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0) // see trainCodebook
     val codebook = trainCodebook(s, dir, nCent, trainIters)
     val cent = centDf(s, codebook)
     // nearest-centroid assignment for every corpus vector — narrow map
@@ -288,15 +293,26 @@ object EmbeddingQueries {
   }
 
   // --- centroids ---------------------------------------------------------------
-  /** Per-label count and mean vector norm — grouped vector aggregation
-    * demo (sums are order-dependent in fp, so no SQL oracle; spec asserts
-    * invariants instead).
+  /** Per-label count and mean vector norm — grouped vector aggregation.
+    * Oracle-deterministic: the per-row norms are bit-exact on both
+    * engines (DotProductF64's in-order accumulation == DuckDB's
+    * list_sum(list_transform(...))), and the repo-wide decimal-sum
+    * discipline ([[Exact.dec]]) makes their aggregation
+    * order-independent — a plain fp `avg(norm)` would vary with
+    * partitioning and could never hash-match.
     */
   def centroidByLabel(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
       .select(col("label"), col("embedding").cast("array<double>").as("v"))
     e.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), avg(norm(col("v"))).as("avg_norm"))
+      .agg(count(lit(1)).as("n"),
+        (Exact.dsum(norm(col("v"))) / count(lit(1))).as("avg_norm"))
       .orderBy(col("label"))
   }
+
+  val centroidByLabelSql: String =
+    """SELECT label, COUNT(*) AS n,
+      | CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 }

@@ -299,10 +299,18 @@ object TextQueries {
     *     language — with few-and-large buckets, the block trick is what
     *     keeps every core busy at scale.
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** @param maxDocId exact-verify BOUND: only docs with `doc_id <
+    *   maxDocId` are pairwise-compared. The default keeps the oracle's
+    *   golden bucket; the bound is in the signature (not buried in the
+    *   body) because exact all-pairs Jaccard is a VERIFY stage — on an
+    *   arbitrary corpus, generate candidates with MinHashDedup's LSH and
+    *   verify only those pairs, never all pairs.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String,
+                        maxDocId: Long = 500): DataFrame = {
     val nBlocks = 8
     val d = docs(s, dir)
-      .filter(col("doc_id") < 500)
+      .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       // drop shingle-less docs (< 3 words) BEFORE pairing: two empty
       // shingle sets would make jaccard 0/0 = NaN, which Spark's
@@ -340,7 +348,11 @@ object TextQueries {
       |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
       |           || '_' || string_split(text,' ')[i+2])) AS s
-      |  FROM documents WHERE doc_id < 500),
+      |  FROM documents
+      |  -- Spark drops shingle-less docs (< 3 words) before pairing; the
+      |  -- oracle must too, or a pair of such docs rides on DuckDB's
+      |  -- 0/0-division semantics instead of an explicit rule
+      |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
       |p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
