@@ -31,11 +31,47 @@ object JvmStats {
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
   /** Cumulative JIT compilation wall time (all compiler threads). */
   def jitTimeMs: Long = comp.map(_.getTotalCompilationTime).getOrElse(-1L)
+  /** ms since JVM start — the SAME clock `-XX:+PrintCompilation` stamps
+    * its lines with, so an anomalous query's window can be grepped out
+    * of a compilation log directly.
+    */
+  def uptimeMs: Long = ManagementFactory.getRuntimeMXBean.getUptime
+  /** (user, kernel) CPU ticks of this process from /proc/self/stat —
+    * splits a CPU burn into "our code" vs "the kernel" (page faults,
+    * spill I/O, THP stalls). Linux-only; (-1,-1) elsewhere.
+    */
+  def procUserSysTicks: (Long, Long) =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // comm (field 2) may contain spaces — fields resume after last ')'
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      (rest(11).toLong, rest(12).toLong) // fields 14 utime, 15 stime
+    } catch { case _: Throwable => (-1L, -1L) }
   /** Bytes used across the code-cache pools (CodeHeap segments on 17). */
   def codeCacheUsed: Long =
     pools.filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
       .map(_.getUsage.getUsed).sum
   def heapUsed: Long = mem.getHeapMemoryUsage.getUsed
+}
+
+/** Accumulates task-level execution metrics so a per-query snapshot can
+  * say whether a CPU burn happened INSIDE tasks (executor-side plan
+  * execution — would recur on a real cluster) or outside them
+  * (driver/JIT/listener overheads — local-harness artifacts).
+  */
+class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+  val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+  val nTasks = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      taskCpuNs.addAndGet(m.executorCpuTime)
+      taskRunMs.addAndGet(m.executorRunTime)
+      nTasks.incrementAndGet()
+    }
+  }
 }
 
 object Bench {
@@ -49,6 +85,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskMetrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(taskMetrics)
     // warmup: pay JVM/codegen/parquet-footer/noop-writer startup outside
     // the timings — a representative scan+agg+sort pipeline through the
     // same write path the timed queries use, so the alphabetically-first
@@ -65,6 +103,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = JvmStats.gcTimeMs; val gcN0 = JvmStats.gcCount
       val jit0 = JvmStats.jitTimeMs; val cpu0 = JvmStats.processCpuNs
+      val (usr0, sys0) = JvmStats.procUserSysTicks
+      val tcpu0 = taskMetrics.taskCpuNs.get; val trun0 = taskMetrics.taskRunMs.get
+      val nt0 = taskMetrics.nTasks.get
+      val up0 = JvmStats.uptimeMs
       val t0 = System.nanoTime()
       // noop-format write: runs the DECLARED plan end to end (a bare
       // .count() would let the optimizer delete top-level sorts, so
@@ -81,8 +123,20 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpuSec = (JvmStats.processCpuNs - cpu0) / 1e9
+      // task-end events are posted async — flush before snapshotting
+      try { org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext) }
+      catch { case _: Throwable => () }
+      val (usr1, sys1) = JvmStats.procUserSysTicks
+      val hz = 100.0 // USER_HZ; fine for a diagnostic ratio
+      val taskCpuSec = (taskMetrics.taskCpuNs.get - tcpu0) / 1e9
       stats(name) = s"""{"gc_ms":${JvmStats.gcTimeMs - gc0},"gc_n":${JvmStats.gcCount - gcN0},""" +
         s""""jit_ms":${JvmStats.jitTimeMs - jit0},"cpu_s":${math.round(cpuSec * 1000) / 1000.0},""" +
+        s""""usr_s":${math.round((usr1 - usr0) / hz * 100) / 100.0},""" +
+        s""""sys_s":${math.round((sys1 - sys0) / hz * 100) / 100.0},""" +
+        s""""task_cpu_s":${math.round(taskCpuSec * 1000) / 1000.0},""" +
+        s""""task_run_s":${math.round((taskMetrics.taskRunMs.get - trun0) / 10.0) / 100.0},""" +
+        s""""n_tasks":${taskMetrics.nTasks.get - nt0},""" +
+        s""""t0_ms":$up0,"t1_ms":${JvmStats.uptimeMs},""" +
         s""""load":${math.round(JvmStats.loadAvg * 10) / 10.0},""" +
         s""""cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
         s""""heap_mb":${JvmStats.heapUsed / (1 << 20)}}"""
