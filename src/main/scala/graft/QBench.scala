@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
 object QBench {
   def main(args: Array[String]): Unit = {
     val name = args(0)
+    if (name == "--list") { // registry dump for sweep scripts; no Spark startup
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val reps = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
