@@ -33,6 +33,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to the DuckDB oracle's naive literals. Pin the JVM itself to UTC.
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // This box is a microVM whose host services first-touch page faults at
+  // a rate that swings ~40x (measured 12 MB/s under host pressure vs
+  // 500 MB/s calm; see BENCHNOTES.md "The r4 band"). Lazy heap growth
+  // mid-run then bills minutes of kernel time to whatever query happened
+  // to trigger expansion. Commit and fault the whole working heap ONCE at
+  // JVM startup instead, and never shrink below it: all post-startup
+  // allocation reuses resident frames, immune to host pressure windows.
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "6g")}",
+  "-XX:+AlwaysPreTouch",
   // ~50 whole-stage-codegen'd queries in one JVM generate enough classes
   // to fill the default 240m code cache, after which the JIT shuts off
   // and everything runs interpreted — size it for the full query suite.

@@ -36,23 +36,27 @@ object JvmStats {
     * of a compilation log directly.
     */
   def uptimeMs: Long = ManagementFactory.getRuntimeMXBean.getUptime
-  /** (user, kernel) CPU ticks of this process from /proc/self/stat —
-    * splits a CPU burn into "our code" vs "the kernel" (page faults,
-    * spill I/O, THP stalls). Linux-only; (-1,-1) elsewhere.
+  /** (user ticks, kernel ticks, minor faults, major faults) of this
+    * process from /proc/self/stat — splits a CPU burn into "our code" vs
+    * "the kernel", and counts the page faults that explain kernel time
+    * (this host's VM layer services cold-frame faults at a rate that
+    * varies ~40x with host load — see BENCHNOTES). Linux-only.
     */
-  def procUserSysTicks: (Long, Long) =
+  def procStat: (Long, Long, Long, Long) =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
       // comm (field 2) may contain spaces — fields resume after last ')'
       val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-      (rest(11).toLong, rest(12).toLong) // fields 14 utime, 15 stime
-    } catch { case _: Throwable => (-1L, -1L) }
+      // 1-based /proc fields 10 minflt, 12 majflt, 14 utime, 15 stime
+      (rest(11).toLong, rest(12).toLong, rest(7).toLong, rest(9).toLong)
+    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
   /** Bytes used across the code-cache pools (CodeHeap segments on 17). */
   def codeCacheUsed: Long =
     pools.filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
       .map(_.getUsage.getUsed).sum
   def heapUsed: Long = mem.getHeapMemoryUsage.getUsed
+  def heapCommitted: Long = mem.getHeapMemoryUsage.getCommitted
 }
 
 /** Accumulates task-level execution metrics so a per-query snapshot can
@@ -76,6 +80,10 @@ class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ms from JVM start to main — with -XX:+AlwaysPreTouch this absorbs
+    // the whole-heap fault-in, so a host-pressure window shows up HERE
+    // (a big t_main_ms) instead of inside some query's wall time
+    val tMainMs = JvmStats.uptimeMs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -103,7 +111,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = JvmStats.gcTimeMs; val gcN0 = JvmStats.gcCount
       val jit0 = JvmStats.jitTimeMs; val cpu0 = JvmStats.processCpuNs
-      val (usr0, sys0) = JvmStats.procUserSysTicks
+      val (usr0, sys0, minf0, majf0) = JvmStats.procStat
       val tcpu0 = taskMetrics.taskCpuNs.get; val trun0 = taskMetrics.taskRunMs.get
       val nt0 = taskMetrics.nTasks.get
       val up0 = JvmStats.uptimeMs
@@ -126,20 +134,22 @@ object Bench {
       // task-end events are posted async — flush before snapshotting
       try { org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext) }
       catch { case _: Throwable => () }
-      val (usr1, sys1) = JvmStats.procUserSysTicks
+      val (usr1, sys1, minf1, majf1) = JvmStats.procStat
       val hz = 100.0 // USER_HZ; fine for a diagnostic ratio
       val taskCpuSec = (taskMetrics.taskCpuNs.get - tcpu0) / 1e9
       stats(name) = s"""{"gc_ms":${JvmStats.gcTimeMs - gc0},"gc_n":${JvmStats.gcCount - gcN0},""" +
         s""""jit_ms":${JvmStats.jitTimeMs - jit0},"cpu_s":${math.round(cpuSec * 1000) / 1000.0},""" +
         s""""usr_s":${math.round((usr1 - usr0) / hz * 100) / 100.0},""" +
         s""""sys_s":${math.round((sys1 - sys0) / hz * 100) / 100.0},""" +
+        s""""minflt":${minf1 - minf0},"majflt":${majf1 - majf0},""" +
         s""""task_cpu_s":${math.round(taskCpuSec * 1000) / 1000.0},""" +
         s""""task_run_s":${math.round((taskMetrics.taskRunMs.get - trun0) / 10.0) / 100.0},""" +
         s""""n_tasks":${taskMetrics.nTasks.get - nt0},""" +
         s""""t0_ms":$up0,"t1_ms":${JvmStats.uptimeMs},""" +
         s""""load":${math.round(JvmStats.loadAvg * 10) / 10.0},""" +
         s""""cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
-        s""""heap_mb":${JvmStats.heapUsed / (1 << 20)}}"""
+        s""""heap_mb":${JvmStats.heapUsed / (1 << 20)},""" +
+        s""""heap_comm_mb":${JvmStats.heapCommitted / (1 << 20)}}"""
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -149,7 +159,7 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statsJson = stats.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"jvm_stats":$statsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,7 @@ for i in $(seq 1 "$N"); do
   echo "=== run $i/$N $(date +%T) ==="
   SPARK_GRAFT_SF_DIR="$SF" java $OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Duser.timezone=UTC \
-    -Xmx16g -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
+    -Xmx16g -Xms6g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
     -XX:+PrintCompilation "$@" \
     -cp "$CP" graft.Bench \
     > "${PREFIX}_run${i}.jit" 2>"${PREFIX}_run${i}.err"
