@@ -117,6 +117,7 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "bucketed_join" -> (graft.plans.Bucketing.bucketedJoinDemo _),
+    "join_skew_salted" -> (graft.plans.SkewJoin.skewJoinDemo _),
     // relational: windows / set ops / sort-limit / scan
     "window_rank_orders" -> (Relational.windowRankOrders _),
     "setop_union" -> (Relational.setopUnion _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "join_semi" -> Relational.joinSemiSql,
     "join_anti" -> Relational.joinAntiSql,
     "bucketed_join" -> graft.plans.Bucketing.bucketedJoinDemoSql,
+    "join_skew_salted" -> graft.plans.SkewJoin.skewJoinDemoSql,
     "window_rank_orders" -> Relational.windowRankOrdersSql,
     "setop_union" -> Relational.setopUnionSql,
     "setop_intersect" -> Relational.setopIntersectSql,

@@ -63,6 +63,35 @@ object EventsStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join with state expiry on BOTH sides: each
+    * click pairs with the same user's purchases inside the trailing
+    * `lookback` window (purchase_ts in [click_ts - lookback, click_ts]).
+    * Both inputs are watermarked and the join condition bounds event
+    * time in both directions, which is what lets Spark expire buffered
+    * rows instead of holding every click and purchase forever — the
+    * only stream-stream join formulation that survives an unbounded
+    * 100 TB/day stream. Semantics within the horizon equal the batch
+    * join on the identical predicate (asserted by StreamingSpec).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        horizon: String = "2 hours",
+                        lookback: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
   // --- stateful sessionization ------------------------------------------------
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

@@ -20,9 +20,9 @@ fi
 for n in $NAMES; do
   out=$(SPARK_GRAFT_SF_DIR="$SF" java $OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Duser.timezone=UTC \
-    -Xmx16g -Xms6g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
+    -Xmx16g -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
     -cp "$CP" graft.QBench "$n" 2 2>/dev/null | grep '\[qbench\]')
   echo "$out" >&2
-  rep2=$(echo "$out" | grep rep2 | awk '{print $3}' | tr -d 's')
+  rep2=$(echo "$out" | grep rep2 | awk '{print $4}' | tr -d 's')
   echo "$n $rep2"
 done
