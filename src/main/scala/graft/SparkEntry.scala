@@ -146,7 +146,13 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_scrub_pii" -> (TextQueries.scrubPii _),
     "text_repetition" -> (TextQueries.repetitionStats _),
+    "text_top_terms" -> (TextQueries.topTermsByDf _),
+    "index_inverted" -> (TextQueries.invertedIndex _),
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
+    // dataset management: deterministic splits / samples / skew diagnosis
+    "sample_hash_split" -> (Sampling.hashSplit _),
+    "sample_stratified" -> (Sampling.stratifiedSample _),
+    "events_skew_histogram" -> (Sampling.skewHistogram _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
@@ -214,6 +220,11 @@ object SparkEntry {
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_scrub_pii" -> TextQueries.scrubPiiSql,
     "text_repetition" -> TextQueries.repetitionStatsSql,
+    "text_top_terms" -> TextQueries.topTermsByDfSql,
+    "index_inverted" -> TextQueries.invertedIndexSql,
+    "sample_hash_split" -> Sampling.hashSplitSql,
+    "sample_stratified" -> Sampling.stratifiedSampleSql,
+    "events_skew_histogram" -> Sampling.skewHistogramSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / skew-diagnosis operators — the
+  * dataset-management legs of a training-data pipeline (builder brief:
+  * "operations a large-scale training-data pipeline would need").
+  *
+  * All assignment here is HASH-deterministic, never `rand()`: at 100 TB
+  * a split must be (a) reproducible run-to-run so train/val/test never
+  * bleed across reruns or backfills, (b) stable under repartitioning
+  * (rand() is seeded per partition — adding one input file reshuffles
+  * everybody's split), and (c) a pure narrow map, so sampling a petabyte
+  * costs one scan with the filter pushed to it, no shuffle and no
+  * driver-side coordination. The salt prefix ("split:", "sample:")
+  * namespaces the hash so the same key can be split AND sampled without
+  * the two decisions correlating.
+  */
+object Sampling {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** first hex nibble of md5(salt || key) — 16 uniform deterministic
+    * buckets, identical characters in Spark and DuckDB (lowercase hex)
+    */
+  private def nibble(salt: String, key: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 1)
+
+  // --- deterministic train/val/test split ------------------------------------
+  /** Assign every document to train (12/16), val (2/16), or test (2/16)
+    * by hash nibble, and report per-(split, lang) document and token
+    * counts — the sanity report a pipeline runs right after splitting.
+    * The assignment itself is a narrow map over the scan; only the
+    * COUNTING aggregation shuffles (by (split, lang) — 15 groups).
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        when(nibble("split:", col("doc_id")) < lit("c"), "train")
+          .when(nibble("split:", col("doc_id")) < lit("e"), "val")
+          .otherwise("test").as("split"),
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
+
+  val hashSplitSql: String =
+    """SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+      |            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+      |            ELSE 'test' END AS split,
+      | lang, COUNT(*) AS n_docs,
+      | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // --- deterministic stratified sample ----------------------------------------
+  /** A ~12.5% (2/16 hash nibbles) sample of every language stratum.
+    * Because membership is a pure function of doc_id, the "sample" is a
+    * VIEW, not a materialization: any downstream query composes with it
+    * and the filter reaches the scan. Contrast with `ORDER BY rand()
+    * LIMIT n` (a total sort, undone on every rerun) or `TABLESAMPLE`
+    * (block-level, not reproducible across layouts).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(nibble("sample:", col("doc_id")).isin("0", "1"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,1) IN ('0','1')
+      |ORDER BY doc_id""".stripMargin
+
+  // --- key-skew diagnosis ------------------------------------------------------
+  /** Rows-per-key histogram of events.user_id, bucketed by the DIGIT
+    * COUNT of the per-key row count (an exact, engine-portable stand-in
+    * for floor(log10) — fp log at integer boundaries is libm-dependent).
+    * This is the query you run BEFORE choosing a join strategy: a key
+    * whose magnitude bucket is 3+ above the median is the one you salt
+    * ([[graft.plans.SkewJoin]]) or isolate. Shuffle cost is one
+    * hash-partition by user_id (with map-side partial counts), then a
+    * few-row re-agg — safe at any scale.
+    */
+  def skewHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(length(col("cnt").cast("string")).as("magnitude"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("cnt")).as("min_events"),
+        max(col("cnt")).as("max_events"),
+        sum(col("cnt")).as("total_events"))
+      .orderBy(col("magnitude"))
+
+  val skewHistogramSql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+      |SELECT CAST(len(CAST(cnt AS VARCHAR)) AS INT) AS magnitude,
+      | COUNT(*) AS n_users, MIN(cnt) AS min_events, MAX(cnt) AS max_events,
+      | CAST(SUM(cnt) AS BIGINT) AS total_events
+      |FROM c GROUP BY 1 ORDER BY magnitude""".stripMargin
+}

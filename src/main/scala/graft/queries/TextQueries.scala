@@ -252,6 +252,71 @@ object TextQueries {
       |   i -> md5(substr(text, i, 8)))) AS winnow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- per-language top terms by document frequency ---------------------------
+  /** Top-5 terms per language by document frequency (number of documents
+    * containing the term at least once) — the df side of tf-idf, which
+    * is also the corpus-health report (a term in >90% of documents is a
+    * boilerplate signal). Ranking is by exact integer df with a
+    * lexicographic tiebreak, so it is engine-deterministic — no fp
+    * scores. Shape at scale: explode distinct-terms-per-doc (narrow,
+    * generator), one (lang, term) hash aggregation with map-side partial
+    * counts, then a window over the per-language term lists — the window
+    * shuffles only (lang, term, df) triples, never document text.
+    */
+  def topTermsByDf(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("df").desc, col("term"))
+    docs(s, dir)
+      .select(col("lang"), explode(array_distinct(words)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("df"))
+      .select(col("lang"), col("term"), col("df"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val topTermsByDfSql: String =
+    """WITH w AS (SELECT lang, unnest(list_distinct(string_split(text,' '))) AS term
+      |           FROM documents),
+      | d AS (SELECT lang, term, COUNT(*) AS df FROM w
+      |       WHERE len(term) > 0 GROUP BY lang, term),
+      | r AS (SELECT lang, term, df,
+      |        CAST(row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS BIGINT) AS rnk
+      |       FROM d)
+      |SELECT lang, term, df, rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
+  // --- inverted index (bounded posting heads) ---------------------------------
+  /** term -> (document frequency, first 50 posting doc_ids) — the
+    * inverted-index build, with the posting list CAPPED at a
+    * deterministic head so no single output row is unbounded (a stop
+    * word at 100 TB has a posting list of billions; the full list
+    * belongs in a partitioned sink keyed by (term, doc_id bucket), not
+    * in one aggregation buffer — this query is the bounded reporting /
+    * lookup-table variant). The cap is slice-after-sort, so it is the
+    * smallest 50 doc_ids — deterministic in both engines. Shape: explode
+    * distinct terms, one hash aggregation by term; the collect_set
+    * buffer is bounded by per-term distinct docs (capped corpora) and
+    * the emitted row by the slice.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(words)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_set(col("doc_id"))), 1, 50).as("head"))
+      .select(col("term"), col("df"),
+        concat_ws(",", col("head").cast("array<string>")).as("posting_head"))
+      .orderBy(col("term"))
+
+  val invertedIndexSql: String =
+    """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+      |           FROM documents)
+      |SELECT term, COUNT(*) AS df,
+      | array_to_string(list_sort(list(doc_id))[1:50], ',') AS posting_head
+      |FROM w WHERE len(term) > 0 GROUP BY term ORDER BY term""".stripMargin
+
   // --- exact dedup -----------------------------------------------------------
   /** Exact dedup by content hash: one row per distinct text with the
     * surviving (minimum) doc_id and the number of copies. At scale this is

@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.{Sampling, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting + text-index operators: hash-split
+  * determinism and disjointness, sample-as-a-filter plan shape (the
+  * 100 TB posture: membership must be a pushable narrow predicate, not
+  * a sort or a shuffle), and index ranking invariants.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("hash split is exhaustive, disjoint, and deterministic across runs") {
+    val total = Tables.load(spark, sf, "documents").count()
+    val r1 = Sampling.hashSplit(spark, sf).collect()
+    val r2 = Sampling.hashSplit(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq, "hash split must be bit-identical run-to-run")
+    assert(r1.map(_.getAs[Long]("n_docs")).sum == total,
+      "every document lands in exactly one split")
+    val splits = r1.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "val", "test"))
+    // 12/2/2 nibble weighting: train must dominate
+    val byName = r1.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byName("train") > byName("val") + byName("test"),
+      s"train (12/16 of nibbles) must outweigh val+test: $byName")
+  }
+
+  test("stratified sample is a pushed filter, not a shuffle or a sort-by-rand") {
+    val df = Sampling.stratifiedSample(spark, sf)
+    val plan = planOf(df)
+    // membership test happens before any exchange: the only exchange
+    // allowed is the one serving the final presentation orderBy
+    val beforeSort = plan.split("Sort ").last
+    assert(beforeSort.contains("Filter") || plan.indexOf("Filter") > plan.indexOf("Scan"),
+      s"sample filter must sit on the scan side:\n$plan")
+    assert(!plan.contains("rand"), s"sampling must not involve rand():\n$plan")
+    // deterministic membership: same ids every run
+    val ids1 = df.collect().map(_.getLong(0)).toSeq
+    val ids2 = df.collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2 && ids1.nonEmpty)
+  }
+
+  test("skew histogram buckets partition the user population") {
+    val h = Sampling.skewHistogram(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val events = Tables.events(spark, sf).count()
+    assert(h.map(_.getAs[Long]("n_users")).sum == users)
+    assert(h.map(_.getAs[Long]("total_events")).sum == events)
+    h.foreach { r =>
+      val d = r.getAs[Int]("magnitude")
+      assert(r.getAs[Long]("min_events").toString.length == d &&
+        r.getAs[Long]("max_events").toString.length == d,
+        s"bucket $d must only hold counts of $d digits")
+    }
+  }
+
+  test("top terms ranking is dense within each language and df-sorted") {
+    val t = TextQueries.topTermsByDf(spark, sf).collect()
+    t.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to byRank.length),
+        s"$lang ranks must be 1..k")
+      val dfs = byRank.map(_.getAs[Long]("df")).toSeq
+      assert(dfs == dfs.sorted.reverse, s"$lang dfs must be non-increasing: $dfs")
+    }
+  }
+
+  test("inverted index posting heads are sorted, capped, and df-consistent") {
+    val idx = TextQueries.invertedIndex(spark, sf).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val ids = r.getAs[String]("posting_head").split(",").map(_.toLong).toSeq
+      assert(ids == ids.sorted, s"posting head must be ascending: ${r.getAs[String]("term")}")
+      assert(ids.length <= 50, "posting head capped at 50")
+      assert(ids.length <= r.getAs[Long]("df"),
+        "head can never exceed the document frequency")
+    }
+    // cross-check one term against a direct count
+    val term = idx.head.getAs[String]("term")
+    val direct = Tables.load(spark, sf, "documents")
+      .filter(array_contains(split(col("text"), " "), term)).count()
+    assert(idx.head.getAs[Long]("df") == direct,
+      s"df of '$term' must equal the direct containment count")
+  }
+}
