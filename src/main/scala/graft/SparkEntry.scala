@@ -156,6 +156,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
+    "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatures _),
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
@@ -227,6 +228,7 @@ object SparkEntry {
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,
