@@ -153,6 +153,7 @@ object SparkEntry {
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
+    "decontaminate_ngram" -> (Sampling.decontaminate _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
@@ -226,6 +227,7 @@ object SparkEntry {
     "sample_hash_split" -> Sampling.hashSplitSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
+    "decontaminate_ngram" -> Sampling.decontaminateSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,

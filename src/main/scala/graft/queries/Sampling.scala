@@ -29,6 +29,13 @@ object Sampling {
   private def nibble(salt: String, key: org.apache.spark.sql.Column) =
     substring(md5(concat(lit(salt), key.cast("string"))), 1, 1)
 
+  /** membership predicate of the held-out set (the same 2/16 nibble
+    * bucket [[stratifiedSample]] emits) — shared so "the eval set" is
+    * ONE definition across sampling and decontamination
+    */
+  def isHeldOut(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nibble("sample:", key).isin("0", "1")
+
   // --- deterministic train/val/test split ------------------------------------
   /** Assign every document to train (12/16), val (2/16), or test (2/16)
     * by hash nibble, and report per-(split, lang) document and token
@@ -66,7 +73,7 @@ object Sampling {
     */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .filter(nibble("sample:", col("doc_id")).isin("0", "1"))
+      .filter(isHeldOut(col("doc_id")))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -74,6 +81,58 @@ object Sampling {
     """SELECT doc_id, lang FROM documents
       |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,1) IN ('0','1')
       |ORDER BY doc_id""".stripMargin
+
+  // --- benchmark decontamination ----------------------------------------------
+  /** n-gram-overlap decontamination: for every TRAINING document, the
+    * number and fraction of its 3-gram shingles that also occur anywhere
+    * in the HELD-OUT set ([[isHeldOut]]) — the standard check that
+    * benchmark/eval text has not leaked into training data (run before
+    * training; docs above a contamination threshold get dropped).
+    *
+    * Shape at scale: the eval side collapses to a DISTINCT set of 64-bit
+    * shingle hashes — eval sets are tiny relative to the corpus, so this
+    * set is broadcast and the contamination check is a broadcast
+    * semi-join against the training scan: the 100 TB training side is
+    * never shuffled. Shingles are hashed by the codegen'd
+    * [[graft.llm.MinHashDedup.hashedShingles]] (8 bytes each, same
+    * collision argument as `dedup_ngram_jaccard`: counts equal the
+    * string-shingle oracle's at ~2^-50 collision odds).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), isHeldOut(col("doc_id")).as("ev"),
+        graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
+    val evalShingles = d.filter(col("ev"))
+      .select(explode(col("sh")).as("g")).distinct()
+    d.filter(!col("ev"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(evalShingles), "g")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,1) IN ('0','1') AS ev,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+      |           || '_' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |e AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE ev),
+      |t AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g FROM sh WHERE NOT ev)
+      |SELECT t.doc_id, CAST(MAX(t.n_shingles) AS BIGINT) AS n_shingles,
+      | COUNT(*) AS n_contaminated,
+      | CAST(COUNT(*) AS DOUBLE) / MAX(t.n_shingles) AS contamination
+      |FROM t JOIN e USING (g)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
   // --- key-skew diagnosis ------------------------------------------------------
   /** Rows-per-key histogram of events.user_id, bucketed by the DIGIT

@@ -55,6 +55,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("decontamination checks train docs only, via a broadcast semi-join") {
+    val out = Sampling.decontaminate(spark, sf)
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval shingle set must broadcast — the training side never shuffles for the join:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val evalIds = Sampling.stratifiedSample(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(!evalIds.contains(r.getLong(0)),
+        "held-out docs must never appear as contaminated TRAIN docs")
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_shingles"))
+      val c = r.getAs[Double]("contamination")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
   test("top terms ranking is dense within each language and df-sorted") {
     val t = TextQueries.topTermsByDf(spark, sf).collect()
     t.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
