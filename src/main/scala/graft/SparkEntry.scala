@@ -154,6 +154,7 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.stratifiedSample _),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
+    "pack_chunks" -> ((s, d) => Sampling.packChunks(s, d)),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
@@ -228,6 +229,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
+    "pack_chunks" -> Sampling.packChunksSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,

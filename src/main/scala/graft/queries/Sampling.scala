@@ -82,6 +82,51 @@ object Sampling {
       |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,1) IN ('0','1')
       |ORDER BY doc_id""".stripMargin
 
+  // --- sequence packing --------------------------------------------------------
+  /** Pack documents into fixed token-budget training chunks: documents
+    * are laid out in deterministic (lang, doc_id) order, token counts
+    * are cumulatively summed, and a document joins chunk k when its
+    * preceding cumulative total falls in [k*B, (k+1)*B) — the streaming
+    * concat-and-chunk layout LLM training uses (documents are atomic
+    * here; the tokenizer-side splitter handles intra-doc overflow).
+    * Emits per-chunk packing stats — the report that tells you whether
+    * chunks are filling close to budget or fragmenting.
+    *
+    * Shape at scale: ONE hash exchange by lang + in-partition sort for
+    * the running sum (`rowsBetween(unboundedPreceding, current)` is the
+    * O(1)-per-row streaming frame, not a re-scan), then a partial-agg
+    * groupBy. Integer `div` keeps chunk ids exact — no fp division on
+    * cumulative totals that could misround past 2^53 at corpus scale.
+    */
+  def packChunks(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .groupBy(col("lang"),
+        expr(s"(cum - n_tok) div $budget").as("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("chunk_id"))
+  }
+
+  val packChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok,
+      |    SUM(len(string_split(text,' '))) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents)
+      |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+      | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+      | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM t GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
   // --- benchmark decontamination ----------------------------------------------
   /** n-gram-overlap decontamination: for every TRAINING document, the
     * number and fraction of its 3-gram shingles that also occur anywhere

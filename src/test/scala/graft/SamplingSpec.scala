@@ -73,6 +73,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("chunk packing is contiguous, exhaustive, and near-budget") {
+    val budget = 512
+    val chunks = Sampling.packChunks(spark, sf, budget).collect()
+    val d = Tables.load(spark, sf, "documents")
+    val total = d.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(chunks.map(_.getAs[Long]("chunk_tokens")).sum == total,
+      "every token lands in exactly one chunk")
+    chunks.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("chunk_id"))
+      assert(ordered.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until ordered.length), s"$lang chunk ids must be dense from 0")
+      // doc ranges must not interleave: chunk k ends before k+1 begins
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            s"$lang chunks must partition the doc_id order")
+        case _ =>
+      }
+      // boundary math: after a non-final chunk k, the running total must
+      // have crossed (k+1)*budget — otherwise chunk k+1 could not exist
+      var running = 0L
+      ordered.dropRight(1).zipWithIndex.foreach { case (r, k) =>
+        running += r.getAs[Long]("chunk_tokens")
+        assert(running >= (k + 1).toLong * budget,
+          s"$lang chunk $k closed before filling to its boundary: $running")
+      }
+    }
+  }
+
   test("top terms ranking is dense within each language and df-sorted") {
     val t = TextQueries.topTermsByDf(spark, sf).collect()
     t.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
