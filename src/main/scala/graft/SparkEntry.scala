@@ -155,6 +155,7 @@ object SparkEntry {
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
     "pack_chunks" -> ((s, d) => Sampling.packChunks(s, d)),
+    "mixture_downsample" -> (Sampling.mixtureDownsample _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
@@ -230,6 +231,7 @@ object SparkEntry {
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
+    "mixture_downsample" -> Sampling.mixtureDownsampleSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,

@@ -82,6 +82,52 @@ object Sampling {
       |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,1) IN ('0','1')
       |ORDER BY doc_id""".stripMargin
 
+  // --- mixture rebalancing ------------------------------------------------------
+  /** Downsample every language stratum to (approximately) the size of
+    * the smallest one — the mixture-rebalancing step that stops one
+    * dominant source/language from swamping a training mix. Acceptance
+    * is deterministic: doc bucket = first 16 bits of md5("mix:"||id),
+    * and a doc survives iff `bucket * n_lang < n_min * 65536` — pure
+    * integer arithmetic, so both engines make the identical keep/drop
+    * decision on every document (no fp rate, no rand()). Emits the
+    * per-language before/after report.
+    *
+    * Shape at scale: the per-language counts are a tiny aggregate that
+    * BROADCASTS back onto a second scan — the corpus itself is never
+    * shuffled to be sampled (two cheap pruned scans beat one full-data
+    * exchange at 100 TB). The global min rides along as a one-row
+    * broadcast cross join.
+    */
+  def mixtureDownsample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long").as("bucket"))
+    val c = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val mn = c.agg(min(col("n_docs")).as("n_min"))
+    val sampled = d
+      .join(broadcast(c), "lang")
+      .crossJoin(broadcast(mn))
+      .filter(col("bucket") * col("n_docs") < col("n_min") * 65536)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    c.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureDownsampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS bucket
+      |  FROM documents),
+      |c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+      |m AS (SELECT MIN(n) AS mn FROM c),
+      |a AS (SELECT d.lang FROM d JOIN c USING (lang), m
+      |      WHERE d.bucket * c.n < m.mn * 65536),
+      |s AS (SELECT lang, COUNT(*) AS n_sampled FROM a GROUP BY lang)
+      |SELECT c.lang, c.n AS n_docs, COALESCE(s.n_sampled, 0) AS n_sampled
+      |FROM c LEFT JOIN s USING (lang) ORDER BY c.lang""".stripMargin
+
   // --- sequence packing --------------------------------------------------------
   /** Pack documents into fixed token-budget training chunks: documents
     * are laid out in deterministic (lang, doc_id) order, token counts

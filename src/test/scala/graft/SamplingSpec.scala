@@ -103,6 +103,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixture downsample levels language strata near the minimum") {
+    val r = Sampling.mixtureDownsample(spark, sf).collect()
+    val mn = r.map(_.getAs[Long]("n_docs")).min
+    r.foreach { row =>
+      val (n, smp) = (row.getAs[Long]("n_docs"), row.getAs[Long]("n_sampled"))
+      assert(smp <= n, "cannot sample more than exists")
+      // hash acceptance is binomial around mn; 3-sigma tolerance
+      val sigma = math.sqrt(mn.toDouble)
+      assert(math.abs(smp - mn) <= 3 * sigma + 1,
+        s"${row.getString(0)}: sampled $smp, expected ~$mn")
+    }
+    // the smallest stratum keeps everything (acceptance rate 1)
+    val minRow = r.minBy(_.getAs[Long]("n_docs"))
+    assert(minRow.getAs[Long]("n_sampled") == minRow.getAs[Long]("n_docs"))
+    // the plan never shuffles the corpus to sample it: counts broadcast back
+    val plan = planOf(Sampling.mixtureDownsample(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum counts must broadcast onto the scan:\n$plan")
+  }
+
   test("top terms ranking is dense within each language and df-sorted") {
     val t = TextQueries.topTermsByDf(spark, sf).collect()
     t.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
