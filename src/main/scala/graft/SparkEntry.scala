@@ -136,6 +136,7 @@ object SparkEntry {
     "asof_purchase" -> (EventQueries.asofPurchase _),
     "range_join_nearby" -> ((s, d) => EventQueries.rangeJoinNearby(s, d)),
     "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
+    "events_funnel" -> (EventQueries.funnel _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -229,6 +230,7 @@ object SparkEntry {
     "sample_hash_split" -> Sampling.hashSplitSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
+    "events_funnel" -> EventQueries.funnelSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,

@@ -272,4 +272,54 @@ object EventQueries {
       |  ON a.user_id = b.user_id AND a.event_id < b.event_id
       | AND abs(a.us - b.us) <= 300000000
       |ORDER BY a_id, b_id""".stripMargin
+
+  // --- ordered funnel ---------------------------------------------------------
+  /** Three-stage ordered funnel: a user progresses view -> click ->
+    * purchase only if each stage's first qualifying event happens
+    * STRICTLY AFTER the previous stage's (an earlier click does not
+    * count toward a later view). Emits users-per-stage — the conversion
+    * report.
+    *
+    * Shape at scale: each stage is a filtered scan aggregated to one
+    * (user_id, min ts) row, then joined to the previous stage's frame —
+    * three partial-aggregated shuffles on user_id and two equi-joins of
+    * per-user singletons, never a per-user event-list materialization
+    * (collect_list of a whale user's events is the shape that OOMs at
+    * 100 TB; conditional-min chains are bounded at one row per user per
+    * stage). AQE coalesces the tiny stage frames' partitions.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOver(ev(s, dir))
+
+  /** funnel over an arbitrary events frame (planted-data tests) */
+  def funnelOver(e: DataFrame): DataFrame = {
+    def stage(typ: String) = e.filter(col("event_type") === typ)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.select(lit("stage1_view").as("stage"))
+      .union(c.select(lit("stage2_click")))
+      .union(p.select(lit("stage3_purchase")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |           WHERE event_type='view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type='click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type='purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT stage, COUNT(*) AS n_users FROM (
+      |  SELECT 'stage1_view' AS stage FROM v
+      |  UNION ALL SELECT 'stage2_click' FROM c
+      |  UNION ALL SELECT 'stage3_purchase' FROM p) q
+      |GROUP BY stage ORDER BY stage""".stripMargin
 }

@@ -35,4 +35,29 @@ class AsofSpec extends SparkSpec {
       (2L, 2L, Some(7.0)),
       (3L, 1L, None)))      // future purchase must NOT leak backwards
   }
+
+  test("funnel requires strict stage order — out-of-order events don't count") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (1L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, 3L, ts("2024-01-01 11:00:00"), "purchase", 5.0),
+      // user 2: click BEFORE the first view — stage 2 never reached
+      (2L, 1L, ts("2024-01-01 08:00:00"), "click", 0.0),
+      (2L, 2L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (2L, 3L, ts("2024-01-01 10:00:00"), "purchase", 5.0),
+      // user 3: purchase at the SAME instant as the click — strict '>' rejects
+      (3L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (3L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (3L, 3L, ts("2024-01-01 10:00:00"), "purchase", 5.0),
+      // user 4: view only
+      (4L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventQueries.funnelOver(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map(
+      "stage1_view" -> 4L,      // all four users viewed
+      "stage2_click" -> 2L,     // users 1 and 3 clicked after viewing
+      "stage3_purchase" -> 1L)) // only user 1 purchased after the click
+  }
 }
