@@ -170,6 +170,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
+    "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
+    "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,
   )
 }

@@ -315,4 +315,36 @@ object EmbeddingQueries {
       | CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
       |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  // --- norm distribution by label ---------------------------------------------
+  /** Per-label vector-norm quantiles — the drift/QA report an embedding
+    * pipeline runs after each encoder batch (a label whose p50 norm
+    * shifts is a re-embedding or normalization bug). Norms are bit-exact
+    * in both engines (in-order codegen'd dot product + IEEE sqrt), and
+    * `percentile` is SQL-standard interpolation = DuckDB quantile_cont,
+    * so the fp outputs hash-match exactly. One partial-aggregated
+    * shuffle on label; the vectors themselves never shuffle — only
+    * (label, norm) pairs.
+    */
+  def normQuantilesByLabel(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"),
+        norm(col("embedding").cast("array<double>")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"),
+        percentile(col("nrm"), lit(0.5)).as("p50_norm"),
+        percentile(col("nrm"), lit(0.9)).as("p90_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy(col("label"))
+
+  val normQuantilesByLabelSql: String =
+    """WITH e AS (SELECT label,
+      |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm,
+      | quantile_cont(nrm, 0.5) AS p50_norm,
+      | quantile_cont(nrm, 0.9) AS p90_norm,
+      | MAX(nrm) AS max_norm
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
 }
