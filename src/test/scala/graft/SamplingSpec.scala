@@ -41,6 +41,16 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 == ids2 && ids1.nonEmpty)
   }
 
+  test("sample membership is invariant under repartitioning") {
+    // rand()-based sampling is seeded per partition — adding one input
+    // file reshuffles everybody's membership. Hash membership must not.
+    val d = Tables.load(spark, sf, "documents")
+    def ids(parts: Int) = d.repartition(parts)
+      .filter(Sampling.isHeldOut(col("doc_id")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(1) == ids(7) && ids(7) == ids(13))
+  }
+
   test("skew histogram buckets partition the user population") {
     val h = Sampling.skewHistogram(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
