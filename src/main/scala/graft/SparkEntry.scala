@@ -137,6 +137,7 @@ object SparkEntry {
     "range_join_nearby" -> ((s, d) => EventQueries.rangeJoinNearby(s, d)),
     "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
     "events_funnel" -> (EventQueries.funnel _),
+    "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -148,13 +149,16 @@ object SparkEntry {
     "text_scrub_pii" -> (TextQueries.scrubPii _),
     "text_repetition" -> (TextQueries.repetitionStats _),
     "text_top_terms" -> (TextQueries.topTermsByDf _),
+    "text_bm25_terms" -> (TextQueries.bm25TopTerms _),
     "index_inverted" -> (TextQueries.invertedIndex _),
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
+    "curation_pipeline" -> (TextQueries.curationPipeline _),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
+    "decontaminate_bloom" -> (Sampling.decontaminateBloom _),
     "pack_chunks" -> ((s, d) => Sampling.packChunks(s, d)),
     "mixture_downsample" -> (Sampling.mixtureDownsample _),
     // dedup
@@ -217,6 +221,7 @@ object SparkEntry {
     "asof_purchase" -> EventQueries.asofPurchaseSql,
     "range_join_nearby" -> EventQueries.rangeJoinNearbySql,
     "events_gapfill_daily" -> EventQueries.gapfillDailySql,
+    "cdc_latest_state" -> EventQueries.cdcLatestStateSql,
     "text_token_count" -> TextQueries.tokenCountSql,
     "text_token_bpeish" -> TextQueries.tokenCountBpeSql,
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,
@@ -227,7 +232,9 @@ object SparkEntry {
     "text_scrub_pii" -> TextQueries.scrubPiiSql,
     "text_repetition" -> TextQueries.repetitionStatsSql,
     "text_top_terms" -> TextQueries.topTermsByDfSql,
+    "text_bm25_terms" -> TextQueries.bm25TopTermsSql,
     "index_inverted" -> TextQueries.invertedIndexSql,
+    "curation_pipeline" -> TextQueries.curationPipelineSql,
     "sample_hash_split" -> Sampling.hashSplitSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CmsEstimate, CmsSketchAgg, DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
+import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsSketchAgg, DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -73,6 +73,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => BloomFilterAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),

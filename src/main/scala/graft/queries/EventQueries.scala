@@ -322,4 +322,42 @@ object EventQueries {
       |  UNION ALL SELECT 'stage2_click' FROM c
       |  UNION ALL SELECT 'stage3_purchase' FROM p) q
       |GROUP BY stage ORDER BY stage""".stripMargin
+
+  // --- CDC latest-state compaction ---------------------------------------------
+  /** Latest-wins upsert compaction: treat the event log as a CDC
+    * changelog keyed by user_id and reduce it to current state — the
+    * newest full row per key, ties broken by the unique event_id. This
+    * is the MERGE-materialization every ingestion pipeline runs to turn
+    * an append-only log into a queryable current-state table (the batch
+    * dual of `dropDuplicates` in [[graft.streaming.EventsStream]]).
+    *
+    * Shape at scale: ONE hash exchange on the key, an in-partition sort,
+    * and a rank filter that streams over each sorted run — no per-key
+    * row buffering (a collect_list/max_by-of-struct spelling buffers
+    * whole rows in the aggregation buffer; row_number keeps the
+    * surviving row without re-joining and without width-dependent agg
+    * state). Runs against a date-partitioned log, partition pruning on
+    * the log's recent days bounds the re-compaction increment.
+    */
+  def cdcLatestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcLatestStateSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
+      |           FROM events),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM e)
+      |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      | event_type AS last_event_type, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 }

@@ -225,6 +225,43 @@ object Sampling {
       |FROM t JOIN e USING (g)
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  // --- benchmark decontamination, bloom-filter scale path -----------------------
+  /** [[decontaminate]]'s 100 TB spelling: the held-out set's shingles
+    * collapse into ONE 128 KiB bloom filter
+    * ([[graft.functions.BloomFilterAgg]], OR-merged map-side), and the
+    * training scan probes it with a codegen'd
+    * [[graft.functions.BloomMightContain]] — so the decontamination
+    * pass costs one narrow scan of the corpus plus a 128 KiB broadcast,
+    * no join at all. Contrast the exact variant's broadcast DISTINCT
+    * set: that is exact but its size tracks the eval set; the bloom is
+    * FIXED-size with a bounded false-positive rate (~1e-5 here), which
+    * is the right trade at corpus scale where `n_flagged` feeds a
+    * drop-threshold anyway. No false negatives: every truly
+    * contaminated shingle is flagged (DedupSpec asserts this against
+    * the exact variant, plus the fpp bound).
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), isHeldOut(col("doc_id")).as("ev"),
+        graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
+    val bloom = d.filter(col("ev"))
+      .select(explode(col("sh")).as("g"))
+      .agg(graft.functions.BloomFilterAgg(col("g")).as("bf"))
+    d.filter(!col("ev"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .crossJoin(broadcast(bloom))
+      .filter(graft.functions.BloomMightContain(col("bf"), col("g")))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc_id"), col("n_shingles"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_shingles"))
+          .as("contamination_ub"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- key-skew diagnosis ------------------------------------------------------
   /** Rows-per-key histogram of events.user_id, bucketed by the DIGIT
     * COUNT of the per-key row count (an exact, engine-portable stand-in

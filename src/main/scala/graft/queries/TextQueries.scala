@@ -425,4 +425,142 @@ object TextQueries {
       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.2
       |ORDER BY a_id, b_id""".stripMargin
+
+  // --- end-to-end curation pipeline --------------------------------------------
+  /** The corpus-curation funnel in one query: quality gate (minimum
+    * length + token diversity, the [[qualityScore]] signals as
+    * predicates) -> exact dedup (keep the minimum doc_id per content
+    * hash, the [[dedupExact]] rule) -> per-language yield report
+    * (docs in, docs passing quality, docs surviving dedup, surviving
+    * tokens). This is the end-to-end shape an LLM data pipeline runs
+    * nightly; every stage here composes the already-verified operators
+    * instead of re-implementing them.
+    *
+    * Shape at scale: the quality gate is a narrow filtered scan (reads
+    * each doc once, filter pushed to the scan); dedup is ONE shuffle on
+    * the 128-bit digest (never on text); the three per-language reports
+    * are counts of at most |langs| rows, combined with broadcast joins.
+    * The funnel never materializes surviving text — the report carries
+    * ids and counts only; the curated corpus itself would be written by
+    * re-filtering the scan against the surviving-id set (a semi-join),
+    * keeping the heavy text column out of every exchange.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("lang"), col("text"),
+      size(words).cast("long").as("n_tok"),
+      (size(array_distinct(words)).cast("double") / size(words))
+        .as("diversity"))
+    val raw = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val quality = scored.filter(col("n_tok") >= 20 && col("diversity") >= 0.4)
+    val qCnt = quality.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
+    val kept = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tok"), col("doc_id")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+    raw.join(broadcast(qCnt), Seq("lang"), "left")
+      .join(broadcast(kept), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val curationPipelineSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text,' ')) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |      / len(string_split(text,' ')) AS diversity
+      |  FROM documents),
+      |raw AS (SELECT lang, COUNT(*) AS n_docs FROM scored GROUP BY lang),
+      |q AS (SELECT * FROM scored WHERE n_tok >= 20 AND diversity >= 0.4),
+      |qc AS (SELECT lang, COUNT(*) AS n_quality FROM q GROUP BY lang),
+      |k AS (SELECT md5(text) AS h, arg_min(lang, doc_id) AS lang,
+      |        arg_min(n_tok, doc_id) AS n_tok
+      |      FROM q GROUP BY md5(text)),
+      |kc AS (SELECT lang, COUNT(*) AS n_kept,
+      |         CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      |       FROM k GROUP BY lang)
+      |SELECT raw.lang, raw.n_docs,
+      | COALESCE(qc.n_quality, 0) AS n_quality,
+      | COALESCE(kc.n_kept, 0) AS n_kept,
+      | COALESCE(kc.kept_tokens, 0) AS kept_tokens
+      |FROM raw LEFT JOIN qc USING (lang) LEFT JOIN kc USING (lang)
+      |ORDER BY lang""".stripMargin
+
+  // --- BM25 keyword extraction --------------------------------------------------
+  /** Top-3 BM25 terms per document — relevance-weighted keyword
+    * extraction (the tf side of tf-idf that [[topTermsByDf]] reports the
+    * df side of). Uses the RATIONAL Robertson idf `(N - df + 0.5) /
+    * (df + 0.5)` rather than its log: every input (tf, df, dl, N) is an
+    * exact integer, so the whole score is a fixed tree of IEEE-double
+    * ops both engines evaluate bit-identically — fp `ln` is
+    * libm-dependent and would make the oracle hash flaky at rounding
+    * boundaries (same discipline as [[Sampling.skewHistogram]]'s
+    * digit-count log). The log is monotone in the rational idf, so
+    * per-document ranking is unchanged.
+    *
+    * Shape at scale: explode -> one (doc, term) hash aggregation with
+    * map-side combine (shuffle carries distinct pairs, not occurrences),
+    * df by a second aggregation over distinct (doc, term), corpus stats
+    * (N, avgdl) as a one-row broadcast, then a per-doc top-k window over
+    * (doc, term, score) triples — document text never enters an
+    * exchange.
+    */
+  def bm25TopTerms(s: SparkSession, dir: String): DataFrame = {
+    // k1=1.2, b=0.75; every fp constant is written as the same literal
+    // the oracle SQL carries (2.2, 1.2, 0.25, 0.75) so both engines
+    // start from identical doubles
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_corpus"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dl), "doc_id")
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val bm25TopTermsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |       WHERE len(term) > 0 GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |st AS (SELECT COUNT(*) AS n_corpus,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |sc AS (
+      |  -- every fp literal cast to DOUBLE: DuckDB parses bare 0.5/2.2 as
+      |  -- DECIMAL and computes the idf numerator exactly, which lands a
+      |  -- different double after the division than Spark's all-double tree
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    ((st.n_corpus - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE))
+      |      * (tf.tf * 2.2::DOUBLE)
+      |      / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / st.avgdl)) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st),
+      |r AS (SELECT *, CAST(row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |      FROM sc)
+      |SELECT doc_id, rnk, term, tf, df, score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 }

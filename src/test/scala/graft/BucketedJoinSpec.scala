@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions.col
   * scan-speed at 100 TB.
   */
 class BucketedJoinSpec extends SparkSpec {
+  // conf-mutating suite: isolated SQLConf (see SparkSpec.isolatedSession)
+  override lazy val spark = isolatedSession
 
   test("same-bucketed tables join with no exchange") {
     val tmp = Files.createTempDirectory("graft_bucketed")

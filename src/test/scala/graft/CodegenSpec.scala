@@ -18,6 +18,8 @@ import org.scalatest.BeforeAndAfterAll
   * failure throws instead.
   */
 class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
+  // conf-mutating suite: isolated SQLConf (see SparkSpec.isolatedSession)
+  override lazy val spark = isolatedSession
 
   import spark.implicits._
 
@@ -99,6 +101,30 @@ class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
       .select(graft.functions.CmsEstimate(col("sk"), lit(42L)).as("est"))
       .collect().head.getLong(0)
     assert(r == 2L)
+  }
+
+  test("BloomMightContain compiles and runs codegen-only") {
+    val buf = graft.functions.BloomFilter.emptyBuffer
+    graft.functions.BloomFilter.add(buf, 42L)
+    val bytes = graft.functions.BloomFilter.toBytes(buf)
+    val r = Seq(Tuple1(bytes)).toDF("bf")
+      .select(graft.functions.BloomMightContain(col("bf"), lit(42L)).as("hit"),
+        graft.functions.BloomMightContain(col("bf"), lit(43L)).as("miss"))
+      .collect().head
+    assert(r.getBoolean(0), "inserted item must be found")
+    assert(!r.getBoolean(1), "bloom with one item must reject a non-item here")
+  }
+
+  test("BloomMightContain rejects a non-filter blob with a descriptive error") {
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("bf")
+        .select(graft.functions.BloomMightContain(col("bf"), lit(1L)))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      String.valueOf(c.getMessage).contains("not a bloom filter")))
   }
 
   test("CmsEstimate rejects a non-sketch blob with a descriptive error") {

@@ -47,4 +47,14 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getInt(0) == 2)
   }
+
+  test("bloom_agg + bloom_might_contain callable from SQL") {
+    val r = spark.sql(
+      """WITH items AS (SELECT explode(array(10L, 20L, 30L)) AS g),
+        |bf AS (SELECT bloom_agg(g) AS f FROM items)
+        |SELECT bloom_might_contain(f, 20L) AS hit,
+        |       bloom_might_contain(f, 999L) AS miss
+        |FROM bf""".stripMargin).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
 }

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   * shuffling everything.
   */
 class RuntimeFilterSpec extends SparkSpec {
+  // conf-mutating suite: isolated SQLConf (see SparkSpec.isolatedSession)
+  override lazy val spark = isolatedSession
 
   private lazy val base: String = {
     val tmp = Files.createTempDirectory("graft_rtfilter").toString

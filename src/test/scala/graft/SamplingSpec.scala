@@ -83,6 +83,44 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination never misses an exact hit, fpp is bounded") {
+    val exact = Sampling.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_contaminated"))).toMap
+    val bloom = Sampling.decontaminateBloom(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_flagged"))).toMap
+    // no false negatives: every exactly-contaminated doc is flagged at
+    // least as hard by the bloom path
+    exact.foreach { case (id, (n, c)) =>
+      val (bn, bf) = bloom.getOrElse(id,
+        fail(s"doc $id contaminated exactly but missing from bloom result"))
+      assert(bn == n, s"doc $id shingle counts must agree")
+      assert(bf >= c, s"doc $id: bloom flagged $bf < exact $c (false negative)")
+    }
+    // bounded false positives: across all flagged docs, the surplus over
+    // exact is a tiny fraction of the probed shingles (M=2^20, K=7 at
+    // this corpus' eval-set size predicts ~1e-5; assert a loose 1%)
+    val probed = bloom.values.map(_._1).sum.toDouble
+    val surplus = bloom.map { case (id, (_, bf)) =>
+      bf - exact.get(id).map(_._2).getOrElse(0L)
+    }.sum.toDouble
+    assert(surplus / probed < 0.01,
+      s"false-positive surplus $surplus over $probed probed shingles")
+  }
+
+  test("bloom filter aggregate is partitioning-independent") {
+    import org.apache.spark.sql.functions.explode
+    val sh = Tables.load(spark, sf, "documents")
+      .select(explode(graft.llm.MinHashDedup.hashedShingles(
+        split(col("text"), " "))).as("g"))
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Seq[Byte] =
+      df.agg(graft.functions.BloomFilterAgg(col("g")).as("bf"))
+        .head().getAs[Array[Byte]](0).toSeq
+    assert(bytesOf(sh.repartition(1)) == bytesOf(sh.repartition(13)),
+      "OR-merge must make the filter independent of partitioning")
+  }
+
   test("chunk packing is contiguous, exhaustive, and near-budget") {
     val budget = 512
     val chunks = Sampling.packChunks(spark, sf, budget).collect()

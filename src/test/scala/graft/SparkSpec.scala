@@ -12,6 +12,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Suites that MUTATE session conf (broadcast thresholds, codegen
+    * strictness, AQE knobs) must override `spark` with this: sbt runs
+    * suites in parallel threads over the one shared session, so a
+    * set/restore pair on the shared SQLConf races every plan assert in
+    * every other suite (an unrestored `autoBroadcastJoinThreshold=-1`
+    * in a debug suite made q3's broadcast assert fail order-dependently).
+    * `newSession()` = own SQLConf + temp views, shared SparkContext, so
+    * isolation costs no startup time.
+    */
+  def isolatedSession: SparkSession = SparkSpec.session.newSession()
+
   /** physical plan text of a DataFrame (for plan-shape assertions) */
   def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString()
