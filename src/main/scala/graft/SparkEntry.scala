@@ -118,6 +118,7 @@ object SparkEntry {
     "join_anti" -> (Relational.joinAnti _),
     "bucketed_join" -> (graft.plans.Bucketing.bucketedJoinDemo _),
     "join_skew_salted" -> (graft.plans.SkewJoin.skewJoinDemo _),
+    "zorder_layout" -> (graft.plans.ZOrder.zorderLayout _),
     // relational: windows / set ops / sort-limit / scan
     "window_rank_orders" -> (Relational.windowRankOrders _),
     "setop_union" -> (Relational.setopUnion _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "join_anti" -> Relational.joinAntiSql,
     "bucketed_join" -> graft.plans.Bucketing.bucketedJoinDemoSql,
     "join_skew_salted" -> graft.plans.SkewJoin.skewJoinDemoSql,
+    "zorder_layout" -> graft.plans.ZOrder.zorderLayoutSql,
     "window_rank_orders" -> Relational.windowRankOrdersSql,
     "setop_union" -> Relational.setopUnionSql,
     "setop_intersect" -> Relational.setopIntersectSql,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsSketchAgg, DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5}
+import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CmsSketchAgg, DotProductF64, DotProductI8, HashedShingles3, MinHashSignature, QuantizeI8, SignBandBuckets, SortedLongIntersectSize, WinnowMinMd5, ZOrderKey}
 import graft.llm.SimHash64
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_i8"),
       new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
       (children: Seq[Expression]) => DotProductI8(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (children: Seq[Expression]) => ZOrderKey(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

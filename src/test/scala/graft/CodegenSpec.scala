@@ -103,6 +103,14 @@ class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r == 2L)
   }
 
+  test("ZOrderKey compiles and runs codegen-only") {
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.functions.ZOrderKey(col("x"), col("y")).as("z"))
+      .collect().head.getLong(0)
+    // x=0b11 -> even bits 0b101; y=0b101 -> odd bits 0b100010; z=0b100111
+    assert(z == 39L, s"z=$z")
+  }
+
   test("BloomMightContain compiles and runs codegen-only") {
     val buf = graft.functions.BloomFilter.emptyBuffer
     graft.functions.BloomFilter.add(buf, 42L)
