@@ -129,6 +129,13 @@ object SparkEntry {
     "subquery_exists" -> (Relational.subqueryExists _),
     "subquery_not_exists" -> (Relational.subqueryNotExists _),
     "subquery_scalar_avg" -> (Relational.subqueryScalarAvg _),
+    "subquery_in" -> (Relational.subqueryIn _),
+    "subquery_not_in" -> (Relational.subqueryNotIn _),
+    "join_full_outer" -> (Relational.joinFullOuter _),
+    "join_fuzzy_name" -> (Relational.joinFuzzyName _),
+    "window_distribution" -> (Relational.windowDistribution _),
+    "agg_monthly_revenue" -> (Relational.aggMonthlyRevenue _),
+    "profile_columns" -> (Relational.profileColumns _),
     // time series / streaming duals
     "window_tumbling_hourly" -> (EventQueries.tumblingHourly _),
     "window_moving_avg" -> (EventQueries.movingAvg _),
@@ -138,6 +145,8 @@ object SparkEntry {
     "range_join_nearby" -> ((s, d) => EventQueries.rangeJoinNearby(s, d)),
     "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
     "events_funnel" -> (EventQueries.funnel _),
+    "events_dau_wau" -> (EventQueries.dauWau _),
+    "events_value_quantiles" -> (EventQueries.valueQuantiles _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
@@ -150,6 +159,8 @@ object SparkEntry {
     "text_scrub_pii" -> (TextQueries.scrubPii _),
     "text_repetition" -> (TextQueries.repetitionStats _),
     "text_top_terms" -> (TextQueries.topTermsByDf _),
+    "text_regex_extract" -> (TextQueries.regexExtract _),
+    "text_first_positions" -> (TextQueries.firstPositions _),
     "text_bm25_terms" -> (TextQueries.bm25TopTerms _),
     "index_inverted" -> (TextQueries.invertedIndex _),
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
@@ -216,6 +227,13 @@ object SparkEntry {
     "subquery_exists" -> Relational.subqueryExistsSql,
     "subquery_not_exists" -> Relational.subqueryNotExistsSql,
     "subquery_scalar_avg" -> Relational.subqueryScalarAvgSql,
+    "subquery_in" -> Relational.subqueryInSql,
+    "subquery_not_in" -> Relational.subqueryNotInSql,
+    "join_full_outer" -> Relational.joinFullOuterSql,
+    "join_fuzzy_name" -> Relational.joinFuzzyNameSql,
+    "window_distribution" -> Relational.windowDistributionSql,
+    "agg_monthly_revenue" -> Relational.aggMonthlyRevenueSql,
+    "profile_columns" -> Relational.profileColumnsSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,
     "window_moving_avg" -> EventQueries.movingAvgSql,
     "window_lag_delta" -> EventQueries.lagDeltaSql,
@@ -234,6 +252,8 @@ object SparkEntry {
     "text_scrub_pii" -> TextQueries.scrubPiiSql,
     "text_repetition" -> TextQueries.repetitionStatsSql,
     "text_top_terms" -> TextQueries.topTermsByDfSql,
+    "text_regex_extract" -> TextQueries.regexExtractSql,
+    "text_first_positions" -> TextQueries.firstPositionsSql,
     "text_bm25_terms" -> TextQueries.bm25TopTermsSql,
     "index_inverted" -> TextQueries.invertedIndexSql,
     "curation_pipeline" -> TextQueries.curationPipelineSql,
@@ -241,6 +261,8 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "events_funnel" -> EventQueries.funnelSql,
+    "events_dau_wau" -> EventQueries.dauWauSql,
+    "events_value_quantiles" -> EventQueries.valueQuantilesSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,

@@ -360,4 +360,73 @@ object EventQueries {
       |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
       | event_type AS last_event_type, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --- engagement: DAU + 7-day rolling active users --------------------------
+  /** Daily active users and trailing-7-day active users per day.
+    *
+    * WAU is the classic "sliding COUNT(DISTINCT)" problem: window
+    * functions can't do a distinct over a moving range, and per-day
+    * self-joins re-scan the fact table 7×. The scalable spelling used
+    * here fans each (day, user) out to the 7 window-days it
+    * contributes to (a narrow 7× explode) and then runs ONE distinct
+    * aggregate shuffled on window-day — the same shape at any scale.
+    * Days past the observed range are clipped by a semi-join against
+    * the distinct-days frame (broadcast: |days| is tiny).
+    */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+    val days = e.select(col("day")).distinct()
+    val dau = e.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_dau"))
+    val wau = e
+      .select(explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("timestamp").as("day"), // timestamp: oracle-comparable type both engines
+        col("n_dau"), col("n_wau"))
+      .orderBy(col("day"))
+  }
+
+  val dauWauSql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM e),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS n_dau
+      |        FROM e GROUP BY day),
+      |c AS (SELECT day + CAST(o AS INTEGER) AS day, user_id FROM e
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)),
+      |wau AS (SELECT day, COUNT(DISTINCT user_id) AS n_wau FROM c
+      |        WHERE day IN (SELECT day FROM days) GROUP BY day)
+      |SELECT CAST(day AS TIMESTAMP) AS day, n_dau, n_wau
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
+  // --- per-type value quantiles ----------------------------------------------
+  /** Exact interpolated quantiles of `value` per event type — the
+    * latency-percentile report shape. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the same definition (linear
+    * interpolation over the sorted values), and sorting doubles is
+    * order-independent, so the outputs are bit-exact. Exact percentile
+    * shuffles whole groups; at 100 TB switch to approx_percentile
+    * (t-digest) for the same report shape with bounded state.
+    */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.25)).as("p25"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.75)).as("p75"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+      .orderBy(col("event_type"))
+
+  val valueQuantilesSql: String =
+    """SELECT event_type,
+      | quantile_cont(value, 0.25) AS p25,
+      | quantile_cont(value, 0.50) AS p50,
+      | quantile_cont(value, 0.75) AS p75,
+      | quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

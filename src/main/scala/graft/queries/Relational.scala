@@ -466,9 +466,13 @@ object Relational {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     t(s, dir, "customer").createOrReplaceTempView(s"sq_customer_$tag")
     t(s, dir, "orders").createOrReplaceTempView(s"sq_orders_$tag")
+    t(s, dir, "part").createOrReplaceTempView(s"sq_part_$tag")
+    t(s, dir, "lineitem").createOrReplaceTempView(s"sq_lineitem_$tag")
     s.sql(sql
       .replace("sq_customer", s"sq_customer_$tag")
-      .replace("sq_orders", s"sq_orders_$tag"))
+      .replace("sq_orders", s"sq_orders_$tag")
+      .replace("sq_part", s"sq_part_$tag")
+      .replace("sq_lineitem", s"sq_lineitem_$tag"))
   }
 
   def subqueryExists(s: SparkSession, dir: String): DataFrame =
@@ -519,4 +523,209 @@ object Relational {
       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
       |           / COUNT(*) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** IN-subquery (uncorrelated): parts that shipped in a high-quantity
+    * lineitem. Catalyst plans the IN as a left-semi join on
+    * `p_partkey = l_partkey` — the subquery side is aggregated to its
+    * distinct keys and shuffled once; never a per-row membership probe.
+    */
+  def subqueryIn(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, dir,
+      """SELECT p_brand, COUNT(*) AS n_parts FROM sq_part
+        |WHERE p_partkey IN (SELECT l_partkey FROM sq_lineitem
+        |                    WHERE l_quantity >= 45)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  val subqueryInSql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+      |                    WHERE l_quantity >= 45)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** NOT IN subquery — three-valued NULL semantics: one NULL in the
+    * subquery result empties the output, so Spark must plan a
+    * null-aware anti join, which it only executes as a BROADCAST
+    * (`NullAwareAntiJoin` requires the build side in memory).
+    *
+    * Scale note (100 TB): this is the one anti-join spelling that
+    * CANNOT shuffle — a large subquery side OOMs the build. Prefer
+    * NOT EXISTS ([[subqueryNotExists]], a shuffleable left-anti join)
+    * unless NULL-propagation semantics are actually wanted. This query
+    * documents the semantic/planning difference on purpose.
+    */
+  def subqueryNotIn(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, dir,
+      """SELECT c_custkey, c_name FROM sq_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM sq_orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+
+  val subqueryNotInSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- full outer join -------------------------------------------------------
+  /** Per-nation BUILDING-segment customer count vs supplier count,
+    * keeping nations present on either side only.
+    *
+    * Scale note: full-outer cannot broadcast (both sides must surface
+    * unmatched rows), so the inputs are aggregated FIRST — each side
+    * shrinks to ≤ |nation| rows before the join, making the unavoidable
+    * full-outer shuffle trivial. Joining the raw tables full-outer and
+    * aggregating after would shuffle the whole fact data.
+    */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_building_cust"))
+    val su = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_building_cust"), lit(0L)).as("n_building_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+      | COALESCE(c.n_building_cust, 0) AS n_building_cust,
+      | COALESCE(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_building_cust
+      |      FROM customer WHERE c_mktsegment = 'BUILDING'
+      |      GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |                 FROM supplier GROUP BY s_nationkey) s
+      |ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
+  // --- distribution window functions -----------------------------------------
+  /** ntile / percent_rank / cume_dist / lead over orders, partitioned by
+    * priority. The window ORDER BY carries a unique tiebreak
+    * (o_orderkey), so rank-family outputs are deterministic and the
+    * oracle can hash-match them. One hash exchange on o_orderpriority +
+    * an in-partition sort — same shape both engines.
+    */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  val windowDistributionSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      | PERCENT_RANK() OVER w AS pct_rank,
+      | CUME_DIST() OVER w AS cum_dist,
+      | LEAD(o_totalprice, 1) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
+
+  // --- calendar rollup -------------------------------------------------------
+  /** Monthly revenue rollup: date_trunc both engines share. The month
+    * key is low-cardinality, so the aggregate is one map-side-combined
+    * shuffle of |months| rows per task — the canonical time-rollup
+    * shape that survives any fact-table size.
+    */
+  def aggMonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+  }
+
+  val aggMonthlyRevenueSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // --- column profiling ------------------------------------------------------
+  /** Data-profiling sweep over orders: per-column null count + exact
+    * distinct count, emitted as one row per column. Computed in ONE
+    * scan: the multi-distinct aggregate (Catalyst's Expand) plus a
+    * `stack` unpivot of the single result row — never one scan per
+    * column.
+    *
+    * Scale note: Expand replicates each input row once per DISTINCT
+    * aggregate (3× here) before the shuffle; at 100 TB swap the exact
+    * distincts for approx_count_distinct (see `agg_approx_distinct`)
+    * and keep the same one-pass shape.
+    */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("d_cust"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("n_status"),
+        countDistinct(col("o_orderpriority")).as("d_prio"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_prio"))
+      .select(expr(
+        """stack(3,
+          |  'o_custkey',       d_cust,   n_cust,   n_rows,
+          |  'o_orderpriority', d_prio,   n_prio,   n_rows,
+          |  'o_orderstatus',   d_status, n_status, n_rows
+          |) AS (col_name, n_distinct, n_nulls, n_rows)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
+  val profileColumnsSql: String =
+    """SELECT 'o_custkey' AS col_name, COUNT(DISTINCT o_custkey) AS n_distinct,
+      | COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(*) AS n_rows FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
+      | COUNT(*) - COUNT(o_orderpriority), COUNT(*) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus),
+      | COUNT(*) - COUNT(o_orderstatus), COUNT(*) FROM orders
+      |ORDER BY col_name""".stripMargin
+
+  // --- fuzzy string-similarity join ------------------------------------------
+  /** Blocked fuzzy self-match over part names: distinct names are
+    * blocked on their last word (the noun in "adj noun"), and
+    * Levenshtein runs only within a block — the standard entity-
+    * resolution shape. Unblocked pairwise distance is O(n²) and never
+    * shipped; the block key bounds each comparison group.
+    */
+  def joinFuzzyName(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .select(col("p_name").as("name"))
+      .distinct()
+      .withColumn("block", substring_index(col("name"), " ", -1))
+    val a = names.select(col("block"), col("name").as("name_a"))
+    val b = names.select(col("block").as("block_b"), col("name").as("name_b"))
+    a.join(b, col("block") === col("block_b") && col("name_a") < col("name_b"))
+      .select(
+        col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val joinFuzzyNameSql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name,
+      |  string_split(p_name, ' ')[-1] AS block FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin
 }

@@ -563,4 +563,49 @@ object TextQueries {
       |      FROM sc)
       |SELECT doc_id, rnk, term, tf, df, score
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // --- regex extraction ------------------------------------------------------
+  /** Per-document regex feature counts: matches of two word-shape
+    * patterns (`\bs[a-z]+\b` s-words, anything containing "ow").
+    * Patterns are restricted to the syntax Java regex and RE2 share, so
+    * both engines count identically; counting (not extracting the
+    * match list) keeps the output schema flat. One narrow codegen'd
+    * projection — no shuffle at all until the final presentation sort.
+    */
+  def regexExtract(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\bs[a-z]+\\b"), lit(0)))
+          .cast("long").as("n_s_words"),
+        size(regexp_extract_all(col("text"), lit("[a-z]*ow[a-z]*"), lit(0)))
+          .cast("long").as("n_ow_words"))
+      .orderBy(col("doc_id"))
+
+  val regexExtractSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '\bs[a-z]+\b')) AS BIGINT) AS n_s_words,
+      | CAST(len(regexp_extract_all(text, '[a-z]*ow[a-z]*')) AS BIGINT) AS n_ow_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- positional token explode ----------------------------------------------
+  /** Token frequencies at the first three positions of each document —
+    * the posexplode (ordinal-preserving explode) surface. The explode
+    * is narrow; the only shuffle is the tiny (pos, word) aggregate.
+    * Filtering `pos < 3` BEFORE the aggregate keeps the exploded
+    * volume bounded by 3·|docs| regardless of document length.
+    */
+  def firstPositions(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("pos") < 3)
+      .groupBy(col("pos").cast("long").as("pos"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pos"), col("word"))
+
+  val firstPositionsSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS words FROM documents),
+      |p AS (SELECT unnest(words) AS word,
+      |             generate_subscripts(words, 1) - 1 AS pos FROM t)
+      |SELECT CAST(pos AS BIGINT) AS pos, word, COUNT(*) AS n FROM p
+      |WHERE pos < 3 GROUP BY pos, word ORDER BY pos, word""".stripMargin
 }

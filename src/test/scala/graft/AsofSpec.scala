@@ -60,4 +60,19 @@ class AsofSpec extends SparkSpec {
       "stage2_click" -> 2L,     // users 1 and 3 clicked after viewing
       "stage3_purchase" -> 1L)) // only user 1 purchased after the click
   }
+
+  test("dau/wau: trailing-7-day actives dominate dailies; calendar clipped") {
+    val df = EventQueries.dauWau(spark, sf)
+    // the 7-day window-day fan-out must clip to observed days via a
+    // BROADCAST semi join (|days| is tiny), never a shuffled one
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), s"plan:\n$plan")
+    assert(plan.contains("Broadcast"), s"plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every user active on day d is active in every window ending d..d+6,
+    // so WAU >= DAU pointwise
+    assert(rows.forall(r => r.getAs[Long]("n_wau") >= r.getAs[Long]("n_dau")),
+      "found a day with WAU < DAU")
+  }
 }

@@ -70,4 +70,59 @@ class RelationalSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
   }
+
+  test("IN -> semi join; NOT IN -> null-aware BROADCAST anti join") {
+    val inPlan = planOf(Relational.subqueryIn(spark, sf))
+    assert(inPlan.contains("LeftSemi"), s"plan:\n$inPlan")
+    // NOT IN's three-valued NULL semantics force the null-aware anti
+    // join, which Spark only executes broadcast — the planning fact the
+    // scaladoc warns about (prefer NOT EXISTS at scale)
+    val notInPlan = planOf(Relational.subqueryNotIn(spark, sf))
+    assert(notInPlan.contains("LeftAnti"), s"plan:\n$notInPlan")
+    assert(notInPlan.contains("Broadcast"), s"plan:\n$notInPlan")
+  }
+
+  test("full outer join aggregates both sides before the join") {
+    val df = Relational.joinFullOuter(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("FullOuter"), s"plan:\n$plan")
+    // the join must sit ABOVE the aggregates (inputs pre-shrunk to
+    // <=|nation| rows); an agg above the join would mean the raw
+    // tables were joined full-outer first
+    val joinAt = plan.indexOf("FullOuter")
+    val aggsBelow = plan.substring(joinAt).split("\n")
+      .count(_.contains("HashAggregate"))
+    assert(aggsBelow >= 4, // partial+final per side
+      s"expected both sides aggregated below the full-outer join:\n$plan")
+  }
+
+  test("window_distribution fuses all four functions into one Window op") {
+    val df = Relational.windowDistribution(spark, sf)
+    val plan = planOf(df)
+    val windowOps = plan.split("\n").count(w =>
+      w.contains("Window ") || w.trim.startsWith("Window"))
+    assert(windowOps == 1,
+      s"ntile/percent_rank/cume_dist/lead share one window spec — " +
+        s"expected exactly 1 Window op, got $windowOps:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val q = r.getAs[Long]("quartile"); q >= 1 && q <= 4 })
+    assert(rows.forall { r =>
+      val pr = r.getAs[Double]("pct_rank"); pr >= 0.0 && pr <= 1.0 })
+  }
+
+  test("profile_columns computes all distincts in one scan (Expand)") {
+    val df = Relational.profileColumns(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("Expand"), s"plan:\n$plan")
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE scan of orders, got $scans:\n$plan")
+  }
+
+  test("join_fuzzy_name is a blocked equi-join, never a cartesian") {
+    val plan = planOf(Relational.joinFuzzyName(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
 }
