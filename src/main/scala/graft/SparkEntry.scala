@@ -136,6 +136,8 @@ object SparkEntry {
     "window_distribution" -> (Relational.windowDistribution _),
     "agg_monthly_revenue" -> (Relational.aggMonthlyRevenue _),
     "profile_columns" -> (Relational.profileColumns _),
+    "agg_string_concat" -> (Relational.aggStringConcat _),
+    "string_funcs" -> (Relational.stringFuncs _),
     // time series / streaming duals
     "window_tumbling_hourly" -> (EventQueries.tumblingHourly _),
     "window_moving_avg" -> (EventQueries.movingAvg _),
@@ -147,6 +149,7 @@ object SparkEntry {
     "events_funnel" -> (EventQueries.funnel _),
     "events_dau_wau" -> (EventQueries.dauWau _),
     "events_value_quantiles" -> (EventQueries.valueQuantiles _),
+    "events_json_props" -> (EventQueries.jsonProps _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
@@ -234,6 +237,8 @@ object SparkEntry {
     "window_distribution" -> Relational.windowDistributionSql,
     "agg_monthly_revenue" -> Relational.aggMonthlyRevenueSql,
     "profile_columns" -> Relational.profileColumnsSql,
+    "agg_string_concat" -> Relational.aggStringConcatSql,
+    "string_funcs" -> Relational.stringFuncsSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,
     "window_moving_avg" -> EventQueries.movingAvgSql,
     "window_lag_delta" -> EventQueries.lagDeltaSql,
@@ -263,6 +268,7 @@ object SparkEntry {
     "events_funnel" -> EventQueries.funnelSql,
     "events_dau_wau" -> EventQueries.dauWauSql,
     "events_value_quantiles" -> EventQueries.valueQuantilesSql,
+    "events_json_props" -> EventQueries.jsonPropsSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,

@@ -429,4 +429,26 @@ object EventQueries {
       | quantile_cont(value, 0.75) AS p75,
       | quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- semi-structured props -------------------------------------------------
+  /** Aggregation over a JSON payload column: `props` carries
+    * `{"k": <int>}` per event; the path extract + cast + sum runs
+    * without ever materializing a parsed struct. `get_json_object` is
+    * codegen'd and the extract happens map-side, so the shuffle carries
+    * only (event_type, partial sums) — the JSON never crosses the wire.
+    * try_cast keeps a malformed payload row from failing the job under
+    * ANSI mode (it degrades to NULL, which SUM skips).
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

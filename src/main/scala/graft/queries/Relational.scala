@@ -728,4 +728,53 @@ object Relational {
       |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
       |WHERE levenshtein(a.name, b.name) <= 4
       |ORDER BY name_a, name_b""".stripMargin
+
+  // --- ordered list aggregation ----------------------------------------------
+  /** Per-region sorted roster of nation names as one string. collect_list
+    * is order-NONdeterministic under parallel aggregation, so the sort
+    * happens AFTER collection (array_sort) — that, plus the string join,
+    * makes the output deterministic and oracle-comparable. Matches
+    * DuckDB's string_agg(... ORDER BY ...).
+    */
+  def aggStringConcat(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  val aggStringConcatSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // --- scalar string-function surface ----------------------------------------
+  /** The scalar string-function surface in one projection: case
+    * mapping, reverse, substring (1-based), replace, pad, multi-arg
+    * concat, length. Everything is a codegen'd narrow map over the
+    * scan; the functions used here are the cross-engine-identical
+    * subset (e.g. no locale-sensitive collation tricks).
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        reverse(col("p_name")).as("rname"),
+        regexp_replace(col("p_name"), " ", "_").as("sname"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        length(col("p_name")).cast("long").as("n_chars"),
+        substring(col("p_name"), 2, 5).as("mid"))
+      .orderBy(col("p_partkey"))
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey, upper(p_name) AS uname, reverse(p_name) AS rname,
+      | replace(p_name, ' ', '_') AS sname, lpad(p_brand, 12, '*') AS padded,
+      | concat_ws('|', p_brand, p_type) AS joined,
+      | CAST(length(p_name) AS BIGINT) AS n_chars,
+      | substr(p_name, 2, 5) AS mid
+      |FROM part ORDER BY p_partkey""".stripMargin
 }
