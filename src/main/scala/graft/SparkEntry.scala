@@ -150,6 +150,7 @@ object SparkEntry {
     "events_dau_wau" -> (EventQueries.dauWau _),
     "events_value_quantiles" -> (EventQueries.valueQuantiles _),
     "events_json_props" -> (EventQueries.jsonProps _),
+    "scd2_history" -> (EventQueries.scd2History _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
@@ -269,6 +270,7 @@ object SparkEntry {
     "events_dau_wau" -> EventQueries.dauWauSql,
     "events_value_quantiles" -> EventQueries.valueQuantilesSql,
     "events_json_props" -> EventQueries.jsonPropsSql,
+    "scd2_history" -> EventQueries.scd2HistorySql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,

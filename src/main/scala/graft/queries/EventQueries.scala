@@ -451,4 +451,35 @@ object EventQueries {
     """SELECT event_type, COUNT(*) AS n,
       | SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- SCD2 dimension history ------------------------------------------------
+  /** Slowly-changing-dimension (type 2) build: the per-user change log
+    * becomes interval-versioned records — each event is valid from its
+    * own timestamp until the user's next event (`lead`), the last one
+    * open-ended (`is_current`). This is the history table a MERGE-based
+    * lakehouse upsert maintains incrementally, derived here in one
+    * stateless pass: a single hash exchange on user_id + in-partition
+    * sort, no join. Versioning is bounded per user, so skew follows the
+    * per-user event count, not the table size.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("event_type"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS valid_from,
+      |                  event_type, value FROM events)
+      |SELECT user_id, event_id, valid_from, event_type, value,
+      | lead(valid_from) OVER w AS valid_to,
+      | lead(valid_from) OVER w IS NULL AS is_current
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
 }

@@ -75,4 +75,22 @@ class AsofSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("n_wau") >= r.getAs[Long]("n_dau")),
       "found a day with WAU < DAU")
   }
+
+  test("scd2 intervals tile: each valid_to meets the next valid_from, one open row per user") {
+    val rows = EventQueries.scd2History(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("valid_from"),
+        Option(r.getAs[Timestamp]("valid_to"))))
+      .groupBy(_._1)
+    rows.foreach { case (user, versions) =>
+      // exactly one current (open-ended) version per user, and it's the last
+      assert(versions.count(_._3.isEmpty) == 1, s"user $user open rows != 1")
+      assert(versions.last._3.isEmpty, s"user $user: open row is not last")
+      // no gaps, no overlaps: each closed interval ends where the next begins
+      versions.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from2, _)) =>
+          assert(to == from2, s"user $user: interval gap/overlap $to vs $from2")
+        case _ => ()
+      }
+    }
+  }
 }
