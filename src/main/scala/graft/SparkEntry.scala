@@ -165,6 +165,8 @@ object SparkEntry {
     "text_top_terms" -> (TextQueries.topTermsByDf _),
     "text_regex_extract" -> (TextQueries.regexExtract _),
     "text_first_positions" -> (TextQueries.firstPositions _),
+    "dedup_incremental" -> (TextQueries.dedupIncremental _),
+    "text_bigrams" -> (TextQueries.bigrams _),
     "text_bm25_terms" -> (TextQueries.bm25TopTerms _),
     "index_inverted" -> (TextQueries.invertedIndex _),
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
@@ -260,6 +262,8 @@ object SparkEntry {
     "text_top_terms" -> TextQueries.topTermsByDfSql,
     "text_regex_extract" -> TextQueries.regexExtractSql,
     "text_first_positions" -> TextQueries.firstPositionsSql,
+    "dedup_incremental" -> TextQueries.dedupIncrementalSql,
+    "text_bigrams" -> TextQueries.bigramsSql,
     "text_bm25_terms" -> TextQueries.bm25TopTermsSql,
     "index_inverted" -> TextQueries.invertedIndexSql,
     "curation_pipeline" -> TextQueries.curationPipelineSql,

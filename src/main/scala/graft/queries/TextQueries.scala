@@ -608,4 +608,69 @@ object TextQueries {
       |             generate_subscripts(words, 1) - 1 AS pos FROM t)
       |SELECT CAST(pos AS BIGINT) AS pos, word, COUNT(*) AS n FROM p
       |WHERE pos < 3 GROUP BY pos, word ORDER BY pos, word""".stripMargin
+
+  // --- incremental corpus dedup ----------------------------------------------
+  /** Incremental ingest screen: incoming documents (`doc_id >= 400`,
+    * standing in for today's crawl batch) are dropped when their
+    * prefix fingerprint — md5 of the first 8 tokens, the cheap screen
+    * crawl pipelines use before full-content hashing — already exists
+    * in the base corpus (`doc_id < 400`).
+    *
+    * Scale shape: the base side reduces to its DISTINCT digest set
+    * before the anti join, which is exactly the state a production
+    * pipeline persists between runs. Small digest set → broadcast anti
+    * join (incoming never shuffles, the plan here); huge digest set →
+    * the same anti join shuffled, co-partitioned on digest; approximate
+    * variant with constant memory → `decontaminate_bloom`.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    def fp: Column =
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val base = docs(s, dir).filter(col("doc_id") < 400)
+      .select(fp.as("fp")).distinct()
+    val inc = docs(s, dir).filter(col("doc_id") >= 400)
+      .select(col("doc_id"), fp.as("fp"))
+    inc.join(broadcast(base), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH base AS (SELECT DISTINCT
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+      |  FROM documents WHERE doc_id < 400),
+      |inc AS (SELECT doc_id,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+      |  FROM documents WHERE doc_id >= 400)
+      |SELECT doc_id, fp FROM inc
+      |WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = inc.fp)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- corpus bigram counts --------------------------------------------------
+  /** Top-20 corpus bigrams — the n-gram statistics pass of an LM data
+    * pipeline. Bigrams are formed INSIDE the array with an indexed
+    * lambda (`transform` pairing each word with its successor), so the
+    * only exploded row is the bigram itself — no positional self-join,
+    * no shuffle until the count aggregate. Ties rank lexicographically
+    * for a deterministic top-20.
+    */
+  def bigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(expr(
+        """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))""".stripMargin))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val bigramsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, unnest(w) AS word,
+      |             generate_subscripts(w, 1) AS pos FROM t),
+      |b AS (SELECT a.word || ' ' || c.word AS bigram
+      |      FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1)
+      |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 }
