@@ -151,6 +151,7 @@ object SparkEntry {
     "events_value_quantiles" -> (EventQueries.valueQuantiles _),
     "events_json_props" -> (EventQueries.jsonProps _),
     "scd2_history" -> (EventQueries.scd2History _),
+    "events_retention_cohorts" -> (EventQueries.retentionCohorts _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
@@ -275,6 +276,7 @@ object SparkEntry {
     "events_value_quantiles" -> EventQueries.valueQuantilesSql,
     "events_json_props" -> EventQueries.jsonPropsSql,
     "scd2_history" -> EventQueries.scd2HistorySql,
+    "events_retention_cohorts" -> EventQueries.retentionCohortsSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,

@@ -482,4 +482,40 @@ object EventQueries {
       |FROM e
       |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // --- cohort retention ------------------------------------------------------
+  /** Weekly cohort retention: users grouped by their first active week,
+    * counted in each later week they return. Both engines truncate
+    * weeks to Monday, so cohort keys agree; the week offset is an exact
+    * multiple of 7 days by construction.
+    *
+    * Scale shape: the per-user cohort week (one groupBy on user_id) and
+    * the distinct (user, week) activity frame share user_id
+    * partitioning, so the join between them is co-partitioned — no
+    * extra exchange — and the final (cohort, offset) aggregate is
+    * tiny-keyed. Nothing in the plan holds per-user event lists.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(
+        col("cwk").cast("timestamp").as("cohort_week"),
+        expr("CAST(datediff(wk, cwk) / 7 AS LONG)").as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH e AS (SELECT user_id,
+      |    date_trunc('week', CAST(ts AS DATE)) AS wk FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT CAST(c.cwk AS TIMESTAMP) AS cohort_week,
+      | CAST(date_diff('day', c.cwk, a.wk) / 7 AS BIGINT) AS offset_weeks,
+      | COUNT(DISTINCT a.user_id) AS n_users
+      |FROM cohort c JOIN active a USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -94,4 +94,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == total)   // copies partition the corpus
     assert(rows.map(_.getLong(1)).distinct.length == rows.length)
   }
+
+  test("incremental dedup: broadcast anti join; screened-out docs have a base twin") {
+    val df = TextQueries.dedupIncremental(spark, sf)
+    // the incoming side must NOT shuffle: digest set broadcasts
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$plan")
+    // survivors are exactly the incoming docs whose fingerprint is absent
+    // from the base — recompute both sides independently
+    import org.apache.spark.sql.functions._
+    def fps(lo: Long, hi: Long) = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val base = fps(0L, 400L).map(_._2).toSet
+    val expected = fps(400L, Long.MaxValue).collect {
+      case (id, fp) if !base.contains(fp) => id
+    }.toSet
+    assert(df.collect().map(_.getLong(0)).toSet == expected)
+  }
 }
