@@ -152,7 +152,10 @@ object SparkEntry {
     "events_json_props" -> (EventQueries.jsonProps _),
     "scd2_history" -> (EventQueries.scd2History _),
     "events_retention_cohorts" -> (EventQueries.retentionCohorts _),
+    "events_anomaly_zscore" -> (EventQueries.anomalyZscore _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
+    // graph analytics
+    "graph_pagerank" -> (GraphQueries.pagerank _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -168,6 +171,8 @@ object SparkEntry {
     "text_first_positions" -> (TextQueries.firstPositions _),
     "dedup_incremental" -> (TextQueries.dedupIncremental _),
     "text_bigrams" -> (TextQueries.bigrams _),
+    "text_normalize" -> (TextQueries.normalizeText _),
+    "docs_chunk_sliding" -> (TextQueries.chunkSliding _),
     "text_bm25_terms" -> (TextQueries.bm25TopTerms _),
     "index_inverted" -> (TextQueries.invertedIndex _),
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
@@ -277,6 +282,10 @@ object SparkEntry {
     "events_json_props" -> EventQueries.jsonPropsSql,
     "scd2_history" -> EventQueries.scd2HistorySql,
     "events_retention_cohorts" -> EventQueries.retentionCohortsSql,
+    "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
+    "graph_pagerank" -> GraphQueries.pagerankSql,
+    "text_normalize" -> TextQueries.normalizeTextSql,
+    "docs_chunk_sliding" -> TextQueries.chunkSlidingSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,

@@ -518,4 +518,55 @@ object EventQueries {
       | COUNT(DISTINCT a.user_id) AS n_users
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- rolling z-score anomaly detection --------------------------------
+  /** Per-user online anomaly flags: each event's `value` is scored
+    * against the mean/stddev of that user's 20 PRECEDING events
+    * (strictly past — the frame excludes the current row, so the score
+    * is what a streaming detector would have computed at arrival time).
+    * Events with at least 8 history rows and |z| > 2.5 are emitted.
+    *
+    * Shuffle shape: ONE hash exchange on user_id + in-partition sort —
+    * identical to sessionize/movingAvg, the canonical per-entity
+    * time-series shape that scales linearly with user count. Determinism:
+    * mean and E[x²] come from DECIMAL sums over the frame (order-free),
+    * then variance/sqrt/divide are IEEE double ops on bit-identical
+    * inputs — hash-exact vs the oracle, no rounding tolerance needed.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val n = count(lit(1)).over(w)
+    val mu = sum(dec(col("value"))).over(w).cast("double") / n
+    val ex2 = sum(dec(col("value") * col("value"))).over(w).cast("double") / n
+    val sd = sqrt(greatest(ex2 - mu * mu, lit(0.0)))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        n.as("n_hist"), mu.as("mu"), sd.as("sd"))
+      .filter(col("n_hist") >= 8 && col("sd") > 0)
+      .select(col("user_id"), col("event_id"), col("value"),
+        ((col("value") - col("mu")) / col("sd")).as("zscore"))
+      .filter(abs(col("zscore")) > 2.5)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH scored AS (
+      |  SELECT user_id, event_id, value,
+      |    COUNT(*) OVER w AS n_hist,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |      / COUNT(*) OVER w AS mu,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |      / COUNT(*) OVER w AS ex2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT user_id, event_id, value,
+      |    (value - mu) / sqrt(GREATEST(ex2 - mu * mu, 0.0)) AS zscore
+      |  FROM scored
+      |  WHERE n_hist >= 8 AND sqrt(GREATEST(ex2 - mu * mu, 0.0)) > 0)
+      |SELECT user_id, event_id, value, zscore FROM z
+      |WHERE ABS(zscore) > 2.5 ORDER BY user_id, event_id""".stripMargin
 }

@@ -673,4 +673,80 @@ object TextQueries {
       |      FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1)
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // --- canonical normalization ------------------------------------------
+  /** Canonical text form for byte-level dedup: Unicode NFC + Unicode
+    * lowercase + ASCII-whitespace collapse, one codegen'd pass per doc
+    * ([[graft.functions.NormalizeText]] — Spark has no NFC built-in, and
+    * the 3-pass regexp_replace+lower spelling allocates two intermediate
+    * strings per document). `changed` marks docs whose bytes moved, the
+    * usual audit column when re-canonicalizing a 100 TB corpus in place.
+    * Narrow map, no shuffle; the final sort is presentation-only.
+    *
+    * NFC/lowercase are identities on this ASCII corpus, so the DuckDB
+    * oracle (nfc_normalize + lower + same explicit whitespace class)
+    * checks the full plumbing; the unicode legs (composed/decomposed
+    * parity, final-sigma, NBSP non-collapse) are pinned by
+    * FunctionsSpec fixtures.
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.NormalizeText(col("text")).as("norm_text"),
+        (graft.functions.NormalizeText(col("text")) =!= col("text"))
+          .as("changed"))
+      .orderBy(col("doc_id"))
+
+  val normalizeTextSql: String =
+    """SELECT doc_id,
+      | TRIM(regexp_replace(lower(nfc_normalize(text)),
+      |                     '[ \t\n\r\f]+', ' ', 'g'), ' ') AS norm_text,
+      | TRIM(regexp_replace(lower(nfc_normalize(text)),
+      |                     '[ \t\n\r\f]+', ' ', 'g'), ' ') <> text AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- sliding-window chunking ------------------------------------------
+  /** RAG-style sliding-window chunking: fixed 50-token chunks on a
+    * 40-token stride (10-token overlap so no retrieval-relevant span is
+    * cut at a boundary). Distinct from [[Sampling.packChunks]] (which
+    * packs WHOLE documents into token budgets): this splits WITHIN
+    * documents. sequence+posexplode+slice are all codegen'd built-ins;
+    * the op is a narrow one-to-many map — no shuffle, no state, and at
+    * 100 TB it parallelizes embarrassingly (each doc expands ~n/40-fold
+    * independently of every other).
+    */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(40))).as("start"))
+      // a window that starts inside the previous window's 10-token
+      // overlap region would be FULLY contained in it (start >= n - 10
+      // means the previous window already reached the end) — emitting
+      // it duplicates its tokens twice over with zero new coverage
+      .filter(col("start") === 0 || col("start") < size(col("w")) - 10)
+      .select(
+        col("doc_id"), (col("start") / 40).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        least(lit(50), size(col("w")) - col("start")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("w"), col("start") + 1, lit(50)), " ")
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkSlidingSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS start
+      |      FROM t),
+      |c AS (SELECT doc_id, start,
+      |             CAST(start // 40 AS BIGINT) AS chunk_id,
+      |             CAST(LEAST(50, len(w) - start) AS BIGINT) AS n_tokens,
+      |             array_to_string(list_slice(w, start + 1,
+      |                                        LEAST(start + 50, len(w))), ' ')
+      |               AS chunk
+      |      FROM s
+      |      WHERE start = 0 OR start < len(w) - 10)
+      |SELECT doc_id, chunk_id, CAST(start AS BIGINT) AS start_token,
+      |       n_tokens, chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.{EventQueries, GraphQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the graph/anomaly/chunking operators (their value
+  * parity is oracle-checked by the driver; these pin the semantic
+  * properties a hash match alone wouldn't explain).
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("pagerank: damped ranks are > 0.15, top-20, deterministic") {
+    val out = GraphQueries.pagerank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.length == 20)
+    // every node has in-edges (symmetrized graph), so rank > the
+    // damping floor strictly
+    assert(out.forall(_._2 > 0.15))
+    // descending with id tiebreak = fully deterministic ordering
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    val again = GraphQueries.pagerank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("pagerank: rank mass stays ~n_nodes (power iteration conserves mass)") {
+    // On a symmetric graph with no dangling nodes, sum(pr) after any
+    // damped iteration equals N exactly in real arithmetic:
+    // sum = 0.15*N + 0.85*sum(prev). The decimal(18,6) contribution
+    // rounding perturbs each edge's term by <= 5e-7, so drift is
+    // bounded by edges * 5e-7 per iteration — assert a loose envelope.
+    val ranked = GraphQueries.rankedAll(spark, sf)
+    val n = ranked.count().toDouble
+    val mass = ranked.agg(sum(col("pr"))).collect().head.getDouble(0)
+    assert(math.abs(mass - n) < 0.01 * n,
+      s"rank mass $mass vs node count $n")
+  }
+
+  test("chunkSliding: chunks tile each doc with stride 40 and 10-token overlap") {
+    val chunks = TextQueries.chunkSliding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet) // every doc chunked, none invented
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // starts are 0, 40, 80, ... and every token lands in some chunk
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_ * 40L))
+      assert(sorted.last._3 < n && sorted.last._3 + sorted.last._4 == n)
+      // full chunks are exactly 50 tokens; only the last may be short
+      sorted.dropRight(1).foreach { c => assert(c._4 == 50L) }
+      sorted.foreach { c =>
+        assert(c._5.split(" ", -1).length.toLong == c._4)
+      }
+    }
+  }
+
+  test("anomalyZscore: flags are rare, extreme, and historically grounded") {
+    val out = EventQueries.anomalyZscore(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    // every emitted row is an actual outlier vs its own user's history
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 2.5))
+    // z>2.5 two-sided is ~1.2% of a normal population — flag rate must
+    // be a small fraction, not a fire hose (a sign/frame bug flips this)
+    assert(out.length > 0 && out.length < nEvents / 10)
+  }
+}

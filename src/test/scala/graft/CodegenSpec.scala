@@ -135,6 +135,13 @@ class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
       String.valueOf(c.getMessage).contains("not a bloom filter")))
   }
 
+  test("NormalizeText compiles and runs codegen-only") {
+    val out = Seq("A \t B", "Café").toDF("s")
+      .select(graft.functions.NormalizeText(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a b", "café"))
+  }
+
   test("CmsEstimate rejects a non-sketch blob with a descriptive error") {
     val e = intercept[Exception] {
       Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("sk")

@@ -172,4 +172,38 @@ class FunctionsSpec extends SparkSpec {
       size(array_intersect(col("a"), col("b"))).as("builtin"))
     assert(df.filter(col("custom") =!= col("builtin")).count() == 0)
   }
+
+  private def normed(ss: String*): Seq[String] =
+    ss.toDF("s").select(graft.functions.NormalizeText(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("NormalizeText: NFC composes, lowercases, collapses whitespace") {
+    // decomposed e + COMBINING ACUTE composes to precomposed é, then
+    // lowercases — both spellings normalize to identical bytes
+    assert(normed("Café", "CafÉ") == Seq("café", "café"))
+    assert(normed("A \t B\n\nC", "  x  ", "") == Seq("a b c", "x", ""))
+    // Greek final sigma is contextual in Unicode lowercase
+    assert(normed("ΟΣ") == Seq("ος"))
+    // NBSP is NOT in the whitespace class (it is content, not layout)
+    assert(normed("a b") == Seq("a b"))
+  }
+
+  test("NormalizeText: clean-ASCII fast path is identity; idempotent on random text") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 60).map { _ =>
+      Seq.fill(rnd.nextInt(12))(
+        rnd.alphanumeric.take(rnd.nextInt(6)).mkString)
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4)))
+    } :+ "already clean lowercase" :+ "Mixed CASEß İstanbul"
+    val df = cases.toDF("s").select(
+      graft.functions.NormalizeText(col("s")).as("once"))
+      .select(col("once"),
+        graft.functions.NormalizeText(col("once")).as("twice"))
+    assert(df.filter(col("once") =!= col("twice")).count() == 0)
+    assert(normed("clean lowercase text") == Seq("clean lowercase text"))
+    // null propagates
+    val n = Seq[String](null).toDF("s")
+      .select(graft.functions.NormalizeText(col("s")).as("n")).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
