@@ -154,8 +154,10 @@ object SparkEntry {
     "events_retention_cohorts" -> (EventQueries.retentionCohorts _),
     "events_anomaly_zscore" -> (EventQueries.anomalyZscore _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
+    "window_session_native" -> (EventQueries.sessionWindowNative _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
+    "graph_copurchase" -> (GraphQueries.copurchasePairs _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -199,6 +201,7 @@ object SparkEntry {
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
+    "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
@@ -283,7 +286,10 @@ object SparkEntry {
     "scd2_history" -> EventQueries.scd2HistorySql,
     "events_retention_cohorts" -> EventQueries.retentionCohortsSql,
     "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
+    "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,
+    "graph_copurchase" -> GraphQueries.copurchasePairsSql,
+    "embed_threshold_sweep" -> EmbeddingQueries.thresholdSweepSql,
     "text_normalize" -> TextQueries.normalizeTextSql,
     "docs_chunk_sliding" -> TextQueries.chunkSlidingSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,

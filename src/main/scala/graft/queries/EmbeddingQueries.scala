@@ -347,4 +347,62 @@ object EmbeddingQueries {
       | quantile_cont(nrm, 0.9) AS p90_norm,
       | MAX(nrm) AS max_norm
       |FROM e GROUP BY label ORDER BY label""".stripMargin
+
+  // --- dedup-threshold tuning sweep -------------------------------------
+  /** Pair-count-per-cosine-bin histogram over a bounded sample — the
+    * TUNING step before a near-dup dedup run: pick the threshold by
+    * seeing how many pairs each 0.1-wide cosine bin would admit, plus
+    * the cumulative pairs-at-or-above count per bin.
+    *
+    * Scale posture: exact all-pairs cosine is O(sample²) BY DESIGN and
+    * runs on a fixed small sample (vec_id < 300 here, ~45k pairs) — the
+    * deliberate bounded analogue of `dedup_ngram_jaccard`'s golden
+    * bucket. The sample side broadcasts, so the "join" is a
+    * broadcast-nested-loop over ~300 rows, never a shuffled cartesian of
+    * the corpus. Production-threshold selection on a 100 TB corpus
+    * samples ~10³-10⁴ vectors the same way; the FULL corpus is only ever
+    * paired via LSH candidates ([[nearDupLsh]]).
+    *
+    * Bin edges are exact multiples of 0.1; a cosine landing exactly on
+    * an edge floors identically in both engines (same IEEE input ⇒ same
+    * floor), so counts are hash-exact.
+    */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .filter(col("vec_id") < 300)
+      .filter(graft.functions.DotProductF64(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")) > 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val binned = broadcast(e.as("a"))
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(floor(cosine(col("a.v"), col("b.v")) * 10).cast("long")
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .select(col("bin"), (col("bin").cast("double") / 10).as("cos_lo"),
+        col("n_pairs"), sum(col("n_pairs")).over(wCum).as("n_at_or_above"))
+      .orderBy(col("bin").desc)
+  }
+
+  val thresholdSweepSql: String =
+    """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE vec_id < 300
+      |              AND list_sum(list_transform(embedding::DOUBLE[],
+      |                                          x -> x * x)) > 0),
+      |p AS (
+      |  SELECT CAST(FLOOR(
+      |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 10)
+      |    AS BIGINT) AS bin
+      |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id),
+      |h AS (SELECT bin, COUNT(*) AS n_pairs FROM p GROUP BY bin)
+      |SELECT bin, CAST(bin AS DOUBLE) / 10 AS cos_lo, n_pairs,
+      |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS n_at_or_above
+      |FROM h ORDER BY bin DESC""".stripMargin
 }

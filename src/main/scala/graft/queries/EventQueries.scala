@@ -519,6 +519,50 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- native session windows -------------------------------------------
+  /** Per-user sessions via Spark's NATIVE `session_window` operator —
+    * the same 30-minute-gap semantics as [[sessionize]] (which spells it
+    * with lag+cumsum), but expressed as the engine's first-class dynamic
+    * window, the form that also runs unchanged as a Structured Streaming
+    * aggregation with watermarked state expiry. Session end is
+    * last-event + gap and windows are [start, end): a gap of EXACTLY
+    * 30 minutes starts a new session, which is why the oracle's
+    * lag-cumsum break condition is `>=`, not `>`.
+    *
+    * Same scale shape as every per-entity op here: one hash exchange on
+    * user_id, sessions assembled in-partition.
+    */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowNativeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP)
+      |           - LAG(epoch_us(ts::TIMESTAMP)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |se AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id,
+      | MIN(ts)::TIMESTAMP AS session_start,
+      | MAX(ts)::TIMESTAMP + INTERVAL 30 MINUTE AS session_end,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM se GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   // --- rolling z-score anomaly detection --------------------------------
   /** Per-user online anomaly flags: each event's `value` is scored
     * against the mean/stddev of that user's 20 PRECEDING events

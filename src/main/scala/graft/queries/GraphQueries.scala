@@ -70,6 +70,66 @@ object GraphQueries {
     ranks
   }
 
+  // --- co-occurrence edges (market-basket) ------------------------------
+  /** Top co-purchased part pairs with lift — co-occurrence graph
+    * construction, the other standard edge-derivation (besides
+    * hyperlinks) a corpus pipeline runs: the same shape builds
+    * term-cooccurrence edges from documents or item-item edges for
+    * recommendation.
+    *
+    * Execution shape: the pair generation is a SELF-JOIN ON THE BASKET
+    * KEY (l_orderkey) — each basket pairs only within itself, so the
+    * join is one hash exchange and the output is sum(basket_size²), not
+    * n². That bound is also the scale hazard: a single degenerate
+    * mega-basket goes quadratic, so at 100 TB the guard is a basket-size
+    * cap (here: baskets are TPC-H orders, max ~7 items — asserted cheap)
+    * or salting the hot basket. Lift's scalar total-order count rides in
+    * via a 1-row broadcast; counts are integers and lift is one IEEE
+    * division — deterministic cross-engine.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
+    val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_together"))
+    pairs
+      .join(broadcast(freq.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("n_part", "n_a")), "part_a")
+      .join(broadcast(freq.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("n_part", "n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_together"),
+        ((col("n_together").cast("double") * col("n_orders").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("n_together").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val copurchasePairsSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |freq AS (SELECT pk, COUNT(*) AS n_part FROM items GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_together
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk)
+      |SELECT part_a, part_b, n_together,
+      |  (CAST(n_together AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |    / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)) AS lift
+      |FROM pairs
+      |JOIN freq fa ON fa.pk = part_a
+      |JOIN freq fb ON fb.pk = part_b
+      |CROSS JOIN n
+      |ORDER BY n_together DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val pagerankSql: String =
     """WITH cs AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

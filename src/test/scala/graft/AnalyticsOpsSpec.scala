@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, GraphQueries, TextQueries}
+import graft.queries.{EmbeddingQueries, EventQueries, GraphQueries, TextQueries}
 import org.apache.spark.sql.functions._
 
 /** Invariants for the graph/anomaly/chunking operators (their value
@@ -57,6 +57,49 @@ class AnalyticsOpsSpec extends SparkSpec {
         assert(c._5.split(" ", -1).length.toLong == c._4)
       }
     }
+  }
+
+  test("sessionWindowNative agrees with the lag-cumsum sessionize spelling") {
+    // two spellings of 30-min-gap sessions must partition events
+    // identically: same per-user session count and same
+    // (n_events, session_value) multisets
+    val native = EventQueries.sessionWindowNative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    val legacy = EventQueries.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(native.groupBy(identity).view.mapValues(_.length).toMap ==
+      legacy.groupBy(identity).view.mapValues(_.length).toMap)
+  }
+
+  test("sessionWindowNative: sessions are disjoint and gap-separated per user") {
+    val rows = EventQueries.sessionWindowNative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts at or after previous end (= last + gap)
+          assert(b._2.getTime >= a._3.getTime)
+        case _ => ()
+      }
+    }
+  }
+
+  test("copurchasePairs: ordered pairs, positive lift, top-20 by support") {
+    val out = GraphQueries.copurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 20)
+    assert(out.forall { case (a, b, n, l) => a < b && n >= 1 && l > 0 })
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("thresholdSweep: cumulative counts reconstruct the histogram") {
+    val out = EmbeddingQueries.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // bins descend; running sum of n_pairs equals n_at_or_above
+    assert(out.map(_._1).toSeq == out.map(_._1).sortBy(-_).toSeq)
+    val running = out.map(_._2).scanLeft(0L)(_ + _).tail
+    assert(out.map(_._3).toSeq == running.toSeq)
   }
 
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
