@@ -155,6 +155,7 @@ object SparkEntry {
     "events_anomaly_zscore" -> (EventQueries.anomalyZscore _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     "window_session_native" -> (EventQueries.sessionWindowNative _),
+    "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
     "graph_copurchase" -> (GraphQueries.copurchasePairs _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
     "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
+    "dedup_keep_best" -> (graft.llm.DedupClusters.dedupKeepBest _),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatures _),
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
@@ -298,6 +300,7 @@ object SparkEntry {
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
+    "dedup_keep_best" -> graft.llm.DedupClusters.dedupKeepBestSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,

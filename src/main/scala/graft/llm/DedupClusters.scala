@@ -88,6 +88,74 @@ object DedupClusters {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
+  /** The dedup END PRODUCT: which document survives each near-dup
+    * group. Groups come from [[dedupComponents]] (min-label closure over
+    * verified pairs); the keep rule is highest `token_diversity` (the
+    * quality signal from TextQueries.qualityScore), doc_id as the
+    * deterministic tie-break — "keep the best copy", the policy
+    * production corpus dedup actually wants, vs. the naive "keep
+    * minimum id" a bare components output implies.
+    *
+    * Scale shape: the closure's label table is (id, component) pairs —
+    * node-sized, not corpus-sized; the quality join and per-component
+    * argmax add one hash exchange on component. The corpus itself is
+    * only touched for the (doc_id, diversity) projection.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dedupComponents(s, dir)
+    val words = split(col("text"), " ")
+    val qual = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (size(array_distinct(words)).cast("double") / size(words))
+          .as("token_diversity"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("token_diversity").desc, col("doc_id"))
+    comp.join(qual, "doc_id")
+      .select(col("component"), col("doc_id"), col("token_diversity"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .as("n_members"))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc_id"),
+        col("token_diversity").as("kept_diversity"), col("n_members"))
+      .orderBy(col("component"))
+  }
+
+  val dedupKeepBestSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+      |           || '_' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents
+      |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.2),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+      |          UNION SELECT b_id, a_id FROM p),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+      |q AS (SELECT doc_id,
+      |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |          / len(string_split(text, ' ')) AS token_diversity
+      |      FROM documents),
+      |j AS (SELECT comp.component, comp.doc_id, q.token_diversity,
+      |        ROW_NUMBER() OVER (PARTITION BY comp.component
+      |          ORDER BY q.token_diversity DESC, comp.doc_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+      |      FROM comp JOIN q USING (doc_id))
+      |SELECT component, doc_id AS kept_doc_id,
+      |       token_diversity AS kept_diversity,
+      |       CAST(n_members AS BIGINT) AS n_members
+      |FROM j WHERE rk = 1 ORDER BY component""".stripMargin
+
   val dedupComponentsSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang,

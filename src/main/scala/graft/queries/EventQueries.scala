@@ -519,6 +519,27 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- sketch-based approximate quantiles --------------------------------
+  /** Approximate per-type value quantiles via Spark's mergeable
+    * percentile sketch (`approx_percentile`, accuracy 10 000) — the
+    * 100 TB dual of [[valueQuantiles]]: exact interpolated percentiles
+    * need the full sorted value multiset per group (state grows with
+    * data), while the sketch is fixed-size per group and merges
+    * associatively across partitions, so the shuffle carries sketches,
+    * not values. Rows-only checked (the sketch's exact outputs are
+    * algorithm-specific); AnalyticsOpsSpec bounds its error against the
+    * exact dual.
+    */
+  def valueQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy(col("event_type"))
+
   // --- native session windows -------------------------------------------
   /** Per-user sessions via Spark's NATIVE `session_window` operator —
     * the same 30-minute-gap semantics as [[sessionize]] (which spells it

@@ -55,10 +55,22 @@ object GraphQueries {
     val edges = cs.unionByName(
       cs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    // materialized adjacency: (src, dst, out_deg), computed exactly once
-    val adj = edges.join(deg, "src").localCheckpoint()
+    // Materialized adjacency: (src, dst, out_deg), computed exactly once
+    // and checkpointed ALREADY HASH-PARTITIONED ON src — LogicalRDD
+    // preserves outputPartitioning, so every iteration's join on src
+    // reuses it and only the node-sized rank vector is exchanged
+    // (without the repartition, each iteration re-shuffles the full
+    // edge list; with it, the per-iteration exchanges are rank-vector
+    // sized + the one unavoidable fan-in aggregation on dst).
+    val adj = edges.join(deg, "src")
+      .repartition(col("src")).localCheckpoint()
 
-    var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+    // initial ranks FROM THE CHECKPOINT (deriving them from `deg`
+    // would silently recompute the whole scan→join→distinct edge
+    // build a second time — visible as a duplicated parquet subtree
+    // in the physical plan)
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("pr"))
     for (_ <- 1 to 3) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), (col("pr") / col("out_deg")).as("contrib"))

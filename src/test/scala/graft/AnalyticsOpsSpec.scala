@@ -102,6 +102,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == running.toSeq)
   }
 
+  test("dedupKeepBest keeps exactly one best-quality doc per component") {
+    val kept = graft.llm.DedupClusters.dedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val comps = graft.llm.DedupClusters.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // one survivor per component, drawn from that component's members
+    assert(kept.map(_._1).distinct.length == kept.length)
+    assert(kept.map(_._1).toSet == comps.map(_._2).toSet)
+    val members = comps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    kept.foreach { case (c, keptId, _, n) =>
+      assert(members(c).contains(keptId))
+      assert(n.toInt == members(c).size)
+    }
+  }
+
+  test("valueQuantilesApprox tracks the exact quantiles within sketch error") {
+    // the sketch's guarantee is RANK error (<= 1/accuracy), not value
+    // error — on a sparse tail the value gap between adjacent order
+    // statistics can be large, so assert the empirical rank of each
+    // approximate quantile instead
+    val approx = EventQueries.valueQuantilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == values.keySet)
+    def rankOf(vs: Array[Double], x: Double): Double =
+      vs.count(_ <= x).toDouble / vs.length
+    approx.foreach { case (k, (a50, a99)) =>
+      val vs = values(k)
+      assert(math.abs(rankOf(vs, a50) - 0.5) < 0.02,
+        s"$k p50=$a50 rank ${rankOf(vs, a50)}")
+      assert(rankOf(vs, a99) > 0.97 && rankOf(vs, a99 - 1e-9) <= 1.0,
+        s"$k p99=$a99 rank ${rankOf(vs, a99)}")
+    }
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
