@@ -156,6 +156,9 @@ object SparkEntry {
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     "window_session_native" -> (EventQueries.sessionWindowNative _),
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
+    "events_markov_transitions" -> (EventQueries.markovTransitions _),
+    "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
+    "customer_rfm" -> (Relational.customerRfm _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
     "graph_copurchase" -> (GraphQueries.copurchasePairs _),
@@ -289,6 +292,9 @@ object SparkEntry {
     "events_retention_cohorts" -> EventQueries.retentionCohortsSql,
     "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
+    "events_markov_transitions" -> EventQueries.markovTransitionsSql,
+    "agg_yoy_growth" -> Relational.aggYoyGrowthSql,
+    "customer_rfm" -> Relational.customerRfmSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,
     "graph_copurchase" -> GraphQueries.copurchasePairsSql,
     "embed_threshold_sweep" -> EmbeddingQueries.thresholdSweepSql,

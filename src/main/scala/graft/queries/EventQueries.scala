@@ -519,6 +519,46 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- event-type transition matrix -------------------------------------
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each (from_type, to_type) adjacent pair (ordered by ts,
+    * event_id within user), the transition count and the row-normalized
+    * probability — the behavioral-modeling summary (and the input to
+    * next-event prediction baselines).
+    *
+    * Shape: one user_id exchange for the lead() pairing, then a
+    * 25-row-bounded aggregation (|types|²); probabilities divide two
+    * integer counts (IEEE-exact cross-engine). The per-from_type total
+    * rides in a window over the TINY aggregated matrix, not the events.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    ev(s, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+          .as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+      |                           AS DOUBLE) AS p
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   // --- sketch-based approximate quantiles --------------------------------
   /** Approximate per-type value quantiles via Spark's mergeable
     * percentile sketch (`approx_percentile`, accuracy 10 000) — the

@@ -777,4 +777,90 @@ object Relational {
       | CAST(length(p_name) AS BIGINT) AS n_chars,
       | substr(p_name, 2, 5) AS mid
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --- year-over-year growth --------------------------------------------
+  /** Monthly revenue with its year-ago comparison and YoY growth — the
+    * time-intelligence pattern. The year-ago value comes from a SELF-JOIN
+    * on `month = prior_month + 12` rather than `lag(12)`: a lag counts
+    * ROWS, so one missing calendar month silently shifts every
+    * subsequent comparison to the wrong year, while the join is correct
+    * under gaps by construction. The join is month-keyed (dozens of rows
+    * per decade) — negligible at any corpus scale; the heavy part stays
+    * the one monthly aggregation.
+    */
+  def aggYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    // month stays TIMESTAMP on both engines (dates and timestamps
+    // stringify differently in the oracle compare; timestamp is this
+    // repo's established calendar-bucket type — see retentionCohorts)
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val prior = monthly.select(
+      (col("month") + expr("INTERVAL 12 MONTH")).as("month"),
+      col("revenue").as("prev_year_revenue"))
+    monthly.join(prior, Seq("month"), "left")
+      .select(col("month"), col("revenue"), col("prev_year_revenue"),
+        ((col("revenue") - col("prev_year_revenue"))
+          / col("prev_year_revenue")).as("yoy_growth"))
+      .orderBy(col("month"))
+  }
+
+  val aggYoyGrowthSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT m.month, m.revenue, p.revenue AS prev_year_revenue,
+      |  (m.revenue - p.revenue) / p.revenue AS yoy_growth
+      |FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 12 MONTH
+      |ORDER BY m.month""".stripMargin
+
+  // --- RFM customer segmentation ----------------------------------------
+  /** Recency/frequency/monetary segmentation: per customer, the three
+    * classic metrics quintile-scored with `ntile(5)` (ascending — score
+    * 5 = most recent / most frequent / highest spend), tie-broken on
+    * c_custkey so the segmentation is deterministic.
+    *
+    * Scale note: `ntile` needs a TOTAL ordering (single-partition
+    * window) — correct at dimension cardinality (customers), which is
+    * what RFM segments. For billion-entity scoring the swap is
+    * approx-percentile bucket edges (see valueQuantilesApprox) applied
+    * map-side, trading exact quintile boundaries for full parallelism.
+    */
+  def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    def quintile(by: Column): Column =
+      ntile(5).over(Window.orderBy(by, col("c_custkey"))).cast("long")
+    base.select(col("c_custkey"), col("last_order"), col("frequency"),
+        col("monetary"),
+        quintile(col("last_order")).as("r_score"),
+        quintile(col("frequency")).as("f_score"),
+        quintile(col("monetary")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customerRfmSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    MAX(o_orderdate) AS last_order,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1)
+      |SELECT c_custkey, last_order, frequency, monetary,
+      |  CAST(NTILE(5) OVER (ORDER BY last_order, c_custkey) AS BIGINT) AS r_score,
+      |  CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_score,
+      |  CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS BIGINT) AS m_score,
+      |  CAST(NTILE(5) OVER (ORDER BY last_order, c_custkey) AS VARCHAR)
+      |    || CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS VARCHAR)
+      |    || CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS VARCHAR)
+      |    AS segment
+      |FROM base ORDER BY c_custkey""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EmbeddingQueries, EventQueries, GraphQueries, TextQueries}
+import graft.queries.{EmbeddingQueries, EventQueries, GraphQueries, Relational, TextQueries}
 import org.apache.spark.sql.functions._
 
 /** Invariants for the graph/anomaly/chunking operators (their value
@@ -137,6 +137,44 @@ class AnalyticsOpsSpec extends SparkSpec {
         s"$k p50=$a50 rank ${rankOf(vs, a50)}")
       assert(rankOf(vs, a99) > 0.97 && rankOf(vs, a99 - 1e-9) <= 1.0,
         s"$k p99=$a99 rank ${rankOf(vs, a99)}")
+    }
+  }
+
+  test("markovTransitions: each from-row is a probability distribution") {
+    val rows = EventQueries.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall { case (_, _, n, p) => n > 0 && p > 0 })
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      assert(math.abs(ts.map(_._4).sum - 1.0) < 1e-9, s"row $from sums to ${ts.map(_._4).sum}")
+    }
+  }
+
+  test("customerRfm: quintile scores are 1..5 and balanced within one customer") {
+    val rows = Relational.customerRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    Seq[((Long, Long, Long, Long, String)) => Long](_._2, _._3, _._4)
+      .foreach { score =>
+        val sizes = rows.groupBy(score).view.mapValues(_.length).toMap
+        assert(sizes.keySet == (1L to 5L).toSet)
+        assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+      }
+    rows.foreach { case (_, r, f, m, seg) => assert(seg == s"$r$f$m") }
+  }
+
+  test("aggYoyGrowth: growth is null before a year of history, exact after") {
+    val rows = Relational.aggYoyGrowth(spark, sf).collect()
+    val byMonth = rows.map(r => r.getTimestamp(0) ->
+      (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    byMonth.foreach { case (month, (_, prev)) =>
+      cal.setTime(month); cal.add(java.util.Calendar.MONTH, -12)
+      val yearAgo = new java.sql.Timestamp(cal.getTimeInMillis)
+      // prev_year_revenue is present iff that calendar month existed,
+      // and equals its revenue exactly (self-join, not a row-lag)
+      assert(prev == byMonth.get(yearAgo).map(_._1), s"month $month")
     }
   }
 
