@@ -157,6 +157,8 @@ object SparkEntry {
     "window_session_native" -> (EventQueries.sessionWindowNative _),
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
+    "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
+    "text_hash_features" -> (TextQueries.hashFeatures _),
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
     "customer_rfm" -> (Relational.customerRfm _),
     // graph analytics
@@ -293,6 +295,8 @@ object SparkEntry {
     "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
+    "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
+    "text_hash_features" -> TextQueries.hashFeaturesSql,
     "agg_yoy_growth" -> Relational.aggYoyGrowthSql,
     "customer_rfm" -> Relational.customerRfmSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,

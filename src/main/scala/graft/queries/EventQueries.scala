@@ -519,6 +519,57 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- time-weighted average --------------------------------------------
+  /** Per-user TIME-weighted mean value — each reading weighted by how
+    * long it was current (the step-function integral / total duration),
+    * the correct average for irregularly-sampled series where the plain
+    * row mean over-counts bursts (IoT sensors, account balances,
+    * position marks). Single-reading users have no holding interval and
+    * are excluded.
+    *
+    * Shape: lead() over one user_id exchange for the interval lengths,
+    * then a per-user aggregation. Determinism: the weighted sums run in
+    * INTEGER arithmetic — value is cents-exact (round(value·100)) and
+    * intervals are integer μs, so Σ(cents·μs) and Σμs are exact longs
+    * (worst case ~1.5e17, inside long range) and only the final IEEE
+    * division touches floating point. Casting COMPUTED doubles (like
+    * value·dt) to DECIMAL is not portable — Spark rounds the double's
+    * shortest decimal representation, DuckDB its exact binary
+    * expansion, and the two disagree ~1e-11-relative often enough to
+    * break hash parity (observed; this query is why the discipline is
+    * "decimal-cast raw columns, never derived doubles").
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dtUs = unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))
+    ev(s, dir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        dtUs.as("dt_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("cents") * col("dt_us")).cast("double") /
+          (sum(col("dt_us")).cast("double") * 100.0)).as("tw_avg"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH iv AS (
+      |  SELECT user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id))
+      |      - epoch_us(ts) AS dt_us
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(CAST(SUM(cents * dt_us) AS BIGINT) AS DOUBLE)
+      |    / (CAST(CAST(SUM(dt_us) AS BIGINT) AS DOUBLE) * 100.0) AS tw_avg,
+      |  COUNT(*) AS n_intervals
+      |FROM iv WHERE dt_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // --- event-type transition matrix -------------------------------------
   /** First-order Markov transition matrix over per-user event sequences:
     * for each (from_type, to_type) adjacent pair (ordered by ts,

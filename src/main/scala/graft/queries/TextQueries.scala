@@ -674,6 +674,40 @@ object TextQueries {
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // --- feature hashing (hashing-trick vectorizer) ------------------------
+  /** Bag-of-words → fixed 64-dimension sparse count vector via the
+    * hashing trick (Weinberger et al., "Feature Hashing for Large Scale
+    * Multitask Learning", 2009): each token hashes to a bucket, the
+    * vector is the per-bucket count — no vocabulary build, no global
+    * state, which is the point at corpus scale (a vocabulary is a
+    * corpus-wide distinct + broadcast; a hash is a narrow map).
+    * Emitted sparse as (doc_id, bucket, n) rows, count-bounded by
+    * min(64, n_tokens) per document.
+    *
+    * The bucket function is md5-prefix mod 64 — deliberately engine-
+    * portable (Spark and DuckDB md5 agree byte-for-byte; xxhash64
+    * implementations would not), so the oracle checks real values.
+    */
+  def hashFeatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("word")), 1, 2), 16, 10).cast("long") % 64)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  val hashFeaturesSql: String =
+    """WITH w AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      |           FROM documents)
+      |SELECT doc_id,
+      | CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64
+      |   AS BIGINT) AS bucket,
+      | COUNT(*) AS n
+      |FROM w GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+
   // --- canonical normalization ------------------------------------------
   /** Canonical text form for byte-level dedup: Unicode NFC + Unicode
     * lowercase + ASCII-whitespace collapse, one codegen'd pass per doc

@@ -178,6 +178,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashFeatures: buckets in [0,64) and per-doc counts sum to token count") {
+    val rows = TextQueries.hashFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, b, n) => b >= 0 && b < 64 && n > 0 })
+    val tokens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDoc == tokens)
+  }
+
+  test("timeWeightedAvg: bounded by per-user value range over weighted events") {
+    val tw = EventQueries.timeWeightedAvg(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val perUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    tw.foreach { case (u, (avg, nIv)) =>
+      val vs = perUser(u)
+      // the weighted mean can touch but not exceed the value range; the
+      // LAST event carries no weight, so bound by the full multiset
+      assert(avg >= vs.min - 1e-9 && avg <= vs.max + 1e-9, s"user $u")
+      assert(nIv == vs.length - 1, s"user $u intervals")
+    }
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
