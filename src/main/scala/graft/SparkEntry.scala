@@ -159,6 +159,8 @@ object SparkEntry {
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
     "text_hash_features" -> (TextQueries.hashFeatures _),
+    "text_compression_ratio" -> (TextQueries.compressionRatio _),
+    "agg_regr_slope" -> (Relational.aggRegrSlope _),
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
     "customer_rfm" -> (Relational.customerRfm _),
     // graph analytics
@@ -297,6 +299,7 @@ object SparkEntry {
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
     "text_hash_features" -> TextQueries.hashFeaturesSql,
+    "agg_regr_slope" -> Relational.aggRegrSlopeSql,
     "agg_yoy_growth" -> Relational.aggYoyGrowthSql,
     "customer_rfm" -> Relational.customerRfmSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,

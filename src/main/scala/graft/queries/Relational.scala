@@ -815,6 +815,62 @@ object Relational {
       |FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 12 MONTH
       |ORDER BY m.month""".stripMargin
 
+  // --- per-group linear regression --------------------------------------
+  /** Least-squares slope/intercept of extendedprice vs quantity per
+    * returnflag — regression-per-group via the closed form
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), with every sum EXACT:
+    * x is integral quantity, y is price in cents, so Σx, Σy, Σxy, Σx²
+    * are integers; the cross terms are combined in DECIMAL(38,0)
+    * (n·Σxy ~1e19 overflows a long at sf0.1 group sizes; 128-bit
+    * integer decimal is exact to 1e38) and only the final division is
+    * floating point. The built-in `regr_slope` accumulates in
+    * float-order-dependent doubles — fine on a cluster, but not
+    * reproducible bit-for-bit across engines, which is the bar here.
+    * One partial-aggregated shuffle; nothing else moves.
+    */
+  def aggRegrSlope(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val g = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("sx"),
+      sum(col("y")).cast(d38).as("sy"),
+      sum(col("x") * col("y")).cast(d38).as("sxy"),
+      sum(col("x") * col("x")).cast(d38).as("sxx"))
+    g.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 100.0))
+          .as("slope"),
+        ((col("sy").cast("double") / 100.0) -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 100.0))
+            * col("sx").cast("double"))
+          ./(col("n").cast("double")).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggRegrSlopeSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM b GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0) AS slope,
+      |  (CAST(sy AS DOUBLE) / 100.0
+      |    - CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0)
+      |      * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   // --- RFM customer segmentation ----------------------------------------
   /** Recency/frequency/monetary segmentation: per customer, the three
     * classic metrics quintile-scored with `ntile(5)` (ascending — score

@@ -674,6 +674,25 @@ object TextQueries {
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // --- compression-ratio quality signal -----------------------------------
+  /** DEFLATE compression ratio per document — the compressibility
+    * quality filter (Gopher/RefinedWeb family): boilerplate compresses
+    * far below typical prose, noise barely compresses, and both tails
+    * get dropped at curation time. One codegen'd narrow map
+    * ([[graft.functions.DeflateSize]]); the ratio divides two exact
+    * integers. Rows-only checked (no DEFLATE in the SQL oracle);
+    * CompressionSpec pins fixtures and the repetitive≪prose≪random
+    * ordering.
+    */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.DeflateSize(col("text")).as("deflate_bytes"))
+      .select(col("doc_id"), col("n_chars"), col("deflate_bytes"),
+        (col("deflate_bytes").cast("double") / col("n_chars"))
+          .as("compression_ratio"))
+      .orderBy(col("doc_id"))
+
   // --- feature hashing (hashing-trick vectorizer) ------------------------
   /** Bag-of-words → fixed 64-dimension sparse count vector via the
     * hashing trick (Weinberger et al., "Feature Hashing for Large Scale

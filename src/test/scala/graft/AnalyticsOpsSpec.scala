@@ -205,6 +205,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("aggRegrSlope matches a driver-side exact least-squares") {
+    val out = Relational.aggRegrSlope(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val pts = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1)
+    assert(out.keySet == pts.keySet)
+    pts.foreach { case (flag, rows) =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val sxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val sxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val slope =
+        (n * sxy - sx * sy).toDouble / ((n * sxx - sx * sx).toDouble * 100.0)
+      val (nOut, slopeOut, _) = out(flag)
+      assert(nOut == rows.length)
+      assert(math.abs(slopeOut - slope) < 1e-12 * math.max(1, math.abs(slope)),
+        s"$flag slope $slopeOut vs $slope")
+    }
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()

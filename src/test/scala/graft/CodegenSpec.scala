@@ -135,6 +135,13 @@ class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
       String.valueOf(c.getMessage).contains("not a bloom filter")))
   }
 
+  test("DeflateSize compiles and runs codegen-only") {
+    val out = Seq("ab" * 100, "xyz").toDF("s")
+      .select(graft.functions.DeflateSize(col("s")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.length == 2 && out.forall(_ > 0) && out.head < 200)
+  }
+
   test("NormalizeText compiles and runs codegen-only") {
     val out = Seq("A \t B", "Café").toDF("s")
       .select(graft.functions.NormalizeText(col("s")).as("n"))
