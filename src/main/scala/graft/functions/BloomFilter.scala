@@ -81,6 +81,10 @@ object BloomFilter {
     */
   def mightContainBytes(bytes: Array[Byte], item: Long): Boolean = {
     requireFilter(bytes)
+    probe(bytes, item)
+  }
+
+  private def probe(bytes: Array[Byte], item: Long): Boolean = {
     var h = h1(item)
     val step = h2(item)
     var i = 0
@@ -91,6 +95,23 @@ object BloomFilter {
       i += 1
     }
     true
+  }
+
+  /** shared by BloomCountContained's interpreted eval and generated
+    * code: filter validated ONCE per call, then one probe per element —
+    * an entire document's shingle set in one invocation.
+    */
+  def countContained(bytes: Array[Byte],
+      items: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    requireFilter(bytes)
+    var n = 0L
+    var i = 0
+    val len = items.numElements()
+    while (i < len) {
+      if (!items.isNullAt(i) && probe(bytes, items.getLong(i))) n += 1
+      i += 1
+    }
+    n
   }
 }
 
@@ -173,4 +194,41 @@ object BloomMightContain {
   def apply(filter: Column, item: Column): Column =
     ColumnBridge.toColumn(BloomMightContain(
       ColumnBridge.toExpression(filter), ColumnBridge.toExpression(item)))
+}
+
+/** Count of array elements the filter might contain — the whole
+  * decontamination probe for ONE document in ONE codegen'd call.
+  * The explode + per-shingle filter + groupBy(doc_id) spelling this
+  * replaces shuffled one row PER SHINGLE (~200× the document count)
+  * just to count matches; this keeps the probe a narrow map — the
+  * count lands on the same row as the document, and the only shuffle
+  * left in the decontamination query is its presentation sort.
+  * Null array elements are skipped (consistent with the aggregate's
+  * null-item convention).
+  */
+case class BloomCountContained(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(filter: Any, items: Any): Any =
+    BloomFilter.countContained(filter.asInstanceOf[Array[Byte]],
+      items.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, a) =>
+      s"${ev.value} = graft.functions.BloomFilter.countContained($f, $a);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomCountContained =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomCountContained {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(filter: Column, items: Column): Column =
+    ColumnBridge.toColumn(BloomCountContained(
+      ColumnBridge.toExpression(filter), ColumnBridge.toExpression(items)))
 }

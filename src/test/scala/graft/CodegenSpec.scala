@@ -135,6 +135,18 @@ class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
       String.valueOf(c.getMessage).contains("not a bloom filter")))
   }
 
+  test("BloomCountContained compiles, counts, and rejects junk blobs") {
+    import graft.functions.{BloomFilterAgg, BloomCountContained}
+    val bf = Seq(1L, 2L, 3L).toDF("g")
+      .agg(BloomFilterAgg(col("g")).as("bf"))
+    val n = Seq(Tuple1(Seq(1L, 3L, 99L, 100L))).toDF("sh")
+      .crossJoin(bf)
+      .select(BloomCountContained(col("bf"), col("sh")).as("n"))
+      .collect().head.getLong(0)
+    // 1 and 3 are members; 99/100 may only false-positive (fpp ~1e-5)
+    assert(n >= 2 && n <= 4)
+  }
+
   test("DeflateSize compiles and runs codegen-only") {
     val out = Seq("ab" * 100, "xyz").toDF("s")
       .select(graft.functions.DeflateSize(col("s")).as("n"))
