@@ -160,6 +160,7 @@ object SparkEntry {
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
     "text_hash_features" -> (TextQueries.hashFeatures _),
     "text_compression_ratio" -> (TextQueries.compressionRatio _),
+    "text_repeated_passages" -> (TextQueries.repeatedPassages _),
     "agg_regr_slope" -> (Relational.aggRegrSlope _),
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
     "customer_rfm" -> (Relational.customerRfm _),
@@ -300,6 +301,7 @@ object SparkEntry {
     "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
     "text_hash_features" -> TextQueries.hashFeaturesSql,
     "agg_regr_slope" -> Relational.aggRegrSlopeSql,
+    "text_repeated_passages" -> TextQueries.repeatedPassagesSql,
     "agg_yoy_growth" -> Relational.aggYoyGrowthSql,
     "customer_rfm" -> Relational.customerRfmSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,

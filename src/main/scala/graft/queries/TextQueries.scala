@@ -674,6 +674,47 @@ object TextQueries {
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // --- cross-document repeated passages -----------------------------------
+  /** Exact 5-gram passages appearing in 2+ DISTINCT documents — the
+    * substring-level duplication signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": exact repeated spans
+    * survive document-level near-dup dedup and still cause memorization).
+    * Grams are de-duplicated within each document first, so a doc
+    * repeating its own boilerplate doesn't inflate the cross-doc count.
+    *
+    * Scale shape: one aggregation shuffle keyed by the gram. This
+    * report keeps gram TEXT as the key (the top-50 output needs it);
+    * the 100 TB spelling shuffles a 64-bit gram hash instead and joins
+    * text back for the survivors only — and composes with winnowing
+    * ([[winnowFingerprint]]) to sample grams instead of enumerating
+    * all of them.
+    */
+  def repeatedPassages(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(slice(split(text, ' '), 1,
+          |               greatest(size(split(text, ' ')) - 4, 0)),
+          |  (x, i) -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"""
+          .stripMargin))).as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("passage"))
+      .limit(50)
+
+  val repeatedPassagesSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |          i -> array_to_string(list_slice(w, i, i + 4), ' '))))
+      |          AS passage
+      |      FROM t)
+      |SELECT passage, COUNT(DISTINCT doc_id) AS n_docs,
+      |       MIN(doc_id) AS first_doc
+      |FROM g GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, passage LIMIT 50""".stripMargin
+
   // --- compression-ratio quality signal -----------------------------------
   /** DEFLATE compression ratio per document — the compressibility
     * quality filter (Gopher/RefinedWeb family): boilerplate compresses

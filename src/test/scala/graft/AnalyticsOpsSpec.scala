@@ -231,6 +231,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("repeatedPassages: 5-gram spans present verbatim in 2+ distinct docs") {
+    val out = TextQueries.repeatedPassages(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    out.foreach { case (passage, nDocs, firstDoc) =>
+      assert(passage.split(" ", -1).length == 5)
+      val carriers = texts.filter(_._2.contains(passage)).map(_._1)
+      // contains() may over-match across word boundaries, so it bounds
+      // the true word-aligned count from above; the min carrier is
+      // word-aligned by construction
+      assert(nDocs >= 2 && carriers.length >= nDocs, s"'$passage'")
+      assert(texts.find(_._1 == firstDoc).exists(_._2.contains(passage)))
+    }
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
