@@ -685,17 +685,22 @@ object EventQueries {
     * Shuffle shape: ONE hash exchange on user_id + in-partition sort —
     * identical to sessionize/movingAvg, the canonical per-entity
     * time-series shape that scales linearly with user count. Determinism:
-    * mean and E[x²] come from DECIMAL sums over the frame (order-free),
-    * then variance/sqrt/divide are IEEE double ops on bit-identical
-    * inputs — hash-exact vs the oracle, no rounding tolerance needed.
+    * the frame sums run on exact integer CENTS (value is 2-dp;
+    * Σcents ≤ 20·56 021 and Σcents² ≤ 20·3.1e9 both fit a long), so
+    * mean/variance/sqrt/divide are IEEE ops on bit-identical inputs —
+    * hash-exact vs the oracle. (Summing dec(value·value) would decimal-
+    * cast a DERIVED double, the non-portable rounding documented at
+    * [[timeWeightedAvg]].)
     */
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-20, -1)
+    val cents = round(col("value") * 100).cast("long")
     val n = count(lit(1)).over(w)
-    val mu = sum(dec(col("value"))).over(w).cast("double") / n
-    val ex2 = sum(dec(col("value") * col("value"))).over(w).cast("double") / n
+    val mu = sum(cents).over(w).cast("double") / (n.cast("double") * 100.0)
+    val ex2 = sum(cents * cents).over(w).cast("double") /
+      (n.cast("double") * 10000.0)
     val sd = sqrt(greatest(ex2 - mu * mu, lit(0.0)))
     ev(s, dir)
       .select(col("user_id"), col("event_id"), col("value"),
@@ -708,14 +713,18 @@ object EventQueries {
   }
 
   val anomalyZscoreSql: String =
-    """WITH scored AS (
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |scored AS (
       |  SELECT user_id, event_id, value,
       |    COUNT(*) OVER w AS n_hist,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-      |      / COUNT(*) OVER w AS mu,
-      |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-      |      / COUNT(*) OVER w AS ex2
-      |  FROM events
+      |    CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE)
+      |      / (CAST(COUNT(*) OVER w AS DOUBLE) * 100.0) AS mu,
+      |    CAST(CAST(SUM(cents * cents) OVER w AS BIGINT) AS DOUBLE)
+      |      / (CAST(COUNT(*) OVER w AS DOUBLE) * 10000.0) AS ex2
+      |  FROM c
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
       |z AS (
