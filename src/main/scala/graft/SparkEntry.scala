@@ -144,6 +144,7 @@ object SparkEntry {
     "window_lag_delta" -> (EventQueries.lagDelta _),
     "sessionize_events" -> (EventQueries.sessionize _),
     "asof_purchase" -> (EventQueries.asofPurchase _),
+    "asof_next_purchase" -> (EventQueries.asofNextPurchase _),
     "range_join_nearby" -> ((s, d) => EventQueries.rangeJoinNearby(s, d)),
     "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
     "events_funnel" -> (EventQueries.funnel _),
@@ -266,6 +267,7 @@ object SparkEntry {
     "window_lag_delta" -> EventQueries.lagDeltaSql,
     "sessionize_events" -> EventQueries.sessionizeSql,
     "asof_purchase" -> EventQueries.asofPurchaseSql,
+    "asof_next_purchase" -> EventQueries.asofNextPurchaseSql,
     "range_join_nearby" -> EventQueries.rangeJoinNearbySql,
     "events_gapfill_daily" -> EventQueries.gapfillDailySql,
     "cdc_latest_state" -> EventQueries.cdcLatestStateSql,

@@ -184,6 +184,43 @@ object EventQueries {
   def asofPurchase(s: SparkSession, dir: String): DataFrame =
     asofOver(ev(s, dir))
 
+  /** FORWARD as-of: each click labeled with the NEXT purchase value
+    * at-or-after it — the outcome-labeling join a training pipeline
+    * runs to attach future targets to feature rows (the backward
+    * variant attaches history). Mirror of [[asofOver]]: at equal
+    * timestamps the purchase sorts AFTER the click so the inclusive
+    * forward frame sees it; same one-exchange window shape.
+    */
+  def asofNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(isPurchase, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev(s, dir)
+      .withColumn("next_purchase_value",
+        first(when(isPurchase, col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("next_purchase_value"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  val asofNextPurchaseSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, ts, value,
+      |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+      |                IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+      |              event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS next_purchase_value
+      |  FROM events)
+      |SELECT user_id, event_id AS click_id, next_purchase_value
+      |FROM o WHERE event_type = 'click'
+      |ORDER BY user_id, click_id""".stripMargin
+
   val asofPurchaseSql: String =
     """WITH clicks AS (
       |  SELECT user_id, event_id AS click_id, ts FROM events

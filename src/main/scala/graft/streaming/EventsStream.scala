@@ -35,6 +35,29 @@ object EventsStream {
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Stream-STATIC enrichment join: each streaming event picks up its
+    * user's dimension attributes (here the market segment from the
+    * customer table keyed as user_id). This is stateless on the stream
+    * side — no watermark, no state store: the static side is planned as
+    * a broadcast into every micro-batch, which is the right (and only
+    * sane) shape when the dimension fits executors. For a dimension too
+    * large to broadcast the swap is a shuffled stream-static join
+    * (stream side re-partitions per batch) — same code, no broadcast
+    * hint — or pre-bucketing the dimension. StreamingSpec proves batch
+    * parity and asserts the stateless plan (no StateStore in the
+    * physical plan).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** The customer-derived user dimension used by [[enrichStream]] —
+    * c_custkey doubles as user_id in the test schema.
+    */
+  def userDim(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+
   /** Watermarked hourly tumbling-window counts per event type — the
     * streaming dual of EventQueries.tumblingHourly. Late data beyond 2
     * hours is dropped by the watermark (the reference tolerates unbounded

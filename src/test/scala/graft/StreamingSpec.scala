@@ -159,4 +159,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= (batch.size * 9) / 10,
       s"stream emitted ${streamed.size} of ${batch.size} pairs")
   }
+
+  test("stream-static enrichment equals the batch join and keeps no state") {
+    val tmp = Files.createTempDirectory("graft_stream_enrich")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val dim = EventsStream.userDim(spark, sf)
+    val q = EventsStream.enrichStream(EventsStream.readStream(spark, sf), dim)
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    val batch = EventsStream.enrichStream(Tables.events(spark, sf), dim)
+      .select(col("event_id"), col("user_id"), col("segment")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    // stateless: every event emitted exactly once, identical to batch
+    assert(streamed == batch)
+    // the plan must carry no state store (a stateful formulation would
+    // accumulate the dimension — or worse, the stream — as state)
+    assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+  }
 }
