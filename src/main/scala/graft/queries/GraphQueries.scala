@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   * Plan growth stays bounded the same way DedupClusters bounds its
   * label-propagation loop.
   *
-  * Determinism for the oracle: per-node contribution `pr / out_deg` is
-  * an IEEE double division (bit-exact both engines); the fan-in sum
-  * goes through DECIMAL(18,6) (order-free addition, Exact.dec
-  * discipline); damping arithmetic is double ops on bit-identical
-  * inputs. The DuckDB oracle unrolls the same three iterations.
+  * Determinism for the oracle: ranks are FIXED-POINT LONGS in units of
+  * 1e-6 ("micro-ranks"), contributions divide by out-degree with
+  * INTEGER division, and damping is `150000 + (85·Σ) div 100` — every
+  * intermediate is an exact integer, so parity is structural, not
+  * probabilistic. (The first spelling decimal-cast the DERIVED double
+  * `pr/out_deg` — the Exact.scala hazard — and diverged at sf0.1 where
+  * sf0.01 had been green: ~1e-7 rank drift from the engines' different
+  * double→decimal roundings. Exact integers close that for good; the
+  * ≤1 μrank/edge truncation bias is orders below ranking resolution.)
+  * The DuckDB oracle unrolls the same three iterations.
   */
 object GraphQueries {
 
@@ -70,16 +75,15 @@ object GraphQueries {
     // build a second time — visible as a duplicated parquet subtree
     // in the physical plan)
     var ranks = adj.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1.0).as("pr"))
+      .select(col("node"), lit(1000000L).as("pr_u"))
     for (_ <- 1 to 3) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
-        .select(col("dst"), (col("pr") / col("out_deg")).as("contrib"))
+        .select(col("dst"), expr("pr_u div out_deg").as("c"))
         .groupBy(col("dst"))
-        .agg((lit(0.15) + lit(0.85) *
-          sum(Exact.dec(col("contrib"))).cast("double")).as("pr"))
-        .select(col("dst").as("node"), col("pr"))
+        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("pr_u"))
+        .select(col("dst").as("node"), col("pr_u"))
     }
-    ranks
+    ranks.select(col("node"), (col("pr_u").cast("double") / 1e6).as("pr"))
   }
 
   // --- co-occurrence edges (market-basket) ------------------------------
@@ -151,15 +155,19 @@ object GraphQueries {
       |deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
       |adj AS (SELECT e.src, e.dst, d.out_deg
       |        FROM edges e JOIN deg d ON e.src = d.src),
-      |r0 AS (SELECT src AS node, 1.0::DOUBLE AS pr FROM deg),
-      |r1 AS (SELECT a.dst AS node, 0.15::DOUBLE + 0.85::DOUBLE *
-      |         CAST(SUM(CAST(r.pr / a.out_deg AS DECIMAL(18,6))) AS DOUBLE) AS pr
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr_u FROM deg),
+      |r1 AS (SELECT a.dst AS node,
+      |         CAST(150000 + (85 * SUM(r.pr_u // a.out_deg)) // 100 AS BIGINT)
+      |           AS pr_u
       |       FROM adj a JOIN r0 r ON a.src = r.node GROUP BY a.dst),
-      |r2 AS (SELECT a.dst AS node, 0.15::DOUBLE + 0.85::DOUBLE *
-      |         CAST(SUM(CAST(r.pr / a.out_deg AS DECIMAL(18,6))) AS DOUBLE) AS pr
+      |r2 AS (SELECT a.dst AS node,
+      |         CAST(150000 + (85 * SUM(r.pr_u // a.out_deg)) // 100 AS BIGINT)
+      |           AS pr_u
       |       FROM adj a JOIN r1 r ON a.src = r.node GROUP BY a.dst),
-      |r3 AS (SELECT a.dst AS node, 0.15::DOUBLE + 0.85::DOUBLE *
-      |         CAST(SUM(CAST(r.pr / a.out_deg AS DECIMAL(18,6))) AS DOUBLE) AS pr
+      |r3 AS (SELECT a.dst AS node,
+      |         CAST(150000 + (85 * SUM(r.pr_u // a.out_deg)) // 100 AS BIGINT)
+      |           AS pr_u
       |       FROM adj a JOIN r2 r ON a.src = r.node GROUP BY a.dst)
-      |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin
+      |SELECT node, CAST(pr_u AS DOUBLE) / 1e6 AS pr
+      |FROM r3 ORDER BY pr_u DESC, node LIMIT 20""".stripMargin
 }
