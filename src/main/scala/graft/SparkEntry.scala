@@ -141,6 +141,7 @@ object SparkEntry {
     // time series / streaming duals
     "window_tumbling_hourly" -> (EventQueries.tumblingHourly _),
     "window_moving_avg" -> (EventQueries.movingAvg _),
+    "window_range_hour" -> (EventQueries.rangeLastHour _),
     "window_lag_delta" -> (EventQueries.lagDelta _),
     "sessionize_events" -> (EventQueries.sessionize _),
     "asof_purchase" -> (EventQueries.asofPurchase _),
@@ -183,6 +184,8 @@ object SparkEntry {
     "text_first_positions" -> (TextQueries.firstPositions _),
     "dedup_incremental" -> (TextQueries.dedupIncremental _),
     "text_bigrams" -> (TextQueries.bigrams _),
+    "text_trigram_lm" -> (TextQueries.trigramLm _),
+    "docs_source_concentration" -> (TextQueries.sourceConcentration _),
     "text_normalize" -> (TextQueries.normalizeText _),
     "docs_chunk_sliding" -> (TextQueries.chunkSliding _),
     "text_bm25_terms" -> (TextQueries.bm25TopTerms _),
@@ -285,6 +288,9 @@ object SparkEntry {
     "text_first_positions" -> TextQueries.firstPositionsSql,
     "dedup_incremental" -> TextQueries.dedupIncrementalSql,
     "text_bigrams" -> TextQueries.bigramsSql,
+    "text_trigram_lm" -> TextQueries.trigramLmSql,
+    "docs_source_concentration" -> TextQueries.sourceConcentrationSql,
+    "window_range_hour" -> EventQueries.rangeLastHourSql,
     "text_bm25_terms" -> TextQueries.bm25TopTermsSql,
     "index_inverted" -> TextQueries.invertedIndexSql,
     "curation_pipeline" -> TextQueries.curationPipelineSql,

@@ -556,6 +556,37 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- value-range (RANGE) window frames ---------------------------------
+  /** Trailing-hour activity per event via a RANGE frame — the window
+    * semantics none of the ROWS-frame queries exercise: the frame is
+    * bounded by the ORDER-BY VALUE (all events within 3600 s before
+    * this one), not by a row count, so same-timestamp rows are all
+    * in-frame together and the result is order-tie-proof by
+    * construction (no event_id tie-break needed — count and sum over
+    * an equal-ts set are permutation-invariant). Same single user_id
+    * exchange as every per-entity window here.
+    */
+  def rangeLastHour(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, Window.currentRow)
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(dec(col("value"))).over(w).cast("double").as("value_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val rangeLastHourSql: String =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |    AS value_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // --- time-weighted average --------------------------------------------
   /** Per-user TIME-weighted mean value — each reading weighted by how
     * long it was current (the step-function integral / total duration),

@@ -674,6 +674,90 @@ object TextQueries {
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // --- trigram conditional LM statistics ----------------------------------
+  /** Top trigram continuations with conditional probability
+    * P(w3 | w1 w2) = n(w1w2w3) / n(w1w2·) — the n-gram LM statistics
+    * pass (extends [[bigrams]] to conditional form). Counts are
+    * integers; the per-context total rides in a window over the
+    * aggregated trigram table (never the corpus); probability is one
+    * IEEE division of exact integers. Top-50 by count with full
+    * lexicographic tie-break for a deterministic report.
+    */
+  def trigramLm(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(expr(
+        """transform(slice(split(text, ' '), 1,
+          |               greatest(size(split(text, ' ')) - 2, 0)),
+          |  (x, i) -> struct(concat(x, ' ', split(text, ' ')[i + 1])
+          |              AS context,
+          |            split(text, ' ')[i + 2] AS next_word))"""
+          .stripMargin)).as("t"))
+      .select(col("t.context").as("context"), col("t.next_word").as("next_word"))
+      .groupBy(col("context"), col("next_word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("context"), col("next_word"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("context"))).cast("double")).as("p"))
+      .orderBy(col("n").desc, col("context"), col("next_word"))
+      .limit(50)
+
+  val trigramLmSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT w[i] || ' ' || w[i + 1] AS context, w[i + 2] AS next_word
+      |      FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+      |      WHERE len(w) >= 3),
+      |m AS (SELECT context, next_word, COUNT(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT context, next_word, n,
+      |  CAST(n AS DOUBLE)
+      |    / CAST(CAST(SUM(n) OVER (PARTITION BY context) AS BIGINT) AS DOUBLE)
+      |    AS p
+      |FROM m ORDER BY n DESC, context, next_word LIMIT 50""".stripMargin
+
+  // --- corpus source concentration ----------------------------------------
+  /** Token-share concentration across sources, by decile — the
+    * data-governance report ("is the mix dominated by a handful of
+    * sources?"). Sources rank into ntile(10) deciles by token count
+    * (source name tie-break) over the SOURCE-level aggregate — the
+    * corpus shuffles once for the per-source sums; the decile window
+    * runs over rows numbering |sources|. Counts are exact longs;
+    * share is one integer-over-integer IEEE division.
+    */
+  def sourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens").desc, col("source"))
+    val perSource = docs(s, dir)
+      .select(col("source"), size(words).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+    val total = perSource.agg(sum(col("tokens")).as("corpus_tokens"))
+    perSource
+      .select(col("source"), col("tokens"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("tokens")).as("tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_sources"), col("tokens"),
+        (col("tokens").cast("double") / col("corpus_tokens").cast("double"))
+          .as("token_share"))
+      .orderBy(col("decile"))
+  }
+
+  val sourceConcentrationSql: String =
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |           AS tokens
+      |  FROM documents GROUP BY source),
+      |d AS (SELECT source, tokens,
+      |        CAST(NTILE(10) OVER (ORDER BY tokens DESC, source) AS BIGINT)
+      |          AS decile
+      |      FROM s),
+      |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens FROM s)
+      |SELECT decile, COUNT(*) AS n_sources,
+      |  CAST(SUM(tokens) AS BIGINT) AS tokens,
+      |  CAST(CAST(SUM(tokens) AS BIGINT) AS DOUBLE)
+      |    / CAST(corpus_tokens AS DOUBLE) AS token_share
+      |FROM d, t GROUP BY decile, corpus_tokens ORDER BY decile""".stripMargin
+
   // --- cross-document repeated passages -----------------------------------
   /** Exact 5-gram passages appearing in 2+ DISTINCT documents — the
     * substring-level duplication signal (Lee et al., "Deduplicating

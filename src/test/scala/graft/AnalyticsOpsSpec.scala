@@ -249,6 +249,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("sourceConcentration: decile shares partition the corpus exactly") {
+    val rows = TextQueries.sourceConcentration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    val totalTokens = Tables.load(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(_._3).sum == totalTokens)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    // deciles ordered by dominance: token counts non-increasing
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("trigramLm: probabilities are (0,1] and counts bound their context total") {
+    val rows = TextQueries.trigramLm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ctx, _, n, p) =>
+      assert(ctx.split(" ", -1).length == 2)
+      assert(n >= 1 && p > 0 && p <= 1.0)
+    }
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
