@@ -166,6 +166,7 @@ object SparkEntry {
     "agg_regr_slope" -> (Relational.aggRegrSlope _),
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
     "customer_rfm" -> (Relational.customerRfm _),
+    "customer_rfm_approx" -> (Relational.customerRfmApprox _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
     "graph_copurchase" -> (GraphQueries.copurchasePairs _),

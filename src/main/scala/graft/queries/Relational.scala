@@ -903,6 +903,39 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** The 100 TB spelling of [[customerRfm]], made concrete: quintile
+    * EDGES come from one `approx_percentile` sketch aggregation
+    * (mergeable, fixed-size state), then every customer scores itself
+    * MAP-SIDE against the broadcast 4-number edge list — no
+    * single-partition `ntile` window, no total ordering anywhere. The
+    * trade: boundary customers may land one bucket off exact quintiles
+    * (sketch rank error), which AnalyticsOpsSpec bounds by agreement
+    * rate. Rows-only checked (sketch outputs are algorithm-specific).
+    */
+  def customerRfmApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
+    val edges = base.agg(
+      percentile_approx(col("last_us"), qs, lit(10000)).as("r_edges"),
+      percentile_approx(col("frequency"), qs, lit(10000)).as("f_edges"),
+      percentile_approx(col("monetary"), qs, lit(10000)).as("m_edges"))
+    // rank = 1 + edges strictly below the value (4-element array per
+    // row; the HOF's interpreted path is irrelevant at that width)
+    def score(c: Column, edgesCol: Column): Column =
+      (lit(1) + size(filter(edgesCol, e => e < c))).cast("long")
+    base.crossJoin(broadcast(edges))
+      .select(col("c_custkey"), col("frequency"), col("monetary"),
+        score(col("last_us"), col("r_edges")).as("r_score"),
+        score(col("frequency"), col("f_edges")).as("f_score"),
+        score(col("monetary"), col("m_edges")).as("m_score"))
+      .orderBy(col("c_custkey"))
+  }
+
   val customerRfmSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS c_custkey,

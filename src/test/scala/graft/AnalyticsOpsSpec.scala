@@ -273,6 +273,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
   }
 
+  test("customerRfmApprox: sketch-edge scores agree with exact quintiles") {
+    val exact = Relational.customerRfm(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val approx = Relational.customerRfmApprox(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    assert(approx.values.forall { case (r, f, m) =>
+      Seq(r, f, m).forall(s => s >= 1 && s <= 5) })
+    // the sketch can shift only boundary customers, and never by more
+    // than one bucket; overall agreement stays high
+    var agree = 0; var offByOne = 0
+    exact.foreach { case (k, (er, ef, em)) =>
+      val (ar, af, am) = approx(k)
+      Seq((er, ar), (ef, af), (em, am)).foreach { case (e, a) =>
+        if (e == a) agree += 1
+        else { assert(math.abs(e - a) <= 1, s"customer $k: $e vs $a"); offByOne += 1 }
+      }
+    }
+    assert(agree.toDouble / (agree + offByOne) > 0.9,
+      s"agreement ${agree}/${agree + offByOne}")
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
