@@ -160,6 +160,7 @@ object SparkEntry {
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
+    "events_activity_streaks" -> (EventQueries.activityStreaks _),
     "text_hash_features" -> (TextQueries.hashFeatures _),
     "text_compression_ratio" -> (TextQueries.compressionRatio _),
     "text_repeated_passages" -> (TextQueries.repeatedPassages _),
@@ -308,6 +309,7 @@ object SparkEntry {
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
+    "events_activity_streaks" -> EventQueries.activityStreaksSql,
     "text_hash_features" -> TextQueries.hashFeaturesSql,
     "agg_regr_slope" -> Relational.aggRegrSlopeSql,
     "text_repeated_passages" -> TextQueries.repeatedPassagesSql,

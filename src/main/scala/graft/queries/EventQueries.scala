@@ -556,6 +556,64 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- gaps-and-islands: longest activity streak --------------------------
+  /** Longest run of CONSECUTIVE active days per user — the
+    * gaps-and-islands pattern: subtracting each distinct activity
+    * date's per-user row number from the date itself yields a value
+    * that is constant exactly within a consecutive run, so one
+    * groupBy on that anchor recovers the islands without any
+    * self-join. Two window passes + two aggregations, all partitioned
+    * by user_id (one exchange end-to-end); date arithmetic is integer
+    * days, so parity is exact. Ties (equal-length streaks) resolve to
+    * the earliest.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val wRn = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = days
+      .select(col("user_id"), col("d"),
+        date_sub(col("d"), row_number().over(wRn)).as("anchor"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).cast("long").as("streak_days"),
+        min(col("d")).as("s"), max(col("d")).as("e"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_days").desc, col("s"))
+    islands
+      .select(col("user_id"), col("streak_days"),
+        col("s").cast("timestamp").as("streak_start"),
+        col("e").cast("timestamp").as("streak_end"),
+        row_number().over(wBest).as("rk"))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_days"),
+        col("streak_start"), col("streak_end"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+      |             AS INTEGER) AS anchor,
+      |    d
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak_days,
+      |    MIN(d) AS s, MAX(d) AS e
+      |  FROM isl GROUP BY user_id, anchor),
+      |best AS (
+      |  SELECT user_id, streak_days,
+      |    CAST(s AS TIMESTAMP) AS streak_start,
+      |    CAST(e AS TIMESTAMP) AS streak_end,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY streak_days DESC, s) AS rk
+      |  FROM runs)
+      |SELECT user_id, streak_days, streak_start, streak_end
+      |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   // --- value-range (RANGE) window frames ---------------------------------
   /** Trailing-hour activity per event via a RANGE frame — the window
     * semantics none of the ROWS-frame queries exercise: the frame is
