@@ -161,6 +161,7 @@ object SparkEntry {
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
     "events_activity_streaks" -> (EventQueries.activityStreaks _),
+    "typed_group_stats" -> (EventQueries.typedGroupStats _),
     "text_hash_features" -> (TextQueries.hashFeatures _),
     "text_compression_ratio" -> (TextQueries.compressionRatio _),
     "text_repeated_passages" -> (TextQueries.repeatedPassages _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
     "events_activity_streaks" -> EventQueries.activityStreaksSql,
+    "typed_group_stats" -> EventQueries.typedGroupStatsSql,
     "text_hash_features" -> TextQueries.hashFeaturesSql,
     "agg_regr_slope" -> Relational.aggRegrSlopeSql,
     "text_repeated_passages" -> TextQueries.repeatedPassagesSql,

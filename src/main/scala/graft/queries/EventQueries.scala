@@ -556,6 +556,49 @@ object EventQueries {
       |FROM cohort c JOIN active a USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- typed Aggregator group statistics ----------------------------------
+  /** Per-type count/mean/population-variance via the typed
+    * [[graft.functions.ValueStatsAgg]] `Aggregator` (case-class buffer,
+    * `functions.udaf` registration) — the Dataset-encoder aggregation
+    * API leg. The aggregate itself moves only exact integer sums;
+    * mean and variance are derived HERE from those sums with the same
+    * double formula the oracle uses, so parity is structural.
+    */
+  def typedGroupStats(s: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(graft.functions.ValueStatsAgg)
+    ev(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(stats(col("cents")).as("st"))
+      .select(col("event_type"),
+        col("st.n").as("n"),
+        (col("st.sum").cast("double") /
+          (col("st.n").cast("double") * 100.0)).as("mean"),
+        ((col("st.sumSq").cast("double") /
+          (col("st.n").cast("double") * 10000.0)) -
+          (col("st.sum").cast("double") / (col("st.n").cast("double") * 100.0))
+            * (col("st.sum").cast("double") / (col("st.n").cast("double") * 100.0)))
+          .as("variance"))
+      .orderBy(col("event_type"))
+  }
+
+  val typedGroupStatsSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s,
+      |    CAST(SUM(cents * cents) AS BIGINT) AS sq
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean,
+      |  CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+      |    - (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0))
+      |      * (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) AS variance
+      |FROM g ORDER BY event_type""".stripMargin
+
   // --- gaps-and-islands: longest activity streak --------------------------
   /** Longest run of CONSECUTIVE active days per user — the
     * gaps-and-islands pattern: subtracting each distinct activity

