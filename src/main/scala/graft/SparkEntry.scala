@@ -221,6 +221,7 @@ object SparkEntry {
     "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
+    "multimodal_dedup" -> (Multimodal.mediaDedup _),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
@@ -333,5 +334,6 @@ object SparkEntry {
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,
+    "multimodal_dedup" -> Multimodal.mediaDedupSql,
   )
 }

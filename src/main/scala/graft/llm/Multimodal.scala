@@ -56,6 +56,27 @@ object Multimodal {
       | substr(hex(encode(text)), 1, 8) AS magic4_hex
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Exact dedup over the BINARY payload — the media leg of the dedup
+    * family (text dedup keys on normalized content; media dedup keys on
+    * raw bytes, the only equality that exists for opaque blobs). One
+    * shuffle on the 32-byte digest — payload bytes never move, which at
+    * 100 TB of media is the entire point: the shuffle carries ~0.03 %
+    * of the scanned volume. Emits duplicate groups (keep = min id).
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("media_id"), sha2(col("payload"), 256).as("digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_media_id"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("digest"))
+
+  val mediaDedupSql: String =
+    """SELECT sha256(text) AS digest, COUNT(*) AS n_copies,
+      | MIN(doc_id) AS keep_media_id
+      |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY digest""".stripMargin
+
   /** Decoded-frame schema a real decoder would produce. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
