@@ -45,6 +45,12 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 object DeflateSize {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
+  // Deliberately never end()ed: executor task threads are pooled and
+  // long-lived, so one native zlib context per thread for the JVM's
+  // lifetime is the intended steady state (same trade as Spark's own
+  // per-thread codec holders). If this ran on a thread-churning
+  // executor, a size-bounded pool or Cleaner-registered holder would
+  // be the spelling.
   private val local = new ThreadLocal[Deflater] {
     override def initialValue(): Deflater =
       new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true)

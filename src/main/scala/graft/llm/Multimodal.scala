@@ -64,7 +64,14 @@ object Multimodal {
     * of the scanned volume. Emits duplicate groups (keep = min id).
     */
   def mediaDedup(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
+    mediaDedupOf(mediaTable(s, dir))
+
+  /** Core of [[mediaDedup]] over any (media_id, payload) frame — split
+    * out so the spec can plant exact-duplicate payloads and assert a
+    * NON-EMPTY group (the registered query's corpus has no exact dup
+    * payloads, so its oracle row alone would be vacuously green). */
+  def mediaDedupOf(media: DataFrame): DataFrame =
+    media
       .select(col("media_id"), sha2(col("payload"), 256).as("digest"))
       .groupBy(col("digest"))
       .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_media_id"))

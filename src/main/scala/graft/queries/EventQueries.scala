@@ -486,7 +486,7 @@ object EventQueries {
 
   val jsonPropsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      | SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      | CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- SCD2 dimension history ------------------------------------------------
@@ -575,11 +575,15 @@ object EventQueries {
         col("st.n").as("n"),
         (col("st.sum").cast("double") /
           (col("st.n").cast("double") * 100.0)).as("mean"),
-        ((col("st.sumSq").cast("double") /
-          (col("st.n").cast("double") * 10000.0)) -
-          (col("st.sum").cast("double") / (col("st.n").cast("double") * 100.0))
-            * (col("st.sum").cast("double") / (col("st.n").cast("double") * 100.0)))
-          .as("variance"))
+        // E[x^2]-mean^2 can go fractionally negative on a constant-valued
+        // group (FP cancellation); clamp at 0 in BOTH spellings so parity
+        // survives the clamp.
+        greatest(
+          (col("st.sumSq").cast("double") /
+            (col("st.n").cast("double") * 10000.0)) -
+            (col("st.sum").cast("double") / (col("st.n").cast("double") * 100.0))
+              * (col("st.sum").cast("double") / (col("st.n").cast("double") * 100.0)),
+          lit(0.0)).as("variance"))
       .orderBy(col("event_type"))
   }
 
@@ -594,9 +598,10 @@ object EventQueries {
       |  FROM c GROUP BY event_type)
       |SELECT event_type, n,
       |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean,
-      |  CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
-      |    - (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0))
-      |      * (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) AS variance
+      |  GREATEST(
+      |    CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+      |      - (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0))
+      |        * (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)), 0.0) AS variance
       |FROM g ORDER BY event_type""".stripMargin
 
   // --- gaps-and-islands: longest activity streak --------------------------

@@ -67,6 +67,12 @@ object GraphQueries {
     // (without the repartition, each iteration re-shuffles the full
     // edge list; with it, the per-iteration exchanges are rank-vector
     // sized + the one unavoidable fan-in aggregation on dst).
+    // Durability trade: localCheckpoint stores the adjacency in
+    // NON-REPLICATED executor storage — on a real cluster a lost
+    // executor forces a recompute of the edge build (acceptable for a
+    // 3-iteration job; `spark.sparkContext.setCheckpointDir` +
+    // `.checkpoint()` (reliable) is the cluster spelling when
+    // iterations are many or executors preemptible).
     val adj = edges.join(deg, "src")
       .repartition(col("src")).localCheckpoint()
 

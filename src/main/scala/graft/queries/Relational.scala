@@ -643,7 +643,10 @@ object Relational {
     */
   def aggMonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+    // Spark's date_trunc returns TIMESTAMP while DuckDB's (on a DATE
+    // input) returns DATE — cast to DATE so the bucket type matches the
+    // oracle at the Arrow level, not just after value coercion.
+    o.groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(
         dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
@@ -651,7 +654,7 @@ object Relational {
   }
 
   val aggMonthlyRevenueSql: String =
-    """SELECT date_trunc('month', o_orderdate) AS month,
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
@@ -789,14 +792,14 @@ object Relational {
     * the one monthly aggregation.
     */
   def aggYoyGrowth(s: SparkSession, dir: String): DataFrame = {
-    // month stays TIMESTAMP on both engines (dates and timestamps
-    // stringify differently in the oracle compare; timestamp is this
-    // repo's established calendar-bucket type — see retentionCohorts)
+    // month is DATE on both engines: Spark's date_trunc returns
+    // TIMESTAMP (cast down), DuckDB's on a DATE input returns DATE.
+    // The +12-months shift uses add_months, which is closed over DATE.
     val monthly = t(s, dir, "orders")
-      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(dsum(col("o_totalprice")).as("revenue"))
     val prior = monthly.select(
-      (col("month") + expr("INTERVAL 12 MONTH")).as("month"),
+      add_months(col("month"), 12).as("month"),
       col("revenue").as("prev_year_revenue"))
     monthly.join(prior, Seq("month"), "left")
       .select(col("month"), col("revenue"), col("prev_year_revenue"),
@@ -807,12 +810,12 @@ object Relational {
 
   val aggYoyGrowthSql: String =
     """WITH m AS (
-      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |  FROM orders GROUP BY 1)
       |SELECT m.month, m.revenue, p.revenue AS prev_year_revenue,
       |  (m.revenue - p.revenue) / p.revenue AS yoy_growth
-      |FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 12 MONTH
+      |FROM m LEFT JOIN m p ON m.month = CAST(p.month + INTERVAL 12 MONTH AS DATE)
       |ORDER BY m.month""".stripMargin
 
   // --- per-group linear regression --------------------------------------

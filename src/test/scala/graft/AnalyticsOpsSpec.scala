@@ -26,9 +26,11 @@ class AnalyticsOpsSpec extends SparkSpec {
   test("pagerank: rank mass stays ~n_nodes (power iteration conserves mass)") {
     // On a symmetric graph with no dangling nodes, sum(pr) after any
     // damped iteration equals N exactly in real arithmetic:
-    // sum = 0.15*N + 0.85*sum(prev). The decimal(18,6) contribution
-    // rounding perturbs each edge's term by <= 5e-7, so drift is
-    // bounded by edges * 5e-7 per iteration — assert a loose envelope.
+    // sum = 0.15*N + 0.85*sum(prev). The fixed-point integer micro-rank
+    // arithmetic loses <= 1 microrank (1e-6) per edge to the truncating
+    // contribution div, plus up to 99/100 microranks per node to the
+    // div-100 damping truncation — drift per iteration is bounded by
+    // (edges + nodes) * 1e-6, so assert a loose envelope.
     val ranked = GraphQueries.rankedAll(spark, sf)
     val n = ranked.count().toDouble
     val mass = ranked.agg(sum(col("pr"))).collect().head.getDouble(0)
@@ -165,13 +167,11 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   test("aggYoyGrowth: growth is null before a year of history, exact after") {
     val rows = Relational.aggYoyGrowth(spark, sf).collect()
-    val byMonth = rows.map(r => r.getTimestamp(0) ->
+    // month is DATE (aligned with DuckDB's date_trunc output type)
+    val byMonth = rows.map(r => r.getDate(0).toLocalDate ->
       (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
-    val cal = java.util.Calendar.getInstance(
-      java.util.TimeZone.getTimeZone("UTC"))
     byMonth.foreach { case (month, (_, prev)) =>
-      cal.setTime(month); cal.add(java.util.Calendar.MONTH, -12)
-      val yearAgo = new java.sql.Timestamp(cal.getTimeInMillis)
+      val yearAgo = month.minusMonths(12)
       // prev_year_revenue is present iff that calendar month existed,
       // and equals its revenue exactly (self-join, not a row-lag)
       assert(prev == byMonth.get(yearAgo).map(_._1), s"month $month")

@@ -48,7 +48,11 @@ class CompressionSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.nonEmpty)
     out.foreach { case (_, nChars, dBytes, ratio) =>
-      assert(dBytes > 0 && ratio > 0 && ratio < 2.0)
+      assert(dBytes > 0 && ratio > 0)
+      // raw-deflate framing overhead dominates on tiny texts (a few
+      // chars can deflate to > 2x n_chars), so the <2.0 upper bound is
+      // only meaningful for documents long enough to amortize it.
+      if (nChars >= 64) assert(ratio < 2.0, s"ratio $ratio at nChars=$nChars")
       assert(math.abs(ratio - dBytes.toDouble / nChars) < 1e-15)
     }
   }

@@ -74,6 +74,26 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(3L).isNullAt(1) && byId(3L).isNullAt(3))
   }
 
+  test("mediaDedup: planted exact-duplicate payloads form a group; near-identical do not") {
+    import spark.implicits._
+    val blob = Array.tabulate[Byte](257)(i => (i * 7).toByte)
+    val nearBlob = blob.clone(); nearBlob(200) = (nearBlob(200) ^ 1).toByte
+    val media = Seq(
+      (10L, blob),                          // dup group member
+      (11L, blob.clone()),                  // exact copy, distinct array
+      (12L, nearBlob),                      // 1-bit-different: must NOT collide
+      (13L, "unique payload".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val groups = Multimodal.mediaDedupOf(media).collect()
+    assert(groups.length == 1, s"expected exactly the planted dup group, got ${groups.toSeq}")
+    val g = groups.head
+    assert(g.getLong(1) == 2L)        // n_copies
+    assert(g.getLong(2) == 10L)       // keep = min media_id
+    // the registered-query path stays wired to the same core
+    assert(Multimodal.mediaDedup(spark, sf).columns.toSeq ==
+      Seq("digest", "n_copies", "keep_media_id"))
+  }
+
   test("decode runs partition-wise (no driver-side loop)") {
     val plan = planOf(Multimodal.decodeFrames(spark, sf))
     assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),

@@ -1,33 +1,61 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables and compare against the Verify dump.
+
+Comparison is TYPE-STRICT at the Arrow level: the r5 driver run failed
+`events_json_props` on hash because DuckDB's SUM(BIGINT) returns HUGEINT
+(arrow decimal128(38,0)) while Spark emits int64 — and the old pandas
+`fetchdf()` comparison coerced both to Python ints, hiding exactly that
+class of bug. We now fetch both sides as Arrow and require canonically
+equal column types before comparing values.
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def load_spark(outdir, name):
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         return None
-    return pq.read_table(files[0]).to_pandas()
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
-def norm(df):
-    df = df[sorted(df.columns)]
-    return df
+def canon_type(t):
+    """Collapse representation-only differences the driver's hash ignores
+    (tz annotation, unit, large_* variants) but keep the ones it checks
+    (int width, decimal vs int — i.e. HUGEINT — float vs double, scale)."""
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+    if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
 
-def cmp_frames(name, spark_df, duck_df):
-    if spark_df is None:
+def norm(tbl):
+    return tbl.select(sorted(tbl.column_names))
+
+def cmp_frames(name, spark_tbl, duck_tbl):
+    if spark_tbl is None:
         return f"{name}: MISSING spark output"
-    s, d = norm(spark_df), norm(duck_df)
-    if list(s.columns) != list(d.columns):
-        return f"{name}: COLS differ spark={list(s.columns)} duck={list(d.columns)}"
-    if len(s) != len(d):
-        return f"{name}: ROWS differ spark={len(s)} duck={len(d)}"
+    s_t, d_t = norm(spark_tbl), norm(duck_tbl)
+    if s_t.column_names != d_t.column_names:
+        return (f"{name}: COLS differ spark={s_t.column_names} "
+                f"duck={d_t.column_names}")
+    # type-strict gate (the driver hashes type-sensitively)
+    for c in s_t.column_names:
+        st, dt = canon_type(s_t.schema.field(c).type), canon_type(d_t.schema.field(c).type)
+        if st != dt:
+            return (f"{name}: TYPES differ col={c} spark={st} duck={dt} "
+                    f"(raw spark={s_t.schema.field(c).type} duck={d_t.schema.field(c).type})")
+    if s_t.num_rows != d_t.num_rows:
+        return f"{name}: ROWS differ spark={s_t.num_rows} duck={d_t.num_rows}"
+    s, d = s_t.to_pandas(), d_t.to_pandas()
     # order-sensitive exact compare, with diagnostics
     mism = []
     for c in s.columns:
@@ -55,7 +83,7 @@ def cmp_frames(name, spark_df, duck_df):
         det = "; ".join(f"col={c} row={i} spark={a!r} duck={b!r}"
                         for c, i, a, b in mism)
         return f"{name}: VALUES differ: {det}"
-    return f"{name}: OK ({len(s)} rows)"
+    return f"{name}: OK ({s_t.num_rows} rows)"
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -65,7 +93,7 @@ def main(sfdir, outdir):
     ok = bad = 0
     for name in sorted(oracle):
         try:
-            duck = con.execute(oracle[name]).fetchdf()
+            duck = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}")
             bad += 1
@@ -80,7 +108,7 @@ def main(sfdir, outdir):
         p = os.path.join(outdir, name)
         if os.path.isdir(p) and name not in oracle:
             df = load_spark(outdir, name)
-            n = 0 if df is None else len(df)
+            n = 0 if df is None else df.num_rows
             print(f"{name}: rows-only, {n} rows" + (" (EMPTY!)" if n == 0 else ""))
     print(f"== {ok} ok / {bad} bad ==")
 
