@@ -169,9 +169,11 @@ object SparkEntry {
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
     "customer_rfm" -> (Relational.customerRfm _),
     "customer_rfm_approx" -> (Relational.customerRfmApprox _),
+    "merge_upsert" -> (EventQueries.mergeUpsert _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
     "graph_copurchase" -> (GraphQueries.copurchasePairs _),
+    "graph_triangles" -> (GraphQueries.triangleCount _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -195,6 +197,8 @@ object SparkEntry {
     "index_inverted" -> (TextQueries.invertedIndex _),
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
     "curation_pipeline" -> (TextQueries.curationPipeline _),
+    "text_bpe_merge" -> (TextQueries.bpeMergeStep _),
+    "text_perplexity" -> (TextQueries.perplexity _),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
@@ -215,6 +219,7 @@ object SparkEntry {
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
     "ann_topk_cosine_i8" -> ((s, d) => EmbeddingQueries.annTopKI8(s, d)),
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
+    "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
@@ -320,6 +325,10 @@ object SparkEntry {
     "customer_rfm" -> Relational.customerRfmSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,
     "graph_copurchase" -> GraphQueries.copurchasePairsSql,
+    "graph_triangles" -> GraphQueries.triangleCountSql,
+    "merge_upsert" -> EventQueries.mergeUpsertSql,
+    "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
+    "text_perplexity" -> TextQueries.perplexitySql,
     "embed_threshold_sweep" -> EmbeddingQueries.thresholdSweepSql,
     "text_normalize" -> TextQueries.normalizeTextSql,
     "docs_chunk_sliding" -> TextQueries.chunkSlidingSql,

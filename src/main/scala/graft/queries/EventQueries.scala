@@ -398,6 +398,98 @@ object EventQueries {
       | event_type AS last_event_type, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --- MERGE upsert (lakehouse MERGE INTO, emulated) -----------------------
+  /** MERGE INTO semantics over plain DataFrames — the batch upsert every
+    * lakehouse table format (Delta/Iceberg/Hudi) runs, emulated with a
+    * FULL OUTER join so the engine-side mechanics are explicit:
+    *
+    *   target = current state per user as of 2024-01-20 (the snapshot
+    *            [[cdcLatestState]] would have materialized),
+    *   source = the next 5 days' changelog, reduced to newest-per-key,
+    *   WHEN MATCHED AND source row is a tombstone (event_type='error')
+    *     THEN DELETE;
+    *   WHEN MATCHED THEN UPDATE (source is always newer by construction);
+    *   WHEN NOT MATCHED THEN INSERT.
+    *
+    * Output carries an `action` audit column ('keep'/'update'/'insert';
+    * deleted keys are absent) — the row-level audit a MERGE returns.
+    *
+    * Scale shape: both sides reduce to one row per key behind a single
+    * hash exchange each (row_number, as in cdcLatestState), and the
+    * full-outer join hashes on the same key — with both sides
+    * pre-partitioned on user_id the join is co-located, and AQE picks
+    * the broadcast side when the source batch is small (the common
+    * case). A production MERGE adds partition pruning of the target to
+    * only the files whose key range intersects the source batch
+    * (dynamic file skipping); the join itself is exactly this.
+    * All output columns are passthrough values — no arithmetic — so
+    * oracle parity is structural.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cutLo = lit("2024-01-20").cast("timestamp")
+    val cutHi = lit("2024-01-25").cast("timestamp")
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val target = latest(ev(s, dir).filter(col("ts") < cutLo))
+      .select(col("user_id"), col("event_id").as("t_eid"), col("ts").as("t_ts"),
+        col("event_type").as("t_type"), col("value").as("t_value"))
+    val source = latest(ev(s, dir).filter(col("ts") >= cutLo && col("ts") < cutHi))
+      .select(col("user_id"), col("event_id").as("s_eid"), col("ts").as("s_ts"),
+        col("event_type").as("s_type"), col("value").as("s_value"))
+    target.join(source, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("s_eid").isNull, lit("keep"))
+          .when(col("s_type") === "error", lit("delete"))
+          .when(col("t_eid").isNull, lit("insert"))
+          .otherwise(lit("update")))
+      .filter(col("action") =!= "delete")
+      .select(col("user_id"), col("action"),
+        when(col("action") === "keep", col("t_eid")).otherwise(col("s_eid"))
+          .as("last_event_id"),
+        when(col("action") === "keep", col("t_ts")).otherwise(col("s_ts"))
+          .as("last_ts"),
+        when(col("action") === "keep", col("t_type")).otherwise(col("s_type"))
+          .as("last_event_type"),
+        when(col("action") === "keep", col("t_value")).otherwise(col("s_value"))
+          .as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+      |                  value
+      |           FROM events),
+      |t0 AS (SELECT *, row_number() OVER (
+      |         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |       FROM e WHERE ts < TIMESTAMP '2024-01-20'),
+      |t AS (SELECT user_id, event_id AS t_eid, ts AS t_ts,
+      |             event_type AS t_type, value AS t_value
+      |      FROM t0 WHERE rn = 1),
+      |s0 AS (SELECT *, row_number() OVER (
+      |         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |       FROM e WHERE ts >= TIMESTAMP '2024-01-20'
+      |         AND ts < TIMESTAMP '2024-01-25'),
+      |s AS (SELECT user_id, event_id AS s_eid, ts AS s_ts,
+      |             event_type AS s_type, value AS s_value
+      |      FROM s0 WHERE rn = 1),
+      |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+      |        t_eid, t_ts, t_type, t_value, s_eid, s_ts, s_type, s_value,
+      |        CASE WHEN s_eid IS NULL THEN 'keep'
+      |             WHEN s_type = 'error' THEN 'delete'
+      |             WHEN t_eid IS NULL THEN 'insert'
+      |             ELSE 'update' END AS action
+      |      FROM t FULL OUTER JOIN s ON t.user_id = s.user_id)
+      |SELECT user_id, action,
+      |  CASE WHEN action = 'keep' THEN t_eid ELSE s_eid END AS last_event_id,
+      |  CASE WHEN action = 'keep' THEN t_ts ELSE s_ts END AS last_ts,
+      |  CASE WHEN action = 'keep' THEN t_type ELSE s_type END
+      |    AS last_event_type,
+      |  CASE WHEN action = 'keep' THEN t_value ELSE s_value END AS last_value
+      |FROM m WHERE action <> 'delete' ORDER BY user_id""".stripMargin
+
   // --- engagement: DAU + 7-day rolling active users --------------------------
   /** Daily active users and trailing-7-day active users per day.
     *

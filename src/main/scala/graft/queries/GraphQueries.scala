@@ -176,4 +176,80 @@ object GraphQueries {
       |       FROM adj a JOIN r2 r ON a.src = r.node GROUP BY a.dst)
       |SELECT node, CAST(pr_u AS DOUBLE) / 1e6 AS pr
       |FROM r3 ORDER BY pr_u DESC, node LIMIT 20""".stripMargin
+
+  // --- triangle counting -------------------------------------------------
+  /** Triangle count of the co-purchase graph (parts adjacent when some
+    * order contains both) — the standard graph-health/community metric.
+    *
+    * Execution is the degree-ordered orientation (Schank & Wagner
+    * 2005): each undirected edge points from its (degree, id)-smaller
+    * endpoint to the larger, so every triangle has exactly one "apex"
+    * generating it and — the scale property — wedge generation is
+    * bounded by sum(out_deg^2) with out_deg <= sqrt(2|E|) per node,
+    * instead of the unbounded star blowup a naive id-ordered
+    * enumeration hits on a hub node. The (deg, id) pair rides as a
+    * struct key (structs compare lexicographically), NOT a global
+    * row_number rank — no single-partition window anywhere. Wedges
+    * close against the oriented edge list via one hash join on the
+    * (src, dst) pair. The count is orientation-invariant, so the
+    * oracle can use the naive id-ordered SQL and must agree exactly.
+    *
+    * Output: one row (n_nodes, n_edges, n_triangles) — all integer
+    * counts, trivially hash-exact.
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // undirected edge set, canonical u < v (same basket-keyed self-join
+    // shape — and mega-basket hazard note — as copurchasePairs)
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient each edge from (deg, id)-smaller to larger; keep the
+    // destination's order key so wedges can be emitted already ordered
+    val oriented = edges
+      .join(deg.as("du"), col("u") === col("du.n"))
+      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .select(
+        when(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            struct(col("dv.d").as("d"), col("v").as("id")).as("dstk")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"),
+              struct(col("du.d").as("d"), col("u").as("id")).as("dstk")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstk").as("dstk"))
+    // wedges at each apex, endpoints in orientation order, closed by a
+    // hash join against the oriented edges themselves
+    val wedges = oriented.as("p")
+      .join(oriented.as("q"),
+        col("p.src") === col("q.src") && col("p.dstk") < col("q.dstk"))
+      .select(col("p.dst").as("x"), col("q.dst").as("y"))
+    val tri = wedges.join(oriented,
+      col("x") === col("src") && col("y") === col("dst"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+  }
+
+  val triangleCountSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT n FROM
+      |      (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e))) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |   FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
 }

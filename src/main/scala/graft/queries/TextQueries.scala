@@ -927,4 +927,120 @@ object TextQueries {
       |SELECT doc_id, chunk_id, CAST(start AS BIGINT) AS start_token,
       |       n_tokens, chunk
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --- BPE merge-pair induction ------------------------------------------
+  /** One induction step of byte-pair-encoding tokenizer training: count
+    * adjacent symbol pairs (here: character pairs, i.e. the first merge
+    * round) across the corpus, weighted by word frequency — the pair
+    * with the highest count is the next merge rule (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016). Top-20 reported with full tie-break.
+    *
+    * The scale property that makes BPE trainable on a 100 TB corpus is
+    * exactly this shape: the corpus collapses to a (word, count)
+    * VOCABULARY table first (one shuffle on the word), and every merge
+    * iteration then runs over the vocabulary — millions of rows — not
+    * the corpus. Pair extraction is a narrow per-word map (2-char
+    * substrings via transform over positions); the final pair
+    * aggregation is vocabulary-sized.
+    */
+  def bpeMergeStep(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+
+  val bpeMergeStepSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |f AS (SELECT word, COUNT(*) AS n FROM w
+      |      WHERE length(word) >= 2 GROUP BY word),
+      |p AS (SELECT substring(word, i, 2) AS pair, n
+      |      FROM f, unnest(range(1, length(word))) AS u(i))
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+      |FROM p GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
+  // --- per-document perplexity under the corpus trigram LM ----------------
+  /** Perplexity-style quality scoring — the canonical LLM-corpus filter
+    * (CCNet-style: score each document by how predictable it is under a
+    * language model; prune the tails). The LM is the corpus's own
+    * trigram model, so every document trigram is in-vocabulary and the
+    * per-token surprise is -ln P(w3|w1w2) = ln c2 - ln c3 over exact
+    * integer counts.
+    *
+    * Hash-exact across engines by construction: each log rides as
+    * MICRONATS — `round(ln(count)*1e6)` cast to BIGINT — and the
+    * per-document total is an exact integer sum (order-free), with one
+    * final IEEE division for the per-token average. Java `Math.log` and
+    * DuckDB `ln` were verified to agree after micronat rounding over
+    * the ENTIRE integer domain n in [1, 2e7] (exhaustive sweep, zero
+    * mismatches; PerplexitySpec re-pins a sample), and Spark's HALF_UP
+    * double round cannot disagree with C `round` on positive values
+    * because a shortest-repr double and its binary value can never
+    * straddle an x.5 boundary (x.5 is itself representable). Counts stay
+    * far below 2e7 at any tested SF; the spec asserts the bound.
+    *
+    * Scale: two gram-keyed aggregations build the model (map-side
+    * combined), then the corpus grams join the model on the gram key —
+    * the only exchanges carry (gram, doc_id) pairs and (gram, count)
+    * rows, never document text. At 100 TB the same plan holds with the
+    * grams hashed to 64-bit ints (xxhash64) so the exchange carries
+    * fixed-width keys, and a frequency-pruned model (top-V per context,
+    * CMS backstop for the tail) broadcast instead of shuffled.
+    */
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(split(text, ' '), 1,
+          |               greatest(size(split(text, ' ')) - 2, 0)),
+          |  (x, i) -> struct(concat(x, ' ', split(text, ' ')[i + 1])
+          |              AS context,
+          |            split(text, ' ')[i + 2] AS next_word))"""
+          .stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.context").as("context"),
+        col("t.next_word").as("next_word"))
+    val model = grams.groupBy(col("context"), col("next_word"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx = model.groupBy(col("context")).agg(sum(col("c3")).as("c2"))
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    grams
+      .join(model, Seq("context", "next_word"))
+      .join(ctx, Seq("context"))
+      .select(col("doc_id"), (lnMicro(col("c2")) - lnMicro(col("c3"))).as("surprise"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("surprise")).as("surprise_micronats"))
+      .select(col("doc_id"), col("n_grams"), col("surprise_micronats"),
+        (col("surprise_micronats").cast("double") / col("n_grams").cast("double"))
+          .as("avg_surprise_micronats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexitySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS context,
+      |             w[i + 2] AS next_word
+      |      FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+      |      WHERE len(w) >= 3),
+      |m AS (SELECT context, next_word, CAST(COUNT(*) AS BIGINT) AS c3
+      |      FROM g GROUP BY 1, 2),
+      |c AS (SELECT context, CAST(SUM(c3) AS BIGINT) AS c2 FROM m GROUP BY 1),
+      |s AS (SELECT g.doc_id,
+      |        CAST(round(ln(CAST(c.c2 AS DOUBLE)) * 1e6) AS BIGINT)
+      |      - CAST(round(ln(CAST(m.c3 AS DOUBLE)) * 1e6) AS BIGINT) AS surprise
+      |      FROM g
+      |      JOIN m ON g.context = m.context AND g.next_word = m.next_word
+      |      JOIN c ON g.context = c.context)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(surprise) AS BIGINT) AS surprise_micronats,
+      |  CAST(CAST(SUM(surprise) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_surprise_micronats
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

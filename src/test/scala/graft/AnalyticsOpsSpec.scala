@@ -324,4 +324,72 @@ class AnalyticsOpsSpec extends SparkSpec {
     // be a small fraction, not a fire hose (a sign/frame bug flips this)
     assert(out.length > 0 && out.length < nEvents / 10)
   }
+
+  test("triangleCount: degree-oriented count equals a brute-force recount") {
+    val row = GraphQueries.triangleCount(spark, sf).collect().head
+    // independent recount: materialize the (tiny at sf0.001) edge set
+    // and enumerate id-ordered triangles driver-side
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val tri = edges.toSeq.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size.toLong
+    }.sum // counts each triangle once: (u<v, common w>v) ∩ via u→w, v→w
+    assert(row.getLong(0) == nodes.size.toLong, "n_nodes")
+    assert(row.getLong(1) == edges.size.toLong, "n_edges")
+    assert(row.getLong(2) == tri, s"n_triangles ${row.getLong(2)} vs $tri")
+    assert(row.getLong(2) > 0, "test corpus should contain triangles")
+  }
+
+  test("mergeUpsert: actions are consistent with the raw changelog") {
+    val out = EventQueries.mergeUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val lo = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val inTarget = ev.filter(_._2.before(lo)).map(_._1).toSet
+    val srcRows = ev.filter(e => !e._2.before(lo) && e._2.before(hi))
+    val inSource = srcRows.map(_._1).toSet
+    // ts is micros-precision: order by (epoch-seconds, nanos, event_id)
+    // — a bare getTime would drop sub-millisecond ordering
+    val tombstoned = srcRows.groupBy(_._1).collect {
+      case (u, rs) if rs.maxBy(r =>
+        (r._2.getTime / 1000, r._2.getNanos.toLong, r._3))._4 == "error" => u
+    }.toSet
+    (inTarget ++ inSource).foreach { u =>
+      val expected =
+        if (!inSource.contains(u)) Some("keep")
+        else if (tombstoned.contains(u)) None // deleted
+        else if (!inTarget.contains(u)) Some("insert")
+        else Some("update")
+      assert(out.get(u) == expected, s"user $u: ${out.get(u)} vs $expected")
+    }
+    assert(out.keySet.subsetOf(inTarget ++ inSource), "no phantom keys")
+  }
+
+  test("bpeMergeStep: top pair counts match a driver-side recount") {
+    val got = TextQueries.bpeMergeStep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.load(spark, sf, "documents").select(col("text")).collect()
+      .foreach { r =>
+        r.getString(0).split(" ", -1).filter(_.length >= 2).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        }
+      }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expected)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.EmbeddingQueries
+import org.apache.spark.sql.functions.col
 
 /** ANN invariants: IVF-flat probing recovers most of the exact top-k
   * (recall), both variants return k-bounded ranked lists, and the IVF
@@ -58,6 +59,45 @@ class EmbeddingSpec extends SparkSpec {
       assert(v.length == init.head._2.length)
       assert(v.forall(x => !x.isNaN && !x.isInfinite))
     }
+  }
+
+  test("PQ ANN: two-stage (ADC shortlist + exact re-rank) recall vs brute-force L2") {
+    // independent exact-L2 baseline, derived driver-side from the raw table
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = (for {
+      (qid, qv) <- vecs.filter(_._1 < 5)
+      top = vecs.filter(_._1 != qid)
+        .map { case (nid, v) => (d2(qv, v), nid) }
+        .sortBy(identity).take(10).map(_._2)
+      nid <- top
+    } yield (qid, nid)).toSet
+    val pq = EmbeddingQueries.annPqTopK(spark, sf).collect()
+    val got = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8")
+    // the re-rank distances are the TRUE L2^2 for the emitted pairs
+    // (bit-exact: same left-to-right accumulation as the spec's d2
+    // via dot(q,q) - 2 dot(q,v) + dot(v,v) on identical doubles is NOT
+    // the same summation order, so allow an fp envelope here)
+    val byId = vecs.toMap
+    pq.foreach { r =>
+      val expΔ = d2(byId(r.getLong(0)), byId(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - expΔ) <= 1e-9 * math.max(1.0, expΔ),
+        s"dist2 ${r.getDouble(3)} vs exact $expΔ")
+    }
+    // deterministic end-to-end (k-means init, ties, ranks)
+    val again = EmbeddingQueries.annPqTopK(spark, sf).collect()
+    assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("IVF search joins probed cells only — keyed join on cent_id") {
