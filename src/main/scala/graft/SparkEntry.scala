@@ -199,6 +199,9 @@ object SparkEntry {
     "curation_pipeline" -> (TextQueries.curationPipeline _),
     "text_bpe_merge" -> (TextQueries.bpeMergeStep _),
     "text_perplexity" -> (TextQueries.perplexity _),
+    "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
+    "events_value_mad" -> (EventQueries.valueMad _),
+    "sketch_hll_rollup" -> (EventQueries.hllRollup _),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
@@ -329,6 +332,8 @@ object SparkEntry {
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,
+    "text_tfidf_terms" -> TextQueries.tfidfTermsSql,
+    "events_value_mad" -> EventQueries.valueMadSql,
     "embed_threshold_sweep" -> EmbeddingQueries.thresholdSweepSql,
     "text_normalize" -> TextQueries.normalizeTextSql,
     "docs_chunk_sliding" -> TextQueries.chunkSlidingSql,

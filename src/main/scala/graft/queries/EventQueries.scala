@@ -559,7 +559,66 @@ object EventQueries {
       | quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  // --- semi-structured props -------------------------------------------------
+  // --- robust statistics: median absolute deviation -----------------------
+  /** Per-type median and MAD (median of |x - median|) — the robust
+    * center/spread pair outlier-heavy telemetry needs where mean/stddev
+    * are dragged by the tails (the robust dual of
+    * [[anomalyZscore]]'s moment-based z).
+    *
+    * Two exact interpolated-percentile aggregations: medians first,
+    * re-joined to the events by a BROADCAST of the types-sized medians
+    * frame (the fact table is never re-shuffled for the join), then the
+    * deviation median. Parity: the interpolation arithmetic is the same
+    * formula both engines (established by [[valueQuantiles]]), and
+    * |x - med| on bit-identical doubles is IEEE-exact.
+    */
+  def valueMad(s: SparkSession, dir: String): DataFrame = {
+    val med = ev(s, dir).groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    ev(s, dir).join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueMadSql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY event_type)
+      |SELECT e.event_type, m.med,
+      | quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |FROM events e JOIN m USING (event_type)
+      |GROUP BY e.event_type, m.med ORDER BY e.event_type""".stripMargin
+
+  // --- mergeable HLL sketch rollup -----------------------------------------
+  /** Distinct users per trailing window WITHOUT re-touching events: one
+    * pass builds a daily Apache DataSketches HLL sketch per day
+    * (`hll_sketch_agg` — 4 KiB of reaggregatable state per group), and
+    * any wider window is answered by UNIONING the daily sketches
+    * (`hll_union_agg`) — the precompute-once / roll-up-anywhere pattern
+    * that makes "distinct users over any date range of a 100 TB log" an
+    * O(days) metadata query instead of a corpus re-scan. Output: per
+    * ISO week, the sketch-estimated and (for the spec) exact distinct
+    * user counts.
+    *
+    * No DuckDB oracle: the sketch registers are library-specific
+    * (DataSketches vs DuckDB's own HLL), so this is spec-pinned
+    * instead — AnalyticsOpsSpec asserts the union-of-dailies estimate
+    * EQUALS the direct weekly-sketch estimate (merge associativity)
+    * and that both land within the HLL error envelope of exact.
+    */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    daily
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_users"))
+      .orderBy(col("week"))
+  }
   /** Aggregation over a JSON payload column: `props` carries
     * `{"k": <int>}` per event; the path extract + cast + sum runs
     * without ever materializing a parsed struct. `get_json_object` is

@@ -967,6 +967,62 @@ object TextQueries {
       |FROM p GROUP BY pair
       |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  // --- TF-IDF top terms ----------------------------------------------------
+  /** Per-document top-3 terms by TF-IDF — the other classic term-weight
+    * (complements [[bm25TopTerms]], which deliberately avoided
+    * logarithms). The idf factor rides as integer MICRONATS,
+    * `round(ln(N)*1e6) - round(ln(df)*1e6)`, multiplied by the integer
+    * tf — so the score is an exact BIGINT and hash parity needs no
+    * floating-point discipline at all (ln parity over the integer
+    * domain [1, 2e7] is exhaustively verified; see [[perplexity]]).
+    *
+    * Shape: one (doc, term) aggregation, a term-keyed df aggregation
+    * over it, a 1-row broadcast for N, and a per-doc top-k window over
+    * (doc, term, score) triples — document text never enters an
+    * exchange (same scale posture as BM25).
+    */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micronats").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * (lnMicro(col("n_docs")) - lnMicro(col("df"))))
+          .as("score_micronats"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score_micronats"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM t WHERE len(term) > 0 GROUP BY doc_id, term),
+      |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, term, tf, df,
+      |         tf * (CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+      |             - CAST(round(ln(CAST(df AS DOUBLE)) * 1e6) AS BIGINT))
+      |           AS score_micronats
+      |       FROM tf JOIN d USING (term) CROSS JOIN n),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score_micronats DESC, term) AS BIGINT) AS rnk
+      |      FROM sc)
+      |SELECT doc_id, rnk, term, tf, df, score_micronats
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   // --- per-document perplexity under the corpus trigram LM ----------------
   /** Perplexity-style quality scoring — the canonical LLM-corpus filter
     * (CCNet-style: score each document by how predictable it is under a

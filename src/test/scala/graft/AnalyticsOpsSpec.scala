@@ -376,6 +376,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.keySet.subsetOf(inTarget ++ inSource), "no phantom keys")
   }
 
+  test("hllRollup: daily-sketch union == direct weekly sketch, both near exact") {
+    val rolled = EventQueries.hllRollup(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // direct weekly sketches, no daily intermediate
+    val direct = Tables.events(spark, sf)
+      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    rolled.foreach { case (wk, est) =>
+      // merge associativity: union of daily sketches == one-shot sketch
+      assert(est == direct(wk), s"week $wk: rolled $est vs direct ${direct(wk)}")
+      // HLL lgK=12 relative error envelope (~1.6% stddev; allow 5%)
+      val ex = exact(wk).toDouble
+      assert(math.abs(est - ex) <= math.max(3.0, 0.05 * ex),
+        s"week $wk: estimate $est vs exact $ex")
+    }
+  }
+
   test("bpeMergeStep: top pair counts match a driver-side recount") {
     val got = TextQueries.bpeMergeStep(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
