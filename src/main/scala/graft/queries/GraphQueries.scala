@@ -214,18 +214,27 @@ object GraphQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     // undirected edge set, canonical u < v (same basket-keyed self-join
-    // shape — and mega-basket hazard note — as copurchasePairs)
+    // shape — and mega-basket hazard note — as copurchasePairs).
+    // Materialized ONCE: deg, orientation, adjacency, and both counts
+    // all hang off this frame, and without the checkpoint each leg
+    // re-runs the self-join+distinct (the duplicated-subtree hazard
+    // pagerank documents — audited as 94 Exchanges before, 1 edge
+    // build after). Same durability trade as rankedAll's checkpoint.
     val edges = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient each edge from (deg, id)-smaller to larger
+    // orient each edge from (deg, id)-smaller to larger; deg is
+    // node-sized — broadcast (the checkpoint's LogicalRDD stats don't
+    // advertise it as small, so left alone these pick SMJ and
+    // re-exchange the edge list twice)
     val oriented = edges
-      .join(deg.as("du"), col("u") === col("du.n"))
-      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .join(broadcast(deg.as("du")), col("u") === col("du.n"))
+      .join(broadcast(deg.as("dv")), col("v") === col("dv.n"))
       .select(
         when(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")),
           struct(col("u").as("src"), col("v").as("dst")))

@@ -161,6 +161,16 @@ class CodegenSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out == Seq("a b", "café"))
   }
 
+  test("PqAdcScore compiles and runs codegen-only") {
+    // lut laid out subspace-major, kSub=4: subspace 0 -> [0,1,2,3],
+    // subspace 1 -> [10,11,12,13]; codes (2, 1) -> 2.0 + 11.0
+    val out = Seq((Seq(0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0), Seq(2, 1)))
+      .toDF("lut", "code")
+      .select(graft.functions.PqAdcScore(col("lut"), col("code"), 4).as("s"))
+      .collect().head.getDouble(0)
+    assert(out == 13.0)
+  }
+
   test("CmsEstimate rejects a non-sketch blob with a descriptive error") {
     val e = intercept[Exception] {
       Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("sk")

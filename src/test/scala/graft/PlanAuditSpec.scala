@@ -1,0 +1,33 @@
+package graft
+
+/** Plan-shape audit for the round-6 operators: none of them may plan a
+  * CartesianProduct (the only nested-loop joins allowed are 1-row /
+  * broadcast legs), and the triangle count must keep its edge build
+  * materialized — without the localCheckpoint the three output legs
+  * re-run the basket self-join + distinct each (audited at 94 Exchanges
+  * vs 22 after).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val audited = Seq(
+    "text_tfidf_terms" -> (graft.queries.TextQueries.tfidfTerms _),
+    "text_perplexity" -> (graft.queries.TextQueries.perplexity _),
+    "graph_triangles" -> (graft.queries.GraphQueries.triangleCount _),
+    "merge_upsert" -> (graft.queries.EventQueries.mergeUpsert _),
+    "events_value_mad" -> (graft.queries.EventQueries.valueMad _))
+
+  test("round-6 operators plan no CartesianProduct") {
+    audited.foreach { case (name, f) =>
+      val p = planOf(f(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("triangle count materializes the edge build once (no SMJ, bounded exchanges)") {
+    val p = planOf(graft.queries.GraphQueries.triangleCount(spark, sf))
+    // deg joins must broadcast (node-sized), never re-exchange the edges
+    assert(!p.contains("SortMergeJoin"), s"deg join regressed to SMJ:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 30, s"edge build duplicated again ($exchanges exchanges):\n$p")
+  }
+}
