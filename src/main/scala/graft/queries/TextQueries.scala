@@ -656,9 +656,12 @@ object TextQueries {
     */
   def bigrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // Tokenize once per document — inlining `split` into the lambda
+      // re-tokenizes the whole text per element (O(words²) per doc).
+      .select(split(col("text"), " ").as("w"))
       .select(explode(expr(
-        """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-          |  (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))""".stripMargin))
+        """transform(slice(w, 1, size(w) - 1),
+          |  (x, i) -> concat(x, ' ', w[i + 1]))""".stripMargin))
         .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
@@ -685,12 +688,13 @@ object TextQueries {
     */
   def trigramLm(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // Tokenize once per document (see [[bigrams]] — the inlined
+      // spelling is O(words²) per doc).
+      .select(split(col("text"), " ").as("w"))
       .select(explode(expr(
-        """transform(slice(split(text, ' '), 1,
-          |               greatest(size(split(text, ' ')) - 2, 0)),
-          |  (x, i) -> struct(concat(x, ' ', split(text, ' ')[i + 1])
-          |              AS context,
-          |            split(text, ' ')[i + 2] AS next_word))"""
+        """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+          |  (x, i) -> struct(concat(x, ' ', w[i + 1]) AS context,
+          |            w[i + 2] AS next_word))"""
           .stripMargin)).as("t"))
       .select(col("t.context").as("context"), col("t.next_word").as("next_word"))
       .groupBy(col("context"), col("next_word"))
@@ -775,10 +779,12 @@ object TextQueries {
     */
   def repeatedPassages(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // Tokenize once per document (see [[bigrams]] — the inlined
+      // spelling is O(words²) per doc).
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(slice(split(text, ' '), 1,
-          |               greatest(size(split(text, ' ')) - 4, 0)),
-          |  (x, i) -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"""
+        """transform(slice(w, 1, greatest(size(w) - 4, 0)),
+          |  (x, i) -> concat_ws(' ', slice(w, i + 1, 5)))"""
           .stripMargin))).as("passage"))
       .groupBy(col("passage"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -1043,36 +1049,65 @@ object TextQueries {
     * straddle an x.5 boundary (x.5 is itself representable). Counts stay
     * far below 2e7 at any tested SF; the spec asserts the bound.
     *
-    * Scale: two gram-keyed aggregations build the model (map-side
-    * combined), then the corpus grams join the model on the gram key —
-    * the only exchanges carry (gram, doc_id) pairs and (gram, count)
-    * rows, never document text. At 100 TB the same plan holds with the
-    * grams hashed to 64-bit ints (xxhash64) so the exchange carries
-    * fixed-width keys, and a frequency-pruned model (top-V per context,
-    * CMS backstop for the tail) broadcast instead of shuffled.
+    * Scale: the corpus is exploded ONCE into per-document gram counts
+    * (doc_id, context, next_word, k) — one gram-keyed aggregation with
+    * map-side combine — and `localCheckpoint`ed so the model derives
+    * from the same materialization the probe side reads (without it,
+    * Catalyst re-runs the split/transform/explode subtree for every
+    * consumer; same durability trade as pagerank's adjacency — a lost
+    * executor recomputes, `checkpoint(reliable)` is the cluster
+    * spelling). The model (c3) and its context totals (c2) are
+    * aggregates over DISTINCT doc-grams, so their join is model-sized,
+    * not corpus-sized; the probe then shuffles gram-count rows exactly
+    * once. Per-doc surprise rides as k·(lnµc2 − lnµc3), an exact
+    * integer identical to summing per occurrence. At 100 TB the same
+    * plan holds with the grams hashed to 64-bit ints (xxhash64) so the
+    * exchange carries fixed-width keys, and a frequency-pruned model
+    * (top-V per context, CMS backstop for the tail) broadcast instead
+    * of shuffled.
     */
   def perplexity(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    // Grams ride every exchange as two fixed-width 64-bit hashes
+    // (gram_h keys the trigram, ctx_h its two-word context) instead of
+    // the strings themselves — the output exposes only per-document
+    // integer sums, never gram keys, so grouping by hash is
+    // observation-equivalent unless xxhash64 collides (~1e-7 at a
+    // billion distinct grams; a collision would merge two counts and
+    // fail the hash-exact oracle gate loudly rather than silently).
+    val docGrams = docs(s, dir)
+      // Tokenize ONCE per document in a lower projection: inlining
+      // `split` into the transform lambda re-tokenizes the whole text
+      // for every element (`w[i+1]` is a full split) — O(words²) per
+      // doc. CollapseProject keeps the alias separate because it is
+      // non-cheap and multiply-referenced.
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
-        """transform(slice(split(text, ' '), 1,
-          |               greatest(size(split(text, ' ')) - 2, 0)),
-          |  (x, i) -> struct(concat(x, ' ', split(text, ' ')[i + 1])
-          |              AS context,
-          |            split(text, ' ')[i + 2] AS next_word))"""
-          .stripMargin)).as("t"))
-      .select(col("doc_id"), col("t.context").as("context"),
-        col("t.next_word").as("next_word"))
-    val model = grams.groupBy(col("context"), col("next_word"))
-      .agg(count(lit(1)).as("c3"))
-    val ctx = model.groupBy(col("context")).agg(sum(col("c3")).as("c2"))
+        """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+          |  (x, i) -> struct(xxhash64(concat(x, ' ', w[i + 1])) AS ctx_h,
+          |            xxhash64(concat(x, ' ', w[i + 1]), w[i + 2])
+          |              AS gram_h))""".stripMargin)).as("t"))
+      .groupBy(col("t.gram_h").as("gram_h"), col("t.ctx_h").as("ctx_h"),
+        col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+      // Pin the materialized partitioning to the gram key: the model
+      // aggregation (groupBy gram_h) and the probe join both reuse it
+      // exchange-free — localCheckpoint preserves the physical
+      // partitioning in the LogicalRDD it leaves behind.
+      .repartition(col("gram_h"))
+      .localCheckpoint()
+    val model = docGrams.groupBy(col("gram_h"), col("ctx_h"))
+      .agg(sum(col("k")).as("c3"))
+    val ctx = model.groupBy(col("ctx_h")).agg(sum(col("c3")).as("c2"))
     val lnMicro = (c: Column) =>
       round(log(c.cast("double")) * lit(1e6)).cast("long")
-    grams
-      .join(model, Seq("context", "next_word"))
-      .join(ctx, Seq("context"))
-      .select(col("doc_id"), (lnMicro(col("c2")) - lnMicro(col("c3"))).as("surprise"))
+    val scored = model.join(ctx, Seq("ctx_h"))
+      .select(col("gram_h"),
+        (lnMicro(col("c2")) - lnMicro(col("c3"))).as("surprise"))
+    docGrams
+      .join(scored, Seq("gram_h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("surprise")).as("surprise_micronats"))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(col("k") * col("surprise")).as("surprise_micronats"))
       .select(col("doc_id"), col("n_grams"), col("surprise_micronats"),
         (col("surprise_micronats").cast("double") / col("n_grams").cast("double"))
           .as("avg_surprise_micronats"))
