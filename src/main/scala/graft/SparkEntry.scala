@@ -173,7 +173,11 @@ object SparkEntry {
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
     "graph_copurchase" -> (GraphQueries.copurchasePairs _),
-    "graph_triangles" -> (GraphQueries.triangleCount _),
+    "graph_triangles" -> ((s, d) => GraphQueries.triangleCount(s, d)),
+    // the beyond-broadcast spelling: same joins, hash-partitioned —
+    // same oracle, so the driver proves count equality between modes
+    "graph_triangles_partitioned" ->
+      ((s, d) => GraphQueries.triangleCount(s, d, broadcastAdj = false)),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -201,6 +205,7 @@ object SparkEntry {
     "text_perplexity" -> (TextQueries.perplexity _),
     "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
     "events_value_mad" -> (EventQueries.valueMad _),
+    "events_value_mad_approx" -> ((s, d) => EventQueries.valueMadApprox(s, d)),
     "sketch_hll_rollup" -> (EventQueries.hllRollup _),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
@@ -329,6 +334,7 @@ object SparkEntry {
     "graph_pagerank" -> GraphQueries.pagerankSql,
     "graph_copurchase" -> GraphQueries.copurchasePairsSql,
     "graph_triangles" -> GraphQueries.triangleCountSql,
+    "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,

@@ -21,6 +21,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * per row; this generates a flat Java loop inside whole-stage codegen
   * and allocates nothing. `kSub` is a plan-time literal baked into the
   * generated code.
+  *
+  * INVARIANTS (caller's contract): every `code[j]` is in [0, kSub) and
+  * `lut.numElements() == m * kSub` where m = code length. The codegen'd
+  * path trusts them — per-element branches are exactly what this
+  * expression exists to avoid, and its producer ([[graft.queries
+  * .EmbeddingQueries.annPqTopK]]) guarantees both by construction
+  * (codes are argmins over kSub centroids; the LUT is built as m*kSub
+  * literals). The interpreted path, which public `Column` users hit
+  * first (and always under ANSI-off constant folding), validates them
+  * and fails loudly instead of reading past the array.
   */
 case class PqAdcScore(left: Expression, right: Expression, kSub: Int)
     extends BinaryExpression {
@@ -32,9 +42,15 @@ case class PqAdcScore(left: Expression, right: Expression, kSub: Int)
     val lut = a.asInstanceOf[ArrayData]
     val code = b.asInstanceOf[ArrayData]
     val m = code.numElements()
+    require(lut.numElements() == m * kSub,
+      s"PqAdcScore: lut has ${lut.numElements()} entries, expected m*kSub = ${m * kSub}")
     var s = 0.0
     var j = 0
-    while (j < m) { s += lut.getDouble(j * kSub + code.getInt(j)); j += 1 }
+    while (j < m) {
+      val c = code.getInt(j)
+      require(c >= 0 && c < kSub, s"PqAdcScore: code[$j] = $c outside [0, $kSub)")
+      s += lut.getDouble(j * kSub + c); j += 1
+    }
     s
   }
 

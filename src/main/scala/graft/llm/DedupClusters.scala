@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   * O(log n) rounds with the identical per-round shuffle shape — the
   * swap is local to this function.)
   *
-  * Lineage hygiene: each round's labels are `localCheckpoint`ed so the
-  * plan does not grow by one join per iteration (an unbounded logical
-  * plan is itself a scale bug: analysis time explodes long before the
-  * data does).
+  * Lineage hygiene: each round's labels are materialized
+  * ([[graft.Graft.materialize]] — conf-selected local vs reliable
+  * checkpoint) so the plan does not grow by one join per iteration (an
+  * unbounded logical plan is itself a scale bug: analysis time
+  * explodes long before the data does).
   */
 object DedupClusters {
 
@@ -40,16 +41,16 @@ object DedupClusters {
     *   (silent non-convergence would return plausible-but-wrong groups)
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .union(edges.select(col("dst").cast("long").as("src"),
-        col("src").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val sym = graft.Graft.materialize(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .union(edges.select(col("dst").cast("long").as("src"),
+          col("src").cast("long").as("dst")))
+        .distinct())
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+    var labels = graft.Graft.materialize(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
 
     var round = 0
     var converged = false
@@ -57,14 +58,13 @@ object DedupClusters {
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("component")).as("nmin"))
-      val next = labels
+      val next = graft.Graft.materialize(labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"),
           (coalesce(col("nmin"), col("component")) < col("component"))
-            .as("changed"))
-        .localCheckpoint()
+            .as("changed")))
       converged = next.filter(col("changed")).limit(1).isEmpty
       labels = next.select(col("id"), col("component"))
       round += 1

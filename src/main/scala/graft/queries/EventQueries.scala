@@ -591,6 +591,28 @@ object EventQueries {
       |FROM events e JOIN m USING (event_type)
       |GROUP BY e.event_type, m.med ORDER BY e.event_type""".stripMargin
 
+  /** The 100 TB spelling of [[valueMad]]: exact `percentile` buffers
+    * every group's values for a per-group sort, so its memory is
+    * data-sized; `percentile_approx` (KLL-style mergeable sketch,
+    * bounded state, map-side partial merge) replaces it in BOTH passes
+    * with everything else — the broadcast medians re-join, the
+    * IEEE-exact |x − med| — unchanged. Same exact/approx twin pattern
+    * as [[Relational.customerRfmApprox]]. No oracle (sketch internals
+    * are engine-specific); AnalyticsOpsSpec bounds its divergence from
+    * the exact twin.
+    */
+  def valueMadApprox(s: SparkSession, dir: String,
+                     accuracy: Int = 10000): DataFrame = {
+    val med = ev(s, dir).groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("med"))
+    ev(s, dir).join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(percentile_approx(col("dev"), lit(0.5), lit(accuracy)).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
   // --- mergeable HLL sketch rollup -----------------------------------------
   /** Distinct users per trailing window WITHOUT re-touching events: one
     * pass builds a daily Apache DataSketches HLL sketch per day
@@ -598,9 +620,11 @@ object EventQueries {
     * any wider window is answered by UNIONING the daily sketches
     * (`hll_union_agg`) — the precompute-once / roll-up-anywhere pattern
     * that makes "distinct users over any date range of a 100 TB log" an
-    * O(days) metadata query instead of a corpus re-scan. Output: per
-    * ISO week, the sketch-estimated and (for the spec) exact distinct
-    * user counts.
+    * O(days) metadata query instead of a corpus re-scan. Output: one
+    * row per week — keyed by the week's Monday START DATE
+    * (`date_trunc('week')`), which is year-aware, unlike a bare
+    * `weekofyear` number that would merge same-numbered ISO weeks from
+    * different years — with the sketch-estimated distinct user count.
     *
     * No DuckDB oracle: the sketch registers are library-specific
     * (DataSketches vs DuckDB's own HLL), so this is spec-pinned
@@ -614,10 +638,10 @@ object EventQueries {
       .groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
     daily
-      .groupBy(weekofyear(col("day")).as("week"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("approx_users"))
-      .orderBy(col("week"))
+      .orderBy(col("week_start"))
   }
   /** Aggregation over a JSON payload column: `props` carries
     * `{"k": <int>}` per event; the path extract + cast + sum runs

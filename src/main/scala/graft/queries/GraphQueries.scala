@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Graft, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,11 +70,12 @@ object GraphQueries {
     // Durability trade: localCheckpoint stores the adjacency in
     // NON-REPLICATED executor storage — on a real cluster a lost
     // executor forces a recompute of the edge build (acceptable for a
-    // 3-iteration job; `spark.sparkContext.setCheckpointDir` +
-    // `.checkpoint()` (reliable) is the cluster spelling when
-    // iterations are many or executors preemptible).
-    val adj = edges.join(deg, "src")
-      .repartition(col("src")).localCheckpoint()
+    // 3-iteration job); set spark.graft.checkpoint.reliable=true (+ a
+    // checkpoint dir) and Graft.materialize switches every such site
+    // to reliable `.checkpoint()` when iterations are many or
+    // executors preemptible.
+    val adj = Graft.materialize(edges.join(deg, "src")
+      .repartition(col("src")))
 
     // initial ranks FROM THE CHECKPOINT (deriving them from `deg`
     // would silently recompute the whole scan→join→distinct edge
@@ -199,17 +200,34 @@ object GraphQueries {
     * graph is dense and near-regular, so orientation can't thin it);
     * this spelling broadcasts the node-keyed adjacency table (|E| longs
     * total) and NOTHING wedge-sized ever exists, in memory or on the
-    * wire — measured 15.5 s → sub-second at sf0.1. On a graph whose
-    * adjacency outgrows a broadcast (billions of nodes), the same
-    * two joins run hash-partitioned on src/dst and the exchange cost
-    * returns to wedge volume — that spelling is the general fallback;
-    * the crossover is the broadcast threshold.
+    * wire — measured 15.5 s → sub-second at sf0.1.
+    *
+    * On a graph whose adjacency outgrows a broadcast (billions of
+    * nodes), `broadcastAdj = false` (or session conf
+    * `spark.graft.triangles.broadcastAdj=false`) runs the SAME two
+    * joins hash-partitioned — SHUFFLE_HASH-hinted, keyed on src/dst —
+    * so no node-keyed table ever has to fit on one executor; the
+    * degree joins drop their broadcast hints too (deg is node-sized
+    * and outgrows a broadcast at the same scale as the adjacency).
+    * The per-partition work is identical (the codegen'd two-pointer
+    * intersect); only the exchange pattern changes, and its cost is
+    * |E| adjacency rows shuffled per join instead of a broadcast —
+    * still edge-volume, NOT wedge-volume, because the intersect still
+    * never materializes wedges. The crossover is the broadcast
+    * threshold; both spellings are registered and oracle-checked
+    * (`graph_triangles` / `graph_triangles_partitioned`), and
+    * PlanAuditSpec pins the partitioned plan to zero BroadcastHashJoin.
     *
     * The count is orientation-invariant, so the oracle can use the
     * naive id-ordered SQL and must agree exactly. Output: one row
     * (n_nodes, n_edges, n_triangles) — integer counts, hash-exact.
     */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCount(s, dir,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def triangleCount(s: SparkSession, dir: String,
+                    broadcastAdj: Boolean): DataFrame = {
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -219,22 +237,26 @@ object GraphQueries {
     // all hang off this frame, and without the checkpoint each leg
     // re-runs the self-join+distinct (the duplicated-subtree hazard
     // pagerank documents — audited as 94 Exchanges before, 1 edge
-    // build after). Same durability trade as rankedAll's checkpoint.
-    val edges = items.as("a")
+    // build after). Same durability trade as rankedAll's checkpoint
+    // (Graft.materialize: conf-selected local vs reliable).
+    val edges = Graft.materialize(items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient each edge from (deg, id)-smaller to larger; deg is
     // node-sized — broadcast (the checkpoint's LogicalRDD stats don't
     // advertise it as small, so left alone these pick SMJ and
-    // re-exchange the edge list twice)
+    // re-exchange the edge list twice). In partitioned mode the same
+    // joins run as shuffled hash joins building on the (smaller) deg
+    // side.
+    val side: DataFrame => DataFrame =
+      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
     val oriented = edges
-      .join(broadcast(deg.as("du")), col("u") === col("du.n"))
-      .join(broadcast(deg.as("dv")), col("v") === col("dv.n"))
+      .join(side(deg.as("du")), col("u") === col("du.n"))
+      .join(side(deg.as("dv")), col("v") === col("dv.n"))
       .select(
         when(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")),
           struct(col("u").as("src"), col("v").as("dst")))
@@ -243,12 +265,17 @@ object GraphQueries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // sorted out-adjacency per node; an edge whose dst has no out-edges
     // closes no triangle, so the inner join on dst drops it correctly
-    val outAdj = oriented.groupBy(col("src"))
+    val outAdj0 = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // Partitioned mode consumes the adjacency in TWO shuffled joins —
+    // materialize it once (broadcast mode already computes it once per
+    // broadcast, driver-side, and re-checkpointing would only add a
+    // copy).
+    val outAdj = if (broadcastAdj) outAdj0 else Graft.materialize(outAdj0)
     val perEdge = oriented
-      .join(broadcast(outAdj.select(col("src").as("au"), col("nbrs").as("nu"))),
+      .join(side(outAdj.select(col("src").as("au"), col("nbrs").as("nu"))),
         col("src") === col("au"))
-      .join(broadcast(outAdj.select(col("src").as("av"), col("nbrs").as("nv"))),
+      .join(side(outAdj.select(col("src").as("av"), col("nbrs").as("nv"))),
         col("dst") === col("av"))
       .select(graft.functions.SortedLongIntersectSize(col("nu"), col("nv")).as("c"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))

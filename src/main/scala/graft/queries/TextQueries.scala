@@ -1074,7 +1074,7 @@ object TextQueries {
     // observation-equivalent unless xxhash64 collides (~1e-7 at a
     // billion distinct grams; a collision would merge two counts and
     // fail the hash-exact oracle gate loudly rather than silently).
-    val docGrams = docs(s, dir)
+    val docGrams = graft.Graft.materialize(docs(s, dir)
       // Tokenize ONCE per document in a lower projection: inlining
       // `split` into the transform lambda re-tokenizes the whole text
       // for every element (`w[i+1]` is a full split) — O(words²) per
@@ -1091,10 +1091,9 @@ object TextQueries {
       .agg(count(lit(1)).as("k"))
       // Pin the materialized partitioning to the gram key: the model
       // aggregation (groupBy gram_h) and the probe join both reuse it
-      // exchange-free — localCheckpoint preserves the physical
+      // exchange-free — the checkpoint preserves the physical
       // partitioning in the LogicalRDD it leaves behind.
-      .repartition(col("gram_h"))
-      .localCheckpoint()
+      .repartition(col("gram_h")))
     val model = docGrams.groupBy(col("gram_h"), col("ctx_h"))
       .agg(sum(col("k")).as("c3"))
     val ctx = model.groupBy(col("ctx_h")).agg(sum(col("c3")).as("c2"))

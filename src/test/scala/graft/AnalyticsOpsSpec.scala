@@ -297,6 +297,25 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"agreement ${agree}/${agree + offByOne}")
   }
 
+  test("valueMadApprox: sketch percentiles track the exact MAD per type") {
+    val exact = EventQueries.valueMad(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = EventQueries.valueMadApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // percentile_approx returns a sample value (no interpolation), so
+    // the twins differ by at most one inter-value gap — bound each
+    // estimate by 5% of the exact scale (mad is the natural scale for
+    // both columns; med differences feed mad's, so the same envelope
+    // covers both)
+    exact.foreach { case (t, (eMed, eMad)) =>
+      val (aMed, aMad) = approx(t)
+      val tol = math.max(0.05 * eMad, 1e-9)
+      assert(math.abs(aMed - eMed) <= tol, s"$t med: $aMed vs $eMed")
+      assert(math.abs(aMad - eMad) <= tol, s"$t mad: $aMad vs $eMad")
+    }
+  }
+
   test("typedGroupStats: partition-layout-invariant (merge is associative)") {
     val base = EventQueries.typedGroupStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
@@ -378,17 +397,17 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   test("hllRollup: daily-sketch union == direct weekly sketch, both near exact") {
     val rolled = EventQueries.hllRollup(spark, sf).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     // direct weekly sketches, no daily intermediate
     val direct = Tables.events(spark, sf)
-      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
         .as("est"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     val exact = Tables.events(spark, sf)
-      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
       .agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(rolled.keySet == exact.keySet)
     rolled.foreach { case (wk, est) =>
       // merge associativity: union of daily sketches == one-shot sketch

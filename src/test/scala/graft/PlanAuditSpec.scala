@@ -12,7 +12,12 @@ class PlanAuditSpec extends SparkSpec {
   private val audited = Seq(
     "text_tfidf_terms" -> (graft.queries.TextQueries.tfidfTerms _),
     "text_perplexity" -> (graft.queries.TextQueries.perplexity _),
-    "graph_triangles" -> (graft.queries.GraphQueries.triangleCount _),
+    "graph_triangles" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.queries.GraphQueries.triangleCount(s, d)),
+    "graph_triangles_partitioned" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.queries.GraphQueries.triangleCount(s, d, broadcastAdj = false)),
     "merge_upsert" -> (graft.queries.EventQueries.mergeUpsert _),
     "events_value_mad" -> (graft.queries.EventQueries.valueMad _))
 
@@ -29,5 +34,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"deg join regressed to SMJ:\n$p")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
     assert(exchanges <= 30, s"edge build duplicated again ($exchanges exchanges):\n$p")
+  }
+
+  test("partitioned triangle count plans NO broadcast hash join anywhere") {
+    val p = planOf(
+      graft.queries.GraphQueries.triangleCount(spark, sf, broadcastAdj = false))
+    // the beyond-broadcast spelling: adjacency AND degree joins are
+    // shuffled hash joins keyed on src/dst — nothing node-sized is ever
+    // collected to one executor. (The three 1-row count legs at the top
+    // combine via BroadcastNestedLoopJoin — scalar, allowed.)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"partitioned spelling broadcasts a node-keyed table:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"partitioned spelling lost its shuffle-hash joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hint ignored, SMJ planned:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 40,
+      s"partitioned spelling duplicated a build ($exchanges exchanges):\n$p")
+  }
+
+  test("both triangle spellings count the same triangles") {
+    val b = graft.queries.GraphQueries.triangleCount(spark, sf).collect().head
+    val h = graft.queries.GraphQueries.triangleCount(spark, sf, broadcastAdj = false)
+      .collect().head
+    assert(b.toSeq == h.toSeq,
+      s"broadcast ${b.toSeq} != partitioned ${h.toSeq}")
   }
 }
