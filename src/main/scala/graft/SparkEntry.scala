@@ -202,6 +202,7 @@ object SparkEntry {
     "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
     "curation_pipeline" -> (TextQueries.curationPipeline _),
     "text_bpe_merge" -> (TextQueries.bpeMergeStep _),
+    "text_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
     "text_perplexity" -> (TextQueries.perplexity _),
     "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
     "events_value_mad" -> (EventQueries.valueMad _),

@@ -973,6 +973,77 @@ object TextQueries {
       |FROM p GROUP BY pair
       |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  /** Multi-round BPE induction — the trainable loop [[bpeMergeStep]] is
+    * one step of: each round counts adjacent SYMBOL pairs over the
+    * vocabulary (weighted by word count), takes the most frequent pair
+    * as the next merge rule, APPLIES it to every vocabulary word
+    * (greedy left-to-right, non-overlapping — the Sennrich 2016
+    * convention), and recounts. Output: one row per round,
+    * `(round, a, b, n_occurrences)`, the merge table in induction
+    * order — which IS the trained tokenizer.
+    *
+    * Scale shape, preserved per iteration: the corpus collapses to the
+    * (word, count) vocabulary ONCE; every round's pair count, argmax,
+    * and merge application are vocabulary-sized (millions of rows at
+    * 100 TB, never the corpus). The per-round driver sync is ONE row —
+    * the winning rule — which is irreducible: rule k+1's counts depend
+    * on rule k having been applied (this is the same
+    * iterate-with-metadata-sync posture as k-means training). Each
+    * round's vocab is re-materialized ([[graft.Graft.materialize]]) so
+    * the plan doesn't grow by a fold per round. The merge fold runs as
+    * a codegen'd higher-order `aggregate`: symbols accumulate
+    * left-to-right, the rule fires whenever the accumulator's tail is
+    * `a` and the next symbol is `b` — on "aaa" with rule (a,a) that
+    * yields [aa, a], the non-overlapping greedy BPE convention.
+    *
+    * No SQL oracle: the loop is adaptive (round k's query depends on
+    * round k-1's answer), so AnalyticsOpsSpec pins it against an
+    * independent driver-side reference induction instead.
+    */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    var vocab = graft.Graft.materialize(
+      docs(s, dir)
+        .select(explode(words).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(expr("split(word, '')").as("syms"), col("n")))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))""".stripMargin))
+          .as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((r, a, b, cnt))
+        val merged = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x))))
+        vocab = graft.Graft.materialize(
+          vocab.select(merged.as("syms"), col("n")))
+        r += 1
+      }
+    }
+    import s.implicits._
+    rules.toSeq.toDF("round", "a", "b", "n_occurrences")
+      .select(col("round").cast("long").as("round"), col("a"), col("b"),
+        col("n_occurrences"))
+  }
+
   // --- TF-IDF top terms ----------------------------------------------------
   /** Per-document top-3 terms by TF-IDF — the other classic term-weight
     * (complements [[bm25TopTerms]], which deliberately avoided

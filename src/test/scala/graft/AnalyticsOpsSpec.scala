@@ -419,6 +419,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain: 3 merge rounds match an independent driver-side induction") {
+    val got = TextQueries.bpeTrain(spark, sf, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // reference induction over the same vocabulary, plain Scala
+    var vocab: Map[Vector[String], Long] =
+      Tables.load(spark, sf, "documents").select(col("text")).collect()
+        .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+        .groupBy(identity).map { case (w, ws) =>
+          w.map(_.toString).toVector -> ws.length.toLong
+        }
+    val expected = (1L to 3L).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      val ((a, b), cnt) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      // greedy left-to-right non-overlapping merge, same fold as engine
+      vocab = vocab.groupMapReduce { case (syms, _) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (acc.last + x)
+          else acc :+ x
+        }
+      } { case (_, n) => n } (_ + _)
+      (r, a, b, cnt)
+    }
+    assert(got == expected)
+  }
+
   test("bpeMergeStep: top pair counts match a driver-side recount") {
     val got = TextQueries.bpeMergeStep(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
