@@ -444,14 +444,21 @@ object EmbeddingQueries {
     * the row's `v` — a narrow literal-codebook map, corpus never
     * shuffled to encode (same property as assignCells).
     */
-  private def pqCells(codebooks: Seq[Seq[Seq[Double]]], dSub: Int): Column =
-    array(codebooks.zipWithIndex.map { case (cb, j) =>
-      val xj = slice(col("v"), j * dSub + 1, dSub)
-      val scores = array(cb.map { c =>
-        dot(xj, typedLit(c)) - lit(c.map(x => x * x).sum / 2.0)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }: _*)
+  /** Codes for every vector against the flat [j][c][d] codebook — one
+    * codegen'd triple loop ([[graft.functions.PqEncode]]). The previous
+    * combinator spelling (m·kSub slice+dot expressions per row)
+    * generated past janino's 64 KB method cap, and Spark's silent
+    * fallback ran the whole corpus-side encoding projection
+    * INTERPRETED.
+    */
+  private def pqCells(codebooks: Seq[Seq[Seq[Double]]], dSub: Int): Column = {
+    val kSub = codebooks.head.length
+    graft.functions.PqEncode(
+      col("v"),
+      typedLit(codebooks.flatten.flatten),
+      typedLit(codebooks.flatMap(_.map(_.map(x => x * x).sum / 2.0))),
+      kSub, dSub)
+  }
 
   /** Two-stage product-quantization ANN: PQ-ADC shortlist + exact
     * re-rank — the standard high-recall PQ deployment (Jégou et al.
@@ -483,14 +490,12 @@ object EmbeddingQueries {
       .select(col("vec_id").as("neighbor_id"), col("code"))
     // per-query ADC lookup table: lut[j*kSub + c] = |q_j - c|^2
     //                            = q_j·q_j - 2 q_j·c + |c|^2
-    // (built as literal-centroid expressions on the tiny query side)
-    val lut = array(codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      val qj = slice(col("qv"), j * dSub + 1, dSub)
-      cb.map { c =>
-        dot(qj, qj) - lit(2.0) * dot(qj, typedLit(c)) +
-          lit(c.map(x => x * x).sum)
-      }
-    }: _*)
+    // (codegen'd fused loop over the literal codebook; see PqAdcLut)
+    val lut = graft.functions.PqAdcLut(
+      col("qv"),
+      typedLit(codebooks.flatten.flatten),
+      typedLit(codebooks.flatMap(_.map(_.map(x => x * x).sum))),
+      kSub, dSub)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("lut", lut)

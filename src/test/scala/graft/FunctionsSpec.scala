@@ -206,4 +206,43 @@ class FunctionsSpec extends SparkSpec {
       .select(graft.functions.NormalizeText(col("s")).as("n")).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("PqEncode and PqAdcLut match a driver-side reference on random inputs") {
+    val rnd = new scala.util.Random(7)
+    val m = 4; val kSub = 5; val dSub = 3
+    val cb: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m, kSub, dSub)(rnd.nextDouble() * 2 - 1)
+    val vecs: Seq[Seq[Double]] =
+      Seq.fill(25)(Seq.fill(m * dSub)(rnd.nextDouble() * 2 - 1))
+    val flat = cb.flatten.flatten
+    val hn = cb.flatMap(_.map(_.map(x => x * x).sum / 2.0))
+    val cn = cb.flatMap(_.map(_.map(x => x * x).sum))
+    val got = vecs.toDF("v").select(
+      graft.functions.PqEncode(col("v"), typedLit(flat), typedLit(hn),
+        kSub, dSub).as("code"),
+      graft.functions.PqAdcLut(col("v"), typedLit(flat), typedLit(cn),
+        kSub, dSub).as("lut")).collect()
+    vecs.zip(got).foreach { case (v, row) =>
+      val expCode = (0 until m).map { j =>
+        val scores = (0 until kSub).map { c =>
+          val dotv = (0 until dSub).map(d => v(j * dSub + d) * cb(j)(c)(d)).sum
+          dotv - hn(j * kSub + c)
+        }
+        scores.indexOf(scores.max)
+      }
+      assert(row.getSeq[Int](0) == expCode)
+      val expLut = (0 until m).flatMap { j =>
+        val qq = (0 until dSub).map(d => v(j * dSub + d) * v(j * dSub + d)).sum
+        (0 until kSub).map { c =>
+          val qc = (0 until dSub).map(d => v(j * dSub + d) * cb(j)(c)(d)).sum
+          qq - 2.0 * qc + cn(j * kSub + c)
+        }
+      }
+      val lut = row.getSeq[Double](1)
+      assert(lut.size == m * kSub)
+      lut.zip(expLut).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)))
+      }
+    }
+  }
 }
