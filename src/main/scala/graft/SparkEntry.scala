@@ -219,6 +219,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
+    "dedup_prefix_jaccard" -> ((s, d) => TextQueries.dedupPrefixJaccard(s, d)),
     "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
     "dedup_keep_best" -> (graft.llm.DedupClusters.dedupKeepBest _),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
@@ -230,6 +231,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
+    "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedup(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
     "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
@@ -349,6 +351,7 @@ object SparkEntry {
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "dedup_prefix_jaccard" -> TextQueries.dedupPrefixJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
     "dedup_keep_best" -> graft.llm.DedupClusters.dedupKeepBestSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,

@@ -166,6 +166,70 @@ object EmbeddingQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // --- semantic dedup: cluster-then-prune --------------------------------------
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then within
+    * each cluster mark as duplicates the vectors whose cosine to a
+    * LOWER-ID cluster-mate reaches `tau`. The keep rule — a vector
+    * survives iff it is the minimum id in its own tau-neighborhood —
+    * is the [[graft.queries.TextQueries.dedupExact]] min-keep rule
+    * lifted to semantic space, and unlike a greedy sequential sweep it
+    * is order-free: every (a, b) decision depends only on that pair,
+    * so the prune parallelizes as a plain pair join.
+    *
+    * Output: one row per clustered vector — (vec_id, cell, keep,
+    * dup_of) where dup_of is the LOWEST-id tau-neighbor that shadows a
+    * dropped vector (NULL for survivors).
+    *
+    * Plan shape at 100 TB:
+    *   - clustering reuses [[trainCodebook]] (shuffle-free literal-
+    *     codebook assignment; driver holds k x dim doubles only);
+    *   - the within-cell pair join NEVER goes all-pairs across the
+    *     corpus: candidates share a cell key, and each cell is
+    *     block-split 8x8 ([[graft.queries.TextQueries.dedupNgramJaccard]]'s
+    *     triangle trick) so a hot cell fans out over 36 tasks instead
+    *     of one straggler — SemDeDup's published cost model (k grows
+    *     with corpus size, keeping cells bounded) is exactly what keeps
+    *     this join linear-ish;
+    *   - vectors cross the wire once per candidate side with
+    *     precomputed norms; the verdict join back to the corpus is
+    *     id-keyed (8-byte keys), never vector-keyed.
+    *
+    * No DuckDB oracle (k-means cells are engine-specific);
+    * EmbeddingSpec pins a planted near-identical pair (dropped, with
+    * the right dup_of) and a distant negative control (kept).
+    */
+  def semDedup(s: SparkSession, dir: String, nCent: Int = 16,
+               tau: Double = 0.9): DataFrame = {
+    val nBlocks = 8
+    val codebook = trainCodebook(s, dir, nCent)
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0) // see annTopK
+    val cells = assignCells(e, codebook)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
+    val a = cells.select(col("cell"), col("blk").as("blk_a"),
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("blk_b"),
+      col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = cells.select(col("cell"),
+      explode(sequence(lit(0), col("blk"))).as("blk_a"), col("blk").as("blk_b"),
+      col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"))
+    val shadows = a.join(b, Seq("cell", "blk_a", "blk_b"))
+      .filter((col("blk_a") =!= col("blk_b")) || (col("a_id") < col("b_id")))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(shadows.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   // --- IVF-style ANN -----------------------------------------------------------
   /** Nearest-centroid cell id for every row of `e` (expects columns
     * `vec_id`, `v`) as a PURE NARROW MAP: the codebook rides into the

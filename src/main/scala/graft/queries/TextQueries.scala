@@ -426,6 +426,107 @@ object TextQueries {
       |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.2
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- prefix-filtered exact Jaccard similarity join ---------------------------
+  /** EXACT Jaccard similarity join via prefix filtering (AllPairs /
+    * PPJoin; Bayardo et al., WWW 2007; Xiao et al., WWW 2008) — the
+    * scale spelling of exact all-pairs that needs NO blocking key and
+    * NO approximation: provably the same pair set as the quadratic
+    * join, with candidates generated by an equi-join instead.
+    *
+    * Method: order every doc's shingles by GLOBAL rarity (document
+    * frequency asc, shingle hash asc — a total order). Two sets with
+    * `J >= t` must share a shingle within their first
+    * `n - ceil(t*n) + 1` rarity-ordered shingles (if they only met in
+    * the suffixes, the intersection would be at most
+    * `min(ceil(t*|A|), ceil(t*|B|)) - 1 < ceil(t*max(|A|,|B|)) <=
+    * |A inter B|` — contradiction). So candidates = the equi-join of
+    * the PREFIX postings only, driven by the rarest shingles, where
+    * posting lists are shortest.
+    *
+    * Execution shape at 100 TB:
+    *   - the shingle-df table is vocab-sized and stays hash-partitioned
+    *     on the shingle (it is NOT broadcast: a shingle vocabulary
+    *     grows with the corpus) — the rarity join reuses the df
+    *     shuffle's partitioning;
+    *   - the candidate equi-join carries only (shingle, doc_id) pairs
+    *     for ~(1-t) of each doc's shingles, and pair count is driven by
+    *     PREFIX posting-list sizes — frequency-skewed shingles are
+    *     exactly the ones prefix filtering excludes first;
+    *   - the verify stage re-joins the two shingle arrays BY ID
+    *     (each doc's set crosses the wire once per candidate side) and
+    *     compares with the codegen'd sorted-merge intersect — same
+    *     verify kernel as [[dedupNgramJaccard]] / the LSH path.
+    *
+    * The threshold rides as a RATIONAL (`tNum/tDen`): `ceil(0.2 * n)`
+    * in binary FP can land on the wrong side for exact multiples
+    * (0.2 is not representable), and an over-large ceil SHORTENS the
+    * prefix — silently losing candidate pairs. Integer ceil-div cannot.
+    *
+    * Output (and oracle) = cross-language near-dup pairs at `J >= t`
+    * over the bounded golden bucket — deliberately all-pairs in the
+    * ORACLE (quadratic SQL is fine on 500 docs) so the driver
+    * hash-checks that prefix filtering loses nothing; DedupSpec
+    * additionally pins prefix-join == naive-cross-join equality in
+    * Spark itself.
+    */
+  def dedupPrefixJaccard(s: SparkSession, dir: String,
+                         tNum: Int = 1, tDen: Int = 5,
+                         maxDocId: Long = 500): DataFrame = {
+    val t = tNum.toDouble / tDen
+    val d = docs(s, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3) // shingle-less docs: see dedupNgramJaccard
+      .select(col("doc_id"),
+        graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
+    val tok = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfTab = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc shingles re-ordered rarest-first: (df, g) struct sort is a
+    // deterministic total order (g is unique within a doc's set)
+    val ordered = tok.join(dfTab, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("tk"))
+      .select(col("doc_id"), expr("transform(tk, x -> x.g)").as("tk"))
+    // prefix length n - ceilDiv(n*tNum, tDen) + 1, all-integer
+    val n = size(col("tk")).cast("long")
+    val prefLen = (n - (n * tNum + (tDen - 1)) / lit(tDen.toLong) + 1).cast("int")
+    val pref = ordered.select(col("doc_id"),
+      explode(slice(col("tk"), lit(1), prefLen)).as("g"))
+    val cand = pref.select(col("g"), col("doc_id").as("a_id"))
+      .join(pref.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id") // a pair may share several prefix shingles
+    val dn = d.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    val inter = graft.functions.SortedLongIntersectSize(col("a_sh"), col("b_sh"))
+      .cast("double")
+    cand
+      .join(dn.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("nsh").as("a_n")), Seq("a_id"))
+      .join(dn.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("nsh").as("b_n")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter / (col("a_n") + col("b_n") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dedupPrefixJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+      |           || '_' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents
+      |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.2
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- end-to-end curation pipeline --------------------------------------------
   /** The corpus-curation funnel in one query: quality gate (minimum
     * length + token diversity, the [[qualityScore]] signals as

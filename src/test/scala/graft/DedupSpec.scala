@@ -88,6 +88,57 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 8)
   }
 
+  test("prefix-filtered Jaccard join plans as an equi-join, never all-pairs") {
+    assertNoAllPairs(planOf(TextQueries.dedupPrefixJaccard(spark, sf)))
+  }
+
+  test("prefix-filtered Jaccard equals naive all-pairs (candidate completeness)") {
+    import org.apache.spark.sql.functions._
+    // corpus-wide (no golden-bucket bound): prefix filtering must lose
+    // NOTHING vs the quadratic ground truth, computed driver-side here
+    val got = TextQueries.dedupPrefixJaccard(spark, sf, maxDocId = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), MinHashDedup.hashedShingles(col("ws")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val naive = (for {
+      (a, as) <- sets; (b, bs) <- sets if a < b
+      i = (as & bs).size.toDouble
+      j = i / (as.size + bs.size - i) if j >= 0.2
+    } yield (a, b, j)).toSet
+    assert(naive.nonEmpty, "corpus should contain planted near-dups")
+    assert(got == naive,
+      s"missed: ${naive -- got}\nextra: ${got -- naive}")
+  }
+
+  test("SemDeDup: planted semantic duplicate pruned, lower-id twin kept") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    val base = graft.Tables.load(spark, sf, "embeddings")
+    // twin of the lowest nonzero-norm vector, renumbered to the top id
+    val twin = base.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    base.unionByName(twin)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = graft.queries.EmbeddingQueries
+      .semDedup(spark, tmp, nCent = 4, tau = 0.95)
+    assertNoAllPairs(planOf(out))
+    val rows = out.collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val planted = byId(100000L)
+    assert(!planted.getBoolean(2), "identical twin must be dropped")
+    assert(planted.getLong(3) == 0L, s"dup_of should be vec 0: $planted")
+    assert(byId(0L).getBoolean(2), "the min-id vector of a neighborhood survives")
+    assert(planted.getInt(1) == byId(0L).getInt(1), "twins share a k-means cell")
+    // global invariants of the order-free min-keep rule
+    rows.filter(!_.getBoolean(2)).foreach { r =>
+      assert(r.getLong(3) < r.getLong(0), s"dup_of must have a lower id: $r")
+    }
+    rows.filter(_.getBoolean(2)).foreach(r => assert(r.isNullAt(3)))
+  }
+
   test("exact dedup keeps the minimum doc_id per distinct text") {
     val rows = TextQueries.dedupExact(spark, sf).collect()
     val total = graft.Tables.load(spark, sf, "documents").count()
