@@ -163,6 +163,7 @@ object SparkEntry {
     "events_activity_streaks" -> (EventQueries.activityStreaks _),
     "typed_group_stats" -> (EventQueries.typedGroupStats _),
     "text_hash_features" -> (TextQueries.hashFeatures _),
+    "text_importance_dsir" -> ((s, d) => TextQueries.importanceDsir(s, d)),
     "text_compression_ratio" -> (TextQueries.compressionRatio _),
     "text_repeated_passages" -> (TextQueries.repeatedPassages _),
     "agg_regr_slope" -> (Relational.aggRegrSlope _),
@@ -330,6 +331,7 @@ object SparkEntry {
     "events_activity_streaks" -> EventQueries.activityStreaksSql,
     "typed_group_stats" -> EventQueries.typedGroupStatsSql,
     "text_hash_features" -> TextQueries.hashFeaturesSql,
+    "text_importance_dsir" -> TextQueries.importanceDsirSql,
     "agg_regr_slope" -> Relational.aggRegrSlopeSql,
     "text_repeated_passages" -> TextQueries.repeatedPassagesSql,
     "agg_yoy_growth" -> Relational.aggYoyGrowthSql,

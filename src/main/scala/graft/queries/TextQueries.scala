@@ -959,6 +959,100 @@ object TextQueries {
       | COUNT(*) AS n
       |FROM w GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
 
+  // --- DSIR importance weighting ----------------------------------------
+  /** Data Selection via Importance Resampling weights (Xie et al.,
+    * NeurIPS 2023, arXiv:2302.03169): score every document by the
+    * log-likelihood ratio between a TARGET-domain hashed-bigram
+    * unigram model and the raw-corpus model,
+    * `w(d) = sum_b n_db * (ln p_b - ln q_b)` with Laplace-smoothed
+    * bucket probabilities `p_b = (t_b+1)/(T+m)`, `q_b = (c_b+1)/(C+m)`.
+    * High-weight docs look like the target domain (here: lang = 'en',
+    * the corpus's majority language, standing in for "high-quality
+    * reference corpus"); resampling by these weights is the published
+    * method for steering a 100 TB crawl toward a target distribution.
+    *
+    * Determinism: the four ln arguments are all integers (counts + 1,
+    * totals + m), so the whole weight rides as exact-integer MICRONATS
+    * — same discipline (and same exhaustively-swept [1, 2e7] ln
+    * domain) as [[tfidfTerms]] / [[perplexity]]. The bucket function is
+    * the engine-portable md5-prefix of [[hashFeatures]]: 3 hex chars =
+    * exactly 4096 buckets, no modulo.
+    *
+    * Shape at scale (the DSIR selling point): the MODEL is fixed-size
+    * — m = 4096 buckets regardless of corpus size — so both bucket
+    * tables broadcast by construction (unlike a vocabulary, which
+    * grows with the corpus). The corpus crosses the wire once as
+    * (doc_id, bucket) pairs; scoring is one broadcast join + one
+    * per-doc sum. Docs under 2 words have no bigrams and drop out
+    * (mirrored by the oracle).
+    */
+  def importanceDsir(s: SparkSession, dir: String,
+                     targetLang: String = "en"): DataFrame = {
+    val m = 4096
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val bg = docs(s, dir)
+      // Tokenize once per document (see [[bigrams]] — the inlined
+      // spelling is O(words²) per doc).
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(slice(w, 1, size(w) - 1),
+          |  (x, i) -> concat(x, ' ', w[i + 1]))""".stripMargin)).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("bigram")), 1, 3), 16, 10).cast("long")
+          .as("bucket"))
+    val perDoc = bg.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_db"))
+    val model = bg.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_b"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_b"))
+    val totals = model.agg(sum(col("c_b")).as("c_tot"),
+      sum(col("t_b")).as("t_tot"))
+    perDoc.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_db") * (lnMicro(col("t_b") + 1) - lnMicro(col("c_b") + 1)))
+          .as("ratio_part"),
+        sum(col("n_db")).as("n_bigrams"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ratio_part") + col("n_bigrams")
+          * (lnMicro(col("c_tot") + m) - lnMicro(col("t_tot") + m)))
+          .as("weight_micronats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val importanceDsirSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |           FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |        unnest(list_transform(range(1, len(w)),
+      |          i -> w[i] || ' ' || w[i+1])) AS bigram FROM t),
+      |h AS (SELECT doc_id, lang,
+      |  CAST((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(bigram), 3, 1)) - 1)
+      |    AS BIGINT) AS bucket FROM b),
+      |pd AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_db
+      |       FROM h GROUP BY doc_id, bucket),
+      |mdl AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_b,
+      |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS t_b
+      |        FROM h GROUP BY bucket),
+      |tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS c_tot,
+      |               CAST(SUM(t_b) AS BIGINT) AS t_tot FROM mdl),
+      |sc AS (SELECT doc_id,
+      |         SUM(n_db * (CAST(round(ln(CAST(t_b + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |                   - CAST(round(ln(CAST(c_b + 1 AS DOUBLE)) * 1e6) AS BIGINT)))
+      |           AS ratio_part,
+      |         SUM(n_db) AS n_bigrams
+      |       FROM pd JOIN mdl USING (bucket) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(ratio_part + n_bigrams *
+      |    (CAST(round(ln(CAST(c_tot + 4096 AS DOUBLE)) * 1e6) AS BIGINT)
+      |   - CAST(round(ln(CAST(t_tot + 4096 AS DOUBLE)) * 1e6) AS BIGINT))
+      |    AS BIGINT) AS weight_micronats
+      |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   // --- canonical normalization ------------------------------------------
   /** Canonical text form for byte-level dedup: Unicode NFC + Unicode
     * lowercase + ASCII-whitespace collapse, one codegen'd pass per doc

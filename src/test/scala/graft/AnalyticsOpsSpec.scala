@@ -452,6 +452,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("DSIR importance weights separate the target language from the rest") {
+    val w = TextQueries.importanceDsir(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val langs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def mean(ids: Iterable[Long]) =
+      ids.map(w(_).toDouble).sum / ids.size
+    val (en, rest) = w.keys.partition(langs(_) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    // the log-likelihood-ratio model is FIT on lang=en as the target:
+    // en docs must score higher than the rest, in mean and in median.
+    // (Absolute sign is NOT asserted: +1 smoothing over 4096 buckets
+    // flattens the small target model more than the corpus model, which
+    // shifts every weight negative uniformly — separation is the
+    // property DSIR resamples on, not sign.)
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} <= rest mean ${mean(rest)}")
+    def median(ids: Iterable[Long]) = {
+      val v = ids.map(w).toSeq.sorted; v(v.size / 2)
+    }
+    assert(median(en) > median(rest),
+      s"en median ${median(en)} <= rest median ${median(rest)}")
+  }
+
   test("bpeMergeStep: top pair counts match a driver-side recount") {
     val got = TextQueries.bpeMergeStep(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
