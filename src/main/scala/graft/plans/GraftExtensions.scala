@@ -98,5 +98,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
       (children: Seq[Expression]) => DotProductF64(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => graft.functions.PqEncode(
+        children(0), children(1), children(2),
+        intArg("pq_encode", "k_sub", children(3)),
+        intArg("pq_encode", "d_sub", children(4)))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_lut"),
+      new ExpressionInfo(classOf[graft.functions.PqAdcLut].getName, "pq_adc_lut"),
+      (children: Seq[Expression]) => graft.functions.PqAdcLut(
+        children(0), children(1), children(2),
+        intArg("pq_adc_lut", "k_sub", children(3)),
+        intArg("pq_adc_lut", "d_sub", children(4)))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_score"),
+      new ExpressionInfo(classOf[graft.functions.PqAdcScore].getName,
+        "pq_adc_score"),
+      (children: Seq[Expression]) => graft.functions.PqAdcScore(
+        children(0), children(1),
+        intArg("pq_adc_score", "k_sub", children(2)))))
   }
 }

@@ -487,11 +487,17 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("tk"))
       .select(col("doc_id"), expr("transform(tk, x -> x.g)").as("tk"))
-    // prefix length n - ceilDiv(n*tNum, tDen) + 1, all-integer
-    val n = size(col("tk")).cast("long")
-    val prefLen = (n - (n * tNum + (tDen - 1)) / lit(tDen.toLong) + 1).cast("int")
-    val pref = ordered.select(col("doc_id"),
-      explode(slice(col("tk"), lit(1), prefLen)).as("g"))
+    // prefix length n - ceilDiv(n*tNum, tDen) + 1, all-integer. NOTE the
+    // SQL `div` operator: Column./ on two integrals is TRUE division
+    // (double) and truncating the whole expression under-computes the
+    // prefix (n=10, t=1/5: 8 instead of the safe minimum 9) — silently
+    // losing the completeness guarantee this operator exists for.
+    val pref = ordered
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("pref_len",
+        expr(s"cast(n - (n * $tNum + ${tDen - 1}) div $tDen + 1 as int)"))
+      .select(col("doc_id"),
+        explode(slice(col("tk"), lit(1), col("pref_len"))).as("g"))
     val cand = pref.select(col("g"), col("doc_id").as("a_id"))
       .join(pref.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
       .filter(col("a_id") < col("b_id"))

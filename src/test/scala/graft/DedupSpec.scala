@@ -113,6 +113,30 @@ class DedupSpec extends SparkSpec {
       s"missed: ${naive -- got}\nextra: ${got -- naive}")
   }
 
+  test("prefix length is the exact integer ceil-div (boundary-pair regression)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A: 12 distinct words -> 10 distinct shingles; B: A's last 4 words
+    // -> 2 shingles, both shared with A. Every non-shared shingle of A
+    // is a df=1 singleton, so rarity ordering puts the two shared
+    // (df=2) shingles at positions 9-10 of A. J = 2/(10+2-2) = 0.2 is
+    // exactly at threshold, and the pair is visible ONLY through
+    // position 9 = the safe minimum n - ceil(n/5) + 1. The FP-truncated
+    // prefix this test regresses against computed 8 and lost the pair.
+    val aWords = (1 to 12).map(i => s"w$i")
+    val a = aWords.mkString(" ")
+    val b = aWords.takeRight(4).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prefix").toString
+    Seq((0L, a, "en", "fix", a.length.toLong),
+        (1L, b, "en", "fix", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.dedupPrefixJaccard(spark, tmp).collect()
+    assert(got.length == 1, s"boundary pair lost: ${got.mkString(",")}")
+    assert(got.head.getLong(0) == 0L && got.head.getLong(1) == 1L)
+    assert(got.head.getDouble(2) == 0.2)
+  }
+
   test("SemDeDup: planted semantic duplicate pruned, lower-id twin kept") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup").toString

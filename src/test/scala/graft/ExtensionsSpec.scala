@@ -57,4 +57,26 @@ class ExtensionsSpec extends AnyFunSuite {
         |FROM bf""".stripMargin).collect().head
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
+
+  test("pq_encode + pq_adc_lut + pq_adc_score callable from SQL, consistent") {
+    // 2 subspaces x 2 centroids x 2 dims; v sits exactly on codebook
+    // cells (0, 1) -> code [0, 1]; the ADC score of a code must equal
+    // the sum of that code's LUT entries
+    val r = spark.sql(
+      """WITH p AS (SELECT
+        |  array(1.0D, 0.0D,  0.0D, 1.0D,   1.0D, 1.0D,  -1.0D, 0.0D) AS cb,
+        |  array(0.5D, 0.5D, 1.0D, 0.5D) AS half_norms,
+        |  array(1.0D, 1.0D, 2.0D, 1.0D) AS norms,
+        |  array(1.0D, 0.0D, -1.0D, 0.0D) AS v)
+        |SELECT pq_encode(v, cb, half_norms, 2, 2) AS code,
+        |       pq_adc_lut(v, cb, norms, 2, 2) AS lut,
+        |       pq_adc_score(pq_adc_lut(v, cb, norms, 2, 2),
+        |                    pq_encode(v, cb, half_norms, 2, 2), 2) AS score
+        |FROM p""".stripMargin).collect().head
+    assert(r.getSeq[Int](0) == Seq(0, 1))
+    val lut = r.getSeq[Double](1)
+    val code = r.getSeq[Int](0)
+    val expected = lut(0 * 2 + code(0)) + lut(1 * 2 + code(1))
+    assert(math.abs(r.getDouble(2) - expected) < 1e-12)
+  }
 }
