@@ -29,13 +29,20 @@ object Probe {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       println("NANOS_AS_LONG_OK " + ev.schema.simpleString)
-      ev.select(col("event_id"), col("ts"),
-        timestamp_micros(expr("ts div 1000")).as("ts_us")).show(3, false)
     } catch {
       case e: Throwable =>
         println(s"NANOS_AS_LONG_FAIL: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
     } finally {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    }
+
+    try {
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      println("EVENTS_CANONICAL_OK " + ev.schema.simpleString)
+      ev.select(col("event_id"), col("ts")).show(3, false)
+    } catch {
+      case e: Throwable =>
+        println(s"EVENTS_CANONICAL_FAIL: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
     }
     spark.stop()
   }

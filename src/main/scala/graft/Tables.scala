@@ -37,19 +37,35 @@ object Tables {
     (if (format == "csv") r.option("header", "true") else r).load(path)
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4.1 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the column as
-    * nanos-since-epoch and floor to microseconds —
-    * `timestamp_micros(ns div 1000)` — which matches DuckDB's
-    * `ts::TIMESTAMP` truncation bit-for-bit (verified empirically).
+  /** The events table's `ts` has shipped in two physical encodings
+    * across driver testdata generations, so the reader adapts to what
+    * the file actually carries instead of assuming one:
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session, set once by the session owner (Bench/QBench/Verify/test
-    * builders all do) — a query builder must not mutate session conf
-    * (racy under concurrent query construction, and it would silently
-    * change how unrelated code reads nanos parquet).
+    *  - TIMESTAMP(NANOS), which Spark 4.1 refuses to read as a
+    *    timestamp ([PARQUET_TYPE_ILLEGAL]): with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    *    (set once by the session owner — Bench/QBench/Verify/test
+    *    builders all do; a query builder must not mutate session conf)
+    *    the column arrives as a nanos-since-epoch LONG and is floored
+    *    to microseconds — `timestamp_micros(ns div 1000)` — matching
+    *    DuckDB's `ts::TIMESTAMP` truncation bit-for-bit (verified
+    *    empirically).
+    *  - TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    *    TIMESTAMP_NTZ: cast to the session-local TIMESTAMP. The
+    *    sessions here run in UTC, so the cast is instant-preserving
+    *    and lands on the exact micros DuckDB reads natively.
+    *
+    * Either way downstream sees one canonical shape: `ts` as
+    * microsecond-precision TIMESTAMP (LTZ) — the type every events
+    * query, oracle hash, and spec in this repo was verified against.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already session-local TIMESTAMP
+    }
+  }
 }
