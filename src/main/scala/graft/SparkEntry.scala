@@ -112,6 +112,11 @@ object SparkEntry {
     // relational: joins
     "q3_top_revenue" -> (Relational.q3TopRevenue _),
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
     "join_broadcast_dim" -> (Relational.joinBroadcastDim _),
     "join_left_outer" -> (Relational.joinLeftOuter _),
     "join_semi" -> (Relational.joinSemi _),
@@ -236,6 +241,8 @@ object SparkEntry {
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
     "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
+    "embed_pca_project" -> ((s, d) => EmbeddingQueries.pcaProject(s, d)),
+    "embed_pca_explained" -> ((s, d) => EmbeddingQueries.pcaExplained(s, d)),
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_dedup" -> (Multimodal.mediaDedup _),
@@ -261,6 +268,11 @@ object SparkEntry {
     "pivot_status_counts" -> Relational.pivotStatusCountsSql,
     "q3_top_revenue" -> Relational.q3TopRevenueSql,
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,
+    "q7_volume_shipping" -> Relational.q7VolumeShippingSql,
+    "q8_market_share" -> Relational.q8MarketShareSql,
+    "q10_returned_items" -> Relational.q10ReturnedItemsSql,
+    "q14_promo_revenue" -> Relational.q14PromoRevenueSql,
+    "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "join_broadcast_dim" -> Relational.joinBroadcastDimSql,
     "join_left_outer" -> Relational.joinLeftOuterSql,
     "join_semi" -> Relational.joinSemiSql,

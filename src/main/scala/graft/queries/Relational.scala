@@ -131,6 +131,227 @@ object Relational {
       | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --- Q7: volume shipping between two nations -----------------------------
+  /** TPC-H Q7 shape: bilateral trade volume between two named nations by
+    * ship year. The two nation lookups are the same 25-row table joined
+    * twice under different roles (supplier's nation, customer's nation) —
+    * both broadcast, so the three fact-table joins are the only
+    * exchanges. The OR of the two direction pairs is applied AFTER both
+    * nation joins resolve (it needs both names), but each nation join
+    * itself pre-filters to the two named nations, so the fact rows that
+    * survive to the OR are already nation-pruned.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7VolumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      | CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --- Q8: national market share within a region ---------------------------
+  /** TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold into
+    * ASIA, by order year. The numerator/denominator are two conditional
+    * sums over the same joined fact rows — one aggregation pass, no
+    * second scan. part is filtered before the join (predicate pushed to
+    * its scan) and the geography dims are broadcast; the share division
+    * happens on the two exact decimal sums after they're cast to
+    * double, so both engines divide bit-identical inputs.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val custNation = broadcast(t(s, dir, "nation")
+      .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk")))
+    val suppNation = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val vol = col("l_extendedprice") * (ONE - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        dsum(vol).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    """WITH v AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM part, lineitem, orders, customer, supplier,
+      |       nation n1, region, nation n2
+      |  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+      |    AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      | CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END
+      |   AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+      | CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+      | CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END
+      |   AS DECIMAL(18,6))) AS DOUBLE)
+      |   / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+      |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // --- Q10: returned-item reporting ----------------------------------------
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    * quarter. The quarter filter prunes orders at its scan; returnflag
+    * prunes lineitem at its scan; nation is broadcast. The top-20 is a
+    * global sort-limit over the customer-grained aggregate — TakeOrdered
+    * on partials, never a full sort of the aggregate.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val nat = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (ONE - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      | AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --- Q14: promotion revenue ratio ----------------------------------------
+  /** TPC-H Q14 shape: PROMO parts' percentage of one ship-month's
+    * revenue. One fact scan (month filter pushed down), part joined on
+    * its key with only (p_partkey, p_type) read, and a single
+    * aggregation producing both conditional and total sums — the
+    * percentage is IEEE division of two exact decimal sums, identical
+    * in both engines.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-09-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-10-01 00:00:00")
+    val vol = col("l_extendedprice") * (ONE - col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)))
+          .as("promo_volume"),
+        dsum(vol).as("total_volume"))
+      .withColumn("promo_revenue_pct",
+        lit(100.0) * col("promo_volume") / col("total_volume"))
+  }
+
+  val q14PromoRevenueSql: String =
+    """SELECT
+      | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |   AS DECIMAL(18,6))) AS DOUBLE) AS promo_volume,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |   AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+      | 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |   AS DECIMAL(18,6))) AS DOUBLE)
+      |   / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |   AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      | AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      | AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  // --- Q18: large-volume orders --------------------------------------------
+  /** TPC-H Q18 shape: orders whose total line quantity clears a large
+    * threshold, with their customer. The HAVING aggregate runs first and
+    * produces a tiny qualifying set (top ~0.1% of orders); joining it
+    * back to orders/customer is then broadcast-sized under AQE. The
+    * quantity sum is exact decimal, so the threshold cut is
+    * engine-identical even at the boundary.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > lit(300.0))
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0) big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   // --- joins ----------------------------------------------------------------
   def joinBroadcastDim(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "nation")
