@@ -700,4 +700,149 @@ object EmbeddingQueries {
       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
       |    AS n_at_or_above
       |FROM h ORDER BY bin DESC""".stripMargin
+
+  // --- PCA projection --------------------------------------------------------
+  /** Distributed PCA: project every embedding onto the corpus's top-k
+    * principal components. The classic dimensionality-reduction /
+    * whitening step of an embedding pipeline (dedup at lower dim,
+    * visualization, drift monitoring).
+    *
+    * 100 TB shape — the covariance NEVER materializes row-wise:
+    *   1. ONE pass over the corpus folds each partition into a
+    *      (n, Σx, Σx·xᵀ) buffer ([[graft.functions.GramAgg]]); the
+    *      shuffle carries one d²-sized buffer per partition (32 KiB at
+    *      d=64), nothing row-sized.
+    *   2. The driver finishes cov = Σxxᵀ/n − μμᵀ and runs a cyclic
+    *      Jacobi eigensolve — O(d³) on a d×d matrix, microseconds at
+    *      d=64, independent of corpus size.
+    *   3. Projection is a narrow codegen'd map: k dot products per row
+    *      against literal (broadcast-by-value) eigenvectors
+    *      ([[graft.functions.DotProductF64]]), centered by the scalar
+    *      μ·v_k. No shuffle; the final orderBy is presentation-only.
+    *
+    * Eigenvectors are sign-canonicalized (largest-|component| positive)
+    * so the projection's orientation is stable across runs. No DuckDB
+    * oracle (iterative eigensolve + fp partial-sum order); EmbeddingSpec
+    * pins eigenvalue ordering, orthonormality, and per-component
+    * projection variance == eigenvalue within tolerance.
+    */
+  def pcaProject(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("x"))
+    val gram = udaf(graft.functions.GramAgg, ExpressionEncoder[Seq[Double]]())
+    val m = e.agg(gram(col("x")).as("m")).select(col("m.n"), col("m.s"), col("m.g")).head()
+    val n = m.getLong(0).toDouble
+    val sum = m.getSeq[Double](1).toArray
+    val g = m.getSeq[Double](2).toArray
+    val d = sum.length
+    require(n > 0 && d > 0, "pcaProject: empty embeddings table")
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(d * d)(i => g(i) / n - mean(i / d) * mean(i % d))
+    val (eigVals, eigVecs) = jacobiEigen(cov, d)
+    val top = eigVals.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(k)
+    val comps: Seq[Array[Double]] = top.map { case (_, ci) =>
+      val v = Array.tabulate(d)(r => eigVecs(r * d + ci))
+      // sign canon: make the largest-|component| coordinate positive
+      val mi = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(mi) < 0) v.map(x => -x) else v
+    }.toSeq
+    val projCols = comps.zipWithIndex.map { case (v, j) =>
+      val mu = (0 until d).map(i => mean(i) * v(i)).sum
+      (dot(col("x"), lit(v)) - lit(mu)).as(s"pc$j")
+    }
+    e.select(col("vec_id") +: col("label") +: projCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Eigenvalues of the top-k principal components plus the total
+    * variance (trace) — the explained-variance report that accompanies
+    * [[pcaProject]]; same one-pass moment aggregation, driver-sized
+    * output.
+    */
+  def pcaExplained(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val e = emb(s, dir).select(col("embedding").cast("array<double>").as("x"))
+    val gram = udaf(graft.functions.GramAgg, ExpressionEncoder[Seq[Double]]())
+    val m = e.agg(gram(col("x")).as("m")).select(col("m.n"), col("m.s"), col("m.g")).head()
+    val n = m.getLong(0).toDouble
+    val sum = m.getSeq[Double](1).toArray
+    val g = m.getSeq[Double](2).toArray
+    val d = sum.length
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(d * d)(i => g(i) / n - mean(i / d) * mean(i % d))
+    val (eigVals, _) = jacobiEigen(cov, d)
+    val trace = (0 until d).map(i => cov(i * d + i)).sum
+    val top = eigVals.sortBy(-_).take(k)
+    import s.implicits._
+    top.zipWithIndex.map { case (ev, i) =>
+      (i.toLong, ev, ev / trace)
+    }.toSeq.toDF("component", "eigenvalue", "explained_frac")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix
+    * (row-major). Returns (eigenvalues, eigenvector matrix with
+    * eigenvector j in COLUMN j). Textbook rotation sweep (Golub & Van
+    * Loan §8.5); converges quadratically — 30 sweeps is far past
+    * machine precision for d ≤ a few hundred. Driver-side only, O(d³)
+    * per sweep, never sees data rows.
+    */
+  private def jacobiEigen(a0: Array[Double], d: Int,
+                          maxSweeps: Int = 30): (Array[Double], Array[Double]) = {
+    val a = a0.clone()
+    val v = new Array[Double](d * d)
+    var i = 0
+    while (i < d) { v(i * d + i) = 1.0; i += 1 }
+    def off(): Double = {
+      var s = 0.0; var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) { s += a(p * d + q) * a(p * d + q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > 1e-20) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p * d + q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q * d + q) - a(p * d + p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r * d + p); val arq = a(r * d + q)
+              a(r * d + p) = c * arp - sn * arq
+              a(r * d + q) = sn * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p * d + r); val aqr = a(q * d + r)
+              a(p * d + r) = c * apr - sn * aqr
+              a(q * d + r) = sn * apr + c * aqr
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val vrp = v(r * d + p); val vrq = v(r * d + q)
+              v(r * d + p) = c * vrp - sn * vrq
+              v(r * d + q) = sn * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i * d + i)), v)
+  }
 }

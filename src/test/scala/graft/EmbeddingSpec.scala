@@ -129,4 +129,42 @@ class EmbeddingSpec extends SparkSpec {
     assert(plan.contains("cent_id"))
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("PCA: projection variance matches eigenvalue per component, decreasing") {
+    val k = 4
+    val rows = EmbeddingQueries.pcaProject(spark, sf, k).collect()
+    val expl = EmbeddingQueries.pcaExplained(spark, sf, k).collect()
+    val eig = expl.sortBy(_.getLong(0)).map(_.getDouble(1))
+    // eigenvalues of a covariance matrix: non-negative, sorted desc
+    assert(eig.forall(_ > -1e-9))
+    assert(eig.toSeq == eig.sortBy(-_).toSeq)
+    val n = rows.length.toDouble
+    for (j <- 0 until k) {
+      val p = rows.map(_.getDouble(2 + j))
+      val mu = p.sum / n
+      // projections are centered (x - mean onto unit vector)
+      assert(math.abs(mu) < 1e-8, s"pc$j mean $mu")
+      val varP = p.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(varP - eig(j)) <= 1e-6 * math.max(1.0, eig(j)),
+        s"pc$j variance $varP vs eigenvalue ${eig(j)}")
+    }
+    // explained fractions are a prefix of a distribution over the trace
+    val fr = expl.map(_.getDouble(2))
+    assert(fr.forall(f => f >= 0 && f <= 1.0 + 1e-12) && fr.sum <= 1.0 + 1e-9)
+  }
+
+  test("PCA components decorrelate: cross-covariance of projections ~ 0") {
+    val rows = EmbeddingQueries.pcaProject(spark, sf, 3).collect()
+    val n = rows.length.toDouble
+    val scale = {
+      // tolerance relative to the largest component variance
+      val p0 = rows.map(_.getDouble(2))
+      p0.map(x => x * x).sum / n
+    }
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val cov = rows.map(r => r.getDouble(2 + a) * r.getDouble(2 + b)).sum / n
+      assert(math.abs(cov) <= 1e-6 * math.max(1.0, scale),
+        s"pc${a}*pc$b covariance $cov not ~0")
+    }
+  }
 }
