@@ -209,6 +209,7 @@ object SparkEntry {
     "curation_pipeline" -> (TextQueries.curationPipeline _),
     "text_bpe_merge" -> (TextQueries.bpeMergeStep _),
     "text_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s, d) => TextQueries.bpeEncode(s, d)),
     "text_perplexity" -> (TextQueries.perplexity _),
     "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
     "events_value_mad" -> (EventQueries.valueMad _),
@@ -217,6 +218,7 @@ object SparkEntry {
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
+    "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
     "decontaminate_bloom" -> (Sampling.decontaminateBloom _),
@@ -329,6 +331,7 @@ object SparkEntry {
     "curation_pipeline" -> TextQueries.curationPipelineSql,
     "sample_hash_split" -> Sampling.hashSplitSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql,
+    "sample_weighted" -> Sampling.weightedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "events_funnel" -> EventQueries.funnelSql,
     "events_dau_wau" -> EventQueries.dauWauSql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting / skew-diagnosis operators — the
@@ -81,6 +82,68 @@ object Sampling {
     """SELECT doc_id, lang FROM documents
       |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,1) IN ('0','1')
       |ORDER BY doc_id""".stripMargin
+
+  // --- weighted sampling without replacement --------------------------------
+  /** Per-language weighted sample WITHOUT replacement (top-k per
+    * stratum), weights = document length: the Efraimidis–Spirakis
+    * exponential-race scheme — each doc draws an exponential arrival
+    * with rate = its weight, and the k smallest arrivals win. Longer
+    * docs get proportionally smaller keys, so the sample tilts toward
+    * them exactly as length-weighted sampling should.
+    *
+    * Fully deterministic AND oracle-checkable — no rand(), no fp trust:
+    *   - the uniform draw is `h = first 24 bits of md5("wrs:"||doc_id)
+    *     + 1` — an integer in [1, 2^24], identical in both engines;
+    *   - −ln(u) = ln(2^24) − ln(h) rides as integer MICRONATS,
+    *     `round(ln(x)*1e6)` per term — the same discipline (and the
+    *     same exhaustively-verified [1, 2e7] ⊃ [1, 2^24] ln-parity
+    *     domain) as [[TextQueries.perplexity]];
+    *   - the arrival key is ONE IEEE division of that exact BIGINT by
+    *     the exact weight — bit-identical given identical inputs —
+    *     with doc_id as total tiebreak.
+    *
+    * Shape at scale: the key is a narrow map on the scan; per-stratum
+    * top-k is the standard rank-window (partial top-k per partition
+    * under AQE, k-bounded output). The corpus is scanned once, never
+    * self-joined.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val lnMicro = (c: org.apache.spark.sql.Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val h = (conv(substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("long") + lit(1L)).as("h")
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), h)
+      .withColumn("arrival",
+        (lnMicro(lit(16777216.0)) - lnMicro(col("h"))).cast("double")
+          / col("n_chars").cast("double"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("arrival"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)),1,6) AS BIGINT) + 1 AS h
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(CAST(round(ln(16777216.0) * 1e6) AS BIGINT)
+      |         - CAST(round(ln(CAST(h AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+      |      / CAST(n_chars AS DOUBLE) AS arrival
+      |  FROM d),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY arrival, doc_id) AS rk
+      |  FROM a)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
   // --- mixture rebalancing ------------------------------------------------------
   /** Downsample every language stratum to (approximately) the size of

@@ -1245,6 +1245,61 @@ object TextQueries {
         col("n_occurrences"))
   }
 
+  /** BPE ENCODE — apply the merges [[bpeTrain]] induced back onto the
+    * corpus and emit the resulting token histogram (token,
+    * n_occurrences). This closes the train→apply loop: the tokenizer a
+    * data pipeline trains is only useful if the same engine can encode
+    * with it.
+    *
+    * Scale shape mirrors training: the corpus collapses ONCE to the
+    * (word, count) vocabulary, every merge rule is then a narrow
+    * per-word fold over vocabulary rows (the same left-to-right
+    * `aggregate` lambda the trainer used to apply its winning pair, so
+    * encode semantics are trainer-identical by construction), and the
+    * final histogram is a vocabulary-sized aggregation. Document text
+    * never re-enters an exchange after the first collapse; rules are
+    * rule-count-sized on the driver.
+    *
+    * No SQL oracle (the rules come from the adaptive training loop);
+    * AnalyticsOpsSpec pins (a) exact character conservation — summing
+    * len(token)·count over the histogram reproduces the corpus's
+    * letter mass — (b) that no learned pair survives adjacent in the
+    * encoded vocabulary, and (c) per-word round-trip: concatenating a
+    * word's tokens reproduces the word.
+    */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    encodedVocab(s, dir, rounds)
+      .select(explode(col("syms")).as("token"), col("n"))
+      .groupBy(col("token")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+
+  /** The encoded (word, syms, n) vocabulary behind [[bpeEncode]] —
+    * exposed package-private so the spec can check round-trip and
+    * residual-pair properties at word grain.
+    */
+  private[graft] def encodedVocab(s: SparkSession, dir: String,
+                                  rounds: Int): DataFrame = {
+    val rules = bpeTrain(s, dir, rounds).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    var vocab = docs(s, dir)
+      .select(explode(words).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("word"), expr("split(word, '')").as("syms"), col("n"))
+    rules.foreach { case (a, b) =>
+      val merged = aggregate(
+        col("syms"),
+        array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x))))
+      vocab = vocab.select(col("word"), merged.as("syms"), col("n"))
+    }
+    vocab
+  }
+
   // --- TF-IDF top terms ----------------------------------------------------
   /** Per-document top-3 terms by TF-IDF — the other classic term-weight
     * (complements [[bm25TopTerms]], which deliberately avoided

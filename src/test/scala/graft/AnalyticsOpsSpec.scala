@@ -452,6 +452,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpeEncode: character mass conserved, rules exhausted, words round-trip") {
+    val rounds = 3
+    val hist = TextQueries.bpeEncode(spark, sf, rounds).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // (a) exact character conservation: token letter mass == corpus letter mass
+    val tokenMass = hist.map { case (t, n) => t.length.toLong * n }.sum
+    val corpusMass = Tables.load(spark, sf, "documents").select(col("text"))
+      .collect().map(_.getString(0).split(" ", -1).map(_.length.toLong).sum).sum
+    assert(tokenMass == corpusMass, s"token mass $tokenMass vs corpus $corpusMass")
+    // histogram counts are positive and tokens distinct
+    assert(hist.forall(_._2 > 0) && hist.map(_._1).distinct.length == hist.length)
+
+    val vocab = TextQueries.encodedVocab(spark, sf, rounds).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getLong(2)))
+    val rules = TextQueries.bpeTrain(spark, sf, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    vocab.foreach { case (word, syms, _) =>
+      // (c) round-trip: concatenating a word's tokens reproduces the word
+      assert(syms.mkString == word, s"round-trip failed for '$word'")
+      // (b) no learned pair survives adjacent after all merges applied
+      syms.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(!rules.contains((a, b)), s"residual pair ($a,$b) in '$word'")
+        case _ =>
+      }
+    }
+    // every learned merge actually shows up as a produced token
+    rules.foreach { case (a, b) =>
+      assert(hist.exists(_._1 == a + b), s"merged token ${a + b} absent")
+    }
+  }
+
   test("DSIR importance weights separate the target language from the rest") {
     val w = TextQueries.importanceDsir(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap

@@ -199,4 +199,37 @@ class SamplingSpec extends SparkSpec {
     assert(idx.head.getAs[Long]("df") == direct,
       s"df of '$term' must equal the direct containment count")
   }
+
+  test("weightedSample replays the exponential race exactly and tilts long") {
+    val k = 20
+    val got = Sampling.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent replay: same md5 draw, same micronat ln, same division
+    val expected = docs.map { case (id, lang, nc) =>
+      val h = java.lang.Long.parseLong(md5hex("wrs:" + id).substring(0, 6), 16) + 1
+      val m = Math.round(Math.log(16777216.0) * 1e6) -
+        Math.round(Math.log(h.toDouble) * 1e6)
+      (lang, m.toDouble / nc.toDouble, id, nc)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(r => (r._2, r._3)).take(k).zipWithIndex.map {
+        case ((l, _, id, nc), i) => (l, (i + 1).toLong, id, nc)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    // length-weighting tilts the sample toward longer docs: sampled mean
+    // length exceeds the population mean in every stratum
+    val popMean = docs.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(_._3.toDouble).sum / rs.length
+    }
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      val sm = rs.map(_._4.toDouble).sum / rs.length
+      assert(sm > popMean(lang), s"$lang: sampled mean $sm <= population ${popMean(lang)}")
+    }
+  }
 }
