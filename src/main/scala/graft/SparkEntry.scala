@@ -215,6 +215,7 @@ object SparkEntry {
     "events_value_mad" -> (EventQueries.valueMad _),
     "events_value_mad_approx" -> ((s, d) => EventQueries.valueMadApprox(s, d)),
     "sketch_hll_rollup" -> (EventQueries.hllRollup _),
+    "sketch_topk_rollup" -> ((s, d) => EventQueries.topkRollup(s, d)),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),

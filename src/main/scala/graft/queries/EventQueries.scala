@@ -643,6 +643,38 @@ object EventQueries {
         .as("approx_users"))
       .orderBy(col("week_start"))
   }
+  /** Heavy-hitter rollup, the frequent-items twin of [[hllRollup]]:
+    * ONE pass builds a per-day ApproxTopK (frequent-items) sketch of
+    * active users (`approx_top_k_accumulate`), and any wider window is
+    * answered by COMBINING the daily sketches — precompute-once /
+    * roll-up-anywhere, so "top users over any date range of a 100 TB
+    * log" reaggregates day-grain state instead of re-scanning events.
+    * Output: per week (year-aware Monday start, as in [[hllRollup]])
+    * the top-k users by estimated event count.
+    *
+    * maxItemsTracked is sized (4096) far above the test cardinality so
+    * estimates are exact there — the spec pins est == exact count and
+    * the top-k cut against an exact recount; at real scale the same
+    * plan degrades gracefully to the sketch's ±εN guarantee.
+    *
+    * No DuckDB oracle (sketch internals are engine-specific, same
+    * adjudication as the HLL rollup) — AnalyticsOpsSpec covers it.
+    */
+  def topkRollup(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily = ev(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("approx_top_k_accumulate(user_id, 4096)").as("sk"))
+    daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, 4096), $k)")
+        .as("top"))
+      .select(col("week_start"), posexplode(col("top")))
+      .select(col("week_start"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("user_id"), col("col.count").as("est_events"))
+      .orderBy(col("week_start"), col("rk"))
+  }
+
   /** Aggregation over a JSON payload column: `props` carries
     * `{"k": <int>}` per event; the path extract + cast + sum runs
     * without ever materializing a parsed struct. `get_json_object` is

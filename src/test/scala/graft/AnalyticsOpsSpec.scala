@@ -419,6 +419,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("topkRollup: combined daily sketches reproduce the exact weekly top-k") {
+    val k = 5
+    val got = EventQueries.topkRollup(spark, sf, k).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact weekly (user, count) table for comparison
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val weeks = exact.keys.map(_._1).toSet
+    assert(got.map(_._1).toSet == weeks)
+    got.groupBy(_._1).foreach { case (wk, rows) =>
+      assert(rows.length == k)
+      // capacity 4096 >> distinct users ⇒ the sketch counts are exact
+      rows.foreach { case (_, _, uid, est) =>
+        assert(est == exact((wk, uid)), s"week $wk user $uid: $est vs exact")
+      }
+      // the k-th kept count dominates every excluded user (ties allowed)
+      val cut = rows.map(_._4).min
+      val excluded = exact.collect {
+        case ((w, u), n) if w == wk && !rows.exists(_._3 == u) => n
+      }
+      assert(excluded.forall(_ <= cut),
+        s"week $wk: excluded user outranks the top-$k cut $cut")
+    }
+  }
+
   test("bpeTrain: 3 merge rounds match an independent driver-side induction") {
     val got = TextQueries.bpeTrain(spark, sf, rounds = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -60,4 +60,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(b.toSeq == h.toSeq,
       s"broadcast ${b.toSeq} != partitioned ${h.toSeq}")
   }
+
+  test("round-7 TPC-H shapes: no cartesian; geography dims broadcast") {
+    val tpch = Seq(
+      "q7_volume_shipping" -> (graft.queries.Relational.q7VolumeShipping _),
+      "q8_market_share" -> (graft.queries.Relational.q8MarketShare _),
+      "q10_returned_items" -> (graft.queries.Relational.q10ReturnedItems _),
+      "q14_promo_revenue" -> (graft.queries.Relational.q14PromoRevenue _),
+      "q18_large_orders" -> (graft.queries.Relational.q18LargeOrders _))
+    tpch.foreach { case (name, f) =>
+      val p = planOf(f(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+    // the nation-role joins in q7 must both be broadcast (never an
+    // exchange of the fact side keyed on a 25-row dim)
+    val q7 = planOf(graft.queries.Relational.q7VolumeShipping(spark, sf))
+    assert(q7.contains("BroadcastHashJoin"), s"q7 lost its dim broadcasts:\n$q7")
+  }
+
+  test("weighted sample plans one scan, no join") {
+    val p = planOf(graft.queries.Sampling.weightedSample(spark, sf))
+    assert(!p.contains("Join"), s"weighted sample must not join:\n$p")
+  }
+
+  test("PCA projection is a narrow map: no exchange after the literal projection") {
+    // the projection query's distributed part: one scan + final sort for
+    // presentation; eigenvectors ride as literals, so no join at all
+    val p = planOf(graft.queries.EmbeddingQueries.pcaProject(spark, sf))
+    assert(!p.contains("Join"), s"PCA projection must not join:\n$p")
+  }
 }
