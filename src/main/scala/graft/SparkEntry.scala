@@ -190,6 +190,7 @@ object SparkEntry {
     "text_winnow_fp" -> (TextQueries.winnowFingerprint _),
     "text_stats_by_lang" -> (TextQueries.statsByLang _),
     "text_quality_score" -> (TextQueries.qualityScore _),
+    "text_char_entropy" -> (TextQueries.charEntropy _),
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_scrub_pii" -> (TextQueries.scrubPii _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,
     "text_stats_by_lang" -> TextQueries.statsByLangSql,
     "text_quality_score" -> TextQueries.qualityScoreSql,
+    "text_char_entropy" -> TextQueries.charEntropySql,
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_scrub_pii" -> TextQueries.scrubPiiSql,

@@ -86,6 +86,56 @@ object TextQueries {
       |   / len(string_split(text, ' ')) AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- character entropy ----------------------------------------------------
+  /** Per-document Shannon CHARACTER entropy — the classic cheap gibberish
+    * / boilerplate detector (uniform noise scores high, repeated
+    * boilerplate scores low) that complements the token-level signals in
+    * [[qualityScore]] and the model-based [[perplexity]].
+    *
+    * Hash-exact across engines by the integer-micronat discipline:
+    * H·n·1e6 = n·lnµ(n) − Σ_c k_c·lnµ(k_c) where lnµ(x) =
+    * round(ln(x)·1e6) per term (counts stay far inside the
+    * exhaustively-verified [1, 2e7] ln-parity domain), so
+    * `entropy_micronats` is an exact BIGINT and the reported
+    * `entropy_nats` is ONE IEEE division of bit-identical inputs.
+    *
+    * Shape at scale: explode → (doc, char)-keyed partial counts
+    * (map-side combine bounds each partition's contribution by
+    * |alphabet|·docs), then a doc-keyed aggregation — two narrow
+    * exchanges, the text itself never crosses a shuffle.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n"),
+        sum(col("k") * lnMicro(col("k"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_chars_text"),
+        (col("n") * lnMicro(col("n")) - col("s")).as("entropy_micronats"),
+        ((col("n") * lnMicro(col("n")) - col("s")).cast("double")
+          / (col("n").cast("double") * lit(1e6))).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY doc_id, c),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+      |    CAST(SUM(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS s
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n AS n_chars_text,
+      |  n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s AS entropy_micronats,
+      |  CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * 1e6) AS entropy_nats
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // --- language-ID heuristic ----------------------------------------------
   /** Marker-word language guess (n-gram-heuristic stand-in), reported as a
     * (labeled lang × guessed lang) confusion matrix.

@@ -448,6 +448,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: zero for constant text, ln(k) for uniform, corpus in range") {
+    // crafted fixture: "aaaa" has H=0; "abcd" uniform over 4 chars has
+    // H=ln(4); micronat arithmetic must land within rounding (1e-6/char)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    import spark.implicits._
+    Seq((0L, "aaaa", "en", "src", 4L), (1L, "abcd", "en", "src", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val h = TextQueries.charEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(h(0L)) < 1e-5, s"constant text entropy ${h(0L)}")
+    assert(math.abs(h(1L) - math.log(4.0)) < 1e-5, s"uniform entropy ${h(1L)}")
+    // corpus rows: 0 <= H <= ln(distinct chars in doc), n matches text length
+    val rows = TextQueries.charEntropy(spark, sf).collect()
+    val texts = Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, hN) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(n == texts(id).length.toLong)
+      val kDistinct = texts(id).toSet.size
+      assert(hN >= -1e-9 && hN <= math.log(kDistinct.toDouble) + 1e-5,
+        s"doc $id entropy $hN outside [0, ln($kDistinct)]")
+    }
+  }
+
   test("bpeTrain: 3 merge rounds match an independent driver-side induction") {
     val got = TextQueries.bpeTrain(spark, sf, rounds = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
