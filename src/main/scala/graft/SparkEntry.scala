@@ -141,6 +141,7 @@ object SparkEntry {
     "window_distribution" -> (Relational.windowDistribution _),
     "agg_monthly_revenue" -> (Relational.aggMonthlyRevenue _),
     "profile_columns" -> (Relational.profileColumns _),
+    "integrity_checksum" -> (Relational.integrityChecksum _),
     "agg_string_concat" -> (Relational.aggStringConcat _),
     "string_funcs" -> (Relational.stringFuncs _),
     // time series / streaming duals
@@ -300,6 +301,7 @@ object SparkEntry {
     "window_distribution" -> Relational.windowDistributionSql,
     "agg_monthly_revenue" -> Relational.aggMonthlyRevenueSql,
     "profile_columns" -> Relational.profileColumnsSql,
+    "integrity_checksum" -> Relational.integrityChecksumSql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,

@@ -911,6 +911,59 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  // --- table integrity checksums --------------------------------------------
+  /** Order-independent content checksums per table — the cross-replica /
+    * cross-migration divergence detector: two copies of a 100 TB table
+    * agree iff three numbers agree, computed in ONE scan each with
+    * nothing but (count, 8-byte xor, decimal sum) crossing the shuffle
+    * as a map-side partial. Each row canonicalizes to
+    * md5(col₁|col₂|…) → first 60 bits as a BIGINT; the table digest is
+    * both its BIT_XOR (cheap, but pairs of identical rows cancel) and
+    * its modular SUM in DECIMAL(38,0) (multiset-sensitive; 2^60 · 10^12
+    * rows still fits 38 digits), so the pair detects both reorderings
+    * (neither cares) and duplications (the sum catches what xor
+    * cancels).
+    *
+    * Column choice sticks to integer/string/timestamp columns whose
+    * text rendering is engine-identical — doubles are excluded because
+    * the two engines' float formatting differs (the hash discipline
+    * everywhere else in this repo; digests must disagree only when DATA
+    * disagrees).
+    */
+  def integrityChecksum(s: SparkSession, dir: String): DataFrame = {
+    def leg(tbl: String, cols: Seq[String]): DataFrame = {
+      val h = conv(substring(
+        md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)), 1, 15),
+        16, 10).cast("long")
+      t(s, dir, tbl).select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_checksum"),
+          sum(col("h").cast("decimal(38,0)")).as("sum_checksum"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_checksum"),
+          col("sum_checksum"))
+    }
+    leg("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .unionAll(leg("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+      .unionAll(leg("documents", Seq("doc_id", "lang", "source", "n_chars")))
+      .orderBy(col("tbl"))
+  }
+
+  val integrityChecksumSql: String = {
+    def leg(tbl: String, cols: Seq[String]): String = {
+      val cat = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ")
+      s"""SELECT '$tbl' AS tbl, COUNT(*) AS n_rows,
+         | BIT_XOR(CAST('0x' || substr(md5($cat),1,15) AS BIGINT)) AS xor_checksum,
+         | CAST(SUM(CAST('0x' || substr(md5($cat),1,15) AS BIGINT)) AS DECIMAL(38,0)) AS sum_checksum
+         |FROM $tbl""".stripMargin
+    }
+    Seq(
+      leg("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+      leg("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      leg("documents", Seq("doc_id", "lang", "source", "n_chars")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
   val profileColumnsSql: String =
     """SELECT 'o_custkey' AS col_name, COUNT(DISTINCT o_custkey) AS n_distinct,
       | COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(*) AS n_rows FROM orders

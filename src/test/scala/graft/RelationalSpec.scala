@@ -125,4 +125,38 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
+
+  test("integrity checksum: invariant under reorder, flips on a 1-row mutation") {
+    import org.apache.spark.sql.functions.{col, rand, when, lit}
+    val base = Relational.integrityChecksum(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).toString)).toMap
+    assert(base.keySet == Set("customer", "orders", "documents"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cksum").toString
+    // replica 1: same documents rows, shuffled and differently partitioned
+    Tables.load(spark, sf, "documents").orderBy(rand(7)).repartition(7)
+      .write.mode("overwrite").parquet(s"$tmp/reorder/documents.parquet")
+    // replica 2: one row's lang silently flipped
+    Tables.load(spark, sf, "documents")
+      .withColumn("lang",
+        when(col("doc_id") === 42L, lit("xx")).otherwise(col("lang")))
+      .write.mode("overwrite").parquet(s"$tmp/mutated/documents.parquet")
+    for (leg <- Seq("reorder", "mutated")) {
+      for (t <- Seq("customer", "orders")) // checksum needs all three tables
+        Tables.load(spark, sf, t).write.mode("overwrite")
+          .parquet(s"$tmp/$leg/$t.parquet")
+    }
+    val re = Relational.integrityChecksum(spark, s"$tmp/reorder").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).toString)).toMap
+    assert(re == base, "physical order/partitioning must not affect the digest")
+    val mu = Relational.integrityChecksum(spark, s"$tmp/mutated").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).toString)).toMap
+    assert(mu("customer") == base("customer") && mu("orders") == base("orders"))
+    val (bn, bx, bs) = base("documents"); val (mn, mx, ms) = mu("documents")
+    assert(bn == mn, "row count unchanged by the mutation")
+    assert(bx != mx && bs != ms, "both digests must flip on a 1-row change")
+  }
 }
