@@ -1252,6 +1252,21 @@ object TextQueries {
     * independent driver-side reference induction instead.
     */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (rules, _) = bpeCore(s, dir, rounds)
+    import s.implicits._
+    rules.toDF("round", "a", "b", "n_occurrences")
+      .select(col("round").cast("long").as("round"), col("a"), col("b"),
+        col("n_occurrences"))
+  }
+
+  /** The shared induction loop behind [[bpeTrain]] and [[bpeEncode]]:
+    * returns the merge rules AND the post-merge (syms, n) vocabulary —
+    * the trainer has already applied every rule it learned, so encoding
+    * reuses its final state instead of replaying the merges (halves the
+    * cost of `text_bpe_encode`, which previously ran train THEN re-fold).
+    */
+  private def bpeCore(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = graft.Graft.materialize(
       docs(s, dir)
         .select(explode(words).as("word"))
@@ -1289,10 +1304,7 @@ object TextQueries {
         r += 1
       }
     }
-    import s.implicits._
-    rules.toSeq.toDF("round", "a", "b", "n_occurrences")
-      .select(col("round").cast("long").as("round"), col("a"), col("b"),
-        col("n_occurrences"))
+    (rules.toSeq, vocab)
   }
 
   /** BPE ENCODE — apply the merges [[bpeTrain]] induced back onto the
@@ -1325,29 +1337,24 @@ object TextQueries {
 
   /** The encoded (word, syms, n) vocabulary behind [[bpeEncode]] —
     * exposed package-private so the spec can check round-trip and
-    * residual-pair properties at word grain.
+    * residual-pair properties at word grain. The ≥2-char words come
+    * straight from the trainer's final state (merges already applied;
+    * the word is recovered as the concatenation of its symbols, exact
+    * by the round-trip invariant the spec pins); 1-char words — which
+    * no merge can touch — are appended as single-symbol rows, so the
+    * union covers every word of the corpus exactly once.
     */
   private[graft] def encodedVocab(s: SparkSession, dir: String,
                                   rounds: Int): DataFrame = {
-    val rules = bpeTrain(s, dir, rounds).collect()
-      .sortBy(_.getLong(0))
-      .map(r => (r.getString(1), r.getString(2)))
-    var vocab = docs(s, dir)
+    val (_, trained) = bpeCore(s, dir, rounds)
+    val shorts = docs(s, dir)
       .select(explode(words).as("word"))
+      .filter(length(col("word")) === 1)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .select(col("word"), expr("split(word, '')").as("syms"), col("n"))
-    rules.foreach { case (a, b) =>
-      val merged = aggregate(
-        col("syms"),
-        array().cast("array<string>"),
-        (acc, x) => when(
-          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(concat(element_at(acc, -1), x))))
-          .otherwise(concat(acc, array(x))))
-      vocab = vocab.select(col("word"), merged.as("syms"), col("n"))
-    }
-    vocab
+      .select(col("word"), array(col("word")).as("syms"), col("n"))
+    trained
+      .select(concat_ws("", col("syms")).as("word"), col("syms"), col("n"))
+      .unionAll(shorts)
   }
 
   // --- TF-IDF top terms ----------------------------------------------------
