@@ -88,6 +88,28 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked DAILY distinct-user sketches — the streaming leg of the
+    * mergeable-sketch family (EventQueries.hllRollup/topkRollup): each
+    * day window emits an HLL sketch of its active users, built
+    * incrementally as events arrive and finalized when the watermark
+    * passes the window. The sink keeps 4 KiB of reaggregatable state
+    * per day, so "distinct users over any range" stays an O(days)
+    * union over the STREAMED sketches — the precompute-once pattern,
+    * now fed by the live stream instead of a batch rescan. State is
+    * window-bounded (watermark evicts closed days), which is the only
+    * sketch-building formulation that survives an unbounded stream.
+    * StreamingSpec proves the streamed daily estimates EQUAL the batch
+    * dual's (sketch merge is deterministic, so stream vs batch
+    * partials must land on identical registers).
+    */
+  def dailyUserSketch(events: DataFrame, horizon: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_users"))
+      .select(col("window.start").cast("date").as("day"), col("approx_users"))
+
   /** Streaming exact dedup with bounded state — the streaming leg of the
     * LLM-pipeline dedup family: drop events whose `event_id` was already
     * seen, keeping only ids inside the watermark horizon in state

@@ -69,6 +69,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), s"streamed windows disagree with batch")
   }
 
+  test("streamed daily HLL sketches equal the batch daily estimates") {
+    val tmp = Files.createTempDirectory("graft_stream_hll")
+    val out = tmp.resolve("daily").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    EventsStream.dailyUserSketch(EventsStream.readStream(spark, sf))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+      .awaitTermination()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // batch dual at the same day grain and lgK
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // append mode withholds the still-open tail windows; every emitted
+    // (closed) day must match the batch estimate EXACTLY — HLL register
+    // merge is deterministic, stream partials land on the same sketch
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (day, est) =>
+      assert(batch.get(day).contains(est),
+        s"day $day: streamed $est vs batch ${batch.get(day)}")
+    }
+  }
+
   test("streaming dedup within watermark emits each event_id exactly once") {
     val tmp = Files.createTempDirectory("graft_stream_dedup")
     val out = tmp.resolve("dedup").toString
