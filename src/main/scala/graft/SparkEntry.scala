@@ -251,6 +251,7 @@ object SparkEntry {
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_dedup" -> (Multimodal.mediaDedup _),
+    "multimodal_cdc_chunks" -> (Multimodal.cdcChunkStats _),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )

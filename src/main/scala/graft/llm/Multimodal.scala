@@ -84,6 +84,43 @@ object Multimodal {
       |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY digest""".stripMargin
 
+  /** Chunk-level dedup over BINARY payloads via content-defined chunking
+    * ([[graft.functions.CdcChunks]], FastCDC-style gear hash): where
+    * [[mediaDedup]] only finds byte-identical whole payloads, CDC finds
+    * the SHARED BYTES between near-copies (same media re-containered,
+    * headers prepended, segments appended) because chunk boundaries
+    * re-sync on content after any local edit. Reports, per source: chunk
+    * count, distinct chunks, byte volumes, and the dedup ratio a
+    * chunk-store would achieve.
+    *
+    * Shape at scale: chunking is a narrow codegen'd map (payload bytes
+    * never shuffle); the exchange carries (source, digest, len) chunk
+    * records — metadata, ~1% of payload volume at real chunk sizes —
+    * and the per-source rollup is a standard two-level aggregation.
+    * No DuckDB oracle (the rolling hash is engine-side); MultimodalSpec
+    * pins exact tiling, determinism, and boundary re-sync after a
+    * prepended edit.
+    */
+  def cdcChunkStats(s: SparkSession, dir: String): DataFrame = {
+    val chunks = mediaTable(s, dir)
+      .select(col("source"),
+        explode(graft.functions.CdcChunks(col("payload"))).as("c"))
+      .select(col("source"), col("c.digest").as("digest"),
+        col("c.len").as("len"))
+    chunks
+      .groupBy(col("source"), col("digest"))
+      .agg(count(lit(1)).as("n_copies"), first(col("len")).as("len"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("n_copies") * col("len")).as("bytes_total"),
+        sum(col("len")).as("bytes_unique"))
+      .withColumn("dedup_ratio",
+        col("bytes_unique").cast("double") / col("bytes_total").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Decoded-frame schema a real decoder would produce. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),

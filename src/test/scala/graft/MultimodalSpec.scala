@@ -99,4 +99,56 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
       s"decode should be a distributed mapPartitions:\n$plan")
   }
+
+  test("CDC chunks: exact tiling, deterministic, boundaries re-sync after edits") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import spark.implicits._
+    // deterministic pseudo-random 8 KiB payload (splitmix-ish LCG)
+    def noise(seed: Long, n: Int): Array[Byte] = {
+      var x = seed; Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    val base = noise(7L, 8192)
+    val shifted = Array.fill[Byte](37)(0x55.toByte) ++ base // 37-byte prepend
+    val df = Seq((1L, base), (2L, shifted), (3L, base)).toDF("media_id", "payload")
+    val rows = df.select(col("media_id"),
+        explode(graft.functions.CdcChunks(col("payload"), 6, 16, 256)).as("c"))
+      .select(col("media_id"), col("c.offset"), col("c.len"), col("c.digest"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byId = rows.groupBy(_._1)
+    // exact tiling: contiguous offsets, lens sum to payload size, caps hold
+    for ((id, cs0) <- byId) {
+      val cs = cs0.sortBy(_._2)
+      val size = if (id == 2L) 8192 + 37 else 8192
+      assert(cs.head._2 == 0 && cs.map(_._3).sum == size, s"media $id tiling")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 + a._3 == b._2, s"media $id gap")
+        case _ =>
+      }
+      cs.init.foreach { c => assert(c._3 >= 16 && c._3 <= 256, s"media $id len") }
+    }
+    // determinism: identical payloads chunk identically
+    assert(byId(1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      byId(3L).map(t => (t._2, t._3, t._4)).toSeq)
+    // re-sync: after the 37-byte prepend, most of the original chunk
+    // digests reappear — the content-defined property fixed-size
+    // chunking lacks (there, EVERY boundary would move)
+    val origDigests = byId(1L).map(_._4).toSet
+    val shiftDigests = byId(2L).map(_._4).toSet
+    val common = origDigests.intersect(shiftDigests).size.toDouble
+    assert(common / origDigests.size >= 0.8,
+      s"only ${common}/${origDigests.size} chunks survived the shift")
+    // the registered rollup is consistent on the corpus
+    val stats = Multimodal.cdcChunkStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "n_chunks >= n_distinct_chunks")
+      assert(r.getLong(3) >= r.getLong(4), "bytes_total >= bytes_unique")
+      val ratio = r.getDouble(5)
+      assert(ratio > 0 && ratio <= 1.0 + 1e-12)
+    }
+  }
 }
