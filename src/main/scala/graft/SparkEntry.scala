@@ -252,6 +252,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_dedup" -> (Multimodal.mediaDedup _),
     "multimodal_cdc_chunks" -> (Multimodal.cdcChunkStats _),
+    "multimodal_cdc_pairs" -> ((s, d) => Multimodal.cdcSharedPairs(s, d)),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )

@@ -121,6 +121,47 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** Chunk-sharing containment pairs over [[cdcChunkStats]]'s chunks:
+    * media pairs that share ≥ `minShared` content-defined chunk digests
+    * are byte-level near-copies (one re-containered / header-edited
+    * copy of the other) even when whole-payload digests differ. The
+    * inverted (digest → holders) index is capped at `maxHolders` before
+    * pairing — a ubiquitous boilerplate chunk would otherwise explode
+    * the candidate count quadratically (the same posting-cap discipline
+    * as the text inverted index / LSH buckets). Payload bytes never
+    * shuffle: pairing happens on (digest, media_id) records only.
+    */
+  def cdcSharedPairs(s: SparkSession, dir: String,
+                     minShared: Int = 2, maxHolders: Int = 10): DataFrame =
+    cdcSharedPairsOf(mediaTable(s, dir), minShared, maxHolders)
+
+  /** Core of [[cdcSharedPairs]] over any (media_id, payload) frame —
+    * split out so the spec can plant a shifted near-copy and assert the
+    * pair is FOUND (the registered corpus has no byte-level near-dups,
+    * so its output alone would be vacuously green).
+    */
+  def cdcSharedPairsOf(media: DataFrame, minShared: Int,
+                       maxHolders: Int): DataFrame = {
+    val chunks = media
+      .select(col("media_id"),
+        explode(graft.functions.CdcChunks(col("payload"))).as("c"))
+      .select(col("media_id"), col("c.digest").as("digest"))
+      .distinct()
+    val rare = chunks.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_holders"))
+      .filter(col("n_holders") >= 2 && col("n_holders") <= maxHolders)
+      .select(col("digest"))
+    val held = chunks.join(rare, "digest")
+    held.as("a").join(held.as("b"),
+        col("a.digest") === col("b.digest") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= minShared)
+      .orderBy(col("n_shared_chunks").desc, col("media_a"), col("media_b"))
+  }
+
   /** Decoded-frame schema a real decoder would produce. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),

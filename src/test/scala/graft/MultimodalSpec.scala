@@ -150,5 +150,21 @@ class MultimodalSpec extends SparkSpec {
       val ratio = r.getDouble(5)
       assert(ratio > 0 && ratio <= 1.0 + 1e-12)
     }
+    // chunk-sharing pairs: the planted shifted near-copy (2) and exact
+    // copy (3) must both pair with the base (1); negative control: a
+    // fresh unrelated payload pairs with nothing
+    val df4 = Seq((1L, base), (2L, shifted), (3L, base),
+        (4L, noise(99L, 8192))).toDF("media_id", "payload")
+    val pairs = Multimodal.cdcSharedPairsOf(df4, minShared = 2, maxHolders = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"shifted near-copy not found: ${keys.toSeq}")
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated payload must not pair")
+    // the exact-copy pair shares every chunk the shifted pair shares or more
+    val full = pairs.find(p => (p._1, p._2) == (1L, 3L)).get._3
+    val shift = pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(full >= shift)
   }
 }
