@@ -83,6 +83,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"weighted sample must not join:\n$p")
   }
 
+  test("CDC chunk ops: digest-keyed joins only, never a cartesian") {
+    for ((name, df) <- Seq(
+      "multimodal_cdc_chunks" -> graft.llm.Multimodal.cdcChunkStats(spark, sf),
+      "multimodal_cdc_pairs" -> graft.llm.Multimodal.cdcSharedPairs(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$p")
+    }
+  }
+
   test("PCA projection is a narrow map: no exchange after the literal projection") {
     // the projection query's distributed part: one scan + final sort for
     // presentation; eigenvectors ride as literals, so no join at all
