@@ -142,6 +142,7 @@ object SparkEntry {
     "agg_monthly_revenue" -> (Relational.aggMonthlyRevenue _),
     "profile_columns" -> (Relational.profileColumns _),
     "integrity_checksum" -> (Relational.integrityChecksum _),
+    "order_cycle_time" -> (Relational.orderCycleTime _),
     "agg_string_concat" -> (Relational.aggStringConcat _),
     "string_funcs" -> (Relational.stringFuncs _),
     // time series / streaming duals
@@ -304,6 +305,7 @@ object SparkEntry {
     "agg_monthly_revenue" -> Relational.aggMonthlyRevenueSql,
     "profile_columns" -> Relational.profileColumnsSql,
     "integrity_checksum" -> Relational.integrityChecksumSql,
+    "order_cycle_time" -> Relational.orderCycleTimeSql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,

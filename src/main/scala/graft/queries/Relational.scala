@@ -911,6 +911,45 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  // --- order cycle time ------------------------------------------------------
+  /** Fulfillment cycle time per order priority: days from order date to
+    * the order's LAST line shipment, aggregated per priority (avg as
+    * exact decimal-sum / count, max, and order count). The inner
+    * aggregation collapses lineitem to one (orderkey, last_ship) row
+    * BEFORE the orders join — at 100 TB that's the difference between
+    * joining 600 M orders against 6 B lines and against 600 M
+    * pre-reduced rows, and the date math (`datediff` on day grain) is
+    * exact integer arithmetic in both engines, so the averages
+    * hash-match without fp discipline.
+    */
+  def orderCycleTime(s: SparkSession, dir: String): DataFrame = {
+    val lastShip = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    t(s, dir, "orders")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("last_ship"), col("o_orderdate")).as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(col("days").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("avg_days"),
+        max(col("days")).cast("long").as("max_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderCycleTimeSql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(datediff('day', o_orderdate, last_ship) AS DECIMAL(18,6)))
+      |   AS DOUBLE) / COUNT(*) AS avg_days,
+      | CAST(MAX(datediff('day', o_orderdate, last_ship)) AS BIGINT) AS max_days
+      |FROM orders JOIN ls ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- table integrity checksums --------------------------------------------
   /** Order-independent content checksums per table — the cross-replica /
     * cross-migration divergence detector: two copies of a 100 TB table
