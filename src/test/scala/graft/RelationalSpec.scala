@@ -19,6 +19,22 @@ class RelationalSpec extends SparkSpec {
       "scan reads unprojected columns — pruning failed")
   }
 
+  test("new TPC-H shapes push their fact filters to the parquet scans") {
+    // q10: returnflag prunes lineitem AND the quarter prunes orders — at
+    // 100 TB these two pushdowns are most of the query's cost model
+    val q10 = planOf(Relational.q10ReturnedItems(spark, sf))
+    assert(q10.contains("PushedFilters: ["), "q10 lost scan pushdown")
+    assert(q10.contains("l_returnflag"), "q10 returnflag not at the scan")
+    // q14: the ship-month filter reaches the lineitem scan, and the part
+    // side reads only its join key + type (column pruning)
+    val q14 = planOf(Relational.q14PromoRevenue(spark, sf))
+    assert(q14.contains("l_shipdate"), "q14 month filter not at the scan")
+    val partRead = q14.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!partRead.contains("p_retailprice"),
+      "q14 reads unprojected part columns — pruning failed")
+  }
+
   test("dimension joins broadcast the small side (no fact-table shuffle)") {
     for (df <- Seq(
         Relational.joinBroadcastDim(spark, sf),
