@@ -184,24 +184,34 @@ object EmbeddingQueries {
     * Plan shape at 100 TB:
     *   - clustering reuses [[trainCodebook]] (shuffle-free literal-
     *     codebook assignment; driver holds k x dim doubles only);
-    *   - the within-cell pair join NEVER goes all-pairs across the
-    *     corpus: candidates share a cell key, and each cell is
-    *     block-split 8x8 ([[graft.queries.TextQueries.dedupNgramJaccard]]'s
-    *     triangle trick) so a hot cell fans out over 36 tasks instead
-    *     of one straggler — SemDeDup's published cost model (k grows
-    *     with corpus size, keeping cells bounded) is exactly what keeps
-    *     this join linear-ish;
+    *   - the within-cell pairing is HEAD × ALL, never all-pairs: each
+    *     vector is compared against its cell's `maxCell` LOWEST-id
+    *     members only, so a hot cell costs maxCell·|cell| comparisons
+    *     (linear in cell size) instead of |cell|² — the skew cap every
+    *     other pairwise operator in this repo already has (LSH bucket
+    *     caps, CDC maxHolders, fuzzy-join blocks). When every cell fits
+    *     the cap — SemDeDup's own contract, k grows with corpus size —
+    *     head = whole cell and the result is EXACTLY the uncapped
+    *     min-keep rule; an over-cap cell degrades gracefully (a vector
+    *     shadowed only by non-head cell-mates is kept), never melts a
+    *     straggler;
+    *   - the head itself is skew-safe: `row_number() <= maxCell` is
+    *     Spark's WindowGroupLimit — each map task pre-prunes to the cap
+    *     per cell BEFORE the exchange, so a hot cell never materializes
+    *     in one task even to be ranked;
+    *   - the head side replicates across `nBlocks` hash-blocks of the
+    *     b-side so one hot cell fans out over nBlocks tasks;
     *   - vectors cross the wire once per candidate side with
     *     precomputed norms; the verdict join back to the corpus is
     *     id-keyed (8-byte keys), never vector-keyed.
     *
     * No DuckDB oracle (k-means cells are engine-specific);
     * EmbeddingSpec pins a planted near-identical pair (dropped, with
-    * the right dup_of) and a distant negative control (kept).
+    * the right dup_of), a distant negative control (kept), and the
+    * candidate-pair bound under a planted hot cell.
     */
   def semDedup(s: SparkSession, dir: String, nCent: Int = 16,
-               tau: Double = 0.9): DataFrame = {
-    val nBlocks = 8
+               tau: Double = 0.9, maxCell: Int = 4096): DataFrame = {
     val codebook = trainCodebook(s, dir, nCent)
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -209,18 +219,7 @@ object EmbeddingQueries {
     val cells = assignCells(e, codebook)
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
-    val a = cells.select(col("cell"), col("blk").as("blk_a"),
-      explode(sequence(col("blk"), lit(nBlocks - 1))).as("blk_b"),
-      col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
-    val b = cells.select(col("cell"),
-      explode(sequence(lit(0), col("blk"))).as("blk_a"), col("blk").as("blk_b"),
-      col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"))
-    val shadows = a.join(b, Seq("cell", "blk_a", "blk_b"))
-      .filter((col("blk_a") =!= col("blk_b")) || (col("a_id") < col("b_id")))
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        (dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
+    val shadows = semDedupCandidates(cells, maxCell)
       .filter(col("cos") >= tau)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
     cells.select(col("vec_id"), col("cell"))
@@ -228,6 +227,31 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Candidate (a_id, b_id, cos) pairs for [[semDedup]], a_id < b_id,
+    * with the a-side restricted to each cell's `maxCell` lowest-id
+    * members — the work bound is maxCell · |cell| per cell. Package-
+    * visible so the spec can count candidates under a planted hot cell.
+    * Expects columns (vec_id, cell, v, nrm).
+    */
+  private[graft] def semDedupCandidates(cells: DataFrame,
+                                        maxCell: Int): DataFrame = {
+    val nBlocks = 8
+    val w = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val head = cells
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxCell) // WindowGroupLimit: map-side cap
+    val a = head.select(col("cell"),
+      explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"),
+      col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = cells.select(col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"),
+      col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("cell", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
   }
 
   // --- IVF-style ANN -----------------------------------------------------------

@@ -153,8 +153,10 @@ object GraphQueries {
       |CROSS JOIN n
       |ORDER BY n_together DESC, part_a, part_b LIMIT 20""".stripMargin
 
-  val pagerankSql: String =
-    """WITH cs AS (
+  val pagerankSql: String = {
+    val step = PortableSql.intDiv(
+      s"85 * SUM(${PortableSql.intDiv("r.pr_u", "a.out_deg")})", "100")
+    s"""WITH cs AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       |edges AS (SELECT src, dst FROM cs
@@ -163,20 +165,15 @@ object GraphQueries {
       |adj AS (SELECT e.src, e.dst, d.out_deg
       |        FROM edges e JOIN deg d ON e.src = d.src),
       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr_u FROM deg),
-      |r1 AS (SELECT a.dst AS node,
-      |         CAST(150000 + (85 * SUM(r.pr_u // a.out_deg)) // 100 AS BIGINT)
-      |           AS pr_u
+      |r1 AS (SELECT a.dst AS node, 150000 + $step AS pr_u
       |       FROM adj a JOIN r0 r ON a.src = r.node GROUP BY a.dst),
-      |r2 AS (SELECT a.dst AS node,
-      |         CAST(150000 + (85 * SUM(r.pr_u // a.out_deg)) // 100 AS BIGINT)
-      |           AS pr_u
+      |r2 AS (SELECT a.dst AS node, 150000 + $step AS pr_u
       |       FROM adj a JOIN r1 r ON a.src = r.node GROUP BY a.dst),
-      |r3 AS (SELECT a.dst AS node,
-      |         CAST(150000 + (85 * SUM(r.pr_u // a.out_deg)) // 100 AS BIGINT)
-      |           AS pr_u
+      |r3 AS (SELECT a.dst AS node, 150000 + $step AS pr_u
       |       FROM adj a JOIN r2 r ON a.src = r.node GROUP BY a.dst)
       |SELECT node, CAST(pr_u AS DOUBLE) / 1e6 AS pr
       |FROM r3 ORDER BY pr_u DESC, node LIMIT 20""".stripMargin
+  }
 
   // --- triangle counting -------------------------------------------------
   /** Triangle count of the co-purchase graph (parts adjacent when some

@@ -954,14 +954,26 @@ object Relational {
   /** Order-independent content checksums per table — the cross-replica /
     * cross-migration divergence detector: two copies of a 100 TB table
     * agree iff three numbers agree, computed in ONE scan each with
-    * nothing but (count, 8-byte xor, decimal sum) crossing the shuffle
+    * nothing but (count, 8-byte xor, 8-byte sum) crossing the shuffle
     * as a map-side partial. Each row canonicalizes to
     * md5(col₁|col₂|…) → first 60 bits as a BIGINT; the table digest is
     * both its BIT_XOR (cheap, but pairs of identical rows cancel) and
-    * its modular SUM in DECIMAL(38,0) (multiset-sensitive; 2^60 · 10^12
-    * rows still fits 38 digits), so the pair detects both reorderings
-    * (neither cares) and duplications (the sum catches what xor
-    * cancels).
+    * the SUM of the hash reduced mod a 20-bit prime (multiset-
+    * sensitive; 2^20 · 10^12 rows = 2^60 still fits BIGINT, so the
+    * digest stays 64-bit-exact at a trillion rows), so the pair
+    * detects both reorderings (neither cares) and duplications (the
+    * sum catches what xor cancels).
+    *
+    * Portability contract (the r7 red row): the hex→int conversion is
+    * spelled as POSITIONAL ARITHMETIC — 15 × `instr('0123456789abcdef',
+    * substr(m,i,1)) - 1` scaled by 16^(15-i) — because every engine
+    * defines instr, substr and integer multiply identically, whereas
+    * `CAST('0x'||… AS
+    * BIGINT)` is a nonstandard cast path that DuckDB versions resolve
+    * differently, and SUM(BIGINT)→HUGEINT→DECIMAL(38,0) narrowing is
+    * another per-version seam. Nothing here leaves BIGINT. NULLs hash
+    * explicitly via a per-column sentinel (coalesce both legs), so
+    * ('a',NULL,'b') and ('a','b',NULL) digest differently.
     *
     * Column choice sticks to integer/string/timestamp columns whose
     * text rendering is engine-identical — doubles are excluded because
@@ -969,37 +981,46 @@ object Relational {
     * everywhere else in this repo; digests must disagree only when DATA
     * disagrees).
     */
+  private val checksumTables: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "documents" -> Seq("doc_id", "lang", "source", "n_chars"))
+
+  /** 20-bit prime bounding the per-row sum contribution (see above). */
+  private val ChecksumSumPrime = 1048573L
+
   def integrityChecksum(s: SparkSession, dir: String): DataFrame = {
     def leg(tbl: String, cols: Seq[String]): DataFrame = {
-      val h = conv(substring(
-        md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)), 1, 15),
-        16, 10).cast("long")
-      t(s, dir, tbl).select(h.as("h"))
+      val cat = concat_ws("|",
+        cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+      val h = (1 to 15).map { i =>
+        val weight = java.math.BigInteger.valueOf(16L).pow(15 - i).longValueExact()
+        expr(s"instr('0123456789abcdef', substr(m, $i, 1)) - 1")
+          .cast("long") * lit(weight)
+      }.reduce(_ + _)
+      t(s, dir, tbl).select(md5(cat).as("m"))
+        .select(h.as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_checksum"),
-          sum(col("h").cast("decimal(38,0)")).as("sum_checksum"))
+          sum(col("h") % lit(ChecksumSumPrime)).as("sum_checksum"))
         .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_checksum"),
           col("sum_checksum"))
     }
-    leg("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
-      .unionAll(leg("orders",
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
-      .unionAll(leg("documents", Seq("doc_id", "lang", "source", "n_chars")))
-      .orderBy(col("tbl"))
+    checksumTables.map((leg _).tupled).reduce(_ unionAll _).orderBy(col("tbl"))
   }
 
   val integrityChecksumSql: String = {
     def leg(tbl: String, cols: Seq[String]): String = {
-      val cat = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ")
+      val cat = cols.map(c => s"COALESCE(CAST($c AS VARCHAR), '<NULL>')")
+        .mkString(" || '|' || ")
+      val hTerms = PortableSql.hexValue("m", 15)
       s"""SELECT '$tbl' AS tbl, COUNT(*) AS n_rows,
-         | BIT_XOR(CAST('0x' || substr(md5($cat),1,15) AS BIGINT)) AS xor_checksum,
-         | CAST(SUM(CAST('0x' || substr(md5($cat),1,15) AS BIGINT)) AS DECIMAL(38,0)) AS sum_checksum
-         |FROM $tbl""".stripMargin
+         | BIT_XOR(h) AS xor_checksum,
+         | CAST(SUM(h % $ChecksumSumPrime) AS BIGINT) AS sum_checksum
+         |FROM (SELECT $hTerms AS h
+         |      FROM (SELECT md5($cat) AS m FROM $tbl))""".stripMargin
     }
-    Seq(
-      leg("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
-      leg("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
-      leg("documents", Seq("doc_id", "lang", "source", "n_chars")))
+    checksumTables.map((leg _).tupled)
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
   }
 

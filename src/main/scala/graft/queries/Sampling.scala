@@ -128,10 +128,11 @@ object Sampling {
   }
 
   val weightedSampleSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, lang, n_chars,
-      |    CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)),1,6) AS BIGINT) + 1 AS h
-      |  FROM documents),
+      |    ${PortableSql.hexValue("m", 6)} + 1 AS h
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |        md5('wrs:' || CAST(doc_id AS VARCHAR)) AS m FROM documents)),
       |a AS (
       |  SELECT doc_id, lang, n_chars,
       |    CAST(CAST(round(ln(16777216.0) * 1e6) AS BIGINT)
@@ -179,10 +180,11 @@ object Sampling {
   }
 
   val mixtureDownsampleSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, lang,
-      |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) AS bucket
-      |  FROM documents),
+      |    ${PortableSql.hexValue("m", 4)} AS bucket
+      |  FROM (SELECT doc_id, lang,
+      |        md5('mix:' || CAST(doc_id AS VARCHAR)) AS m FROM documents)),
       |c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
       |m AS (SELECT MIN(n) AS mn FROM c),
       |a AS (SELECT d.lang FROM d JOIN c USING (lang), m
@@ -226,12 +228,12 @@ object Sampling {
   }
 
   val packChunksSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok,
       |    SUM(len(string_split(text,' '))) OVER (PARTITION BY lang ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM documents)
-      |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+      |SELECT lang, ${PortableSql.intDiv("cum - n_tok", "512")} AS chunk_id,
       | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
       | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM t GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin

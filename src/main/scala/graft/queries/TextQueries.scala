@@ -1170,11 +1170,11 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
 
   val chunkSlidingSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |s AS (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS start
       |      FROM t),
       |c AS (SELECT doc_id, start,
-      |             CAST(start // 40 AS BIGINT) AS chunk_id,
+      |             ${PortableSql.intDiv("start", "40")} AS chunk_id,
       |             CAST(LEAST(50, len(w) - start) AS BIGINT) AS n_tokens,
       |             array_to_string(list_slice(w, start + 1,
       |                                        LEAST(start + 50, len(w))), ' ')

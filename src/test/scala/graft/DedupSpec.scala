@@ -163,6 +163,35 @@ class DedupSpec extends SparkSpec {
     rows.filter(_.getBoolean(2)).foreach(r => assert(r.isNullAt(3)))
   }
 
+  test("SemDeDup: hot cell's candidate pairs bounded by maxCell × |cell|") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200 near-identical vectors land in ONE k-means cell — the skew
+    // case. Uncapped pairing would generate 200·199/2 = 19900 pairs;
+    // the head×all cap must keep it ≤ maxCell·|cell| and stay EXACT
+    // (identical pair set) once maxCell covers the cell.
+    val n = 200
+    val cells = (0 until n).map { i =>
+      (i.toLong, 0, Seq(1.0, 0.001 * i), math.sqrt(1.0 + 0.000001 * i * i))
+    }.toDF("vec_id", "cell", "v", "nrm")
+    val capped = graft.queries.EmbeddingQueries
+      .semDedupCandidates(cells, maxCell = 4)
+    val nCapped = capped.count()
+    assert(nCapped <= 4L * n, s"cap leaked: $nCapped pairs")
+    // head = 4 lowest ids, paired against every higher id exactly once
+    // Σ_{i=0..3} (n-1-i) = 4(n-1) - 6
+    assert(nCapped == 4L * (n - 1) - 6,
+      s"expected head×all pair count, got $nCapped")
+    val full = graft.queries.EmbeddingQueries
+      .semDedupCandidates(cells, maxCell = n)
+    assert(full.count() == n.toLong * (n - 1) / 2,
+      "uncapped head must reproduce ALL a<b pairs exactly once")
+    // the cap must ride the map-side WindowGroupLimit, not a full sort
+    val plan = planOf(capped)
+    assert(plan.contains("WindowGroupLimit"),
+      s"head ranking must pre-prune before the exchange:\n$plan")
+  }
+
   test("exact dedup keeps the minimum doc_id per distinct text") {
     val rows = TextQueries.dedupExact(spark, sf).collect()
     val total = graft.Tables.load(spark, sf, "documents").count()

@@ -142,11 +142,39 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
 
+  test("integrity checksum: matches an engine-independent JVM recomputation") {
+    // The r7 red row was an oracle-spelling portability failure, not a
+    // math failure — so the digest contract is now pinned OUTSIDE any
+    // SQL engine: recompute (n, xor, mod-sum) from raw rows with
+    // java.security.MessageDigest and require bit-equality. Any engine
+    // (or engine version) that disagrees with this is wrong by contract.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rowHash(parts: Seq[String]): Long = {
+      val hex = md.digest(parts.mkString("|").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (0 until 15).foldLeft(0L)((acc, i) =>
+        acc * 16 + java.lang.Long.parseLong(hex.substring(i, i + 1), 16))
+    }
+    val rows = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "lang", "source", "n_chars").collect()
+    var (x, sm) = (0L, 0L)
+    rows.foreach { r =>
+      val h = rowHash((0 until 4).map(i =>
+        if (r.isNullAt(i)) "<NULL>" else String.valueOf(r.get(i))))
+      x ^= h; sm += h % 1048573L
+    }
+    val got = Relational.integrityChecksum(spark, sf).collect()
+      .find(_.getString(0) == "documents").get
+    assert(got.getLong(1) == rows.length.toLong)
+    assert(got.getLong(2) == x, "xor digest diverges from JVM ground truth")
+    assert(got.getLong(3) == sm, "sum digest diverges from JVM ground truth")
+  }
+
   test("integrity checksum: invariant under reorder, flips on a 1-row mutation") {
     import org.apache.spark.sql.functions.{col, rand, when, lit}
     val base = Relational.integrityChecksum(spark, sf).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getDecimal(3).toString)).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(base.keySet == Set("customer", "orders", "documents"))
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_cksum").toString
@@ -165,11 +193,11 @@ class RelationalSpec extends SparkSpec {
     }
     val re = Relational.integrityChecksum(spark, s"$tmp/reorder").collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getDecimal(3).toString)).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(re == base, "physical order/partitioning must not affect the digest")
     val mu = Relational.integrityChecksum(spark, s"$tmp/mutated").collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getDecimal(3).toString)).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(mu("customer") == base("customer") && mu("orders") == base("orders"))
     val (bn, bx, bs) = base("documents"); val (mn, mx, ms) = mu("documents")
     assert(bn == mn, "row count unchanged by the mutation")

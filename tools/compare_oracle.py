@@ -85,12 +85,48 @@ def cmp_frames(name, spark_tbl, duck_tbl):
         return f"{name}: VALUES differ: {det}"
     return f"{name}: OK ({s_t.num_rows} rows)"
 
+# Constructs with KNOWN cross-engine-version variance (the r7 failure
+# class: the builder's DuckDB and the driver's DuckDB evaluated
+# `CAST('0x'||hex AS BIGINT)` / HUGEINT->DECIMAL narrowing differently,
+# so a locally-green oracle went red driver-side). An oracle SQL is a
+# CONTRACT — it must mean the same thing in every engine version, so the
+# gate refuses these spellings outright rather than trusting the local
+# DuckDB's opinion of them.
+import re
+PORTABILITY_PROBES = [
+    (re.compile(r"'0x'\s*\|\|", re.I),
+     "hex-string concat cast ('0x'|| ...): nonstandard cast path, "
+     "version-dependent — spell hex->int as positional arithmetic"),
+    (re.compile(r"CAST\s*\(\s*'0x", re.I),
+     "CAST('0x...' AS ...): hex-string cast is version-dependent"),
+    (re.compile(r"CAST\s*\(\s*SUM\s*\(.*\)\s*AS\s+DECIMAL\s*\(\s*38", re.I | re.S),
+     "SUM(...)->DECIMAL(38,..) narrows through HUGEINT; emit BIGINT "
+     "(mod-reduce the summand) or a canonical string instead"),
+    (re.compile(r"\bHUGEINT\b", re.I),
+     "HUGEINT is DuckDB-only and its conversions vary by version"),
+    (re.compile(r"(?<![:/])//(?![:/])"),
+     "// integer division is DuckDB-specific; use CAST + / or floor()"),
+]
+
+def scan_oracle_portability(oracle):
+    """Return [(name, reason)] for oracle SQL using version-sensitive
+    constructs. Empty list = portable by the probes' lights."""
+    hits = []
+    for name, sql in oracle.items():
+        for rx, why in PORTABILITY_PROBES:
+            if rx.search(sql):
+                hits.append((name, why))
+    return hits
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = bad = 0
+    for name, why in scan_oracle_portability(oracle):
+        print(f"{name}: PORTABILITY: {why}")
+        bad += 1
     for name in sorted(oracle):
         try:
             duck = con.execute(oracle[name]).fetch_arrow_table()
@@ -110,7 +146,7 @@ def main(sfdir, outdir):
             df = load_spark(outdir, name)
             n = 0 if df is None else df.num_rows
             print(f"{name}: rows-only, {n} rows" + (" (EMPTY!)" if n == 0 else ""))
-    print(f"== {ok} ok / {bad} bad ==")
+    print(f"== {ok} ok / {bad} bad == (local gate duckdb {duckdb.__version__})")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])

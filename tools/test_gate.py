@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
-from compare_oracle import cmp_frames
+from compare_oracle import cmp_frames, scan_oracle_portability
 
 def run():
     with tempfile.TemporaryDirectory() as d:
@@ -62,6 +62,38 @@ def run():
             ok = False
         else:
             print(f"ok: timestamp-vs-date rejected -> {r_date}")
+        # r7 class: engine-version-sensitive oracle constructs must be
+        # rejected STATICALLY — the local DuckDB agreeing is not evidence
+        # of portability (it agreed in r7 and the driver's didn't).
+        bad_oracles = {
+            "hex_cast": "SELECT BIT_XOR(CAST('0x' || substr(md5(x),1,15) "
+                        "AS BIGINT)) FROM t",
+            "decimal_narrow": "SELECT CAST(SUM(h) AS DECIMAL(38,0)) FROM t",
+            "hugeint": "SELECT CAST(x AS HUGEINT) FROM t",
+            "intdiv": "SELECT x // 7 FROM t",
+        }
+        good_oracles = {
+            "arith_hex": "SELECT BIT_XOR(h) FROM (SELECT "
+                         "(instr('0123456789abcdef', substr(m,1,1)) - 1) * 16 "
+                         "AS h FROM t)",
+            "url": "SELECT 'http://a/b' AS u FROM t",  # // inside :// is fine
+            "bigint_sum": "SELECT CAST(SUM(h % 1048573) AS BIGINT) FROM t",
+        }
+        hits = scan_oracle_portability(bad_oracles)
+        flagged = {n for n, _ in hits}
+        if flagged != set(bad_oracles):
+            print(f"GATE REGRESSION: portability probe missed "
+                  f"{set(bad_oracles) - flagged}")
+            ok = False
+        else:
+            print(f"ok: portability probe flags all {len(bad_oracles)} "
+                  "version-sensitive spellings")
+        false_pos = scan_oracle_portability(good_oracles)
+        if false_pos:
+            print(f"GATE REGRESSION: portability probe false-positives: {false_pos}")
+            ok = False
+        else:
+            print("ok: portability probe passes portable spellings")
         return 0 if ok else 1
 
 if __name__ == "__main__":
