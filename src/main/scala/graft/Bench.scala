@@ -106,6 +106,23 @@ object Bench {
         .orderBy(col("q"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // The generic warmup doesn't touch HLL / codebook-literal / regex
+    // codegen, so three queries pay 2-3x first-run JIT inside their own
+    // timing every round (r5-r7 instrumented this as jit_ms inside the
+    // wall window). Generated code is data-independent: running the same
+    // three pipelines once at the smallest sf compiles + JIT-warms the
+    // identical classes for cents, keeping the timed run steady-state.
+    {
+      val p = java.nio.file.Paths.get(sfDir)
+      val sib = p.resolveSibling("sf0.001")
+      val warmDir = if (java.nio.file.Files.isDirectory(sib)) sib.toString
+                    else sfDir
+      for (q <- Seq("agg_approx_distinct", "ann_ivf_topk", "string_funcs"))
+        try {
+          SparkEntry.queries(q)(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
+    }
     var failed = List.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -117,6 +117,21 @@ object SparkEntry {
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
+    // TPC-H completion: the other 14 classic shapes (TpchShapes)
+    "q2_min_cost_supplier" -> (TpchShapes.q2MinCostSupplier _),
+    "q4_order_priority" -> (TpchShapes.q4OrderPriority _),
+    "q6_forecast_revenue" -> (TpchShapes.q6ForecastRevenue _),
+    "q9_product_profit" -> (TpchShapes.q9ProductProfit _),
+    "q11_important_stock" -> (TpchShapes.q11ImportantStock _),
+    "q12_ship_priority" -> (TpchShapes.q12ShipPriority _),
+    "q13_cust_order_dist" -> (TpchShapes.q13CustOrderDist _),
+    "q15_top_supplier" -> (TpchShapes.q15TopSupplier _),
+    "q16_part_supplier_cnt" -> (TpchShapes.q16PartSupplierCnt _),
+    "q17_small_qty_revenue" -> (TpchShapes.q17SmallQtyRevenue _),
+    "q19_disjunctive_revenue" -> (TpchShapes.q19DisjunctiveRevenue _),
+    "q20_excess_suppliers" -> (TpchShapes.q20ExcessSuppliers _),
+    "q21_waiting_supplier" -> (TpchShapes.q21WaitingSupplier _),
+    "q22_sales_opportunity" -> (TpchShapes.q22SalesOpportunity _),
     "join_broadcast_dim" -> (Relational.joinBroadcastDim _),
     "join_left_outer" -> (Relational.joinLeftOuter _),
     "join_semi" -> (Relational.joinSemi _),
@@ -281,6 +296,20 @@ object SparkEntry {
     "q10_returned_items" -> Relational.q10ReturnedItemsSql,
     "q14_promo_revenue" -> Relational.q14PromoRevenueSql,
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
+    "q2_min_cost_supplier" -> TpchShapes.q2MinCostSupplierSql,
+    "q4_order_priority" -> TpchShapes.q4OrderPrioritySql,
+    "q6_forecast_revenue" -> TpchShapes.q6ForecastRevenueSql,
+    "q9_product_profit" -> TpchShapes.q9ProductProfitSql,
+    "q11_important_stock" -> TpchShapes.q11ImportantStockSql,
+    "q12_ship_priority" -> TpchShapes.q12ShipPrioritySql,
+    "q13_cust_order_dist" -> TpchShapes.q13CustOrderDistSql,
+    "q15_top_supplier" -> TpchShapes.q15TopSupplierSql,
+    "q16_part_supplier_cnt" -> TpchShapes.q16PartSupplierCntSql,
+    "q17_small_qty_revenue" -> TpchShapes.q17SmallQtyRevenueSql,
+    "q19_disjunctive_revenue" -> TpchShapes.q19DisjunctiveRevenueSql,
+    "q20_excess_suppliers" -> TpchShapes.q20ExcessSuppliersSql,
+    "q21_waiting_supplier" -> TpchShapes.q21WaitingSupplierSql,
+    "q22_sales_opportunity" -> TpchShapes.q22SalesOpportunitySql,
     "join_broadcast_dim" -> Relational.joinBroadcastDimSql,
     "join_left_outer" -> Relational.joinLeftOuterSql,
     "join_semi" -> Relational.joinSemiSql,

@@ -29,8 +29,15 @@ case class GramBuf(n: Long, s: Array[Double], g: Array[Double])
 object GramAgg extends Aggregator[Seq[Double], GramBuf, GramBuf] {
   override def zero: GramBuf = GramBuf(0L, Array.empty, Array.empty)
 
+  // A dimension change mid-stream is corrupt input, never something to
+  // accumulate through: silently re-zeroing the buffer (the old
+  // behavior) would discard every prior row and return a "valid" wrong
+  // PCA. Fail with the offending dimensions instead.
   private def sized(b: GramBuf, d: Int): GramBuf =
-    if (b.s.length == d) b else GramBuf(b.n, new Array[Double](d), new Array[Double](d * d))
+    if (b.s.length == d) b
+    else if (b.n == 0L) GramBuf(b.n, new Array[Double](d), new Array[Double](d * d))
+    else throw new IllegalArgumentException(
+      s"ragged embedding dimension: accumulated d=${b.s.length}, row has d=$d")
 
   override def reduce(b0: GramBuf, x: Seq[Double]): GramBuf = {
     val d = x.length
@@ -51,6 +58,8 @@ object GramAgg extends Aggregator[Seq[Double], GramBuf, GramBuf] {
     if (b.n == 0) a0
     else if (a0.n == 0) b
     else {
+      require(a0.s.length == b.s.length,
+        s"ragged embedding dimension: merging d=${a0.s.length} with d=${b.s.length}")
       val a = a0
       var i = 0
       while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }

@@ -538,6 +538,56 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE train AND encode: exact replay over the sf0.01 corpus") {
+    // The r7 verdict: the merge STEP is oracle-checked but the
+    // multi-round trainer and the encoder were rows-only at the gate's
+    // scale. This is the external determinism check: an independent
+    // plain-Scala induction over the sf0.01 corpus must reproduce the
+    // engine's merge rules AND its full encode histogram bit-exactly.
+    val sf01 = "/root/testdata/sf0.01"
+    val words = Tables.load(spark, sf01, "documents").select(col("text"))
+      .collect().flatMap(_.getString(0).split(" ", -1))
+    var vocab: Map[Vector[String], Long] = words.filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong
+      }
+    val expRules = (1L to 3L).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      val ((a, b), cnt) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.groupMapReduce { case (syms, _) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (acc.last + x)
+          else acc :+ x
+        }
+      } { case (_, n) => n } (_ + _)
+      (r, a, b, cnt)
+    }
+    val gotRules = TextQueries.bpeTrain(spark, sf01, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(gotRules == expRules, "trainer diverges from reference induction")
+
+    // encode = final vocab's tokens weighted by word count, plus the
+    // merge-untouchable 1-char words; histogram ordered (n desc, token)
+    val hist = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (syms, n) =>
+      syms.foreach(t => hist(t) = hist.getOrElse(t, 0L) + n)
+    }
+    words.filter(_.length == 1).foreach(w =>
+      hist(w) = hist.getOrElse(w, 0L) + 1L)
+    val expHist = hist.toSeq.sortBy { case (t, n) => (-n, t) }
+    val gotHist = TextQueries.bpeEncode(spark, sf01, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotHist == expHist, "encode histogram diverges from reference")
+  }
+
   test("DSIR importance weights separate the target language from the rest") {
     val w = TextQueries.importanceDsir(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap

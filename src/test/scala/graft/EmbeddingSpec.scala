@@ -153,6 +153,27 @@ class EmbeddingSpec extends SparkSpec {
     assert(fr.forall(f => f >= 0 && f <= 1.0 + 1e-12) && fr.sum <= 1.0 + 1e-9)
   }
 
+  test("GramAgg rejects ragged embedding dimensions with a clear error") {
+    import graft.functions.{GramAgg, GramBuf}
+    // reduce into a non-empty buffer of another dimension: must throw,
+    // not silently re-zero (the old behavior returned a valid-looking
+    // but wrong PCA built from only the post-switch rows)
+    val b2 = GramAgg.reduce(GramAgg.zero, Seq(1.0, 2.0))
+    val eR = intercept[IllegalArgumentException] {
+      GramAgg.reduce(b2, Seq(1.0, 2.0, 3.0))
+    }
+    assert(eR.getMessage.contains("ragged embedding dimension"))
+    // merge of two non-empty buffers of different dimensions: same
+    val b3 = GramAgg.reduce(GramAgg.zero, Seq(1.0, 2.0, 3.0))
+    val eM = intercept[IllegalArgumentException] {
+      GramAgg.merge(b2, b3)
+    }
+    assert(eM.getMessage.contains("ragged embedding dimension"))
+    // empty-side merges stay legal (zero carries no dimension)
+    assert(GramAgg.merge(GramAgg.zero, b3).n == 1L)
+    assert(GramAgg.merge(b3, GramAgg.zero).n == 1L)
+  }
+
   test("PCA components decorrelate: cross-covariance of projections ~ 0") {
     val rows = EmbeddingQueries.pcaProject(spark, sf, 3).collect()
     val n = rows.length.toDouble
