@@ -158,6 +158,10 @@ object SparkEntry {
     "profile_columns" -> (Relational.profileColumns _),
     "integrity_checksum" -> (Relational.integrityChecksum _),
     "order_cycle_time" -> (Relational.orderCycleTime _),
+    "ivm_refresh" -> (Relational.ivmRefresh _),
+    "stats_histogram" -> (Relational.statsHistogram _),
+    "attribution_last_touch" -> (EventQueries.attributionLastTouch _),
+    "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
     "string_funcs" -> (Relational.stringFuncs _),
     // time series / streaming duals
@@ -335,6 +339,9 @@ object SparkEntry {
     "profile_columns" -> Relational.profileColumnsSql,
     "integrity_checksum" -> Relational.integrityChecksumSql,
     "order_cycle_time" -> Relational.orderCycleTimeSql,
+    "ivm_refresh" -> Relational.ivmRefreshSql,
+    "stats_histogram" -> Relational.statsHistogramSql,
+    "attribution_last_touch" -> EventQueries.attributionLastTouchSql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,

@@ -1115,4 +1115,50 @@ object EventQueries {
       |  WHERE n_hist >= 8 AND sqrt(GREATEST(ex2 - mu * mu, 0.0)) > 0)
       |SELECT user_id, event_id, value, zscore FROM z
       |WHERE ABS(zscore) > 2.5 ORDER BY user_id, event_id""".stripMargin
+
+  // --- last-touch attribution ----------------------------------------------
+  /** Last-touch revenue attribution: each purchase's value is credited
+    * to the channel (event_type) of the same user's most recent
+    * NON-purchase touch at-or-before it; purchases with no prior touch
+    * land in the 'none' bucket. The rollup per channel — purchases
+    * credited, revenue attributed — is the marketing-attribution dual
+    * of [[asofOver]]'s backward as-of: same one-exchange window (the
+    * carry-forward `last(..., ignoreNulls)` over a (user, time) order),
+    * zero self-joins. At equal timestamps the touch sorts BEFORE the
+    * purchase so the inclusive frame sees it — the same tie contract,
+    * mirrored, as the as-of pair.
+    */
+  def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(isPurchase, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("channel",
+        last(when(!isPurchase, col("event_type")), ignoreNulls = true).over(w))
+      .filter(isPurchase)
+      .select(coalesce(col("channel"), lit("none")).as("channel"), col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionLastTouchSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, ts, value,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+      |              event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS channel
+      |  FROM events)
+      |SELECT COALESCE(channel, 'none') AS channel,
+      | COUNT(*) AS n_purchases,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_revenue
+      |FROM o WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
 }

@@ -1289,4 +1289,83 @@ object Relational {
       |    || CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS VARCHAR)
       |    AS segment
       |FROM base ORDER BY c_custkey""".stripMargin
+
+  // --- incremental view maintenance -----------------------------------------
+  /** Incremental refresh of a materialized aggregate — THE pattern that
+    * keeps a 100 TB rollup fresh without rescanning history: the
+    * pre-cutoff "stored" partial (count, sum) and the post-cutoff
+    * delta partial are computed independently, then MERGED by partial-
+    * aggregate algebra (counts add, decimal sums add, avg re-derives
+    * from the merged pair — never averaged averages). Here both
+    * partials come from the same table split on a date cutoff, so the
+    * DuckDB oracle — a plain full-table aggregate — proves the merge
+    * is lossless: refresh(base ⊎ delta) == recompute(all).
+    *
+    * At scale the base side is a tiny stored summary (one row per
+    * group), only the delta scans data, and the merge shuffles
+    * group-count-sized partials.
+    */
+  def ivmRefresh(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    def partial(f: DataFrame): DataFrame = f
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("dec_revenue"))
+    val o = t(s, dir, "orders")
+    val base = partial(o.filter(col("o_orderdate") < lit(cutoff)))
+    val delta = partial(o.filter(col("o_orderdate") >= lit(cutoff)))
+    base.unionAll(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("dec_revenue")).as("dec_rev"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("dec_rev").cast("double").as("revenue"),
+        (col("dec_rev").cast("double") / col("n_orders")).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The oracle is the FULL recompute — passing it is the lossless-
+    * merge proof, not a restatement of the implementation. */
+  val ivmRefreshSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |   AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- equi-width histogram (optimizer-stats collection) ---------------------
+  /** Equi-width histogram of order totals — the table-stats collection
+    * pass a query optimizer (or a data-quality monitor) runs over a
+    * 100 TB table. Deliberately equi-WIDTH, not equi-depth: bin
+    * assignment is a pure narrow map (floor division of the value by
+    * the bin width), so the whole histogram is one scan + one
+    * group-count-sized exchange — no global sort, no ntile window, no
+    * single-partition bottleneck. Bin ids ride [[PortableSql.intDiv]]
+    * arithmetic so the cut points are engine-identical.
+    */
+  def statsHistogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    t(s, dir, "orders")
+      .select((floor(col("o_totalprice") / lit(width))).cast("long").as("bin"),
+        col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("bin_min"),
+        max(col("o_totalprice")).as("bin_max"),
+        dsum(col("o_totalprice")).as("bin_sum"))
+      .select(col("bin"), (col("bin") * width).as("bin_lo"),
+        ((col("bin") + 1) * width).as("bin_hi"),
+        col("n_orders"), col("bin_min"), col("bin_max"), col("bin_sum"))
+      .orderBy(col("bin"))
+  }
+
+  val statsHistogramSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      | CAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS DOUBLE) AS bin_lo,
+      | CAST((CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1) * 25000.0 AS DOUBLE) AS bin_hi,
+      | COUNT(*) AS n_orders,
+      | MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS bin_sum
+      |FROM orders
+      |GROUP BY 1 ORDER BY bin""".stripMargin
 }

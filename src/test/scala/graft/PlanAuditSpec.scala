@@ -99,4 +99,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf(graft.queries.EmbeddingQueries.pcaProject(spark, sf))
     assert(!p.contains("Join"), s"PCA projection must not join:\n$p")
   }
+
+  test("attribution is one window pass: no self-join of the events table") {
+    val p = planOf(graft.queries.EventQueries.attributionLastTouch(spark, sf))
+    assert(!p.contains("Join"), s"attribution must carry-forward, not join:\n$p")
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE events scan, got $scans:\n$p")
+  }
+
+  test("stats histogram is scan + group only: no window, no global sort spine") {
+    val p = planOf(graft.queries.Relational.statsHistogram(spark, sf))
+    assert(!p.contains("Window"), s"equi-width must not need a window:\n$p")
+    assert(!p.contains("Join"), s"histogram must not join:\n$p")
+  }
+
+  test("IVM refresh merges partials: two filtered scans, no join, no rescan") {
+    val p = planOf(graft.queries.Relational.ivmRefresh(spark, sf))
+    assert(!p.contains("Join"), s"partial-merge must be a union-agg:\n$p")
+    // both legs push their date filter to the scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"cutoff filters not pushed:\n$p")
+  }
 }
