@@ -161,6 +161,8 @@ object SparkEntry {
     "ivm_refresh" -> (Relational.ivmRefresh _),
     "stats_histogram" -> (Relational.statsHistogram _),
     "attribution_last_touch" -> (EventQueries.attributionLastTouch _),
+    "sketch_quantile_rollup" -> (EventQueries.quantileRollup _),
+    "sample_reservoir_per_key" -> ((s, d) => Sampling.reservoirPerKey(s, d)),
     "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
     "string_funcs" -> (Relational.stringFuncs _),
@@ -342,6 +344,8 @@ object SparkEntry {
     "ivm_refresh" -> Relational.ivmRefreshSql,
     "stats_histogram" -> Relational.statsHistogramSql,
     "attribution_last_touch" -> EventQueries.attributionLastTouchSql,
+    "sketch_quantile_rollup" -> EventQueries.quantileRollupSql,
+    "sample_reservoir_per_key" -> Sampling.reservoirPerKeySql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,
     "window_tumbling_hourly" -> EventQueries.tumblingHourlySql,

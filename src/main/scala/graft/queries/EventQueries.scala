@@ -1116,6 +1116,73 @@ object EventQueries {
       |SELECT user_id, event_id, value, zscore FROM z
       |WHERE ABS(zscore) > 2.5 ORDER BY user_id, event_id""".stripMargin
 
+  // --- mergeable quantile rollup (deterministic histogram sketch) -----------
+  /** Percentiles over any date range WITHOUT re-touching events — the
+    * quantile member of the mergeable-sketch family ([[hllRollup]] =
+    * distinct counts, [[topkRollup]] = heavy hitters): one pass bins
+    * each day's values into a fixed 128-bin equi-width histogram (the
+    * stored per-day "sketch", ≤128 longs per day), and ANY wider window
+    * merges by adding bin counts — histogram merge is exact and
+    * associative, so weekly p50/p95/p99 come from daily state, never
+    * from a re-scan. The estimate is the upper edge of the first bin
+    * whose cumulative count clears ceil(p·n/100): a one-sided bound
+    * within one bin width (4.0) of the true quantile — a DETERMINISTIC
+    * contract, unlike randomized KLL/t-digest compaction, which is why
+    * both engines can hash-match it (the whole computation is integer
+    * counts + exact fp bin edges).
+    *
+    * The cumulative pass windows over bins WITHIN a week (≤128 rows
+    * per partition) — never over raw events.
+    */
+  def quantileRollup(s: SparkSession, dir: String): DataFrame = {
+    val w = 4.0
+    val lastBin = 127L
+    val daily = ev(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        least(floor(col("value") / lit(w)).cast("long"), lit(lastBin)).as("bin"))
+      .groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val weekly = daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col("week")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = weekly
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("week"))))
+    def qEst(p: Int) =
+      min(when(col("cum") * 100L >= col("total") * p,
+        (col("bin") + 1L) * lit(w))).as(s"p${p}_est")
+    cum.groupBy(col("week"))
+      .agg(max(col("total")).as("n_events"), qEst(50), qEst(95), qEst(99))
+      .orderBy(col("week"))
+  }
+
+  val quantileRollupSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    LEAST(CAST(FLOOR(value / 4.0) AS BIGINT), 127) AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |weekly AS (
+      |  SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+      |    CAST(SUM(cnt) AS BIGINT) AS cnt
+      |  FROM daily GROUP BY 1, 2),
+      |c AS (
+      |  SELECT week, bin, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY week ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY week) AS BIGINT) AS total
+      |  FROM weekly)
+      |SELECT week, MAX(total) AS n_events,
+      | MIN(CASE WHEN cum * 100 >= total * 50
+      |     THEN CAST((bin + 1) * 4.0 AS DOUBLE) END) AS p50_est,
+      | MIN(CASE WHEN cum * 100 >= total * 95
+      |     THEN CAST((bin + 1) * 4.0 AS DOUBLE) END) AS p95_est,
+      | MIN(CASE WHEN cum * 100 >= total * 99
+      |     THEN CAST((bin + 1) * 4.0 AS DOUBLE) END) AS p99_est
+      |FROM c GROUP BY week ORDER BY week""".stripMargin
+
   // --- last-touch attribution ----------------------------------------------
   /** Last-touch revenue attribution: each purchase's value is credited
     * to the channel (event_type) of the same user's most recent

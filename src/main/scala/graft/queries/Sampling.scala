@@ -146,6 +146,46 @@ object Sampling {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
       |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  // --- uniform per-stratum reservoir ----------------------------------------
+  /** Uniform k-per-stratum sample — the fixed-BUDGET complement of
+    * [[stratifiedSample]] (fixed RATE) and [[weightedSample]] (weighted
+    * budget): every language contributes exactly min(k, |stratum|)
+    * documents, each equally likely under the md5 draw. Deterministic
+    * and oracle-checkable: the "random" order is the md5 hex string of
+    * a salted doc id — lexicographic comparison of lowercase hex is
+    * engine-identical, so no hex→int conversion is even needed — with
+    * doc_id as total tiebreak.
+    *
+    * Scale: `row_number <= k` is Spark's WindowGroupLimit — each map
+    * task pre-prunes to k rows per stratum BEFORE the exchange (the
+    * [[graft.queries.EmbeddingQueries.semDedupCandidates]] head
+    * discipline), so the shuffle carries k·|strata| rows, not the
+    * corpus.
+    */
+  def reservoirPerKey(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val draw = md5(concat(lit("rsv:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("draw"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), draw.as("draw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val reservoirPerKeySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5('rsv:' || CAST(doc_id AS VARCHAR)) AS draw
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+      |  FROM d)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   // --- mixture rebalancing ------------------------------------------------------
   /** Downsample every language stratum to (approximately) the size of
     * the smallest one — the mixture-rebalancing step that stops one

@@ -232,4 +232,24 @@ class SamplingSpec extends SparkSpec {
       assert(sm > popMean(lang), s"$lang: sampled mean $sm <= population ${popMean(lang)}")
     }
   }
+
+  test("reservoir per key: exactly min(k,|stratum|) rows, map-side group limit") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val df = Sampling.reservoirPerKey(spark, sf, k)
+    val plan = planOf(df)
+    // k-per-stratum must pre-prune before the exchange at 100 TB
+    assert(plan.contains("WindowGroupLimit"),
+      s"reservoir must ride WindowGroupLimit:\n$plan")
+    val got = df.collect()
+    val strata = graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.length.toLong == math.min(k.toLong, strata(lang)),
+        s"$lang: ${rows.length} sampled")
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$lang: ranks must be dense 1..k")
+    }
+  }
 }
