@@ -162,6 +162,7 @@ object SparkEntry {
     "stats_histogram" -> (Relational.statsHistogram _),
     "attribution_last_touch" -> (EventQueries.attributionLastTouch _),
     "sketch_quantile_rollup" -> (EventQueries.quantileRollup _),
+    "funnel_stages" -> (EventQueries.funnelStages _),
     "sample_reservoir_per_key" -> ((s, d) => Sampling.reservoirPerKey(s, d)),
     "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -345,6 +346,7 @@ object SparkEntry {
     "stats_histogram" -> Relational.statsHistogramSql,
     "attribution_last_touch" -> EventQueries.attributionLastTouchSql,
     "sketch_quantile_rollup" -> EventQueries.quantileRollupSql,
+    "funnel_stages" -> EventQueries.funnelStagesSql,
     "sample_reservoir_per_key" -> Sampling.reservoirPerKeySql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,

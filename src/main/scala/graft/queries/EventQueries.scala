@@ -1116,6 +1116,90 @@ object EventQueries {
       |SELECT user_id, event_id, value, zscore FROM z
       |WHERE ABS(zscore) > 2.5 ORDER BY user_id, event_id""".stripMargin
 
+  // --- ordered funnel, single-pass window spelling ---------------------------
+  /** The ONE-EXCHANGE twin of [[funnel]] (same operator family as the
+    * broadcast/partitioned triangle pair): [[funnel]] spells the
+    * ordered funnel as three filtered fact scans chained by equi-joins
+    * — simple, but it reads the events table three times. This
+    * spelling reads it ONCE: a running min of signup time carries
+    * forward along each user's timeline, a click row that sees a
+    * carried signup becomes a qualified click whose presence carries
+    * forward in turn, and a purchase that sees a qualified click
+    * converts (at-or-before semantics with (ts, event_id) tie order;
+    * [[funnel]] uses strictly-after, so the two reports are
+    * intentionally distinct stage chains, each with its own oracle).
+    * The chained carries share partitioning and order, so they stack
+    * as Window operators over a single exchange — PlanAuditSpec pins
+    * one scan, zero joins. At 100 TB, one fact pass vs three is the
+    * whole cost model.
+    *
+    * Output: one row per funnel stage with the user count that reached
+    * it (stage counts are monotonically non-increasing by
+    * construction).
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ts0 = unix_micros(col("ts"))
+    val enriched = ev(s, dir)
+      .withColumn("signup_at",
+        min(when(col("event_type") === "signup", ts0)).over(w))
+      .withColumn("click_at",
+        min(when(col("event_type") === "click" && col("signup_at").isNotNull,
+          ts0)).over(w))
+      .withColumn("converted",
+        col("event_type") === "purchase" && col("click_at").isNotNull)
+    val perUser = enriched.groupBy(col("user_id"))
+      .agg(
+        max(col("signup_at").isNotNull).as("s1"),
+        max(col("click_at").isNotNull).as("s2"),
+        max(col("converted")).as("s3"))
+    perUser.agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("signed_up"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("clicked_after"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("purchased_after"))
+      .select(
+        expr("stack(3, '1_signup', signed_up, '2_click_after_signup', " +
+          "clicked_after, '3_purchase_after_click', purchased_after) " +
+          "AS (stage, n_users)"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts::TIMESTAMP) END)
+      |      OVER w AS signup_at
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS UNBOUNDED PRECEDING)),
+      |e2 AS (
+      |  SELECT user_id, event_type, signup_at,
+      |    MIN(CASE WHEN event_type = 'click' AND signup_at IS NOT NULL
+      |        THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS click_at
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN signup_at IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN click_at IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+      |    MAX(CASE WHEN event_type = 'purchase' AND click_at IS NOT NULL
+      |        THEN 1 ELSE 0 END) AS s3
+      |  FROM e2 GROUP BY user_id),
+      |t AS (SELECT CAST(SUM(s1) AS BIGINT) AS signed_up,
+      |             CAST(SUM(s2) AS BIGINT) AS clicked_after,
+      |             CAST(SUM(s3) AS BIGINT) AS purchased_after
+      |      FROM u)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_signup' AS stage, signed_up AS n_users FROM t
+      |  UNION ALL
+      |  SELECT '2_click_after_signup', clicked_after FROM t
+      |  UNION ALL
+      |  SELECT '3_purchase_after_click', purchased_after FROM t)
+      |ORDER BY stage""".stripMargin
+
   // --- mergeable quantile rollup (deterministic histogram sketch) -----------
   /** Percentiles over any date range WITHOUT re-touching events — the
     * quantile member of the mergeable-sketch family ([[hllRollup]] =

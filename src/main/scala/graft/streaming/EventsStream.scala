@@ -110,6 +110,25 @@ object EventsStream {
         .as("approx_users"))
       .select(col("window.start").cast("date").as("day"), col("approx_users"))
 
+  /** Watermarked DAILY value histograms — the streaming leg of
+    * [[graft.queries.EventQueries.quantileRollup]]'s quantile sketch:
+    * each day window accumulates its 128-bin equi-width histogram
+    * incrementally as events arrive (state per day = at most 128
+    * (bin, count) rows), finalized when the watermark passes. Because
+    * histogram merge is EXACT — integer adds, no randomized compaction
+    * — the streamed daily bins must equal the batch dual's bit-for-bit,
+    * and any later percentile rollup over streamed state matches the
+    * batch answer exactly. StreamingSpec pins that equality.
+    */
+  def dailyValueHistogram(events: DataFrame,
+                          horizon: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 day"),
+        least(floor(col("value") / lit(4.0)).cast("long"), lit(127L)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("date").as("day"), col("bin"), col("cnt"))
+
   /** Streaming exact dedup with bounded state — the streaming leg of the
     * LLM-pipeline dedup family: drop events whose `event_id` was already
     * seen, keeping only ids inside the watermark horizon in state

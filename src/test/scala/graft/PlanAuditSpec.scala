@@ -100,6 +100,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"PCA projection must not join:\n$p")
   }
 
+  test("funnel window-spelling reads events once: no joins, one scan") {
+    val p = planOf(graft.queries.EventQueries.funnelStages(spark, sf))
+    assert(!p.contains("Join"), s"window funnel must not join:\n$p")
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE events scan, got $scans:\n$p")
+  }
+
   test("attribution is one window pass: no self-join of the events table") {
     val p = planOf(graft.queries.EventQueries.attributionLastTouch(spark, sf))
     assert(!p.contains("Join"), s"attribution must carry-forward, not join:\n$p")

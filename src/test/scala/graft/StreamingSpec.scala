@@ -69,6 +69,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), s"streamed windows disagree with batch")
   }
 
+  test("streamed daily value histograms equal the batch bins bit-for-bit") {
+    val tmp = Files.createTempDirectory("graft_stream_hist")
+    val out = tmp.resolve("daily").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    EventsStream.dailyValueHistogram(EventsStream.readStream(spark, sf))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+      .awaitTermination()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    // batch dual: same binning over the raw table. Histogram merge is
+    // exact integer addition, so every CLOSED (emitted) day must agree
+    // exactly — this is what makes percentile rollups over streamed
+    // state interchangeable with the batch sketch.
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"),
+        least(floor(col("value") / lit(4.0)).cast("long"), lit(127L)).as("bin"))
+      .count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (key, cnt) =>
+      assert(batch.get(key).contains(cnt),
+        s"bin $key: streamed $cnt vs batch ${batch.get(key)}")
+    }
+    // emitted days must be COMPLETE: every batch bin of an emitted day
+    // is present (a missing bin would silently skew the percentile)
+    val emittedDays = streamed.keySet.map(_._1)
+    batch.keys.filter(k => emittedDays.contains(k._1)).foreach { k =>
+      assert(streamed.contains(k), s"missing streamed bin $k")
+    }
+  }
+
   test("streamed daily HLL sketches equal the batch daily estimates") {
     val tmp = Files.createTempDirectory("graft_stream_hll")
     val out = tmp.resolve("daily").toString
