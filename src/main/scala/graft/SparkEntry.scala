@@ -163,6 +163,8 @@ object SparkEntry {
     "attribution_last_touch" -> (EventQueries.attributionLastTouch _),
     "sketch_quantile_rollup" -> (EventQueries.quantileRollup _),
     "funnel_stages" -> (EventQueries.funnelStages _),
+    "snapshot_diff" -> (Relational.snapshotDiff _),
+    "join_explosion_check" -> (EventQueries.joinExplosionCheck _),
     "sample_reservoir_per_key" -> ((s, d) => Sampling.reservoirPerKey(s, d)),
     "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -347,6 +349,8 @@ object SparkEntry {
     "attribution_last_touch" -> EventQueries.attributionLastTouchSql,
     "sketch_quantile_rollup" -> EventQueries.quantileRollupSql,
     "funnel_stages" -> EventQueries.funnelStagesSql,
+    "snapshot_diff" -> Relational.snapshotDiffSql,
+    "join_explosion_check" -> EventQueries.joinExplosionCheckSql,
     "sample_reservoir_per_key" -> Sampling.reservoirPerKeySql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,

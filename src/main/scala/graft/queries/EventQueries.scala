@@ -1116,6 +1116,52 @@ object EventQueries {
       |SELECT user_id, event_id, value, zscore FROM z
       |WHERE ABS(zscore) > 2.5 ORDER BY user_id, event_id""".stripMargin
 
+  // --- pre-join explosion check ----------------------------------------------
+  /** Preflight audit for a planned self-join of events on user_id (the
+    * key the proximity/session joins use): per-key row counts on the
+    * join key, each key's output contribution (n²), the estimated
+    * total output cardinality, and the blowup factor vs the input.
+    * This is the check you run BEFORE launching a 100 TB join — a
+    * single hot key turns a "join" into a cartesian, and this report
+    * names the keys that would do it (they're the ones to salt or cap,
+    * see the LSH/CDC/fuzzy-join posting caps elsewhere in this repo).
+    *
+    * Cost: one scan, one group-count-sized aggregate; the global
+    * estimate is a one-row broadcast back onto the top-key report —
+    * the audit is metadata-priced, never join-priced.
+    */
+  def joinExplosionCheck(s: SparkSession, dir: String): DataFrame = {
+    val perKey = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("user_id"), col("n_rows"),
+        (col("n_rows") * col("n_rows")).as("contribution"))
+    val totals = perKey.agg(
+      sum(col("contribution")).as("est_total_rows"),
+      sum(col("n_rows")).as("n_input"))
+    perKey.crossJoin(broadcast(totals))
+      .select(col("user_id"), col("n_rows"), col("contribution"),
+        col("est_total_rows"),
+        (col("est_total_rows").cast("double") / col("n_input").cast("double"))
+          .as("explosion_factor"))
+      .orderBy(col("contribution").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val joinExplosionCheckSql: String =
+    """WITH k AS (
+      |  SELECT user_id, COUNT(*) AS n_rows,
+      |    COUNT(*) * COUNT(*) AS contribution
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(SUM(contribution) AS BIGINT) AS est_total_rows,
+      |             CAST(SUM(n_rows) AS BIGINT) AS n_input
+      |      FROM k)
+      |SELECT user_id, n_rows, contribution, est_total_rows,
+      | CAST(est_total_rows AS DOUBLE) / CAST(n_input AS DOUBLE)
+      |   AS explosion_factor
+      |FROM k, t
+      |ORDER BY contribution DESC, user_id LIMIT 10""".stripMargin
+
   // --- ordered funnel, single-pass window spelling ---------------------------
   /** The ONE-EXCHANGE twin of [[funnel]] (same operator family as the
     * broadcast/partitioned triangle pair): [[funnel]] spells the

@@ -993,11 +993,7 @@ object Relational {
     def leg(tbl: String, cols: Seq[String]): DataFrame = {
       val cat = concat_ws("|",
         cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
-      val h = (1 to 15).map { i =>
-        val weight = java.math.BigInteger.valueOf(16L).pow(15 - i).longValueExact()
-        expr(s"instr('0123456789abcdef', substr(m, $i, 1)) - 1")
-          .cast("long") * lit(weight)
-      }.reduce(_ + _)
+      val h = hexValueCol("m")
       t(s, dir, tbl).select(md5(cat).as("m"))
         .select(h.as("h"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1289,6 +1285,75 @@ object Relational {
       |    || CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS VARCHAR)
       |    AS segment
       |FROM base ORDER BY c_custkey""".stripMargin
+
+  // --- snapshot diff ----------------------------------------------------------
+  /** Content diff between two snapshots of a table — the audit that
+    * answers "what changed between yesterday's copy and today's?"
+    * without trusting version metadata. Here the "old" snapshot is the
+    * pre-1999 slice of orders and the "new" one is the full table (a
+    * deterministic stand-in for two real snapshot dirs — the operator
+    * only sees two DataFrames). Per key: ADDED (key only in new),
+    * CHANGED (key in both, row digest differs — here o_orderstatus is
+    * masked to 'F' in the old snapshot's digest to plant deterministic
+    * changes), UNCHANGED. One FULL OUTER join on the key comparing
+    * 8-byte digests — row content never crosses the wire twice, just
+    * (key, digest) pairs, so diffing two 100 TB snapshots moves
+    * 16 bytes/row. The digest is [[integrityChecksum]]'s positional-
+    * arithmetic md5 spelling, so DuckDB replays it bit-for-bit.
+    */
+  /** Positional-arithmetic value of the first 15 hex chars of string
+    * column `m` — the Spark-side twin of [[PortableSql.hexValue]]. */
+  private def hexValueCol(m: String): Column =
+    (1 to 15).map { i =>
+      val weight = java.math.BigInteger.valueOf(16L).pow(15 - i).longValueExact()
+      expr(s"instr('0123456789abcdef', substr($m, $i, 1)) - 1")
+        .cast("long") * lit(weight)
+    }.reduce(_ + _)
+
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    def digested(f: DataFrame, status: Column, kName: String,
+                 dName: String): DataFrame =
+      f.select(col("o_orderkey").as(kName),
+        md5(concat_ws("|",
+          coalesce(col("o_orderkey").cast("string"), lit("<NULL>")),
+          coalesce(status.cast("string"), lit("<NULL>")),
+          coalesce(col("o_orderpriority").cast("string"), lit("<NULL>"))))
+          .as("m"))
+        .select(col(kName), hexValueCol("m").as(dName))
+    val o = t(s, dir, "orders")
+    val old = digested(o.filter(col("o_orderdate") < lit(cutoff)),
+      lit("F"), "k_old", "d_old")
+    val neu = digested(o, col("o_orderstatus"), "k_new", "d_new")
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .select(when(col("k_old").isNull, "added")
+        .when(col("d_old") =!= col("d_new"), "changed")
+        .otherwise("unchanged").as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("verdict"))
+  }
+
+  val snapshotDiffSql: String = {
+    val h = PortableSql.hexValue("m", 15)
+    def leg(where: String, status: String, k: String, d: String): String =
+      s"""SELECT $k, $h AS $d
+         |FROM (SELECT o_orderkey AS $k,
+         |        md5(COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+         |            COALESCE(CAST($status AS VARCHAR), '<NULL>') || '|' ||
+         |            COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>')) AS m
+         |      FROM orders$where)""".stripMargin
+    s"""WITH old AS (
+       |${leg(" WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'", "'F'", "k_old", "d_old")}),
+       |neu AS (
+       |${leg("", "o_orderstatus", "k_new", "d_new")})
+       |SELECT CASE WHEN k_old IS NULL THEN 'added'
+       |            WHEN d_old <> d_new THEN 'changed'
+       |            ELSE 'unchanged' END AS verdict,
+       | COUNT(*) AS n_rows
+       |FROM old FULL OUTER JOIN neu ON k_old = k_new
+       |GROUP BY 1 ORDER BY verdict""".stripMargin
+  }
 
   // --- incremental view maintenance -----------------------------------------
   /** Incremental refresh of a materialized aggregate — THE pattern that

@@ -39,7 +39,13 @@ class RuntimeFilterSpec extends SparkSpec {
       .filter(col("p").startsWith("1-"))
     val j = fact.join(dim, col("o_orderpriority") === col("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val plan = j.queryExecution.executedPlan.toString()
+    // plan stringification truncates long filter lists at
+    // maxToStringFields, which can cut "dynamicpruningexpression" off
+    // mid-word (seen flaky when neighboring plan ids widen the text) —
+    // raise the cap for this assertion
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    val plan = try j.queryExecution.executedPlan.toString()
+    finally spark.conf.unset("spark.sql.debug.maxToStringFields")
     assert(plan.contains("dynamicpruningexpression"),
       s"expected dynamic partition pruning on the fact scan:\n$plan")
     assert(j.collect().length == 1)
