@@ -39,13 +39,14 @@ class RuntimeFilterSpec extends SparkSpec {
       .filter(col("p").startsWith("1-"))
     val j = fact.join(dim, col("o_orderpriority") === col("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n"))
-    // plan stringification truncates long filter lists at
-    // maxToStringFields, which can cut "dynamicpruningexpression" off
-    // mid-word (seen flaky when neighboring plan ids widen the text) —
-    // raise the cap for this assertion
-    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    // FileScan metadata values (the PartitionFilters list) are cut at
+    // spark.sql.maxMetadataStringLength = 100 chars, which truncates
+    // "dynamicpruningexpression" mid-word when the preceding filters'
+    // attribute ids are wide (flaked by suite ordering) — raise the cap
+    // for this assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     val plan = try j.queryExecution.executedPlan.toString()
-    finally spark.conf.unset("spark.sql.debug.maxToStringFields")
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
     assert(plan.contains("dynamicpruningexpression"),
       s"expected dynamic partition pruning on the fact scan:\n$plan")
     assert(j.collect().length == 1)
