@@ -165,6 +165,7 @@ object SparkEntry {
     "funnel_stages" -> (EventQueries.funnelStages _),
     "snapshot_diff" -> (Relational.snapshotDiff _),
     "join_explosion_check" -> (EventQueries.joinExplosionCheck _),
+    "stats_correlation" -> (Relational.statsCorrelation _),
     "sample_reservoir_per_key" -> ((s, d) => Sampling.reservoirPerKey(s, d)),
     "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -351,6 +352,7 @@ object SparkEntry {
     "funnel_stages" -> EventQueries.funnelStagesSql,
     "snapshot_diff" -> Relational.snapshotDiffSql,
     "join_explosion_check" -> EventQueries.joinExplosionCheckSql,
+    "stats_correlation" -> Relational.statsCorrelationSql,
     "sample_reservoir_per_key" -> Sampling.reservoirPerKeySql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,

@@ -1286,6 +1286,56 @@ object Relational {
       |    AS segment
       |FROM base ORDER BY c_custkey""".stripMargin
 
+  // --- exact-sum Pearson correlation -----------------------------------------
+  /** Pearson correlation of quantity vs extended price per return flag
+    * — the feature-correlation screen a modeling pipeline runs before
+    * training. Spelled from the FIVE EXACT MOMENTS (n, Σx, Σy, Σxy,
+    * Σx², Σy² as decimal sums — order-independent) with the final r
+    * assembled in IEEE doubles, where a plain `corr()` builtin would
+    * diverge per engine's accumulation order. One scan, map-side
+    * partials, group-sized output: the moments ARE the mergeable
+    * sketch of correlation.
+    *
+    * The report emits r in integer MICRO-units (round(r·10⁶) as
+    * BIGINT) — the same micronat discipline as
+    * [[TextQueries]]' perplexity: the big moments' scaled-integer
+    * representations exceed 2^53, and the two engines' decimal→double
+    * conversions can land 1 ulp apart there (double rounding), so the
+    * assembled doubles wobble in the last bits. Micro-unit rounding
+    * absorbs that wobble deterministically (a flip would need r within
+    * ~10⁻¹⁶ of a half-micro boundary).
+    */
+  def statsCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val m = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+    val r = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(col("l_returnflag"), col("n").cast("long").as("n_lines"),
+        round(r * lit(1e6)).cast("long").as("pearson_r_micro"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsCorrelationSql: String = {
+    def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${ds("l_quantity")} AS sx, ${ds("l_extendedprice")} AS sy,
+       |    ${ds("l_quantity * l_extendedprice")} AS sxy,
+       |    ${ds("l_quantity * l_quantity")} AS sxx,
+       |    ${ds("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+       | CAST(ROUND(1000000.0 * (n * sxy - sx * sy)
+       |   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) AS BIGINT)
+       |   AS pearson_r_micro
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   // --- snapshot diff ----------------------------------------------------------
   /** Content diff between two snapshots of a table — the audit that
     * answers "what changed between yesterday's copy and today's?"
