@@ -166,6 +166,7 @@ object SparkEntry {
     "snapshot_diff" -> (Relational.snapshotDiff _),
     "join_explosion_check" -> (EventQueries.joinExplosionCheck _),
     "stats_correlation" -> (Relational.statsCorrelation _),
+    "embed_quant_error" -> (EmbeddingQueries.quantErrorReport _),
     "sample_reservoir_per_key" -> ((s, d) => Sampling.reservoirPerKey(s, d)),
     "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -353,6 +354,7 @@ object SparkEntry {
     "snapshot_diff" -> Relational.snapshotDiffSql,
     "join_explosion_check" -> EventQueries.joinExplosionCheckSql,
     "stats_correlation" -> Relational.statsCorrelationSql,
+    "embed_quant_error" -> EmbeddingQueries.quantErrorReportSql,
     "sample_reservoir_per_key" -> Sampling.reservoirPerKeySql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,

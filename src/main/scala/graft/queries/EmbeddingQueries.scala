@@ -119,6 +119,58 @@ object EmbeddingQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --- int8 quantization error report -----------------------------------------
+  /** Reconstruction-error report for the int8 quantization tier — the
+    * quality side of [[annTopKI8]]'s bandwidth story: per label, the
+    * count, sum and max of each vector's RELATIVE squared
+    * reconstruction error ‖v − dequant(quant(v))‖²/‖v‖², in integer
+    * NANO-units. The per-vector error is pure double arithmetic with
+    * an identical op tree in both engines (quantize spelled
+    * `floor(x/s + 0.5)` — floor, never an engine-flavored round), and
+    * the nano conversion happens per vector BEFORE aggregation, so the
+    * aggregate is an exact BIGINT sum — fp never crosses an
+    * accumulation-order boundary (the [[Relational.statsCorrelation]]
+    * lesson). One scan, narrow map, label-sized output.
+    */
+  def quantErrorReport(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val scale = (greatest(array_max(v), -array_min(v)) / lit(127.0)).as("s")
+    val e = emb(s, dir)
+      .select(col("label"), v.as("v"), scale)
+      .filter(col("s") > 0)
+    val err = transform(col("v"),
+      x => x - floor(x / col("s") + lit(0.5)) * col("s"))
+    val rel = graft.functions.DotProductF64(err, err) /
+      graft.functions.DotProductF64(col("v"), col("v"))
+    e.select(col("label"),
+        floor(rel * lit(1e9) + lit(0.5)).cast("long").as("nano"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("nano")).as("sum_rel_nano"),
+        max(col("nano")).as("max_rel_nano"))
+      .orderBy(col("label"))
+  }
+
+  val quantErrorReportSql: String =
+    """WITH b AS (
+      |  SELECT label, embedding::DOUBLE[] AS v,
+      |    greatest(list_max(embedding::DOUBLE[]),
+      |             -list_min(embedding::DOUBLE[])) / 127.0 AS s
+      |  FROM embeddings),
+      |nz AS (SELECT * FROM b WHERE s > 0),
+      |pv AS (
+      |  SELECT label,
+      |    CAST(FLOOR(
+      |      list_sum(list_transform(v, x -> (x - floor(x / s + 0.5) * s)
+      |                                    * (x - floor(x / s + 0.5) * s)))
+      |      / list_sum(list_transform(v, x -> x * x))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS nano
+      |  FROM nz)
+      |SELECT label, COUNT(*) AS n_vectors,
+      | CAST(SUM(nano) AS BIGINT) AS sum_rel_nano,
+      | CAST(MAX(nano) AS BIGINT) AS max_rel_nano
+      |FROM pv GROUP BY label ORDER BY label""".stripMargin
+
   // --- LSH near-dup ------------------------------------------------------------
   /** Near-duplicate embedding pairs via sign-random-projection LSH:
     * 8 bands x 4 bits; candidates = pairs sharing any band bucket;
