@@ -167,6 +167,7 @@ object SparkEntry {
     "join_explosion_check" -> (EventQueries.joinExplosionCheck _),
     "stats_correlation" -> (Relational.statsCorrelation _),
     "embed_quant_error" -> (EmbeddingQueries.quantErrorReport _),
+    "mixture_temperature_alloc" -> (Sampling.mixtureTemperatureAlloc _),
     "sample_reservoir_per_key" -> ((s, d) => Sampling.reservoirPerKey(s, d)),
     "compaction_plan" -> ((s, d) => graft.plans.Compaction.compactionPlan(s, d)),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -355,6 +356,7 @@ object SparkEntry {
     "join_explosion_check" -> EventQueries.joinExplosionCheckSql,
     "stats_correlation" -> Relational.statsCorrelationSql,
     "embed_quant_error" -> EmbeddingQueries.quantErrorReportSql,
+    "mixture_temperature_alloc" -> Sampling.mixtureTemperatureAllocSql,
     "sample_reservoir_per_key" -> Sampling.reservoirPerKeySql,
     "agg_string_concat" -> Relational.aggStringConcatSql,
     "string_funcs" -> Relational.stringFuncsSql,

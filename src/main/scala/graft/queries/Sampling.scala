@@ -233,6 +233,69 @@ object Sampling {
       |SELECT c.lang, c.n AS n_docs, COALESCE(s.n_sampled, 0) AS n_sampled
       |FROM c LEFT JOIN s USING (lang) ORDER BY c.lang""".stripMargin
 
+  // --- temperature-scaled mixture allocation ----------------------------------
+  /** Temperature-scaled token-budget allocation across sources — the
+    * mixture-design step that decides how many tokens each source
+    * contributes to a training run: raw token counts are flattened by
+    * T=2 temperature (weight = √tokens, the standard low-resource
+    * up-weighting), and a fixed budget of 1M tokens is split
+    * proportionally. Each source reports its raw tokens, weight,
+    * allocation, and the over/under-sample ratio vs proportional.
+    *
+    * Exactness discipline: √ is correctly-rounded IEEE (unlike general
+    * pow), the weight converts to integer micro-units per source
+    * BEFORE any cross-source arithmetic, and the proportional split is
+    * [[PortableSql.intDiv]]-style integer floor division — no
+    * accumulation-order fp anywhere, so both engines agree bit-for-bit
+    * ([[graft.queries.Relational.statsCorrelation]]'s lesson applied
+    * at design time).
+    *
+    * Scale: one scan to token-count (narrow map + group), source-count-
+    * sized everything after; the global weight total is a one-row
+    * broadcast.
+    */
+  def mixtureTemperatureAlloc(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val perSrc = docs(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("w_micro"))
+    val tot = perSrc.agg(sum(col("w_micro")).as("w_total"),
+      sum(col("n_tokens")).as("tok_total"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w_micro"),
+        expr(s"(w_micro * ${budget}L) div w_total").as("alloc_tokens"),
+        // over/under-sampling vs proportional share (IEEE of identical ints)
+        ((col("w_micro").cast("double") / col("w_total").cast("double")) /
+          (col("n_tokens").cast("double") / col("tok_total").cast("double")))
+          .as("sample_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureTemperatureAllocSql: String = {
+    val alloc = PortableSql.intDiv("w_micro * 1000000", "w_total")
+    s"""WITH t AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS w_micro
+      |  FROM t),
+      |g AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total,
+      |             CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM w)
+      |SELECT source, n_tokens, w_micro,
+      | $alloc AS alloc_tokens,
+      | (CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))
+      |   / (CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE)) AS sample_ratio
+      |FROM w, g
+      |ORDER BY source""".stripMargin
+  }
+
   // --- sequence packing --------------------------------------------------------
   /** Pack documents into fixed token-budget training chunks: documents
     * are laid out in deterministic (lang, doc_id) order, token counts
