@@ -20,9 +20,13 @@ object PortableSql {
   def hexValue(m: String, digits: Int): String = {
     require(digits >= 1 && digits <= 15, "1..15 hex digits fit BIGINT")
     (1 to digits).map { i =>
+      // the digit is CAST to BIGINT before scaling: engines disagree on
+      // instr's return type (BIGINT in DuckDB, INT in Spark), and an
+      // INT digit times an int-ranged weight overflows 32 bits — found
+      // by PropertySpec's cross-evaluation of this very spelling
       val weight = java.math.BigInteger.valueOf(16L).pow(digits - i).longValueExact()
-      if (weight == 1L) s"(instr('0123456789abcdef', substr($m, $i, 1)) - 1)"
-      else s"(instr('0123456789abcdef', substr($m, $i, 1)) - 1) * $weight"
+      val digit = s"CAST(instr('0123456789abcdef', substr($m, $i, 1)) AS BIGINT) - 1"
+      if (weight == 1L) s"($digit)" else s"($digit) * $weight"
     }.mkString(" + ")
   }
 

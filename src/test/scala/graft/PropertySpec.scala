@@ -145,4 +145,37 @@ class PropertySpec extends SparkSpec {
       if (n >= 3) assert(out.length == triples)
     }
   }
+
+  test("PortableSql.hexValue parses random md5 prefixes exactly (vs BigInt)") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val inputs = Seq.fill(200)(rnd.nextLong().toString)
+    val hexes = inputs.map { s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    for (digits <- Seq(1, 4, 6, 15)) {
+      val got = hexes.toDF("m")
+        .select(expr(graft.queries.PortableSql.hexValue("m", digits)))
+        .as[Long].collect()
+      val want = hexes.map(h => BigInt(h.take(digits), 16).toLong)
+      assert(got.toSeq == want,
+        s"hexValue($digits) diverged from BigInt ground truth")
+    }
+  }
+
+  test("PortableSql.intDiv equals BigInt floor division on random operands") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // magnitudes up to the documented q·b < 2^53 exactness domain
+    val cases = Seq.fill(300)((math.abs(rnd.nextLong()) % (1L << 50),
+      math.abs(rnd.nextLong()) % 1000000L + 1L))
+    val got = cases.toDF("a", "b")
+      .select(expr(graft.queries.PortableSql.intDiv("a", "b")))
+      .as[Long].collect()
+    val want = cases.map { case (a, b) => a / b }
+    assert(got.toSeq == want.toSeq, "intDiv diverged from long division")
+  }
 }
