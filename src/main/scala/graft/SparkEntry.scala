@@ -433,6 +433,7 @@ object SparkEntry {
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
     "dedup_keep_best" -> graft.llm.DedupClusters.dedupKeepBestSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
+    "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,

@@ -119,6 +119,52 @@ object EmbeddingQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** DuckDB oracle for [[annTopKI8]] — upgrades the int8 tier from
+    * rows-only to hash-checked. The quantizer is `rint` (round
+    * half-EVEN, the IEEE default), which DuckDB's `round()` does NOT
+    * implement for doubles (half-away), so the oracle spells half-even
+    * explicitly: r = floor(y + 0.5), stepped back by one when y sat
+    * exactly on a half AND r is odd. Integer dots are exact BIGINT
+    * sums; the final cosine is IEEE division of identical integers, so
+    * the ranking — and the hash — must agree.
+    */
+  val annTopKI8Sql: String = {
+    // half-even rounding of expression y, clamped to [-127, 127]
+    def rintClamp(y: String): String =
+      s"""greatest(-127, least(127, CAST(
+         |  CASE WHEN floor(($y) + 0.5) = ($y) + 0.5
+         |        AND CAST(floor(($y) + 0.5) AS BIGINT) % 2 <> 0
+         |       THEN floor(($y) + 0.5) - 1
+         |       ELSE floor(($y) + 0.5) END AS BIGINT)))""".stripMargin
+    s"""WITH nz AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    greatest(list_max(embedding::DOUBLE[]),
+       |             -list_min(embedding::DOUBLE[])) / 127.0 AS s
+       |  FROM embeddings
+       |  WHERE greatest(list_max(embedding::DOUBLE[]),
+       |                 -list_min(embedding::DOUBLE[])) / 127.0 > 0),
+       |qt AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> ${rintClamp("x / s")}) AS q
+       |  FROM nz),
+       |qs AS (SELECT vec_id AS q_id, q AS qq FROM qt WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, q FROM qt),
+       |sim AS (
+       |  SELECT q_id, neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qq, q), p -> p[1] * p[2]))
+       |         AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)))
+       |      AS cos
+       |  FROM qs, c WHERE q_id <> neighbor_id),
+       |r AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+       |      AS BIGINT) AS rank
+       |  FROM sim)
+       |SELECT q_id, rank, neighbor_id, cos FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // --- int8 quantization error report -----------------------------------------
   /** Reconstruction-error report for the int8 quantization tier — the
     * quality side of [[annTopKI8]]'s bandwidth story: per label, the
