@@ -219,6 +219,7 @@ object SparkEntry {
     "text_winnow_fp" -> (TextQueries.winnowFingerprint _),
     "text_stats_by_lang" -> (TextQueries.statsByLang _),
     "text_quality_score" -> (TextQueries.qualityScore _),
+    "text_quality_funnel" -> (TextQueries.qualityFunnel _),
     "text_char_entropy" -> (TextQueries.charEntropy _),
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -374,6 +375,7 @@ object SparkEntry {
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,
     "text_stats_by_lang" -> TextQueries.statsByLangSql,
     "text_quality_score" -> TextQueries.qualityScoreSql,
+    "text_quality_funnel" -> TextQueries.qualityFunnelSql,
     "text_char_entropy" -> TextQueries.charEntropySql,
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,

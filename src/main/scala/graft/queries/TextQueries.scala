@@ -86,6 +86,59 @@ object TextQueries {
       |   / len(string_split(text, ' ')) AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- quality-filter cascade ------------------------------------------------
+  /** Cumulative survival counts through a Gopher/C4-style quality
+    * filter cascade — the governance report a cleaning pipeline emits
+    * so mixture designers can see WHERE documents die: each stage's
+    * predicate is integer/string arithmetic on the row (no fp
+    * thresholds that could flip between engines), stages are
+    * cumulative (a doc must pass all earlier ones), and the whole
+    * funnel is ONE scan folding to four counters — at 100 TB the
+    * report costs a single pass regardless of stage count.
+    */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(words)
+    val s1 = col("n_chars") >= 200L
+    val s2 = nTok >= 30
+    // mean token length in [3, 12]: integer cross-multiplied, no division
+    val meanOk = (col("n_chars") - nTok + 1) >= nTok * 3 &&
+      (col("n_chars") - nTok + 1) <= nTok * 12
+    val flags = docs(s, dir).select(
+      when(s1, 1L).otherwise(0L).as("f1"),
+      when(s1 && s2, 1L).otherwise(0L).as("f2"),
+      when(s1 && s2 && meanOk, 1L).otherwise(0L).as("f3"))
+    flags.agg(count(lit(1)).as("n0"), sum(col("f1")).as("n1"),
+        sum(col("f2")).as("n2"), sum(col("f3")).as("n3"))
+      .select(expr(
+        "stack(4, '0_all', n0, '1_min_chars', n1, " +
+          "'2_min_tokens', n2, '3_token_len_band', n3) AS (stage, n_docs)"))
+      .orderBy(col("stage"))
+  }
+
+  val qualityFunnelSql: String =
+    """WITH f AS (
+      |  SELECT
+      |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1,
+      |    CASE WHEN n_chars >= 200
+      |          AND len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS f2,
+      |    CASE WHEN n_chars >= 200
+      |          AND len(string_split(text, ' ')) >= 30
+      |          AND n_chars - len(string_split(text, ' ')) + 1
+      |              >= len(string_split(text, ' ')) * 3
+      |          AND n_chars - len(string_split(text, ' ')) + 1
+      |              <= len(string_split(text, ' ')) * 12
+      |         THEN 1 ELSE 0 END AS f3
+      |  FROM documents),
+      |t AS (SELECT COUNT(*) AS n0, CAST(SUM(f1) AS BIGINT) AS n1,
+      |             CAST(SUM(f2) AS BIGINT) AS n2, CAST(SUM(f3) AS BIGINT) AS n3
+      |      FROM f)
+      |SELECT stage, n_docs FROM (
+      |  SELECT '0_all' AS stage, n0 AS n_docs FROM t
+      |  UNION ALL SELECT '1_min_chars', n1 FROM t
+      |  UNION ALL SELECT '2_min_tokens', n2 FROM t
+      |  UNION ALL SELECT '3_token_len_band', n3 FROM t)
+      |ORDER BY stage""".stripMargin
+
   // --- character entropy ----------------------------------------------------
   /** Per-document Shannon CHARACTER entropy — the classic cheap gibberish
     * / boilerplate detector (uniform noise scores high, repeated
