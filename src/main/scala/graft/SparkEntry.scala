@@ -213,6 +213,13 @@ object SparkEntry {
     // same oracle, so the driver proves count equality between modes
     "graph_triangles_partitioned" ->
       ((s, d) => GraphQueries.triangleCount(s, d, broadcastAdj = false)),
+    "graph_khop_reach" -> ((s, d) => GraphQueries.khopReach(s, d)),
+    // dataset governance
+    "dq_expectations" -> (Governance.dqExpectations _),
+    "pii_k_anonymity" -> ((s, d) => Governance.kAnonymity(s, d)),
+    "split_leakage_audit" -> (Governance.splitLeakageAudit _),
+    "pareto_frontier" -> (Governance.paretoFrontier _),
+    "winsorize_stats" -> (Governance.winsorizeStats _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -418,6 +425,12 @@ object SparkEntry {
     "graph_copurchase" -> GraphQueries.copurchasePairsSql,
     "graph_triangles" -> GraphQueries.triangleCountSql,
     "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,
+    "graph_khop_reach" -> GraphQueries.khopReachSql,
+    "dq_expectations" -> Governance.dqExpectationsSql,
+    "pii_k_anonymity" -> Governance.kAnonymitySql,
+    "split_leakage_audit" -> Governance.splitLeakageAuditSql,
+    "pareto_frontier" -> Governance.paretoFrontierSql,
+    "winsorize_stats" -> Governance.winsorizeStatsSql,
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,

@@ -1,0 +1,367 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-governance reports — the audits a pipeline runs BEFORE a
+  * corpus is blessed for training: declarative data-quality
+  * expectations (the Deequ/Great-Expectations pattern: Schelter et
+  * al., "Automating Large-Scale Data Quality Verification", VLDB
+  * 2018), k-anonymity risk over quasi-identifiers (Sweeney, IJUFKS
+  * 2002), near-duplicate leakage across train/val/test split
+  * boundaries, a Pareto-frontier (skyline) selector (Börzsönyi et
+  * al., "The Skyline Operator", ICDE 2001), and rank-based winsorized
+  * robust statistics.
+  *
+  * The shared discipline: every report is a HANDFUL of rows derived
+  * from full scans whose per-row work is a narrow codegen'd map, and
+  * every aggregation is either map-side-combining (conditional SUMs)
+  * or lands on a bounded key domain — so each report costs one pass
+  * over the table at any scale, never a self-join and never a
+  * driver-side loop.
+  */
+object Governance {
+
+  // --- declarative data-quality expectations ---------------------------------
+  /** Constraint-suite verification report: each row is one declarative
+    * expectation (uniqueness, domain, range, completeness, referential
+    * integrity, derived-column consistency) with the number of rows
+    * checked, the number violating, and the verdict. This is the
+    * nightly gate a 100 TB ingest runs before promoting a snapshot —
+    * the engine-side counterpart of the reference's per-row
+    * arity/cast/validity checks (`subirDB.py:34-49`, which drops and
+    * counts malformed rows): there the contract is enforced row-by-row
+    * at load time, here it is VERIFIED corpus-wide after the fact.
+    *
+    * Execution shape: per table, ALL single-column expectations ride
+    * ONE scan as conditional `sum(when(...))` partials (map-side
+    * combined, a 1-row aggregate each); the uniqueness checks are
+    * `count - count_distinct` on the same pass; only the two foreign-
+    * key checks add work — each an id-projected LEFT ANTI join whose
+    * build side is the parent's key column only. Nothing here
+    * materializes a violation LIST (at 100 TB the list is itself big
+    * data — the report counts, and the violating rows are re-derived
+    * by composing the same predicate with the scan when a human digs
+    * in).
+    */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val bool = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    def report(rows: DataFrame, pairs: (String, Column)*): DataFrame = {
+      // one agg row -> one report row per rule, via a single stack()
+      val agg = rows.agg(count(lit(1)).as("n"),
+        pairs.map { case (r, c) => c.as(r) }: _*)
+      val stacked = pairs.map { case (r, _) => s"'$r', `$r`" }
+        .mkString(s"stack(${pairs.size}, ", ", ", ")")
+      agg.select(col("n"), expr(s"$stacked as (rule, n_bad)"))
+    }
+
+    val orders = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val docs = Tables.load(s, dir, "documents")
+    val oRep = report(orders,
+      "orders_orderkey_unique" ->
+        (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "orders_status_domain" ->
+        bool(!col("o_orderstatus").isin("O", "F", "P")),
+      "orders_price_positive" ->
+        bool(col("o_totalprice").isNull || col("o_totalprice") <= 0.0),
+      "orders_date_complete" -> bool(col("o_orderdate").isNull))
+    val lRep = report(li,
+      // NOTE deliberately NO lineitem uniqueness rule: the synthetic
+      // generator draws (orderkey, linenumber) with replacement, so the
+      // table has no primary key — an expectation suite must encode the
+      // contracts the data actually carries, and a discovered non-key
+      // (1401 colliding pairs at sf0.001) is a finding, not a rule
+      "lineitem_shipdate_complete" -> bool(col("l_shipdate").isNull),
+      "lineitem_quantity_range" ->
+        bool(col("l_quantity").isNull ||
+          col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+      "lineitem_discount_range" ->
+        bool(col("l_discount").isNull ||
+          col("l_discount") < 0.0 || col("l_discount") > 0.1))
+    val dRep = report(docs,
+      "documents_docid_unique" ->
+        (count(lit(1)) - countDistinct(col("doc_id"))),
+      "documents_lang_domain" ->
+        bool(!col("lang").isin("en", "es", "fr", "de", "zh")),
+      "documents_nchars_consistent" ->
+        bool(col("n_chars") =!= length(col("text"))))
+    // referential integrity: child keys with no parent — LEFT ANTI on
+    // the parent's projected key column (broadcast when dimension-sized)
+    def fk(rule: String, child: DataFrame, ck: String,
+           parent: DataFrame, pk: String): DataFrame = {
+      val bad = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+        .select(col("n"), lit(rule).as("rule"), col("n_bad"))
+    }
+    val fks =
+      fk("orders_custkey_fk", orders, "o_custkey",
+        Tables.load(s, dir, "customer"), "c_custkey")
+        .unionByName(fk("lineitem_orderkey_fk", li, "l_orderkey",
+          orders, "o_orderkey"))
+    oRep.unionByName(lRep).unionByName(dRep).unionByName(fks)
+      .select(col("rule"), col("n").as("n_rows"), col("n_bad"),
+        (col("n_bad") === 0L).as("pass"))
+      .orderBy(col("rule"))
+  }
+
+  val dqExpectationsSql: String =
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS u,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS dom,
+      |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS pos,
+      |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS dt
+      |  FROM orders),
+      |l AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ship,
+      |    SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+      |             THEN 1 ELSE 0 END) AS qty,
+      |    SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1
+      |             THEN 1 ELSE 0 END) AS disc
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) - COUNT(DISTINCT doc_id) AS u,
+      |    SUM(CASE WHEN lang NOT IN ('en','es','fr','de','zh') THEN 1 ELSE 0 END) AS dom,
+      |    SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS nc
+      |  FROM documents),
+      |fk1 AS (SELECT (SELECT COUNT(*) FROM orders) AS n, COUNT(*) AS bad
+      |        FROM orders WHERE NOT EXISTS
+      |          (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      |fk2 AS (SELECT (SELECT COUNT(*) FROM lineitem) AS n, COUNT(*) AS bad
+      |        FROM lineitem WHERE NOT EXISTS
+      |          (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+      |r AS (
+      |  SELECT 'orders_orderkey_unique' AS rule, n, CAST(u AS BIGINT) AS n_bad FROM o
+      |  UNION ALL SELECT 'orders_status_domain', n, CAST(dom AS BIGINT) FROM o
+      |  UNION ALL SELECT 'orders_price_positive', n, CAST(pos AS BIGINT) FROM o
+      |  UNION ALL SELECT 'orders_date_complete', n, CAST(dt AS BIGINT) FROM o
+      |  UNION ALL SELECT 'lineitem_shipdate_complete', n, CAST(ship AS BIGINT) FROM l
+      |  UNION ALL SELECT 'lineitem_quantity_range', n, CAST(qty AS BIGINT) FROM l
+      |  UNION ALL SELECT 'lineitem_discount_range', n, CAST(disc AS BIGINT) FROM l
+      |  UNION ALL SELECT 'documents_docid_unique', n, CAST(u AS BIGINT) FROM d
+      |  UNION ALL SELECT 'documents_lang_domain', n, CAST(dom AS BIGINT) FROM d
+      |  UNION ALL SELECT 'documents_nchars_consistent', n, CAST(nc AS BIGINT) FROM d
+      |  UNION ALL SELECT 'orders_custkey_fk', n, CAST(bad AS BIGINT) FROM fk1
+      |  UNION ALL SELECT 'lineitem_orderkey_fk', n, CAST(bad AS BIGINT) FROM fk2)
+      |SELECT rule, n AS n_rows, n_bad, n_bad = 0 AS pass FROM r
+      |ORDER BY rule""".stripMargin
+
+  // --- k-anonymity over quasi-identifiers ------------------------------------
+  /** Per-equivalence-class k-anonymity report over the classic quasi-
+    * identifier pair (nation, market segment) on the customer table:
+    * each QI combination's population, whether it meets k = 5, and the
+    * re-identification risk (1/|class| — the probability a linkage
+    * attack pins a specific individual given the QIs). A release is
+    * k-anonymous iff EVERY class meets k; the classes this report
+    * flags are the ones to generalize or suppress before export.
+    *
+    * Shape: one groupBy on a bounded QI domain (|nations| × |segments|
+    * classes) — one map-side-combined shuffle regardless of table
+    * size. Risk is one IEEE division of exact integers (deterministic
+    * cross-engine, the repo-wide discipline).
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        (col("class_size") >= k).as("meets_k"),
+        (lit(1.0) / col("class_size").cast("double")).as("reident_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      | COUNT(*) AS class_size,
+      | COUNT(*) >= 5 AS meets_k,
+      | 1.0 / COUNT(*) AS reident_risk
+      |FROM customer GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // --- near-duplicate leakage across split boundaries -------------------------
+  /** Train/val/test LEAKAGE AUDIT: near-duplicate document pairs (the
+    * exact prefix-filtered Jaccard join of
+    * [[TextQueries.dedupPrefixJaccard]], J >= 0.2) whose two sides
+    * were assigned to DIFFERENT splits by [[Sampling.hashSplit]]'s
+    * deterministic hash rule. Each such pair is an eval-set
+    * contamination: the model trains on one copy and is scored on the
+    * other (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 measures exactly this inflation). The
+    * fix this report drives: dedup BEFORE splitting, or assign splits
+    * by CLUSTER id rather than doc id.
+    *
+    * Shape: the pair set is the already-verified similarity join (its
+    * prefix filter bounds candidates); split labels are a PURE
+    * FUNCTION of doc_id — a narrow map on the pair set, NO join back
+    * to the corpus — so the audit costs the similarity join plus
+    * nothing.
+    */
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextQueries.dedupPrefixJaccard(s, dir)
+    pairs
+      .withColumn("split_a", Sampling.splitAssign(col("a_id")))
+      .withColumn("split_b", Sampling.splitAssign(col("b_id")))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val splitLeakageAuditSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+      |           || '_' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents
+      |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |sp AS (
+      |  SELECT a_id, b_id, jaccard,
+      |    CASE WHEN substr(md5('split:' || CAST(a_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+      |         WHEN substr(md5('split:' || CAST(a_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split_a,
+      |    CASE WHEN substr(md5('split:' || CAST(b_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+      |         WHEN substr(md5('split:' || CAST(b_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split_b
+      |  FROM p WHERE jaccard >= 0.2)
+      |SELECT a_id, b_id, jaccard, split_a, split_b FROM sp
+      |WHERE split_a <> split_b ORDER BY a_id, b_id""".stripMargin
+
+  // --- Pareto frontier (skyline) ----------------------------------------------
+  /** The skyline of the part catalog under (minimize retail price,
+    * maximize size): parts no other part beats on both axes — the
+    * "best value at every capacity" frontier (Börzsönyi et al., ICDE
+    * 2001). Same operator selects documents under (maximize quality,
+    * minimize toxicity) in a curation pipeline.
+    *
+    * The naive spelling is the O(n²) dominance self-join (the ORACLE
+    * deliberately uses it — NOT EXISTS over 2000 rows — so the scale
+    * spelling is verified against the definitional one). The engine
+    * spelling exploits the 2-D structure: the frontier is a function
+    * of the (size → cheapest price) map, whose key domain is BOUNDED
+    * (p_size has ≤ 50 values):
+    *   1. one map-side-combined groupBy computes min(price) per size;
+    *   2. a window over that TINY aggregate (≤ |size domain| rows —
+    *      the one acceptable global window: its input is already
+    *      aggregate-sized) keeps size s iff its best price undercuts
+    *      every strictly-larger size's best price (strict: an
+    *      equal-price larger part dominates);
+    *   3. a broadcast join back recovers every part matching a
+    *      surviving (size, best price) — exact-tie parts are all on
+    *      the frontier (neither dominates the other).
+    * Total cost at 100 TB: one scan + one bounded-key shuffle + a
+    * broadcast — no self-join on the fact table.
+    */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val bySize = part.groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("best_price"))
+    val biggerBest = min(col("best_price"))
+      .over(Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+    // renamed columns: frontierSizes derives from `part`, and joining
+    // back on same-named columns trips the ambiguous-self-join check
+    val frontierSizes = bySize
+      .withColumn("bigger_best", biggerBest)
+      .filter(col("bigger_best").isNull ||
+        col("best_price") < col("bigger_best"))
+      .select(col("p_size").as("f_size"), col("best_price"))
+    part.join(broadcast(frontierSizes),
+        col("p_size") === col("f_size") &&
+          col("p_retailprice") === col("best_price"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
+  val paretoFrontierSql: String =
+    """SELECT a.p_partkey, a.p_size, a.p_retailprice
+      |FROM part a WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_size, p_partkey""".stripMargin
+
+  // --- rank-based winsorized robust statistics --------------------------------
+  /** Winsorized per-event-type statistics: clamp `value` to its
+    * [p1, p99] band and report the clamp bounds and winsorized sum —
+    * the robust alternative to trimming when heavy-tailed metrics
+    * (latencies, transaction values) must keep their row count. The
+    * percentile is RANK-BASED (the value at row_number ceil(n/100) in
+    * ascending order), not interpolated: interpolation arithmetic is
+    * where engines' float behavior diverges, whereas "the j-th
+    * smallest value" is a pure multiset fact both engines agree on
+    * exactly. Sums ride as integer micro-units (round(value·1e6) —
+    * the repo-wide fixed-point discipline), so the digest is
+    * BIGINT-exact.
+    *
+    * Shape: one rank window per event_type partition (single
+    * exchange), then a map-side-combined aggregate on the same key —
+    * two passes over the partition, no self-join. At 100 TB the rank
+    * window is the honest cost (a per-key sort); when only the BOUNDS
+    * are needed at petabyte scale the approx twin is
+    * `events_value_quantiles_approx` — this operator is the exact leg
+    * of that pair.
+    */
+  def winsorizeStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = ev.select(col("event_type"), col("value"),
+      row_number().over(byType.orderBy(col("value"), col("event_id")))
+        .as("rn"),
+      count(lit(1)).over(byType).as("n"))
+    // ceil(n/100) all-integer (the `div` discipline — Column./ would
+    // go through double); hi rank mirrors it from the top
+    val withBounds = ranked
+      .withColumn("lo_rank", expr("(n + 99) div 100"))
+      .withColumn("hi_rank", expr("n - ((n + 99) div 100) + 1"))
+    withBounds.groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_events"),
+        max(when(col("rn") === col("lo_rank"), col("value"))).as("lo"),
+        max(when(col("rn") === col("hi_rank"), col("value"))).as("hi"))
+      .join(withBounds.select(col("event_type"), col("value")),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max(round(col("lo") * 1e6).cast("long")).as("lo_micro"),
+        max(round(col("hi") * 1e6).cast("long")).as("hi_micro"),
+        sum(round(least(greatest(col("value"), col("lo")), col("hi"))
+          * 1e6).cast("long")).as("wsum_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeStatsSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type,
+      |    MAX(n) AS n_events,
+      |    MAX(CASE WHEN rn = CAST(floor((n + 99) / 100) AS BIGINT)
+      |             THEN value END) AS lo,
+      |    MAX(CASE WHEN rn = n - CAST(floor((n + 99) / 100) AS BIGINT) + 1
+      |             THEN value END) AS hi
+      |  FROM ranked GROUP BY event_type)
+      |SELECT r.event_type,
+      | MAX(b.n_events) AS n_events,
+      | CAST(MAX(round(b.lo * 1e6)) AS BIGINT) AS lo_micro,
+      | CAST(MAX(round(b.hi * 1e6)) AS BIGINT) AS hi_micro,
+      | CAST(SUM(round(least(greatest(r.value, b.lo), b.hi) * 1e6)) AS BIGINT)
+      |   AS wsum_micro
+      |FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+      |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin
+}

@@ -48,7 +48,12 @@ object GraphQueries {
     * pagerank's unlimited form, used by AnalyticsOpsSpec's
     * mass-conservation invariant.
     */
-  def rankedAll(s: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized distinct customer–supplier trade edges (src, dst) —
+    * the ONE edge-table definition shared by pagerank and
+    * [[khopReach]]: node ids are "c<custkey>" / "s<suppkey>", each
+    * unordered trading pair appears in both directions exactly once.
+    */
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(s, dir, "lineitem")
@@ -57,8 +62,12 @@ object GraphQueries {
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
-    val edges = cs.unionByName(
+    cs.unionByName(
       cs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def rankedAll(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     // Materialized adjacency: (src, dst, out_deg), computed exactly once
     // and checkpointed ALREADY HASH-PARTITIONED ON src — LogicalRDD
@@ -280,6 +289,76 @@ object GraphQueries {
     val nTri = perEdge.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
   }
+
+  // --- bounded k-hop reachability (BFS on dataframes) -----------------------
+  /** Exact breadth-first reachability counts from a bounded seed set:
+    * for each seed customer (custkey ≤ `seedMax`), how many distinct
+    * nodes of the trade graph sit at shortest-path distance exactly
+    * 1, 2, …, `hops` — the ego-network expansion profile that powers
+    * "related entities within k hops" features and influence-radius
+    * analytics. The oracle is a DuckDB recursive CTE computing the
+    * same min-hop sets definitionally.
+    *
+    * Execution shape — the canonical Pregel-on-dataframes BFS:
+    *   - the edge list is materialized ONCE, hash-partitioned on src
+    *     (the pagerank discipline: the 100 TB side never recomputes
+    *     and never re-shuffles);
+    *   - each level is ONE join of the FRONTIER (rows = newly reached
+    *     (seed, node) pairs — frontier-sized, not graph-sized) against
+    *     the adjacency, deduped, then LEFT ANTI against the visited
+    *     set so hops mean SHORTEST distance;
+    *   - each level's result is materialized, so the plan stays
+    *     level-sized instead of growing a 3-deep join tree per
+    *     iteration, and the visited union is a union of materialized
+    *     leaves.
+    * Driver-side nothing; output is |seeds| × hops rows.
+    */
+  def khopReach(s: SparkSession, dir: String,
+                hops: Int = 3, seedMax: Long = 10): DataFrame = {
+    val edges = Graft.materialize(
+      tradeEdges(s, dir).repartition(col("src")))
+    val seeds = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= seedMax)
+      .select(col("c_custkey").as("root"),
+        concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+        lit(0).as("hop"))
+    var visited = seeds
+    var frontier = seeds
+    for (h <- 1 to hops) {
+      val next = Graft.materialize(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("root"), edges("dst").as("node"))
+          .distinct()
+          .join(visited, Seq("root", "node"), "left_anti")
+          .withColumn("hop", lit(h))
+          .repartition(col("root"), col("node")))
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    visited.filter(col("hop") > 0)
+      .groupBy(col("root"), col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("root"), col("hop"))
+  }
+
+  val khopReachSql: String =
+    """WITH RECURSIVE ce AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM ce
+      |          UNION SELECT dst, src FROM ce),
+      |walk(root, node, hop) AS (
+      |  SELECT c_custkey, 'c' || CAST(c_custkey AS VARCHAR), 0
+      |  FROM customer WHERE c_custkey <= 10
+      |  UNION
+      |  SELECT w.root, e.dst, w.hop + 1
+      |  FROM walk w JOIN edges e ON w.node = e.src
+      |  WHERE w.hop < 3),
+      |best AS (SELECT root, node, MIN(hop) AS hop
+      |         FROM walk GROUP BY root, node)
+      |SELECT root, hop, COUNT(*) AS n_nodes FROM best
+      |WHERE hop > 0 GROUP BY root, hop ORDER BY root, hop""".stripMargin
 
   val triangleCountSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

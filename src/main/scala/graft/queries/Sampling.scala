@@ -37,6 +37,16 @@ object Sampling {
   def isHeldOut(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     nibble("sample:", key).isin("0", "1")
 
+  /** The train (12/16) / val (2/16) / test (2/16) assignment as a pure
+    * function of the key — ONE definition shared by [[hashSplit]] and
+    * [[Governance.splitLeakageAudit]], so "which split is this doc in"
+    * can never drift between the split report and the leakage audit.
+    */
+  def splitAssign(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nibble("split:", key) < lit("c"), "train")
+      .when(nibble("split:", key) < lit("e"), "val")
+      .otherwise("test")
+
   // --- deterministic train/val/test split ------------------------------------
   /** Assign every document to train (12/16), val (2/16), or test (2/16)
     * by hash nibble, and report per-(split, lang) document and token
@@ -47,9 +57,7 @@ object Sampling {
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
-        when(nibble("split:", col("doc_id")) < lit("c"), "train")
-          .when(nibble("split:", col("doc_id")) < lit("e"), "val")
-          .otherwise("test").as("split"),
+        splitAssign(col("doc_id")).as("split"),
         col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy(col("split"), col("lang"))

@@ -1,0 +1,183 @@
+package graft
+
+import graft.queries.{Governance, GraphQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Governance reports: every operator here is pinned against an
+  * INDEPENDENT driver-side recompute (plain Scala over collected
+  * rows — no Spark expressions shared with the implementation), plus
+  * falsifiable planted-violation fixtures for the expectation suite.
+  */
+class GovernanceSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def splitOf(id: Long): String = {
+    val c = md5hex(s"split:$id").charAt(0)
+    if (c < 'c') "train" else if (c < 'e') "val" else "test"
+  }
+
+  test("dqExpectations: the clean corpus passes every rule") {
+    val rows = Governance.dqExpectations(spark, sf).collect()
+    assert(rows.length == 12, s"12 rules expected, got ${rows.length}")
+    val failing = rows.filterNot(_.getAs[Boolean]("pass"))
+    assert(failing.isEmpty,
+      s"clean test data must satisfy all expectations: ${failing.mkString(",")}")
+    assert(rows.forall(_.getAs[Long]("n_rows") > 0L))
+  }
+
+  test("dqExpectations: planted violations are counted, not just flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    import spark.implicits._
+    // corrupt copies: orders gains a duplicated key with a bad status and
+    // a negative price referencing a customer that does not exist;
+    // lineitem gains an orphan row with an out-of-range discount;
+    // documents gains a doc whose n_chars disagrees with its text
+    val orders = Tables.load(spark, sf, "orders")
+    val badOrder = orders.limit(1)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", lit(-1.0))
+      .withColumn("o_custkey", lit(999999999L))
+    orders.unionByName(badOrder).write.parquet(s"$dir/orders.parquet")
+    val li = Tables.load(spark, sf, "lineitem")
+    val badLi = li.limit(1)
+      .withColumn("l_orderkey", lit(888888888L))
+      .withColumn("l_discount", lit(0.5))
+    li.unionByName(badLi).write.parquet(s"$dir/lineitem.parquet")
+    val docs = Tables.load(spark, sf, "documents")
+    val badDoc = docs.limit(1)
+      .withColumn("doc_id", lit(777777L))
+      .withColumn("n_chars", lit(-5L))
+    docs.unionByName(badDoc).write.parquet(s"$dir/documents.parquet")
+    Tables.load(spark, sf, "customer").write.parquet(s"$dir/customer.parquet")
+
+    val got = Governance.dqExpectations(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_bad")).toMap
+    assert(got("orders_orderkey_unique") == 1L, s"dup key: $got")
+    assert(got("orders_status_domain") == 1L)
+    assert(got("orders_price_positive") == 1L)
+    assert(got("orders_custkey_fk") == 1L)
+    assert(got("lineitem_orderkey_fk") == 1L)
+    assert(got("lineitem_discount_range") == 1L)
+    assert(got("documents_nchars_consistent") == 1L)
+    // untouched rules still pass
+    assert(got("orders_date_complete") == 0L)
+    assert(got("documents_lang_domain") == 0L)
+  }
+
+  test("kAnonymity: classes partition the table; risk and verdict exact") {
+    val total = Tables.load(spark, sf, "customer").count()
+    val rows = Governance.kAnonymity(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("class_size")).sum == total,
+      "equivalence classes must partition the table")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("class_size")
+      assert(r.getAs[Boolean]("meets_k") == (n >= 5))
+      assert(math.abs(r.getAs[Double]("reident_risk") - 1.0 / n) == 0.0)
+    }
+    // sf0.001 has 150 customers over ~125 QI classes: singletons MUST
+    // exist, so the report is non-vacuous at test scale
+    assert(rows.exists(!_.getAs[Boolean]("meets_k")),
+      "expected at least one below-k class in the 150-customer table")
+  }
+
+  test("splitLeakageAudit: equals the near-dup pairs whose sides split apart " +
+    "(independent md5 recompute)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val pairs = TextQueries.dedupPrefixJaccard(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter { case (a, b) => splitOf(a) != splitOf(b) }.toSet
+    val got = Governance.splitLeakageAudit(spark, sf01).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      assert(r.getAs[String]("split_a") == splitOf(r.getLong(0)))
+      assert(r.getAs[String]("split_b") == splitOf(r.getLong(1)))
+    }
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(got.nonEmpty, "sf0.01 plants near-dup pairs; some must cross splits")
+    // split labels are a pure function of the pair ids: the audit adds
+    // ZERO table scans over the similarity join it composes
+    val scans = (p: String) => "Scan parquet".r.findAllIn(p).size
+    assert(scans(planOf(Governance.splitLeakageAudit(spark, sf01))) ==
+      scans(planOf(TextQueries.dedupPrefixJaccard(spark, sf01))))
+  }
+
+  test("paretoFrontier: matches the O(n²) dominance definition and broadcasts") {
+    val parts = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = parts.filter { case (_, sz, pr) =>
+      !parts.exists { case (_, sz2, pr2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz) }
+    }.map(_._1).toSet
+    val df = Governance.paretoFrontier(spark, sf)
+    assert(df.collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier join-back must broadcast the bounded size-domain side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the engine spelling must not be the quadratic one:\n$plan")
+  }
+
+  test("winsorizeStats: matches a driver-side exact recompute") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def micro(x: Double): Long =
+      new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val v = rows.map(_._2).sorted
+      val n = v.length
+      val loR = (n + 99) / 100
+      val lo = v(loR - 1)
+      val hi = v(n - loR)
+      t -> ((n.toLong, micro(lo), micro(hi),
+        v.map(x => micro(math.min(math.max(x, lo), hi))).sum))
+    }
+    val got = Governance.winsorizeStats(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, lo, hi, sum) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("lo_micro") == lo, s"lo for ${r.getString(0)}")
+      assert(r.getAs[Long]("hi_micro") == hi, s"hi for ${r.getString(0)}")
+      assert(r.getAs[Long]("wsum_micro") == sum, s"wsum for ${r.getString(0)}")
+    }
+  }
+
+  test("khopReach: matches a driver-side BFS over the same trade graph") {
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val adj = new scala.collection.mutable.HashMap[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .foreach { r =>
+        o.get(r.getLong(0)).foreach { ck =>
+          val (c, su) = (s"c$ck", s"s${r.getLong(1)}")
+          adj(c) = adj(c) + su
+          adj(su) = adj(su) + c
+        }
+      }
+    val roots = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") <= 10).collect().map(_.getLong(0))
+    val expected = roots.toSeq.flatMap { root =>
+      var visited = Set(s"c$root")
+      var frontier = visited
+      (1 to 3).flatMap { h =>
+        frontier = frontier.flatMap(adj) -- visited
+        visited ++= frontier
+        if (frontier.nonEmpty) Some((root, h, frontier.size.toLong)) else None
+      }
+    }.toSet
+    val got = GraphQueries.khopReach(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected, s"BFS mismatch:\ngot $got\nexp $expected")
+    assert(got.nonEmpty)
+  }
+}
