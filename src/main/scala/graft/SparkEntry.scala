@@ -253,6 +253,7 @@ object SparkEntry {
     "events_value_mad" -> (EventQueries.valueMad _),
     "events_value_mad_approx" -> ((s, d) => EventQueries.valueMadApprox(s, d)),
     "sketch_hll_rollup" -> (EventQueries.hllRollup _),
+    "sketch_hll_intersect" -> (EventQueries.hllIntersect _),
     "sketch_topk_rollup" -> ((s, d) => EventQueries.topkRollup(s, d)),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
@@ -278,6 +279,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
+    "embed_knn_graph" -> ((s, d) => EmbeddingQueries.knnGraph(s, d)),
+    "embed_mmr_topk" -> ((s, d) => EmbeddingQueries.mmrTopK(s, d)),
     "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedup(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
@@ -426,6 +429,7 @@ object SparkEntry {
     "graph_triangles" -> GraphQueries.triangleCountSql,
     "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,
     "graph_khop_reach" -> GraphQueries.khopReachSql,
+    "embed_knn_graph" -> EmbeddingQueries.knnGraphSql,
     "dq_expectations" -> Governance.dqExpectationsSql,
     "pii_k_anonymity" -> Governance.kAnonymitySql,
     "split_leakage_audit" -> Governance.splitLeakageAuditSql,

@@ -733,6 +733,128 @@ object EmbeddingQueries {
       |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // --- mutual-kNN graph --------------------------------------------------------
+  /** Exact mutual-kNN graph over the (bounded) corpus: edge (a, b)
+    * exists iff a is in b's cosine top-k AND b is in a's — the
+    * symmetric neighborhood graph that seeds graph-based dedup
+    * clusters, label propagation, and UMAP-style layouts. Mutuality is
+    * the standard asymmetry filter: a hub vector appears in everyone's
+    * top-k, but its OWN top-k keeps only its true neighbors, so
+    * requiring both directions prunes hub edges without a degree cap.
+    *
+    * Scale posture mirrors [[TextQueries.dedupPrefixJaccard]]: the
+    * EXACT spelling is deliberately bounded (`maxId` vectors — the
+    * broadcast side must fit an executor) and oracle-checked against
+    * DuckDB's definitional all-pairs; at corpus scale the same
+    * mutual-filter kernel runs over [[nearDupLsh]]/[[annIvfTopK]]
+    * candidates instead of the dense pair set. Within the bound the
+    * plan is the [[annTopK]] shape — ONE broadcast, ONE pass over the
+    * corpus side, top-k cut by a rank window (k-bounded), then the
+    * mutuality check groups the k·n-bounded EDGE SET (never vectors)
+    * by unordered pair and keeps pairs seen from both sides. Cosine is
+    * computed once per direction and is bit-identical both ways
+    * (per-element multiply commutes; the codegen'd sum runs in index
+    * order), so min(cos) == max(cos) per pair and the group-by loses
+    * nothing.
+    */
+  def knnGraph(s: SparkSession, dir: String,
+               k: Int = 5, maxId: Long = 500): DataFrame = {
+    val e = emb(s, dir)
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(dot(col("v"), col("v")) > 0) // zero-norm: see annTopK
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val topk = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    topk
+      .select(least(col("q_id"), col("n_id")).as("a_id"),
+        greatest(col("q_id"), col("n_id")).as("b_id"), col("cos"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("sides"), min(col("cos")).as("cos"))
+      .filter(col("sides") === 2)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val knnGraphSql: String =
+    """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE vec_id < 500
+      |              AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+      |sim AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+      |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id),
+      |tk AS (SELECT q_id, n_id, cos FROM (
+      |    SELECT q_id, n_id, cos,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+      |    FROM sim) WHERE rn <= 5),
+      |pe AS (SELECT least(q_id, n_id) AS a_id, greatest(q_id, n_id) AS b_id, cos
+      |       FROM tk)
+      |SELECT a_id, b_id, MIN(cos) AS cos FROM pe
+      |GROUP BY a_id, b_id HAVING COUNT(*) = 2 ORDER BY a_id, b_id""".stripMargin
+
+  // --- MMR diverse top-k -------------------------------------------------------
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): pick `k` results that are RELEVANT to the query but
+    * not redundant with each other, greedily maximizing
+    * `λ·cos(query, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * standard diversity pass over a retrieval pool (RAG context
+    * selection, dedup of search results).
+    *
+    * Scale split: the greedy argmax is inherently sequential in k, so
+    * the CLUSTER does what scales — one corpus pass computing
+    * relevance, cut to a `poolN`-bounded candidate pool by
+    * TakeOrderedAndProject (no global sort) — and the DRIVER runs the
+    * O(poolN·k) greedy over pool METADATA only (the k-means++ seeding
+    * discipline: driver work is bounded by the pool constant, never
+    * corpus size). Output is deterministic: the pool cut tie-breaks on
+    * vec_id and the greedy breaks score ties by lowest vec_id.
+    */
+  def mmrTopK(s: SparkSession, dir: String, k: Int = 10,
+              poolN: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(dot(col("v"), col("v")) > 0)
+    val qv = e.filter(col("vec_id") === 0).select(col("v"))
+    val pool = e.crossJoin(broadcast(qv).withColumnRenamed("v", "qv"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.values.map { case (id, v, rel) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else pool.filter(p => selected.exists(_._1 == p._1))
+            .map(p => cos(v, p._2)).max
+        (id, rel, lambda * rel - (1 - lambda) * maxSim)
+      }
+      val best = scored.minBy { case (id, _, score) => (-score, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
   // --- norm distribution by label ---------------------------------------------
   /** Per-label vector-norm quantiles — the drift/QA report an embedding
     * pipeline runs after each encoder batch (a label whose p50 norm

@@ -675,6 +675,43 @@ object EventQueries {
       .orderBy(col("week_start"), col("rk"))
   }
 
+  /** Audience-overlap estimation from SKETCHES ALONE — the
+    * inclusion–exclusion leg of the HLL family: for every pair of
+    * event types, estimate |users_a ∩ users_b| as
+    * `est(a) + est(b) − est(a ∪ b)`, where the union estimate comes
+    * from merging the two per-type sketches (`hll_union`), never from
+    * re-touching events. This is how "how many users did both X and Y"
+    * is answered over a 100 TB log: ONE pass builds |types| sketches
+    * (4 KiB each), and all O(|types|²) overlap questions are
+    * metadata-only algebra over those sketch rows. Set-theoretically
+    * HLL supports union natively and intersection only via
+    * inclusion–exclusion — the error grows when the overlap is small
+    * relative to the union, which is exactly what the spec's
+    * exact-recount comparison bounds at test scale.
+    *
+    * No DuckDB oracle: sketch registers are DataSketches-specific
+    * (the [[hllRollup]] adjudication); AnalyticsOpsSpec pins every
+    * estimate column against an exact recount within the HLL error
+    * envelope — at lgK = 12 and test cardinalities the estimates are
+    * exact, so the pin is equality, not tolerance.
+    */
+  def hllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val sk = ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Aggregation over a JSON payload column: `props` carries
     * `{"k": <int>}` per event; the path extract + cast + sum runs
     * without ever materializing a parsed struct. `get_json_object` is

@@ -395,6 +395,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.keySet.subsetOf(inTarget ++ inSource), "no phantom keys")
   }
 
+  test("hllIntersect: inclusion-exclusion estimates track exact overlaps") {
+    val rows = EventQueries.hllIntersect(spark, sf).collect()
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "one row per unordered pair")
+    // exact recount per pair, driver-side over (type, user) set
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val (sa, sb) = (byType(a), byType(b))
+      val (estA, estB) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"))
+      val estU = r.getAs[Long]("est_union")
+      val estI = r.getAs[Long]("est_intersect")
+      assert(estI == estA + estB - estU, "inclusion-exclusion identity")
+      // lgK=12 at test cardinalities (<~2000 per type): estimates exact
+      assert(estA == sa.size && estB == sb.size,
+        s"per-type estimates must be exact at test scale: $a=$estA/${sa.size}")
+      assert(estU == (sa ++ sb).size, s"union estimate $estU vs ${(sa ++ sb).size}")
+      assert(estI == (sa & sb).size, s"intersect estimate $estI vs ${(sa & sb).size}")
+    }
+  }
+
   test("hllRollup: daily-sketch union == direct weekly sketch, both near exact") {
     val rolled = EventQueries.hllRollup(spark, sf).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap

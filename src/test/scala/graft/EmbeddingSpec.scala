@@ -174,6 +174,75 @@ class EmbeddingSpec extends SparkSpec {
     assert(GramAgg.merge(b3, GramAgg.zero).n == 1L)
   }
 
+  test("mutual-kNN graph matches a driver-side brute force and is symmetric") {
+    // independent recompute: plain-Scala cosines over the collected corpus
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val topk = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSet
+    }.toMap
+    val expected = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val got = EmbeddingQueries.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"mutual edge set mismatch (${got.size} vs ${expected.size})")
+    assert(got.nonEmpty)
+  }
+
+  test("MMR top-k: greedy-optimal per step, more diverse than plain top-k") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val q = vecs(0L)
+    val rel = vecs.view.filterKeys(_ != 0L)
+      .mapValues(v => cos(v, q)).toMap
+    val pool = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(20).map(_._1)
+    val rows = EmbeddingQueries.mmrTopK(spark, sf).collect()
+    val sel = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(sel.length == 10 && sel.toSet.subsetOf(pool.toSet))
+    assert(sel.head == pool.head, "first MMR pick must be the most relevant")
+    // per-step greedy optimality of the reported objective, recomputed
+    // independently: each pick's MMR score beats every not-yet-picked
+    // pool item's
+    val lambda = 0.7
+    sel.indices.drop(1).foreach { i =>
+      val prior = sel.take(i)
+      def mmr(id: Long): Double =
+        lambda * rel(id) -
+          (1 - lambda) * prior.map(p => cos(vecs(id), vecs(p))).max
+      val pickScore = mmr(sel(i))
+      (pool.toSet -- prior - sel(i)).foreach { other =>
+        assert(pickScore >= mmr(other) - 1e-12,
+          s"step $i picked ${sel(i)} (${pickScore}) over better $other (${mmr(other)})")
+      }
+    }
+    // diversity: the MMR set's mean pairwise similarity must not exceed
+    // the plain top-k's (that is the operator's whole point)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (a <- ids.indices; b <- a + 1 until ids.length)
+        yield cos(vecs(ids(a)), vecs(ids(b)))
+      ps.sum / ps.length
+    }
+    assert(meanPairSim(sel.toSeq) <= meanPairSim(pool.take(10)) + 1e-12)
+  }
+
   test("PCA components decorrelate: cross-covariance of projections ~ 0") {
     val rows = EmbeddingQueries.pcaProject(spark, sf, 3).collect()
     val n = rows.length.toDouble
