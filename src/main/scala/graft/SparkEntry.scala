@@ -220,6 +220,9 @@ object SparkEntry {
     "split_leakage_audit" -> (Governance.splitLeakageAudit _),
     "pareto_frontier" -> (Governance.paretoFrontier _),
     "winsorize_stats" -> (Governance.winsorizeStats _),
+    "split_balance_chisq" -> (Governance.splitBalanceChisq _),
+    "embed_hard_negatives" -> ((s, d) => EmbeddingQueries.hardNegatives(s, d)),
+    "join_size_estimate" -> (EventQueries.joinSizeEstimate _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -435,6 +438,8 @@ object SparkEntry {
     "split_leakage_audit" -> Governance.splitLeakageAuditSql,
     "pareto_frontier" -> Governance.paretoFrontierSql,
     "winsorize_stats" -> Governance.winsorizeStatsSql,
+    "split_balance_chisq" -> Governance.splitBalanceChisqSql,
+    "embed_hard_negatives" -> EmbeddingQueries.hardNegativesSql,
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,

@@ -800,6 +800,73 @@ object EmbeddingQueries {
       |SELECT a_id, b_id, MIN(cos) AS cos FROM pe
       |GROUP BY a_id, b_id HAVING COUNT(*) = 2 ORDER BY a_id, b_id""".stripMargin
 
+  // --- hard-negative mining ----------------------------------------------------
+  /** Contrastive hard-negative audit: per anchor, the best same-label
+    * cosine (the positive it would be pulled toward) versus the best
+    * DIFFERENT-label cosine (its hardest negative), rolled up per label
+    * — the report that drives triplet/contrastive training-set mining
+    * and flags label noise (an anchor whose hardest negative beats its
+    * best positive is either mislabeled or sits on a class boundary).
+    *
+    * Determinism discipline: cosines are bit-identical cross-engine
+    * (in-order dot product), and the rollup uses ONLY multiset-safe
+    * aggregates — counts, min, max — never a float SUM (the
+    * [[Exact]] hazard: full-precision doubles through DECIMAL(18,6)
+    * drift at ~1e-11 rates; a min/max SELECTS one of the identical
+    * values instead of re-associating them). Same bounded-corpus
+    * posture and plan shape as [[knnGraph]].
+    */
+  def hardNegatives(s: SparkSession, dir: String, maxId: Long = 500): DataFrame = {
+    val e = emb(s, dir)
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(dot(col("v"), col("v")) > 0)
+    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("v").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("v").as("bv"))
+    val anchors = broadcast(a).join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"),
+        (col("a_label") === col("b_label")).as("same"),
+        cosine(col("av"), col("bv")).as("cos"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(max(when(col("same"), col("cos"))).as("pos_cos"),
+        max(when(!col("same"), col("cos"))).as("neg_cos"))
+      .filter(col("pos_cos").isNotNull && col("neg_cos").isNotNull)
+    anchors.groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("neg_cos") > col("pos_cos"), 1L).otherwise(0L))
+          .as("n_violations"),
+        min(col("pos_cos") - col("neg_cos")).as("min_margin"),
+        max(col("pos_cos") - col("neg_cos")).as("max_margin"))
+      .orderBy(col("label"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH nz AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE vec_id < 500
+      |              AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, a.label AS a_label,
+      |    a.label = b.label AS same,
+      |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+      |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id),
+      |anchors AS (
+      |  SELECT a_id, a_label,
+      |    MAX(CASE WHEN same THEN cos END) AS pos_cos,
+      |    MAX(CASE WHEN NOT same THEN cos END) AS neg_cos
+      |  FROM pairs GROUP BY a_id, a_label
+      |  HAVING pos_cos IS NOT NULL AND neg_cos IS NOT NULL)
+      |SELECT a_label AS label, COUNT(*) AS n_anchors,
+      | CAST(SUM(CASE WHEN neg_cos > pos_cos THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_violations,
+      | MIN(pos_cos - neg_cos) AS min_margin,
+      | MAX(pos_cos - neg_cos) AS max_margin
+      |FROM anchors GROUP BY a_label ORDER BY label""".stripMargin
+
   // --- MMR diverse top-k -------------------------------------------------------
   /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): pick `k` results that are RELEVANT to the query but

@@ -1199,6 +1199,52 @@ object EventQueries {
       |FROM k, t
       |ORDER BY contribution DESC, user_id LIMIT 10""".stripMargin
 
+  // --- AMS sketch join-size estimation ---------------------------------------
+  /** Join-size estimation from COUNT-SKETCHES (the planning primitive:
+    * "how big would this join be" answered without running it, and
+    * without even a per-key frequency table): |A ⋈_k B| =
+    * Σ_k f_A(k)·f_B(k) is estimated by the AMS inner product of one
+    * 20 KiB signed sketch per side ([[graft.functions.CountSketch]] —
+    * Alon–Matias–Szegedy, STOC 1996; the estimator a cost-based
+    * optimizer would consult before choosing a join strategy at
+    * 100 TB, and the sibling of [[joinExplosionCheck]]'s exact
+    * per-key audit).
+    *
+    * Two joins are audited: the events self-join on user_id (the
+    * explosion case) and orders ⋈ lineitem on orderkey (the FK case).
+    * Each side is sketched in ONE pass with constant
+    * (D·W counters) state merged map-side; the EXACT Σ f_A·f_B rides
+    * along from the per-key count tables so the report itself shows
+    * the estimator's error — at scale the exact leg is the one you
+    * drop, and the spec pins |rel_err| within the sketch's variance
+    * envelope.
+    */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CountSketchAgg, CsJoinSize}
+    def leg(name: String, a: DataFrame, ak: String,
+            b: DataFrame, bk: String): DataFrame = {
+      val skA = a.agg(CountSketchAgg(xxhash64(col(ak))).as("sk_a"))
+      val skB = b.agg(CountSketchAgg(xxhash64(col(bk))).as("sk_b"))
+      val ca = a.groupBy(col(ak).as("k_a")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(bk).as("k_b")).agg(count(lit(1)).as("cb"))
+      val exact = ca.join(cb, col("k_a") === col("k_b"))
+        .agg(sum(col("ca") * col("cb")).as("exact_rows"))
+      skA.crossJoin(skB).crossJoin(exact)
+        .select(lit(name).as("join_name"), col("exact_rows"),
+          CsJoinSize(col("sk_a"), col("sk_b")).as("est_rows"))
+        .withColumn("rel_err",
+          (col("est_rows") - col("exact_rows")).cast("double")
+            / col("exact_rows").cast("double"))
+    }
+    val e = ev(s, dir)
+    val orders = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    leg("events_self_user", e, "user_id", e, "user_id")
+      .unionByName(
+        leg("orders_lineitem", orders, "o_orderkey", li, "l_orderkey"))
+      .orderBy(col("join_name"))
+  }
+
   // --- ordered funnel, single-pass window spelling ---------------------------
   /** The ONE-EXCHANGE twin of [[funnel]] (same operator family as the
     * broadcast/partitioned triangle pair): [[funnel]] spells the

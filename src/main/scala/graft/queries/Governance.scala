@@ -236,6 +236,58 @@ object Governance {
       |SELECT a_id, b_id, jaccard, split_a, split_b FROM sp
       |WHERE split_a <> split_b ORDER BY a_id, b_id""".stripMargin
 
+  // --- split balance (chi-square independence) --------------------------------
+  /** Label-balance audit of the hash split: the χ² independence table
+    * between split assignment and class label over the embeddings
+    * corpus — per (split, label) cell, the observed count, the
+    * expected count under independence (row·col/total), and the cell's
+    * χ² contribution. A split that accidentally concentrated a label
+    * in val/test shows up as a fat contribution cell; the global χ²
+    * is the sum of the (3·|labels|) contribution column — left to the
+    * reader/driver because a cross-engine float SUM is the
+    * [[Exact]] hazard, while per-cell arithmetic (a handful of IEEE
+    * ops on exact integers) is bit-identical.
+    *
+    * Shape: ONE map-side-combined groupBy on the (split, label) cell
+    * domain (bounded: 3·|labels| rows), then windows over that tiny
+    * aggregate for the marginals. The corpus is scanned once; the
+    * split label is a pure function of vec_id (no join).
+    */
+  def splitBalanceChisq(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "embeddings")
+      .select(Sampling.splitAssign(col("vec_id")).as("split"), col("label"))
+      .groupBy(col("split"), col("label"))
+      .agg(count(lit(1)).as("n_obs"))
+    val exp = (sum(col("n_obs")).over(Window.partitionBy(col("split"))) *
+      sum(col("n_obs")).over(Window.partitionBy(col("label"))))
+      .cast("double") /
+      sum(col("n_obs")).over(Window.partitionBy()).cast("double")
+    cells
+      .withColumn("expected", exp)
+      .withColumn("chisq_contrib",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"))
+      .orderBy(col("split"), col("label"))
+  }
+
+  val splitBalanceChisqSql: String =
+    """WITH cells AS (
+      |  SELECT CASE WHEN substr(md5('split:' || CAST(vec_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+      |              WHEN substr(md5('split:' || CAST(vec_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+      |              ELSE 'test' END AS split,
+      |    label, COUNT(*) AS n_obs
+      |  FROM embeddings GROUP BY 1, 2),
+      |m AS (
+      |  SELECT split, label, n_obs,
+      |    CAST(SUM(n_obs) OVER (PARTITION BY split)
+      |         * SUM(n_obs) OVER (PARTITION BY label) AS DOUBLE)
+      |      / CAST(SUM(n_obs) OVER () AS DOUBLE) AS expected
+      |  FROM cells)
+      |SELECT split, label, n_obs, expected,
+      | (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+      |   / expected AS chisq_contrib
+      |FROM m ORDER BY split, label""".stripMargin
+
   // --- Pareto frontier (skyline) ----------------------------------------------
   /** The skyline of the part catalog under (minimize retail price,
     * maximize size): parts no other part beats on both axes — the

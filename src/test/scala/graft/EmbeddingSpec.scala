@@ -200,6 +200,40 @@ class EmbeddingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("hard negatives: per-label rollup matches a driver-side brute force") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .filter { case (_, _, v) => v.map(x => x * x).sum > 0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val anchors = vecs.flatMap { case (id, lab, v) =>
+      val others = vecs.filter(_._1 != id)
+      val pos = others.filter(_._2 == lab).map(o => cos(v, o._3))
+      val neg = others.filter(_._2 != lab).map(o => cos(v, o._3))
+      if (pos.nonEmpty && neg.nonEmpty) Some((lab, pos.max, neg.max)) else None
+    }
+    val expected = anchors.groupBy(_._1).map { case (lab, as) =>
+      lab -> ((as.length.toLong,
+        as.count { case (_, p, n) => n > p }.toLong,
+        as.map { case (_, p, n) => p - n }.min,
+        as.map { case (_, p, n) => p - n }.max))
+    }
+    val got = EmbeddingQueries.hardNegatives(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, viol, lo, hi) = expected(r.getInt(0))
+      assert(r.getAs[Long]("n_anchors") == n)
+      assert(r.getAs[Long]("n_violations") == viol)
+      assert(r.getAs[Double]("min_margin") == lo)
+      assert(r.getAs[Double]("max_margin") == hi)
+    }
+  }
+
   test("MMR top-k: greedy-optimal per step, more diverse than plain top-k") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()

@@ -104,6 +104,30 @@ class GovernanceSpec extends SparkSpec {
       scans(planOf(TextQueries.dedupPrefixJaccard(spark, sf01))))
   }
 
+  test("splitBalanceChisq: marginals consistent, contributions exact") {
+    val rows = Governance.splitBalanceChisq(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chisq_contrib")))).toMap
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.values.map(_._1).sum == total, "cells partition the corpus")
+    // expected counts from independently-recomputed marginals
+    val rowTot = rows.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum).toMap
+    val colTot = rows.groupBy(_._1._2).view.mapValues(_.values.map(_._1).sum).toMap
+    rows.foreach { case ((sp, lab), (obs, exp, contrib)) =>
+      val e = (rowTot(sp) * colTot(lab)).toDouble / total.toDouble
+      assert(exp == e, s"cell ($sp,$lab) expected $exp vs $e")
+      val c = (obs.toDouble - e) * (obs.toDouble - e) / e
+      assert(contrib == c, s"cell ($sp,$lab) contrib $contrib vs $c")
+    }
+    // expected-count marginals reproduce the observed marginals (the
+    // independence-model invariant)
+    val expBySplit = rows.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._2).sum).toMap
+    expBySplit.foreach { case (sp, s) =>
+      assert(math.abs(s - rowTot(sp)) < 1e-6) }
+  }
+
   test("paretoFrontier: matches the O(n²) dominance definition and broadcasts") {
     val parts = Tables.load(spark, sf, "part")
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))

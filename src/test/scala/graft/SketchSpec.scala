@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{CmsEstimate, CmsSketchAgg}
+import graft.queries.EventQueries
 import org.apache.spark.sql.functions._
 
 /** Count-Min sketch aggregate invariants: estimates never underestimate
@@ -84,5 +85,47 @@ class SketchSpec extends SparkSpec {
       .count().collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(got == raw)
+  }
+
+  test("joinSizeEstimate: exact leg equals the real join count; AMS est in envelope") {
+    val rows = EventQueries.joinSizeEstimate(spark, sf).collect()
+      .map(r => r.getAs[String]("join_name") ->
+        ((r.getAs[Long]("exact_rows"), r.getAs[Long]("est_rows"),
+          r.getAs[Double]("rel_err")))).toMap
+    // ground truth: actually run the two joins and count
+    val e = Tables.events(spark, sf).select(col("user_id"))
+    val selfN = e.join(e.withColumnRenamed("user_id", "u2"),
+      col("user_id") === col("u2")).count()
+    val fkN = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
+      .join(Tables.load(spark, sf, "lineitem").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey")).count()
+    val (selfExact, selfEst, selfErr) = rows("events_self_user")
+    val (fkExact, fkEst, fkErr) = rows("orders_lineitem")
+    assert(selfExact == selfN, s"self-join exact $selfExact vs real $selfN")
+    assert(fkExact == fkN, s"fk-join exact $fkExact vs real $fkN")
+    // AMS envelope: stderr/row ~ sqrt(2*F2A*F2B/W); median-of-5 rows
+    // tightens it — 25% covers both audited joins with wide slack while
+    // still catching a broken sign hash (which reads ~0 or ~N_A*N_B/W off)
+    assert(selfEst >= 0 && fkEst >= 0)
+    assert(math.abs(selfErr) <= 0.25, s"self-join rel_err $selfErr")
+    assert(math.abs(fkErr) <= 0.25, s"fk-join rel_err $fkErr")
+    assert(selfErr == (selfEst - selfExact).toDouble / selfExact)
+  }
+
+  test("count-sketch merge is partitioning-independent and signs are balanced") {
+    import graft.functions.{CountSketch, CountSketchAgg, CsJoinSize}
+    def sketchOf(parts: Int): Array[Byte] =
+      Tables.events(spark, sf).repartition(parts)
+        .agg(CountSketchAgg(xxhash64(col("user_id"))).as("sk"))
+        .collect().head.getAs[Array[Byte]](0)
+    val s2 = sketchOf(2); val s7 = sketchOf(7)
+    assert(java.util.Arrays.equals(s2, s7),
+      "signed counter addition must be layout-invariant")
+    // a sketch dotted with ITSELF estimates F2 = sum f^2 — compare exact
+    val exactF2 = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .agg(sum(col("count") * col("count"))).collect().head.getLong(0)
+    val estF2 = CountSketch.innerProduct(s2, s2)
+    assert(math.abs(estF2 - exactF2).toDouble / exactF2 <= 0.25,
+      s"self inner product $estF2 vs F2 $exactF2")
   }
 }
