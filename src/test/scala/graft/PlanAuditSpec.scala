@@ -127,4 +127,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
       s"cutoff filters not pushed:\n$p")
   }
+
+  test("round-8 governance/graph/sketch operators plan no CartesianProduct") {
+    val r8 = Seq(
+      "dq_expectations" -> (graft.queries.Governance.dqExpectations _),
+      "split_leakage_audit" -> (graft.queries.Governance.splitLeakageAudit _),
+      "winsorize_stats" -> (graft.queries.Governance.winsorizeStats _),
+      "split_balance_chisq" -> (graft.queries.Governance.splitBalanceChisq _),
+      "graph_khop_reach" ->
+        ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          graft.queries.GraphQueries.khopReach(s, d)),
+      "join_size_estimate" -> (graft.queries.EventQueries.joinSizeEstimate _),
+      "sketch_hll_intersect" -> (graft.queries.EventQueries.hllIntersect _))
+    r8.foreach { case (name, f) =>
+      val p = planOf(f(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("khopReach: adjacency is a reused checkpoint; levels join hash-keyed") {
+    val p = planOf(graft.queries.GraphQueries.khopReach(spark, sf))
+    // the edge table must come from the materialization (LogicalRDD /
+    // Scan ExistingRDD), NOT be re-derived from parquet per level
+    assert(!p.contains("Scan parquet"),
+      s"k-hop final agg must read only materialized levels:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"level joins must stay key-equi:\n$p")
+  }
+
+  test("winsorizeStats: one exchange keys the windows AND the final agg") {
+    val p = planOf(graft.queries.Governance.winsorizeStats(spark, sf))
+    // rank windows and bounds aggregation all partition by event_type;
+    // the join back is on the same key. Nothing here may sort globally.
+    assert(!p.contains("Sort [value"), s"no global sort spine expected:\n$p")
+    assert(p.contains("Window"), s"rank windows missing:\n$p")
+  }
+
+  test("dqExpectations: single-column rules ride ONE aggregate per table") {
+    val p = planOf(graft.queries.Governance.dqExpectations(spark, sf))
+    // three report tables scanned once each + the two FK parent key
+    // projections = 5 parquet scan nodes; a regression that re-scans
+    // per RULE (or per FK child) would show 7+
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 5, s"expectation suite re-scans per rule ($scans scans):\n$p")
+  }
 }
