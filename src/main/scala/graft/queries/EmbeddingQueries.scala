@@ -759,16 +759,25 @@ object EmbeddingQueries {
     */
   def knnGraph(s: SparkSession, dir: String,
                k: Int = 5, maxId: Long = 500): DataFrame = {
+    // norms PRECOMPUTED per vector (n of them), not per pair (n·k of
+    // them): cos = dot/(an·bn) is the identical expression tree to the
+    // inline spelling — same IEEE ops in the same order — so the values
+    // (and the oracle hash) are bit-for-bit unchanged, at a third of
+    // the pairwise flops
     val e = emb(s, dir)
       .filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .filter(dot(col("v"), col("v")) > 0) // zero-norm: see annTopK
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0) // zero-norm: see annTopK
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("n_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     val topk = broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("nv")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     topk
@@ -821,15 +830,16 @@ object EmbeddingQueries {
       .filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .filter(dot(col("v"), col("v")) > 0)
+      .withColumn("nrm", norm(col("v"))) // per-vector, see knnGraph
+      .filter(col("nrm") > 0)
     val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-      col("v").as("av"))
+      col("v").as("av"), col("nrm").as("a_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("v").as("bv"))
+      col("v").as("bv"), col("nrm").as("b_nrm"))
     val anchors = broadcast(a).join(b, col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("a_label"),
         (col("a_label") === col("b_label")).as("same"),
-        cosine(col("av"), col("bv")).as("cos"))
+        (dot(col("av"), col("bv")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
       .groupBy(col("a_id"), col("a_label"))
       .agg(max(when(col("same"), col("cos"))).as("pos_cos"),
         max(when(!col("same"), col("cos"))).as("neg_cos"))
