@@ -223,6 +223,10 @@ object SparkEntry {
     "split_balance_chisq" -> (Governance.splitBalanceChisq _),
     "embed_hard_negatives" -> ((s, d) => EmbeddingQueries.hardNegatives(s, d)),
     "join_size_estimate" -> (EventQueries.joinSizeEstimate _),
+    "drift_psi" -> ((s, d) => Drift.psi(s, d)),
+    "drift_ks" -> (Drift.ks _),
+    "graph_modularity" -> (GraphQueries.modularity _),
+    "attribution_time_decay" -> (EventQueries.attributionTimeDecay _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -440,6 +444,10 @@ object SparkEntry {
     "winsorize_stats" -> Governance.winsorizeStatsSql,
     "split_balance_chisq" -> Governance.splitBalanceChisqSql,
     "embed_hard_negatives" -> EmbeddingQueries.hardNegativesSql,
+    "drift_psi" -> Drift.psiSql,
+    "drift_ks" -> Drift.ksSql,
+    "graph_modularity" -> GraphQueries.modularitySql,
+    "attribution_time_decay" -> EventQueries.attributionTimeDecaySql,
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection — the monitors a production pipeline
+  * runs between a reference window and a current window before trusting
+  * a model or a feature: Population Stability Index (the banking/ML
+  * industry's binned KL-symmetrization) and the exact two-sample
+  * Kolmogorov–Smirnov statistic. Both compare the FIRST HALF of the
+  * event log's time range against the second half (temporal drift, the
+  * case that actually bites), with the split point derived
+  * deterministically from exact epoch-microsecond integers.
+  *
+  * Determinism discipline: every p and q is a ratio of exact BIGINT
+  * counts; logs ride as integer micronats (`round(ln(n)·1e6)` over
+  * integer counts — the [[TextQueries.charEntropy]] domain) and the
+  * few remaining IEEE ops act on bit-identical inputs in a fixed
+  * order, so both reports hash-match DuckDB.
+  */
+object Drift {
+
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * lit(1e6)).cast("long")
+
+  /** events tagged with their temporal half: side 'a' = first half of
+    * the [min_ts, max_ts] range, 'b' = second. The 1-row min/max
+    * aggregate broadcasts into a narrow map — two passes over the
+    * scan, no shuffle of the events themselves.
+    */
+  private def sided(s: SparkSession, dir: String): DataFrame = {
+    // Tables.events, not Tables.load: the driver has shipped events.ts
+    // as TIMESTAMP(NANOS-as-long), NTZ, and LTZ across generations, and
+    // unix_micros only accepts the canonical LTZ shape the adapter emits
+    val ev = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    // midpoint via TRUNCATING integer division: `/` on BIGINTs is
+    // float division in some engines and integer division in others
+    // (the PortableSql class of hazard) — `div`/intDiv is unambiguous
+    ev.crossJoin(broadcast(bounds))
+      .select(
+        when(col("us") < expr("(mn + mx) div 2"), "a")
+          .otherwise("b").as("side"),
+        col("value"))
+  }
+
+  // --- Population Stability Index --------------------------------------------
+  /** PSI over 10 fixed-width value bins: per bin, the two halves'
+    * counts and the bin's PSI contribution
+    * `(p̂_a − p̂_b) · ln(p̂_a/p̂_b)` with Laplace-smoothed shares
+    * `p̂ = (c+1)/(n+10)` so an empty bin contributes finitely. The
+    * conventional read: PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25
+    * drifted. Fixed-width bins (not quantile bins) keep the binning a
+    * narrow map — one map-side-combined groupBy on a 10-value key is
+    * the whole cost at any scale.
+    *
+    * The ln of the share RATIO expands to
+    * lnµ(c_a')+lnµ(n_b') − lnµ(c_b') − lnµ(n_a') over integer counts;
+    * the share difference is the exact integer `c_a'·n_b' − c_b'·n_a'`
+    * over the exact product of totals — so the contribution is three
+    * IEEE ops on bit-identical operands.
+    */
+  def psi(s: SparkSession, dir: String, bins: Int = 10,
+          width: Double = 50.0): DataFrame = {
+    val binned = sided(s, dir)
+      .select(col("side"),
+        least(greatest(floor(col("value") / width), lit(0.0)),
+          lit(bins - 1.0)).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ca").as("n_a"), col("cb").as("n_b"),
+        (col("ca") + 1L).as("cas"), (col("cb") + 1L).as("cbs"),
+        (col("na") + bins.toLong).as("nas"), (col("nb") + bins.toLong).as("nbs"))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        (((col("cas") * col("nbs") - col("cbs") * col("nas")).cast("double")
+          / (col("nas").cast("double") * col("nbs").cast("double"))) *
+          ((lnMicro(col("cas")) + lnMicro(col("nbs"))
+            - lnMicro(col("cbs")) - lnMicro(col("nas"))).cast("double")
+            / lit(1e6))).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
+  val psiSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < CAST(((mn + mx) - ((mn + mx) % 2)) / 2 AS BIGINT)
+      |              THEN 'a' ELSE 'b' END AS side,
+      |    CAST(least(greatest(floor(value / 50.0), 0), 9) AS INTEGER) AS bin
+      |  FROM ev, b),
+      |cnt AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sided GROUP BY bin),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |      FROM cnt),
+      |sm AS (
+      |  SELECT bin, ca AS n_a, cb AS n_b,
+      |    ca + 1 AS cas, cb + 1 AS cbs, na + 10 AS nas, nb + 10 AS nbs
+      |  FROM cnt, t)
+      |SELECT bin, n_a, n_b,
+      | (CAST(cas * nbs - cbs * nas AS DOUBLE)
+      |    / (CAST(nas AS DOUBLE) * CAST(nbs AS DOUBLE)))
+      |  * (CAST(CAST(round(ln(CAST(cas AS DOUBLE)) * 1e6) AS BIGINT)
+      |        + CAST(round(ln(CAST(nbs AS DOUBLE)) * 1e6) AS BIGINT)
+      |        - CAST(round(ln(CAST(cbs AS DOUBLE)) * 1e6) AS BIGINT)
+      |        - CAST(round(ln(CAST(nas AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+      |     / 1e6) AS psi_contrib
+      |FROM sm ORDER BY bin""".stripMargin
+
+  // --- exact two-sample Kolmogorov–Smirnov ------------------------------------
+  /** The exact KS statistic `D = max_v |F_a(v) − F_b(v)|` between the
+    * two temporal halves, computed entirely in BIGINT: the pooled
+    * per-value cumulative counts give
+    * `D·n_a·n_b = max |cumA·n_b − cumB·n_a|` — integer-exact (no
+    * division inside the max), with the final ratio one IEEE division.
+    * Also reports the value where the supremum is attained (lowest
+    * such value on ties).
+    *
+    * Scale note: the ordered window runs over the per-VALUE aggregate,
+    * not the raw events — fixed-precision metrics have domain-bounded
+    * distinct sets (here ≤ 49k two-decimal values), so the sort spine
+    * is metadata-sized. For truly continuous unbounded metrics the
+    * binned [[psi]] is the scale path. The scaled integer stays exact
+    * to ~3·10⁹ rows per side (n_a·n_b < 2⁶³).
+    */
+  def ks(s: SparkSession, dir: String): DataFrame = {
+    val perValue = sided(s, dir)
+      .groupBy(col("value"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    perValue
+      .select(col("value"), sum(col("ca")).over(w).as("cumA"),
+        sum(col("cb")).over(w).as("cumB"))
+      .crossJoin(broadcast(totals))
+      .select(col("value"),
+        abs(col("cumA") * col("nb") - col("cumB") * col("na")).as("d_scaled"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+      .orderBy(col("d_scaled").desc, col("value"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("value").as("at_value"),
+        col("d_scaled").as("ks_scaled"),
+        (col("d_scaled").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
+  }
+
+  val ksSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < CAST(((mn + mx) - ((mn + mx) % 2)) / 2 AS BIGINT)
+      |              THEN 'a' ELSE 'b' END AS side, value
+      |  FROM ev, b),
+      |pv AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sided GROUP BY value),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |      FROM pv),
+      |cum AS (
+      |  SELECT value,
+      |    SUM(ca) OVER (ORDER BY value
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+      |    SUM(cb) OVER (ORDER BY value
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+      |  FROM pv)
+      |SELECT na AS n_a, nb AS n_b, value AS at_value,
+      | CAST(abs(cumA * nb - cumB * na) AS BIGINT) AS ks_scaled,
+      | CAST(abs(cumA * nb - cumB * na) AS DOUBLE)
+      |   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+      |FROM cum, t
+      |ORDER BY ks_scaled DESC, value LIMIT 1""".stripMargin
+}

@@ -221,6 +221,69 @@ object EventQueries {
       |FROM o WHERE event_type = 'click'
       |ORDER BY user_id, click_id""".stripMargin
 
+  /** Time-decay multi-touch attribution: every touch before a user's
+    * next purchase earns credit that HALVES per elapsed hour —
+    * channels that touch close to conversion earn more, the standard
+    * position-independent alternative to [[attributionLastTouch]].
+    *
+    * The decay is deliberately DYADIC, not exponential:
+    * `credit = 1e6 div 2^hours` is exact BIGINT arithmetic, whereas
+    * `exp(−Δt/τ)` would put libm's exp on the hash path — a cross-
+    * engine parity surface this repo has never needed and ln-micronat
+    * verification doesn't cover. Halving per hour IS an exponential
+    * decay (τ = 1h/ln2), just one whose weights are exactly
+    * representable; the natural cutoff is built in (2^20 > 1e6 ⇒
+    * credit 0 beyond ~20 h, with the shift clamped there so elapsed
+    * days can't overflow the shift width).
+    *
+    * Shape: the next-purchase timestamp rides [[asofNextPurchase]]'s
+    * one-exchange forward window; credits are exact integers summed
+    * per channel — one user_id exchange plus one channel-bounded
+    * aggregation, no self-join.
+    */
+  def attributionTimeDecay(s: SparkSession, dir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(isPurchase, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev(s, dir)
+      .withColumn("pus",
+        first(when(isPurchase, unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w))
+      .filter(!isPurchase && col("pus").isNotNull)
+      .withColumn("h",
+        expr("least((pus - unix_micros(ts)) div 3600000000, 20L)"))
+      .withColumn("credit_micro",
+        expr("1000000L div shiftleft(1L, cast(h as int))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val attributionTimeDecaySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    FIRST_VALUE(CASE WHEN event_type = 'purchase'
+      |                     THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+      |              event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pus
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    least(CAST(((pus - epoch_us(ts))
+      |                - ((pus - epoch_us(ts)) % 3600000000)) / 3600000000
+      |               AS BIGINT), 20) AS h
+      |  FROM o WHERE event_type <> 'purchase' AND pus IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_touches,
+      | CAST(SUM(CAST((1000000 - (1000000 % CAST(power(2, h) AS BIGINT)))
+      |               / CAST(power(2, h) AS BIGINT) AS BIGINT)) AS BIGINT)
+      |   AS credit_micro
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val asofPurchaseSql: String =
     """WITH clicks AS (
       |  SELECT user_id, event_id AS click_id, ts FROM events

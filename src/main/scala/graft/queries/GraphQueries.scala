@@ -341,6 +341,77 @@ object GraphQueries {
       .orderBy(col("root"), col("hop"))
   }
 
+  // --- partition modularity ---------------------------------------------------
+  /** Newman modularity of the NATION partition over the trade graph:
+    * per community c, `Q_c = e_c/2m − (d_c/2m)²` where e_c counts
+    * directed within-community edges and d_c the community's total
+    * degree (Newman & Girvan, Phys. Rev. E 2004). This is the score a
+    * community-detection run is judged by — computed here for the
+    * geography partition, so it doubles as a "does geography explain
+    * the trading structure" report.
+    *
+    * Shape: the node→community map is node-sized and joins the edge
+    * list twice on its partitioning key (the pagerank discipline — at
+    * 100 TB these are the two honest exchanges); everything after is
+    * arithmetic over a |communities|-bounded aggregate, with each
+    * contribution a few IEEE ops on exact BIGINT counts (deterministic
+    * cross-engine; no float sums).
+    */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val comm = Tables.load(s, dir, "customer")
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+        col("c_nationkey").as("community"))
+      .unionByName(Tables.load(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"),
+          col("s_nationkey").as("community")))
+    val labeled = edges
+      .join(comm.select(col("node").as("src"), col("community").as("src_comm")),
+        Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("community").as("dst_comm")),
+        Seq("dst"))
+    val perComm = labeled.groupBy(col("src_comm").as("community"))
+      .agg(count(lit(1)).as("degree_total"),
+        sum(when(col("src_comm") === col("dst_comm"), 1L).otherwise(0L))
+          .as("internal_edges"))
+    val m2 = labeled.agg(count(lit(1)).as("m2"))
+    perComm.crossJoin(broadcast(m2))
+      .select(col("community"), col("internal_edges"), col("degree_total"),
+        (col("internal_edges").cast("double") / col("m2").cast("double")
+          - (col("degree_total").cast("double") / col("m2").cast("double"))
+          * (col("degree_total").cast("double") / col("m2").cast("double")))
+          .as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
+  val modularitySql: String =
+    """WITH ce AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+      |comm AS (
+      |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+      |         c_nationkey AS community FROM customer
+      |  UNION ALL
+      |  SELECT 's' || CAST(s_suppkey AS VARCHAR), s_nationkey FROM supplier),
+      |lab AS (
+      |  SELECT cs.community AS src_comm, cd.community AS dst_comm
+      |  FROM edges e JOIN comm cs ON e.src = cs.node
+      |               JOIN comm cd ON e.dst = cd.node),
+      |pc AS (
+      |  SELECT src_comm AS community,
+      |    CAST(COUNT(*) AS BIGINT) AS degree_total,
+      |    CAST(SUM(CASE WHEN src_comm = dst_comm THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS internal_edges
+      |  FROM lab GROUP BY src_comm),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM lab)
+      |SELECT community, internal_edges, degree_total,
+      | CAST(internal_edges AS DOUBLE) / CAST(m2 AS DOUBLE)
+      |   - (CAST(degree_total AS DOUBLE) / CAST(m2 AS DOUBLE))
+      |     * (CAST(degree_total AS DOUBLE) / CAST(m2 AS DOUBLE)) AS q_contrib
+      |FROM pc, t ORDER BY community""".stripMargin
+
   val khopReachSql: String =
     """WITH RECURSIVE ce AS (
       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

@@ -395,6 +395,78 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.keySet.subsetOf(inTarget ++ inSource), "no phantom keys")
   }
 
+  test("modularity: contributions from exact integer counts; partition sane") {
+    val rows = GraphQueries.modularity(spark, sf).collect()
+    // independent recompute from the raw tables
+    val custNation = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => s"c${r.getLong(0)}" -> r.getInt(1)).toMap
+    val suppNation = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => s"s${r.getLong(0)}" -> r.getInt(1)).toMap
+    val nation = custNation ++ suppNation
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val undirected = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .flatMap(r => o.get(r.getLong(0)).map(ck => (s"c$ck", s"s${r.getLong(1)}")))
+      .toSet
+    val directed = undirected.toSeq.flatMap(e => Seq(e, e.swap))
+    val m2 = directed.size.toLong
+    val byComm = directed.groupBy(e => nation(e._1))
+    val expected = byComm.map { case (c, es) =>
+      c -> ((es.size.toLong,
+        es.count(e => nation(e._2) == c).toLong))
+    }
+    assert(rows.length == expected.size)
+    var q = 0.0
+    rows.foreach { r =>
+      val (deg, internal) = expected(r.getInt(0))
+      assert(r.getAs[Long]("degree_total") == deg)
+      assert(r.getAs[Long]("internal_edges") == internal)
+      val contrib = internal.toDouble / m2 -
+        (deg.toDouble / m2) * (deg.toDouble / m2)
+      assert(r.getAs[Double]("q_contrib") == contrib)
+      q += contrib
+    }
+    assert(rows.map(_.getAs[Long]("degree_total")).sum == m2)
+    // bipartite customer-supplier edges NEVER stay within a nation pair
+    // unless the two endpoints share a nation; Q in [-1, 1] always
+    assert(q >= -1.0 && q <= 1.0)
+  }
+
+  test("attributionTimeDecay: dyadic credits match a driver-side replay") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = scala.collection.mutable.HashMap
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    events.groupBy(_._1).foreach { case (_, ev0) =>
+      // same total order as the window: ts, purchase-after-touch, id
+      val ordered = ev0.sortBy(e => (e._4, if (e._3 == "purchase") 1 else 0, e._2))
+      ordered.zipWithIndex.foreach { case ((_, _, typ, us), i) =>
+        if (typ != "purchase") {
+          ordered.drop(i + 1).find(_._3 == "purchase").foreach { p =>
+            val h = math.min((p._4 - us) / 3600000000L, 20L)
+            val credit = 1000000L / (1L << h)
+            val (n, c) = expected(typ)
+            expected(typ) = (n + 1, c + credit)
+          }
+        }
+      }
+    }
+    val got = EventQueries.attributionTimeDecay(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, c) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_touches") == n, s"${r.getString(0)} touches")
+      assert(r.getAs[Long]("credit_micro") == c, s"${r.getString(0)} credit")
+    }
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+  }
+
   test("hllIntersect: inclusion-exclusion estimates track exact overlaps") {
     val rows = EventQueries.hllIntersect(spark, sf).collect()
     val types = Tables.events(spark, sf)
