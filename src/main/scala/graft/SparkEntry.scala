@@ -227,6 +227,9 @@ object SparkEntry {
     "drift_ks" -> (Drift.ks _),
     "graph_modularity" -> (GraphQueries.modularity _),
     "attribution_time_decay" -> (EventQueries.attributionTimeDecay _),
+    "dq_functional_deps" -> (Governance.functionalDeps _),
+    "pii_dp_release" -> (Governance.dpRelease _),
+    "corpus_datacard" -> (Governance.datacard _),
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
@@ -448,6 +451,9 @@ object SparkEntry {
     "drift_ks" -> Drift.ksSql,
     "graph_modularity" -> GraphQueries.modularitySql,
     "attribution_time_decay" -> EventQueries.attributionTimeDecaySql,
+    "dq_functional_deps" -> Governance.functionalDepsSql,
+    "pii_dp_release" -> Governance.dpReleaseSql,
+    "corpus_datacard" -> Governance.datacardSql,
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,

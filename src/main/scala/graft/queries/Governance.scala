@@ -236,6 +236,152 @@ object Governance {
       |SELECT a_id, b_id, jaccard, split_a, split_b FROM sp
       |WHERE split_a <> split_b ORDER BY a_id, b_id""".stripMargin
 
+  // --- functional-dependency audit --------------------------------------------
+  /** Functional-dependency discovery/verification over candidate
+    * column pairs: does A → B hold (every A value maps to exactly one
+    * B)? The profiling step that finds real keys and denormalization
+    * opportunities — and catches drift when an FD a downstream job
+    * RELIES on silently breaks (the schema contract the
+    * [[dqExpectations]] suite can then pin). Reported per candidate:
+    * distinct LHS values, LHS values with >1 RHS (violating), extra
+    * (A,B) combinations beyond one-per-LHS, and the verdict.
+    *
+    * Shape: per FD, ONE distinct-pair aggregation then a groupBy on
+    * the (already distinct-pair-sized) result — the shuffle carries
+    * (A,B) id pairs only, map-side combined. Each candidate is
+    * independent; the report unions three 1-row legs.
+    */
+  def functionalDeps(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, t: DataFrame, a: String, b: String): DataFrame =
+      t.select(col(a).as("a"), col(b).as("b")).distinct()
+        .groupBy(col("a")).agg(count(lit(1)).as("nb"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nb") > 1L, 1L).otherwise(0L)).as("n_violating_lhs"),
+          sum(col("nb") - 1L).as("n_extra_pairs"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating_lhs"),
+          col("n_extra_pairs"), (col("n_extra_pairs") === 0L).as("holds"))
+    val orders = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val cust = Tables.load(s, dir, "customer")
+    fd("o_orderkey->o_custkey", orders, "o_orderkey", "o_custkey")
+      .unionByName(fd("l_orderkey->l_suppkey", li, "l_orderkey", "l_suppkey"))
+      .unionByName(fd("c_nationkey->c_mktsegment", cust,
+        "c_nationkey", "c_mktsegment"))
+      .orderBy(col("fd"))
+  }
+
+  val functionalDepsSql: String = {
+    def leg(name: String, tbl: String, a: String, b: String): String =
+      s"""SELECT '$name' AS fd,
+         | CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         | CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_violating_lhs,
+         | CAST(SUM(nb - 1) AS BIGINT) AS n_extra_pairs,
+         | SUM(nb - 1) = 0 AS holds
+         |FROM (SELECT $a, COUNT(*) AS nb
+         |      FROM (SELECT DISTINCT $a, $b FROM $tbl) GROUP BY $a)""".stripMargin
+    Seq(leg("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+      leg("l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+      leg("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  // --- differentially-private count release ------------------------------------
+  /** ε-DP released per-language document counts via the Laplace
+    * mechanism (sensitivity 1 for a count, b = 1/ε): the release a
+    * governance pipeline publishes when exact small-group counts would
+    * themselves leak. The Laplace draw is the difference of two
+    * exponentials, `(ln u₁ − ln u₂)/ε`, and the uniforms are SEEDED
+    * md5 draws (the [[Sampling.weightedSample]] integer-hash
+    * discipline: u = first-24-bits-of-md5 + 1 over 2²⁴, with the
+    * ln 2²⁴ normalizations cancelling in the difference) — so the
+    * noise is REPRODUCIBLE and the release oracle-checkable. A
+    * production release would swap the seeded hash for a real CSPRNG;
+    * everything else — mechanism, scale, post-processing — is
+    * unchanged, and the determinism here is itself standard practice
+    * for auditable pipelines (seeded noise, logged seed).
+    *
+    * Shape: one bounded-key groupBy; noise is arithmetic on the group
+    * KEY, so the release costs the count query plus nothing.
+    */
+  def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val draw = (salt: String) =>
+      conv(substring(md5(concat(lit(salt), col("lang"))), 1, 6), 16, 10)
+        .cast("long") + lit(1L)
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("lang"), col("true_count"),
+        (lnMicro(draw("dp1:")) - lnMicro(draw("dp2:"))).as("noise_micro"))
+      .select(col("lang"), col("true_count"), col("noise_micro"),
+        (col("true_count").cast("double")
+          + col("noise_micro").cast("double") / lit(1e6)).as("dp_count"))
+      .orderBy(col("lang"))
+  }
+
+  val dpReleaseSql: String =
+    s"""WITH g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count,
+      |    substr(md5('dp1:' || lang), 1, 6) AS m1,
+      |    substr(md5('dp2:' || lang), 1, 6) AS m2
+      |  FROM documents GROUP BY lang),
+      |n AS (
+      |  SELECT lang, true_count,
+      |    CAST(round(ln(CAST(${PortableSql.hexValue("m1", 6)} + 1 AS DOUBLE))
+      |         * 1e6) AS BIGINT)
+      |    - CAST(round(ln(CAST(${PortableSql.hexValue("m2", 6)} + 1 AS DOUBLE))
+      |         * 1e6) AS BIGINT) AS noise_micro
+      |  FROM g)
+      |SELECT lang, true_count, noise_micro,
+      | CAST(true_count AS DOUBLE) + CAST(noise_micro AS DOUBLE) / 1e6
+      |   AS dp_count
+      |FROM n ORDER BY lang""".stripMargin
+
+  // --- corpus datacard ---------------------------------------------------------
+  /** The per-language dataset card a corpus release ships with
+    * (Gebru et al., "Datasheets for Datasets", CACM 2021): volume
+    * (docs, characters, whitespace tokens), provenance breadth
+    * (distinct sources), length envelope, and the exact-duplicate
+    * rate — each a composition of already-verified measurement
+    * disciplines into the one table a consumer reads first.
+    *
+    * Shape: ONE scan; the per-language aggregate carries counts,
+    * min/max, and two count-distincts (source, text digest) — all
+    * map-side combined; the digest stands in for the text so nothing
+    * document-sized crosses the shuffle. dup_rate is one IEEE division
+    * of exact counts.
+    */
+  def datacard(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("digest"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
+      .withColumn("dup_rate",
+        col("n_exact_dups").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+
+  val datacardSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      | CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      | CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+      | CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+      |   AS dup_rate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- split balance (chi-square independence) --------------------------------
   /** Label-balance audit of the hash split: the χ² independence table
     * between split assignment and class label over the embeddings

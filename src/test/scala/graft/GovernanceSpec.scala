@@ -104,6 +104,80 @@ class GovernanceSpec extends SparkSpec {
       scans(planOf(TextQueries.dedupPrefixJaccard(spark, sf01))))
   }
 
+  test("functionalDeps: verdicts and violation counts match a recompute") {
+    val rows = Governance.functionalDeps(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_lhs"),
+        r.getAs[Long]("n_violating_lhs"), r.getAs[Long]("n_extra_pairs"),
+        r.getAs[Boolean]("holds")))).toMap
+    assert(rows.size == 3)
+    def recompute(t: String, a: String, b: String): (Long, Long, Long) = {
+      val pairs = Tables.load(spark, sf, t).select(col(a), col(b)).collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      val byA = pairs.groupBy(_._1).view.mapValues(_.size.toLong)
+      (byA.size.toLong, byA.count(_._2 > 1).toLong,
+        byA.values.map(_ - 1).sum)
+    }
+    Seq(("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+      ("l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+      ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+      .foreach { case (name, t, a, b) =>
+        val (nl, nv, ne) = recompute(t, a, b)
+        val (gl, gv, ge, holds) = rows(name)
+        assert((gl, gv, ge) == ((nl, nv, ne)), s"$name: got ($gl,$gv,$ge)")
+        assert(holds == (ne == 0L))
+      }
+    // the audit must demonstrate both verdicts on this schema
+    assert(rows("o_orderkey->o_custkey")._4, "orderkey->custkey is a real FD")
+    assert(!rows("c_nationkey->c_mktsegment")._4,
+      "nation does not determine segment")
+  }
+
+  test("dpRelease: seeded Laplace noise reproducible; release consistent") {
+    def md5hexS(s0: String): String = md5hex(s0)
+    def lnMicro(x: Long): Long =
+      new java.math.BigDecimal(math.log(x.toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val rows = Governance.dpRelease(spark, sf).collect()
+    val trueCounts = Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == trueCounts.keySet)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val h1 = java.lang.Long.parseLong(md5hexS(s"dp1:$lang").take(6), 16) + 1
+      val h2 = java.lang.Long.parseLong(md5hexS(s"dp2:$lang").take(6), 16) + 1
+      val noise = lnMicro(h1) - lnMicro(h2)
+      assert(r.getAs[Long]("true_count") == trueCounts(lang))
+      assert(r.getAs[Long]("noise_micro") == noise, s"$lang noise")
+      assert(r.getAs[Double]("dp_count") ==
+        trueCounts(lang).toDouble + noise.toDouble / 1e6)
+      // Laplace(b=1) noise: |draw| beyond 20 has probability ~2e-9 —
+      // a sign/scale bug (e.g. missing the ln-difference) reads huge
+      assert(math.abs(noise) < 20L * 1000000L, s"$lang noise scale")
+    }
+  }
+
+  test("datacard: every column matches a driver-side recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("source"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val got = Governance.datacard(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == docs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { r =>
+      val g = docs.filter(_._1 == r.getString(0))
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("total_chars") == g.map(_._3).sum)
+      assert(r.getAs[Long]("total_tokens") ==
+        g.map(_._4.split(" ", -1).length.toLong).sum)
+      assert(r.getAs[Long]("n_sources") == g.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("min_chars") == g.map(_._3).min)
+      assert(r.getAs[Long]("max_chars") == g.map(_._3).max)
+      val dups = g.length - g.map(_._4).distinct.length
+      assert(r.getAs[Long]("n_exact_dups") == dups.toLong)
+      assert(r.getAs[Double]("dup_rate") == dups.toDouble / g.length)
+    }
+  }
+
   test("splitBalanceChisq: marginals consistent, contributions exact") {
     val rows = Governance.splitBalanceChisq(spark, sf).collect()
       .map(r => ((r.getString(0), r.getInt(1)),
