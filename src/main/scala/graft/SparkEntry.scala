@@ -214,6 +214,14 @@ object SparkEntry {
     "graph_triangles_partitioned" ->
       ((s, d) => GraphQueries.triangleCount(s, d, broadcastAdj = false)),
     "graph_khop_reach" -> ((s, d) => GraphQueries.khopReach(s, d)),
+    "graph_sssp" -> ((s, d) => GraphQueries.ssspBounded(s, d)),
+    // time series
+    "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
+    "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
+    "unpivot_metrics" -> (Relational.unpivotMetrics _),
+    "stats_weighted_median" -> (Relational.weightedMedian _),
+    "governance_delete_impact" -> (Governance.deleteImpact _),
+    "text_vocab_coverage" -> ((s, d) => TextQueries.vocabCoverage(s, d)),
     // dataset governance
     "dq_expectations" -> (Governance.dqExpectations _),
     "pii_k_anonymity" -> ((s, d) => Governance.kAnonymity(s, d)),
@@ -439,6 +447,13 @@ object SparkEntry {
     "graph_triangles" -> GraphQueries.triangleCountSql,
     "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,
     "graph_khop_reach" -> GraphQueries.khopReachSql,
+    "graph_sssp" -> GraphQueries.ssspBoundedSql,
+    "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
+    "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
+    "unpivot_metrics" -> Relational.unpivotMetricsSql,
+    "stats_weighted_median" -> Relational.weightedMedianSql,
+    "governance_delete_impact" -> Governance.deleteImpactSql,
+    "text_vocab_coverage" -> TextQueries.vocabCoverageSql,
     "embed_knn_graph" -> EmbeddingQueries.knnGraphSql,
     "dq_expectations" -> Governance.dqExpectationsSql,
     "pii_k_anonymity" -> Governance.kAnonymitySql,

@@ -562,4 +562,93 @@ object Governance {
       |   AS wsum_micro
       |FROM ranked r JOIN bounds b ON r.event_type = b.event_type
       |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin
+
+  // --- right-to-erasure impact report ---------------------------------------
+  /** Blast-radius report for a GDPR/CCPA deletion request: given the
+    * subject list (here: every 97th customer — the deterministic stand-in
+    * for an uploaded request file), count the rows each table would lose,
+    * how many distinct subjects each count covers, and the fraction of
+    * the table affected. This is the report a data-protection officer
+    * signs off on BEFORE the cascade runs, and the row counts a
+    * lakehouse delete job must reconcile against afterwards.
+    *
+    * Scale shape: the subject list is dimension-sized and BROADCAST;
+    * each fact table is measured with one scan — `orders` via a
+    * broadcast semi-join on its own key, `lineitem` via a broadcast
+    * semi-join against the (already-filtered) order keys of affected
+    * orders. Totals ride the same scans as grouped conditional
+    * aggregates, so the report costs exactly one pass per table and no
+    * fact-to-fact shuffle. Erasure at 100 TB then partitions by the
+    * same keys this report semi-joined on.
+    */
+  def deleteImpact(s: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("subj"))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), (col("c_custkey") % 97 === 0).as("hit"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_affected"),
+        countDistinct(when(col("hit"), col("c_custkey"))).as("n_subjects"))
+      .select(lit("customer").as("table_name"), col("n_affected"),
+        col("n_subjects"), col("n_total"))
+    val ordersT = Tables.load(s, dir, "orders")
+    val ord = ordersT
+      .join(broadcast(subjects), ordersT("o_custkey") === col("subj"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("subj").isNotNull, 1L).otherwise(0L)).as("n_affected"),
+        countDistinct(col("subj")).as("n_subjects"))
+      .select(lit("orders").as("table_name"), col("n_affected"),
+        col("n_subjects"), col("n_total"))
+    val affOrders = ordersT
+      .join(broadcast(subjects), ordersT("o_custkey") === col("subj"))
+      .select(col("o_orderkey").as("aok"), col("subj").as("osubj"))
+    val liT = Tables.load(s, dir, "lineitem")
+    val li = liT
+      .join(broadcast(affOrders), liT("l_orderkey") === col("aok"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("aok").isNotNull, 1L).otherwise(0L)).as("n_affected"),
+        countDistinct(col("osubj")).as("n_subjects"))
+      .select(lit("lineitem").as("table_name"), col("n_affected"),
+        col("n_subjects"), col("n_total"))
+    cust.unionByName(ord).unionByName(li)
+      .select(col("table_name"), col("n_affected"), col("n_subjects"),
+        col("n_total"),
+        (col("n_affected").cast("double") / col("n_total").cast("double"))
+          .as("affected_frac"))
+      .orderBy(col("table_name"))
+  }
+
+  val deleteImpactSql: String =
+    """WITH subj AS (
+      |  SELECT c_custkey AS s FROM customer WHERE c_custkey % 97 = 0),
+      |aff_orders AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_custkey IN (SELECT s FROM subj)),
+      |legs AS (
+      |  SELECT 'customer' AS table_name,
+      |    CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_affected,
+      |    CAST(COUNT(DISTINCT CASE WHEN c_custkey % 97 = 0 THEN c_custkey END)
+      |      AS BIGINT) AS n_subjects,
+      |    CAST(COUNT(*) AS BIGINT) AS n_total
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(DISTINCT s) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM orders LEFT JOIN subj ON o_custkey = s
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    CAST(SUM(CASE WHEN ao.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT ao.o_custkey) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM lineitem LEFT JOIN aff_orders ao ON l_orderkey = ao.o_orderkey)
+      |SELECT table_name, n_affected, n_subjects, n_total,
+      |  CAST(n_affected AS DOUBLE) / CAST(n_total AS DOUBLE) AS affected_frac
+      |FROM legs ORDER BY table_name""".stripMargin
 }

@@ -431,6 +431,97 @@ object GraphQueries {
       |SELECT root, hop, COUNT(*) AS n_nodes FROM best
       |WHERE hop > 0 GROUP BY root, hop ORDER BY root, hop""".stripMargin
 
+  // --- bounded single-source shortest paths ---------------------------------
+  /** Weighted shortest-path distances from a small seed set, bounded at
+    * `rounds` edge relaxations — distributed Bellman-Ford, the
+    * DataFrame spelling of the classic (Bellman 1958; the Pregel SSSP
+    * of Malewicz et al., SIGMOD 2010). Edge weight is the trade-link
+    * "distance" `1e6 div n_orders` (more shared orders ⇒ closer), an
+    * exact integer so min-cost paths are engine-independent.
+    *
+    * Execution shape — identical discipline to [[khopReach]] /
+    * pagerank: the weighted adjacency is built ONCE and materialized
+    * hash-partitioned on src (the 100 TB side never recomputes or
+    * re-shuffles); each round is ONE join of the distance vector
+    * (|seeds|·nodes rows at worst, i.e. frontier-sized) with the
+    * adjacency plus ONE min-aggregation — dist_k(v) = min(dist_{k-1}(v),
+    * min_u dist_{k-1}(u) + w(u,v)) — materialized per round so the plan
+    * stays round-sized. No path enumeration ever happens (the oracle's
+    * recursive walk enumerates paths — exponential in rounds — which is
+    * exactly why the distributed spelling is relaxation, not walks).
+    * Output is |seeds| summary rows.
+    */
+  def ssspBounded(s: SparkSession, dir: String,
+                  rounds: Int = 3, seedMax: Long = 5): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"),
+        col("o_orderkey").as("ok"))
+      .distinct()
+      .groupBy(col("c"), col("sk"))
+      .agg(count(lit(1)).as("n_ord"))
+    val half = pairs.select(
+      concat(lit("c"), col("c").cast("string")).as("src"),
+      concat(lit("s"), col("sk").cast("string")).as("dst"),
+      expr("1000000L div n_ord").as("w"))
+    val edges = Graft.materialize(
+      half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .repartition(col("src")))
+    var dist = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= seedMax)
+      .select(col("c_custkey").as("root"),
+        concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+        lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("root"), edges("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      dist = Graft.materialize(
+        dist.unionByName(relaxed)
+          .groupBy(col("root"), col("node"))
+          .agg(min(col("dist")).as("dist"))
+          .repartition(col("root"), col("node")))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist_micro"),
+        max(col("dist")).as("max_dist_micro"))
+      .orderBy(col("root"))
+  }
+
+  val ssspBoundedSql: String = {
+    val w = PortableSql.intDiv("1000000", "n_ord")
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT o_custkey AS c, l_suppkey AS sk,
+      |         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_ord
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |half AS (
+      |  SELECT 'c' || CAST(c AS VARCHAR) AS src,
+      |         's' || CAST(sk AS VARCHAR) AS dst, $w AS w
+      |  FROM pairs),
+      |edges AS (SELECT src, dst, w FROM half
+      |          UNION ALL SELECT dst, src, w FROM half),
+      |walk(root, node, d, hop) AS (
+      |  SELECT c_custkey, 'c' || CAST(c_custkey AS VARCHAR),
+      |         CAST(0 AS BIGINT), 0
+      |  FROM customer WHERE c_custkey <= 5
+      |  UNION
+      |  SELECT wk.root, e.dst, wk.d + e.w, wk.hop + 1
+      |  FROM walk wk JOIN edges e ON wk.node = e.src
+      |  WHERE wk.hop < 3),
+      |best AS (SELECT root, node, MIN(d) AS d FROM walk GROUP BY 1, 2)
+      |SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,
+      |       CAST(SUM(d) AS BIGINT) AS sum_dist_micro,
+      |       CAST(MAX(d) AS BIGINT) AS max_dist_micro
+      |FROM best WHERE d > 0 GROUP BY root ORDER BY root""".stripMargin
+  }
+
   val triangleCountSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |               FROM lineitem),

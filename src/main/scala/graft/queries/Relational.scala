@@ -1483,4 +1483,110 @@ object Relational {
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS bin_sum
       |FROM orders
       |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // --- unpivot (wide → long) -------------------------------------------------
+  /** Wide-to-long reshaping with the native `Dataset.unpivot` operator
+    * (Spark's UNPIVOT): a per-nation metrics row (customer count,
+    * supplier count, exact account-balance cents) melts into
+    * (nation, metric, value) triples. Unpivot is a zero-shuffle
+    * narrow map — each wide row emits its triples in place — so the
+    * only exchanges are the two dimension-sized aggregations feeding
+    * it. The oracle spells the same reshape as the portable
+    * three-way UNION ALL.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum((dec(col("c_acctbal")) * lit(100)).cast("long"))
+          .as("acctbal_cents"))
+    val supp = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val wide = cust.join(supp, Seq("nationkey"), "full_outer")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))),
+        Seq("nationkey"))
+      .select(col("n_name").as("nation"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("acctbal_cents"), lit(0L)).as("acctbal_cents"))
+    wide.unpivot(
+      Array(col("nation")),
+      Array(col("n_customers"), col("n_suppliers"), col("acctbal_cents")),
+      "metric", "value")
+      .orderBy(col("nation"), col("metric"))
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS acctbal_cents
+      |  FROM customer GROUP BY 1),
+      |supp AS (
+      |  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |  FROM supplier GROUP BY 1),
+      |wide AS (
+      |  SELECT n.n_name AS nation,
+      |    COALESCE(c.n_customers, 0) AS n_customers,
+      |    COALESCE(s.n_suppliers, 0) AS n_suppliers,
+      |    COALESCE(c.acctbal_cents, 0) AS acctbal_cents
+      |  FROM nation n
+      |  LEFT JOIN cust c ON c.nationkey = n.n_nationkey
+      |  LEFT JOIN supp s ON s.nationkey = n.n_nationkey
+      |  WHERE c.nationkey IS NOT NULL OR s.nationkey IS NOT NULL)
+      |SELECT nation, metric, value FROM (
+      |  SELECT nation, 'n_customers' AS metric, n_customers AS value FROM wide
+      |  UNION ALL
+      |  SELECT nation, 'n_suppliers', n_suppliers FROM wide
+      |  UNION ALL
+      |  SELECT nation, 'acctbal_cents', acctbal_cents FROM wide)
+      |ORDER BY nation, metric""".stripMargin
+
+  // --- weighted median -------------------------------------------------------
+  /** Quantity-weighted median price per return flag: the smallest price
+    * whose cumulative weight reaches half the total. Prices ride as
+    * exact cents and weights as exact integer quantities; ties collapse
+    * by pre-aggregating per (flag, price) BEFORE the cumulative window,
+    * so the running sum is over DISTINCT ordered keys and no engine's
+    * within-tie row order can matter. Shape: one hash aggregation
+    * (flag, price), then a per-flag window over the collapsed
+    * (price-cardinality-sized) frame — the fact table never enters a
+    * window.
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        (dec(col("l_extendedprice")) * lit(100)).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"), col("cents"))
+      .agg(sum(col("q")).as("w"))
+    val wcum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+    val wall = Window.partitionBy(col("flag"))
+    byPrice
+      .withColumn("cw", sum(col("w")).over(wcum))
+      .withColumn("tot", sum(col("w")).over(wall))
+      .filter(col("cw") * 2 >= col("tot"))
+      .groupBy(col("flag"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("tot")).as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH bp AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, cents, w,
+      |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+      |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      |  FROM bp)
+      |SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+      |       CAST(MAX(tot) AS BIGINT) AS total_weight
+      |FROM c WHERE cw * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
 }

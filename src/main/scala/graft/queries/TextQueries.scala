@@ -1570,4 +1570,61 @@ object TextQueries {
       |  CAST(CAST(SUM(surprise) AS BIGINT) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_surprise_micronats
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- tokenizer vocabulary coverage ----------------------------------------
+  /** Coverage of a top-K frequency vocabulary per language — the
+    * fertility/OOV audit run before fixing a tokenizer vocabulary for
+    * training (the coverage table in SentencePiece's model reports;
+    * Kudo & Richardson, EMNLP 2018). The vocabulary is the corpus's
+    * own top 500 tokens by (frequency desc, token asc) — the
+    * deterministic tie order both engines honor — and each language
+    * reports total tokens, vocabulary-covered tokens, and the
+    * coverage ratio (one IEEE division of exact counts).
+    *
+    * Scale shape: the vocabulary is a bounded top-K — one hash
+    * aggregation by term then TakeOrderedAndProject (no global sort,
+    * no single-partition window) — and is BROADCAST back onto the
+    * token stream, so the corpus never joins another corpus-sized
+    * side; the tokens themselves never shuffle (map-side partial
+    * counts in the vocab pass, map-side broadcast probe + partial
+    * counts in the coverage pass — two scans, zero corpus-sized
+    * exchanges). At 100 TB the same plan holds: the vocab stays K
+    * rows no matter the corpus size.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("lang"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term"))
+      .limit(k)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy(col("lang"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT lang, term FROM tok WHERE len(term) > 0),
+      |freq AS (SELECT term, COUNT(*) AS f FROM tk GROUP BY term),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, row_number() OVER (ORDER BY f DESC, term) AS rnk
+      |    FROM freq) WHERE rnk <= 500)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+      |FROM tk LEFT JOIN vocab v USING (term)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

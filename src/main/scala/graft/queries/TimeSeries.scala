@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{Graft, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classical time-series decomposition and changepoint detection over
+  * the daily order-revenue series — the monitoring pair a revenue or
+  * token-throughput dashboard runs: trend/seasonal/residual splitting
+  * (the moving-average step of STL; Cleveland et al., J. Official
+  * Stat. 1990) and CUSUM mean-shift scoring (Page, Biometrika 1954).
+  *
+  * Scale shape: both operators aggregate the fact table down to ONE
+  * row per day FIRST (map-side partial sums into a date-keyed
+  * exchange — the 100 TB side is touched exactly once), then run
+  * window arithmetic on the day-cardinality series. The
+  * single-partition window over the aggregated series is intentional:
+  * a multi-year daily series is a few thousand rows, far below the
+  * per-partition threshold where a range-partitioned window would pay
+  * off; the fact-table scan never enters a global window.
+  *
+  * Determinism discipline ([[Exact]]): daily revenue is summed in
+  * DECIMAL(18,6) cents-exact units and carried as BIGINT micro-dollars
+  * (1e-6 $); the 7-day moving average and per-weekday means use
+  * truncating integer division / exact integer sums, and the only IEEE
+  * ops are final divisions and subtractions of bit-identical exact
+  * integers — the [[Drift]] discipline, so both reports hash-match.
+  */
+object TimeSeries {
+
+  /** Exact cents per order: o_totalprice has a 2-decimal true
+    * expansion, so DECIMAL(18,6)·100 is an exact integer both engines
+    * agree on (the [[Exact.dec]] contract).
+    */
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(18, 6)) * lit(100)).cast("long")
+
+  /** One row per day: (d DATE, rev_cents BIGINT). */
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("rev_cents"))
+
+  // --- trend / seasonal / residual decomposition ----------------------------
+  /** Additive decomposition of daily revenue:
+    *   - trend: centered 7-row moving average (defined only where the
+    *     full 7-row window exists — a ROWS frame, so edge semantics are
+    *     identical in every engine), in micro-dollars via truncating
+    *     integer division by 7;
+    *   - seasonal: per-weekday mean of the detrended series (weekday =
+    *     epoch-day mod 7, 0 = Thursday — spelled arithmetically because
+    *     engines disagree on dayofweek()'s origin), one IEEE division
+    *     of exact integer sums;
+    *   - residual: detrended minus seasonal.
+    * The weekday means are a 7-row broadcast back onto the series.
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val series = dailyRevenue(s, dir)
+      .withColumn("dow",
+        (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+    val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    // materialized day-sized: the seasonal aggregate and the final
+    // projection both read it, and without the cut each branch would
+    // re-run the full fact-table scan (the "touched exactly once"
+    // contract in the object doc)
+    val trended = Graft.materialize(series
+      .withColumn("s7", sum(col("rev_cents")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("trend_micro",
+        when(col("c7") === 7, expr("(s7 * 10000) div 7")))
+      .withColumn("detr_micro",
+        col("rev_cents") * lit(10000L) - col("trend_micro"))
+      .drop("s7", "c7"))
+    val seasonal = trended.filter(col("detr_micro").isNotNull)
+      .groupBy(col("dow"))
+      .agg((sum(col("detr_micro")).cast("double") /
+        count(col("detr_micro")).cast("double")).as("seasonal_micro"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("d"), col("rev_cents"), col("dow"), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("detr_micro").cast("double") - col("seasonal_micro"))
+          .as("residual_micro"))
+      .orderBy(col("d"))
+  }
+
+  val seasonalDecomposeSql: String = {
+    val trend = PortableSql.intDiv("s7 * 10000", "7")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT d, rev_cents,
+      |    CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow,
+      |    SUM(rev_cents) OVER win AS s7, COUNT(*) OVER win AS c7
+      |  FROM rev
+      |  WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t AS (
+      |  SELECT d, rev_cents, dow,
+      |    CASE WHEN c7 = 7 THEN $trend END AS trend_micro
+      |  FROM w),
+      |det AS (
+      |  SELECT d, rev_cents, dow, trend_micro,
+      |    rev_cents * 10000 - trend_micro AS detr_micro
+      |  FROM t),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(SUM(detr_micro) AS DOUBLE) / CAST(COUNT(detr_micro) AS DOUBLE)
+      |      AS seasonal_micro
+      |  FROM det WHERE detr_micro IS NOT NULL GROUP BY dow)
+      |SELECT d, rev_cents, det.dow, trend_micro, seasonal_micro,
+      |  CAST(detr_micro AS DOUBLE) - seasonal_micro AS residual_micro
+      |FROM det JOIN seas ON det.dow = seas.dow
+      |ORDER BY d""".stripMargin
+  }
+
+  // --- CUSUM changepoint candidates -----------------------------------------
+  /** Top-5 mean-shift changepoint candidates on daily revenue by the
+    * CUSUM statistic. The textbook S_t = Σ_{i≤t}(x_i − x̄) needs the
+    * non-integer mean; multiplying through by n keeps every
+    * intermediate an exact BIGINT:
+    *   D_t = n·prefix_t − t·total  (= n² · S_t / n, same argmax).
+    * |D_t| peaks at the most likely single changepoint (Page 1954 /
+    * the binary-segmentation first split). Ranked by |D_t| desc with
+    * date as the deterministic tiebreak.
+    *
+    * Bounds: prefix ≤ total ≤ ~1e14 micro-cents-scale and n ≤ ~1e4
+    * days, so n·prefix stays far inside BIGINT.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    // day-sized cut: the totals aggregate and the prefix scoring both
+    // read the series; without it each branch re-scans orders
+    val series = Graft.materialize(dailyRevenue(s, dir))
+    val wOrd = Window.orderBy(col("d"))
+    val tot = series.agg(sum(col("rev_cents")).as("total"),
+      count(lit(1)).as("n_days"))
+    val scored = series
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum(col("rev_cents")).over(wOrd))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n_days"),
+        (col("n_days") * col("prefix") - col("t") * col("total"))
+          .as("d_stat"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("d_stat")).desc, col("d"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("rnk"), col("d"), col("d_stat"), col("n_days"))
+      .orderBy(col("rnk"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total,
+      |               CAST(COUNT(*) AS BIGINT) AS n_days FROM rev),
+      |p AS (
+      |  SELECT d,
+      |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+      |    CAST(SUM(rev_cents) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS prefix
+      |  FROM rev),
+      |sc AS (
+      |  SELECT d, n_days, n_days * prefix - t * total AS d_stat
+      |  FROM p, tot),
+      |r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY abs(d_stat) DESC, d)
+      |              AS BIGINT) AS rnk,
+      |         d, d_stat, n_days
+      |  FROM sc)
+      |SELECT rnk, d, d_stat, n_days FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+}

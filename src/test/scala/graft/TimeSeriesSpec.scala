@@ -1,0 +1,197 @@
+package graft
+
+import graft.queries.{Governance, GraphQueries, Relational, TextQueries, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-8 continuation batch (time-series
+  * decomposition, CUSUM, weighted median, unpivot, bounded SSSP,
+  * delete-impact, vocab coverage). Value parity is oracle-checked by
+  * the driver; these pin the properties a hash match alone wouldn't
+  * explain — and the SSSP test is a full brute-force exact replay.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("seasonalDecompose: trend exists exactly where the 7-row window is full") {
+    val out = TimeSeries.seasonalDecompose(spark, sf).collect()
+    assert(out.length >= 14, "need a real daily series")
+    // ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING: exactly the first 3 and
+    // last 3 rows of the ordered series lack a full window
+    assert(out.count(r => r.isNullAt(r.fieldIndex("trend_micro"))) == 6)
+    val head3 = out.take(3) ++ out.takeRight(3)
+    assert(head3.forall(r => r.isNullAt(r.fieldIndex("trend_micro"))))
+    // identity: residual = value*1e4 - trend - seasonal, exactly as doubles
+    out.filter(r => !r.isNullAt(r.fieldIndex("trend_micro"))).foreach { r =>
+      val v = r.getLong(r.fieldIndex("rev_cents")) * 10000L
+      val t = r.getLong(r.fieldIndex("trend_micro"))
+      val se = r.getDouble(r.fieldIndex("seasonal_micro"))
+      val res = r.getDouble(r.fieldIndex("residual_micro"))
+      assert(res == (v - t).toDouble - se)
+    }
+    // dow is epoch-day mod 7
+    out.foreach { r =>
+      val d = r.getDate(r.fieldIndex("d")).toLocalDate
+      assert(r.getLong(r.fieldIndex("dow")) == d.toEpochDay % 7)
+    }
+  }
+
+  test("seasonalDecompose: per-weekday residual mean is ~0 (the seasonal fit)") {
+    val out = TimeSeries.seasonalDecompose(spark, sf)
+      .filter(col("residual_micro").isNotNull)
+      .groupBy(col("dow"))
+      .agg(avg(col("residual_micro")).as("m"), count(lit(1)).as("n"))
+      .collect()
+    assert(out.nonEmpty)
+    // mean(detr - mean(detr)) == 0 up to double-summation noise, which is
+    // far below one micro-dollar on realistic counts
+    out.foreach(r => assert(math.abs(r.getDouble(1)) < 1.0,
+      s"dow ${r.getLong(0)} residual mean ${r.getDouble(1)}"))
+  }
+
+  test("cusumChangepoint: 5 ranked rows, |D| non-increasing, exact recompute") {
+    val out = TimeSeries.cusumChangepoint(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
+    val mags = out.map(r => math.abs(r.getLong(2)))
+    assert(mags.toSeq == mags.sortBy(-(_: Long)).toSeq)
+    // independent exact recompute of D for the rank-1 date
+    val daily = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("rc"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val total = daily.map(_._2).sum
+    val n = daily.length.toLong
+    val top = out.head
+    val topD = top.getDate(1).toLocalDate
+    val t = daily.indexWhere(_._1 == topD) + 1
+    val prefix = daily.take(t).map(_._2).sum
+    assert(top.getLong(2) == n * prefix - t * total)
+    // and rank-1 is the global argmax of |D| over the whole series
+    val allD = daily.indices.map { i =>
+      math.abs(n * daily.take(i + 1).map(_._2).sum - (i + 1).toLong * total)
+    }
+    assert(math.abs(top.getLong(2)) == allD.max)
+  }
+
+  test("weightedMedian: cumulative-weight definition holds exactly") {
+    val out = Relational.weightedMedian(spark, sf).collect()
+    assert(out.nonEmpty)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        (col("l_extendedprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { r =>
+      val (flag, med, tot) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = li.filter(_._1 == flag)
+      assert(tot == grp.map(_._3).sum)
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val upto = grp.filter(_._2 <= med).map(_._3).sum
+      assert(2 * upto >= tot, "median reaches half the weight")
+      assert(2 * below < tot, "nothing below the median reaches half")
+    }
+  }
+
+  test("unpivotMetrics: 3 metrics per nation, values match direct counts") {
+    val out = Relational.unpivotMetrics(spark, sf).collect()
+    val byNation = out.groupBy(_.getString(0))
+    byNation.foreach { case (_, rows) =>
+      assert(rows.map(_.getString(1)).sorted.toSeq ==
+        Seq("acctbal_cents", "n_customers", "n_suppliers"))
+    }
+    // spot-exact: n_customers for one nation
+    val nation = Tables.load(spark, sf, "nation")
+    val cust = Tables.load(spark, sf, "customer")
+    val expected = cust.join(nation,
+        cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.filter(_.getString(1) == "n_customers").foreach { r =>
+      assert(r.getLong(2) == expected.getOrElse(r.getString(0), 0L))
+    }
+  }
+
+  test("ssspBounded: exact replay by brute-force 3-hop path enumeration") {
+    // independent shortest-distance computation: enumerate ALL paths of
+    // <= 3 edges from the seeds (tractable at sf0.001) and take mins —
+    // the oracle's semantics, recomputed in-process
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"),
+        col("o_orderkey").as("ok")).distinct()
+      .groupBy(col("c"), col("sk")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = scala.collection.mutable.Map
+      .empty[String, List[(String, Long)]].withDefaultValue(Nil)
+    pairs.foreach { case (c, sk, n) =>
+      val w = 1000000L / n
+      adj(s"c$c") ::= (s"s$sk", w)
+      adj(s"s$sk") ::= (s"c$c", w)
+    }
+    val roots = pairs.map(_._1).filter(_ <= 5).distinct.sorted
+    val expected = roots.map { root =>
+      val best = scala.collection.mutable.Map(s"c$root" -> 0L)
+      var frontier = Map(s"c$root" -> 0L)
+      for (_ <- 1 to 3) {
+        val next = scala.collection.mutable.Map.empty[String, Long]
+        frontier.foreach { case (u, du) =>
+          adj(u).foreach { case (v, w) =>
+            val cand = du + w
+            if (cand < next.getOrElse(v, Long.MaxValue)) next(v) = cand
+          }
+        }
+        next.foreach { case (v, d) =>
+          if (d < best.getOrElse(v, Long.MaxValue)) best(v) = d
+        }
+        frontier = next.toMap
+      }
+      val reached = best.toSeq.filter(_._2 > 0)
+      (root, reached.size.toLong, reached.map(_._2).sum,
+        reached.map(_._2).max)
+    }
+    val got = GraphQueries.ssspBounded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("deleteImpact: per-table counts match direct recomputation") {
+    val out = Governance.deleteImpact(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("customer", "orders", "lineitem"))
+    val cust = Tables.load(spark, sf, "customer")
+    val subj = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    assert(out("customer")._1 == subj.size.toLong)
+    assert(out("customer")._2 == subj.size.toLong)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+    val affOrd = orders.filter(r => subj.contains(r.getLong(1)))
+    assert(out("orders")._1 == affOrd.length.toLong)
+    assert(out("orders")._2 == affOrd.map(_.getLong(1)).distinct.length.toLong)
+    val affOk = affOrd.map(_.getLong(0)).toSet
+    val nLi = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey").isInCollection(affOk)).count()
+    assert(out("lineitem")._1 == nLi)
+    out.values.foreach { case (na, _, nt, frac) =>
+      assert(frac == na.toDouble / nt.toDouble && frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("vocabCoverage: full-corpus vocab covers everything; tiny vocab doesn't") {
+    val full = TextQueries.vocabCoverage(spark, sf, k = 1000000).collect()
+    full.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))
+      assert(r.getDouble(3) == 1.0)
+    }
+    val tiny = TextQueries.vocabCoverage(spark, sf, k = 5).collect()
+    assert(tiny.exists(r => r.getLong(2) < r.getLong(1)),
+      "a 5-term vocab must leave OOV tokens somewhere")
+    tiny.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+}
