@@ -218,6 +218,9 @@ object SparkEntry {
     // time series
     "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
+    "ts_autocorrelation" -> (TimeSeries.autocorrelation _),
+    "drift_mann_whitney" -> (Drift.mannWhitney _),
+    "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
     "stats_weighted_median" -> (Relational.weightedMedian _),
     "governance_delete_impact" -> (Governance.deleteImpact _),
@@ -450,6 +453,9 @@ object SparkEntry {
     "graph_sssp" -> GraphQueries.ssspBoundedSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
+    "ts_autocorrelation" -> TimeSeries.autocorrelationSql,
+    "drift_mann_whitney" -> Drift.mannWhitneySql,
+    "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,
     "stats_weighted_median" -> Relational.weightedMedianSql,
     "governance_delete_impact" -> Governance.deleteImpactSql,

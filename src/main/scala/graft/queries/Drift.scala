@@ -182,4 +182,71 @@ object Drift {
       |   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
       |FROM cum, t
       |ORDER BY ks_scaled DESC, value LIMIT 1""".stripMargin
+
+  // --- Mann–Whitney U / AUC ---------------------------------------------------
+  /** Rank-based two-sample location test between the temporal halves —
+    * the nonparametric complement to [[ks]] (Mann & Whitney, Ann. Math.
+    * Stat. 1947): U counts a-vs-b rank wins, and U/(n_a·n_b) is exactly
+    * the AUC of "side a has larger values". Tie handling is the
+    * textbook average rank, kept integer by DOUBLING: a run of n_v tied
+    * values starting after pooled cumulative count c has average rank
+    * c + (n_v+1)/2, so 2·avgrank = 2c + n_v + 1 is exact BIGINT, and
+    * U2 = 2·U = Σ_a 2·avgrank − 2·n_a(n_a+1)/2 stays exact. The only
+    * IEEE op is the final AUC division.
+    *
+    * Scale shape: identical to [[ks]] — the rank window runs over the
+    * per-VALUE aggregate (domain-bounded distinct set), never the raw
+    * events; exact to n_a·n_b < 2⁶² rows.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val perValue = sided(s, dir)
+      .groupBy(col("value"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val wBefore = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue
+      .withColumn("cum_before",
+        coalesce(sum(col("ca") + col("cb")).over(wBefore), lit(0L)))
+      .select(col("ca"), col("cb"),
+        (col("ca") * (lit(2L) * col("cum_before") + col("ca") + col("cb")
+          + lit(1L))).as("r2a"))
+    ranked
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("r2a")).as("r2"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        (col("u2_a").cast("double")
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("auc_a"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < CAST(((mn + mx) - ((mn + mx) % 2)) / 2 AS BIGINT)
+      |              THEN 'a' ELSE 'b' END AS side, value
+      |  FROM ev, b),
+      |pv AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sided GROUP BY value),
+      |rk AS (
+      |  SELECT ca, cb,
+      |    ca * (2 * COALESCE(SUM(ca + cb) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + ca + cb + 1) AS r2a
+      |  FROM pv),
+      |agg AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |         CAST(SUM(r2a) AS BIGINT) AS r2
+      |  FROM rk)
+      |SELECT n_a, n_b,
+      |  CAST(r2 - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+      |  CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
+      |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc_a
+      |FROM agg""".stripMargin
 }

@@ -1504,4 +1504,72 @@ object EventQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_revenue
       |FROM o WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // --- time-constrained funnel ------------------------------------------------
+  /** Funnel with per-step deadlines: first signup → first click within
+    * 7 days OF THAT SIGNUP → first purchase within 7 days OF THAT
+    * CLICK. The unconstrained funnels (events_funnel, funnel_stages)
+    * only ask "ever, in order"; product analytics almost always asks
+    * "in order, in time", and the deadline chaining (each stage's
+    * window anchors on the PREVIOUS stage's achieved timestamp) is
+    * what makes this a different operator, not a filter.
+    *
+    * Shape: three type-filtered scans (each filter pushed to parquet),
+    * each reduced per-user with a conditional `min` and joined on
+    * user_id — the per-user stage frames share the user_id hash
+    * partitioning, so stages 2 and 3 reuse the stage-1 exchange
+    * layout. All timestamps ride as exact epoch micros; the output is
+    * one row of stage counts + two conversion ratios (IEEE divisions
+    * of exact counts).
+    */
+  def funnelWithin(s: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val horizon = days * 86400000000L // exact micros
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val click = e.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("us") >= col("t1") && col("us") <= col("t1") + horizon)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("us") >= col("t2") && col("us") <= col("t2") + horizon)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val n1 = signup.agg(count(lit(1)).as("n_signup"))
+    val n2 = click.agg(count(lit(1)).as("n_click_within"))
+    val n3 = purchase.agg(count(lit(1)).as("n_purchase_within"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(col("n_signup"), col("n_click_within"),
+        col("n_purchase_within"),
+        (col("n_click_within").cast("double")
+          / col("n_signup").cast("double")).as("click_rate"),
+        (col("n_purchase_within").cast("double")
+          / col("n_click_within").cast("double")).as("purchase_rate"))
+  }
+
+  val funnelWithinSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(us) AS t2
+      |       FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE event_type = 'click'
+      |         AND us >= t1 AND us <= t1 + 604800000000
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(us) AS t3
+      |       FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE event_type = 'purchase'
+      |         AND us >= t2 AND us <= t2 + 604800000000
+      |       GROUP BY e.user_id),
+      |n AS (SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_within,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_within)
+      |SELECT n_signup, n_click_within, n_purchase_within,
+      |  CAST(n_click_within AS DOUBLE) / CAST(n_signup AS DOUBLE)
+      |    AS click_rate,
+      |  CAST(n_purchase_within AS DOUBLE) / CAST(n_click_within AS DOUBLE)
+      |    AS purchase_rate
+      |FROM n""".stripMargin
 }

@@ -178,4 +178,76 @@ object TimeSeries {
       |         d, d_stat, n_days
       |  FROM sc)
       |SELECT rnk, d, d_stat, n_days FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+
+  // --- lag-k autocorrelation ------------------------------------------------
+  /** Pearson autocorrelation of daily revenue at lags 1 and 7 (the
+    * day-over-day and week-over-week persistence a forecaster checks
+    * before picking a seasonal model — the ACF read of Box & Jenkins
+    * 1970). Row-lag pairing via `lead` over the date-ordered series;
+    * whole-dollar units keep every aggregate (n, Σx, Σy, Σxy, Σx², Σy²)
+    * an exact BIGINT (cents² · series-length would overflow; dollars²
+    * stays ~10¹⁷), and the correlation itself is a fixed sequence of
+    * IEEE ops on those exact integers — the [[Drift]] discipline.
+    *
+    * Shape: one fact-table aggregation to the day-sized series
+    * (materialized once), both lags derived from the SAME window pass,
+    * two tiny aggregates unioned. The single-partition window is over
+    * day cardinality, never the fact table.
+    */
+  def autocorrelation(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("d"))
+    val series = Graft.materialize(
+      dailyRevenue(s, dir)
+        .withColumn("x", expr("rev_cents div 100"))
+        .withColumn("y1", lead(col("x"), 1).over(wOrd))
+        .withColumn("y7", lead(col("x"), 7).over(wOrd)))
+    def leg(lagN: Int, y: Column): DataFrame =
+      series.filter(y.isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(y).as("sy"), sum(col("x") * y).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(y * y).as("syy"))
+        .select(lit(lagN.toLong).as("lag"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("acf"))
+    leg(1, col("y1")).unionByName(leg(7, col("y7"))).orderBy(col("lag"))
+  }
+
+  val autocorrelationSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT d, $dollars AS x FROM rev),
+      |l AS (SELECT x,
+      |        lead(x, 1) OVER (ORDER BY d) AS y1,
+      |        lead(x, 7) OVER (ORDER BY d) AS y7
+      |      FROM x),
+      |legs AS (
+      |  SELECT CAST(1 AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y1) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y1) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y1 * y1) AS BIGINT) AS syy
+      |  FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT 7, CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT),
+      |    CAST(SUM(y7) AS BIGINT), CAST(SUM(x * y7) AS BIGINT),
+      |    CAST(SUM(x * x) AS BIGINT), CAST(SUM(y7 * y7) AS BIGINT)
+      |  FROM l WHERE y7 IS NOT NULL)
+      |SELECT lag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |FROM legs ORDER BY lag""".stripMargin
+  }
 }

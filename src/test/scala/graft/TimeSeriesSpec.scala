@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Governance, GraphQueries, Relational, TextQueries, TimeSeries}
+import graft.queries.{Drift, EventQueries, Governance, GraphQueries, Relational, TextQueries, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Semantic invariants for the round-8 continuation batch (time-series
@@ -181,6 +181,82 @@ class TimeSeriesSpec extends SparkSpec {
     out.values.foreach { case (na, _, nt, frac) =>
       assert(frac == na.toDouble / nt.toDouble && frac >= 0.0 && frac <= 1.0)
     }
+  }
+
+  test("autocorrelation: lag-1 matches an exact driver-side Pearson recompute") {
+    val daily = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("rc"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1) / 100))
+      .sortBy(_._1.toEpochDay).map(_._2)
+    def pearson(lag: Int): Double = {
+      val xs = daily.dropRight(lag)
+      val ys = daily.drop(lag)
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    }
+    val got = TimeSeries.autocorrelation(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == pearson(1))
+    assert(got(7L) == pearson(7))
+    // a revenue series is noisy but autocorrelation is still a correlation
+    got.values.foreach(v => assert(v >= -1.0 && v <= 1.0))
+  }
+
+  test("mannWhitney: exact brute-force average-rank recompute, AUC in [0,1]") {
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (mn, mx) = (ev.map(_._1).min, ev.map(_._1).max)
+    val mid = (mn + mx) / 2
+    val a = ev.filter(_._1 < mid).map(_._2)
+    val b = ev.filter(_._1 >= mid).map(_._2)
+    // doubled average ranks over the pooled multiset
+    val pooled = (a ++ b).sorted
+    val rank2 = pooled.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.map { case (_, i) => 2L * (i + 1) }.sum / xs.length
+    }
+    val r2a = a.map(rank2).sum
+    val u2a = r2a - a.length.toLong * (a.length.toLong + 1)
+    val row = Drift.mannWhitney(spark, sf).collect().head
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b.length.toLong)
+    assert(row.getLong(2) == u2a)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("funnelWithin: stage counts are monotone and match brute force") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val h = 7L * 86400000000L
+    val byUser = ev.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.foreach { case (_, rows) =>
+      val t1 = rows.filter(_._2 == "signup").map(_._3).sorted.headOption
+      t1.foreach { s1 =>
+        n1 += 1
+        val t2 = rows.filter(r => r._2 == "click" && r._3 >= s1 &&
+          r._3 <= s1 + h).map(_._3).sorted.headOption
+        t2.foreach { c2 =>
+          n2 += 1
+          val t3 = rows.filter(r => r._2 == "purchase" && r._3 >= c2 &&
+            r._3 <= c2 + h).map(_._3).sorted.headOption
+          t3.foreach(_ => n3 += 1)
+        }
+      }
+    }
+    val row = EventQueries.funnelWithin(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((n1, n2, n3)))
+    assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2))
   }
 
   test("vocabCoverage: full-corpus vocab covers everything; tiny vocab doesn't") {
