@@ -171,4 +171,67 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans <= 5, s"expectation suite re-scans per rule ($scans scans):\n$p")
   }
+
+  test("round-8 continuation operators plan no CartesianProduct") {
+    val batch = Seq(
+      "ts_seasonal_decompose" -> (graft.queries.TimeSeries.seasonalDecompose _),
+      "ts_changepoint_cusum" -> (graft.queries.TimeSeries.cusumChangepoint _),
+      "ts_autocorrelation" -> (graft.queries.TimeSeries.autocorrelation _),
+      "stats_weighted_median" -> (graft.queries.Relational.weightedMedian _),
+      "unpivot_metrics" -> (graft.queries.Relational.unpivotMetrics _),
+      "governance_delete_impact" -> (graft.queries.Governance.deleteImpact _),
+      "drift_mann_whitney" -> (graft.queries.Drift.mannWhitney _),
+      "events_funnel_within" ->
+        ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          graft.queries.EventQueries.funnelWithin(s, d)),
+      "text_vocab_coverage" ->
+        ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          graft.queries.TextQueries.vocabCoverage(s, d)),
+      "graph_sssp" ->
+        ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          graft.queries.GraphQueries.ssspBounded(s, d)))
+    batch.foreach { case (name, f) =>
+      val p = planOf(f(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("deleteImpact: subject list is broadcast; facts are scanned once each") {
+    val p = planOf(graft.queries.Governance.deleteImpact(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"delete list must broadcast against the facts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no fact-to-fact shuffle join expected:\n$p")
+  }
+
+  test("vocabCoverage: bounded top-K vocab (TakeOrdered), broadcast probe") {
+    val df = graft.queries.TextQueries.vocabCoverage(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab must be a bounded top-K, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast onto the token stream:\n$p")
+  }
+
+  test("ssspBounded: rounds read the materialized adjacency, never parquet") {
+    val p = planOf(graft.queries.GraphQueries.ssspBounded(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"SSSP final agg must read only materialized rounds:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"relaxation joins must stay key-equi:\n$p")
+  }
+
+  test("time-series ops: the fact table never enters a window") {
+    // the window input must be the day-sized aggregate: asserting no
+    // parquet scan appears BELOW a Window node would need tree walking;
+    // cheaper pin: the plans contain exactly one scan of orders and the
+    // exchanges around the window are single-partition over the
+    // aggregated series (day cardinality), which AQE coalesces
+    for (f <- Seq(graft.queries.TimeSeries.cusumChangepoint _,
+        graft.queries.TimeSeries.autocorrelation _)) {
+      val p = planOf(f(spark, sf))
+      assert(!p.contains("Scan parquet"),
+        s"series ops read the materialized day aggregate, not parquet:\n$p")
+    }
+  }
 }
