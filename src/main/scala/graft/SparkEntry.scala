@@ -215,6 +215,12 @@ object SparkEntry {
       ((s, d) => GraphQueries.triangleCount(s, d, broadcastAdj = false)),
     "graph_khop_reach" -> ((s, d) => GraphQueries.khopReach(s, d)),
     "graph_sssp" -> ((s, d) => GraphQueries.ssspBounded(s, d)),
+    "graph_assortativity" -> (GraphQueries.assortativity _),
+    "graph_label_propagation" -> ((s, d) => GraphQueries.labelPropagation(s, d)),
+    "stats_gini_spend" -> (Relational.giniSpend _),
+    "events_interarrival" -> (EventQueries.interArrival _),
+    "stats_benford" -> (Governance.benford _),
+    "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     // time series
     "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
@@ -451,6 +457,12 @@ object SparkEntry {
     "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,
     "graph_khop_reach" -> GraphQueries.khopReachSql,
     "graph_sssp" -> GraphQueries.ssspBoundedSql,
+    "graph_assortativity" -> GraphQueries.assortativitySql,
+    "graph_label_propagation" -> GraphQueries.labelPropagationSql,
+    "stats_gini_spend" -> Relational.giniSpendSql,
+    "events_interarrival" -> EventQueries.interArrivalSql,
+    "stats_benford" -> Governance.benfordSql,
+    "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,

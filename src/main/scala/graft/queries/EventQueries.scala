@@ -1505,6 +1505,70 @@ object EventQueries {
       |FROM o WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // --- inter-arrival gap percentiles -------------------------------------------
+  /** Exact p50/p90 of inter-event gaps per event type — the burstiness
+    * profile (is traffic Poisson-ish or clumped?) a capacity planner
+    * reads before sizing stream partitions. Gaps are exact epoch-micro
+    * differences via `lag` with event_id as the equal-timestamp
+    * tiebreak; percentiles are the discrete order statistic at
+    * ceil(q·n) (percentile_disc), selected BY POSITION with
+    * row_number — rows tied on gap are interchangeable at a position
+    * boundary, so no within-tie order can change the selected value.
+    * ceil rides the portable integer identity (q·n + denom−1) div
+    * denom. Mean gap is the one IEEE division of exact sums.
+    *
+    * Shape: one hash exchange on event_type keys both the lag window
+    * and the rank window (same partitioning reused), then a per-type
+    * aggregate — nothing global, no fact-table sort spine.
+    */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wSeq))
+      .filter(col("gap").isNotNull)
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+    val wAll = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap")))
+          .as("p50_gap_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap")))
+          .as("p90_gap_us"),
+        (sum(col("gap")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val interArrivalSql: String = {
+    val p50 = PortableSql.intDiv("n + 1", "2")
+    val p90 = PortableSql.intDiv("9 * n + 9", "10")
+    s"""WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY event_type
+      |                       ORDER BY us, event_id) AS gap
+      |  FROM e),
+      |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      |rk AS (
+      |  SELECT event_type, gap,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap)
+      |         AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM gg)
+      |SELECT event_type, MAX(n) AS n_gaps,
+      |  MAX(CASE WHEN rn = $p50 THEN gap END) AS p50_gap_us,
+      |  MAX(CASE WHEN rn = $p90 THEN gap END) AS p90_gap_us,
+      |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
+      |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   // --- time-constrained funnel ------------------------------------------------
   /** Funnel with per-step deadlines: first signup → first click within
     * 7 days OF THAT SIGNUP → first purchase within 7 days OF THAT

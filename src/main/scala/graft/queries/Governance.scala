@@ -651,4 +651,60 @@ object Governance {
       |SELECT table_name, n_affected, n_subjects, n_total,
       |  CAST(n_affected AS DOUBLE) / CAST(n_total AS DOUBLE) AS affected_frac
       |FROM legs ORDER BY table_name""".stripMargin
+
+  // --- Benford first-digit audit --------------------------------------------
+  /** First-significant-digit distribution of order totals against
+    * Benford's law (Benford 1938; the standard forensic-accounting /
+    * synthetic-data smell test — fabricated amounts miss the log-law).
+    * The digit is extracted from the BIGINT cents value via string
+    * head — decimal formatting of an integer is locale-free and
+    * engine-identical, unlike floor(log10(x)) whose libm can land a
+    * hair under an exact power of ten. Expected shares
+    * log10(1+1/d) ride as micronat-rounded integers (the [[Drift]]
+    * lnµ discipline: both engines' ln agree after 1e-6 rounding), so
+    * the report is one IEEE division per row over exact integers.
+    *
+    * Shape: one scan, one 9-key aggregation, broadcast total — the
+    * whole audit is map-side at any scale.
+    */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val digits = Tables.load(s, dir, "orders")
+      .select(substring((col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("obs_share"),
+        ((lnMicro(col("digit") + 1) - lnMicro(col("digit"))).cast("double")
+          / lnMicro(lit(10L)).cast("double")).as("benford_share"))
+      .withColumn("abs_dev", abs(col("obs_share") - col("benford_share")))
+      .orderBy(col("digit"))
+  }
+
+  val benfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+      |                          AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+      |           AS digit
+      |  FROM orders),
+      |cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |        FROM d GROUP BY digit),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cnt),
+      |b AS (
+      |  SELECT digit, n_obs, n_total,
+      |    CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+      |    CAST(CAST(round(ln(CAST(digit + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |       - CAST(round(ln(CAST(digit AS DOUBLE)) * 1e6) AS BIGINT)
+      |         AS DOUBLE)
+      |      / CAST(CAST(round(ln(10.0) * 1e6) AS BIGINT) AS DOUBLE)
+      |      AS benford_share
+      |  FROM cnt, t)
+      |SELECT digit, n_obs, n_total, obs_share, benford_share,
+      |       abs(obs_share - benford_share) AS abs_dev
+      |FROM b ORDER BY digit""".stripMargin
 }

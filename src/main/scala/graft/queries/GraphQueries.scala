@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Graft, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics — the web-graph quality signals a crawl-derived
@@ -521,6 +522,140 @@ object GraphQueries {
       |       CAST(MAX(d) AS BIGINT) AS max_dist_micro
       |FROM best WHERE d > 0 GROUP BY root ORDER BY root""".stripMargin
   }
+
+  // --- synchronous label propagation ------------------------------------------
+  /** Three synchronous rounds of label propagation (Raghavan et al.,
+    * Phys. Rev. E 2007) over the trade graph, fully deterministic:
+    * every node starts labeled with its own id, each round adopts the
+    * MODE of its neighbors' labels with ties broken by MINIMUM label
+    * (string order — identical in both engines), and rounds are
+    * synchronous so there is no update-order dependence. Produces an
+    * actual community assignment — [[modularity]] scores a given
+    * partition; this derives one.
+    *
+    * Execution shape — the pagerank discipline verbatim: adjacency
+    * materialized once hash-partitioned on src; each round is ONE join
+    * of the node-sized label vector with the adjacency, ONE
+    * (node,label) aggregation, and ONE per-node top-1 window over the
+    * per-node candidate labels (bounded by distinct neighbor labels,
+    * never unbounded), materialized so the plan stays round-sized.
+    * Output: the 20 largest communities.
+    */
+  def labelPropagation(s: SparkSession, dir: String,
+                       rounds: Int = 3): DataFrame = {
+    val edges = Graft.materialize(
+      tradeEdges(s, dir).repartition(col("src")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("lab"))
+      labels = Graft.materialize(
+        edges.join(labels, edges("src") === labels("node"))
+          .select(edges("dst").as("node"), col("lab"))
+          .groupBy(col("node"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lab"))
+          .repartition(col("node")))
+    }
+    labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(20)
+  }
+
+  val labelPropagationSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+        |  SELECT node, lab FROM (
+        |    SELECT e.dst AS node, l.lab, COUNT(*) AS cnt,
+        |      row_number() OVER (PARTITION BY e.dst
+        |                         ORDER BY COUNT(*) DESC, l.lab) AS rn
+        |    FROM edges e JOIN $prev l ON e.src = l.node
+        |    GROUP BY e.dst, l.lab)
+        |  WHERE rn = 1)""".stripMargin
+    s"""WITH cs AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+      |${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")}
+      |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM l3 GROUP BY lab
+      |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
+  }
+
+  // --- degree assortativity ---------------------------------------------------
+  /** Degree assortativity of the trade graph: the Pearson correlation
+    * of (deg(src), deg(dst)) over the directed edge list (Newman,
+    * Phys. Rev. Lett. 2002) — positive means hubs trade with hubs,
+    * negative (typical for bipartite commerce) means hubs serve the
+    * periphery. Complements [[modularity]] as the second classic
+    * structure scalar.
+    *
+    * Every moment (m, Σdx, Σdy, Σdxdy, Σdx², Σdy²) is an exact BIGINT
+    * — degrees are bounded by the node-degree max so the squares stay
+    * far inside 2⁶³ — and the coefficient is a fixed IEEE sequence
+    * over those integers (the [[TimeSeries.autocorrelation]]
+    * discipline). Shape: degree is one aggregation of the edge list;
+    * labeling joins the node-sized degree table onto the edges twice
+    * on their partitioning keys — the same two honest exchanges as
+    * modularity — and the moments reduce map-side to one row.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val labeled = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    labeled
+      .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m").as("n_directed_edges"),
+        ((col("m").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("m").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("m").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY src),
+      |lab AS (
+      |  SELECT a.deg AS dx, b.deg AS dy
+      |  FROM edges e JOIN deg a ON e.src = a.src
+      |               JOIN deg b ON e.dst = b.src),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+      |    CAST(SUM(dy) AS BIGINT) AS sy, CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+      |  FROM lab)
+      |SELECT m AS n_directed_edges,
+      |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS assortativity
+      |FROM mo""".stripMargin
 
   val triangleCountSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

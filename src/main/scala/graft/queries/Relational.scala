@@ -1574,6 +1574,58 @@ object Relational {
       .orderBy(col("flag"))
   }
 
+  /** Gini coefficient of customer spend concentration — the classic
+    * inequality scalar (Gini 1912), over per-customer exact-cents
+    * totals for customers WITH at least one order. Spelled from the
+    * rank formula `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` over the
+    * ascending-ordered spend vector: every term is an exact BIGINT
+    * (i ≤ n ≤ 2³¹, Σx in cents — the product stays far inside 2⁶³)
+    * and the division is the one final IEEE op.
+    *
+    * Shape: one fact aggregation to the customer-sized spend vector;
+    * the ranking window runs over that aggregate (customer
+    * cardinality), never the fact table — the [[TimeSeries]]
+    * discipline. Ties in spend don't affect Σ i·xᵢ (equal x under
+    * permuted i), so no tiebreak is semantically needed; cust key
+    * keeps it deterministic anyway.
+    */
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * lit(100)).cast("long"))
+        .as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n").as("n_customers"), col("sx").as("total_cents"),
+        ((lit(2.0) * col("six").cast("double")
+          - (col("n") + 1L).cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+  }
+
+  val giniSpendSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |rk AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT)
+      |           AS i
+      |  FROM spend),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(i * x) AS BIGINT) AS six
+      |  FROM rk)
+      |SELECT n AS n_customers, sx AS total_cents,
+      |  (2.0 * CAST(six AS DOUBLE)
+      |     - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+      |FROM mo""".stripMargin
+
   val weightedMedianSql: String =
     """WITH bp AS (
       |  SELECT l_returnflag AS flag,

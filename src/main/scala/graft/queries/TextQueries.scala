@@ -1015,6 +1015,55 @@ object TextQueries {
       |FROM g GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, passage LIMIT 50""".stripMargin
 
+  // --- per-document n-gram novelty ------------------------------------------
+  /** Per-document novelty: the fraction of a document's DISTINCT
+    * 5-gram shingles that appear in no other document. This is the
+    * doc-level summary of [[repeatedPassages]] (which reports the
+    * passages themselves): low novelty marks boilerplate-heavy docs a
+    * curation pass would down-weight, the per-doc complement of the
+    * Lee et al. 2021 substring-dedup signal.
+    *
+    * Shape: explode per-doc distinct grams once, one gram-keyed
+    * aggregation for document frequency, one gram-keyed join back,
+    * one doc-keyed aggregation. Grams are already distinct per doc, so
+    * df is a plain count. The 100 TB spelling shuffles a 64-bit gram
+    * hash instead of gram text (collisions only merge counts) — text
+    * keys are kept here for oracle comparability, like
+    * [[repeatedPassages]].
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(slice(w, 1, greatest(size(w) - 4, 0)),
+          |  (x, i) -> concat_ws(' ', slice(w, i + 1, 5)))"""
+          .stripMargin))).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (lit(1.0) - col("n_shared").cast("double")
+          / col("n_shingles").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |          i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS g
+      |      FROM t),
+      |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  1.0 - CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM g JOIN df USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- compression-ratio quality signal -----------------------------------
   /** DEFLATE compression ratio per document — the compressibility
     * quality filter (Gopher/RefinedWeb family): boilerplate compresses

@@ -259,6 +259,134 @@ class TimeSeriesSpec extends SparkSpec {
     assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2))
   }
 
+  test("benford: digit shares sum to 1, expected shares match the log law") {
+    val out = Governance.benford(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 9L),
+      "all nine leading digits must occur in a realistic amount column")
+    val nTotal = out.head.getLong(2)
+    assert(out.map(_.getLong(1)).sum == nTotal)
+    assert(nTotal == Tables.load(spark, sf, "orders").count())
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    out.foreach { r =>
+      val d = r.getLong(0).toDouble
+      val expected = (math.round(math.log(d + 1) * 1e6)
+        - math.round(math.log(d) * 1e6)).toDouble /
+        math.round(math.log(10.0) * 1e6).toDouble
+      assert(r.getDouble(4) == expected)
+    }
+    // Benford's own sanity: expected shares are decreasing in the digit
+    val b = out.map(_.getDouble(4))
+    assert(b.zip(b.tail).forall { case (x, y) => x > y })
+  }
+
+  test("ngramNovelty: exact brute-force shingle replay") {
+    val docsRaw = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingles = docsRaw.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      id -> w.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val dfCount = shingles.flatMap(_._2).groupBy(identity).map {
+      case (g, xs) => g -> xs.length
+    }
+    val expected = shingles.map { case (id, gs) =>
+      val shared = gs.count(g => dfCount(g) >= 2)
+      (id, gs.size.toLong, shared.toLong)
+    }.sortBy(_._1)
+    val got = TextQueries.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("assortativity: exact moment recompute over the edge list") {
+    val edges = GraphQueries.tradeEdges(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
+    val pairs = edges.map { case (u, v) => (deg(u), deg(v)) }
+    val m = pairs.length.toLong
+    val sx = pairs.map(_._1).sum
+    val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expected = (m.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      math.sqrt((m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (m.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    val row = GraphQueries.assortativity(spark, sf).collect().head
+    assert(row.getLong(0) == m)
+    assert(row.getDouble(1) == expected)
+    // symmetrized edge list ⇒ the two marginals are identical
+    assert(sx == sy && sxx == syy)
+  }
+
+  test("labelPropagation: exact replay of 3 synchronous min-tie mode rounds") {
+    val edges = GraphQueries.tradeEdges(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    var lab: Map[String, String] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.keys.map { v =>
+        // v's new label: mode of IN-neighbors' labels; symmetric graph
+        // means in-neighbors(v) = {u : (u,v) in E} = adj edges into v
+        val incoming = edges.filter(_._2 == v).map(e => lab(e._1))
+        val counts = incoming.groupBy(identity).map { case (l, xs) =>
+          (l, xs.length)
+        }
+        val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        v -> best
+      }.toMap
+    }
+    val expected = lab.values.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+      .toSeq.sortBy { case (l, n) => (-n, l) }.take(20)
+    val got = GraphQueries.labelPropagation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+  }
+
+  test("giniSpend: exact rank-formula recompute; value in [0,1)") {
+    val spend = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, x) => (x, k) }
+    val n = spend.length.toLong
+    val sx = spend.map(_._2).sum
+    val six = spend.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+    val expected = (2.0 * six.toDouble - (n + 1).toDouble * sx.toDouble) /
+      (n.toDouble * sx.toDouble)
+    val row = Relational.giniSpend(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == sx)
+    assert(row.getDouble(2) == expected)
+    assert(expected >= 0.0 && expected < 1.0)
+  }
+
+  test("interArrival: exact order-statistic recompute per event type") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }.sorted
+      val n = gaps.length.toLong
+      val p50 = gaps(((n + 1) / 2).toInt - 1)
+      val p90 = gaps(((9 * n + 9) / 10).toInt - 1)
+      t -> (n, p50, p90, gaps.sum.toDouble / n.toDouble)
+    }
+    val got = EventQueries.interArrival(spark, sf).collect()
+    got.foreach { r =>
+      val (n, p50, p90, mean) = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == p50, s"${r.getString(0)} p50")
+      assert(r.getLong(3) == p90, s"${r.getString(0)} p90")
+      assert(r.getDouble(4) == mean)
+    }
+    assert(got.length == expected.size)
+  }
+
   test("vocabCoverage: full-corpus vocab covers everything; tiny vocab doesn't") {
     val full = TextQueries.vocabCoverage(spark, sf, k = 1000000).collect()
     full.foreach { r =>
