@@ -221,6 +221,7 @@ object SparkEntry {
     "events_interarrival" -> (EventQueries.interArrival _),
     "stats_benford" -> (Governance.benford _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
+    "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
     // time series
     "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
@@ -463,6 +464,7 @@ object SparkEntry {
     "events_interarrival" -> EventQueries.interArrivalSql,
     "stats_benford" -> Governance.benfordSql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
+    "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,

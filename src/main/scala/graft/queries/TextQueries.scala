@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication surface over the `documents` table —
@@ -1063,6 +1064,67 @@ object TextQueries {
       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
       |FROM g JOIN df USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- Zipf slope ------------------------------------------------------------
+  /** Least-squares slope of ln(frequency) on ln(rank) over the top 100
+    * corpus terms — the Zipf exponent check (natural language sits
+    * near −1; synthetic or templated corpora drift off it), a standard
+    * corpus-QA scalar. Ranks come from the deterministic
+    * (freq desc, term) order; both logs ride as micronat integers (the
+    * lnµ rounding that removes libm last-ulp variance) so the OLS
+    * moments are exact BIGINTs and the slope is one IEEE expression.
+    * The top-K is a TakeOrderedAndProject over the term aggregate —
+    * bounded at any corpus size, like [[vocabCoverage]].
+    */
+  def zipfSlope(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val top = docs(s, dir)
+      .select(explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(k)
+    val ranked = top
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("f").desc, col("term")))
+          .cast("long"))
+      .select(lnMicro(col("i")).as("x"), lnMicro(col("f")).as("y"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("zipf_slope"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+      |         WHERE len(term) > 0 GROUP BY term),
+      |top AS (
+      |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT)
+      |           AS i
+      |  FROM freq ORDER BY f DESC, term LIMIT 100),
+      |pts AS (
+      |  SELECT CAST(round(ln(CAST(i AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM top),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM pts)
+      |SELECT n AS n_terms,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+      |FROM mo""".stripMargin
 
   // --- compression-ratio quality signal -----------------------------------
   /** DEFLATE compression ratio per document — the compressibility

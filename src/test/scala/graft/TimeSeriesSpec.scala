@@ -387,6 +387,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == expected.size)
   }
 
+  test("zipfSlope: exact micronat OLS recompute; slope is negative") {
+    val freqs = Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log((i + 1).toDouble) * 1e6),
+        math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expected = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val row = TextQueries.zipfSlope(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getDouble(1) == expected)
+    assert(expected < 0.0, "frequency must fall with rank")
+  }
+
   test("vocabCoverage: full-corpus vocab covers everything; tiny vocab doesn't") {
     val full = TextQueries.vocabCoverage(spark, sf, k = 1000000).collect()
     full.foreach { r =>
