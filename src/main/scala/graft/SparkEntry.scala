@@ -226,6 +226,10 @@ object SparkEntry {
     "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
     "ts_autocorrelation" -> (TimeSeries.autocorrelation _),
+    "ts_theil_sen" -> (TimeSeries.theilSen _),
+    "survival_km" -> (Survival.kaplanMeier _),
+    "stats_decile_lift" -> (Relational.decileLift _),
+    "events_max_concurrency" -> (EventQueries.maxConcurrency _),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -468,6 +472,10 @@ object SparkEntry {
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,
+    "ts_theil_sen" -> TimeSeries.theilSenSql,
+    "survival_km" -> Survival.kaplanMeierSql,
+    "stats_decile_lift" -> Relational.decileLiftSql,
+    "events_max_concurrency" -> EventQueries.maxConcurrencySql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,

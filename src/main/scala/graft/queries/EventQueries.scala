@@ -330,6 +330,101 @@ object EventQueries {
       |FROM se GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // --- peak concurrency (interval sweep) --------------------------------------
+  /** Peak concurrent-session moments: the top-5 instants by number of
+    * simultaneously-open sessions (30-minute-gap sessions, the
+    * [[sessionize]] semantics). This is the SWEEP-LINE spelling of
+    * interval-overlap counting — each session contributes +1 at its
+    * start and −1 just after its inclusive end, and concurrency at any
+    * instant is the prefix sum of the boundary deltas — which replaces
+    * the pairwise overlap join (quadratic in overlapping intervals,
+    * unbounded on a dense corpus) with one sort-free aggregation plus a
+    * prefix sum.
+    *
+    * Scale shape: the prefix sum is computed as a TWO-LEVEL distributed
+    * scan, not one global window — within-day running sums (window
+    * partitioned by day, bounded by a day's boundary count) plus a
+    * day-level carry-in (cumulative over the day-cardinality aggregate,
+    * broadcast back). That is the textbook parallel prefix-sum
+    * decomposition, so no stage ever moves all boundaries into one
+    * partition; the final top-5 is a WindowGroupLimit-capped rank.
+    * Every quantity is an exact BIGINT.
+    */
+  def maxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd)
+    val brk = when(gap > 30L * 60 * 1000000, 1L).otherwise(0L)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev(s, dir)
+      .withColumn("session_id", sum(brk).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+    val deltas = sessions
+      .select(explode(array(
+        struct(col("s_us").as("us"), lit(1L).as("dlt")),
+        struct((col("e_us") + 1L).as("us"), lit(-1L).as("dlt")))).as("b"))
+      .select(col("b.us").as("us"), col("b.dlt").as("dlt"))
+      .groupBy(col("us")).agg(sum(col("dlt")).as("dlt"))
+    // materialized boundary aggregate: the day totals and the in-day
+    // running sums both read it
+    val byDay = graft.Graft.materialize(
+      deltas.withColumn("day", expr("us div 86400000000")))
+    val wInDay = Window.partitionBy(col("day")).orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = byDay.groupBy(col("day")).agg(sum(col("dlt")).as("day_sum"))
+      .withColumn("carry_in",
+        coalesce(sum(col("day_sum")).over(wDays), lit(0L)))
+      .select(col("day"), col("carry_in"))
+    byDay
+      .withColumn("run", sum(col("dlt")).over(wInDay))
+      .join(broadcast(carry), Seq("day"))
+      .select(col("us"), (col("carry_in") + col("run")).as("concurrent"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("concurrent").desc, col("us"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("rnk"), col("us"), col("concurrent"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle: the single-prefix-sum spelling — equivalent because the
+    * day split partitions an ordering that is monotone in `us`.
+    */
+  val maxConcurrencySql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP)
+      |           - LAG(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |se AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_id, MIN(us) AS s_us, MAX(us) AS e_us
+      |  FROM se GROUP BY user_id, session_id),
+      |b AS (
+      |  SELECT s_us AS us, 1 AS dlt FROM sess
+      |  UNION ALL
+      |  SELECT e_us + 1, -1 FROM sess),
+      |d AS (SELECT us, CAST(SUM(dlt) AS BIGINT) AS dlt FROM b GROUP BY us),
+      |c AS (
+      |  SELECT us, CAST(SUM(dlt) OVER (ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS concurrent
+      |  FROM d),
+      |r AS (
+      |  SELECT us, concurrent,
+      |    CAST(row_number() OVER (ORDER BY concurrent DESC, us) AS BIGINT)
+      |      AS rnk
+      |  FROM c)
+      |SELECT rnk, us, concurrent FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+
   // --- range join (binned) ----------------------------------------------------
   /** Time-proximity range self-join: pairs of same-user events within
     * `windowSec` of each other. A naive `|t_a - t_b| <= W` predicate

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Graft, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1589,6 +1589,87 @@ object Relational {
     * permuted i), so no tiebreak is semantically needed; cust key
     * keeps it deterministic anyway.
     */
+  // --- decile lift table ------------------------------------------------------
+  /** Decile lift table over customer spend — the campaign-targeting
+    * report paired with [[giniSpend]]'s concentration scalar: customers
+    * ranked by total spend descending, cut into 10 equal-count buckets,
+    * each reporting its headcount, spend, spend share, and cumulative
+    * share (the "top decile holds X % of revenue" gain curve of
+    * direct-marketing lift analysis).
+    *
+    * The decile is computed ARITHMETICALLY from row_number —
+    * ((i−1)·10) div n + 1 — not via ntile(), so bucket-boundary
+    * placement is a fixed integer formula no engine can interpret
+    * differently. Ties in spend break on custkey, making the rank (and
+    * therefore every bucket) fully deterministic. Shares are single
+    * IEEE divisions of exact BIGINT cent sums ([[Exact]] discipline).
+    *
+    * Scale shape: orders collapses to one row per customer (the only
+    * fact-table pass), the rank is one sort of the customer-sized
+    * aggregate, and the decile rollup is 10 rows; the 1-row total is a
+    * broadcast. At 100 TB the global row_number would become a
+    * two-pass range-partitioned rank (partition counts broadcast as
+    * offsets), the same evolution path as the concurrency sweep's
+    * day-partitioned prefix sum.
+    */
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * lit(100)).cast("long"))
+        .as("x"))
+    val w = Window.orderBy(col("x").desc, col("o_custkey"))
+    val ranked = Graft.materialize(spend
+      .withColumn("i", row_number().over(w).cast("long")))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val deciles = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((i - 1) * 10) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("spend_cents"),
+        max(col("sx")).as("sx"))
+    deciles
+      .withColumn("cum_cents", sum(col("spend_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_customers"), col("spend_cents"),
+        (col("spend_cents").cast("double") / col("sx").cast("double"))
+          .as("share"),
+        (col("cum_cents").cast("double") / col("sx").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val decileLiftSql: String = {
+    val bucket = PortableSql.intDiv("(i - 1) * 10", "n")
+    s"""WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |rk AS (
+      |  SELECT x,
+      |    CAST(row_number() OVER (ORDER BY x DESC, o_custkey) AS BIGINT) AS i
+      |  FROM spend),
+      |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      |       FROM rk),
+      |dc AS (
+      |  SELECT $bucket + 1 AS decile, x, sx
+      |  FROM rk, mo),
+      |agg AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |         CAST(SUM(x) AS BIGINT) AS spend_cents, MAX(sx) AS sx
+      |  FROM dc GROUP BY decile),
+      |cum AS (
+      |  SELECT decile, n_customers, spend_cents, sx,
+      |    CAST(SUM(spend_cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM agg)
+      |SELECT decile, n_customers, spend_cents,
+      |  CAST(spend_cents AS DOUBLE) / CAST(sx AS DOUBLE) AS share,
+      |  CAST(cum_cents AS DOUBLE) / CAST(sx AS DOUBLE) AS cum_share
+      |FROM cum ORDER BY decile""".stripMargin
+  }
+
   def giniSpend(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Graft, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-lifetime survival analysis over `orders`: the
+  * Kaplan–Meier product-limit estimator (Kaplan & Meier, JASA 1958) —
+  * the standard churn/retention curve a subscription or engagement
+  * dashboard publishes, and the right-censoring-aware dual of the
+  * retention-cohort report in [[EventQueries]].
+  *
+  * Definitions: a customer's lifetime is the day span from their first
+  * to their last order. A customer whose last order is more than 90
+  * days before the dataset's final order date has CHURNED (event
+  * observed); later last-orders are right-censored (still active at
+  * the observation horizon). At each observed churn duration t_i with
+  * d_i events and n_i customers still at risk (lifetime ≥ t_i), the
+  * survival estimate multiplies by (n_i − d_i)/n_i.
+  *
+  * Determinism discipline ([[Drift]]): the product rides as a SUM of
+  * integer micronat logs — ln S(t) = Σ (ln(n_i−d_i) − ln(n_i)) with
+  * each ln rounded to an exact BIGINT micronat — because neither
+  * engine has a portable cumulative product and exp/ln chains on
+  * unrounded doubles are a libm hazard. n_i, d_i, and the cumulative
+  * micronat sum are exact BIGINTs; the one IEEE op is the final
+  * scale-down division by 1e6.
+  *
+  * Scale shape: orders aggregates to ONE row per customer (map-side
+  * partials into a custkey exchange — the 100 TB side is touched
+  * exactly once), customers aggregate to one row per distinct
+  * lifetime-duration, and the at-risk/cumulative windows run over the
+  * duration grid (≤ a few thousand rows at any corpus size — durations
+  * are bounded by the dataset's calendar span in days). The global
+  * max-date is a 1-row broadcast. The single-partition window over the
+  * duration grid is the same intentional choice as [[TimeSeries]]'s
+  * day-series windows.
+  */
+object Survival {
+
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * lit(1e6)).cast("long")
+
+  /** KM curve rows at each observed churn duration: (t_days, n_risk,
+    * n_events, ln_surv_micro BIGINT, ln_survival DOUBLE). The terminal
+    * grid row where the risk set is exhausted entirely by events
+    * (S drops to exactly 0, ln undefined) is excluded — it can only be
+    * the maximum duration, so no interior cumulative term is affected.
+    */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("max_d"))
+    val durations = life.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(datediff(col("max_d"), col("last_d")) > 90, 1L).otherwise(0L)
+          .as("churned"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d_i"))
+    // at-risk count: reverse-cumulative over the duration grid
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Graft.materialize(durations)
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .filter(col("d_i") > 0 && col("n_risk") > col("d_i"))
+      .withColumn("ln_surv_micro",
+        sum(lnMicro(col("n_risk") - col("d_i")) - lnMicro(col("n_risk")))
+          .over(wCum))
+      .select(col("dur").as("t_days"), col("n_risk"),
+        col("d_i").as("n_events"), col("ln_surv_micro"),
+        (col("ln_surv_micro").cast("double") / lit(1e6)).as("ln_survival"))
+      .orderBy(col("t_days"))
+  }
+
+  val kaplanMeierSql: String =
+    """WITH life AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT MAX(last_d) AS max_d FROM life),
+      |durs AS (
+      |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+      |    CASE WHEN date_diff('day', last_d, max_d) > 90
+      |         THEN 1 ELSE 0 END AS churned
+      |  FROM life, h),
+      |grid AS (
+      |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |         CAST(SUM(churned) AS BIGINT) AS d_i
+      |  FROM durs GROUP BY dur),
+      |risk AS (
+      |  SELECT dur, d_i,
+      |    CAST(SUM(n_at) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM grid),
+      |ev AS (SELECT * FROM risk WHERE d_i > 0 AND n_risk > d_i),
+      |km AS (
+      |  SELECT dur, n_risk, d_i,
+      |    CAST(SUM(CAST(round(ln(CAST(n_risk - d_i AS DOUBLE)) * 1e6) AS BIGINT)
+      |           - CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT))
+      |      OVER (ORDER BY dur
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS ln_surv_micro
+      |  FROM ev)
+      |SELECT dur AS t_days, n_risk, d_i AS n_events, ln_surv_micro,
+      |  CAST(ln_surv_micro AS DOUBLE) / 1e6 AS ln_survival
+      |FROM km ORDER BY t_days""".stripMargin
+}

@@ -217,6 +217,66 @@ object TimeSeries {
     leg(1, col("y1")).unionByName(leg(7, col("y7"))).orderBy(col("lag"))
   }
 
+  // --- Theil–Sen robust trend slope -----------------------------------------
+  /** Theil–Sen estimator of the daily-revenue trend: the MEDIAN of the
+    * pairwise slopes (x_j − x_i)/(t_j − t_i) over all day pairs i<j
+    * (Theil 1950 / Sen, JASA 1968) — the robust alternative to the OLS
+    * slope in `agg_regr_slope`, immune to up to ~29 % outlier days.
+    *
+    * Determinism: every slope is ONE IEEE division of two exact
+    * BIGINTs (whole dollars over day gaps), so the multiset of slopes
+    * is bit-identical in both engines; the median is the exact lower
+    * positional order statistic at ceil(m/2) of that multiset — the
+    * [[EventQueries]] interArrival discipline, no interpolation.
+    *
+    * Scale shape: the pairing is over the DAY-AGGREGATED series (the
+    * fact table collapses to one row per day first), so the quadratic
+    * is bounded by calendar-span², not data volume — ~7 M pairs for a
+    * decade of days regardless of corpus size, spread by the broadcast
+    * nested-loop over the 32 partitions of the left leg. Same bounded-
+    * by-the-aggregate contract as the SemDeDup cell cap.
+    */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val series = Graft.materialize(
+      dailyRevenue(s, dir).select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("t"),
+        expr("rev_cents div 100").as("x")))
+    val a = series.select(col("t").as("ta"), col("x").as("xa"))
+    val b = series.select(col("t").as("tb"), col("x").as("xb"))
+    val slopes = a.join(broadcast(b), col("ta") < col("tb"))
+      .select(((col("xb") - col("xa")).cast("double")
+        / (col("tb") - col("ta")).cast("double")).as("slope"))
+    val m = slopes.agg(count(lit(1)).as("m"))
+    slopes
+      .withColumn("rnk", row_number().over(Window.orderBy(col("slope")))
+        .cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("rnk") === expr("(m + 1) div 2"))
+      .select(col("m").as("n_pairs"), col("slope").as("slope_dollars_per_day"))
+  }
+
+  val theilSenSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    val mid = PortableSql.intDiv("m + 1", "2")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS t,
+      |             $dollars AS x
+      |      FROM rev),
+      |sl AS (
+      |  SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+      |  FROM x a JOIN x b ON a.t < b.t),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sl),
+      |r AS (SELECT slope,
+      |        CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rnk
+      |      FROM sl)
+      |SELECT m AS n_pairs, slope AS slope_dollars_per_day
+      |FROM r, mm WHERE rnk = $mid""".stripMargin
+  }
+
   val autocorrelationSql: String = {
     val dollars = PortableSql.intDiv("rev_cents", "100")
     s"""WITH rev AS (

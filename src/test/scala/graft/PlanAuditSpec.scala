@@ -221,6 +221,35 @@ class PlanAuditSpec extends SparkSpec {
       s"relaxation joins must stay key-equi:\n$p")
   }
 
+  test("survival/lift/concurrency batch: plan shapes hold their contracts") {
+    // decileLift: one customer aggregate, broadcast total, no cartesian
+    // beyond the 1-row total cross
+    val lift = planOf(graft.queries.Relational.decileLift(spark, sf))
+    assert(!lift.contains("SortMergeJoin"),
+      s"decile lift joins only the 1-row broadcast total:\n$lift")
+    // kaplanMeier: windows run over the materialized duration grid —
+    // no parquet scan may appear in the curve computation
+    val km = planOf(graft.queries.Survival.kaplanMeier(spark, sf))
+    assert(!km.contains("SortMergeJoin") && !km.contains("CartesianProduct"),
+      s"KM joins only the broadcast horizon row:\n$km")
+    // maxConcurrency: the within-day window is PARTITIONED by day (the
+    // two-level prefix sum) — the only single-partition window is the
+    // day-cardinality carry-in and the final top-5 rank
+    val mc = graft.queries.EventQueries.maxConcurrency(spark, sf)
+    val p = planOf(mc)
+    assert(p.contains("windowspecdefinition(day"),
+      s"in-day running sum must partition by day:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the sweep:\n$p")
+    // theilSen: the pairing is the INTENTIONAL bounded nested-loop over
+    // the day-aggregated series (broadcast build side), never a
+    // fact-table cross — the plan reads only the materialized series
+    val ts = planOf(graft.queries.TimeSeries.theilSen(spark, sf))
+    assert(ts.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be the broadcast nested loop over the series:\n$ts")
+    assert(!ts.contains("Scan parquet"),
+      s"pairing reads the materialized day series, not parquet:\n$ts")
+  }
+
   test("time-series ops: the fact table never enters a window") {
     // the window input must be the day-sized aggregate: asserting no
     // parquet scan appears BELOW a Window node would need tree walking;
