@@ -230,6 +230,9 @@ object SparkEntry {
     "survival_km" -> (Survival.kaplanMeier _),
     "stats_decile_lift" -> (Relational.decileLift _),
     "events_max_concurrency" -> (EventQueries.maxConcurrency _),
+    "cohort_ltv" -> (Relational.cohortLtv _),
+    "basket_rules" -> ((s, d) => GraphQueries.basketRules(s, d)),
+    "events_session_paths" -> (EventQueries.sessionPaths _),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -476,6 +479,9 @@ object SparkEntry {
     "survival_km" -> Survival.kaplanMeierSql,
     "stats_decile_lift" -> Relational.decileLiftSql,
     "events_max_concurrency" -> EventQueries.maxConcurrencySql,
+    "cohort_ltv" -> Relational.cohortLtvSql,
+    "basket_rules" -> GraphQueries.basketRulesSql,
+    "events_session_paths" -> EventQueries.sessionPathsSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,

@@ -425,6 +425,68 @@ object EventQueries {
       |  FROM c)
       |SELECT rnk, us, concurrent FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
+  // --- session path mining -----------------------------------------------------
+  /** Top-10 three-step journeys: the most frequent ordered event-type
+    * trigrams WITHIN a session (30-minute-gap sessions, [[sessionize]]
+    * semantics) — the "what do users do next" path report that extends
+    * [[markovTransitions]]' one-step matrix to length-3 sequences.
+    * Consecutive steps come from two `lead`s over the session-ordered
+    * events (the same single window pass as the transition matrix — a
+    * path never crosses a session boundary because session_id is in
+    * the partition key), so no self-join of the events table exists.
+    * Counts are exact; the top-10 cut breaks ties on the path string.
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd)
+    val brk = when(gap > 30L * 60 * 1000000, 1L).otherwise(0L)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = ev(s, dir)
+      .withColumn("session_id", sum(brk).over(wCum))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessioned
+      .withColumn("e2", lead(col("event_type"), 1).over(wSess))
+      .withColumn("e3", lead(col("event_type"), 2).over(wSess))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("path"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
+  val sessionPathsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP)
+      |           - LAG(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |se AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g),
+      |tri AS (
+      |  SELECT event_type || '>' || LEAD(event_type, 1) OVER ws
+      |      || '>' || LEAD(event_type, 2) OVER ws AS path,
+      |    LEAD(event_type, 2) OVER ws AS e3
+      |  FROM se
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+      |cnt AS (
+      |  SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tri WHERE e3 IS NOT NULL GROUP BY path),
+      |r AS (
+      |  SELECT path, n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+      |  FROM cnt)
+      |SELECT rnk, path, n FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   // --- range join (binned) ----------------------------------------------------
   /** Time-proximity range self-join: pairs of same-user events within
     * `windowSec` of each other. A naive `|t_a - t_b| <= W` predicate

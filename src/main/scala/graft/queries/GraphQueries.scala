@@ -163,6 +163,83 @@ object GraphQueries {
       |CROSS JOIN n
       |ORDER BY n_together DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // --- association rules ------------------------------------------------------
+  /** Directed market-basket association rules a→b over co-ordered
+    * parts: support, confidence, and lift per rule (Agrawal & Srikant,
+    * VLDB 1994), ranked by confidence. Extends [[copurchasePairs]]'s
+    * symmetric lift top-k with the two things a rules miner adds: the
+    * MIN-SUPPORT prune applied BEFORE any ranking (the Apriori
+    * discipline — candidate volume is cut at the cheapest point, which
+    * is what keeps the pair lattice tractable at scale), and
+    * directionality (conf(a→b) = n(a,b)/n(a) ≠ conf(b→a)).
+    *
+    * All three metrics are IEEE divisions of exact BIGINT counts; ties
+    * break on (part_a, part_b) so the top-20 cut is deterministic.
+    * Scale shape matches copurchase: the pair join is keyed on
+    * orderkey (never a cartesian), frequencies and the order count are
+    * broadcasts, and the final cut is a bounded top-k.
+    */
+  def basketRules(s: SparkSession, dir: String,
+                  minSupport: Long = 3): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
+    val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val undirected = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minSupport)
+    val directed = undirected.select(col("x").as("part_a"),
+        col("y").as("part_b"), col("n_together"))
+      .unionByName(undirected.select(col("y").as("part_a"),
+        col("x").as("part_b"), col("n_together")))
+    directed
+      .join(broadcast(freq.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("n_part", "n_a")), "part_a")
+      .join(broadcast(freq.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("n_part", "n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_together"),
+        (col("n_together").cast("double") / col("n_orders").cast("double"))
+          .as("support"),
+        (col("n_together").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_together").cast("double") * col("n_orders").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("confidence").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val basketRulesSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+      |freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_part
+      |         FROM items GROUP BY pk),
+      |und AS (
+      |  SELECT a.pk AS x, b.pk AS y, CAST(COUNT(*) AS BIGINT) AS n_together
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk
+      |  HAVING COUNT(*) >= 3),
+      |dir AS (
+      |  SELECT x AS part_a, y AS part_b, n_together FROM und
+      |  UNION ALL
+      |  SELECT y, x, n_together FROM und)
+      |SELECT part_a, part_b, n_together,
+      |  CAST(n_together AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+      |  CAST(n_together AS DOUBLE) / CAST(fa.n_part AS DOUBLE) AS confidence,
+      |  (CAST(n_together AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |    / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)) AS lift
+      |FROM dir
+      |JOIN freq fa ON fa.pk = part_a
+      |JOIN freq fb ON fb.pk = part_b
+      |CROSS JOIN n
+      |ORDER BY confidence DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val pagerankSql: String = {
     val step = PortableSql.intDiv(
       s"85 * SUM(${PortableSql.intDiv("r.pr_u", "a.out_deg")})", "100")

@@ -1216,6 +1216,79 @@ object Relational {
     * approx-percentile bucket edges (see valueQuantilesApprox) applied
     * map-side, trading exact quintile boundaries for full parallelism.
     */
+  // --- cohort lifetime value --------------------------------------------------
+  /** Cohort LTV triangle: customers grouped by FIRST-ORDER month, each
+    * cohort tracked across its subsequent months ("age") with active
+    * headcount, revenue, and the cumulative revenue per cohort member —
+    * the classic growth-accounting companion to the event-side
+    * retention cohorts in [[EventQueries]], here on the money axis.
+    *
+    * Months ride as the integer index year·12+month (spelled
+    * arithmetically — month-difference builtins disagree on partial
+    * months across engines; two integer extractions cannot). Revenue is
+    * exact cents; cumulative LTV divides the exact running sum by the
+    * exact cohort headcount once, at the end ([[Exact]] discipline).
+    *
+    * Scale shape: one pass over orders joined to the customer-sized
+    * broadcast of first-order months (the customer aggregate itself is
+    * one orders pass), rollup to (cohort, age) — a months² grid —
+    * and the cumulative window runs per cohort over that grid, never
+    * the fact table.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+      (dec(col("o_totalprice")) * lit(100)).cast("long").as("cents"))
+    val firstM = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val sized = firstM.groupBy(col("m0")).agg(count(lit(1)).as("cohort_size"))
+    // NO broadcast hint on firstM: it is customer-sized, not a dim —
+    // the join is custkey-keyed either way and AQE still picks
+    // broadcast when the aggregate happens to be small
+    val grid = o.join(firstM, "o_custkey")
+      .groupBy(col("m0").as("cohort_month"), (col("m") - col("m0")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val wCum = Window.partitionBy(col("cohort_month")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(broadcast(sized.withColumnRenamed("m0", "cohort_month")), "cohort_month")
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("cohort_month"), col("age_months"), col("n_active"),
+        col("rev_cents"), col("cohort_size"),
+        (col("cum_cents").cast("double") / col("cohort_size").cast("double"))
+          .as("cum_ltv_cents"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+      |       + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey),
+      |sz AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |       FROM f GROUP BY m0),
+      |grid AS (
+      |  SELECT f.m0 AS cohort_month, o.m - f.m0 AS age_months,
+      |    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+      |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_month, age_months, n_active, rev_cents, cohort_size,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+      |      ORDER BY age_months
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM grid JOIN sz ON sz.m0 = grid.cohort_month)
+      |SELECT cohort_month, age_months, n_active, rev_cents, cohort_size,
+      |  CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+      |    AS cum_ltv_cents
+      |FROM cum ORDER BY cohort_month, age_months""".stripMargin
+
   def customerRfm(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .groupBy(col("o_custkey").as("c_custkey"))

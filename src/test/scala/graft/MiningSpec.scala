@@ -1,0 +1,97 @@
+package graft
+
+import graft.queries.{EventQueries, GraphQueries, Relational}
+import org.apache.spark.sql.functions._
+
+/** Exact replays for the mining batch (cohort LTV, association rules,
+  * session path trigrams). Value parity vs DuckDB is the driver's
+  * oracle check; these pin definitions against independent driver-side
+  * recomputes so an agreed-but-wrong spelling can't hide.
+  */
+class MiningSpec extends SparkSpec {
+
+  test("cohortLtv: telescoping identity and age-0 census") {
+    val out = Relational.cohortLtv(spark, sf).collect()
+    assert(out.nonEmpty)
+    // age 0 of each cohort: n_active == cohort_size (everyone's first
+    // order is in the cohort month by construction)
+    val age0 = out.filter(_.getLong(1) == 0L)
+    assert(age0.nonEmpty)
+    age0.foreach(r => assert(r.getLong(2) == r.getLong(4),
+      s"cohort ${r.getLong(0)} age-0 active ${r.getLong(2)} != size ${r.getLong(4)}"))
+    // cum LTV is non-decreasing within a cohort and telescopes exactly
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getDouble(5) == cum.toDouble / r.getLong(4).toDouble)
+      }
+    }
+    // total revenue conservation across the triangle
+    val totCents = Tables.load(spark, sf, "orders")
+      .agg(sum((col("o_totalprice").cast("decimal(18,6)") * lit(100))
+        .cast("long"))).head().getLong(0)
+    assert(out.map(_.getLong(3)).sum == totCents)
+  }
+
+  test("basketRules: exact support/confidence/lift replay of the top-20") {
+    val out = GraphQueries.basketRules(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val nPart = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val pks = basket.map(_._2).sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rules = pairCnt.toSeq.filter(_._2 >= 3).flatMap { case ((x, y), n) =>
+      Seq((x, y, n), (y, x, n))
+    }.map { case (a, b, n) =>
+      (a, b, n, n.toDouble / nOrders.toDouble, n.toDouble / nPart(a).toDouble,
+        n.toDouble * nOrders.toDouble / (nPart(a).toDouble * nPart(b).toDouble))
+    }.sortBy { case (a, b, _, _, conf, _) => (-conf, a, b) }.take(20)
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == rules)
+    // every emitted rule clears the min-support prune
+    assert(out.forall(_.getLong(2) >= 3))
+  }
+
+  test("sessionPaths: brute-force trigram recount of the top-10") {
+    val out = EventQueries.sessionPaths(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    evs.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      // split into sessions on >30 min gaps, then count trigrams
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._2 - a._2 > 30L * 60 * 1000000)
+            sessions += scala.collection.mutable.ArrayBuffer(b)
+          else sessions.last += b
+        case _ =>
+      }
+      sessions.foreach { sess =>
+        sess.map(_._4).sliding(3).foreach { tri =>
+          if (tri.length == 3) {
+            val p = tri.mkString(">")
+            counts(p) = counts.getOrElse(p, 0L) + 1
+          }
+        }
+      }
+    }
+    val top10 = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = out.map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == top10)
+  }
+}

@@ -250,6 +250,21 @@ class PlanAuditSpec extends SparkSpec {
       s"pairing reads the materialized day series, not parquet:\n$ts")
   }
 
+  test("mining batch: keyed joins only; cohort window rides the grid") {
+    for ((name, df) <- Seq(
+        "cohort_ltv" -> graft.queries.Relational.cohortLtv(spark, sf),
+        "basket_rules" -> graft.queries.GraphQueries.basketRules(spark, sf),
+        "events_session_paths" -> graft.queries.EventQueries.sessionPaths(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+    // sessionPaths: trigrams come from ONE window pass — no self-join
+    // of events (the markovTransitions discipline)
+    val sp = planOf(graft.queries.EventQueries.sessionPaths(spark, sf))
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("BroadcastHashJoin"),
+      s"paths must be lead()s, not a self-join:\n$sp")
+  }
+
   test("time-series ops: the fact table never enters a window") {
     // the window input must be the day-sized aggregate: asserting no
     // parquet scan appears BELOW a Window node would need tree walking;
