@@ -233,6 +233,10 @@ object SparkEntry {
     "cohort_ltv" -> (Relational.cohortLtv _),
     "basket_rules" -> ((s, d) => GraphQueries.basketRules(s, d)),
     "events_session_paths" -> (EventQueries.sessionPaths _),
+    "drift_welch_ttest" -> (Drift.welchTTest _),
+    "events_reach_curve" -> (EventQueries.reachCurve _),
+    "stats_histogram_eqdepth" -> (Relational.statsHistogramEqdepth _),
+    "embed_outliers" -> ((s, d) => EmbeddingQueries.outliersByLabel(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -482,6 +486,10 @@ object SparkEntry {
     "cohort_ltv" -> Relational.cohortLtvSql,
     "basket_rules" -> GraphQueries.basketRulesSql,
     "events_session_paths" -> EventQueries.sessionPathsSql,
+    "drift_welch_ttest" -> Drift.welchTTestSql,
+    "events_reach_curve" -> EventQueries.reachCurveSql,
+    "stats_histogram_eqdepth" -> Relational.statsHistogramEqdepthSql,
+    "embed_outliers" -> EmbeddingQueries.outliersByLabelSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,

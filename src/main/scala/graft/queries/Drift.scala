@@ -249,4 +249,96 @@ object Drift {
       |  CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
       |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM agg""".stripMargin
+
+  // --- Welch's t-test ---------------------------------------------------------
+  /** Welch's unequal-variance t-test on event value between the two
+    * temporal halves (Welch, Biometrika 1947) — the PARAMETRIC leg of
+    * the drift family, complementing the distribution-free KS and
+    * Mann–Whitney twins: detects a mean shift with the most power when
+    * the values are roughly normal, and reports the
+    * Welch–Satterthwaite effective degrees of freedom.
+    *
+    * Moments ride as exact BIGINT cent sums (the [[EventQueries]]
+    * anomalyZscore discipline: value has a 2-decimal true expansion,
+    * so round(value·100) is the exact integer both engines compute);
+    * the t statistic and df are a fixed chain of IEEE ops on those
+    * bit-identical integers. One aggregate over the sided scan —
+    * 6 numbers per side — is the whole cost at any scale.
+    */
+  def welchTTest(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * 100).cast("long")
+    val sidedC = sided(s, dir).select(col("side"), c.as("c"))
+    val m = sidedC.groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    // pivot the two sides into one row via conditional aggregation
+    val row = m.agg(
+      sum(when(col("side") === "a", col("n"))).as("n_a"),
+      sum(when(col("side") === "a", col("sc"))).as("sc_a"),
+      sum(when(col("side") === "a", col("scc"))).as("scc_a"),
+      sum(when(col("side") === "b", col("n"))).as("n_b"),
+      sum(when(col("side") === "b", col("sc"))).as("sc_b"),
+      sum(when(col("side") === "b", col("scc"))).as("scc_b"))
+    def dbl(name: String): Column = col(name).cast("double")
+    // sample variance in cents² then dollars²: (n·Σc² − (Σc)²)/(n(n−1))/1e4
+    def va(n: String, sc: String, scc: String): Column =
+      (dbl(n) * dbl(scc) - dbl(sc) * dbl(sc)) /
+        (dbl(n) * (dbl(n) - 1.0) * 10000.0)
+    val sa = va("n_a", "sc_a", "scc_a")
+    val sb = va("n_b", "sc_b", "scc_b")
+    val sea = sa / dbl("n_a")
+    val seb = sb / dbl("n_b")
+    row.select(col("n_a"), col("n_b"),
+      (dbl("sc_a") / (dbl("n_a") * 100.0)).as("mean_a"),
+      (dbl("sc_b") / (dbl("n_b") * 100.0)).as("mean_b"),
+      ((dbl("sc_a") / (dbl("n_a") * 100.0)
+        - dbl("sc_b") / (dbl("n_b") * 100.0))
+        / sqrt(sea + seb)).as("t_stat"),
+      (((sea + seb) * (sea + seb)) /
+        (sea * sea / (dbl("n_a") - 1.0) + seb * seb / (dbl("n_b") - 1.0)))
+        .as("df"))
+  }
+
+  val welchTTestSql: String = {
+    val mid = PortableSql.intDiv("mn + mx", "2")
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us,
+      |              CAST(round(value * 100) AS BIGINT) AS c
+      |            FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < $mid THEN 'a' ELSE 'b' END AS side, c
+      |  FROM ev, b),
+      |m AS (
+      |  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM sided GROUP BY side),
+      |r AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN side = 'a' THEN n END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN sc END) AS BIGINT) AS sc_a,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN scc END) AS BIGINT) AS scc_a,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN n END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN sc END) AS BIGINT) AS sc_b,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN scc END) AS BIGINT) AS scc_b
+      |  FROM m),
+      |v AS (
+      |  SELECT n_a, n_b,
+      |    CAST(sc_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) AS mean_a,
+      |    CAST(sc_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS mean_b,
+      |    (CAST(n_a AS DOUBLE) * CAST(scc_a AS DOUBLE)
+      |       - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0) * 10000.0)
+      |      / CAST(n_a AS DOUBLE) AS sea,
+      |    (CAST(n_b AS DOUBLE) * CAST(scc_b AS DOUBLE)
+      |       - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0) * 10000.0)
+      |      / CAST(n_b AS DOUBLE) AS seb
+      |  FROM r)
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+      |  ((sea + seb) * (sea + seb))
+      |    / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+      |       + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) AS df
+      |FROM v""".stripMargin
+  }
 }

@@ -733,6 +733,86 @@ object EmbeddingQueries {
       |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // --- centroid-distance outlier mining ---------------------------------------
+  /** Mislabeled-candidate mining: per label, the top-10 vectors
+    * FARTHEST from their label centroid — the curation pass that
+    * surfaces annotation errors and embedding-space contamination
+    * before training (points far from their class mean are the first
+    * audit candidates).
+    *
+    * Exactness: dims quantize to a MILLI-unit integer grid
+    * (round(x·1000) — a float's ≤24-bit mantissa times 1000 stays
+    * exact in double, and both engines round exact halves away from
+    * zero, so the grid is bit-identical). The distance² to the
+    * centroid is multiplied through by n to stay integral:
+    * Σ_d (n·q_d − S_d)² with S_d the label's per-dim sum — every
+    * intermediate an exact BIGINT (|q| ≤ ~10³·|x|, so the sum fits
+    * until n per label ≈ 4·10⁶; past that the scale path divides
+    * first in doubles). The reported distance is one sqrt + one
+    * division of exact integers.
+    *
+    * Scale shape: ONE posexplode pass over the corpus feeds a
+    * map-side-combined (label, dim) aggregate (labels·64 rows), which
+    * re-packs into per-label centroid-sum ARRAYS (a label-sized
+    * broadcast); scoring is then a narrow zip_with/aggregate map over
+    * the corpus — the 64× row inflation never crosses an exchange
+    * twice, and no vector pair is ever formed. Top-10 per label is a
+    * rank-window cut.
+    */
+  def outliersByLabel(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000)).cast("long")).as("q"))
+    val sums = e.select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d")).agg(sum(col("v")).as("sv"))
+    val cent = sums.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("sv")))),
+        st => st.getField("sv")).as("sv"))
+    val nPer = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(cent.join(nPer, "label")), "label")
+      .withColumn("score",
+        aggregate(zip_with(col("q"), col("sv"),
+          (qi, si) => (col("n") * qi - si) * (col("n") * qi - si)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("rnk"), col("vec_id"), col("score"),
+        (sqrt(col("score").cast("double"))
+          / (col("n").cast("double") * 1000.0)).as("dist"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  val outliersByLabelSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT label, unnest(q) AS v, unnest(range(1, length(q) + 1)) AS d
+      |  FROM e),
+      |sums AS (SELECT label, d, CAST(SUM(v) AS BIGINT) AS sv
+      |         FROM x GROUP BY label, d),
+      |cent AS (SELECT label, list(sv ORDER BY d) AS sv FROM sums GROUP BY label),
+      |np AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label),
+      |sc AS (
+      |  SELECT e.vec_id, e.label, np.n,
+      |    CAST(list_sum(list_transform(range(1, length(q) + 1),
+      |      i -> (np.n * q[i] - sv[i]) * (np.n * q[i] - sv[i]))) AS BIGINT)
+      |      AS score
+      |  FROM e JOIN cent ON e.label = cent.label
+      |         JOIN np ON e.label = np.label),
+      |r AS (
+      |  SELECT label, vec_id, n, score,
+      |    CAST(row_number() OVER (PARTITION BY label
+      |      ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM sc)
+      |SELECT label, rnk, vec_id, score,
+      |  sqrt(CAST(score AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000.0) AS dist
+      |FROM r WHERE rnk <= 10 ORDER BY label, rnk""".stripMargin
+
   // --- mutual-kNN graph --------------------------------------------------------
   /** Exact mutual-kNN graph over the (bounded) corpus: edge (a, b)
     * exists iff a is in b's cosine top-k AND b is in a's — the

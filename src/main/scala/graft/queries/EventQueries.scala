@@ -425,6 +425,40 @@ object EventQueries {
       |  FROM c)
       |SELECT rnk, us, concurrent FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
+  // --- audience reach curve ----------------------------------------------------
+  /** Cumulative audience reach by day: per day, the count of
+    * FIRST-EVER-SEEN users and the running total of distinct users to
+    * date — the growth-accounting curve behind "total users reached".
+    * The scalable spelling reduces "distinct users up to each day"
+    * (naive: one distinct-count per day over an ever-growing prefix,
+    * O(days · events)) to ONE first-touch aggregate per user plus a
+    * prefix sum over the day-sized grid: a user contributes exactly
+    * once, at their first day, and the cumulative count telescopes.
+    * All quantities are exact BIGINTs.
+    */
+  def reachCurve(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = ev(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val wCum = Window.orderBy(col("d0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("d0")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum))
+      .select(col("d0").as("d"), col("n_new"), col("cum_users"))
+      .orderBy(col("d"))
+  }
+
+  val reachCurveSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY d0)
+      |SELECT d0 AS d, n_new,
+      |  CAST(SUM(n_new) OVER (ORDER BY d0
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM g ORDER BY d""".stripMargin
+
   // --- session path mining -----------------------------------------------------
   /** Top-10 three-step journeys: the most frequent ordered event-type
     * trigrams WITHIN a session (30-minute-gap sessions, [[sessionize]]

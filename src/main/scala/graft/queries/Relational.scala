@@ -1557,6 +1557,60 @@ object Relational {
       |FROM orders
       |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // --- equi-depth histogram ---------------------------------------------------
+  /** Equi-DEPTH histogram of order value: 10 equal-count buckets with
+    * their exact boundaries, counts, distinct-value counts, and sums —
+    * the histogram an optimizer keeps for selectivity estimation
+    * (equal-frequency buckets bound the per-bucket estimation error,
+    * where [[statsHistogram]]'s equal-width buckets don't under skew).
+    *
+    * The bucket of the i-th ranked value is the same arithmetic cut as
+    * the decile lift — ((i−1)·10) div n + 1 over the (cents, orderkey)
+    * total order — so boundaries are deterministic to the row. Bounds
+    * (lo/hi cents) and sums are exact BIGINTs; ndv is an exact
+    * count-distinct within the bucket.
+    *
+    * Scale: one fact scan into the rank (at 100 TB the global
+    * row_number becomes the two-pass range-partitioned rank — the
+    * [[decileLift]] note), then a 10-group aggregate.
+    */
+  def statsHistogramEqdepth(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "orders").select(col("o_orderkey"),
+      (dec(col("o_totalprice")) * lit(100)).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_orderkey"))
+    val ranked = Graft.materialize(rows
+      .withColumn("i", row_number().over(w).cast("long")))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("((i - 1) * 10) div n + 1"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cents")).as("ndv"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val statsHistogramEqdepthSql: String = {
+    val bucket = PortableSql.intDiv("(i - 1) * 10", "n")
+    s"""WITH r AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |rk AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS i
+      |  FROM r),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk)
+      |SELECT $bucket + 1 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv,
+      |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM rk, n
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   // --- unpivot (wide → long) -------------------------------------------------
   /** Wide-to-long reshaping with the native `Dataset.unpivot` operator
     * (Spark's UNPIVOT): a per-nation metrics row (customer count,

@@ -91,4 +91,39 @@ class DriftSpec extends SparkSpec {
     }
     assert(dMax.toDouble / (1000.0 * 1000.0) == 0.5)
   }
+
+  test("Welch t-test: statistic and df match an exact cent-moment recompute") {
+    val out = graft.queries.Drift.welchTTest(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // independent recompute from the raw events
+    val rows = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val mid = (mn + mx) / 2
+    def cents(v: Double): Long = math.round(v * 100)
+    val a = rows.filter(_._1 < mid).map(x => cents(x._2))
+    val b = rows.filter(_._1 >= mid).map(x => cents(x._2))
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    def mom(xs: Array[Long]): (Double, Double) = {
+      val n = xs.length.toDouble
+      val sc = xs.sum.toDouble
+      val scc = xs.map(x => x * x).sum.toDouble
+      val mean = sc / (n * 100.0)
+      val va = (n * scc - sc * sc) / (n * (n - 1.0) * 10000.0)
+      (mean, va / n)
+    }
+    val (ma, sea) = mom(a); val (mb, seb) = mom(b)
+    assert(r.getDouble(2) == ma && r.getDouble(3) == mb)
+    assert(r.getDouble(4) == (ma - mb) / math.sqrt(sea + seb))
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (a.length - 1.0) + seb * seb / (b.length - 1.0))
+    assert(r.getDouble(5) == df)
+    // df is bounded by the classic Welch range
+    assert(df >= math.min(a.length, b.length) - 1.0 &&
+      df <= a.length + b.length - 2.0)
+  }
 }

@@ -61,6 +61,65 @@ class MiningSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) >= 3))
   }
 
+  test("reachCurve: telescopes to the exact distinct-user total") {
+    val out = EventQueries.reachCurve(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    // new-user counts sum to the population; cum telescopes exactly
+    assert(out.map(_.getLong(1)).sum == nUsers)
+    var cum = 0L
+    out.foreach { r => cum += r.getLong(1); assert(r.getLong(2) == cum) }
+    assert(out.last.getLong(2) == nUsers)
+  }
+
+  test("histogramEqdepth: equal-count buckets with ordered exact bounds") {
+    val out = Relational.statsHistogramEqdepth(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // buckets tile the value axis in order: hi(k) <= lo(k+1)
+    out.sliding(2).foreach {
+      case Array(p, q) => assert(p.getLong(4) <= q.getLong(3))
+      case _ =>
+    }
+    // conservation: counts and sums match the table totals
+    val tot = Tables.load(spark, sf, "orders")
+      .agg(count(lit(1)), sum((col("o_totalprice").cast("decimal(18,6)")
+        * lit(100)).cast("long"))).head()
+    assert(sizes.sum == tot.getLong(0))
+    assert(out.map(_.getLong(5)).sum == tot.getLong(1))
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("embedOutliers: brute-force milli-grid centroid-distance replay") {
+    val out = graft.queries.EmbeddingQueries.outliersByLabel(spark, sf).collect()
+    assert(out.nonEmpty)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val expected = byLabel.toSeq.sortBy(_._1).flatMap { case (lab, g) =>
+      val n = g.length.toLong
+      val qs = g.map { case (id, _, v) =>
+        (id, v.map(x => math.round(x * 1000)))
+      }
+      val d = qs.head._2.length
+      val sums = Array.tabulate(d)(i => qs.map(_._2(i)).sum)
+      qs.map { case (id, q) =>
+        val score = (0 until d).map { i =>
+          val dev = n * q(i) - sums(i); dev * dev
+        }.sum
+        (lab, id, score)
+      }.sortBy { case (_, id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((l, id, sc), i) => (l, i + 1L, id, sc) }
+    }
+    val got = out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)

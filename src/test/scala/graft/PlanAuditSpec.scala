@@ -263,6 +263,19 @@ class PlanAuditSpec extends SparkSpec {
     val sp = planOf(graft.queries.EventQueries.sessionPaths(spark, sf))
     assert(!sp.contains("SortMergeJoin") && !sp.contains("BroadcastHashJoin"),
       s"paths must be lead()s, not a self-join:\n$sp")
+    // reachCurve: first-touch dedup + prefix sum — one aggregate chain,
+    // never a per-day distinct-count join
+    val rc = planOf(graft.queries.EventQueries.reachCurve(spark, sf))
+    assert(!rc.contains("Join"), s"reach curve must not join:\n$rc")
+    // embedOutliers: scoring is a narrow map over the corpus against a
+    // label-sized broadcast — no vector-pair join exists
+    val eo = planOf(graft.queries.EmbeddingQueries.outliersByLabel(spark, sf))
+    assert(!eo.contains("CartesianProduct") && !eo.contains("SortMergeJoin"),
+      s"outlier scoring joins only the label-sized broadcast:\n$eo")
+    // welch: one aggregate over the sided scan; the only join is the
+    // broadcast of the 1-row bounds
+    val wt = planOf(graft.queries.Drift.welchTTest(spark, sf))
+    assert(!wt.contains("SortMergeJoin"), s"welch is scan+agg only:\n$wt")
   }
 
   test("time-series ops: the fact table never enters a window") {
