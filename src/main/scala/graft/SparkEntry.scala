@@ -237,6 +237,9 @@ object SparkEntry {
     "events_reach_curve" -> (EventQueries.reachCurve _),
     "stats_histogram_eqdepth" -> (Relational.statsHistogramEqdepth _),
     "embed_outliers" -> ((s, d) => EmbeddingQueries.outliersByLabel(s, d)),
+    "stats_anova_priority" -> (Relational.anovaPriority _),
+    "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
+    "events_burstiness" -> (EventQueries.burstiness _),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -490,6 +493,9 @@ object SparkEntry {
     "events_reach_curve" -> EventQueries.reachCurveSql,
     "stats_histogram_eqdepth" -> Relational.statsHistogramEqdepthSql,
     "embed_outliers" -> EmbeddingQueries.outliersByLabelSql,
+    "stats_anova_priority" -> Relational.anovaPrioritySql,
+    "text_jsd_langs" -> TextQueries.jsdLangsSql,
+    "events_burstiness" -> EventQueries.burstinessSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,

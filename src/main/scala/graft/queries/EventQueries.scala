@@ -425,6 +425,54 @@ object EventQueries {
       |  FROM c)
       |SELECT rnk, us, concurrent FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
+  // --- burstiness (Fano factor) ------------------------------------------------
+  /** Burstiness of each event type: the Fano factor (index of
+    * dispersion, var/mean) of its daily event counts — 1 for a
+    * Poisson process, > 1 for bursty traffic, < 1 for regular. The
+    * monitoring scalar behind "is this feed arriving in clumps", and
+    * the per-type companion to the inter-arrival percentiles.
+    *
+    * Sample variance and mean come from exact BIGINT day-count
+    * moments (d, Σc, Σc² over observed days) in one fixed IEEE chain.
+    * Shape: fact table → (type, day) counts (one map-side-combined
+    * aggregate) → per-type 3-number rollup; nothing larger than the
+    * type×day grid is exchanged.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("n_days"),
+        (col("sc").cast("double") / col("n_days").cast("double"))
+          .as("mean_daily"),
+        (((col("n_days").cast("double") * col("scc").cast("double")
+          - col("sc").cast("double") * col("sc").cast("double"))
+          / (col("n_days").cast("double")
+            * (col("n_days").cast("double") - 1.0)))
+          / (col("sc").cast("double") / col("n_days").cast("double")))
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstinessSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM d GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+      |  ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+      |     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+      |    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+      |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+      |FROM m ORDER BY event_type""".stripMargin
+
   // --- audience reach curve ----------------------------------------------------
   /** Cumulative audience reach by day: per day, the count of
     * FIRST-EVER-SEEN users and the running total of distinct users to

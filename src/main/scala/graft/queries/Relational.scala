@@ -1611,6 +1611,84 @@ object Relational {
       |GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // --- one-way ANOVA ----------------------------------------------------------
+  /** One-way ANOVA F-test of order value across order priorities
+    * (Fisher 1925) — the k-group extension of the two-sample drift
+    * tests: does ANY priority class carry systematically different
+    * order values?
+    *
+    * Determinism: per-group moments (n, Σx, Σx²) are exact BIGINTs in
+    * whole dollars ([[TimeSeries.autocorrelation]]'s unit choice —
+    * dollars² sums stay far inside BIGINT where cents² would not).
+    * The between-group sum Σ S_g²/n_g mixes doubles across groups, so
+    * it accumulates via a CUMULATIVE WINDOW over the mode-ordered
+    * 7-row group grid — both engines then add in the same left-to-
+    * right order and the result is bit-identical (the small-grid
+    * ordered-accumulation trick; the grand totals stay exact
+    * BIGINTs). F and the sums of squares are a fixed IEEE chain.
+    *
+    * Scale: ONE map-side-combined aggregate over the fact table into
+    * a k-row grid; everything after is k-sized.
+    */
+  def anovaPriority(s: SparkSession, dir: String): DataFrame = {
+    val x = expr(
+      "cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+    val g = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("mode"), x.as("x"))
+      .groupBy(col("mode"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("ss_g"))
+    val wOrd = Window.orderBy(col("mode"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_term",
+        sum(col("s_g").cast("double") * col("s_g").cast("double")
+          / col("n_g").cast("double")).over(wCum))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("i") === col("k"))
+      .select(col("k"), col("n"),
+        (col("cum_term") - col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double")).as("ss_between"),
+        (col("ss").cast("double") - col("cum_term")).as("ss_within"))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        ((col("ss_between") / (col("k").cast("double") - 1.0))
+          / (col("ss_within") / (col("n").cast("double")
+            - col("k").cast("double")))).as("f_stat"))
+  }
+
+  val anovaPrioritySql: String = {
+    val dollars = PortableSql.intDiv(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)", "100")
+    s"""WITH v AS (SELECT o_orderpriority AS mode, $dollars AS x FROM orders),
+      |g AS (
+      |  SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(x) AS BIGINT) AS s_g, CAST(SUM(x * x) AS BIGINT) AS ss_g
+      |  FROM v GROUP BY mode),
+      |c AS (
+      |  SELECT mode, n_g, s_g, ss_g,
+      |    CAST(row_number() OVER (ORDER BY mode) AS BIGINT) AS i,
+      |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |        / CAST(n_g AS DOUBLE)) OVER (ORDER BY mode
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_term
+      |  FROM g),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |             CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(ss_g) AS BIGINT) AS ss
+      |      FROM g),
+      |f AS (
+      |  SELECT k, n,
+      |    cum_term - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS ss_between,
+      |    CAST(ss AS DOUBLE) - cum_term AS ss_within
+      |  FROM c, t WHERE i = k)
+      |SELECT k, n, ss_between, ss_within,
+      |  (ss_between / (CAST(k AS DOUBLE) - 1.0))
+      |    / (ss_within / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+      |FROM f""".stripMargin
+  }
+
   // --- unpivot (wide → long) -------------------------------------------------
   /** Wide-to-long reshaping with the native `Dataset.unpivot` operator
     * (Spark's UNPIVOT): a per-nation metrics row (customer count,

@@ -1738,4 +1738,86 @@ object TextQueries {
       |    / CAST(COUNT(*) AS DOUBLE) AS coverage
       |FROM tk LEFT JOIN vocab v USING (term)
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- Jensen–Shannon divergence between language vocabularies --------------
+  /** Jensen–Shannon divergence between the English and German term
+    * distributions (Lin, IEEE IT 1991) — the symmetric, finite
+    * vocabulary-distance a mixture curator tracks when deciding
+    * whether two corpus slices are interchangeable (0 = identical,
+    * ln 2 ≈ 0.693 = disjoint).
+    *
+    * EXACT micronat discipline end-to-end: with term counts c₁,c₂ and
+    * totals n₁,n₂, the ratio p/m equals the INTEGER ratio
+    * 2·c₁·n₂ / (c₁·n₂ + c₂·n₁), so each KL term rides as the exact
+    * BIGINT product c₁·(lnµ(2c₁n₂) − lnµ(c₁n₂+c₂n₁)); both KL sums
+    * are exact BIGINTs and the one IEEE step is the final two
+    * divisions and a halved add. Absent terms contribute exactly 0 to
+    * their side, as the limit prescribes.
+    *
+    * Scale shape: one tokenize pass over the two slices into a
+    * map-side-combined per-term conditional aggregate (the PSI
+    * two-sided-count shape on a term key); the 1-row totals broadcast
+    * back. Nothing but the term dictionary is ever exchanged.
+    */
+  def jsdLangs(s: SparkSession, dir: String,
+               langA: String = "en", langB: String = "de"): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val terms = docs(s, dir).filter(col("lang").isin(langA, langB))
+      .select(col("lang"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(sum(when(col("lang") === langA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("lang") === langB, 1L).otherwise(0L)).as("c2"))
+    val tot = terms.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("n_terms"))
+    val mix = col("c1") * col("n2") + col("c2") * col("n1")
+    terms.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("n_terms"),
+        when(col("c1") > 0,
+          col("c1") * (lnMicro(lit(2L) * col("c1") * col("n2")) - lnMicro(mix)))
+          .otherwise(0L).as("ta"),
+        when(col("c2") > 0,
+          col("c2") * (lnMicro(lit(2L) * col("c2") * col("n1")) - lnMicro(mix)))
+          .otherwise(0L).as("tb"))
+      .groupBy(col("n1"), col("n2"), col("n_terms"))
+      .agg(sum(col("ta")).as("sa"), sum(col("tb")).as("sb"))
+      .select(col("n1"), col("n2"), col("n_terms"),
+        ((col("sa").cast("double") / (col("n1").cast("double") * 1e6)
+          + col("sb").cast("double") / (col("n2").cast("double") * 1e6))
+          / 2.0).as("jsd_nats"))
+  }
+
+  val jsdLangsSql: String =
+    """WITH tk AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE lang IN ('en', 'de')),
+      |c AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM tk WHERE len(term) > 0 GROUP BY term),
+      |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |             CAST(SUM(c2) AS BIGINT) AS n2,
+      |             CAST(COUNT(*) AS BIGINT) AS n_terms
+      |      FROM c),
+      |k AS (
+      |  SELECT n1, n2, n_terms,
+      |    CASE WHEN c1 > 0 THEN c1 *
+      |      (CAST(round(ln(CAST(2 * c1 * n2 AS DOUBLE)) * 1e6) AS BIGINT)
+      |       - CAST(round(ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1e6) AS BIGINT))
+      |      ELSE 0 END AS ta,
+      |    CASE WHEN c2 > 0 THEN c2 *
+      |      (CAST(round(ln(CAST(2 * c2 * n1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |       - CAST(round(ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1e6) AS BIGINT))
+      |      ELSE 0 END AS tb
+      |  FROM c, t),
+      |agg AS (
+      |  SELECT n1, n2, n_terms, CAST(SUM(ta) AS BIGINT) AS sa,
+      |         CAST(SUM(tb) AS BIGINT) AS sb
+      |  FROM k GROUP BY n1, n2, n_terms)
+      |SELECT n1, n2, n_terms,
+      |  (CAST(sa AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6)
+      |   + CAST(sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
+      |FROM agg""".stripMargin
 }

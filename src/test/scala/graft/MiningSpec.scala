@@ -120,6 +120,80 @@ class MiningSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("anovaPriority: exact moment replay; F matches the definition") {
+    val out = Relational.anovaPriority(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    assert(r.getLong(0) == groups.length.toLong)
+    assert(r.getLong(1) == rows.length.toLong)
+    // ordered accumulation replay (left-to-right over sorted modes)
+    var cum = 0.0
+    groups.foreach { g =>
+      cum += g.sum.toDouble * g.sum.toDouble / g.length.toDouble
+    }
+    val s0 = rows.map(_._2).sum
+    val ss = rows.map(x => x._2 * x._2).sum
+    val ssb = cum - s0.toDouble * s0.toDouble / rows.length.toDouble
+    val ssw = ss.toDouble - cum
+    assert(r.getDouble(2) == ssb && r.getDouble(3) == ssw)
+    val k = groups.length.toDouble; val n = rows.length.toDouble
+    assert(r.getDouble(4) == (ssb / (k - 1.0)) / (ssw / (n - k)))
+    // sums of squares are non-negative and partition total SS
+    assert(ssb >= 0 && ssw >= 0)
+  }
+
+  test("jsdLangs: exact micronat replay; value in [0, ln 2]") {
+    val out = graft.queries.TextQueries.jsdLangs(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val toks = Tables.load(spark, sf, "documents")
+      .filter(col("lang").isin("en", "de"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val c1 = toks.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c2 = toks.filter(_._1 == "de").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n1 = c1.values.sum; val n2 = c2.values.sum
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getLong(2) == (c1.keySet ++ c2.keySet).size.toLong)
+    def lnMu(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    var sa = 0L; var sb = 0L
+    (c1.keySet ++ c2.keySet).foreach { t =>
+      val a = c1.getOrElse(t, 0L); val b = c2.getOrElse(t, 0L)
+      val mix = a * n2 + b * n1
+      if (a > 0) sa += a * (lnMu(2 * a * n2) - lnMu(mix))
+      if (b > 0) sb += b * (lnMu(2 * b * n1) - lnMu(mix))
+    }
+    val jsd = (sa.toDouble / (n1.toDouble * 1e6)
+      + sb.toDouble / (n2.toDouble * 1e6)) / 2.0
+    assert(r.getDouble(3) == jsd)
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-6)
+  }
+
+  test("burstiness: exact day-count moment replay per event type") {
+    val out = EventQueries.burstiness(spark, sf).collect()
+    assert(out.nonEmpty)
+    val counts = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val days = counts.collect { case ((t, _), c) if t == tpe => c }.toSeq
+      val d = days.length.toDouble
+      assert(r.getLong(1) == days.length.toLong)
+      val sc = days.sum.toDouble; val scc = days.map(c => c * c).sum.toDouble
+      assert(r.getDouble(2) == sc / d)
+      assert(r.getDouble(3) ==
+        ((d * scc - sc * sc) / (d * (d - 1.0))) / (sc / d))
+    }
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)
