@@ -240,6 +240,8 @@ object SparkEntry {
     "stats_anova_priority" -> (Relational.anovaPriority _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "events_burstiness" -> (EventQueries.burstiness _),
+    "ts_mann_kendall" -> (TimeSeries.mannKendall _),
+    "events_unattributed" -> (EventQueries.unattributedPurchases _),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -496,6 +498,8 @@ object SparkEntry {
     "stats_anova_priority" -> Relational.anovaPrioritySql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "events_burstiness" -> EventQueries.burstinessSql,
+    "ts_mann_kendall" -> TimeSeries.mannKendallSql,
+    "events_unattributed" -> EventQueries.unattributedPurchasesSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,

@@ -473,6 +473,69 @@ object EventQueries {
       |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
       |FROM m ORDER BY event_type""".stripMargin
 
+  // --- attribution-gap pattern (negation) --------------------------------------
+  /** Un-attributed purchases per day: purchases with NO click by the
+    * same user in the preceding 24 hours — the NEGATION pattern of
+    * complex-event processing ("B not preceded by A within T"), which
+    * the funnel/attribution operators can't express because they only
+    * match presence. The share of un-attributed purchases is the
+    * health metric for a tracking pipeline (a spike means lost click
+    * telemetry or genuinely organic demand).
+    *
+    * Spelled as ONE window pass (the [[asofOver]] discipline): per
+    * user in time order, `last(click ts, ignoreNulls)` carries the
+    * most recent click forward; a purchase is un-attributed when that
+    * carry is null or older than 24 h. At equal timestamps the click
+    * sorts BEFORE the purchase so an instantaneous click→purchase
+    * attributes. No self-join of events exists; counts are exact.
+    */
+  def unattributedPurchases(s: SparkSession, dir: String): DataFrame = {
+    val isClick = col("event_type") === "click"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(isClick, 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_us",
+        last(when(isClick, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"),
+        (col("last_click_us").isNull ||
+          unix_micros(col("ts")) - col("last_click_us") > 24L * 3600 * 1000000)
+          .as("unattr"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("unattr"), 1L).otherwise(0L)).as("n_unattributed"))
+      .withColumn("share",
+        col("n_unattributed").cast("double") / col("n_purchases").cast("double"))
+      .orderBy(col("d"))
+  }
+
+  val unattributedPurchasesSql: String =
+    """WITH cp AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    epoch_us(ts::TIMESTAMP) AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |lc AS (
+      |  SELECT event_type, ts, us,
+      |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+      |                     event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_click_us
+      |  FROM cp),
+      |p AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    (last_click_us IS NULL OR us - last_click_us > 86400000000) AS unattr
+      |  FROM lc WHERE event_type = 'purchase')
+      |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN unattr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unattributed,
+      |  CAST(SUM(CASE WHEN unattr THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS share
+      |FROM p GROUP BY d ORDER BY d""".stripMargin
+
   // --- audience reach curve ----------------------------------------------------
   /** Cumulative audience reach by day: per day, the count of
     * FIRST-EVER-SEEN users and the running total of distinct users to

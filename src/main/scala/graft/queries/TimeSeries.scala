@@ -277,6 +277,75 @@ object TimeSeries {
       |FROM r, mm WHERE rnk = $mid""".stripMargin
   }
 
+  // --- Mann–Kendall trend test ----------------------------------------------
+  /** Mann–Kendall trend significance on daily revenue (Mann 1945 /
+    * Kendall 1975) — the SIGNIFICANCE companion to [[theilSen]]'s
+    * magnitude: S = Σ_{i<j} sign(x_j − x_i) over day pairs, the
+    * tie-corrected variance, and the continuity-corrected Z score.
+    * A monitoring rule reads |Z| > 1.96 as a significant monotone
+    * trend without assuming any distribution.
+    *
+    * Exactness: S is an exact BIGINT from integer sign comparisons;
+    * the variance numerator n(n−1)(2n+5) − Σ t_p(t_p−1)(2t_p+5) is an
+    * exact BIGINT (the /18 and the sqrt are the final IEEE steps).
+    * Pairing reuses the [[theilSen]] bounded nested-loop over the
+    * day-aggregated series (calendar-span², never data volume).
+    */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val series = Graft.materialize(
+      dailyRevenue(s, dir).select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("t"),
+        expr("rev_cents div 100").as("x")))
+    val sStat = series.select(col("t").as("ta"), col("x").as("xa"))
+      .join(broadcast(series.select(col("t").as("tb"), col("x").as("xb"))),
+        col("ta") < col("tb"))
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+    val ties = series.groupBy(col("x")).agg(count(lit(1)).as("tp"))
+      .agg(coalesce(sum(col("tp") * (col("tp") - 1L)
+        * (lit(2L) * col("tp") + 5L)), lit(0L)).as("tie_term"))
+    val n = series.agg(count(lit(1)).as("n_days"))
+    sStat.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1L)
+          * (lit(2L) * col("n_days") + 5L) - col("tie_term")).as("var_num"))
+      .select(col("n_days"), col("s_stat"), col("var_num"),
+        (when(col("s_stat") > 0, col("s_stat") - 1L)
+          .when(col("s_stat") < 0, col("s_stat") + 1L)
+          .otherwise(0L).cast("double")
+          / sqrt(col("var_num").cast("double") / 18.0)).as("z"))
+  }
+
+  val mannKendallSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS t,
+      |             $dollars AS x
+      |      FROM rev),
+      |s AS (
+      |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+      |                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+      |           AS s_stat
+      |  FROM x a JOIN x b ON a.t < b.t),
+      |tie AS (
+      |  SELECT CAST(COALESCE(SUM(tp * (tp - 1) * (2 * tp + 5)), 0) AS BIGINT)
+      |           AS tie_term
+      |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tp FROM x GROUP BY x.x) g),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM x),
+      |v AS (
+      |  SELECT n_days, s_stat,
+      |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var_num
+      |  FROM s, nn, tie)
+      |SELECT n_days, s_stat, var_num,
+      |  CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+      |            WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+      |    / sqrt(CAST(var_num AS DOUBLE) / 18.0) AS z
+      |FROM v""".stripMargin
+  }
+
   val autocorrelationSql: String = {
     val dollars = PortableSql.intDiv("rev_cents", "100")
     s"""WITH rev AS (

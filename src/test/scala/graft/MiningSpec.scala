@@ -194,6 +194,63 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("mannKendall: exact S, tie-corrected variance, and Z replay") {
+    val out = graft.queries.TimeSeries.mannKendall(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val series = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .groupBy("d").agg(sum(col("c")).as("rc"))
+      .collect()
+      .map(x => (x.getDate(0).toLocalDate.toEpochDay, x.getLong(1) / 100))
+      .sortBy(_._1)
+    val n = series.length.toLong
+    assert(r.getLong(0) == n)
+    var sStat = 0L
+    for (i <- series.indices; j <- (i + 1) until series.length)
+      sStat += java.lang.Long.signum(series(j)._2 - series(i)._2).toLong
+    assert(r.getLong(1) == sStat)
+    val tieTerm = series.groupBy(_._2).values.map(_.length.toLong)
+      .map(tp => tp * (tp - 1) * (2 * tp + 5)).sum
+    val varNum = n * (n - 1) * (2 * n + 5) - tieTerm
+    assert(r.getLong(2) == varNum)
+    val corr = if (sStat > 0) sStat - 1 else if (sStat < 0) sStat + 1 else 0L
+    assert(r.getDouble(3) == corr.toDouble / math.sqrt(varNum.toDouble / 18.0))
+  }
+
+  test("unattributedPurchases: brute-force negation-pattern replay") {
+    val out = EventQueries.unattributedPurchases(spark, sf).collect()
+    assert(out.nonEmpty)
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), to_date(col("ts")).as("d"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3),
+        x.getDate(4).toString))
+    val perDay = scala.collection.mutable.Map[String, (Long, Long)]()
+    evs.groupBy(_._1).values.foreach { g =>
+      // click-before-purchase tiebreak at equal ts, then event_id
+      val sorted = g.sortBy(e => (e._2, if (e._4 == "click") 0 else 1, e._3))
+      var lastClick = Option.empty[Long]
+      sorted.foreach { e =>
+        if (e._4 == "click") lastClick = Some(e._2)
+        else {
+          val un = lastClick.forall(c => e._2 - c > 24L * 3600 * 1000000)
+          val (np, nu) = perDay.getOrElse(e._5, (0L, 0L))
+          perDay(e._5) = (np + 1, nu + (if (un) 1L else 0L))
+        }
+      }
+    }
+    val got = out.map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2))).toSeq
+    val expected = perDay.toSeq.sortBy(_._1).map { case (d, (np, nu)) => (d, np, nu) }
+    assert(got == expected)
+    out.foreach(x =>
+      assert(x.getDouble(3) == x.getLong(2).toDouble / x.getLong(1).toDouble))
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)
