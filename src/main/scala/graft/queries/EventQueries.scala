@@ -425,6 +425,81 @@ object EventQueries {
       |  FROM c)
       |SELECT rnk, us, concurrent FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
+  // --- behavioral entropy -------------------------------------------------------
+  /** Distribution of per-user behavioral entropy: each user's
+    * event-type Shannon entropy (how varied their behavior is — 0 for
+    * single-action users), summarized as exact positional quartiles
+    * over the user population. The segmentation health metric: a
+    * collapsing median entropy means the product funnels everyone into
+    * one action.
+    *
+    * Per-user entropy follows the [[TextQueries.charEntropy]] EXACT
+    * integer-micronat identity n·lnµ(n) − Σ k·lnµ(k) (an exact BIGINT
+    * per user — no per-user division ever happens), and the
+    * population quartiles are exact order statistics at ceil(q·n) over
+    * those integers ([[interArrival]] discipline). The only IEEE step
+    * scales the three selected integers to nats.
+    *
+    * Shape: one (user, type) aggregate, one user-sized rollup, one
+    * rank over the user-sized entropy column.
+    */
+  def userEntropy(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val perType = ev(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("k"))
+    val perUser = perType.groupBy(col("user_id"))
+      .agg(sum(col("k")).as("n"), sum(col("k") * lnMicro(col("k"))).as("s"))
+      .select(col("user_id"),
+        ((col("n") * lnMicro(col("n")) - col("s")).cast("double")
+          / (col("n").cast("double") * 1e6)).as("h_nats"))
+    val ranked = graft.Graft.materialize(perUser
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("h_nats"), col("user_id"))).cast("long")))
+    val tot = ranked.agg(count(lit(1)).as("m"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("i") === expr("(m + 3) div 4"), col("h_nats")))
+          .as("q1_nats"),
+        sum(when(col("i") === expr("(m + 1) div 2"), col("h_nats")))
+          .as("median_nats"),
+        sum(when(col("i") === expr("(3 * m + 3) div 4"), col("h_nats")))
+          .as("q3_nats"))
+      .select(col("m").as("n_users"), col("q1_nats"), col("median_nats"),
+        col("q3_nats"))
+  }
+
+  val userEntropySql: String = {
+    val p1 = PortableSql.intDiv("m + 3", "4")
+    val p2 = PortableSql.intDiv("m + 1", "2")
+    val p3 = PortableSql.intDiv("3 * m + 3", "4")
+    s"""WITH kt AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM events GROUP BY user_id, event_type),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(k) AS BIGINT) AS n,
+      |    CAST(SUM(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS s
+      |  FROM kt GROUP BY user_id),
+      |h AS (
+      |  SELECT user_id,
+      |    CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s
+      |         AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS h_nats
+      |  FROM u),
+      |r AS (
+      |  SELECT h_nats,
+      |    CAST(row_number() OVER (ORDER BY h_nats, user_id) AS BIGINT) AS i
+      |  FROM h),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM r)
+      |SELECT m AS n_users,
+      |  SUM(CASE WHEN i = $p1 THEN h_nats END) AS q1_nats,
+      |  SUM(CASE WHEN i = $p2 THEN h_nats END) AS median_nats,
+      |  SUM(CASE WHEN i = $p3 THEN h_nats END) AS q3_nats
+      |FROM r, mm GROUP BY m""".stripMargin
+  }
+
   // --- burstiness (Fano factor) ------------------------------------------------
   /** Burstiness of each event type: the Fano factor (index of
     * dispersion, var/mean) of its daily event counts — 1 for a

@@ -747,4 +747,70 @@ object GraphQueries {
       |  (SELECT CAST(COUNT(*) AS BIGINT)
       |   FROM e e1 JOIN e e2 ON e2.u = e1.v
       |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // --- bounded k-core peel ----------------------------------------------------
+  /** Bounded k-core decomposition of the trade graph (Seidman, Social
+    * Networks 1983): `rounds` synchronous peels each drop every node
+    * whose CURRENT degree is below k, reporting the surviving
+    * node/edge census per round — the standard "dense backbone"
+    * extraction that strips hangers-on before community or influence
+    * analysis. Three rounds reach the fixpoint on most commerce graphs
+    * (PlanAuditSpec-style: each round reads only the previous round's
+    * MATERIALIZED edge set, never parquet — the [[labelPropagation]]
+    * iterate-materialize discipline, with each survivor filter a
+    * node-keyed semi join, never a pairwise product).
+    *
+    * Unbounded-degeneracy ordering (the full core number per node)
+    * needs data-dependent iteration counts; the bounded peel is the
+    * fixed-plan spelling whose oracle is the 3× unrolled CTE.
+    */
+  def kcorePeel(s: SparkSession, dir: String,
+                k: Int = 3, rounds: Int = 3): DataFrame = {
+    var edges = Graft.materialize(tradeEdges(s, dir))
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      edges = Graft.materialize(
+        edges.join(keep, edges("src") === keep("node"), "left_semi")
+          .join(keep.withColumnRenamed("node", "node2"),
+            edges("dst") === col("node2"), "left_semi"))
+      out += edges.agg(countDistinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    out.result().reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  val kcorePeelSql: String = {
+    def peel(prev: String, cur: String): String =
+      s"""k$cur AS (SELECT src AS node FROM
+        |  (SELECT src, COUNT(*) AS deg FROM e$prev GROUP BY src) d
+        |  WHERE deg >= 3),
+        |e$cur AS (
+        |  SELECT e.src, e.dst FROM e$prev e
+        |  JOIN k$cur a ON e.src = a.node
+        |  JOIN k$cur b ON e.dst = b.node)""".stripMargin
+    s"""WITH cs AS (
+      |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+      |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e0 AS (SELECT src, dst FROM cs
+      |       UNION ALL SELECT dst, src FROM cs),
+      |${peel("0", "1")},
+      |${peel("1", "2")},
+      |${peel("2", "3")}
+      |SELECT CAST(1 AS BIGINT) AS round,
+      |  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e1) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT),
+      |       (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e2),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT),
+      |       (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e3),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+      |ORDER BY round""".stripMargin
+  }
 }

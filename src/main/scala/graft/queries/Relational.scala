@@ -1689,6 +1689,61 @@ object Relational {
       |FROM f""".stripMargin
   }
 
+  // --- Herfindahl–Hirschman concentration -------------------------------------
+  /** Herfindahl–Hirschman index of supplier revenue concentration per
+    * nation — the antitrust-style concentration scalar (HHI > 0.25 =
+    * highly concentrated) that complements [[giniSpend]]'s customer-side
+    * inequality: HHI = Σᵢ shareᵢ² = Σ sᵢ² / S² with sᵢ the supplier's
+    * revenue in WHOLE DOLLARS (dollars² keeps the square sum in BIGINT
+    * where cents² would overflow — the [[TimeSeries.autocorrelation]]
+    * unit rule). Both sums are exact BIGINTs; the index is one IEEE
+    * division. Shape: lineitem joins the supplier dim (broadcast),
+    * aggregates to (nation, supplier), then to nation — nothing larger
+    * than the supplier grid is exchanged.
+    */
+  def hhiNation(s: SparkSession, dir: String): DataFrame = {
+    val dollars = expr(
+      "cast(cast(l_extendedprice as decimal(18,6)) * 100 as bigint) div 100")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val bySupp = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), dollars.as("x"))
+      .groupBy(col("l_suppkey")).agg(sum(col("x")).as("rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    bySupp.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("total_dollars"),
+        sum(col("rev") * col("rev")).as("sq"))
+      .select(col("n_name"), col("n_suppliers"), col("total_dollars"),
+        (col("sq").cast("double") /
+          (col("total_dollars").cast("double")
+            * col("total_dollars").cast("double"))).as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  val hhiNationSql: String = {
+    val dollars = PortableSql.intDiv(
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)", "100")
+    s"""WITH rev AS (
+      |  SELECT l_suppkey, CAST(SUM($dollars) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY l_suppkey),
+      |sup AS (
+      |  SELECT s_suppkey, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |g AS (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    CAST(SUM(rev) AS BIGINT) AS total_dollars,
+      |    CAST(SUM(rev * rev) AS BIGINT) AS sq
+      |  FROM rev JOIN sup ON l_suppkey = s_suppkey
+      |  GROUP BY n_name)
+      |SELECT n_name, n_suppliers, total_dollars,
+      |  CAST(sq AS DOUBLE)
+      |    / (CAST(total_dollars AS DOUBLE) * CAST(total_dollars AS DOUBLE))
+      |    AS hhi
+      |FROM g ORDER BY n_name""".stripMargin
+  }
+
   // --- unpivot (wide → long) -------------------------------------------------
   /** Wide-to-long reshaping with the native `Dataset.unpivot` operator
     * (Spark's UNPIVOT): a per-nation metrics row (customer count,

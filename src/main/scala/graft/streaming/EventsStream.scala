@@ -219,4 +219,43 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(sessionizeFn)
   }
+
+  // --- stateful first-touch (streaming reach) ---------------------------------
+
+  case class Touch(user_id: Long, tsMicros: Long)
+  case class FirstTouch(user_id: Long, first_us: Long)
+
+  /** First-ever-touch per user: emits (user, min event time) the first
+    * time a user appears; later batches are absorbed silently. Within a
+    * batch the group's minimum is taken exactly, so under AvailableNow
+    * over a bounded source the emission IS the event-time first touch
+    * (StreamingSpec pins equality with the batch reach curve); across
+    * ordered arrivals it is first-touch by arrival, the streaming-reach
+    * convention. State is ONE boolean per distinct user — the minimal
+    * state any exact reach computation can carry (this is the exact
+    * dual of the HLL sketch's approximate register set).
+    */
+  def firstTouchFn(userId: Long, rows: Iterator[Touch],
+                   state: GroupState[Boolean]): Iterator[FirstTouch] = {
+    if (state.exists) Iterator.empty
+    else {
+      state.update(true)
+      Iterator.single(FirstTouch(userId, rows.map(_.tsMicros).min))
+    }
+  }
+
+  /** Streaming dual of EventQueries.reachCurve's first-touch dedup:
+    * downstream, a per-day rollup of these emissions gives daily new
+    * users and — cumulated — distinct users to date, without ever
+    * re-scanning history.
+    */
+  def firstTouch(spark: SparkSession, events: DataFrame): Dataset[FirstTouch] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Touch]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(firstTouchFn)
+  }
 }

@@ -251,6 +251,83 @@ class MiningSpec extends SparkSpec {
       assert(x.getDouble(3) == x.getLong(2).toDouble / x.getLong(1).toDouble))
   }
 
+  test("kcorePeel: brute-force 3-round peel replay; census shrinks monotonically") {
+    val out = GraphQueries.kcorePeel(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // independent peel on the collected edge set
+    val cs = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    var edges = (cs ++ cs.map(e => (e._2, e._1))).toSet
+    val census = (1 to 3).map { _ =>
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      (edges.map(_._1).size.toLong, edges.size.toLong)
+    }
+    val got = out.map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == census)
+    // peeling never grows the graph
+    assert(got.sliding(2).forall {
+      case Seq(p, q) => q._1 <= p._1 && q._2 <= p._2; case _ => true })
+  }
+
+  test("hhiNation: exact share-square recompute; HHI in (0, 1]") {
+    val out = Relational.hhiNation(spark, sf).collect()
+    assert(out.nonEmpty)
+    val rev = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey"),
+        expr("cast(cast(l_extendedprice as decimal(18,6)) * 100 as bigint) div 100")
+          .as("x"))
+      .groupBy("l_suppkey").agg(sum(col("x")).as("rev"))
+      .join(Tables.load(spark, sf, "supplier")
+        .join(Tables.load(spark, sf, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { r =>
+      val g = rev.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong)
+      val tot = g.sum
+      assert(r.getLong(2) == tot)
+      val hhi = g.map(x => x * x).sum.toDouble / (tot.toDouble * tot.toDouble)
+      assert(r.getDouble(3) == hhi)
+      assert(hhi > 0.0 && hhi <= 1.0)
+      // HHI is bounded below by 1/n (perfect equality)
+      assert(hhi >= 1.0 / g.length - 1e-12)
+    }
+  }
+
+  test("userEntropy: exact micronat quartile replay") {
+    val out = EventQueries.userEntropy(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val ks = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("k"))
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    def lnMu(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ents = ks.groupBy(_._1).toSeq.map { case (uid, g) =>
+      val n = g.map(_._2).sum
+      val s = g.map(x => x._2 * lnMu(x._2)).sum
+      (uid, (n * lnMu(n) - s).toDouble / (n.toDouble * 1e6))
+    }.sortBy { case (uid, h) => (h, uid) }
+    val m = ents.length
+    assert(r.getLong(0) == m.toLong)
+    assert(r.getDouble(1) == ents((m + 3) / 4 - 1)._2)
+    assert(r.getDouble(2) == ents((m + 1) / 2 - 1)._2)
+    assert(r.getDouble(3) == ents((3 * m + 3) / 4 - 1)._2)
+    // entropies are non-negative (micronat rounding can't push below 0
+    // by more than the rounding quantum)
+    ents.foreach { case (_, h) => assert(h >= -1e-9) }
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)

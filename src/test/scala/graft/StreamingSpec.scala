@@ -255,4 +255,36 @@ class StreamingSpec extends SparkSpec {
     // accumulate the dimension — or worse, the stream — as state)
     assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
   }
+
+  test("streamed first-touch emissions equal the batch reach curve exactly") {
+    val tmp = Files.createTempDirectory("graft_stream_reach")
+    val out = tmp.resolve("touch").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    EventsStream.firstTouch(spark, EventsStream.readStream(spark, sf))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start()
+      .awaitTermination()
+    val touches = spark.read.parquet(out)
+    // exactly one emission per distinct user, at that user's true min ts
+    val batchFirst = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = touches.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batchFirst)
+    // daily rollup of the emissions == the batch reach curve's n_new
+    val streamedDaily = touches
+      .select(to_date(timestamp_micros(col("first_us"))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_new"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val batchCurve = EventQueries.reachCurve(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(streamedDaily == batchCurve)
+  }
 }
