@@ -468,4 +468,80 @@ object Sampling {
       | COUNT(*) AS n_users, MIN(cnt) AS min_events, MAX(cnt) AS max_events,
       | CAST(SUM(cnt) AS BIGINT) AS total_events
       |FROM c GROUP BY 1 ORDER BY magnitude""".stripMargin
+
+  // --- Poisson bootstrap -------------------------------------------------------
+  /** Poisson(1) per-row weight thresholds on the 2^24 hash grid:
+    * floor(CDF_k · 2^24) for k = 0..8; a row's replicate weight is the
+    * number of thresholds at or below its hash draw. Hardcoded
+    * integers so both engines compare the SAME constants — no exp()
+    * evaluation exists anywhere in the query.
+    */
+  private val PoissonCdf24: Seq[Long] = Seq(6171992L, 12343985L, 15429982L,
+    16458647L, 16715813L, 16767247L, 16775819L, 16777044L, 16777197L)
+
+  /** Online Poisson bootstrap of total order revenue (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", Google 2012):
+    * each of B=3 replicates re-weights every order by an independent
+    * Poisson(1) draw — the single-scan, shuffle-free scheme that
+    * replaces multinomial resampling at scale (resample counts never
+    * materialize; the weight is a per-row pure function of
+    * md5(replicate, key)). Reports each replicate's drawn-row count and
+    * cents total plus its exact relative error against the true total.
+    *
+    * Determinism: the draw is the [[weightedSample]] md5 discipline
+    * (first 6 hex chars → integer in [0, 2^24)); the Poisson inverse
+    * CDF is a CASE chain over hardcoded integer thresholds; weights
+    * and totals are exact BIGINTs; rel_err is one IEEE division.
+    */
+  def poissonBootstrap(s: SparkSession, dir: String, b: Int = 3): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+      .cast("long")
+    val rows = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), cents.as("cents"))
+    val tot = rows.agg(sum(col("cents")).as("true_cents"))
+    val drawn = rows
+      .select(col("o_orderkey"), col("cents"),
+        explode(array((1 to b).map(i => lit(i.toLong)): _*)).as("replicate"))
+      .withColumn("h", conv(substring(md5(concat(lit("boot"),
+        col("replicate").cast("string"), lit(":"),
+        col("o_orderkey").cast("string"))), 1, 6), 16, 10).cast("long"))
+      .withColumn("w", PoissonCdf24.foldLeft(lit(0L)) {
+        (acc, t) => acc + when(col("h") >= t, 1L).otherwise(0L)
+      })
+    drawn.groupBy(col("replicate"))
+      .agg(sum(col("w")).as("n_drawn"),
+        sum(col("w") * col("cents")).as("boot_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("replicate"), col("n_drawn"), col("boot_cents"),
+        ((col("boot_cents") - col("true_cents")).cast("double")
+          / col("true_cents").cast("double")).as("rel_err"))
+      .orderBy(col("replicate"))
+  }
+
+  val poissonBootstrapSql: String = {
+    val h = PortableSql.hexValue("m", 6)
+    val w = PoissonCdf24.map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH r AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS true_cents FROM r),
+      |d AS (
+      |  SELECT o_orderkey, cents, replicate,
+      |    md5('boot' || CAST(replicate AS VARCHAR) || ':'
+      |        || CAST(o_orderkey AS VARCHAR)) AS m
+      |  FROM (SELECT o_orderkey, cents, CAST(unnest([1, 2, 3]) AS BIGINT)
+      |          AS replicate FROM r) x),
+      |hh AS (SELECT replicate, cents, $h AS h FROM d),
+      |wt AS (SELECT replicate, cents, CAST($w AS BIGINT) AS w FROM hh),
+      |g AS (
+      |  SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_drawn,
+      |    CAST(SUM(w * cents) AS BIGINT) AS boot_cents
+      |  FROM wt GROUP BY replicate)
+      |SELECT replicate, n_drawn, boot_cents,
+      |  CAST(boot_cents - true_cents AS DOUBLE) / CAST(true_cents AS DOUBLE)
+      |    AS rel_err
+      |FROM g, t ORDER BY replicate""".stripMargin
+  }
 }

@@ -1739,6 +1739,67 @@ object TextQueries {
       |FROM tk LEFT JOIN vocab v USING (term)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- per-document keyword extraction ---------------------------------------
+  /** Top-3 TF-IDF keywords per document — the per-DOC leg of the
+    * corpus-level [[tfidfTerms]]: the extracted keywords a search
+    * index, dedup explainer, or topic labeler attaches to every
+    * document. Score = tf · (lnµ(N) − lnµ(df)) with tf, N, df exact
+    * BIGINTs and the idf an integer micronat — so the score is an
+    * exact BIGINT and the per-doc rank can't flip on float noise; ties
+    * break on the term string. The reported tfidf scales by one IEEE
+    * division.
+    *
+    * Shape: one tokenize pass → (doc, term) tf aggregate; df is a
+    * term-keyed aggregate of that SAME intermediate joined back
+    * term-keyed (no second corpus scan); the top-3 cut is a rank
+    * window bounded per doc.
+    */
+  def docKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val tf = graft.Graft.materialize(
+      docs(s, dir).select(col("doc_id"), explode(words).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (lnMicro(col("n_docs")) - lnMicro(col("df"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"),
+        (col("score").cast("double") / 1e6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val docKeywordsSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tk WHERE len(term) > 0 GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |      FROM documents),
+      |sc AS (
+      |  SELECT doc_id, tf.term,
+      |    tf * (CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+      |        - CAST(round(ln(CAST(df AS DOUBLE)) * 1e6) AS BIGINT)) AS score
+      |  FROM tf JOIN df ON tf.term = df.term, n),
+      |r AS (
+      |  SELECT doc_id, term, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |  FROM sc)
+      |SELECT doc_id, rnk, term, score, CAST(score AS DOUBLE) / 1e6 AS tfidf
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   // --- Jensen–Shannon divergence between language vocabularies --------------
   /** Jensen–Shannon divergence between the English and German term
     * distributions (Lin, IEEE IT 1991) — the symmetric, finite

@@ -328,6 +328,61 @@ class MiningSpec extends SparkSpec {
     ents.foreach { case (_, h) => assert(h >= -1e-9) }
   }
 
+  test("poissonBootstrap: exact draw replay; weights follow Poisson(1)") {
+    val out = graft.queries.Sampling.poissonBootstrap(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thresholds = Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L, 16767247L, 16775819L, 16777044L, 16777197L)
+    def weight(rep: Long, key: Long): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot$rep:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(m.substring(0, 6), 16)
+      thresholds.count(h >= _).toLong
+    }
+    val trueCents = orders.map(_._2).sum
+    out.foreach { r =>
+      val rep = r.getLong(0)
+      val ws = orders.map { case (k, c) => (weight(rep, k), c) }
+      assert(r.getLong(1) == ws.map(_._1).sum)
+      val boot = ws.map { case (w, c) => w * c }.sum
+      assert(r.getLong(2) == boot)
+      assert(r.getDouble(3) ==
+        (boot - trueCents).toDouble / trueCents.toDouble)
+      // Poisson(1) sanity: mean weight within a loose CLT band of 1
+      val meanW = ws.map(_._1).sum.toDouble / ws.length
+      assert(math.abs(meanW - 1.0) < 0.2, s"replicate $rep mean $meanW")
+    }
+  }
+
+  test("docKeywords: exact tf-idf micronat replay of the per-doc top-3") {
+    val out = graft.queries.TextQueries.docKeywords(spark, sf).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = Tables.load(spark, sf, "documents")
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
+    def lnMu(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = tf.keys.map(_._1).toSeq.distinct.sorted.flatMap { d =>
+      tf.collect { case ((dd, t), f) if dd == d =>
+        (t, f * (lnMu(nDocs) - lnMu(df(t))))
+      }.toSeq.sortBy { case (t, sc) => (-sc, t) }.take(3).zipWithIndex
+        .map { case ((t, sc), i) => (d, i + 1L, t, sc) }
+    }
+    val got = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)
