@@ -748,6 +748,59 @@ object GraphQueries {
       |   FROM e e1 JOIN e e2 ON e2.u = e1.v
       |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
 
+  // --- global clustering coefficient ------------------------------------------
+  /** Global clustering coefficient (transitivity) of the co-purchase
+    * graph: C = 3·triangles / wedges (Watts & Strogatz 1998's global
+    * variant) — how much of the neighborhood structure closes into
+    * triangles, the one-number cohesion summary read beside the raw
+    * triangle count. Wedges = Σ_v deg(v)·(deg(v)−1)/2 is an exact
+    * BIGINT from one degree aggregate (deg·(deg−1) is always even, so
+    * the halving is exact integer division); the triangle count reuses
+    * [[triangleCount]]'s oriented sorted-intersect spelling. The ratio
+    * is one IEEE division of exact integers.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val tri = triangleCount(s, dir).select(col("n_triangles"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        (lit(3.0) * col("n_triangles").cast("double")
+          / col("n_wedges").cast("double")).as("transitivity"))
+  }
+
+  val clusteringCoeffSql: String = {
+    val half = PortableSql.intDiv("deg * (deg - 1)", "2")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |d AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e) n
+      |  GROUP BY node),
+      |w AS (SELECT CAST(SUM($half) AS BIGINT) AS n_wedges FROM d),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT n_triangles, n_wedges,
+      |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+      |    AS transitivity
+      |FROM t, w""".stripMargin
+  }
+
   // --- bounded k-core peel ----------------------------------------------------
   /** Bounded k-core decomposition of the trade graph (Seidman, Social
     * Networks 1983): `rounds` synchronous peels each drop every node

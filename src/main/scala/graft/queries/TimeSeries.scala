@@ -346,6 +346,181 @@ object TimeSeries {
       |FROM v""".stripMargin
   }
 
+  // --- Wald–Wolfowitz runs test ----------------------------------------------
+  /** Runs test for randomness of daily revenue around its median
+    * (Wald & Wolfowitz, Ann. Math. Stat. 1940): days are signed
+    * above/below the median (median-equal days dropped, the standard
+    * convention), runs of equal sign are counted, and the count is
+    * compared to its null mean 1 + 2·n₊·n₋/n — too few runs means
+    * trending/clustering, too many means oscillation. The third
+    * nonparametric leg beside [[theilSen]] (magnitude) and
+    * [[mannKendall]] (monotone significance): it detects NON-monotone
+    * structure the other two can't.
+    *
+    * Exactness: the median is the exact lower positional order
+    * statistic (BIGINT dollars), signs and the run count are exact
+    * integers (a run starts where lag(sign) differs — one window
+    * pass), and mean/variance/z are a fixed IEEE chain on exact
+    * counts. All windows ride the day grid.
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val series = Graft.materialize(
+      dailyRevenue(s, dir).select(col("d"),
+        expr("rev_cents div 100").as("x")))
+    val m = series.count()
+    val med = series
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("x"), col("d"))).cast("long"))
+      .filter(col("i") === (m + 1) / 2)
+      .select(col("x").as("med"))
+    val signed = series.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("d"), when(col("x") > col("med"), 1L).otherwise(-1L).as("sgn"))
+    val wOrd = Window.orderBy(col("d"))
+    signed
+      .withColumn("brk",
+        when(lag(col("sgn"), 1).over(wOrd).isNull
+          || lag(col("sgn"), 1).over(wOrd) =!= col("sgn"), 1L).otherwise(0L))
+      .agg(sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_neg"),
+        sum(col("brk")).as("n_runs"))
+      .select(col("n_pos"), col("n_neg"), col("n_runs"),
+        ((col("n_runs").cast("double")
+          - (lit(1.0) + lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")
+            / (col("n_pos") + col("n_neg")).cast("double")))
+          / sqrt((lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")
+            * (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")
+              - (col("n_pos") + col("n_neg")).cast("double")))
+            / ((col("n_pos") + col("n_neg")).cast("double")
+              * (col("n_pos") + col("n_neg")).cast("double")
+              * ((col("n_pos") + col("n_neg")).cast("double") - 1.0))))
+          .as("z"))
+  }
+
+  val runsTestSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    val mid = PortableSql.intDiv("m + 1", "2")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT d, $dollars AS x FROM rev),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM x),
+      |md AS (
+      |  SELECT x AS med FROM
+      |    (SELECT x, CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS i
+      |     FROM x) r, mm
+      |  WHERE i = $mid),
+      |sg AS (
+      |  SELECT d, CASE WHEN x > med THEN 1 ELSE -1 END AS sgn
+      |  FROM x, md WHERE x <> med),
+      |br AS (
+      |  SELECT sgn,
+      |    CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+      |           OR LAG(sgn) OVER (ORDER BY d) <> sgn
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM sg),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |    CAST(SUM(brk) AS BIGINT) AS n_runs
+      |  FROM br)
+      |SELECT n_pos, n_neg, n_runs,
+      |  (CAST(n_runs AS DOUBLE)
+      |    - (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |        / CAST(n_pos + n_neg AS DOUBLE)))
+      |  / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |      * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |         - CAST(n_pos + n_neg AS DOUBLE)))
+      |     / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+      |        * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))) AS z
+      |FROM agg""".stripMargin
+  }
+
+  // --- Spearman rank correlation over the day grid ----------------------------
+  /** Spearman rank correlation between daily revenue and daily order
+    * count — "do busier days make proportionally more money" measured
+    * robustly (Spearman 1904): Pearson over DOUBLED average ranks (the
+    * [[Drift.mannWhitney]] tie trick keeps tied ranks integer-exact),
+    * computed on the day grid where rank³-scale moments stay far
+    * inside BIGINT (the fact-table version would overflow — that
+    * restriction is exactly why this runs on the aggregate).
+    */
+  def spearmanDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Graft.materialize(Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("rev"), count(lit(1)).as("cnt")))
+    // doubled average rank of v within the grid: 2·rank_avg =
+    // 2·(count of smaller) + (count of equal) + 1 — exact integers via
+    // two window counts
+    def drank(v: Column, out: String): Column = {
+      val wLess = Window.orderBy(v).rangeBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy(v).rangeBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      (lit(2L) * coalesce(count(lit(1)).over(wLess), lit(0L))
+        + (count(lit(1)).over(wAll) - count(lit(1)).over(wLess)) + 1L).as(out)
+    }
+    val ranked = daily
+      .withColumn("ra", drank(col("rev"), "ra"))
+      .withColumn("rb", drank(col("cnt"), "rb"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("ra")).as("sa"),
+      sum(col("rb")).as("sb"), sum(col("ra") * col("rb")).as("sab"),
+      sum(col("ra") * col("ra")).as("saa"),
+      sum(col("rb") * col("rb")).as("sbb"))
+      .select(col("n").as("n_days"),
+        ((col("n").cast("double") * col("sab").cast("double")
+          - col("sa").cast("double") * col("sb").cast("double"))
+          / sqrt((col("n").cast("double") * col("saa").cast("double")
+            - col("sa").cast("double") * col("sa").cast("double"))
+            * (col("n").cast("double") * col("sbb").cast("double")
+              - col("sb").cast("double") * col("sb").cast("double"))))
+          .as("rho"))
+  }
+
+  val spearmanDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT
+      |    2 * (CAST(COUNT(*) OVER (ORDER BY rev RANGE BETWEEN UNBOUNDED
+      |           PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         - CAST(COUNT(*) OVER (ORDER BY rev RANGE BETWEEN CURRENT ROW
+      |           AND CURRENT ROW) AS BIGINT))
+      |      + CAST(COUNT(*) OVER (ORDER BY rev RANGE BETWEEN CURRENT ROW
+      |          AND CURRENT ROW) AS BIGINT) + 1 AS ra,
+      |    2 * (CAST(COUNT(*) OVER (ORDER BY cnt RANGE BETWEEN UNBOUNDED
+      |           PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         - CAST(COUNT(*) OVER (ORDER BY cnt RANGE BETWEEN CURRENT ROW
+      |           AND CURRENT ROW) AS BIGINT))
+      |      + CAST(COUNT(*) OVER (ORDER BY cnt RANGE BETWEEN CURRENT ROW
+      |          AND CURRENT ROW) AS BIGINT) + 1 AS rb
+      |  FROM daily),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ra) AS BIGINT) AS sa,
+      |    CAST(SUM(rb) AS BIGINT) AS sb, CAST(SUM(ra * rb) AS BIGINT) AS sab,
+      |    CAST(SUM(ra * ra) AS BIGINT) AS saa,
+      |    CAST(SUM(rb * rb) AS BIGINT) AS sbb
+      |  FROM rk)
+      |SELECT n AS n_days,
+      |  (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+      |     - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rho
+      |FROM mo""".stripMargin
+
   val autocorrelationSql: String = {
     val dollars = PortableSql.intDiv("rev_cents", "100")
     s"""WITH rev AS (

@@ -383,6 +383,80 @@ class MiningSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("runsTest: exact run-count replay around the positional median") {
+    val out = graft.queries.TimeSeries.runsTest(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val series = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .groupBy("d").agg(sum(col("c")).as("rc"))
+      .collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getLong(1) / 100))
+    val m = series.length
+    val med = series.sortBy(x => (x._2, x._1.toEpochDay)).apply((m + 1) / 2 - 1)._2
+    val signs = series.sortBy(_._1.toEpochDay)
+      .filter(_._2 != med).map(x => if (x._2 > med) 1 else -1)
+    val nPos = signs.count(_ == 1).toLong
+    val nNeg = signs.count(_ == -1).toLong
+    val nRuns = (1 +
+      signs.sliding(2).count { case Array(a, b) => a != b; case _ => false }).toLong
+    assert(r.getLong(0) == nPos && r.getLong(1) == nNeg && r.getLong(2) == nRuns)
+    val n = (nPos + nNeg).toDouble
+    val mean = 1.0 + 2.0 * nPos.toDouble * nNeg.toDouble / n
+    val variance = (2.0 * nPos.toDouble * nNeg.toDouble
+      * (2.0 * nPos.toDouble * nNeg.toDouble - n)) / (n * n * (n - 1.0))
+    assert(math.abs(r.getDouble(3) - (nRuns.toDouble - mean) / math.sqrt(variance)) < 1e-12)
+  }
+
+  test("spearmanDaily: exact doubled-rank Pearson replay; |rho| <= 1") {
+    val out = graft.queries.TimeSeries.spearmanDaily(spark, sf).collect()
+    assert(out.length == 1)
+    val daily = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .groupBy("d").agg(sum(col("c")).as("rev"), count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    def dranks(vs: Seq[Long]): Seq[Long] =
+      vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1)
+    val ra = dranks(daily.map(_._1).toSeq)
+    val rb = dranks(daily.map(_._2).toSeq)
+    val n = daily.length.toDouble
+    val (sa, sb) = (ra.sum.toDouble, rb.sum.toDouble)
+    val sab = ra.zip(rb).map { case (a, b) => a * b }.sum.toDouble
+    val saa = ra.map(a => a * a).sum.toDouble
+    val sbb = rb.map(b => b * b).sum.toDouble
+    val rho = (n * sab - sa * sb) /
+      math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    assert(out.head.getLong(0) == daily.length.toLong)
+    assert(math.abs(out.head.getDouble(1) - rho) < 1e-12)
+    assert(math.abs(rho) <= 1.0 + 1e-12)
+  }
+
+  test("clusteringCoeff: wedge count replay; transitivity consistent with triangles") {
+    val out = graft.queries.GraphQueries.clusteringCoeff(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { g =>
+      val pks = g.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(r.getLong(1) == wedges)
+    assert(r.getDouble(2) ==
+      3.0 * r.getLong(0).toDouble / wedges.toDouble)
+    // transitivity is a proper fraction of closed wedges
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)
