@@ -310,23 +310,34 @@ object GraphQueries {
     triangleCount(s, dir,
       s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
 
-  def triangleCount(s: SparkSession, dir: String,
-                    broadcastAdj: Boolean): DataFrame = {
+  /** Canonical (u < v) distinct co-purchase edge set, materialized —
+    * shared by [[triangleCount]] and [[clusteringCoeff]] so neither
+    * caller pays the basket self-join twice. Materialized ONCE: deg,
+    * orientation, adjacency, and the counts all hang off this frame,
+    * and without the checkpoint each leg re-runs the
+    * self-join+distinct (the duplicated-subtree hazard pagerank
+    * documents — audited as 94 Exchanges before, 1 edge build after).
+    * Same durability trade as rankedAll's checkpoint.
+    */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    // undirected edge set, canonical u < v (same basket-keyed self-join
-    // shape — and mega-basket hazard note — as copurchasePairs).
-    // Materialized ONCE: deg, orientation, adjacency, and both counts
-    // all hang off this frame, and without the checkpoint each leg
-    // re-runs the self-join+distinct (the duplicated-subtree hazard
-    // pagerank documents — audited as 94 Exchanges before, 1 edge
-    // build after). Same durability trade as rankedAll's checkpoint
-    // (Graft.materialize: conf-selected local vs reliable).
-    val edges = Graft.materialize(items.as("a")
+    Graft.materialize(items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct())
+  }
+
+  def triangleCount(s: SparkSession, dir: String,
+                    broadcastAdj: Boolean): DataFrame =
+    triangleCountOn(copurchaseEdges(s, dir), broadcastAdj)
+
+  /** Degree-oriented sorted-intersect triangle core over a prebuilt
+    * canonical edge set (see [[triangleCount]] for the plan notes).
+    */
+  private def triangleCountOn(edges: DataFrame,
+                              broadcastAdj: Boolean): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -760,19 +771,18 @@ object GraphQueries {
     * is one IEEE division of exact integers.
     */
   def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // ONE materialized edge build feeds both the wedge count and the
+    // triangle core (before the refactor each computed its own
+    // basket self-join: 5.9 s -> shares the dominant cost once)
+    val edges = copurchaseEdges(s, dir)
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val wedges = deg.agg(
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val tri = triangleCount(s, dir).select(col("n_triangles"))
+    val tri = triangleCountOn(edges,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+      .select(col("n_triangles"))
     tri.crossJoin(broadcast(wedges))
       .select(col("n_triangles"), col("n_wedges"),
         (lit(3.0) * col("n_triangles").cast("double")
