@@ -811,6 +811,71 @@ object GraphQueries {
       |FROM t, w""".stripMargin
   }
 
+  // --- neighbor-Jaccard link scoring --------------------------------------------
+  /** Top-20 co-purchase edges by neighborhood Jaccard — the classic
+    * link-prediction / tie-strength score (Liben-Nowell & Kleinberg,
+    * CIKM 2003): J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, with the
+    * union via inclusion-exclusion (deg_u + deg_v − common) so only
+    * the intersection is ever computed. A high-Jaccard edge is an
+    * embedded tie (shared context); a low one is a bridge.
+    *
+    * Reuses the triangle machinery end-to-end: the SAME materialized
+    * canonical edge set, sorted FULL adjacency lists (both directions
+    * this time — Jaccard needs whole neighborhoods, not an
+    * orientation), and the codegen'd SortedLongIntersectSize for the
+    * per-edge common count. Counts are exact BIGINTs; Jaccard is one
+    * IEEE division; top-20 breaks ties on (u, v).
+    */
+  def linkJaccard(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val full = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val adj = full.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"),
+        count(lit(1)).as("deg"))
+    val scored = edges
+      .join(broadcast(adj.select(col("node").as("nu"), col("nbrs").as("au"),
+        col("deg").as("du"))), col("u") === col("nu"))
+      .join(broadcast(adj.select(col("node").as("nv"), col("nbrs").as("av"),
+        col("deg").as("dv"))), col("v") === col("nv"))
+      .select(col("u"), col("v"), col("du"), col("dv"),
+        graft.functions.SortedLongIntersectSize(col("au"), col("av"))
+          .cast("long").as("common"))
+    scored
+      .select(col("u"), col("v"), col("common"),
+        (col("common").cast("double")
+          / (col("du") + col("dv") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  val linkJaccardSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |f AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |      FROM f GROUP BY u),
+      |cm AS (
+      |  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM e JOIN f fu ON fu.u = e.u JOIN f fv ON fv.u = e.v
+      |    AND fv.v = fu.v
+      |  GROUP BY e.u, e.v),
+      |sc AS (
+      |  SELECT e.u, e.v, COALESCE(cm.common, 0) AS common,
+      |    CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |      / CAST(du.deg + dv.deg - COALESCE(cm.common, 0) AS DOUBLE)
+      |      AS jaccard
+      |  FROM e
+      |  JOIN d du ON du.node = e.u
+      |  JOIN d dv ON dv.node = e.v
+      |  LEFT JOIN cm ON cm.u = e.u AND cm.v = e.v)
+      |SELECT u, v, CAST(common AS BIGINT) AS common, jaccard
+      |FROM sc ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin
+
   // --- bounded k-core peel ----------------------------------------------------
   /** Bounded k-core decomposition of the trade graph (Seidman, Social
     * Networks 1983): `rounds` synchronous peels each drop every node

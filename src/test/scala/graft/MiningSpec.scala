@@ -457,6 +457,30 @@ class MiningSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("linkJaccard: brute-force neighborhood replay of the top-20") {
+    val out = graft.queries.GraphQueries.linkJaccard(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { g =>
+      val pks = g.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val nbrs = edges.toSeq.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val scored = edges.toSeq.map { case (u, v) =>
+      val common = (nbrs(u) & nbrs(v)).size.toLong
+      val jac = common.toDouble / (nbrs(u).size + nbrs(v).size - common).toDouble
+      (u, v, common, jac)
+    }.sortBy { case (u, v, _, j) => (-j, u, v) }.take(20)
+    val got = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == scored)
+    got.foreach { case (_, _, _, j) => assert(j >= 0.0 && j <= 1.0) }
+  }
+
   test("sessionPaths: brute-force trigram recount of the top-10") {
     val out = EventQueries.sessionPaths(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 10)
