@@ -243,9 +243,14 @@ object TimeSeries {
         expr("rev_cents div 100").as("x")))
     val a = series.select(col("t").as("ta"), col("x").as("xa"))
     val b = series.select(col("t").as("tb"), col("x").as("xb"))
-    val slopes = a.join(broadcast(b), col("ta") < col("tb"))
-      .select(((col("xb") - col("xa")).cast("double")
-        / (col("tb") - col("ta")).cast("double")).as("slope"))
+    // materialized: the pair count and the rank window both read the
+    // slope multiset, and without the cut the nested-loop pairing
+    // executes twice (caught by a plan dump: two BroadcastNestedLoop
+    // nodes over the same series)
+    val slopes = Graft.materialize(
+      a.join(broadcast(b), col("ta") < col("tb"))
+        .select(((col("xb") - col("xa")).cast("double")
+          / (col("tb") - col("ta")).cast("double")).as("slope")))
     val m = slopes.agg(count(lit(1)).as("m"))
     slopes
       .withColumn("rnk", row_number().over(Window.orderBy(col("slope")))

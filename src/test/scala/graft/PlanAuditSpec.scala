@@ -241,13 +241,14 @@ class PlanAuditSpec extends SparkSpec {
       s"in-day running sum must partition by day:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in the sweep:\n$p")
     // theilSen: the pairing is the INTENTIONAL bounded nested-loop over
-    // the day-aggregated series (broadcast build side), never a
-    // fact-table cross — the plan reads only the materialized series
+    // the day-aggregated series, materialized ONCE — so the final plan
+    // must read the slope multiset from the checkpoint (ExistingRDD),
+    // never re-run the pairing (no nested loop) or touch parquet
     val ts = planOf(graft.queries.TimeSeries.theilSen(spark, sf))
-    assert(ts.contains("BroadcastNestedLoopJoin"),
-      s"pairing must be the broadcast nested loop over the series:\n$ts")
-    assert(!ts.contains("Scan parquet"),
-      s"pairing reads the materialized day series, not parquet:\n$ts")
+    assert(!ts.contains("BroadcastNestedLoopJoin"),
+      s"pairing must run once inside the materialization:\n$ts")
+    assert(ts.contains("Scan ExistingRDD") && !ts.contains("Scan parquet"),
+      s"median must read the materialized slope multiset:\n$ts")
   }
 
   test("mining batch: keyed joins only; cohort window rides the grid") {
