@@ -91,13 +91,39 @@ object MinHashDedup {
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard.
     * Output: (a_id, b_id, jaccard) for pairs with jaccard >= minJaccard.
+    *
+    * Degenerate-corpus bound: a pile of near-identical documents
+    * collapses into ONE (band, bucket), and an uncapped self-join
+    * there goes quadratic in the pile size. Bucket membership is
+    * therefore capped at `maxBucket` lowest-id docs per (band, bucket)
+    * — the SemDeDup `maxCell` WindowGroupLimit discipline
+    * ([[graft.queries.EmbeddingQueries.semDedupCandidates]]): the
+    * rank filter pushes into the exchange as a map-side group limit.
+    * Only the a-side is capped (the SemDeDup shape): per bucket the
+    * candidate volume is O(maxBucket · |bucket|) instead of
+    * |bucket|²; a capped pile still chains into one dup cluster
+    * because every doc pairs with the pile's lowest-id heads across
+    * 16 independent bands (recall on genuinely distinct near-dups is
+    * untouched — real buckets are far below the cap). Configurable
+    * via `spark.graft.lsh.maxBucket`, default 4096.
     */
   def nearDupPairs(s: SparkSession, dir: String,
-                   minJaccard: Double = 0.2): DataFrame = {
-    val buckets = signatureCols(s, dir)
+                   minJaccard: Double = 0.2): DataFrame =
+    nearDupPairs(s, dir, minJaccard,
+      s.conf.get("spark.graft.lsh.maxBucket", "4096").toInt)
+
+  def nearDupPairs(s: SparkSession, dir: String, minJaccard: Double,
+                   maxBucket: Int): DataFrame = {
+    val buckets0 = signatureCols(s, dir)
       .select(col("doc_id"), posexplode(bandArray(col("sig"))).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val heads = buckets0
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= maxBucket) // WindowGroupLimit: map-side cap
+      .drop("rk")
+    val a = heads.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = buckets0.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))

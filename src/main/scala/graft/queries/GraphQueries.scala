@@ -181,6 +181,16 @@ object GraphQueries {
     */
   def basketRules(s: SparkSession, dir: String,
                   minSupport: Long = 3): DataFrame = {
+    // the part-frequency table grows with the catalog (2e5·SF rows) —
+    // broadcast-sized at test SFs, data-sized at 100 TB. Same gate as
+    // the triangle family: broadcastAdj=false swaps each freq join to
+    // a shuffled hash join keyed on the part id, so no part-keyed
+    // table has to fit on one executor. nOrders stays a 1-row
+    // broadcast (a scalar, scale-invariant).
+    val side: DataFrame => DataFrame =
+      if (s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+        broadcast
+      else _.hint("shuffle_hash")
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -197,9 +207,9 @@ object GraphQueries {
       .unionByName(undirected.select(col("y").as("part_a"),
         col("x").as("part_b"), col("n_together")))
     directed
-      .join(broadcast(freq.withColumnRenamed("pk", "part_a")
+      .join(side(freq.withColumnRenamed("pk", "part_a")
         .withColumnRenamed("n_part", "n_a")), "part_a")
-      .join(broadcast(freq.withColumnRenamed("pk", "part_b")
+      .join(side(freq.withColumnRenamed("pk", "part_b")
         .withColumnRenamed("n_part", "n_b")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_together"),
@@ -825,18 +835,40 @@ object GraphQueries {
     * orientation), and the codegen'd SortedLongIntersectSize for the
     * per-edge common count. Counts are exact BIGINTs; Jaccard is one
     * IEEE division; top-20 breaks ties on (u, v).
+    *
+    * Scale posture mirrors [[triangleCount]]: the node-keyed adjacency
+    * grows with the part catalog (2e5·SF nodes, hot-hub neighbor
+    * lists), so it is data-sized at 100 TB, not broadcast-sized.
+    * `spark.graft.triangles.broadcastAdj=false` runs the SAME two
+    * joins SHUFFLE_HASH-hinted on u/v — the adjacency is materialized
+    * once and exchanged per join (edge-volume, never pair-volume) and
+    * no node-keyed table ever has to fit on one executor. Both
+    * spellings are registered (`graph_link_jaccard` /
+    * `graph_link_jaccard_partitioned`), oracle-equal, and
+    * PlanAuditSpec pins the partitioned plan to zero
+    * BroadcastHashJoin over the adjacency.
     */
-  def linkJaccard(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def linkJaccard(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    linkJaccard(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def linkJaccard(s: SparkSession, dir: String, k: Int,
+                  broadcastAdj: Boolean): DataFrame = {
     val edges = copurchaseEdges(s, dir)
     val full = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
-    val adj = full.groupBy(col("u").as("node"))
+    val adj0 = full.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"),
         count(lit(1)).as("deg"))
+    // partitioned mode consumes the adjacency in TWO shuffled joins —
+    // materialize once (broadcast mode computes it once driver-side)
+    val adj = if (broadcastAdj) adj0 else Graft.materialize(adj0)
+    val side: DataFrame => DataFrame =
+      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
     val scored = edges
-      .join(broadcast(adj.select(col("node").as("nu"), col("nbrs").as("au"),
+      .join(side(adj.select(col("node").as("nu"), col("nbrs").as("au"),
         col("deg").as("du"))), col("u") === col("nu"))
-      .join(broadcast(adj.select(col("node").as("nv"), col("nbrs").as("av"),
+      .join(side(adj.select(col("node").as("nv"), col("nbrs").as("av"),
         col("deg").as("dv"))), col("v") === col("nv"))
       .select(col("u"), col("v"), col("du"), col("dv"),
         graft.functions.SortedLongIntersectSize(col("au"), col("av"))

@@ -1617,9 +1617,11 @@ object Relational {
     * tests: does ANY priority class carry systematically different
     * order values?
     *
-    * Determinism: per-group moments (n, Σx, Σx²) are exact BIGINTs in
-    * whole dollars ([[TimeSeries.autocorrelation]]'s unit choice —
-    * dollars² sums stay far inside BIGINT where cents² would not).
+    * Determinism: per-group n and Σx are exact BIGINTs in whole
+    * dollars; Σx² accumulates in DECIMAL(38,0) on BOTH engines
+    * (group row counts grow as ~3e5·SF with x² ~ 2e10, so a BIGINT
+    * square sum would wrap silently near SF 1000 — the
+    * [[TimeSeries.autocorrelation]] decimal-moments rule).
     * The between-group sum Σ S_g²/n_g mixes doubles across groups, so
     * it accumulates via a CUMULATIVE WINDOW over the mode-ordered
     * 7-row group grid — both engines then add in the same left-to-
@@ -1637,7 +1639,8 @@ object Relational {
       .select(col("o_orderpriority").as("mode"), x.as("x"))
       .groupBy(col("mode"))
       .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
-        sum(col("x") * col("x")).as("ss_g"))
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("ss_g"))
     val wOrd = Window.orderBy(col("mode"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = g
@@ -1665,7 +1668,8 @@ object Relational {
     s"""WITH v AS (SELECT o_orderpriority AS mode, $dollars AS x FROM orders),
       |g AS (
       |  SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_g,
-      |    CAST(SUM(x) AS BIGINT) AS s_g, CAST(SUM(x * x) AS BIGINT) AS ss_g
+      |    CAST(SUM(x) AS BIGINT) AS s_g,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS ss_g
       |  FROM v GROUP BY mode),
       |c AS (
       |  SELECT mode, n_g, s_g, ss_g,
@@ -1675,7 +1679,7 @@ object Relational {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_term
       |  FROM g),
       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
-      |             CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(ss_g) AS BIGINT) AS ss
+      |             CAST(SUM(s_g) AS BIGINT) AS s, SUM(ss_g) AS ss
       |      FROM g),
       |f AS (
       |  SELECT k, n,
@@ -1694,10 +1698,13 @@ object Relational {
     * nation — the antitrust-style concentration scalar (HHI > 0.25 =
     * highly concentrated) that complements [[giniSpend]]'s customer-side
     * inequality: HHI = Σᵢ shareᵢ² = Σ sᵢ² / S² with sᵢ the supplier's
-    * revenue in WHOLE DOLLARS (dollars² keeps the square sum in BIGINT
-    * where cents² would overflow — the [[TimeSeries.autocorrelation]]
-    * unit rule). Both sums are exact BIGINTs; the index is one IEEE
-    * division. Shape: lineitem joins the supplier dim (broadcast),
+    * revenue in WHOLE DOLLARS. Per-supplier revenue is ~2.3e7 dollars
+    * (constant in SF) but suppliers-per-nation grow as ~400·SF, so the
+    * per-nation square sum is ~2e17·SF — past BIGINT near SF 45. The
+    * square sum therefore accumulates in DECIMAL(38,0) on BOTH
+    * engines (exact past SF 1e20); the linear total stays BIGINT and
+    * the index is one IEEE division on correctly-rounded casts.
+    * Shape: lineitem joins the supplier dim (broadcast),
     * aggregates to (nation, supplier), then to nation — nothing larger
     * than the supplier grid is exchanged.
     */
@@ -1714,7 +1721,8 @@ object Relational {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
     bySupp.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("total_dollars"),
-        sum(col("rev") * col("rev")).as("sq"))
+        sum(col("rev").cast("decimal(18,0)") * col("rev").cast("decimal(18,0)"))
+          .as("sq"))
       .select(col("n_name"), col("n_suppliers"), col("total_dollars"),
         (col("sq").cast("double") /
           (col("total_dollars").cast("double")
@@ -1734,7 +1742,7 @@ object Relational {
       |g AS (
       |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
       |    CAST(SUM(rev) AS BIGINT) AS total_dollars,
-      |    CAST(SUM(rev * rev) AS BIGINT) AS sq
+      |    SUM(CAST(rev AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(18,0))) AS sq
       |  FROM rev JOIN sup ON l_suppkey = s_suppkey
       |  GROUP BY n_name)
       |SELECT n_name, n_suppliers, total_dollars,

@@ -129,8 +129,17 @@ object TimeSeries {
     * the binary-segmentation first split). Ranked by |D_t| desc with
     * date as the deterministic tiebreak.
     *
-    * Bounds: prefix ≤ total ≤ ~1e14 micro-cents-scale and n ≤ ~1e4
-    * days, so n·prefix stays far inside BIGINT.
+    * Bounds: total cents grow linearly with SF (~2.3e13·SF), so
+    * n·prefix passes Long.MaxValue near SF 40 and a BIGINT D would
+    * wrap silently with ANSI off. D is therefore formed in exact
+    * DECIMAL arithmetic on BOTH engines (operands cast to
+    * DECIMAL(6,0)/DECIMAL(30,0) so products stay inside each engine's
+    * 38-digit multiply limit — exact past SF 1e20) and the |D| RANKING
+    * compares those exact decimals; only the REPORTED d_stat is the
+    * correctly-rounded double of the exact value. No DECIMAL(38,·)
+    * output column: r7 showed SUM→DECIMAL(38) narrows through HUGEINT
+    * differently across DuckDB versions, so the oracle contract keeps
+    * decimals internal.
     */
   def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
     // day-sized cut: the totals aggregate and the prefix scoring both
@@ -144,13 +153,15 @@ object TimeSeries {
       .withColumn("prefix", sum(col("rev_cents")).over(wOrd))
       .crossJoin(broadcast(tot))
       .select(col("d"), col("n_days"),
-        (col("n_days") * col("prefix") - col("t") * col("total"))
-          .as("d_stat"))
+        (col("n_days").cast("decimal(6,0)") * col("prefix").cast("decimal(30,0)")
+          - col("t").cast("decimal(6,0)") * col("total").cast("decimal(30,0)"))
+          .as("d_exact"))
     scored
       .withColumn("rnk", row_number().over(
-        Window.orderBy(abs(col("d_stat")).desc, col("d"))).cast("long"))
+        Window.orderBy(abs(col("d_exact")).desc, col("d"))).cast("long"))
       .filter(col("rnk") <= 5)
-      .select(col("rnk"), col("d"), col("d_stat"), col("n_days"))
+      .select(col("rnk"), col("d"),
+        col("d_exact").cast("double").as("d_stat"), col("n_days"))
       .orderBy(col("rnk"))
   }
 
@@ -170,12 +181,14 @@ object TimeSeries {
       |      AS prefix
       |  FROM rev),
       |sc AS (
-      |  SELECT d, n_days, n_days * prefix - t * total AS d_stat
+      |  SELECT d, n_days,
+      |    CAST(n_days AS DECIMAL(6,0)) * CAST(prefix AS DECIMAL(30,0))
+      |      - CAST(t AS DECIMAL(6,0)) * CAST(total AS DECIMAL(30,0)) AS d_exact
       |  FROM p, tot),
       |r AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY abs(d_stat) DESC, d)
+      |  SELECT CAST(row_number() OVER (ORDER BY abs(d_exact) DESC, d)
       |              AS BIGINT) AS rnk,
-      |         d, d_stat, n_days
+      |         d, CAST(d_exact AS DOUBLE) AS d_stat, n_days
       |  FROM sc)
       |SELECT rnk, d, d_stat, n_days FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
@@ -184,10 +197,15 @@ object TimeSeries {
     * day-over-day and week-over-week persistence a forecaster checks
     * before picking a seasonal model — the ACF read of Box & Jenkins
     * 1970). Row-lag pairing via `lead` over the date-ordered series;
-    * whole-dollar units keep every aggregate (n, Σx, Σy, Σxy, Σx², Σy²)
-    * an exact BIGINT (cents² · series-length would overflow; dollars²
-    * stays ~10¹⁷), and the correlation itself is a fixed sequence of
-    * IEEE ops on those exact integers — the [[Drift]] discipline.
+    * linear moments (n, Σx, Σy) are exact BIGINTs in whole dollars,
+    * and the SECOND moments (Σxy, Σx², Σy²) accumulate in
+    * DECIMAL(38,0) on BOTH engines — daily dollars grow linearly with
+    * SF (~9.4e7·SF), so dollars² · series-length passes Long.MaxValue
+    * near SF 0.7 and BIGINT sums would wrap silently; DECIMAL(38,0)
+    * stays exact past SF 1e8. The correlation itself is a fixed
+    * sequence of IEEE ops on those exact values (the decimal→double
+    * cast is correctly rounded in both engines, exercised above 2^53
+    * at sf0.1 by the oracle gate) — the [[Drift]] discipline.
     *
     * Shape: one fact-table aggregation to the day-sized series
     * (materialized once), both lags derived from the SAME window pass,
@@ -201,11 +219,15 @@ object TimeSeries {
         .withColumn("x", expr("rev_cents div 100"))
         .withColumn("y1", lead(col("x"), 1).over(wOrd))
         .withColumn("y7", lead(col("x"), 7).over(wOrd)))
-    def leg(lagN: Int, y: Column): DataFrame =
+    // second moments in DECIMAL(38,0): dollar² · days wraps BIGINT
+    // near SF 0.7 (silently, with ANSI off) — decimal stays exact
+    val xd = col("x").cast("decimal(18,0)")
+    def leg(lagN: Int, y: Column): DataFrame = {
+      val yd = y.cast("decimal(18,0)")
       series.filter(y.isNotNull)
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(y).as("sy"), sum(col("x") * y).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"), sum(y * y).as("syy"))
+          sum(y).as("sy"), sum(xd * yd).as("sxy"),
+          sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
         .select(lit(lagN.toLong).as("lag"), col("n"),
           ((col("n").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double"))
@@ -214,6 +236,7 @@ object TimeSeries {
               * (col("n").cast("double") * col("syy").cast("double")
                 - col("sy").cast("double") * col("sy").cast("double"))))
             .as("acf"))
+    }
     leg(1, col("y1")).unionByName(leg(7, col("y7"))).orderBy(col("lag"))
   }
 
@@ -228,6 +251,17 @@ object TimeSeries {
     * is bit-identical in both engines; the median is the exact lower
     * positional order statistic at ceil(m/2) of that multiset — the
     * [[EventQueries]] interArrival discipline, no interpolation.
+    *
+    * The order statistic is found WITHOUT a single-partition Window:
+    * approximate quantiles bracket the median into a narrow value
+    * band (any bracketing works — the bounds only localize, never
+    * decide), an exact count of slopes strictly below the band turns
+    * the global rank into a band-local k, and a distributed
+    * TakeOrderedAndProject(k) + max reads the k-th smallest of the
+    * band. The band is ~1% of the multiset (widened in a bounded
+    * retry loop if the sketch ever misses), so the driver only ever
+    * sees k band doubles. PlanAuditSpec pins the plan to zero Window
+    * nodes.
     *
     * Scale shape: the pairing is over the DAY-AGGREGATED series (the
     * fact table collapses to one row per day first), so the quadratic
@@ -251,13 +285,35 @@ object TimeSeries {
       a.join(broadcast(b), col("ta") < col("tb"))
         .select(((col("xb") - col("xa")).cast("double")
           / (col("tb") - col("ta")).cast("double")).as("slope")))
-    val m = slopes.agg(count(lit(1)).as("m"))
-    slopes
-      .withColumn("rnk", row_number().over(Window.orderBy(col("slope")))
-        .cast("long"))
-      .crossJoin(broadcast(m))
-      .filter(col("rnk") === expr("(m + 1) div 2"))
-      .select(col("m").as("n_pairs"), col("slope").as("slope_dollars_per_day"))
+    val m = slopes.count()
+    require(m > 0, "theilSen needs a non-empty slope multiset")
+    val target = (m + 1) / 2
+    // banded exact order statistic (see scaladoc): bracket, localize,
+    // TakeOrderedAndProject. The widen loop is a correctness net for
+    // a pathological sketch miss; it terminates at the full [0,1]
+    // band, where containment is unconditional.
+    var qlo = 0.495
+    var qhi = 0.505
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      val bounds =
+        slopes.stat.approxQuantile("slope", Array(qlo, qhi), 1e-4)
+      val lo = bounds(0)
+      val hi = bounds(1)
+      val below = slopes.filter(col("slope") < lo).count()
+      val band = slopes.filter(col("slope") >= lo && col("slope") <= hi)
+      val bandN = band.count()
+      if (target > below && target <= below + bandN) {
+        val k = (target - below).toInt
+        out = Some(band.orderBy(col("slope")).limit(k)
+          .agg(max(col("slope")).as("slope_dollars_per_day"))
+          .select(lit(m).as("n_pairs"), col("slope_dollars_per_day")))
+      } else {
+        qlo = math.max(0.0, qlo - 0.1)
+        qhi = math.min(1.0, qhi + 0.1)
+      }
+    }
+    out.get
   }
 
   val theilSenSql: String = {
@@ -314,10 +370,14 @@ object TimeSeries {
         (col("n_days") * (col("n_days") - 1L)
           * (lit(2L) * col("n_days") + 5L) - col("tie_term")).as("var_num"))
       .select(col("n_days"), col("s_stat"), col("var_num"),
-        (when(col("s_stat") > 0, col("s_stat") - 1L)
-          .when(col("s_stat") < 0, col("s_stat") + 1L)
-          .otherwise(0L).cast("double")
-          / sqrt(col("var_num").cast("double") / 18.0)).as("z"))
+        // all-tied series ⇒ var_num = 0 ⇒ 0/0 = NaN; emit NULL for
+        // the degenerate case (engines disagree on NaN semantics)
+        when(col("var_num") > 0,
+          when(col("s_stat") > 0, col("s_stat") - 1L)
+            .when(col("s_stat") < 0, col("s_stat") + 1L)
+            .otherwise(0L).cast("double")
+            / sqrt(col("var_num").cast("double") / 18.0))
+          .otherwise(lit(null).cast("double")).as("z"))
   }
 
   val mannKendallSql: String = {
@@ -345,9 +405,11 @@ object TimeSeries {
       |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var_num
       |  FROM s, nn, tie)
       |SELECT n_days, s_stat, var_num,
-      |  CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
-      |            WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
-      |    / sqrt(CAST(var_num AS DOUBLE) / 18.0) AS z
+      |  CASE WHEN var_num > 0 THEN
+      |    CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+      |              WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+      |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |  ELSE NULL END AS z
       |FROM v""".stripMargin
   }
 
@@ -390,18 +452,25 @@ object TimeSeries {
         sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_neg"),
         sum(col("brk")).as("n_runs"))
       .select(col("n_pos"), col("n_neg"), col("n_runs"),
-        ((col("n_runs").cast("double")
-          - (lit(1.0) + lit(2.0) * col("n_pos").cast("double")
-            * col("n_neg").cast("double")
-            / (col("n_pos") + col("n_neg")).cast("double")))
-          / sqrt((lit(2.0) * col("n_pos").cast("double")
-            * col("n_neg").cast("double")
-            * (lit(2.0) * col("n_pos").cast("double")
+        // degenerate series (one sign absent, or n_pos = n_neg = 1)
+        // zero the variance ⇒ 0/0 = NaN; emit NULL instead — the
+        // integer guard 2·n₊·n₋ > n is exact in both engines
+        when(col("n_pos") > 0 && col("n_neg") > 0
+          && lit(2L) * col("n_pos") * col("n_neg")
+             > col("n_pos") + col("n_neg"),
+          (col("n_runs").cast("double")
+            - (lit(1.0) + lit(2.0) * col("n_pos").cast("double")
               * col("n_neg").cast("double")
-              - (col("n_pos") + col("n_neg")).cast("double")))
-            / ((col("n_pos") + col("n_neg")).cast("double")
-              * (col("n_pos") + col("n_neg")).cast("double")
-              * ((col("n_pos") + col("n_neg")).cast("double") - 1.0))))
+              / (col("n_pos") + col("n_neg")).cast("double")))
+            / sqrt((lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")
+              * (lit(2.0) * col("n_pos").cast("double")
+                * col("n_neg").cast("double")
+                - (col("n_pos") + col("n_neg")).cast("double")))
+              / ((col("n_pos") + col("n_neg")).cast("double")
+                * (col("n_pos") + col("n_neg")).cast("double")
+                * ((col("n_pos") + col("n_neg")).cast("double") - 1.0))))
+          .otherwise(lit(null).cast("double"))
           .as("z"))
   }
 
@@ -436,14 +505,17 @@ object TimeSeries {
       |    CAST(SUM(brk) AS BIGINT) AS n_runs
       |  FROM br)
       |SELECT n_pos, n_neg, n_runs,
-      |  (CAST(n_runs AS DOUBLE)
-      |    - (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
-      |        / CAST(n_pos + n_neg AS DOUBLE)))
-      |  / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
-      |      * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
-      |         - CAST(n_pos + n_neg AS DOUBLE)))
-      |     / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
-      |        * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))) AS z
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |         AND 2 * n_pos * n_neg > n_pos + n_neg THEN
+      |    (CAST(n_runs AS DOUBLE)
+      |      - (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |          / CAST(n_pos + n_neg AS DOUBLE)))
+      |    / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |        * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |           - CAST(n_pos + n_neg AS DOUBLE)))
+      |       / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+      |          * (CAST(n_pos + n_neg AS DOUBLE) - 1.0)))
+      |  ELSE NULL END AS z
       |FROM agg""".stripMargin
   }
 
@@ -538,18 +610,24 @@ object TimeSeries {
       |        lead(x, 1) OVER (ORDER BY d) AS y1,
       |        lead(x, 7) OVER (ORDER BY d) AS y7
       |      FROM x),
+      |d18 AS (SELECT x, y1, y7,
+      |          CAST(x AS DECIMAL(18,0)) AS xd,
+      |          CAST(y1 AS DECIMAL(18,0)) AS y1d,
+      |          CAST(y7 AS DECIMAL(18,0)) AS y7d
+      |        FROM l),
       |legs AS (
       |  SELECT CAST(1 AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y1) AS BIGINT) AS sy,
-      |    CAST(SUM(x * y1) AS BIGINT) AS sxy,
-      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-      |    CAST(SUM(y1 * y1) AS BIGINT) AS syy
-      |  FROM l WHERE y1 IS NOT NULL
+      |    SUM(xd * y1d) AS sxy,
+      |    SUM(xd * xd) AS sxx,
+      |    SUM(y1d * y1d) AS syy
+      |  FROM d18 WHERE y1 IS NOT NULL
       |  UNION ALL
       |  SELECT 7, CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT),
-      |    CAST(SUM(y7) AS BIGINT), CAST(SUM(x * y7) AS BIGINT),
-      |    CAST(SUM(x * x) AS BIGINT), CAST(SUM(y7 * y7) AS BIGINT)
-      |  FROM l WHERE y7 IS NOT NULL)
+      |    CAST(SUM(y7) AS BIGINT), SUM(xd * y7d),
+      |    SUM(xd * xd),
+      |    SUM(y7d * y7d)
+      |  FROM d18 WHERE y7 IS NOT NULL)
       |SELECT lag, n,
       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

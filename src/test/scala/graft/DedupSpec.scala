@@ -45,6 +45,36 @@ class DedupSpec extends SparkSpec {
       s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("MinHash-LSH hot bucket capped: degenerate corpus stays linear, still chains") {
+    import spark.implicits._
+    // 40 identical docs: every band collapses to ONE (band, bucket), the
+    // degenerate pile the cap exists for. Uncapped the bucket self-join
+    // yields 40·39/2 = 780 pairs; with maxBucket = 4 only the 4
+    // lowest-id heads pair outward, so candidates ≤ maxBucket·n — and
+    // every non-head doc still chains into the dup cluster through a
+    // head (the cluster survives capping, the quadratic does not).
+    val base = (1 to 30).map(i => s"common$i").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, base, "en", "fix", base.length.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotbucket").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = MinHashDedup.nearDupPairs(spark, tmp, 0.2, maxBucket = 4).collect()
+    assert(pairs.length <= 4 * 40,
+      s"cap leaked: ${pairs.length} pairs > maxBucket*n")
+    assert(pairs.length < 780, "cap did not reduce the quadratic pile")
+    val bs = pairs.map(r => r.getLong(1)).toSet ++ pairs.map(r => r.getLong(0)).toSet
+    assert((0L until 40L).toSet == bs,
+      s"capped pile lost docs from the dup cluster: missing ${(0L until 40L).toSet -- bs}")
+    pairs.foreach(r => assert(r.getDouble(2) == 1.0, s"identical docs, jaccard<1: $r"))
+    // recall guard: on the real corpus the cap is far above any bucket,
+    // so a tightly-capped run must return EXACTLY the default result
+    val dflt = MinHashDedup.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = MinHashDedup.nearDupPairs(spark, sf, 0.2, maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dflt == capped, "cap changed results on a non-degenerate corpus")
+  }
+
   test("MinHash-LSH precision: every reported pair passes exact verify") {
     val pairs = MinHashDedup.nearDupPairs(spark, sf).collect()
     assert(pairs.nonEmpty, "corpus should contain planted near-dups")

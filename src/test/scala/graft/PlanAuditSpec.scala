@@ -292,4 +292,37 @@ class PlanAuditSpec extends SparkSpec {
         s"series ops read the materialized day aggregate, not parquet:\n$p")
     }
   }
+
+  test("partitioned link-Jaccard plans NO broadcast hash join over the adjacency") {
+    val p = planOf(
+      graft.queries.GraphQueries.linkJaccard(spark, sf, 20, broadcastAdj = false))
+    // beyond-broadcast spelling: both adjacency joins are shuffled hash
+    // joins keyed on u/v — the node-keyed neighbor-list table is never
+    // collected to one executor
+    assert(!p.contains("BroadcastHashJoin"),
+      s"partitioned link-Jaccard broadcasts the adjacency:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"partitioned link-Jaccard lost its shuffle-hash joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"partitioned link-Jaccard degraded to a nested loop:\n$p")
+  }
+
+  test("both link-Jaccard spellings score the same top-20 edges") {
+    val b = graft.queries.GraphQueries.linkJaccard(spark, sf).collect()
+    val h = graft.queries.GraphQueries
+      .linkJaccard(spark, sf, 20, broadcastAdj = false).collect()
+    assert(b.map(_.toSeq).toSeq == h.map(_.toSeq).toSeq,
+      "broadcast and partitioned link-Jaccard disagree")
+  }
+
+  test("Theil-Sen median is banded TakeOrdered: no Window node anywhere") {
+    // the banded order statistic replaces the old global row_number —
+    // the returned plan must be band-filter + TakeOrderedAndProject +
+    // max, with NO Window (the single-partition-sort hazard class)
+    val p = planOf(graft.queries.TimeSeries.theilSen(spark, sf))
+    assert(!p.contains("Window"),
+      s"Theil-Sen regressed to a rank window over the slope multiset:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Theil-Sen lost its distributed top-k order statistic:\n$p")
+  }
 }

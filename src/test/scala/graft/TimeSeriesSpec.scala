@@ -50,8 +50,8 @@ class TimeSeriesSpec extends SparkSpec {
   test("cusumChangepoint: 5 ranked rows, |D| non-increasing, exact recompute") {
     val out = TimeSeries.cusumChangepoint(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
-    val mags = out.map(r => math.abs(r.getLong(2)))
-    assert(mags.toSeq == mags.sortBy(-(_: Long)).toSeq)
+    val mags = out.map(r => math.abs(r.getDouble(2)))
+    assert(mags.toSeq == mags.sortBy(-(_: Double)).toSeq)
     // independent exact recompute of D for the rank-1 date
     val daily = Tables.load(spark, sf, "orders")
       .select(to_date(col("o_orderdate")).as("d"),
@@ -66,12 +66,15 @@ class TimeSeriesSpec extends SparkSpec {
     val topD = top.getDate(1).toLocalDate
     val t = daily.indexWhere(_._1 == topD) + 1
     val prefix = daily.take(t).map(_._2).sum
-    assert(top.getLong(2) == n * prefix - t * total)
+    // d_stat is the correctly-rounded double of the exact decimal D
+    assert(top.getDouble(2) ==
+      (BigInt(n) * BigInt(prefix) - BigInt(t) * BigInt(total)).toDouble)
     // and rank-1 is the global argmax of |D| over the whole series
     val allD = daily.indices.map { i =>
-      math.abs(n * daily.take(i + 1).map(_._2).sum - (i + 1).toLong * total)
+      (BigInt(n) * BigInt(daily.take(i + 1).map(_._2).sum)
+        - BigInt(i + 1) * BigInt(total)).abs
     }
-    assert(math.abs(top.getLong(2)) == allD.max)
+    assert(math.abs(top.getDouble(2)) == allD.max.toDouble)
   }
 
   test("weightedMedian: cumulative-weight definition holds exactly") {
@@ -420,5 +423,98 @@ class TimeSeriesSpec extends SparkSpec {
     assert(tiny.exists(r => r.getLong(2) < r.getLong(1)),
       "a 5-term vocab must leave OOV tokens somewhere")
     tiny.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  /** Tiny orders fixture with per-day revenue `dollarsOf(day)` — one
+    * order per (day, slot). Days start 2024-01-01.
+    */
+  private def plantOrders(nDays: Int, perDay: Int)
+                         (dollarsOf: (Int, Int) => Double): String = {
+    import spark.implicits._
+    val rows = for (d <- 0 until nDays; j <- 0 until perDay) yield {
+      val date = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).atStartOfDay())
+      ((d * perDay + j).toLong, 1L, "O", dollarsOf(d, j), date, "1-URGENT")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts_big").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    tmp
+  }
+
+  test("autocorrelation survives daily totals past the BIGINT-squared wrap point") {
+    // 40 days x 5 orders x ~2e8 dollars: daily x ~ 1e9, so sum(x*x) ~
+    // 3.9e19 > Long.MaxValue — the pre-decimal BIGINT moments wrapped
+    // silently here (ADVICE r8 high). Exact BigInt replay must match.
+    val tmp = plantOrders(40, 5)((d, j) => 2.0e8 + d * 1000.0 + j * 7.0)
+    val got = TimeSeries.autocorrelation(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val daily = (0 until 40).map(d =>
+      (0 until 5).map(j => BigInt((2.0e8 + d * 1000.0 + j * 7.0).toLong)).sum)
+    // mirrors the query's IEEE chain exactly: each exact sum is cast
+    // to double (BigInt.toDouble == Decimal.toDouble: correctly
+    // rounded), then the same multiply/subtract/divide sequence
+    def pearson(lag: Int): Double = {
+      val xs = daily.dropRight(lag); val ys = daily.drop(lag)
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      assert(sxx > BigInt(Long.MaxValue), "fixture must exceed the wrap point")
+      (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n * syy.toDouble - sy.toDouble * sy.toDouble))
+    }
+    assert(got(1L) == pearson(1), s"lag-1: ${got(1L)} != ${pearson(1)}")
+    assert(got(7L) == pearson(7), s"lag-7: ${got(7L)} != ${pearson(7)}")
+    // the SUMS are exact; the final IEEE chain on a near-collinear
+    // huge-magnitude series cancels catastrophically, so |acf| may
+    // round a hair past 1 — identically in both engines (the equality
+    // asserts above are the teeth). Pre-fix BIGINT wrap produced
+    // garbage far outside this band.
+    for (lag <- Seq(1, 7)) {
+      val v = got(lag.toLong)
+      assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6,
+        s"lag-$lag acf out of range: $v")
+    }
+    // the linear trend in the fixture makes both lags strongly positive
+    assert(got(1L) > 0.9 && got(7L) > 0.9, s"trend lost: $got")
+  }
+
+  test("cusumChangepoint exact past the BIGINT wrap: BigInt replay of the top-1") {
+    // 250 days x 5 orders x ~7e11 dollars (decimal(18,6) caps an order
+    // at <1e12): total ~ 1e17 cents, so n*total ~ 2.6e19 > Long.Max —
+    // the BIGINT n*prefix - t*total wrapped silently here (ADVICE r8
+    // medium). Mean shift at day 125.
+    val tmp = plantOrders(250, 5) { (d, j) =>
+      (if (d < 125) 7.0e11 else 9.5e11) + j * 11.0
+    }
+    val out = TimeSeries.cusumChangepoint(spark, tmp).collect()
+    val dailyCents = (0 until 250).map { d =>
+      (0 until 5).map(j => BigInt((((if (d < 125) 7.0e11 else 9.5e11) + j * 11.0)
+        * 100).toLong)).sum
+    }
+    val total = dailyCents.sum
+    val n = BigInt(250)
+    assert(n * total > BigInt(Long.MaxValue),
+      "fixture must exceed the wrap point")
+    val allD = dailyCents.indices.map(i =>
+      (n * dailyCents.take(i + 1).sum - BigInt(i + 1) * total).abs)
+    val top = out.head
+    assert(math.abs(top.getDouble(2)) == allD.max.toDouble,
+      s"top-1 D mismatch: got ${top.getDouble(2)}, want ±${allD.max}")
+    // the planted shift peaks exactly at the boundary day (index 124)
+    assert(top.getDate(1).toLocalDate ==
+      java.time.LocalDate.of(2024, 1, 1).plusDays(allD.indexOf(allD.max).toLong))
+  }
+
+  test("mannKendall and runsTest emit NULL z on a degenerate constant series") {
+    val tmp = plantOrders(10, 1)((_, _) => 100.0)
+    val mk = TimeSeries.mannKendall(spark, tmp).collect().head
+    assert(mk.getLong(2) == 0L, "all-tied series must have var_num = 0")
+    assert(mk.isNullAt(3), s"constant series z must be NULL, got ${mk.get(3)}")
+    val rt = TimeSeries.runsTest(spark, tmp).collect().head
+    assert(rt.isNullAt(3), s"constant series runs z must be NULL, got ${rt.get(3)}")
   }
 }
