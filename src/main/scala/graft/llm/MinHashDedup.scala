@@ -105,12 +105,18 @@ object MinHashDedup {
     * because every doc pairs with the pile's lowest-id heads across
     * 16 independent bands (recall on genuinely distinct near-dups is
     * untouched — real buckets are far below the cap). Configurable
-    * via `spark.graft.lsh.maxBucket`, default 4096.
+    * via `spark.graft.lsh.maxBucket`; the default 1000 sits AT
+    * Spark's `spark.sql.optimizer.windowGroupLimitThreshold` (also
+    * 1000) — one notch higher and `InsertWindowGroupLimit` stops
+    * firing, the rank filter runs only AFTER the full hot bucket has
+    * shuffled, and the map-side bound silently disappears
+    * (plan-pinned in DedupSpec: the physical plan must contain
+    * WindowGroupLimit).
     */
   def nearDupPairs(s: SparkSession, dir: String,
                    minJaccard: Double = 0.2): DataFrame =
     nearDupPairs(s, dir, minJaccard,
-      s.conf.get("spark.graft.lsh.maxBucket", "4096").toInt)
+      s.conf.get("spark.graft.lsh.maxBucket", "1000").toInt)
 
   def nearDupPairs(s: SparkSession, dir: String, minJaccard: Double,
                    maxBucket: Int): DataFrame = {

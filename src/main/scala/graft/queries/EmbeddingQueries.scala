@@ -296,7 +296,13 @@ object EmbeddingQueries {
     *   - the head itself is skew-safe: `row_number() <= maxCell` is
     *     Spark's WindowGroupLimit — each map task pre-prunes to the cap
     *     per cell BEFORE the exchange, so a hot cell never materializes
-    *     in one task even to be ranked;
+    *     in one task even to be ranked. This ONLY holds while maxCell ≤
+    *     `spark.sql.optimizer.windowGroupLimitThreshold` (default
+    *     1000): above it `InsertWindowGroupLimit` declines and the rank
+    *     filter runs post-shuffle — the r9 plan audit caught the
+    *     original 4096 default planning exactly that way, so the
+    *     default is now 1000 and DedupSpec pins the WindowGroupLimit
+    *     node in the plan;
     *   - the head side replicates across `nBlocks` hash-blocks of the
     *     b-side so one hot cell fans out over nBlocks tasks;
     *   - vectors cross the wire once per candidate side with
@@ -309,7 +315,7 @@ object EmbeddingQueries {
     * candidate-pair bound under a planted hot cell.
     */
   def semDedup(s: SparkSession, dir: String, nCent: Int = 16,
-               tau: Double = 0.9, maxCell: Int = 4096): DataFrame = {
+               tau: Double = 0.9, maxCell: Int = 1000): DataFrame = {
     val codebook = trainCodebook(s, dir, nCent)
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -45,6 +45,25 @@ class DedupSpec extends SparkSpec {
       s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("bucket/cell caps plan as map-side WindowGroupLimit, not post-shuffle filter") {
+    // rank-filter caps only bound the EXCHANGE when InsertWindowGroupLimit
+    // fires, and it declines above windowGroupLimitThreshold (1000) — the
+    // original 4096 defaults planned a full-shuffle-then-filter, which is
+    // exactly the hot-bucket failure the cap exists to prevent
+    val lsh = planOf(MinHashDedup.nearDupPairs(spark, sf))
+    assert(lsh.contains("WindowGroupLimit"),
+      s"LSH bucket cap lost its map-side group limit:\n$lsh")
+    import spark.implicits._
+    // the rule also skips when the input's maxRows is under the cap
+    // (a group limit would be a no-op), so the fixture must exceed it
+    val cells = (1L to 5L).map(i => (i, 0, Seq(1.0, 0.0), 1.0))
+      .toDF("vec_id", "cell", "v", "nrm")
+    val sem = planOf(
+      graft.queries.EmbeddingQueries.semDedupCandidates(cells, 2))
+    assert(sem.contains("WindowGroupLimit"),
+      s"SemDeDup cell cap lost its map-side group limit:\n$sem")
+  }
+
   test("MinHash-LSH hot bucket capped: degenerate corpus stays linear, still chains") {
     import spark.implicits._
     // 40 identical docs: every band collapses to ONE (band, bucket), the
