@@ -255,6 +255,10 @@ object SparkEntry {
     // joins — same oracle, so the driver proves mode equality
     "graph_link_jaccard_partitioned" ->
       ((s, d) => GraphQueries.linkJaccard(s, d, 20, broadcastAdj = false)),
+    "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
+    "graph_resource_alloc_partitioned" ->
+      ((s, d) => GraphQueries.resourceAlloc(s, d, 20, broadcastAdj = false)),
+    "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -577,6 +581,9 @@ object SparkEntry {
     "graph_clustering_coeff" -> GraphQueries.clusteringCoeffSql,
     "graph_link_jaccard" -> GraphQueries.linkJaccardSql,
     "graph_link_jaccard_partitioned" -> GraphQueries.linkJaccardSql,
+    "graph_resource_alloc" -> GraphQueries.resourceAllocSql,
+    "graph_resource_alloc_partitioned" -> GraphQueries.resourceAllocSql,
+    "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
     "unpivot_metrics" -> Relational.unpivotMetricsSql,

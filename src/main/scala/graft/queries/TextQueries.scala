@@ -637,6 +637,93 @@ object TextQueries {
       |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.2
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- containment (overlap-coefficient) dedup ---------------------------------
+  /** Shingle OVERLAP-COEFFICIENT pairs: C(a,b) = |A∩B| / min(|A|,|B|)
+    * ≥ τ (Szymkiewicz–Simpson) — the one-sided containment measure
+    * that catches what Jaccard structurally CANNOT: a short document
+    * quoted whole inside a long one has C = 1 but Jaccard ≈
+    * |A|/|B| → 0, so every Jaccard-thresholded dedup pass
+    * (`dedup_ngram_jaccard`, the LSH tier) keeps both copies. Corpus
+    * curation treats these as containment duplicates (quotes,
+    * boilerplate expansions, near-subset re-posts — the RefinedWeb /
+    * CCNet sub-document dedup motivation).
+    *
+    * Candidate generation is PREFIX-FILTERED on the containment bound:
+    * a qualifying pair shares ≥ ⌈τ·n_min⌉ shingles of the smaller set,
+    * so by pigeonhole at least one of the smaller doc's
+    * n − ⌈τ·n⌉ + 1 RAREST shingles (df-ascending, the
+    * [[dedupPrefixJaccard]] ordering) is shared — each doc exposes
+    * that prefix, joined against the other side's FULL shingle list
+    * (containment can hide anywhere in the larger doc, so the big
+    * side cannot be prefix-pruned; its join side is the inverted
+    * full-token list, df-bounded by the same rarity skew that makes
+    * prefix filtering work). Verification is the exact codegen'd
+    * sorted-intersect; the division is one IEEE op on exact integers.
+    *
+    * Same bounded-corpus contract as [[dedupPrefixJaccard]]
+    * (`maxDocId` caps the quadratic verify fan-in for the registered
+    * test variant; at scale the candidate volume is bounded by posting
+    * rarity, not corpus size).
+    */
+  def dedupContainment(s: SparkSession, dir: String,
+                       tNum: Int = 1, tDen: Int = 2,
+                       maxDocId: Long = 500): DataFrame = {
+    val t = tNum.toDouble / tDen
+    val d = docs(s, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
+    val tok = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfTab = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfTab, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("tk"))
+      .select(col("doc_id"), expr("transform(tk, x -> x.g)").as("tk"))
+    // exact ceil-div prefix, the dedupPrefixJaccard boundary discipline
+    val pref = ordered
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("pref_len",
+        expr(s"cast(n - (n * $tNum + ${tDen - 1}) div $tDen + 1 as int)"))
+      .select(col("doc_id"),
+        explode(slice(col("tk"), lit(1), col("pref_len"))).as("g"))
+    val cand = pref.select(col("g"), col("doc_id").as("p_id"))
+      .join(tok.select(col("g"), col("doc_id").as("q_id")), Seq("g"))
+      .filter(col("p_id") =!= col("q_id"))
+      .select(least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val dn = d.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    val inter = graft.functions.SortedLongIntersectSize(col("a_sh"), col("b_sh"))
+      .cast("double")
+    cand
+      .join(dn.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("nsh").as("a_n")), Seq("a_id"))
+      .join(dn.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("nsh").as("b_n")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter / least(col("a_n"), col("b_n")).cast("double")).as("overlap"))
+      .filter(col("overlap") >= t)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dedupContainmentSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+      |           || '_' || string_split(text,' ')[i+2])) AS s
+      |  FROM documents
+      |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) AS overlap
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, overlap FROM p WHERE overlap >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- end-to-end curation pipeline --------------------------------------------
   /** The corpus-curation funnel in one query: quality gate (minimum
     * length + token diversity, the [[qualityScore]] signals as

@@ -366,6 +366,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(row.getLong(2) > 0, "test corpus should contain triangles")
   }
 
+  test("resourceAlloc: exact micro-unit replay of the top-20; modes agree") {
+    val got = GraphQueries.resourceAlloc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent driver-side replay on the sf0.001 co-purchase graph
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nbr = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val deg = nbr.map { case (u, ns) => u -> ns.size.toLong }
+    val ra = edges.toSeq.map { case (u, v) =>
+      val common = nbr(u) & nbr(v)
+      (u, v, common.toSeq.map(w => 1000000L / deg(w)).sum)
+    }.filter(_._3 > 0)
+      .sortBy { case (u, v, m) => (-m, u, v) }.take(20)
+    assert(got.toSeq == ra, s"RA top-20 mismatch:\n got ${got.toSeq}\nwant $ra")
+    assert(got.nonEmpty, "test graph should have positive-RA edges")
+    // beyond-broadcast twin returns the identical rows
+    val part = GraphQueries.resourceAlloc(spark, sf, 20, broadcastAdj = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(part.toSeq == got.toSeq, "partitioned RA disagrees with broadcast")
+  }
+
   test("mergeUpsert: actions are consistent with the raw changelog") {
     val out = EventQueries.mergeUpsert(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

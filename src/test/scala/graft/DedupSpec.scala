@@ -186,6 +186,55 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getDouble(2) == 0.2)
   }
 
+  test("containment finds a quoted-whole small doc that Jaccard structurally misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1 = 40 words (38 shingles); doc 0 = a 6-word passage quoted
+    // from its middle (4 shingles, ALL shared). Jaccard = 4/38+4-4 =
+    // 0.105 — below every Jaccard dedup threshold — but overlap
+    // coefficient = 4/4 = 1.0: the exact sub-document duplicate class
+    // this operator exists for. Doc 2 is a disjoint negative control.
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val small = (10 to 15).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    Seq((0L, small, "en", "fix", small.length.toLong),
+        (1L, big, "en", "fix", big.length.toLong),
+        (2L, other, "en", "fix", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.dedupContainment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, 1.0)),
+      s"containment must report exactly the planted subset pair: ${got.toSeq}")
+    val jac = TextQueries.dedupNgramJaccard(spark, tmp).collect()
+      .filter(r => r.getDouble(2) >= 0.5)
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "fixture broken: the planted pair must be invisible to Jaccard>=0.5")
+  }
+
+  test("containment prefix filter is complete vs naive all-pairs") {
+    import org.apache.spark.sql.functions.col
+    // naive quadratic overlap on the real corpus == the prefix-filtered
+    // operator's output (candidate completeness, dedupPrefixJaccard's
+    // guarantee transported to the one-sided bound)
+    val sets = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 500)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString("_")).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val naive = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size.toDouble
+      ov = inter / math.min(sa.size, sb.size)
+      if ov >= 0.5
+    } yield (a, b)).toSet
+    val got = TextQueries.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"containment candidates diverge: missing ${naive -- got}, extra ${got -- naive}")
+  }
+
   test("SemDeDup: planted semantic duplicate pruned, lower-id twin kept") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup").toString

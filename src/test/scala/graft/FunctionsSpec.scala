@@ -32,6 +32,37 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  private def wsum(a: Seq[Long], w: Seq[Long], b: Seq[Long]): Long =
+    Seq((a, w, b)).toDF("a", "w", "b")
+      .select(graft.functions.SortedIntersectWeightSum(
+        col("a"), col("w"), col("b")).as("s"))
+      .collect().head.getLong(0)
+
+  test("SortedIntersectWeightSum: sums left weights over the intersection") {
+    assert(wsum(Seq.empty, Seq.empty, Seq.empty) == 0L)
+    assert(wsum(Seq(1L, 2L), Seq(10L, 20L), Seq.empty) == 0L)
+    assert(wsum(Seq(1L, 3L, 5L), Seq(1L, 2L, 4L), Seq(2L, 4L, 6L)) == 0L)
+    assert(wsum(Seq(1L, 2L, 3L), Seq(7L, 11L, 13L), Seq(1L, 2L, 3L)) == 31L)
+    assert(wsum(Seq(-5L, 0L, 7L, 9L), Seq(1L, 2L, 3L, 4L), Seq(0L, 9L, 11L)) == 6L)
+    // agrees with an independent map-lookup recompute on random inputs
+    val rnd = new scala.util.Random(13)
+    (1 to 20).foreach { _ =>
+      val a = rnd.shuffle((0L to 60L).toList).take(25).sorted
+      val w = a.map(_ => rnd.nextInt(1000).toLong)
+      val b = rnd.shuffle((0L to 60L).toList).take(25).sorted
+      val want = a.zip(w).collect { case (k, wt) if b.contains(k) => wt }.sum
+      assert(wsum(a, w, b) == want)
+    }
+  }
+
+  test("SortedIntersectWeightSum: null propagation") {
+    val r = Seq((Seq(1L, 2L), Seq(5L, 6L))).toDF("a", "w")
+      .select(graft.functions.SortedIntersectWeightSum(
+        col("a"), col("w"), lit(null).cast("array<bigint>")))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("DotProductF64 bit-identical to the HOF spelling on random vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (1 to 30).map { _ =>

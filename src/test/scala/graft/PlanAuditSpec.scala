@@ -307,6 +307,17 @@ class PlanAuditSpec extends SparkSpec {
       s"partitioned link-Jaccard degraded to a nested loop:\n$p")
   }
 
+  test("partitioned resource-allocation plans NO broadcast hash join") {
+    val p = planOf(
+      graft.queries.GraphQueries.resourceAlloc(spark, sf, 20, broadcastAdj = false))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"partitioned RA broadcasts a node-keyed table:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"partitioned RA lost its shuffle-hash joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"partitioned RA degraded to a nested loop:\n$p")
+  }
+
   test("both link-Jaccard spellings score the same top-20 edges") {
     val b = graft.queries.GraphQueries.linkJaccard(spark, sf).collect()
     val h = graft.queries.GraphQueries
