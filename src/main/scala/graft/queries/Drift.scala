@@ -268,9 +268,13 @@ object Drift {
   def welchTTest(s: SparkSession, dir: String): DataFrame = {
     val c = round(col("value") * 100).cast("long")
     val sidedC = sided(s, dir).select(col("side"), c.as("c"))
+    // Σc² in DECIMAL(38,0): c ≤ ~5.6e4 cents is SF-invariant but the
+    // row count is not — the BIGINT square sum wraps near SF ~6000
+    // (the TimeSeries.autocorrelation decimal-moments rule)
     val m = sidedC.groupBy(col("side"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("scc"))
+        sum(col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .as("scc"))
     // pivot the two sides into one row via conditional aggregation
     val row = m.agg(
       sum(when(col("side") === "a", col("n"))).as("n_a"),
@@ -310,16 +314,17 @@ object Drift {
       |  FROM ev, b),
       |m AS (
       |  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS scc
       |  FROM sided GROUP BY side),
       |r AS (
       |  SELECT
       |    CAST(SUM(CASE WHEN side = 'a' THEN n END) AS BIGINT) AS n_a,
       |    CAST(SUM(CASE WHEN side = 'a' THEN sc END) AS BIGINT) AS sc_a,
-      |    CAST(SUM(CASE WHEN side = 'a' THEN scc END) AS BIGINT) AS scc_a,
+      |    SUM(CASE WHEN side = 'a' THEN scc END) AS scc_a,
       |    CAST(SUM(CASE WHEN side = 'b' THEN n END) AS BIGINT) AS n_b,
       |    CAST(SUM(CASE WHEN side = 'b' THEN sc END) AS BIGINT) AS sc_b,
-      |    CAST(SUM(CASE WHEN side = 'b' THEN scc END) AS BIGINT) AS scc_b
+      |    SUM(CASE WHEN side = 'b' THEN scc END) AS scc_b
       |  FROM m),
       |v AS (
       |  SELECT n_a, n_b,

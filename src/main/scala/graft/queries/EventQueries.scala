@@ -378,13 +378,17 @@ object EventQueries {
       .withColumn("carry_in",
         coalesce(sum(col("day_sum")).over(wDays), lit(0L)))
       .select(col("day"), col("carry_in"))
+    // top-5 via distributed TakeOrderedAndProject — the old global
+    // rank window sorted EVERY boundary point on one partition just to
+    // keep 5 rows; the 5-row rank window after the cut is grid-sized
     byDay
       .withColumn("run", sum(col("dlt")).over(wInDay))
       .join(broadcast(carry), Seq("day"))
       .select(col("us"), (col("carry_in") + col("run")).as("concurrent"))
+      .orderBy(col("concurrent").desc, col("us"))
+      .limit(5)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("concurrent").desc, col("us"))).cast("long"))
-      .filter(col("rnk") <= 5)
       .select(col("rnk"), col("us"), col("concurrent"))
       .orderBy(col("rnk"))
   }
@@ -454,9 +458,11 @@ object EventQueries {
       .select(col("user_id"),
         ((col("n") * lnMicro(col("n")) - col("s")).cast("double")
           / (col("n").cast("double") * 1e6)).as("h_nats"))
-    val ranked = graft.Graft.materialize(perUser
-      .withColumn("i", row_number().over(
-        Window.orderBy(col("h_nats"), col("user_id"))).cast("long")))
+    // two-pass range-partitioned rank: the user grid grows with SF, so
+    // the quartile positions come from Graft.rankedByRange instead of
+    // a single-partition row_number sort
+    val ranked = graft.Graft.materialize(
+      graft.Graft.rankedByRange(perUser, col("h_nats"), col("user_id")))
     val tot = ranked.agg(count(lit(1)).as("m"))
     ranked.crossJoin(broadcast(tot))
       .groupBy(col("m"))

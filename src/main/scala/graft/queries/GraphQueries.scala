@@ -696,11 +696,12 @@ object GraphQueries {
     * periphery. Complements [[modularity]] as the second classic
     * structure scalar.
     *
-    * Every moment (m, Σdx, Σdy, Σdxdy, Σdx², Σdy²) is an exact BIGINT
-    * — degrees are bounded by the node-degree max so the squares stay
-    * far inside 2⁶³ — and the coefficient is a fixed IEEE sequence
-    * over those integers (the [[TimeSeries.autocorrelation]]
-    * discipline). Shape: degree is one aggregation of the edge list;
+    * Linear moments (m, Σdx, Σdy) are exact BIGINTs; the second
+    * moments accumulate in DECIMAL(38,0) on BOTH engines — hub degrees
+    * grow with the catalog, so deg²·|E| outruns BIGINT at modest SF
+    * (the [[TimeSeries.autocorrelation]] decimal-moments rule) — and
+    * the coefficient is a fixed IEEE sequence over those exact values.
+    * Shape: degree is one aggregation of the edge list;
     * labeling joins the node-sized degree table onto the edges twice
     * on their partitioning keys — the same two honest exchanges as
     * modularity — and the moments reduce map-side to one row.
@@ -712,11 +713,15 @@ object GraphQueries {
       .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
         Seq("dst"))
+    // second moments in DECIMAL(38,0): hub degrees grow with SF, so
+    // deg²·|E| passes BIGINT at modest scale (the decimal-moments rule)
+    val dxd = col("dx").cast("decimal(18,0)")
+    val dyd = col("dy").cast("decimal(18,0)")
     labeled
       .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
-        sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
+        sum(col("dy")).as("sy"), sum(dxd * dyd).as("sxy"),
+        sum(dxd * dxd).as("sxx"),
+        sum(dyd * dyd).as("syy"))
       .select(col("m").as("n_directed_edges"),
         ((col("m").cast("double") * col("sxy").cast("double")
           - col("sx").cast("double") * col("sy").cast("double"))
@@ -741,9 +746,10 @@ object GraphQueries {
       |               JOIN deg b ON e.dst = b.src),
       |mo AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
-      |    CAST(SUM(dy) AS BIGINT) AS sy, CAST(SUM(dx * dy) AS BIGINT) AS sxy,
-      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-      |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+      |    CAST(SUM(dy) AS BIGINT) AS sy,
+      |    SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS sxy,
+      |    SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dx AS DECIMAL(18,0))) AS sxx,
+      |    SUM(CAST(dy AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS syy
       |  FROM lab)
       |SELECT m AS n_directed_edges,
       |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -1290,22 +1290,40 @@ object Relational {
       |FROM cum ORDER BY cohort_month, age_months""".stripMargin
 
   def customerRfm(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders")
+    // materialized: three rank passes and the final join all read it
+    val base = Graft.materialize(t(s, dir, "orders")
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
-        dsum(col("o_totalprice")).as("monetary"))
-    def quintile(by: Column): Column =
-      ntile(5).over(Window.orderBy(by, col("c_custkey"))).cast("long")
-    base.select(col("c_custkey"), col("last_order"), col("frequency"),
-        col("monetary"),
-        quintile(col("last_order")).as("r_score"),
-        quintile(col("frequency")).as("f_score"),
-        quintile(col("monetary")).as("m_score"))
+        dsum(col("o_totalprice")).as("monetary")))
+    // exact NTILE(5) from the two-pass range-partitioned rank
+    // (Graft.rankedByRange): the customer grid grows with SF, so the
+    // old global ntile windows were single-partition sorts. The bucket
+    // formula reproduces ANSI NTILE exactly — first (n mod 5) buckets
+    // take ceil(n/5) rows — and the CASE short-circuits the q=0 branch
+    // so n<5 cannot divide by zero under ANSI.
+    val tot = base.agg(count(lit(1)).as("n"))
+    def score(by: Column, name: String): DataFrame =
+      Graft.rankedByRange(base.select(col("c_custkey"), by.as("v")),
+          col("v"), col("c_custkey"))
+        .crossJoin(broadcast(tot))
+        .select(col("c_custkey"),
+          expr("""case when i <= (n % 5) * (n div 5 + 1)
+                 |     then (i - 1) div (n div 5 + 1) + 1
+                 |     else (n % 5) + (i - (n % 5) * (n div 5 + 1) - 1)
+                 |          div (n div 5) + 1 end""".stripMargin)
+            .cast("long").as(name))
+    base
+      .join(score(col("last_order"), "r_score"), Seq("c_custkey"))
+      .join(score(col("frequency"), "f_score"), Seq("c_custkey"))
+      .join(score(col("monetary"), "m_score"), Seq("c_custkey"))
       .withColumn("segment",
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")))
+      .select(col("c_custkey"), col("last_order"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
       .orderBy(col("c_custkey"))
   }
 
@@ -1570,16 +1588,18 @@ object Relational {
     * (lo/hi cents) and sums are exact BIGINTs; ndv is an exact
     * count-distinct within the bucket.
     *
-    * Scale: one fact scan into the rank (at 100 TB the global
-    * row_number becomes the two-pass range-partitioned rank — the
-    * [[decileLift]] note), then a 10-group aggregate.
+    * Scale: one fact scan into the rank — the two-pass
+    * range-partitioned spelling ([[graft.Graft.rankedByRange]]), so
+    * no single-partition sort ever sees the fact-sized row set —
+    * then a 10-group aggregate.
     */
   def statsHistogramEqdepth(s: SparkSession, dir: String): DataFrame = {
     val rows = t(s, dir, "orders").select(col("o_orderkey"),
       (dec(col("o_totalprice")) * lit(100)).cast("long").as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_orderkey"))
-    val ranked = Graft.materialize(rows
-      .withColumn("i", row_number().over(w).cast("long")))
+    // range-partitioned rank over the FACT-sized row set — this was
+    // the largest single-partition sort in the repo (every order row)
+    val ranked = Graft.materialize(
+      Graft.rankedByRange(rows, col("cents"), col("o_orderkey")))
     val tot = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(tot))
       .withColumn("bucket", expr("((i - 1) * 10) div n + 1"))
@@ -1873,21 +1893,20 @@ object Relational {
     * IEEE divisions of exact BIGINT cent sums ([[Exact]] discipline).
     *
     * Scale shape: orders collapses to one row per customer (the only
-    * fact-table pass), the rank is one sort of the customer-sized
-    * aggregate, and the decile rollup is 10 rows; the 1-row total is a
-    * broadcast. At 100 TB the global row_number would become a
-    * two-pass range-partitioned rank (partition counts broadcast as
-    * offsets), the same evolution path as the concurrency sweep's
-    * day-partitioned prefix sum.
+    * fact-table pass); the rank IS the two-pass range-partitioned
+    * spelling ([[graft.Graft.rankedByRange]] — partition counts
+    * broadcast as offsets, no single-partition sort), and the decile
+    * rollup is 10 rows; the 1-row total is a broadcast.
     */
   def decileLift(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum((dec(col("o_totalprice")) * lit(100)).cast("long"))
         .as("x"))
-    val w = Window.orderBy(col("x").desc, col("o_custkey"))
-    val ranked = Graft.materialize(spend
-      .withColumn("i", row_number().over(w).cast("long")))
+    // the promised 100 TB evolution path, now the actual spelling:
+    // Graft.rankedByRange replaces the single-partition rank sort
+    val ranked = Graft.materialize(
+      Graft.rankedByRange(spend, col("x").desc, col("o_custkey")))
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val deciles = ranked.crossJoin(broadcast(tot))
       .withColumn("decile", expr("((i - 1) * 10) div n + 1"))
@@ -1943,11 +1962,15 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(sum((dec(col("o_totalprice")) * lit(100)).cast("long"))
         .as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    spend
-      .withColumn("i", row_number().over(w).cast("long"))
+    // two-pass range-partitioned rank (Graft.rankedByRange): the
+    // customer grid grows with SF, so the old global row_number's
+    // single-partition sort was the scale ceiling here. Σ i·x runs in
+    // exact decimal — i reaches customer cardinality (1.5e5·SF) and x
+    // ~1e6 cents, so the BIGINT product sum wrapped past SF ~30.
+    Graft.rankedByRange(spend, col("x"), col("o_custkey"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("i") * col("x")).as("six"))
+        sum(col("i").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("six"))
       .select(col("n").as("n_customers"), col("sx").as("total_cents"),
         ((lit(2.0) * col("six").cast("double")
           - (col("n") + 1L).cast("double") * col("sx").cast("double"))
@@ -1967,7 +1990,7 @@ object Relational {
       |  FROM spend),
       |mo AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-      |         CAST(SUM(i * x) AS BIGINT) AS six
+      |         SUM(CAST(i AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS six
       |  FROM rk)
       |SELECT n AS n_customers, sx AS total_cents,
       |  (2.0 * CAST(six AS DOUBLE)

@@ -28,4 +28,30 @@ class MaterializeSpec extends SparkSpec {
       assert(nFiles > 0, "reliable mode set but no checkpoint files written")
     } finally iso.conf.unset(Graft.CheckpointReliableKey)
   }
+
+  test("rankedByRange == global row_number on random data, asc and desc, skewed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // heavy ties in the value column (skewed), unique id tiebreak
+    val rows = (1L to 5000L).map(id => (id, rnd.nextInt(20).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    def globalRank(sort: Seq[org.apache.spark.sql.Column]) =
+      df.withColumn("i", row_number().over(Window.orderBy(sort: _*)).cast("long"))
+        .select(col("id"), col("i")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((sort, label) <- Seq(
+        (Seq(col("v"), col("id")), "asc"),
+        (Seq(col("v").desc, col("id")), "desc"))) {
+      val want = globalRank(sort)
+      val got = Graft.rankedByRange(df, 5, sort: _*)
+        .select(col("id"), col("i")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"$label ranks diverge from the global window")
+    }
+    // degenerate: all rows one key (every row lands in one range slice)
+    val one = (1L to 100L).map(id => (id, 7L)).toDF("id", "v")
+    val g1 = Graft.rankedByRange(one, 5, col("v"), col("id"))
+      .select(col("id"), col("i")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == (1L to 100L).map(i => i -> i).toMap)
+  }
 }

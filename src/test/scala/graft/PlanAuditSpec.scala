@@ -326,6 +326,35 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast and partitioned link-Jaccard disagree")
   }
 
+  test("rank-based stats plan no single-partition window over growing inputs") {
+    // a window with NO partition columns prints its spec with an
+    // ordering as the FIRST argument: windowspecdefinition(x ASC ...).
+    // Partitioned (incl. rankedByRange's pid-local rank) leads with
+    // plain columns. Count the former.
+    def unpart(p: String): Int =
+      raw"windowspecdefinition\([^,()]*? (ASC|DESC)".r.findAllMatchIn(p).size
+    for ((name, f) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+        "stats_gini_spend" -> (graft.queries.Relational.giniSpend _),
+        "stats_histogram_eqdepth" ->
+          (graft.queries.Relational.statsHistogramEqdepth _),
+        "customer_rfm" -> (graft.queries.Relational.customerRfm _),
+        "events_user_entropy" -> (graft.queries.EventQueries.userEntropy _))) {
+      val p = planOf(f(spark, sf))
+      assert(unpart(p) == 0,
+        s"$name regressed to a single-partition window:\n$p")
+    }
+    // decile_lift's one remaining global window cumulates the 10-row
+    // decile grid — bounded, allowed
+    assert(unpart(planOf(graft.queries.Relational.decileLift(spark, sf))) <= 1)
+    // max_concurrency keeps the day-grid carry window and the 5-row
+    // rank after its TakeOrdered cut — both bounded
+    val pc = planOf(graft.queries.EventQueries.maxConcurrency(spark, sf))
+    assert(unpart(pc) <= 2, s"concurrency grew a new global window:\n$pc")
+    assert(pc.contains("TakeOrderedAndProject"),
+      s"concurrency lost its distributed top-5 cut:\n$pc")
+  }
+
   test("Theil-Sen median is banded TakeOrdered: no Window node anywhere") {
     // the banded order statistic replaces the old global row_number —
     // the returned plan must be band-filter + TakeOrderedAndProject +
