@@ -525,15 +525,23 @@ object EventQueries {
       .agg(count(lit(1)).as("c"))
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("scc"))
+        // Σc² in DECIMAL: daily counts grow linearly with SF, so the
+        // BIGINT square sum has a finite ceiling (~SF 1.5e6) — decimal
+        // removes it for free (the autocorrelation decimal-moments rule)
+        sum(col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .as("scc"))
       .select(col("event_type"), col("n_days"),
         (col("sc").cast("double") / col("n_days").cast("double"))
           .as("mean_daily"),
-        (((col("n_days").cast("double") * col("scc").cast("double")
-          - col("sc").cast("double") * col("sc").cast("double"))
-          / (col("n_days").cast("double")
-            * (col("n_days").cast("double") - 1.0)))
-          / (col("sc").cast("double") / col("n_days").cast("double")))
+        // a type observed on ONE day has no sample variance: 0/0 is
+        // NaN in Spark but NULL in DuckDB — emit NULL in both
+        when(col("n_days") > 1L,
+          ((col("n_days").cast("double") * col("scc").cast("double")
+            - col("sc").cast("double") * col("sc").cast("double"))
+            / (col("n_days").cast("double")
+              * (col("n_days").cast("double") - 1.0)))
+            / (col("sc").cast("double") / col("n_days").cast("double")))
+          .otherwise(lit(null).cast("double"))
           .as("fano"))
       .orderBy(col("event_type"))
   }
@@ -544,14 +552,17 @@ object EventQueries {
       |  FROM events GROUP BY 1, 2),
       |m AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
-      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS scc
       |  FROM d GROUP BY event_type)
       |SELECT event_type, n_days,
       |  CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
-      |  ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
-      |     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
-      |    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
-      |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+      |  CASE WHEN n_days > 1 THEN
+      |    ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+      |       - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+      |      / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+      |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |  ELSE NULL END AS fano
       |FROM m ORDER BY event_type""".stripMargin
 
   // --- attribution-gap pattern (negation) --------------------------------------

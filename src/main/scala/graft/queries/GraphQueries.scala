@@ -131,10 +131,17 @@ object GraphQueries {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_together"))
+    // the part-frequency table grows with the catalog — same gate as
+    // basketRules: broadcastAdj=false swaps the freq joins to shuffled
+    // hash joins keyed on the part id. nOrders stays a 1-row broadcast.
+    val side: DataFrame => DataFrame =
+      if (s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+        broadcast
+      else _.hint("shuffle_hash")
     pairs
-      .join(broadcast(freq.withColumnRenamed("pk", "part_a")
+      .join(side(freq.withColumnRenamed("pk", "part_a")
         .withColumnRenamed("n_part", "n_a")), "part_a")
-      .join(broadcast(freq.withColumnRenamed("pk", "part_b")
+      .join(side(freq.withColumnRenamed("pk", "part_b")
         .withColumnRenamed("n_part", "n_b")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_together"),

@@ -1738,7 +1738,10 @@ object Relational {
     val bySupp = t(s, dir, "lineitem")
       .select(col("l_suppkey"), dollars.as("x"))
       .groupBy(col("l_suppkey")).agg(sum(col("x")).as("rev"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // sup is supplier-sized (grows with SF) — no broadcast hint; the
+      // join keys on the supplier id and co-partitions with the
+      // per-supplier aggregate (auto-broadcast still applies at test SF)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
     bySupp.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("total_dollars"),
         sum(col("rev").cast("decimal(18,0)") * col("rev").cast("decimal(18,0)"))

@@ -826,7 +826,11 @@ object TextQueries {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dl), "doc_id")
+    // dl is one row PER DOCUMENT — corpus-sized, so no broadcast hint:
+    // the join is doc_id-keyed and co-partitions with tf's aggregation
+    // exchange at any scale (Catalyst still auto-broadcasts it under
+    // the threshold at test SFs); only the 1-row stats is pinned
+    tf.join(dl, "doc_id")
       .join(df, "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
