@@ -258,6 +258,7 @@ object SparkEntry {
     "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
     "graph_resource_alloc_partitioned" ->
       ((s, d) => GraphQueries.resourceAlloc(s, d, 20, broadcastAdj = false)),
+    "graph_adamic_adar" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
@@ -583,6 +584,7 @@ object SparkEntry {
     "graph_link_jaccard_partitioned" -> GraphQueries.linkJaccardSql,
     "graph_resource_alloc" -> GraphQueries.resourceAllocSql,
     "graph_resource_alloc_partitioned" -> GraphQueries.resourceAllocSql,
+    "graph_adamic_adar" -> GraphQueries.adamicAdarSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,

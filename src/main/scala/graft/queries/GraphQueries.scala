@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Graft, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -948,7 +948,19 @@ object GraphQueries {
       s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
 
   def resourceAlloc(s: SparkSession, dir: String, k: Int,
-                    broadcastAdj: Boolean): DataFrame = {
+                    broadcastAdj: Boolean): DataFrame =
+    weightedLinkScore(s, dir, k, broadcastAdj,
+      expr("1000000 div deg"), "ra_micro")
+
+  /** Shared core of [[resourceAlloc]] and [[adamicAdar]]: per-edge
+    * Σ weight(deg(w)) over common neighbors, with the weight riding
+    * the adjacency and the per-edge evaluation the codegen'd
+    * [[graft.functions.SortedIntersectWeightSum]] two-pointer merge.
+    * `weight` must be an exact-integer expression over `deg`.
+    */
+  private def weightedLinkScore(s: SparkSession, dir: String, k: Int,
+                                broadcastAdj: Boolean, weight: Column,
+                                outName: String): DataFrame = {
     val edges = copurchaseEdges(s, dir)
     val full = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
@@ -961,7 +973,7 @@ object GraphQueries {
     // stay aligned after the two transforms (node-sized HOFs — the
     // pair-volume hot path below is the codegen'd expression)
     val withW = full.join(side(deg.select(col("node").as("v"),
-        expr("1000000 div deg").as("w"))), Seq("v"))
+        weight.as("w"))), Seq("v"))
     val adj0 = withW.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("pairs"))
       .select(col("node"),
@@ -975,10 +987,61 @@ object GraphQueries {
         col("v") === col("nv"))
       .select(col("u"), col("v"),
         graft.functions.SortedIntersectWeightSum(col("au"), col("awu"),
-          col("av")).as("ra_micro"))
-      .filter(col("ra_micro") > 0)
-      .orderBy(col("ra_micro").desc, col("u"), col("v"))
+          col("av")).as(outName))
+      .filter(col(outName) > 0)
+      .orderBy(col(outName).desc, col("u"), col("v"))
       .limit(k)
+  }
+
+  /** Top-20 co-purchase edges by Adamic–Adar (Adamic & Adar, Social
+    * Networks 2003): AA(u,v) = Σ_{w∈N(u)∩N(v)} 1/ln deg(w) — the
+    * log-damped sibling of [[resourceAlloc]] (RA damps hubs harder;
+    * AA is the citation-classic middle ground between it and the raw
+    * common-neighbor count). Exactness discipline: the weight is the
+    * INTEGER 1e12 div lnµ(deg) where lnµ is the repo-wide micronat
+    * log (`round(ln(x)·1e6)` — both engines round the same libm-class
+    * double, the [[graft.queries.TextQueries]] entropy contract), so
+    * the per-edge sum is an order-independent exact BIGINT. A common
+    * neighbor of any edge has deg ≥ 2, so lnµ(deg) ≥ 693147 and the
+    * integer division is total. Same plan as RA: weighted sorted
+    * adjacency + codegen'd merge, never a wedge join; the oracle
+    * spells the wedge join.
+    */
+  def adamicAdar(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    adamicAdar(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def adamicAdar(s: SparkSession, dir: String, k: Int,
+                 broadcastAdj: Boolean): DataFrame =
+    weightedLinkScore(s, dir, k, broadcastAdj,
+      expr("1000000000000 div cast(round(ln(cast(deg as double)) * 1e6) as bigint)"),
+      "aa_micro")
+
+  val adamicAdarSql: String = {
+    val w = PortableSql.intDiv("1000000000000",
+      "CAST(round(ln(CAST(dw.deg AS DOUBLE)) * 1e6) AS BIGINT)")
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |f AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |      FROM f GROUP BY u),
+      |aa AS (
+      |  SELECT e.u, e.v, CAST(SUM(""".stripMargin + w +
+    """) AS BIGINT) AS aa_micro
+      |  FROM e JOIN f fu ON fu.u = e.u
+      |         JOIN f fv ON fv.u = e.v AND fv.v = fu.v
+      |         JOIN d dw ON dw.node = fu.v
+      |  GROUP BY e.u, e.v),
+      |r AS (
+      |  SELECT u, v, aa_micro,
+      |    CAST(row_number() OVER (ORDER BY aa_micro DESC, u, v) AS BIGINT)
+      |      AS rnk
+      |  FROM aa WHERE aa_micro > 0)
+      |SELECT u, v, aa_micro FROM r WHERE rnk <= 20
+      |ORDER BY aa_micro DESC, u, v""".stripMargin
   }
 
   val resourceAllocSql: String = {

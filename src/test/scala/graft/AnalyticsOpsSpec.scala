@@ -391,6 +391,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     val part = GraphQueries.resourceAlloc(spark, sf, 20, broadcastAdj = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(part.toSeq == got.toSeq, "partitioned RA disagrees with broadcast")
+    // Adamic-Adar on the same machinery: micronat-log weights replay
+    val aaGot = GraphQueries.adamicAdar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val aaWant = edges.toSeq.map { case (u, v) =>
+      val common = nbr(u) & nbr(v)
+      (u, v, common.toSeq
+        .map(w => 1000000000000L / math.round(math.log(deg(w).toDouble) * 1e6))
+        .sum)
+    }.filter(_._3 > 0)
+      .sortBy { case (u, v, m) => (-m, u, v) }.take(20)
+    assert(aaGot.toSeq == aaWant,
+      s"AA top-20 mismatch:\n got ${aaGot.toSeq}\nwant $aaWant")
   }
 
   test("mergeUpsert: actions are consistent with the raw changelog") {
