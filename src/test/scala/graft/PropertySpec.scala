@@ -178,4 +178,42 @@ class PropertySpec extends SparkSpec {
     val want = cases.map { case (a, b) => a / b }
     assert(got.toSeq == want.toSeq, "intDiv diverged from long division")
   }
+
+  test("containment dedup ≡ naive all-pairs overlap on random corpora") {
+    // randomized prefix-filter completeness: small vocabularies force
+    // heavy shingle sharing, mixed doc lengths exercise the ceil-div
+    // prefix boundary on BOTH sides of min(|A|,|B|)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(2024)
+    for (round <- 1 to 3) {
+      val vocab = (1 to (8 + round * 4)).map(i => s"v$i")
+      val docs = (0L until 40L).map { id =>
+        val n = 3 + rnd.nextInt(18)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "en", "gen", n.toLong)
+      }
+      val tmp = Files.createTempDirectory(s"graft_contain_p$round").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.queries.TextQueries.dedupContainment(spark, tmp)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val sets = docs.map { case (id, text, _, _, _) =>
+        id -> text.split(" ").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString("_")).toSet
+      }.filter(_._2.nonEmpty).toMap
+      val naive = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+        inter = (sa & sb).size.toDouble
+        ov = inter / math.min(sa.size, sb.size)
+        if ov >= 0.5
+      } yield (a, b) -> ov).toMap
+      assert(got.keySet == naive.keySet,
+        s"round $round: missing ${naive.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- naive.keySet}")
+      naive.foreach { case (k, ov) =>
+        assert(math.abs(got(k) - ov) < 1e-12, s"round $round $k: ${got(k)} vs $ov")
+      }
+    }
+  }
 }
