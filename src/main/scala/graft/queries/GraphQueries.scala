@@ -960,8 +960,13 @@ object GraphQueries {
     */
   private def weightedLinkScore(s: SparkSession, dir: String, k: Int,
                                 broadcastAdj: Boolean, weight: Column,
-                                outName: String): DataFrame = {
-    val edges = copurchaseEdges(s, dir)
+                                outName: String): DataFrame =
+    weightedLinkScoreOn(copurchaseEdges(s, dir), k, broadcastAdj, weight,
+      outName)
+
+  private[graft] def weightedLinkScoreOn(edges: DataFrame, k: Int,
+                                         broadcastAdj: Boolean, weight: Column,
+                                         outName: String): DataFrame = {
     val full = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
     val deg = full.groupBy(col("u").as("node"))
@@ -1001,9 +1006,14 @@ object GraphQueries {
     * INTEGER 1e12 div lnµ(deg) where lnµ is the repo-wide micronat
     * log (`round(ln(x)·1e6)` — both engines round the same libm-class
     * double, the [[graft.queries.TextQueries]] entropy contract), so
-    * the per-edge sum is an order-independent exact BIGINT. A common
-    * neighbor of any edge has deg ≥ 2, so lnµ(deg) ≥ 693147 and the
-    * integer division is total. Same plan as RA: weighted sorted
+    * the per-edge sum is an order-independent exact BIGINT. The weight
+    * is evaluated for EVERY node at adjacency-build time — including
+    * degree-1 pendant nodes, where ln(1) = 0 would make the ANSI
+    * integer division throw DIVIDE_BY_ZERO — so it is guarded to 0
+    * for deg < 2. The zero weight is never READ: a common neighbor of
+    * any edge has deg ≥ 2 by construction (both endpoints are its
+    * neighbors), so lnµ(deg) ≥ 693147 wherever the merge-scan actually
+    * sums a weight. Same plan as RA: weighted sorted
     * adjacency + codegen'd merge, never a wedge join; the oracle
     * spells the wedge join.
     */
@@ -1013,9 +1023,16 @@ object GraphQueries {
 
   def adamicAdar(s: SparkSession, dir: String, k: Int,
                  broadcastAdj: Boolean): DataFrame =
-    weightedLinkScore(s, dir, k, broadcastAdj,
-      expr("1000000000000 div cast(round(ln(cast(deg as double)) * 1e6) as bigint)"),
-      "aa_micro")
+    weightedLinkScore(s, dir, k, broadcastAdj, adamicAdarWeight, "aa_micro")
+
+  /** Pendant-safe micronat AA weight: 0 for deg < 2 (never summed —
+    * a common neighbor always has deg ≥ 2), exact integer division of
+    * 1e12 by the micronat log otherwise.
+    */
+  private[graft] def adamicAdarWeight: Column =
+    expr("case when deg >= 2 then 1000000000000 div " +
+      "cast(round(ln(cast(deg as double)) * 1e6) as bigint) " +
+      "else cast(0 as bigint) end")
 
   val adamicAdarSql: String = {
     val w = PortableSql.intDiv("1000000000000",

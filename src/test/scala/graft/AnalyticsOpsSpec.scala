@@ -405,6 +405,30 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"AA top-20 mismatch:\n got ${aaGot.toSeq}\nwant $aaWant")
   }
 
+  test("adamicAdar: pendant (degree-1) nodes do not divide by zero") {
+    // Path graph a—b—c—d plus chord a—c: nodes d is pendant (deg 1).
+    // The AA weight is built for EVERY node in the degree table, so a
+    // pendant node's ln(1)=0 divisor must be guarded or ANSI mode
+    // throws DIVIDE_BY_ZERO at adjacency-build time (the co-purchase
+    // fixtures happen to lack pendant nodes, so only this synthetic
+    // graph exercises the guard). Triangle a-b-c means edge (a,b) has
+    // common neighbor c with deg 3, so the result is also non-trivial.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    for (bc <- Seq(true, false)) {
+      val got = GraphQueries.weightedLinkScoreOn(
+          edges, 20, bc, GraphQueries.adamicAdarWeight, "aa_micro")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // degrees: 1→2, 2→2, 3→3, 4→1. Common neighbors: (1,2)→{3},
+      // (2,3)→{1}, (1,3)→{2}; (3,4)→{} (filtered: aa_micro > 0).
+      val w2 = 1000000000000L / math.round(math.log(2.0) * 1e6)
+      val w3 = 1000000000000L / math.round(math.log(3.0) * 1e6)
+      val want = Seq((1L, 2L, w3), (1L, 3L, w2), (2L, 3L, w2))
+        .sortBy { case (u, v, m) => (-m, u, v) }
+      assert(got.toSeq == want, s"broadcastAdj=$bc: got ${got.toSeq}")
+    }
+  }
+
   test("mergeUpsert: actions are consistent with the raw changelog") {
     val out = EventQueries.mergeUpsert(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
