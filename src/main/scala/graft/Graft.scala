@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Session-level knobs for the engine, read lazily per call site so a
@@ -45,10 +44,19 @@ object Graft {
     *
     *   1. `repartitionByRange` on the sort key spreads the total order
     *      across `nParts` range partitions (RangePartitioner samples
-    *      boundaries; rows never cross a boundary out of key order);
-    *   2. a PER-PARTITION `row_number` (window partitioned by
-    *      `spark_partition_id`, so every partition ranks locally —
-    *      no exchange, since the rows are already where they belong);
+    *      boundaries; rows never cross a boundary out of key order),
+    *      then `sortWithinPartitions` orders each partition locally —
+    *      a narrow sort, no further exchange;
+    *   2. `monotonically_increasing_id`, projected ABOVE that sort and
+    *      pinned by the checkpoint, encodes (partition id << 33 |
+    *      row-ordinal-in-iteration-order) — so pid and the 1-based
+    *      local rank are bit-field reads of one stored long. (The
+    *      first spelling ranked locally with a window PARTITIONED on
+    *      the pid, which Catalyst satisfies with a full hash exchange
+    *      on graft_pid — RangePartitioning(sortCols) doesn't imply
+    *      HashPartitioning(pid) — plus a second local sort. The id
+    *      spelling deletes that whole exchange+sort: the r9 BENCHNOTES
+    *      cost accounting charged rankedByRange one shuffle too few.)
     *   3. partition row-counts (an `nParts`-row driver aggregate —
     *      metadata-sized at any scale) become cumulative offsets,
     *      broadcast-joined back on the partition id.
@@ -66,14 +74,22 @@ object Graft {
       sortCols: _*)
 
   def rankedByRange(df: DataFrame, nParts: Int, sortCols: Column*): DataFrame = {
+    // the id is assigned in the projection ABOVE the local sort, so the
+    // per-partition counter increments in sorted iteration order; the
+    // checkpoint pins the assignment before anything else reads it
     val parted = materialize(
       df.repartitionByRange(nParts, sortCols: _*)
-        .withColumn("graft_pid", spark_partition_id()))
-    val counts = parted.groupBy(col("graft_pid"))
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("graft_mid", monotonically_increasing_id()))
+    val withPid = parted
+      .withColumn("graft_pid", shiftright(col("graft_mid"), 33).cast("int"))
+      .withColumn("graft_local",
+        col("graft_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+    val counts = withPid.groupBy(col("graft_pid"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (counts.isEmpty)
-      return parted.drop("graft_pid").withColumn("i", lit(0L))
+      return parted.drop("graft_mid").withColumn("i", lit(0L))
     // cumulative offsets over the pid-ascending counts; groupBy skips
     // empty partitions, which is fine — no row carries their pid
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
@@ -82,11 +98,9 @@ object Graft {
     val offDf = df.sparkSession.createDataFrame(
       offsets.toSeq.map { case (pid, off) => (pid, off) })
       .toDF("graft_pid", "graft_off")
-    val wLocal = Window.partitionBy(col("graft_pid")).orderBy(sortCols: _*)
-    parted
-      .withColumn("graft_local", row_number().over(wLocal).cast("long"))
+    withPid
       .join(broadcast(offDf), Seq("graft_pid"))
       .withColumn("i", col("graft_local") + col("graft_off"))
-      .drop("graft_pid", "graft_local", "graft_off")
+      .drop("graft_pid", "graft_local", "graft_off", "graft_mid")
   }
 }
