@@ -91,6 +91,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // one adjacency materialization for the whole graph family (the
+      // real-pipeline posture; the first graph query to run pays the
+      // build, the rest reuse it). Standalone per-query numbers:
+      // tools/bench_loop.sh / QBench, which leave the conf off.
+      .config(graft.queries.GraphQueries.CacheEdgesKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_EDGES", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val taskMetrics = new TaskMetricsListener
@@ -176,7 +182,37 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statsJson = stats.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"$sfDir"}"""
+    // The driver's stdout capture keeps only the LAST ~2000 chars, so
+    // the full per-query line (~75 KB with jvm_stats) can never parse
+    // from its tail — every BENCH_r0*.json shipped "parsed": null.
+    // Contract, three legs:
+    //   1. full line first on stdout (legacy contract, line-parsers);
+    //   2. full JSON atomically at target/bench_full.json (the durable
+    //      per-query record — tmp + ATOMIC_MOVE so a concurrent reader
+    //      never sees a torn file);
+    //   3. a compact summary line LAST — headline total, failures, the
+    //      10 slowest queries, and the detail path — sized well under
+    //      the tail window so the driver finally gets parsed != null.
+    println(fullLine)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+    try {
+      if (outPath.getParent != null)
+        java.nio.file.Files.createDirectories(outPath.getParent)
+      val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, outPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN could not write $outPath: $e")
+    }
+    val slowest = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":"${outPath.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

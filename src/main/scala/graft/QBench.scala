@@ -21,6 +21,11 @@ object QBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // default OFF here (unlike Bench): QBench measures STANDALONE
+      // query cost, so each rep must pay its own edge build unless the
+      // caller explicitly opts into the shared-adjacency posture
+      .config(graft.queries.GraphQueries.CacheEdgesKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_EDGES", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)

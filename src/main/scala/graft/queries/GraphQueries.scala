@@ -36,6 +36,40 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** When "true", the two shared edge-table builds ([[tradeEdges]],
+    * [[copurchaseEdges]]) are materialized ONCE per (session, dir) and
+    * reused by every graph query in that session — what a real
+    * pipeline does with its adjacency. Default "false": every query
+    * stays fully standalone (the registry contract the oracle gate
+    * checks), each paying its own edge build (~2 s at sf0.1). The
+    * cache holds the checkpointed frame, so with the conf on the five
+    * link/triangle scorers and the iterative families share one basket
+    * self-join instead of rebuilding it five times — at 100 TB the
+    * difference between one adjacency materialization and N is the
+    * dominant cost of the whole graph family.
+    */
+  val CacheEdgesKey = "spark.graft.graph.cacheEdges"
+
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  /** Test seam: drop cached edge frames (e.g. between conf flips). */
+  private[graft] def clearEdgeCache(): Unit = edgeCache.clear()
+
+  /** `build` must be the UN-materialized edge plan; the cached path
+    * checkpoints it once per key, the uncached path applies
+    * `materializeDefault` (copurchaseEdges always materializes — its
+    * callers fan out; tradeEdges historically leaves that to callers).
+    */
+  private def sharedEdges(s: SparkSession, dir: String, kind: String,
+                          materializeDefault: Boolean)
+                         (build: => DataFrame): DataFrame =
+    if (s.conf.get(CacheEdgesKey, "false").toBoolean)
+      edgeCache.computeIfAbsent((s, dir, kind),
+        _ => Graft.materialize(build))
+    else if (materializeDefault) Graft.materialize(build)
+    else build
+
   /** Three damped (d = 0.85) PageRank iterations from a uniform start
     * over the symmetrized customer–supplier graph; top 20 nodes.
     * Symmetrization guarantees every node has out-edges (no dangling
@@ -54,18 +88,19 @@ object GraphQueries {
     * [[khopReach]]: node ids are "c<custkey>" / "s<suppkey>", each
     * unordered trading pair appears in both directions exactly once.
     */
-  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val cs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      .distinct()
-    cs.unionByName(
-      cs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    sharedEdges(s, dir, "trade", materializeDefault = false) {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+    }
 
   def rankedAll(s: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(s, dir)
@@ -336,15 +371,16 @@ object GraphQueries {
     * documents — audited as 94 Exchanges before, 1 edge build after).
     * Same durability trade as rankedAll's checkpoint.
     */
-  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    Graft.materialize(items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct())
-  }
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    sharedEdges(s, dir, "copurchase", materializeDefault = true) {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+    }
 
   def triangleCount(s: SparkSession, dir: String,
                     broadcastAdj: Boolean): DataFrame =

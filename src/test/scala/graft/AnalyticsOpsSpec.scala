@@ -405,6 +405,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"AA top-20 mismatch:\n got ${aaGot.toSeq}\nwant $aaWant")
   }
 
+  test("shared-adjacency cache: every graph query is unchanged by the conf") {
+    // spark.graft.graph.cacheEdges=true materializes tradeEdges /
+    // copurchaseEdges once per (session, dir) — Bench's posture. The
+    // cache must be RESULT-invisible: every graph_* registry query
+    // returns bit-identical rows with it on (isolated session, so the
+    // conf flip can't race other suites' plan asserts).
+    val cached = isolatedSession
+    cached.conf.set(GraphQueries.CacheEdgesKey, "true")
+    GraphQueries.clearEdgeCache()
+    try {
+      val names = SparkEntry.queries.keys.filter(_.startsWith("graph_")).toSeq.sorted
+      assert(names.size >= 16, s"graph family shrank? $names")
+      for (n <- names) {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq
+        val on = SparkEntry.queries(n)(cached, sf).collect().map(_.toSeq).toSeq
+        assert(on == off, s"$n differs under cacheEdges=true")
+      }
+    } finally GraphQueries.clearEdgeCache()
+  }
+
   test("adamicAdar: pendant (degree-1) nodes do not divide by zero") {
     // Path graph a—b—c—d plus chord a—c: nodes d is pendant (deg 1).
     // The AA weight is built for EVERY node in the degree table, so a
