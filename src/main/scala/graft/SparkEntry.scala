@@ -333,6 +333,7 @@ object SparkEntry {
     "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
     "dedup_keep_best" -> (graft.llm.DedupClusters.dedupKeepBest _),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
+    "dedup_lsh_bucket_audit" -> ((s, d) => MinHashDedup.bucketCensus(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatures _),
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
     // similarity search
@@ -383,7 +384,12 @@ object SparkEntry {
     *     reproducible in portable SQL, but every reported PAIR passes an
     *     exact verify stage: `dedup_minhash_lsh`/`dedup_minhash_signatures`
     *     (DedupSpec recall vs `dedup_ngram_jaccard`'s ORACLE-CHECKED exact
-    *     Jaccard, precision, hot-bucket cap), `dedup_simhash` (DedupSpec),
+    *     Jaccard, precision, hot-bucket cap), `dedup_lsh_bucket_audit`
+    *     (the cap's observability census over the same band hashes —
+    *     top-20 bucket sizes with over-cap drop counts; DedupSpec: a
+    *     planted 40-doc pile reports once per band with the exact
+    *     dropped count, the real corpus shows dropped_docs = 0
+    *     everywhere at the default cap), `dedup_simhash` (DedupSpec),
     *     `embed_neardup_lsh` (DedupSpec bucket-join plan + cosine verify),
     *     `embed_semdedup` (DedupSpec planted pair + cell-cap candidate
     *     bound), `decontaminate_bloom` (SamplingSpec:

@@ -112,6 +112,18 @@ object MinHashDedup {
     * shuffled, and the map-side bound silently disappears
     * (plan-pinned in DedupSpec: the physical plan must contain
     * WindowGroupLimit).
+    *
+    * RECALL CAVEAT (the cap's cost, not just its degenerate-pile
+    * story): in any bucket larger than `maxBucket` — including a
+    * LEGITIMATELY hot bucket on a real corpus — pairs between two
+    * non-head members are dropped in that band, and if a pair's
+    * every co-occurring bucket is over the cap, the pair is lost
+    * entirely. Precision is untouched (every emitted pair still
+    * passes exact-Jaccard verify); recall is what the cap trades.
+    * The loss is OBSERVABLE, not silent: [[bucketOverflowAudit]]
+    * (registered as `dedup_lsh_bucket_audit`) censuses every
+    * over-cap (band, bucket) with its dropped-member count — empty
+    * audit ⇔ the cap changed nothing at the current corpus/cap.
     */
   def nearDupPairs(s: SparkSession, dir: String,
                    minJaccard: Double = 0.2): DataFrame =
@@ -143,6 +155,56 @@ object MinHashDedup {
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Oversize-(band, bucket) census — [[nearDupPairs]]'s cap made
+    * observable. One row per (band, bucket) whose membership exceeds
+    * `maxBucket`: (band, bucket, bucket_size, dropped_docs), largest
+    * first. `dropped_docs` = bucket_size − maxBucket is the number of
+    * non-head members whose within-bucket pairs the cap suppressed in
+    * that band. Empty result ⇔ the cap changed nothing — the
+    * operational check a 100 TB dedup run logs BEFORE trusting its
+    * recall (a few hot buckets here = localized recall loss; rerun
+    * with a larger cap or pre-split the pile). Cost: one count
+    * aggregation of the banded exploding scan — the same exchange
+    * keys as the candidate join, with map-side partial counts.
+    */
+  def bucketOverflowAudit(s: SparkSession, dir: String): DataFrame =
+    bucketOverflowAudit(s, dir,
+      s.conf.get("spark.graft.lsh.maxBucket", "1000").toInt)
+
+  def bucketOverflowAudit(s: SparkSession, dir: String,
+                          maxBucket: Int): DataFrame =
+    bucketSizes(s, dir, maxBucket)
+      .filter(col("bucket_size") > maxBucket)
+      .orderBy(col("bucket_size").desc, col("band"), col("bucket"))
+
+  /** The registered spelling (`dedup_lsh_bucket_audit`): top-`k`
+    * largest (band, bucket) memberships with their over-cap drop
+    * counts — never empty on a non-empty corpus, so the driver's
+    * rows-only record stays meaningful. A healthy corpus shows its
+    * largest buckets with `dropped_docs = 0`; any overflow sorts to
+    * the top. Distributed top-k (TakeOrderedAndProject), never a
+    * global sort.
+    */
+  def bucketCensus(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bucketCensus(s, dir, k,
+      s.conf.get("spark.graft.lsh.maxBucket", "1000").toInt)
+
+  def bucketCensus(s: SparkSession, dir: String, k: Int,
+                   maxBucket: Int): DataFrame =
+    bucketSizes(s, dir, maxBucket)
+      .orderBy(col("bucket_size").desc, col("band"), col("bucket"))
+      .limit(k)
+
+  private def bucketSizes(s: SparkSession, dir: String,
+                          maxBucket: Int): DataFrame =
+    signatureCols(s, dir)
+      .select(col("doc_id"),
+        posexplode(bandArray(col("sig"))).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .select(col("band"), col("bucket"), col("bucket_size"),
+        greatest(col("bucket_size") - maxBucket, lit(0L)).as("dropped_docs"))
 
   /** Per-doc MinHash summary (deterministic; one row per doc): the
     * signature's first slot and its first band hash — a registered

@@ -92,6 +92,31 @@ class DedupSpec extends SparkSpec {
     val capped = MinHashDedup.nearDupPairs(spark, sf, 0.2, maxBucket = 64).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(dflt == capped, "cap changed results on a non-degenerate corpus")
+    // observability: the overflow audit must report the planted pile in
+    // EVERY band (40 identical docs = one size-40 bucket per band) with
+    // the exact dropped count, and report NOTHING on the real corpus at
+    // the default cap (the recall-guard assert above is only honest if
+    // an empty audit really does mean "cap changed nothing")
+    val audit = MinHashDedup.bucketOverflowAudit(spark, tmp, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(audit.length == MinHashDedup.Bands,
+      s"pile should overflow once per band: ${audit.toSeq}")
+    assert(audit.forall { case (_, size, dropped) => size == 40L && dropped == 36L },
+      s"audit sizes wrong: ${audit.toSeq}")
+    assert(audit.map(_._1).toSet == (0 until MinHashDedup.Bands).toSet,
+      s"audit missed a band: ${audit.toSeq}")
+    assert(MinHashDedup.bucketOverflowAudit(spark, sf).isEmpty,
+      "real corpus overflows the default cap — recall loss now silent")
+    // the registered census spelling: never empty, dropped_docs = 0
+    // across the real corpus at the default cap, and the planted pile's
+    // overflow rows sort to the top with the same exact counts
+    val census = MinHashDedup.bucketCensus(spark, sf).collect()
+    assert(census.nonEmpty && census.forall(_.getLong(3) == 0L),
+      s"census claims drops on the healthy corpus: ${census.toSeq}")
+    val pileCensus = MinHashDedup.bucketCensus(spark, tmp, 20, 4).collect()
+    assert(pileCensus.take(MinHashDedup.Bands)
+        .forall(r => r.getLong(2) == 40L && r.getLong(3) == 36L),
+      s"pile census lost the overflow rows: ${pileCensus.toSeq}")
   }
 
   test("MinHash-LSH precision: every reported pair passes exact verify") {
