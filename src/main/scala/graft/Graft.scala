@@ -103,4 +103,98 @@ object Graft {
       .withColumn("i", col("graft_local") + col("graft_off"))
       .drop("graft_pid", "graft_local", "graft_off", "graft_mid")
   }
+
+  /** Exact NTILE(`k`) bucket from a global 1-based rank — the SQL
+    * ntile contract both engines share: n rows split into k tiles,
+    * the first n%k tiles one row larger. Lets [[rankedByRange]]
+    * replace `ntile(k) OVER (ORDER BY …)` — the single-partition
+    * global-sort spelling — for any growing input: rank two-pass,
+    * then this pure integer expression. `iCol`/`nCol` name a rank
+    * column and a total-row-count column already in scope (CASE
+    * laziness keeps the q=0 branch unreachable when n < k, so the
+    * integer division is total).
+    */
+  def ntileFromRank(k: Int, iCol: String = "i",
+                    nCol: String = "graft_n"): Column =
+    expr(s"""case
+      | when $iCol <= ($nCol % $k) * (($nCol div $k) + 1)
+      |   then ($iCol - 1) div (($nCol div $k) + 1) + 1
+      | else ($nCol % $k)
+      |   + ($iCol - ($nCol % $k) * (($nCol div $k) + 1) - 1)
+      |     div ($nCol div $k) + 1
+      |end""".stripMargin)
+
+  /** Exact INCLUSIVE prefix sums of LONG expressions over a global
+    * total order, without a single-partition window — the cumulative
+    * sibling of [[rankedByRange]] for the running-CDF family (KS,
+    * Mann–Whitney):
+    *
+    *   1. range-partition + local sort, checkpoint (as rankedByRange);
+    *   2. per-partition TOTALS of each sum input (an `nParts`-row
+    *      driver aggregate) become cumulative offsets;
+    *   3. the LOCAL running sum is a window PARTITIONED BY the
+    *      partition id — Catalyst satisfies it with one pid-keyed
+    *      exchange + local sort. That exchange is honest cost this
+    *      helper accepts: it is partition-PARALLEL (32 reducers, each
+    *      holding one range), never the one-partition funnel of
+    *      `sum OVER (ORDER BY …)`, and unlike the rank case a running
+    *      sum cannot be read off the row id.
+    *
+    * Result = input columns + one long column per (expr, name) pair,
+    * each EXACTLY `sum(expr) OVER (ORDER BY sortCols ROWS UNBOUNDED
+    * PRECEDING)`. Callers MUST pass tie-free sortCols and LongType
+    * sum inputs (the offset pass reads them as longs).
+    */
+  def cumSumByRange(df: DataFrame, sortCols: Seq[Column],
+                    sums: Seq[(Column, String)]): DataFrame = {
+    val nParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val inNames = sums.indices.map(ix => s"graft_s$ix")
+    val pre = sums.zip(inNames).foldLeft(df) {
+      case (d, ((c, _), nm)) => d.withColumn(nm, c)
+    }
+    val parted = materialize(
+      pre.repartitionByRange(nParts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("graft_mid", monotonically_increasing_id()))
+    val withPid = parted
+      .withColumn("graft_pid", shiftright(col("graft_mid"), 33).cast("int"))
+    val totals = withPid.groupBy(col("graft_pid"))
+      .agg(sum(col(inNames.head)).as(inNames.head),
+        inNames.tail.map(nm => sum(col(nm)).as(nm)): _*)
+      .collect()
+      .map(r => r.getInt(0) -> inNames.indices.map(ix => r.getLong(1 + ix)))
+      .sortBy(_._1)
+    if (totals.isEmpty)
+      return sums.foldLeft(parted.drop("graft_mid")) {
+        case (d, (_, nm)) => d.withColumn(nm, lit(0L))
+      }.drop(inNames: _*)
+    val offsets = totals.scanLeft(
+      (0, inNames.indices.map(_ => 0L): Seq[Long])) {
+      case ((_, acc), (pid, ts)) => (pid, acc.zip(ts).map { case (a, t) => a + t })
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(offsets.toSeq.map {
+        case (pid, off) => org.apache.spark.sql.Row.fromSeq(pid +: off)
+      }, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("graft_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          inNames.indices.map(ix => org.apache.spark.sql.types.StructField(
+            s"graft_off$ix", org.apache.spark.sql.types.LongType,
+            nullable = false))))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_pid")).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val joined = withPid.join(broadcast(offDf), Seq("graft_pid"))
+    val withCums = sums.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, nm), ix)) =>
+        d.withColumn(nm,
+          sum(col(inNames(ix))).over(wLoc) + col(s"graft_off$ix"))
+    }
+    withCums.drop("graft_pid", "graft_mid")
+      .drop(inNames: _*)
+      .drop(inNames.indices.map(ix => s"graft_off$ix"): _*)
+  }
 }

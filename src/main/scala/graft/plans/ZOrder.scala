@@ -47,18 +47,27 @@ object ZOrder {
     * and because the report is pure arithmetic over the z-key, DuckDB
     * can replay the interleave bit-for-bit and hash-check it.
     *
-    * Shape at scale: ntile needs a total order — ONE range exchange on
-    * the z-key, the identical shuffle the layout write itself pays;
-    * the per-tile aggregation is partial-combined.
+    * Shape at scale: ntile needs a total order, but NOT a
+    * single-partition window (`ntile OVER (ORDER BY zk)` funnels the
+    * whole fact table through one task — the pre-r10 spelling's
+    * docstring claimed a range exchange it never had). The spelling is
+    * the two-pass range-partitioned rank ([[graft.Graft.rankedByRange]]
+    * — the same shuffle the layout write itself pays) with the tile id
+    * computed by the exact integer ntile formula
+    * ([[graft.Graft.ntileFromRank]]) from the global rank and the
+    * 1-row broadcast row count; the per-tile aggregation is
+    * partial-combined.
     */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_partkey"), col("l_suppkey"),
         zkey(col("l_partkey"), col("l_suppkey")).as("zk"),
         col("l_orderkey"), col("l_linenumber"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("zk"), col("l_orderkey"), col("l_linenumber"))
-    li.withColumn("tile", ntile(32).over(w).cast("long"))
+    val nRow = li.agg(count(lit(1)).as("graft_n"))
+    graft.Graft.rankedByRange(li,
+        col("zk"), col("l_orderkey"), col("l_linenumber"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("tile", graft.Graft.ntileFromRank(32).cast("long"))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n"),
         min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),

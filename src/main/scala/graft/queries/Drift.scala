@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift detection — the monitors a production pipeline
@@ -124,24 +123,24 @@ object Drift {
     * Also reports the value where the supremum is attained (lowest
     * such value on ties).
     *
-    * Scale note: the ordered window runs over the per-VALUE aggregate,
-    * not the raw events — fixed-precision metrics have domain-bounded
-    * distinct sets (here ≤ 49k two-decimal values), so the sort spine
-    * is metadata-sized. For truly continuous unbounded metrics the
-    * binned [[psi]] is the scale path. The scaled integer stays exact
-    * to ~3·10⁹ rows per side (n_a·n_b < 2⁶³).
+    * Scale note: the cumulative counts run over the per-VALUE
+    * aggregate, not the raw events, and the running CDF is the
+    * range-partitioned two-pass [[graft.Graft.cumSumByRange]] — no
+    * single-partition `sum OVER (ORDER BY value)` spine anywhere, so
+    * the spelling survives even a truly continuous metric whose
+    * distinct-value grid grows with the data (the r9-era window
+    * spelling leaned on a ≤ 49k two-decimal domain bound). The scaled
+    * integer stays exact to ~3·10⁹ rows per side (n_a·n_b < 2⁶³).
     */
   def ks(s: SparkSession, dir: String): DataFrame = {
     val perValue = sided(s, dir)
       .groupBy(col("value"))
       .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = perValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    perValue
-      .select(col("value"), sum(col("ca")).over(w).as("cumA"),
-        sum(col("cb")).over(w).as("cumB"))
+    graft.Graft.cumSumByRange(perValue, Seq(col("value")),
+        Seq(col("ca") -> "cumA", col("cb") -> "cumB"))
+      .select(col("value"), col("cumA"), col("cumB"))
       .crossJoin(broadcast(totals))
       .select(col("value"),
         abs(col("cumA") * col("nb") - col("cumB") * col("na")).as("d_scaled"),
@@ -194,23 +193,22 @@ object Drift {
     * U2 = 2·U = Σ_a 2·avgrank − 2·n_a(n_a+1)/2 stays exact. The only
     * IEEE op is the final AUC division.
     *
-    * Scale shape: identical to [[ks]] — the rank window runs over the
-    * per-VALUE aggregate (domain-bounded distinct set), never the raw
-    * events; exact to n_a·n_b < 2⁶² rows.
+    * Scale shape: identical to [[ks]] — the pooled cumulative count
+    * runs over the per-VALUE aggregate via the range-partitioned
+    * [[graft.Graft.cumSumByRange]] (the exclusive prefix is the
+    * inclusive one minus the current row), never a single-partition
+    * rank window; exact to n_a·n_b < 2⁶² rows.
     */
   def mannWhitney(s: SparkSession, dir: String): DataFrame = {
     val perValue = sided(s, dir)
       .groupBy(col("value"))
       .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
-    val wBefore = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perValue
-      .withColumn("cum_before",
-        coalesce(sum(col("ca") + col("cb")).over(wBefore), lit(0L)))
+    val ranked = graft.Graft.cumSumByRange(perValue, Seq(col("value")),
+        Seq((col("ca") + col("cb")) -> "cum_incl"))
       .select(col("ca"), col("cb"),
-        (col("ca") * (lit(2L) * col("cum_before") + col("ca") + col("cb")
-          + lit(1L))).as("r2a"))
+        (col("ca") * (lit(2L) * (col("cum_incl") - col("ca") - col("cb"))
+          + col("ca") + col("cb") + lit(1L))).as("r2a"))
     ranked
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(col("r2a")).as("r2"))

@@ -1025,20 +1025,24 @@ object TextQueries {
     * data-governance report ("is the mix dominated by a handful of
     * sources?"). Sources rank into ntile(10) deciles by token count
     * (source name tie-break) over the SOURCE-level aggregate — the
-    * corpus shuffles once for the per-source sums; the decile window
-    * runs over rows numbering |sources|. Counts are exact longs;
-    * share is one integer-over-integer IEEE division.
+    * corpus shuffles once for the per-source sums. |sources| GROWS
+    * with a real corpus (domains, not an enum), so the decile comes
+    * from the range-partitioned two-pass rank
+    * ([[graft.Graft.rankedByRange]]) + the exact integer ntile formula
+    * ([[graft.Graft.ntileFromRank]]), never `ntile OVER (ORDER BY …)`'s
+    * one-partition funnel. Counts are exact longs; share is one
+    * integer-over-integer IEEE division.
     */
   def sourceConcentration(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tokens").desc, col("source"))
     val perSource = docs(s, dir)
       .select(col("source"), size(words).cast("long").as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
-    val total = perSource.agg(sum(col("tokens")).as("corpus_tokens"))
-    perSource
+    val total = perSource.agg(sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("graft_n"))
+    graft.Graft.rankedByRange(perSource, col("tokens").desc, col("source"))
+      .crossJoin(broadcast(total.select(col("graft_n"))))
       .select(col("source"), col("tokens"),
-        ntile(10).over(w).cast("long").as("decile"))
+        graft.Graft.ntileFromRank(10).cast("long").as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_sources"), sum(col("tokens")).as("tokens"))
       .crossJoin(broadcast(total))

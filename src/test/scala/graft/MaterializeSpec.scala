@@ -54,4 +54,34 @@ class MaterializeSpec extends SparkSpec {
       .select(col("id"), col("i")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g1 == (1L to 100L).map(i => i -> i).toMap)
   }
+
+  test("cumSumByRange == global running sums on random data, asc and desc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 4000L).map(id =>
+      (id, rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "a", "b").repartition(6)
+    for ((sort, label) <- Seq(
+        (Seq(col("id")), "asc"),
+        (Seq(col("id").desc), "desc"))) {
+      val w = Window.orderBy(sort: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cab", sum(col("a") + col("b")).over(w))
+        .select(col("id"), col("ca"), col("cab")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val got = Graft.cumSumByRange(df, sort,
+          Seq(col("a") -> "ca", (col("a") + col("b")) -> "cab"))
+        .select(col("id"), col("ca"), col("cab")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"$label running sums diverge from the global window")
+    }
+    // empty input keeps the schema (zero-filled sum columns)
+    val empty = Seq.empty[(Long, Long)].toDF("id", "a")
+    val e = Graft.cumSumByRange(empty, Seq(col("id")), Seq(col("a") -> "ca"))
+    assert(e.columns.toSeq == Seq("id", "a", "ca") && e.isEmpty)
+  }
 }

@@ -355,6 +355,52 @@ class PlanAuditSpec extends SparkSpec {
       s"concurrency lost its distributed top-5 cut:\n$pc")
   }
 
+  test("registry sweep: every unpartitioned window is an allowlisted bounded site") {
+    // A Window with an EMPTY partitionSpec funnels its whole input
+    // through one partition — the scale-killer class rankedByRange /
+    // Theil-Sen / TakeOrdered respells removed. This sweep walks the
+    // OPTIMIZED logical plan of every registered query (subqueries
+    // included) and pins the surviving global-window sites to a named
+    // allowlist whose inputs are calendar- or k-bounded, so a future
+    // query can't silently reintroduce one over a growing input.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // query -> why its global window's input cannot grow with SF
+    val allowed: Map[String, String] = Map(
+      "stats_decile_lift" -> "cumulative sum over the 10-row decile grid",
+      "events_max_concurrency" ->
+        "carry over the bounded day grid; 5-row post-TakeOrdered rank",
+      "embed_threshold_sweep" -> "cumulative count over the 11-row threshold grid",
+      "events_sessionization" -> "bounded day-grid carry (calendar-sized)",
+      "events_gapfill_daily" -> "forward-fill over the calendar day grid",
+      "events_reach_curve" -> "cumulative users over the first-touch day grid",
+      "events_session_paths" ->
+        "top-10 rank over event-type trigram counts (|types|^3-bounded)",
+      "pareto_frontier" -> "running min over the distinct p_size grid (~50)",
+      "split_balance_chisq" -> "marginals over the split x label cell grid",
+      "stats_anova_priority" -> "cumulative term over the 5-row priority grid",
+      "text_zipf_slope" -> "rank over the top-100 vocabulary cut",
+      "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
+      "ts_spearman" -> "average ranks over the day grid",
+      "survival_km" -> "KM product over the distinct-day risk grid",
+      "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
+      "ts_stl_decompose" -> "day-grid seasonal frame (calendar-sized)",
+      "ts_anomaly_stl" -> "day-grid seasonal frame (calendar-sized)",
+      "ts_holt_winters" -> "day-grid smoothing recursion (calendar-sized)")
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val n =
+        try fn(spark, sf).queryExecution.optimizedPlan
+          .collectWithSubqueries { case w: LWindow if w.partitionSpec.isEmpty => w }
+          .size
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (n > 0 && !allowed.contains(name)) hits += s"$name ($n global windows)"
+      if (n == 0 && allowed.contains(name))
+        hits += s"$name allowlisted but clean (stale entry — remove it)"
+    }
+    assert(hits.isEmpty,
+      s"global-window allowlist out of date:\n  ${hits.mkString("\n  ")}")
+  }
+
   test("Theil-Sen median is banded TakeOrdered: no Window node anywhere") {
     // the banded order statistic replaces the old global row_number —
     // the returned plan must be band-filter + TakeOrderedAndProject +
