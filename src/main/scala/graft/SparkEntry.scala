@@ -259,6 +259,7 @@ object SparkEntry {
     "graph_resource_alloc_partitioned" ->
       ((s, d) => GraphQueries.resourceAlloc(s, d, 20, broadcastAdj = false)),
     "graph_adamic_adar" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
+    "graph_common_neighbors" -> ((s, d) => GraphQueries.commonNeighbors(s, d)),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
@@ -591,6 +592,7 @@ object SparkEntry {
     "graph_resource_alloc" -> GraphQueries.resourceAllocSql,
     "graph_resource_alloc_partitioned" -> GraphQueries.resourceAllocSql,
     "graph_adamic_adar" -> GraphQueries.adamicAdarSql,
+    "graph_common_neighbors" -> GraphQueries.commonNeighborsSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,

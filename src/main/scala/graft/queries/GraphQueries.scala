@@ -902,8 +902,23 @@ object GraphQueries {
       s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
 
   def linkJaccard(s: SparkSession, dir: String, k: Int,
-                  broadcastAdj: Boolean): DataFrame = {
-    val edges = copurchaseEdges(s, dir)
+                  broadcastAdj: Boolean): DataFrame =
+    commonCounts(copurchaseEdges(s, dir), broadcastAdj)
+      .select(col("u"), col("v"), col("common"),
+        (col("common").cast("double")
+          / (col("du") + col("dv") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(k)
+
+  /** Shared core of [[linkJaccard]] and [[commonNeighbors]]: per-edge
+    * (u, v, du, dv, common) over the canonical edge set, with the
+    * neighbor intersection the codegen'd sorted two-pointer merge and
+    * the adjacency consumed broadcast or shuffle-hash per the caller's
+    * `broadcastAdj` (see [[linkJaccard]]'s scale notes).
+    */
+  private def commonCounts(edges: DataFrame,
+                           broadcastAdj: Boolean): DataFrame = {
     val full = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
     val adj0 = full.groupBy(col("u").as("node"))
@@ -914,7 +929,7 @@ object GraphQueries {
     val adj = if (broadcastAdj) adj0 else Graft.materialize(adj0)
     val side: DataFrame => DataFrame =
       if (broadcastAdj) broadcast else _.hint("shuffle_hash")
-    val scored = edges
+    edges
       .join(side(adj.select(col("node").as("nu"), col("nbrs").as("au"),
         col("deg").as("du"))), col("u") === col("nu"))
       .join(side(adj.select(col("node").as("nv"), col("nbrs").as("av"),
@@ -922,14 +937,50 @@ object GraphQueries {
       .select(col("u"), col("v"), col("du"), col("dv"),
         graft.functions.SortedLongIntersectSize(col("au"), col("av"))
           .cast("long").as("common"))
-    scored
-      .select(col("u"), col("v"), col("common"),
-        (col("common").cast("double")
-          / (col("du") + col("dv") - col("common")).cast("double"))
-          .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("u"), col("v"))
-      .limit(k)
   }
+
+  /** Top-20 co-purchase edges by raw common-neighbor count (Newman,
+    * Phys. Rev. E 2001 — the baseline every weighted link predictor
+    * in this family normalizes: [[linkJaccard]] divides by the union,
+    * [[resourceAlloc]] and [[adamicAdar]] damp by neighbor degree).
+    * Reported with both endpoint degrees so the reader can see WHY
+    * the weighted scores reorder it. Exact integers throughout; ties
+    * break on (u, v). Same plan and `broadcastAdj` gating as
+    * [[linkJaccard]]; the oracle spells the wedge join.
+    */
+  def commonNeighbors(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    commonNeighbors(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def commonNeighbors(s: SparkSession, dir: String, k: Int,
+                      broadcastAdj: Boolean): DataFrame =
+    commonCounts(copurchaseEdges(s, dir), broadcastAdj)
+      .filter(col("common") > 0)
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"))
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(k)
+
+  val commonNeighborsSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |f AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |      FROM f GROUP BY u),
+      |cm AS (
+      |  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM e JOIN f fu ON fu.u = e.u JOIN f fv ON fv.u = e.v
+      |    AND fv.v = fu.v
+      |  GROUP BY e.u, e.v),
+      |r AS (
+      |  SELECT cm.u, cm.v, cm.common, du.deg AS du, dv.deg AS dv,
+      |    CAST(row_number() OVER (ORDER BY cm.common DESC, cm.u, cm.v)
+      |         AS BIGINT) AS rnk
+      |  FROM cm JOIN d du ON du.node = cm.u JOIN d dv ON dv.node = cm.v)
+      |SELECT u, v, common, du, dv FROM r WHERE rnk <= 20
+      |ORDER BY common DESC, u, v""".stripMargin
 
   val linkJaccardSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

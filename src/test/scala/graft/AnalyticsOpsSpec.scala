@@ -403,6 +403,18 @@ class AnalyticsOpsSpec extends SparkSpec {
       .sortBy { case (u, v, m) => (-m, u, v) }.take(20)
     assert(aaGot.toSeq == aaWant,
       s"AA top-20 mismatch:\n got ${aaGot.toSeq}\nwant $aaWant")
+    // raw common-neighbor baseline on the same machinery, both modes
+    val cnWant = edges.toSeq.map { case (u, v) =>
+      (u, v, (nbr(u) & nbr(v)).size.toLong, deg(u), deg(v))
+    }.filter(_._3 > 0)
+      .sortBy { case (u, v, c, _, _) => (-c, u, v) }.take(20)
+    for (bc <- Seq(true, false)) {
+      val cnGot = GraphQueries.commonNeighbors(spark, sf, 20, bc).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(cnGot.toSeq == cnWant,
+        s"CN top-20 mismatch (broadcastAdj=$bc):\n got ${cnGot.toSeq}\nwant $cnWant")
+    }
   }
 
   test("shared-adjacency cache: every graph query is unchanged by the conf") {
