@@ -259,6 +259,8 @@ object SparkEntry {
     "graph_resource_alloc_partitioned" ->
       ((s, d) => GraphQueries.resourceAlloc(s, d, 20, broadcastAdj = false)),
     "graph_adamic_adar" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
+    "graph_adamic_adar_partitioned" ->
+      ((s, d) => GraphQueries.adamicAdar(s, d, 20, broadcastAdj = false)),
     "graph_common_neighbors" -> ((s, d) => GraphQueries.commonNeighbors(s, d)),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
@@ -592,6 +594,7 @@ object SparkEntry {
     "graph_resource_alloc" -> GraphQueries.resourceAllocSql,
     "graph_resource_alloc_partitioned" -> GraphQueries.resourceAllocSql,
     "graph_adamic_adar" -> GraphQueries.adamicAdarSql,
+    "graph_adamic_adar_partitioned" -> GraphQueries.adamicAdarSql,
     "graph_common_neighbors" -> GraphQueries.commonNeighborsSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,

@@ -308,14 +308,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("partitioned resource-allocation plans NO broadcast hash join") {
-    val p = planOf(
-      graft.queries.GraphQueries.resourceAlloc(spark, sf, 20, broadcastAdj = false))
-    assert(!p.contains("BroadcastHashJoin"),
-      s"partitioned RA broadcasts a node-keyed table:\n$p")
-    assert(p.contains("ShuffledHashJoin"),
-      s"partitioned RA lost its shuffle-hash joins:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"partitioned RA degraded to a nested loop:\n$p")
+    for ((name, df) <- Seq(
+        "RA" -> graft.queries.GraphQueries
+          .resourceAlloc(spark, sf, 20, broadcastAdj = false),
+        "AA" -> graft.queries.GraphQueries
+          .adamicAdar(spark, sf, 20, broadcastAdj = false))) {
+      val p = planOf(df)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"partitioned $name broadcasts a node-keyed table:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"partitioned $name lost its shuffle-hash joins:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"partitioned $name degraded to a nested loop:\n$p")
+    }
   }
 
   test("both link-Jaccard spellings score the same top-20 edges") {
