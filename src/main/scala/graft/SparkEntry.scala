@@ -262,6 +262,7 @@ object SparkEntry {
     "graph_adamic_adar_partitioned" ->
       ((s, d) => GraphQueries.adamicAdar(s, d, 20, broadcastAdj = false)),
     "graph_common_neighbors" -> ((s, d) => GraphQueries.commonNeighbors(s, d)),
+    "graph_pref_attachment" -> ((s, d) => GraphQueries.prefAttachment(s, d)),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
@@ -596,6 +597,7 @@ object SparkEntry {
     "graph_adamic_adar" -> GraphQueries.adamicAdarSql,
     "graph_adamic_adar_partitioned" -> GraphQueries.adamicAdarSql,
     "graph_common_neighbors" -> GraphQueries.commonNeighborsSql,
+    "graph_pref_attachment" -> GraphQueries.prefAttachmentSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,

@@ -960,6 +960,64 @@ object GraphQueries {
       .orderBy(col("common").desc, col("u"), col("v"))
       .limit(k)
 
+  /** Top-20 co-purchase edges by preferential attachment
+    * (Barabási & Albert, Science 1999; as a link predictor,
+    * Liben-Nowell & Kleinberg, CIKM 2003): PA(u,v) = deg(u)·deg(v) —
+    * the no-neighborhood-overlap member of the classical family
+    * ([[commonNeighbors]] / [[linkJaccard]] / [[resourceAlloc]] /
+    * [[adamicAdar]] all read the intersection; PA reads only the two
+    * degrees, so it is the cheapest predictor and the standard "hubs
+    * attract" baseline the others are judged against). Exact BIGINT
+    * product; ties break on (u, v).
+    *
+    * Plan: degree is one aggregation of the symmetrized edge list;
+    * scoring joins the NODE-sized degree table onto the edges twice —
+    * broadcast or shuffle-hash per `spark.graft.triangles.broadcastAdj`,
+    * the family discipline — and the top-20 is a distributed
+    * TakeOrdered. No adjacency lists are ever built.
+    */
+  def prefAttachment(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    prefAttachment(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def prefAttachment(s: SparkSession, dir: String, k: Int,
+                     broadcastAdj: Boolean): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val full = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = full.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val side: DataFrame => DataFrame =
+      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+    edges
+      .join(side(deg.select(col("node").as("nu"), col("deg").as("du"))),
+        col("u") === col("nu"))
+      .join(side(deg.select(col("node").as("nv"), col("deg").as("dv"))),
+        col("v") === col("nv"))
+      .select(col("u"), col("v"), col("du"), col("dv"),
+        (col("du") * col("dv")).as("pa"))
+      .orderBy(col("pa").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  val prefAttachmentSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |f AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |      FROM f GROUP BY u),
+      |r AS (
+      |  SELECT e.u, e.v, du.deg AS du, dv.deg AS dv,
+      |    du.deg * dv.deg AS pa,
+      |    CAST(row_number() OVER (ORDER BY du.deg * dv.deg DESC, e.u, e.v)
+      |         AS BIGINT) AS rnk
+      |  FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v)
+      |SELECT u, v, du, dv, pa FROM r WHERE rnk <= 20
+      |ORDER BY pa DESC, u, v""".stripMargin
+
   val commonNeighborsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |               FROM lineitem),

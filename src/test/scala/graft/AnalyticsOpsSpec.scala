@@ -415,6 +415,17 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(cnGot.toSeq == cnWant,
         s"CN top-20 mismatch (broadcastAdj=$bc):\n got ${cnGot.toSeq}\nwant $cnWant")
     }
+    // preferential attachment: pure degree product, no intersection
+    val paWant = edges.toSeq.map { case (u, v) =>
+      (u, v, deg(u), deg(v), deg(u) * deg(v))
+    }.sortBy { case (u, v, _, _, p) => (-p, u, v) }.take(20)
+    for (bc <- Seq(true, false)) {
+      val paGot = GraphQueries.prefAttachment(spark, sf, 20, bc).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(paGot.toSeq == paWant,
+        s"PA top-20 mismatch (broadcastAdj=$bc):\n got ${paGot.toSeq}\nwant $paWant")
+    }
   }
 
   test("shared-adjacency cache: every graph query is unchanged by the conf") {
