@@ -67,6 +67,13 @@ object Graft {
     * them — callers MUST pass a tie-free key list (append a unique id
     * column as the last sort key, the same discipline the global
     * windows used). Output = input columns + `i` (long).
+    *
+    * Capacity bound (inherited from `monotonically_increasing_id`'s
+    * layout): the local ordinal lives in the low 33 bits, so each
+    * RANGE PARTITION must hold < 2^33 (~8.6 B) rows — size `nParts`
+    * so partitions stay under that (and far under it for memory's
+    * sake: at 100 TB you want thousands of range partitions anyway,
+    * which the `spark.sql.shuffle.partitions`-driven default gives).
     */
   def rankedByRange(df: DataFrame, sortCols: Column*): DataFrame =
     rankedByRange(df,

@@ -55,6 +55,25 @@ class MaterializeSpec extends SparkSpec {
     assert(g1 == (1L to 100L).map(i => i -> i).toMap)
   }
 
+  test("ntileFromRank == SQL ntile for every (n, k) in a boundary grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // n spanning below/at/above k and non-divisible remainders; k
+    // covering the registered uses (10, 32) plus edge tiles
+    for (k <- Seq(1, 3, 10, 32); n <- Seq(1, 2, 9, 10, 11, 31, 32, 33, 100, 321)) {
+      val df = (1L to n.toLong).toDF("i")
+        .crossJoin(Seq(n.toLong).toDF("graft_n"))
+      val got = df.select(col("i"),
+          Graft.ntileFromRank(k).cast("long").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (1L to n.toLong).toDF("v")
+        .withColumn("t", ntile(k).over(Window.orderBy(col("v"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"ntileFromRank($k) diverges from ntile at n=$n")
+    }
+  }
+
   test("cumSumByRange == global running sums on random data, asc and desc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
