@@ -197,22 +197,28 @@ object Bench {
     println(fullLine)
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
-    try {
-      if (outPath.getParent != null)
-        java.nio.file.Files.createDirectories(outPath.getParent)
-      val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, outPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] WARN could not write $outPath: $e")
-    }
+    // on write failure the summary must NOT advertise the path — a
+    // stale file from an earlier run would silently masquerade as
+    // this run's per-query record
+    val detailJson =
+      try {
+        if (outPath.getParent != null)
+          java.nio.file.Files.createDirectories(outPath.getParent)
+        val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, outPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        "\"" + outPath.toString + "\""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN could not write $outPath: $e")
+        "null"
+      }
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":"${outPath.toString}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -95,6 +95,14 @@ object Graft {
     val counts = withPid.groupBy(col("graft_pid"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // fail FAST on the documented capacity bound instead of silently
+    // corrupting ranks: a partition at >= 2^33 rows bleeds its ordinal
+    // into the pid bits (overflow rows decode as pid+1), so the
+    // per-decoded-pid counts are the loud signal — free, already here
+    require(counts.forall(_._2 < (1L << 33)),
+      s"rankedByRange: a range partition holds >= 2^33 rows " +
+        s"(counts ${counts.filter(_._2 >= (1L << 33)).mkString(",")}); " +
+        "raise nParts")
     if (counts.isEmpty)
       return parted.drop("graft_mid").withColumn("i", lit(0L))
     // cumulative offsets over the pid-ascending counts; groupBy skips
@@ -166,11 +174,18 @@ object Graft {
         .withColumn("graft_mid", monotonically_increasing_id()))
     val withPid = parted
       .withColumn("graft_pid", shiftright(col("graft_mid"), 33).cast("int"))
-    val totals = withPid.groupBy(col("graft_pid"))
-      .agg(sum(col(inNames.head)).as(inNames.head),
-        inNames.tail.map(nm => sum(col(nm)).as(nm)): _*)
+    val totalRows = withPid.groupBy(col("graft_pid"))
+      .agg(count(lit(1)).as("graft_c"),
+        inNames.map(nm => sum(col(nm)).as(nm)): _*)
       .collect()
-      .map(r => r.getInt(0) -> inNames.indices.map(ix => r.getLong(1 + ix)))
+    // same fail-fast capacity guard as rankedByRange: an overflowed
+    // partition's ordinal bleeds into the pid bits and the offsets
+    // below would be silently wrong
+    require(totalRows.forall(_.getLong(1) < (1L << 33)),
+      "cumSumByRange: a range partition holds >= 2^33 rows; raise " +
+        "spark.sql.shuffle.partitions")
+    val totals = totalRows
+      .map(r => r.getInt(0) -> inNames.indices.map(ix => r.getLong(2 + ix)))
       .sortBy(_._1)
     if (totals.isEmpty)
       return sums.foldLeft(parted.drop("graft_mid")) {

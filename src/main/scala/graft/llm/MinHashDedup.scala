@@ -121,9 +121,11 @@ object MinHashDedup {
     * entirely. Precision is untouched (every emitted pair still
     * passes exact-Jaccard verify); recall is what the cap trades.
     * The loss is OBSERVABLE, not silent: [[bucketOverflowAudit]]
-    * (registered as `dedup_lsh_bucket_audit`) censuses every
-    * over-cap (band, bucket) with its dropped-member count — empty
-    * audit ⇔ the cap changed nothing at the current corpus/cap.
+    * lists every over-cap (band, bucket) with its dropped-member
+    * count — empty audit ⇔ the cap changed nothing at the current
+    * corpus/cap — and its registered spelling is [[bucketCensus]]
+    * (`dedup_lsh_bucket_audit`), the never-empty top-20 census whose
+    * equivalent check is `dropped_docs = 0` on every row.
     */
   def nearDupPairs(s: SparkSession, dir: String,
                    minJaccard: Double = 0.2): DataFrame =

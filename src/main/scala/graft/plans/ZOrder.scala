@@ -63,9 +63,12 @@ object ZOrder {
       .select(col("l_partkey"), col("l_suppkey"),
         zkey(col("l_partkey"), col("l_suppkey")).as("zk"),
         col("l_orderkey"), col("l_linenumber"))
-    val nRow = li.agg(count(lit(1)).as("graft_n"))
-    graft.Graft.rankedByRange(li,
-        col("zk"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = graft.Graft.rankedByRange(li,
+      col("zk"), col("l_orderkey"), col("l_linenumber"))
+    // row count off the rank pass's checkpoint — not a second
+    // parquet scan of lineitem (r10 review finding)
+    val nRow = ranked.agg(count(lit(1)).as("graft_n"))
+    ranked
       .crossJoin(broadcast(nRow))
       .withColumn("tile", graft.Graft.ntileFromRank(32).cast("long"))
       .groupBy(col("tile"))

@@ -47,14 +47,28 @@ object GraphQueries {
     * self-join instead of rebuilding it five times — at 100 TB the
     * difference between one adjacency materialization and N is the
     * dominant cost of the whole graph family.
+    *
+    * LIFECYCLE LIMITS (why the default is off): entries live until
+    * [[clearEdgeCache]] — a long-lived JVM that churns sessions or
+    * rewrites the data under `dir` must clear explicitly (stale reads
+    * and retained checkpoint blocks otherwise), and a cached
+    * localCheckpoint has NO lineage to recompute from, so after
+    * executor loss the cached entry fails where the uncached path
+    * would have rebuilt — on preemptible executors pair the conf with
+    * `spark.graft.checkpoint.reliable=true`. The intended consumers
+    * are bounded single-shot sessions (Bench, a pipeline run), which
+    * is exactly what the opt-in scopes it to.
     */
   val CacheEdgesKey = "spark.graft.graph.cacheEdges"
 
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  /** Test seam: drop cached edge frames (e.g. between conf flips). */
-  private[graft] def clearEdgeCache(): Unit = edgeCache.clear()
+  /** Drop every cached edge frame — required between conf flips, after
+    * rewriting a cached `dir`, or when retiring a session in a
+    * long-lived JVM (see [[CacheEdgesKey]]'s lifecycle limits).
+    */
+  def clearEdgeCache(): Unit = edgeCache.clear()
 
   /** `build` must be the UN-materialized edge plan; the cached path
     * checkpoints it once per key, the uncached path applies
@@ -917,18 +931,30 @@ object GraphQueries {
     * the adjacency consumed broadcast or shuffle-hash per the caller's
     * `broadcastAdj` (see [[linkJaccard]]'s scale notes).
     */
+  /** Symmetrized both-directions edge list of a canonical (u < v) set
+    * — the link-predictor family's shared first step.
+    */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+
+  /** The family's adjacency-consumption discipline in one place: a
+    * node-keyed table joins broadcast when declared broadcastable,
+    * SHUFFLE_HASH otherwise (see [[linkJaccard]]'s scale notes) — so a
+    * change to the gating applies to every predictor in lockstep.
+    */
+  private def adjSide(broadcastAdj: Boolean): DataFrame => DataFrame =
+    if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+
   private def commonCounts(edges: DataFrame,
                            broadcastAdj: Boolean): DataFrame = {
-    val full = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v")))
+    val full = symmetrize(edges)
     val adj0 = full.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"),
         count(lit(1)).as("deg"))
     // partitioned mode consumes the adjacency in TWO shuffled joins —
     // materialize once (broadcast mode computes it once driver-side)
     val adj = if (broadcastAdj) adj0 else Graft.materialize(adj0)
-    val side: DataFrame => DataFrame =
-      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+    val side = adjSide(broadcastAdj)
     edges
       .join(side(adj.select(col("node").as("nu"), col("nbrs").as("au"),
         col("deg").as("du"))), col("u") === col("nu"))
@@ -983,12 +1009,9 @@ object GraphQueries {
   def prefAttachment(s: SparkSession, dir: String, k: Int,
                      broadcastAdj: Boolean): DataFrame = {
     val edges = copurchaseEdges(s, dir)
-    val full = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v")))
-    val deg = full.groupBy(col("u").as("node"))
+    val deg = symmetrize(edges).groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val side: DataFrame => DataFrame =
-      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+    val side = adjSide(broadcastAdj)
     edges
       .join(side(deg.select(col("node").as("nu"), col("deg").as("du"))),
         col("u") === col("nu"))
@@ -1112,12 +1135,10 @@ object GraphQueries {
   private[graft] def weightedLinkScoreOn(edges: DataFrame, k: Int,
                                          broadcastAdj: Boolean, weight: Column,
                                          outName: String): DataFrame = {
-    val full = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v")))
+    val full = symmetrize(edges)
     val deg = full.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val side: DataFrame => DataFrame =
-      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+    val side = adjSide(broadcastAdj)
     // neighbor micro-weight joins on the node-sized degree table; the
     // struct sort keys on v (unique per adjacency), so nbrs and wts
     // stay aligned after the two transforms (node-sized HOFs — the

@@ -1037,15 +1037,20 @@ object TextQueries {
     val perSource = docs(s, dir)
       .select(col("source"), size(words).cast("long").as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
-    val total = perSource.agg(sum(col("tokens")).as("corpus_tokens"),
+    val ranked = graft.Graft.rankedByRange(perSource,
+      col("tokens").desc, col("source"))
+    // totals read the rank pass's CHECKPOINT, not the corpus — the
+    // r10 review caught the first spelling paying a full re-scan +
+    // re-tokenization per 1-row broadcast (two of them); this is now
+    // strictly cheaper than the r9 window spelling (one corpus pass)
+    val total = ranked.agg(sum(col("tokens")).as("corpus_tokens"),
       count(lit(1)).as("graft_n"))
-    graft.Graft.rankedByRange(perSource, col("tokens").desc, col("source"))
-      .crossJoin(broadcast(total.select(col("graft_n"))))
-      .select(col("source"), col("tokens"),
-        graft.Graft.ntileFromRank(10).cast("long").as("decile"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_sources"), sum(col("tokens")).as("tokens"))
+    ranked
       .crossJoin(broadcast(total))
+      .select(col("source"), col("tokens"), col("corpus_tokens"),
+        graft.Graft.ntileFromRank(10).cast("long").as("decile"))
+      .groupBy(col("decile"), col("corpus_tokens"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("tokens")).as("tokens"))
       .select(col("decile"), col("n_sources"), col("tokens"),
         (col("tokens").cast("double") / col("corpus_tokens").cast("double"))
           .as("token_share"))
