@@ -216,4 +216,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rankedByRange/cumSumByRange ≡ driver replay on random sizes and nParts") {
+    // the two range-partitioned respell helpers against a pure-Scala
+    // replay, across randomized row counts (incl. n < nParts, n = 0 is
+    // covered by MaterializeSpec), partition counts, duplicate-heavy
+    // keys, and negative sum inputs
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (round <- 1 to 5) {
+      val n = sample(Gen.choose(1, 400), 900L + round)
+      val nParts = sample(Gen.choose(1, 9), 950L + round)
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+          sample(Gen.choose(-50L, 50L), round * 1000L + i),
+          sample(Gen.choose(-5L, 5L), round * 2000L + i))
+      }
+      val df = rows.toDF("id", "v", "w").repartition(3)
+      // ranks: tie-heavy v with unique id tiebreak
+      val gotRank = Graft.rankedByRange(df, nParts, col("v"), col("id"))
+        .select(col("id"), col("i")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantRank = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case (r, ix) => r._1 -> (ix + 1L) }.toMap
+      assert(gotRank == wantRank, s"round $round n=$n nParts=$nParts ranks")
+      // prefix sums of a possibly-negative metric, ordered by id
+      val gotCum = Graft.cumSumByRange(df, Seq(col("id")),
+          Seq((col("v") + col("w")) -> "c"))
+        .select(col("id"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      val wantCum = rows.sortBy(_._1).map { r =>
+        acc += r._2 + r._3; r._1 -> acc
+      }.toMap
+      assert(gotCum == wantCum, s"round $round n=$n cumsums")
+    }
+  }
 }
