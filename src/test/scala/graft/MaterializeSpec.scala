@@ -74,6 +74,29 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("rankedByRange reads ranks with ZERO shuffles; cumSumByRange with ONE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "v")
+    def shuffles(p: String): Int =
+      raw"(?<!Broadcast)Exchange".r.findAllIn(p).size
+    // rank read: checkpoint scan -> bit-field decode -> broadcast
+    // offset join. The r9 spelling paid a hash exchange on the pid
+    // (plus a second sort) here — this pin keeps it deleted.
+    val pr = planOf(Graft.rankedByRange(df, 4, col("v"), col("id")))
+    assert(shuffles(pr) == 0, s"rank read pays a shuffle:\n$pr")
+    assert(!pr.contains("Window"), s"rank read grew a window:\n$pr")
+    // prefix-sum read: exactly the ONE documented pid-keyed exchange
+    // (partition-parallel), and its window is pid-PARTITIONED
+    val pc = planOf(Graft.cumSumByRange(df, Seq(col("id")),
+      Seq(col("v") -> "c")))
+    assert(shuffles(pc) == 1, s"cumsum read shuffle count changed:\n$pc")
+    assert(pc.contains("Window"), s"cumsum lost its local running sum:\n$pc")
+    assert(!raw"windowspecdefinition\([^,()]*? (ASC|DESC)".r
+        .findAllMatchIn(pc).hasNext,
+      s"cumsum window lost its pid partition key:\n$pc")
+  }
+
   test("cumSumByRange == global running sums on random data, asc and desc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
