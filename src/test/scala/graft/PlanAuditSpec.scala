@@ -312,7 +312,11 @@ class PlanAuditSpec extends SparkSpec {
         "RA" -> graft.queries.GraphQueries
           .resourceAlloc(spark, sf, 20, broadcastAdj = false),
         "AA" -> graft.queries.GraphQueries
-          .adamicAdar(spark, sf, 20, broadcastAdj = false))) {
+          .adamicAdar(spark, sf, 20, broadcastAdj = false),
+        "CN" -> graft.queries.GraphQueries
+          .commonNeighbors(spark, sf, 20, broadcastAdj = false),
+        "PA" -> graft.queries.GraphQueries
+          .prefAttachment(spark, sf, 20, broadcastAdj = false))) {
       val p = planOf(df)
       assert(!p.contains("BroadcastHashJoin"),
         s"partitioned $name broadcasts a node-keyed table:\n$p")
