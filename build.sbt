@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout normally flows through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is why the driver's
+// line-level JSON parse of the Bench summary failed for 10 straight
+// rounds (`BENCH_r*.json` "parsed": null despite the compact summary
+// line landing in the tail). StdoutOutput hands the child's stdout to
+// the real stdout unwrapped, so the summary line arrives parseable.
+// (One scope suffices: runMain delegates to `Compile / run`'s fork
+// options — verified by a probe run whose tail landed prefix-free.)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

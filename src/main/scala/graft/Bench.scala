@@ -79,6 +79,18 @@ class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
 }
 
 object Bench {
+  /** Minimal JSON string escape for interpolated values (paths, query
+    * names, exception text): a data dir containing a quote or
+    * backslash must not emit invalid JSON to stdout/bench_full.json.
+    */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     // ms from JVM start to main — with -XX:+AlwaysPreTouch this absorbs
     // the whole-heap fault-in, so a host-pressure window shows up HERE
@@ -173,16 +185,16 @@ object Bench {
         s""""cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
         s""""heap_mb":${JvmStats.heapUsed / (1 << 20)},""" +
         s""""heap_comm_mb":${JvmStats.heapCommitted / (1 << 20)}}"""
-      (name, sec, ok)
+      (name, sec, taskCpuSec, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     // headline total counts only successful queries: a crashing query's
     // (typically fast) elapsed time must not lower the suite total
-    val total = results.collect { case (_, v, true) => v }.sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val statsJson = stats.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    val failedJson = failed.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val statsJson = stats.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"${esc(sfDir)}"}"""
     // The driver's stdout capture keeps only the LAST ~2000 chars, so
     // the full per-query line (~75 KB with jvm_stats) can never parse
     // from its tail — every BENCH_r0*.json shipped "parsed": null.
@@ -210,15 +222,21 @@ object Bench {
         java.nio.file.Files.move(tmp, outPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        "\"" + outPath.toString + "\""
+        "\"" + esc(outPath.toString) + "\""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] WARN could not write $outPath: $e")
         "null"
       }
-    val slowest = results.filter(_._3).sortBy(-_._2).take(10)
-      .map { case (k, v, _) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
+    // each slowest entry carries wall AND in-task CPU: a loaded-host
+    // window (r4/r5/r10 fingerprint: wall balloons, task CPU flat) is
+    // then readable straight off the driver artifact, no rerun needed
+    val slowest = results.filter(_._4).sortBy(-_._2).take(10)
+      .map { case (k, v, tc, _) =>
+        s"\"" + esc(k) + "\":{\"wall\":" + math.round(v * 100) / 100.0 +
+          ",\"task_cpu_s\":" + math.round(tc * 100) / 100.0 + "}"
+      }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }
