@@ -127,17 +127,23 @@ object Graft {
     * then this pure integer expression. `iCol`/`nCol` name a rank
     * column and a total-row-count column already in scope (CASE
     * laziness keeps the q=0 branch unreachable when n < k, so the
-    * integer division is total).
+    * integer division is total). Column names are backtick-quoted on
+    * interpolation, so non-identifier names (dots, spaces, keywords)
+    * parse as plain column references instead of breaking the SQL or
+    * resolving to the wrong expression.
     */
   def ntileFromRank(k: Int, iCol: String = "i",
-                    nCol: String = "graft_n"): Column =
+                    nCol: String = "graft_n"): Column = {
+    def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    val i = q(iCol); val n = q(nCol)
     expr(s"""case
-      | when $iCol <= ($nCol % $k) * (($nCol div $k) + 1)
-      |   then ($iCol - 1) div (($nCol div $k) + 1) + 1
-      | else ($nCol % $k)
-      |   + ($iCol - ($nCol % $k) * (($nCol div $k) + 1) - 1)
-      |     div ($nCol div $k) + 1
+      | when $i <= ($n % $k) * (($n div $k) + 1)
+      |   then ($i - 1) div (($n div $k) + 1) + 1
+      | else ($n % $k)
+      |   + ($i - ($n % $k) * (($n div $k) + 1) - 1)
+      |     div ($n div $k) + 1
       |end""".stripMargin)
+  }
 
   /** Exact INCLUSIVE prefix sums of LONG expressions over a global
     * total order, without a single-partition window — the cumulative
@@ -184,6 +190,15 @@ object Graft {
     require(totalRows.forall(_.getLong(1) < (1L << 33)),
       "cumSumByRange: a range partition holds >= 2^33 rows; raise " +
         "spark.sql.shuffle.partitions")
+    // LongType caller contract, enforced loudly: a NULL in any sum
+    // input nulls that partition's total and the getLong below would
+    // throw an opaque NPE — name the offending column instead
+    for (r <- totalRows; ix <- inNames.indices if r.isNullAt(2 + ix))
+      throw new IllegalArgumentException(
+        s"cumSumByRange: sum input '${sums(ix)._2}' is NULL somewhere in " +
+          s"range partition ${r.getInt(0)} — coalesce NULLs to 0L (or " +
+          "filter them) before calling; prefix sums over NULL are " +
+          "undefined under this helper's LongType contract")
     val totals = totalRows
       .map(r => r.getInt(0) -> inNames.indices.map(ix => r.getLong(2 + ix)))
       .sortBy(_._1)

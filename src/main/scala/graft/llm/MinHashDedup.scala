@@ -134,6 +134,19 @@ object MinHashDedup {
 
   def nearDupPairs(s: SparkSession, dir: String, minJaccard: Double,
                    maxBucket: Int): DataFrame = {
+    // the map-side plan contract, enforced LOUDLY: InsertWindowGroupLimit
+    // fires only while maxBucket <= windowGroupLimitThreshold (and the
+    // threshold isn't -1 = rule disabled). One notch over and the cap
+    // silently degrades to a post-shuffle filter — results identical,
+    // scale posture gone (the whole hot bucket shuffles before the rank
+    // filter runs). That footgun must fail fast, not pass quietly.
+    val wglThreshold = s.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    require(wglThreshold >= 0 && maxBucket <= wglThreshold,
+      s"nearDupPairs: spark.graft.lsh.maxBucket=$maxBucket exceeds " +
+        s"spark.sql.optimizer.windowGroupLimitThreshold=$wglThreshold — " +
+        "the map-side WindowGroupLimit cap would silently become a " +
+        "post-shuffle filter; lower the cap or raise the threshold")
     val buckets0 = signatureCols(s, dir)
       .select(col("doc_id"), posexplode(bandArray(col("sig"))).as(Seq("band", "bucket")))
     val wB = org.apache.spark.sql.expressions.Window

@@ -49,9 +49,11 @@ object GraphQueries {
     * dominant cost of the whole graph family.
     *
     * LIFECYCLE LIMITS (why the default is off): entries live until
-    * [[clearEdgeCache]] — a long-lived JVM that churns sessions or
-    * rewrites the data under `dir` must clear explicitly (stale reads
-    * and retained checkpoint blocks otherwise), and a cached
+    * [[clearEdgeCache]] or the owning session's application end (an
+    * `onApplicationEnd` listener evicts that session's entries, so a
+    * session-churning JVM doesn't pin dead sessions forever) — a JVM
+    * that rewrites the data under `dir` mid-session must still clear
+    * explicitly (stale reads otherwise), and a cached
     * localCheckpoint has NO lineage to recompute from, so after
     * executor loss the cached entry fails where the uncached path
     * would have rebuilt — on preemptible executors pair the conf with
@@ -64,6 +66,12 @@ object GraphQueries {
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
+  /** Sessions whose application-end eviction hook is installed, so the
+    * hook registers once per session (the map itself is the dedup).
+    */
+  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[SparkSession]()
+
   /** Drop every cached edge frame — required between conf flips, after
     * rewriting a cached `dir`, or when retiring a session in a
     * long-lived JVM (see [[CacheEdgesKey]]'s lifecycle limits).
@@ -74,13 +82,43 @@ object GraphQueries {
     * checkpoints it once per key, the uncached path applies
     * `materializeDefault` (copurchaseEdges always materializes — its
     * callers fan out; tradeEdges historically leaves that to callers).
+    *
+    * Concurrency/lifecycle shape: the materialization (a full Spark
+    * job) runs OUTSIDE any map lock — `computeIfAbsent` would hold the
+    * bin lock for the whole job, stalling every other cache lookup
+    * that hashes to the bin. Two racing builders may both materialize;
+    * `putIfAbsent` keeps exactly one and the loser's checkpoint is a
+    * one-time redundant build (the benign race, vs. a held-lock job).
+    * And entries no longer require manual eviction at session end: the
+    * first insert for a session installs an `onApplicationEnd`
+    * listener that drops that session's entries, so a long-lived
+    * multi-session JVM doesn't pin dead sessions and their lineage-free
+    * checkpointed frames for the JVM lifetime. ([[clearEdgeCache]]
+    * remains the explicit lever for conf flips / data rewrites while a
+    * session is still live.)
     */
   private def sharedEdges(s: SparkSession, dir: String, kind: String,
                           materializeDefault: Boolean)
                          (build: => DataFrame): DataFrame =
-    if (s.conf.get(CacheEdgesKey, "false").toBoolean)
-      edgeCache.computeIfAbsent((s, dir, kind),
-        _ => Graft.materialize(build))
+    if (s.conf.get(CacheEdgesKey, "false").toBoolean) {
+      val key = (s, dir, kind)
+      val hit = edgeCache.get(key)
+      if (hit != null) hit
+      else {
+        if (evictionHooked.add(s))
+          s.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                edgeCache.keySet.removeIf(_._1 eq s)
+                evictionHooked.remove(s)
+              }
+            })
+        val built = Graft.materialize(build)
+        val prev = edgeCache.putIfAbsent(key, built)
+        if (prev != null) prev else built
+      }
+    }
     else if (materializeDefault) Graft.materialize(build)
     else build
 

@@ -1300,19 +1300,16 @@ object Relational {
     // exact NTILE(5) from the two-pass range-partitioned rank
     // (Graft.rankedByRange): the customer grid grows with SF, so the
     // old global ntile windows were single-partition sorts. The bucket
-    // formula reproduces ANSI NTILE exactly — first (n mod 5) buckets
-    // take ceil(n/5) rows — and the CASE short-circuits the q=0 branch
-    // so n<5 cannot divide by zero under ANSI.
+    // comes from Graft.ntileFromRank — the ONE tested source of the
+    // rank→tile integer formula (MaterializeSpec boundary-grid-pins
+    // it), not an inline re-spelling that could drift.
     val tot = base.agg(count(lit(1)).as("n"))
     def score(by: Column, name: String): DataFrame =
       Graft.rankedByRange(base.select(col("c_custkey"), by.as("v")),
           col("v"), col("c_custkey"))
         .crossJoin(broadcast(tot))
         .select(col("c_custkey"),
-          expr("""case when i <= (n % 5) * (n div 5 + 1)
-                 |     then (i - 1) div (n div 5 + 1) + 1
-                 |     else (n % 5) + (i - (n % 5) * (n div 5 + 1) - 1)
-                 |          div (n div 5) + 1 end""".stripMargin)
+          Graft.ntileFromRank(5, iCol = "i", nCol = "n")
             .cast("long").as(name))
     base
       .join(score(col("last_order"), "r_score"), Seq("c_custkey"))

@@ -64,6 +64,32 @@ class DedupSpec extends SparkSpec {
       s"SemDeDup cell cap lost its map-side group limit:\n$sem")
   }
 
+  test("LSH cap over windowGroupLimitThreshold fails FAST, not silently") {
+    // maxBucket=1001 with the default threshold (1000) would plan the
+    // cap as a post-shuffle filter — identical rows, scale posture
+    // silently gone. nearDupPairs now guards the coupling at runtime.
+    val e = intercept[IllegalArgumentException] {
+      MinHashDedup.nearDupPairs(spark, sf, 0.2, maxBucket = 1001)
+    }
+    assert(e.getMessage.contains("windowGroupLimitThreshold"),
+      s"guard fired but without the diagnostic: ${e.getMessage}")
+    // a rule-disabling threshold (-1) must trip the guard too — there
+    // is no cap value that keeps the map-side contract then
+    val old = spark.conf.getOption(
+      "spark.sql.optimizer.windowGroupLimitThreshold")
+    try {
+      spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+      intercept[IllegalArgumentException] {
+        MinHashDedup.nearDupPairs(spark, sf, 0.2, maxBucket = 10)
+      }
+    } finally old match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", v)
+      case None =>
+        spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+    }
+  }
+
   test("MinHash-LSH hot bucket capped: degenerate corpus stays linear, still chains") {
     import spark.implicits._
     // 40 identical docs: every band collapses to ONE (band, bucket), the
