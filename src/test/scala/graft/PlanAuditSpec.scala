@@ -379,7 +379,6 @@ class PlanAuditSpec extends SparkSpec {
       "events_max_concurrency" ->
         "carry over the bounded day grid; 5-row post-TakeOrdered rank",
       "embed_threshold_sweep" -> "cumulative count over the 11-row threshold grid",
-      "events_sessionization" -> "bounded day-grid carry (calendar-sized)",
       "events_gapfill_daily" -> "forward-fill over the calendar day grid",
       "events_reach_curve" -> "cumulative users over the first-touch day grid",
       "events_session_paths" ->
@@ -391,11 +390,13 @@ class PlanAuditSpec extends SparkSpec {
       "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
       "ts_spearman" -> "average ranks over the day grid",
       "survival_km" -> "KM product over the distinct-day risk grid",
-      "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
-      "ts_stl_decompose" -> "day-grid seasonal frame (calendar-sized)",
-      "ts_anomaly_stl" -> "day-grid seasonal frame (calendar-sized)",
-      "ts_holt_winters" -> "day-grid smoothing recursion (calendar-sized)")
+      "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid")
     val hits = scala.collection.mutable.ListBuffer.empty[String]
+    // staleness, third direction: an allowlist key that no longer names
+    // a registered query protects nothing — the r10 list carried four
+    // such dead names (pre-rename spellings) that this check now bans
+    for (k <- allowed.keys.toSeq.sorted if !SparkEntry.queries.contains(k))
+      hits += s"$k allowlisted but not in the registry (dead name — remove it)"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val n =
         try fn(spark, sf).queryExecution.optimizedPlan
@@ -408,6 +409,77 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(hits.isEmpty,
       s"global-window allowlist out of date:\n  ${hits.mkString("\n  ")}")
+  }
+
+  test("registry sweep: every SinglePartition exchange feeds a bounded consumer") {
+    // The global-window sweep pins logical Windows with empty
+    // partitionSpec; this is its sibling for the OTHER driver-funnel
+    // class — a physical `Exchange SinglePartition` whose consumer is
+    // not structurally bounded. Bounded consumers, allowed everywhere:
+    //   - a grand aggregate (empty grouping — 1-row output);
+    //   - a limit (GlobalLimit / CollectLimit — k-row output);
+    //   - a Window / WindowGroupLimit (the global-window sweep already
+    //     pins those to the named bounded-input allowlist — one list
+    //     to maintain, not two).
+    // Anything else funneling a whole input through one partition
+    // mid-plan must be named below with its boundedness argument, so a
+    // future query can't hide a single-task stage the window sweep
+    // doesn't see (e.g. a repartition(1) or an AllTuples requirement
+    // from a custom operator).
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, InputAdapter, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // query -> why its flagged single-partition funnel cannot grow with SF
+    val allowed: Map[String, String] = Map.empty
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: HashAggregateExec => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec => a.groupingExpressions.isEmpty
+      case _: GlobalLimitExec | _: CollectLimitExec => true
+      case _: WindowExec | _: WindowGroupLimitExec => true
+      case _ => false
+    }
+    // EnsureRequirements interposes local sorts (and projections can
+    // interpose too) between an exchange and the operator that demanded
+    // it, and whole-stage codegen wraps stage inputs in InputAdapter /
+    // WholeStageCodegenExec shells — walk down carrying the nearest
+    // NON-transparent ancestor as the exchange's effective consumer
+    def scan(n: SparkPlan, eff: Option[SparkPlan],
+             out: scala.collection.mutable.ListBuffer[String]): Unit = {
+      n match {
+        case ex: ShuffleExchangeExec if ex.outputPartitioning == SinglePartition
+            && !eff.exists(bounded) =>
+          out += eff.map(_.getClass.getSimpleName).getOrElse("PLAN-ROOT")
+        case _ => ()
+      }
+      val nextEff = n match {
+        case _: SortExec | _: ProjectExec | _: InputAdapter |
+             _: WholeStageCodegenExec => eff
+        case other => Some(other)
+      }
+      n.children.foreach(scan(_, nextEff, out))
+      n.subqueries.foreach(scan(_, None, out))
+    }
+    // AQE rewrites exchanges at runtime; audit the static plan contract
+    // on an isolated session so the conf flip can't race other suites
+    val s = isolatedSession
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    for (k <- allowed.keys.toSeq.sorted if !SparkEntry.queries.contains(k))
+      hits += s"$k allowlisted but not in the registry (dead name — remove it)"
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val bad = scala.collection.mutable.ListBuffer.empty[String]
+      try scan(fn(s, sf).queryExecution.executedPlan, None, bad)
+      catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (bad.nonEmpty && !allowed.contains(name))
+        hits += s"$name funnels into ${bad.distinct.mkString(", ")}"
+      if (bad.isEmpty && allowed.contains(name))
+        hits += s"$name allowlisted but clean (stale entry — remove it)"
+    }
+    assert(hits.isEmpty,
+      s"single-partition funnel allowlist out of date:\n  ${hits.mkString("\n  ")}")
   }
 
   test("Theil-Sen median is banded TakeOrdered: no Window node anywhere") {
