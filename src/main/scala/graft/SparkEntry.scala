@@ -105,6 +105,7 @@ object SparkEntry {
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_minmax_by_brand" -> (Relational.aggMinMaxByBrand _),
+    "agg_mode_by_brand" -> (Relational.modeByBrand _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_median_price" -> (Relational.aggMedianPrice _),
     "agg_nations_by_region" -> (Relational.aggNationsByRegion _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
     "ts_autocorrelation" -> (TimeSeries.autocorrelation _),
+    "ts_ljung_box" -> ((s, d) => TimeSeries.ljungBox(s, d)),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "survival_km" -> (Survival.kaplanMeier _),
     "stats_decile_lift" -> (Relational.decileLift _),
@@ -239,6 +241,7 @@ object SparkEntry {
     "embed_outliers" -> ((s, d) => EmbeddingQueries.outliersByLabel(s, d)),
     "stats_anova_priority" -> (Relational.anovaPriority _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
+    "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "events_burstiness" -> (EventQueries.burstiness _),
     "ts_mann_kendall" -> (TimeSeries.mannKendall _),
     "events_unattributed" -> (EventQueries.unattributedPurchases _),
@@ -263,6 +266,8 @@ object SparkEntry {
       ((s, d) => GraphQueries.adamicAdar(s, d, 20, broadcastAdj = false)),
     "graph_common_neighbors" -> ((s, d) => GraphQueries.commonNeighbors(s, d)),
     "graph_pref_attachment" -> ((s, d) => GraphQueries.prefAttachment(s, d)),
+    "graph_katz_walks" -> ((s, d) => GraphQueries.katzWalks(s, d)),
+    "graph_degree_histogram" -> (GraphQueries.degreeHistogram _),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
@@ -324,6 +329,7 @@ object SparkEntry {
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
+    "sample_systematic" -> (Sampling.systematicSample _),
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
@@ -332,6 +338,7 @@ object SparkEntry {
     "mixture_downsample" -> (Sampling.mixtureDownsample _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
+    "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
     "dedup_prefix_jaccard" -> ((s, d) => TextQueries.dedupPrefixJaccard(s, d)),
     "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
@@ -434,6 +441,7 @@ object SparkEntry {
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_count_distinct" -> Relational.aggCountDistinctSql,
     "agg_minmax_by_brand" -> Relational.aggMinMaxByBrandSql,
+    "agg_mode_by_brand" -> Relational.modeByBrandSql,
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_median_price" -> Relational.aggMedianPriceSql,
     "agg_nations_by_region" -> Relational.aggNationsByRegionSql,
@@ -530,6 +538,7 @@ object SparkEntry {
     "curation_pipeline" -> TextQueries.curationPipelineSql,
     "sample_hash_split" -> Sampling.hashSplitSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql,
+    "sample_systematic" -> Sampling.systematicSampleSql,
     "sample_weighted" -> Sampling.weightedSampleSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "events_funnel" -> EventQueries.funnelSql,
@@ -566,6 +575,7 @@ object SparkEntry {
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,
+    "ts_ljung_box" -> TimeSeries.ljungBoxSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,
     "survival_km" -> Survival.kaplanMeierSql,
     "stats_decile_lift" -> Relational.decileLiftSql,
@@ -579,6 +589,7 @@ object SparkEntry {
     "embed_outliers" -> EmbeddingQueries.outliersByLabelSql,
     "stats_anova_priority" -> Relational.anovaPrioritySql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
+    "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "events_burstiness" -> EventQueries.burstinessSql,
     "ts_mann_kendall" -> TimeSeries.mannKendallSql,
     "events_unattributed" -> EventQueries.unattributedPurchasesSql,
@@ -598,6 +609,8 @@ object SparkEntry {
     "graph_adamic_adar_partitioned" -> GraphQueries.adamicAdarSql,
     "graph_common_neighbors" -> GraphQueries.commonNeighborsSql,
     "graph_pref_attachment" -> GraphQueries.prefAttachmentSql,
+    "graph_katz_walks" -> GraphQueries.katzWalksSql,
+    "graph_degree_histogram" -> GraphQueries.degreeHistogramSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,
@@ -632,6 +645,7 @@ object SparkEntry {
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
+    "dedup_cluster_sizes" -> TextQueries.dedupClusterSizesSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_prefix_jaccard" -> TextQueries.dedupPrefixJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,

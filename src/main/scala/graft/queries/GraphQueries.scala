@@ -1356,4 +1356,112 @@ object GraphQueries {
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
       |ORDER BY round""".stripMargin
   }
+
+  // --- Katz-style walk-count centrality ---------------------------------------
+  /** Top-20 trade-graph nodes by attenuated walk-count centrality —
+    * the truncated Katz index (Katz, Psychometrika 1953): score(v) =
+    * Σ_{k=1..3} β^k · walks_k(v), walks_k = number of length-k walks
+    * ending at v, β = 1/8. Reported as the exact INTEGER numerator
+    * `katz64 = 64·w1 + 8·w2 + w3` (the score scaled by 8³), so parity
+    * with the oracle is structural — no floating point anywhere, the
+    * [[rankedAll]] micro-rank discipline. Walk counts relate to the
+    * [[pagerank]] family (both are attenuated-path centralities), but
+    * Katz keeps raw counts where PageRank normalizes by out-degree —
+    * hubs score superlinearly, which is the read a marketplace uses
+    * to find its structural anchors.
+    *
+    * Plan: w1 = one aggregation of the (already symmetrized)
+    * [[tradeEdges]]; w_{k+1}(v) = Σ_{u→v} w_k(u) — each hop is ONE
+    * join of the edge table against the NODE-sized previous vector
+    * (broadcast or SHUFFLE_HASH per the family's
+    * `spark.graft.triangles.broadcastAdj` gate) + ONE dst-keyed
+    * aggregation: the Pregel-on-dataframes step, never an adjacency
+    * materialization. Final score joins three node-sized vectors and
+    * TakeOrders the top 20. BIGINT stays exact: at 100 TB-scale hub
+    * degree ~1e5, w3 ~ deg·(avg deg)² ~ 1e13 and ×64 is far inside
+    * Long range; overflow would fail LOUDLY under ANSI, not wrap.
+    */
+  def katzWalks(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    katzWalks(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def katzWalks(s: SparkSession, dir: String, k: Int,
+                broadcastAdj: Boolean): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val side: DataFrame => DataFrame =
+      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+    // w1 and w2 each feed TWO consumers (the next hop and the final
+    // join) — materialize the NODE-sized vectors so neither consumer
+    // re-runs the edge scan behind them (the rankedAll iteration
+    // discipline; the checkpoint itself is node-small at any SF)
+    val w1 = Graft.materialize(
+      edges.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("w1")))
+    def hop(prev: DataFrame, in: String, out: String): DataFrame =
+      edges
+        .join(side(prev.select(col("node").as("via"), col(in))),
+          col("src") === col("via"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col(in)).as(out))
+    val w2 = Graft.materialize(hop(w1, "w1", "w2"))
+    val w3 = hop(w2, "w2", "w3")
+    w1.join(side(w2), Seq("node"))
+      .join(side(w3), Seq("node"))
+      .select(col("node"), col("w1"), col("w2"), col("w3"),
+        (lit(64L) * col("w1") + lit(8L) * col("w2") + col("w3"))
+          .as("katz64"))
+      .orderBy(col("katz64").desc, col("node"))
+      .limit(k)
+  }
+
+  val katzWalksSql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |w1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS w1
+      |       FROM edges GROUP BY dst),
+      |w2 AS (SELECT e.dst AS node, CAST(SUM(w1.w1) AS BIGINT) AS w2
+      |       FROM edges e JOIN w1 ON w1.node = e.src GROUP BY e.dst),
+      |w3 AS (SELECT e.dst AS node, CAST(SUM(w2.w2) AS BIGINT) AS w3
+      |       FROM edges e JOIN w2 ON w2.node = e.src GROUP BY e.dst),
+      |r AS (
+      |  SELECT w1.node, w1.w1, w2.w2, w3.w3,
+      |    64 * w1.w1 + 8 * w2.w2 + w3.w3 AS katz64,
+      |    row_number() OVER (
+      |      ORDER BY 64 * w1.w1 + 8 * w2.w2 + w3.w3 DESC, w1.node) AS rnk
+      |  FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node)
+      |SELECT node, w1, w2, w3, katz64 FROM r WHERE rnk <= 20
+      |ORDER BY katz64 DESC, node""".stripMargin
+
+  // --- degree distribution ----------------------------------------------------
+  /** Degree distribution of the trade graph: (degree, n_nodes),
+    * ascending — the first structural census of any production graph
+    * (the power-law check of Barabási & Albert, Science 1999, read
+    * before trusting any mean-degree capacity plan; a heavy tail here
+    * is exactly what makes the skew-join/salting disciplines
+    * elsewhere in this repo necessary). Two hash aggregations — edge
+    * list → node degrees → degree histogram — each with map-side
+    * partials; the histogram is at most |distinct degrees| rows.
+    * Exact integers, total order on degree.
+    */
+  def degreeHistogram(s: SparkSession, dir: String): DataFrame =
+    tradeEdges(s, dir)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  val degreeHistogramSql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+      |        FROM edges GROUP BY src)
+      |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 }

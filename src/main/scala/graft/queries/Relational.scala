@@ -2013,4 +2013,42 @@ object Relational {
       |SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
       |       CAST(MAX(tot) AS BIGINT) AS total_weight
       |FROM c WHERE cw * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
+
+  // --- per-group mode ---------------------------------------------------------
+  /** Modal part type per brand — the categorical MODE with a TOTAL
+    * tie-break (highest count, then lexicographically first type), so
+    * the answer is deterministic where SQL's `mode()` and Spark's
+    * `mode` expression both leave ties to implementation order. The
+    * catalog read a buyer asks first ("what does this brand mostly
+    * sell?"), and the categorical sibling of [[aggMedianPrice]].
+    *
+    * Shape: one (brand, type) count aggregation with map-side
+    * partials, then a brand-PARTITIONED rank window — parallel across
+    * brands at any scale — cut to rank 1. Never a global window;
+    * exact integers.
+    */
+  def modeByBrand(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "part")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("n_parts").desc, col("p_type"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_brand"), col("p_type").as("mode_type"), col("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  val modeByBrandSql: String =
+    """WITH c AS (
+      |  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY p_brand, p_type),
+      |r AS (
+      |  SELECT p_brand, p_type, n_parts,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY n_parts DESC, p_type) AS rk
+      |  FROM c)
+      |SELECT p_brand, p_type AS mode_type, n_parts
+      |FROM r WHERE rk = 1 ORDER BY p_brand""".stripMargin
 }

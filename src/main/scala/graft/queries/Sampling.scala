@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Graft, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -544,4 +544,39 @@ object Sampling {
       |    AS rel_err
       |FROM g, t ORDER BY replicate""".stripMargin
   }
+
+  // --- systematic (every k-th) sampling ---------------------------------------
+  /** Exact 1-in-100 SYSTEMATIC sample of orders: rank the population
+    * by (o_totalprice, o_orderkey) and keep every 100th rank starting
+    * at 1 (Madow & Madow, Ann. Math. Stat. 1944) — ordering by the
+    * value column makes it implicitly value-stratified, the classical
+    * cheap variance reduction over [[hashSplit]]'s pure-random draw
+    * (which can cluster; a systematic pass cannot, by construction).
+    * Deterministic: the rank key is tie-free, so the sample is a pure
+    * function of the data.
+    *
+    * Scale shape: the global rank is [[Graft.rankedByRange]] — the
+    * two-pass range-partitioned spelling with ZERO rank-side
+    * single-partition stages — and the modulus filter is a map-side
+    * scan of the ranked checkpoint. The oracle spells the same rank
+    * as a global row_number window (fine at oracle scale; the Spark
+    * side never plans one).
+    */
+  def systematicSample(s: SparkSession, dir: String): DataFrame = {
+    val pop = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Graft.rankedByRange(pop, col("o_totalprice"), col("o_orderkey"))
+      .filter(col("i") % 100 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("i"))
+      .orderBy(col("i"))
+  }
+
+  val systematicSampleSql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+      |         AS BIGINT) AS i
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice, i
+      |FROM r WHERE i % 100 = 1 ORDER BY i""".stripMargin
 }

@@ -1981,4 +1981,90 @@ object TextQueries {
       |  (CAST(sa AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6)
       |   + CAST(sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
       |FROM agg""".stripMargin
+
+  // --- Simpson lexical diversity per source -----------------------------------
+  /** Simpson concentration of the token distribution per source:
+    * λ = Σ_w n_w(n_w−1) / (N(N−1)) — the probability two tokens drawn
+    * without replacement are the SAME word (Simpson, Nature 1948).
+    * High λ = repetitive/templated source text; the diversity
+    * complement of [[charEntropy]]'s character read and [[zipfSlope]]'s
+    * rank-frequency read, and a standard corpus-mix quality gate (a
+    * crawl source whose λ spikes is boilerplate-heavy). Reported with
+    * token and vocabulary counts so the ratio has its scale visible.
+    *
+    * Determinism: N, V and Σ n_w(n_w−1) are exact — the pair sum
+    * accumulates in DECIMAL(18,0) on both engines since n_w² outruns
+    * BIGINT once a source's top token passes ~3e9 occurrences (the
+    * [[TimeSeries.autocorrelation]] decimal-moments rule) — and λ is
+    * one IEEE division of exact values.
+    *
+    * Shape: explode → ONE (source, word) hash aggregation with
+    * map-side partials (the [[topTerms]] exchange), then a
+    * source-keyed rollup of counts — the histogram-of-histogram
+    * shape; no windows, no driver collects.
+    */
+  def simpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(col("source"), explode(words).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("nw"))
+    val nwd = col("nw").cast("decimal(18,0)")
+    counts
+      .groupBy(col("source"))
+      .agg(sum(col("nw")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(nwd * (nwd - lit(1))).as("s2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("s2").cast("double")
+          / (col("n_tokens").cast("double")
+            * (col("n_tokens").cast("double") - lit(1.0))))
+          .as("simpson"))
+      .orderBy(col("source"))
+  }
+
+  val simpsonDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |cw AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS nw
+      |  FROM tok GROUP BY source, w),
+      |agg AS (
+      |  SELECT source, CAST(SUM(nw) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    SUM(CAST(nw AS DECIMAL(18,0)) * (CAST(nw AS DECIMAL(18,0)) - 1))
+      |      AS s2
+      |  FROM cw GROUP BY source)
+      |SELECT source, n_tokens, vocab,
+      |  CAST(s2 AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+      |    AS simpson
+      |FROM agg ORDER BY source""".stripMargin
+
+  // --- duplicate-cluster size census ------------------------------------------
+  /** Histogram of exact-duplicate cluster sizes: how many md5(text)
+    * clusters have exactly k members — [[dedupExact]]'s census view,
+    * the one-table read of how duplication is DISTRIBUTED (a long tail
+    * of 2-copies vs a few mega-piles demand different dedup budgets;
+    * the mega-pile case is what the LSH bucket cap and its audit
+    * exist for). cluster_size = 1 rows count the unique documents, so
+    * the histogram also totals to the corpus without a second scan.
+    * Two hash aggregations (digest → cluster size → histogram), both
+    * with map-side partials; output is |distinct sizes| rows.
+    */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  val dedupClusterSizesSql: String =
+    """WITH cl AS (
+      |  SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT)
+      |    AS cluster_size
+      |  FROM documents GROUP BY md5(text))
+      |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 }

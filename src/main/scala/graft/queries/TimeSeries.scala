@@ -637,4 +637,123 @@ object TimeSeries {
       |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
       |FROM legs ORDER BY lag""".stripMargin
   }
+
+  // --- Ljung–Box portmanteau whiteness test ---------------------------------
+  /** Ljung–Box Q over the daily-revenue series at lags 1..10 (Ljung &
+    * Box, Biometrika 1978): per lag the STANDARD sample
+    * autocorrelation r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * (full-series mean and denominator — the estimator the test is
+    * defined over, unlike [[autocorrelation]]'s per-leg Pearson), and
+    * the running portmanteau Q_h = n(n+2)·Σ_{k≤h} r_k²/(n−k) — the
+    * one-number "is anything left after my model" read, cumulated so
+    * each row IS the test at horizon h.
+    *
+    * Determinism: all moments are exact — n, Σx, per-lag pair sums as
+    * BIGINTs and the second moments (Σx², Σx_t·x_{t+k}) in
+    * DECIMAL(18,0) ([[autocorrelation]]'s decimal-moments rule, since
+    * daily dollars² · series length outruns BIGINT near SF 0.7) — and
+    * r_k expands around those sums:
+    * r_k = (c_k − x̄(a_k+b_k) + m_k·x̄²)/D, a FIXED IEEE sequence
+    * spelled identically in the oracle. The cumulative Q adds the
+    * per-lag terms in lag order on both engines (running-frame window
+    * over the 10-row lag grid), so even the double summation order is
+    * pinned.
+    *
+    * Shape: one fact-table aggregation to the day series
+    * (materialized — the global moments and every lag leg read the
+    * SAME checkpoint), ONE window pass producing all ten leads, a
+    * posexplode to (lag, x, y) pairs, one lag-keyed aggregation, and
+    * window arithmetic on the 10-row grid. The single-partition
+    * windows touch only day-cardinality (bounded) and 10-row inputs.
+    */
+  def ljungBox(s: SparkSession, dir: String, maxLag: Int = 10): DataFrame = {
+    val wOrd = Window.orderBy(col("d"))
+    val withLeads = (1 to maxLag).foldLeft(
+      dailyRevenue(s, dir).withColumn("x", expr("rev_cents div 100"))) {
+      case (df, k) => df.withColumn(s"y$k", lead(col("x"), k).over(wOrd))
+    }
+    val series = Graft.materialize(withLeads)
+    val xd = col("x").cast("decimal(18,0)")
+    val g = series.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(xd * xd).as("sxx"))
+    val pairs = series
+      .select(col("x"),
+        posexplode(array((1 to maxLag).map(k => col(s"y$k")): _*))
+          .as(Seq("p", "y")))
+      .filter(col("y").isNotNull)
+      .select((col("p") + 1).cast("long").as("lag"), col("x"), col("y"))
+    val perLag = pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("a"),
+        sum(col("y")).as("b"),
+        sum(xd * col("y").cast("decimal(18,0)")).as("c"))
+      .crossJoin(broadcast(g))
+    val nd = col("n").cast("double")
+    val xb = col("sx").cast("double") / nd
+    // outer parens matter: a line break before the `-` would otherwise
+    // end the statement and silently discard the mean-correction term
+    val den = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / nd)
+    val acf = (col("c").cast("double")
+      - xb * (col("a").cast("double") + col("b").cast("double"))
+      + col("m").cast("double") * xb * xb) / den
+    val wCum = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLag
+      .select(col("lag"), col("m").as("n_pairs"), col("n"), acf.as("acf"))
+      .withColumn("cum",
+        sum(col("acf") * col("acf")
+          / (col("n").cast("double") - col("lag").cast("double"))).over(wCum))
+      .select(col("lag"), col("n_pairs"), col("acf"),
+        (col("n").cast("double") * (col("n").cast("double") + lit(2.0))
+          * col("cum")).as("q_lb"))
+      .orderBy(col("lag"))
+  }
+
+  val ljungBoxSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    val lagRows = (1 to 10).map(k => s"($k)").mkString(", ")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT d, $dollars AS x FROM rev),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      |  FROM x),
+      |ks AS (SELECT CAST(lag AS BIGINT) AS lag FROM (VALUES $lagRows) t(lag)),
+      |xr AS (SELECT x, row_number() OVER (ORDER BY d) AS rn FROM x),
+      |pairs AS (
+      |  SELECT k.lag, a.x AS x, b.x AS y
+      |  FROM xr a JOIN ks k ON true JOIN xr b ON b.rn = a.rn + k.lag),
+      |p AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(x) AS BIGINT) AS a, CAST(SUM(y) AS BIGINT) AS b,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS c
+      |  FROM pairs GROUP BY lag),
+      |r AS (
+      |  SELECT lag, m AS n_pairs, n,
+      |    (CAST(c AS DOUBLE)
+      |       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+      |       + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS acf
+      |  FROM p CROSS JOIN g),
+      |q AS (
+      |  SELECT lag, n_pairs, acf,
+      |    SUM(acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)))
+      |      OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND CURRENT ROW) AS cum,
+      |    n
+      |  FROM r)
+      |SELECT lag, n_pairs, acf,
+      |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cum AS q_lb
+      |FROM q ORDER BY lag""".stripMargin
+  }
 }

@@ -833,4 +833,82 @@ class AnalyticsOpsSpec extends SparkSpec {
     val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(got.toSeq == expected)
   }
+
+  test("katzWalks: walk counts replay from the raw edge list; modes agree") {
+    // independent driver-side replay: pull the (bounded at sf0.001)
+    // edge list and count length-1/2/3 walks by brute force
+    val edges = GraphQueries.tradeEdges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val w1 = edges.groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
+    val outNbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    def hop(prev: Map[String, Long]): Map[String, Long] =
+      edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => prev(u) }.sum
+      }
+    val w2 = hop(w1); val w3 = hop(w2)
+    val expected = w1.keys.map { v =>
+      (v, w1(v), w2(v), w3(v), 64L * w1(v) + 8L * w2(v) + w3(v))
+    }.toSeq.sortBy { case (v, _, _, _, k) => (-k, v) }.take(20)
+    val got = GraphQueries.katzWalks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expected, "katz top-20 diverges from brute force")
+    // sanity on the replay itself: out-neighbor fan mirrors in-degree
+    assert(outNbrs.values.map(_.length.toLong).sum == edges.length.toLong)
+    // the partitioned spelling is result-identical to broadcast mode
+    val part = GraphQueries.katzWalks(spark, sf, 20, broadcastAdj = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(part.toSeq == got.toSeq, "broadcastAdj flip changed katz results")
+  }
+
+  test("degreeHistogram: totals account for every node and directed edge") {
+    val hist = GraphQueries.degreeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = GraphQueries.tradeEdges(spark, sf)
+    val nNodes = edges.select(col("src")).distinct().count()
+    val nEdges = edges.count()
+    assert(hist.map(_._2).sum == nNodes, "histogram must cover every node")
+    assert(hist.map { case (d, n) => d * n }.sum == nEdges,
+      "sum(degree * n_nodes) must equal the directed edge count")
+    assert(hist.map(_._1).toSeq == hist.map(_._1).sorted.toSeq
+      && hist.map(_._1).distinct.length == hist.length,
+      "one ascending row per distinct degree")
+  }
+
+  test("simpsonDiversity: exact replay per source; bounds hold") {
+    val out = TextQueries.simpsonDiversity(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.map(_.getString(0)).toSeq == bySource.keys.toSeq.sorted,
+      "one row per source, source-ordered")
+    for (r <- out) {
+      val src = r.getString(0)
+      val counts = bySource(src).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum; val v = counts.size.toLong
+      val s2 = counts.map(c => c * (c - 1)).sum
+      assert(r.getLong(1) == n && r.getLong(2) == v,
+        s"$src token/vocab counts diverge from replay")
+      val lambda = s2.toDouble / (n.toDouble * (n.toDouble - 1.0))
+      assert(math.abs(r.getDouble(3) - lambda) < 1e-12,
+        s"$src simpson ${r.getDouble(3)} != replay $lambda")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("dedupClusterSizes: histogram totals reconcile with the corpus") {
+    val hist = TextQueries.dedupClusterSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val nDocs = docs.count()
+    val nDistinct = docs.select(md5(col("text"))).distinct().count()
+    assert(hist.map { case (sz, n) => sz * n }.sum == nDocs,
+      "sum(cluster_size * n_clusters) must equal the doc count")
+    assert(hist.map(_._2).sum == nDistinct,
+      "sum(n_clusters) must equal the distinct-text count")
+    assert(hist.forall(_._1 >= 1))
+  }
 }

@@ -390,7 +390,9 @@ class PlanAuditSpec extends SparkSpec {
       "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
       "ts_spearman" -> "average ranks over the day grid",
       "survival_km" -> "KM product over the distinct-day risk grid",
-      "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid")
+      "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
+      "ts_ljung_box" ->
+        "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid")
     val hits = scala.collection.mutable.ListBuffer.empty[String]
     // staleness, third direction: an allowlist key that no longer names
     // a registered query protects nothing — the r10 list carried four

@@ -203,4 +203,22 @@ class RelationalSpec extends SparkSpec {
     assert(bn == mn, "row count unchanged by the mutation")
     assert(bx != mx && bs != ms, "both digests must flip on a 1-row change")
   }
+
+  test("modeByBrand: per-brand max count with the lexicographic tie-break") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.modeByBrand(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // independent recompute: driver-side group-and-max over the raw table
+    val raw = graft.Tables.load(spark, sf, "part")
+      .groupBy(col("p_brand"), col("p_type")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).map { case (brand, rows) =>
+      val best = rows.minBy { case (_, tpe, n) => (-n, tpe) }
+      (brand, best._2, best._3)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected, "mode rows diverge from driver replay")
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq
+      && out.map(_._1).distinct.length == out.length,
+      "exactly one row per brand, brand-ordered")
+  }
 }

@@ -252,4 +252,26 @@ class SamplingSpec extends SparkSpec {
         s"$lang: ranks must be dense 1..k")
     }
   }
+
+  test("systematic sample: exact stride-100 ranks of the value-ordered population") {
+    import graft.queries.Sampling
+    val out = Sampling.systematicSample(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "orders").count()
+    // every 100th rank starting at 1 → ceil(n/100) rows, ranks 1,101,...
+    assert(out.length == ((n + 99) / 100).toInt,
+      s"sample size ${out.length} != ceil($n/100)")
+    assert(out.map(_.getLong(2)).toSeq ==
+      (0 until out.length).map(j => 1L + 100L * j),
+      "sampled ranks must be exactly 1, 101, 201, ...")
+    // the rank agrees with an independent global row_number spelling
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val expected = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        row_number().over(w).cast("long").as("i"))
+      .filter(col("i") % 100 === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(2)).toMap == expected,
+      "rankedByRange ranks diverge from the window-spelled ranks")
+  }
 }

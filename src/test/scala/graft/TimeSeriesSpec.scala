@@ -517,4 +517,39 @@ class TimeSeriesSpec extends SparkSpec {
     val rt = TimeSeries.runsTest(spark, tmp).collect().head
     assert(rt.isNullAt(3), s"constant series runs z must be NULL, got ${rt.get(3)}")
   }
+
+  test("ljungBox: full driver-side replay of the standard ACF and running Q") {
+    val out = TimeSeries.ljungBox(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L), "one row per lag 1..10")
+    // independent replay: collect the day series (bounded) and compute
+    // the textbook estimator directly over the raw sequence
+    val xs = graft.Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        ((col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long"))
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("rc"))
+      .orderBy(col("d"))
+      .collect().map(r => r.getLong(1) / 100L)  // dollars, truncating
+    val n = xs.length
+    val xb = xs.sum.toDouble / n
+    val den = xs.map(x => (x - xb) * (x - xb)).sum
+    var cum = 0.0
+    for (r <- out) {
+      val k = r.getLong(0).toInt
+      val m = r.getLong(1)
+      assert(m == n - k, s"lag $k pair count: $m != ${n - k}")
+      val num = (0 until n - k).map(t => (xs(t) - xb) * (xs(t + k) - xb)).sum
+      val acf = num / den
+      assert(math.abs(r.getDouble(2) - acf) < 1e-9,
+        s"lag $k acf ${r.getDouble(2)} != replay $acf")
+      cum += acf * acf / (n - k)
+      val q = n.toDouble * (n + 2.0) * cum
+      assert(math.abs(r.getDouble(3) - q) < math.max(1e-6, 1e-9 * math.abs(q)),
+        s"lag $k Q ${r.getDouble(3)} != replay $q")
+    }
+    // the portmanteau is a running sum of squares: non-decreasing
+    val qs = out.map(_.getDouble(3))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a },
+      "Q must be non-decreasing in the horizon")
+  }
 }
