@@ -181,7 +181,9 @@ object SparkEntry {
     "sessionize_events" -> (EventQueries.sessionize _),
     "asof_purchase" -> (EventQueries.asofPurchase _),
     "asof_next_purchase" -> (EventQueries.asofNextPurchase _),
+    "asof_nearest" -> (EventQueries.asofNearest _),
     "range_join_nearby" -> ((s, d) => EventQueries.rangeJoinNearby(s, d)),
+    "range_join_overlap" -> (EventQueries.rangeJoinOverlap _),
     "events_gapfill_daily" -> (EventQueries.gapfillDaily _),
     "events_funnel" -> (EventQueries.funnel _),
     "events_dau_wau" -> (EventQueries.dauWau _),
@@ -511,7 +513,9 @@ object SparkEntry {
     "sessionize_events" -> EventQueries.sessionizeSql,
     "asof_purchase" -> EventQueries.asofPurchaseSql,
     "asof_next_purchase" -> EventQueries.asofNextPurchaseSql,
+    "asof_nearest" -> EventQueries.asofNearestSql,
     "range_join_nearby" -> EventQueries.rangeJoinNearbySql,
+    "range_join_overlap" -> EventQueries.rangeJoinOverlapSql,
     "events_gapfill_daily" -> EventQueries.gapfillDailySql,
     "cdc_latest_state" -> EventQueries.cdcLatestStateSql,
     "text_token_count" -> TextQueries.tokenCountSql,

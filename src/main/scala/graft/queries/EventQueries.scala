@@ -221,6 +221,178 @@ object EventQueries {
       |FROM o WHERE event_type = 'click'
       |ORDER BY user_id, click_id""".stripMargin
 
+  /** NEAREST as-of: each click labeled with the purchase closest in
+    * ABSOLUTE time, either direction — the tolerance-free nearest-
+    * neighbor join a feature pipeline uses when "the relevant
+    * transaction" may precede or follow the signal (pandas
+    * merge_asof(direction='nearest') semantics). Ties (equidistant
+    * prev/next) resolve to the EARLIER purchase; a same-instant
+    * purchase wins outright with dt 0.
+    *
+    * Composition, not a join: BOTH directions come from ONE
+    * user-partitioned sort — a backward frame carrying the last
+    * purchase's (ts, value) and a forward frame carrying the next's —
+    * then a pure row-local CASE picks the nearer side. Same
+    * one-exchange scale shape as [[asofOver]]; the purchase-before-
+    * click tie order makes the backward frame see a same-ts purchase
+    * (dt 0), which no forward candidate can beat, so the forward
+    * frame missing it is harmless. Clicks from users with no
+    * purchases keep NULLs (both engines agree — no 0/0-style NaN
+    * hazard, the CASE returns NULL through).
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame =
+    asofNearestOver(ev(s, dir))
+
+  /** The nearest-as-of transform over any (user_id, event_id, ts,
+    * event_type, value) frame — split from the scan so AsofSpec can
+    * plant the tie/edge cases ([[asofOver]]'s discipline).
+    */
+  def asofNearestOver(events: DataFrame): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val ord = Seq(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
+    val wBack = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col("ts"))
+    val prevNearer = (us - col("prev_us")) <= (col("next_us") - us)
+    events
+      .withColumn("prev_us",
+        last(when(isPurchase, us), ignoreNulls = true).over(wBack))
+      .withColumn("prev_val",
+        last(when(isPurchase, col("value")), ignoreNulls = true).over(wBack))
+      .withColumn("next_us",
+        first(when(isPurchase, us), ignoreNulls = true).over(wFwd))
+      .withColumn("next_val",
+        first(when(isPurchase, col("value")), ignoreNulls = true).over(wFwd))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        when(col("prev_us").isNull && col("next_us").isNull, lit(null))
+          .when(col("next_us").isNull, col("prev_val"))
+          .when(col("prev_us").isNull, col("next_val"))
+          .when(prevNearer, col("prev_val"))
+          .otherwise(col("next_val")).as("nearest_purchase_value"),
+        when(col("prev_us").isNull && col("next_us").isNull,
+            lit(null).cast("long"))
+          .when(col("next_us").isNull, us - col("prev_us"))
+          .when(col("prev_us").isNull, col("next_us") - us)
+          .when(prevNearer, us - col("prev_us"))
+          .otherwise(col("next_us") - us).as("dt_us"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  val asofNearestSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    epoch_us(ts::TIMESTAMP) AS us,
+      |    LAST_VALUE(CASE WHEN event_type = 'purchase'
+      |                    THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+      |              event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS prev_us,
+      |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+      |              event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS prev_val,
+      |    FIRST_VALUE(CASE WHEN event_type = 'purchase'
+      |                     THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+      |              event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS next_us,
+      |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+      |                IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts,
+      |              CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+      |              event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS next_val
+      |  FROM events)
+      |SELECT user_id, event_id AS click_id,
+      |  CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+      |       WHEN next_us IS NULL THEN prev_val
+      |       WHEN prev_us IS NULL THEN next_val
+      |       WHEN (us - prev_us) <= (next_us - us) THEN prev_val
+      |       ELSE next_val END AS nearest_purchase_value,
+      |  CASE WHEN prev_us IS NULL AND next_us IS NULL
+      |         THEN CAST(NULL AS BIGINT)
+      |       WHEN next_us IS NULL THEN us - prev_us
+      |       WHEN prev_us IS NULL THEN next_us - us
+      |       WHEN (us - prev_us) <= (next_us - us) THEN us - prev_us
+      |       ELSE next_us - us END AS dt_us
+      |FROM o WHERE event_type = 'click'
+      |ORDER BY user_id, click_id""".stripMargin
+
+  /** Interval-OVERLAP join: per (user, day, event type) activity
+    * bursts [first event, last event] self-joined on time overlap
+    * across DIFFERENT types of the same user, rolled up to the daily
+    * co-engagement matrix (day, type_a, type_b) → users whose bursts
+    * overlapped + total overlap time. Closed intervals; a point touch
+    * counts with overlap 0. The interval×interval sibling of
+    * [[rangeJoinNearby]]'s point-radius join — "which engagement modes
+    * co-occur in time" is the behavioral read, and the operator shape
+    * is the general two-interval-set overlap join.
+    *
+    * Scale shape — banded equi-join, the [[rangeJoinNearby]]
+    * discipline extended to intervals: each interval replicates into
+    * every day-sized bin it TOUCHES (a `sequence` explode — bounded
+    * fan, here 1 bin since bursts are day-contained by construction,
+    * ≤ span/bin + 1 in general), the join is a plain hash equi-join on
+    * (user_id, bin) + ordered type pair, and each qualifying pair is
+    * kept exactly once WITHOUT a distinct pass: only in the bin
+    * containing the overlap's START (`greatest(a0, b0) div bin` — a
+    * bin both sides provably emitted). Work is Σ per-bin occupancy
+    * products (≤ |event types|² per user-day), never |intervals|²; no
+    * inequality-driven nested loop anywhere.
+    */
+  def rangeJoinOverlap(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 86400L * 1000000
+    val iv = ev(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+    val withBin = iv.withColumn("bin",
+      explode(sequence(expr(s"t0 div $binUs"), expr(s"t1 div $binUs"))))
+    val a = withBin.select(col("user_id"), col("bin"), col("d"),
+      col("event_type").as("type_a"), col("t0").as("a0"), col("t1").as("a1"))
+    val b = withBin.select(col("user_id"), col("bin"),
+      col("event_type").as("type_b"), col("t0").as("b0"), col("t1").as("b1"))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("type_a") < col("type_b"))
+      .filter(col("a0") <= col("b1") && col("b0") <= col("a1"))
+      .filter(col("bin") === expr(s"greatest(a0, b0) div $binUs"))
+      .groupBy(col("d"), col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(least(col("a1"), col("b1")) - greatest(col("a0"), col("b0")))
+          .as("total_overlap_us"))
+      .orderBy(col("d"), col("type_a"), col("type_b"))
+  }
+
+  val rangeJoinOverlapSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+      |    MIN(epoch_us(ts::TIMESTAMP)) AS t0,
+      |    MAX(epoch_us(ts::TIMESTAMP)) AS t1
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT a.d, a.event_type AS type_a, b.event_type AS type_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(least(a.t1, b.t1) - greatest(a.t0, b.t0)) AS BIGINT)
+      |    AS total_overlap_us
+      |FROM iv a JOIN iv b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |  AND a.t0 <= b.t1 AND b.t0 <= a.t1
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Time-decay multi-touch attribution: every touch before a user's
     * next purchase earns credit that HALVES per elapsed hour —
     * channels that touch close to conversion earn more, the standard

@@ -36,6 +36,67 @@ class AsofSpec extends SparkSpec {
       (3L, 1L, None)))      // future purchase must NOT leak backwards
   }
 
+  test("nearest as-of: direction choice, tie to earlier, same-instant wins at 0") {
+    val events = Seq(
+      // user 1: prev at -2h, next at +1h -> next wins
+      (1L, 1L, ts("2024-01-01 08:00:00"), "purchase", 3.0),
+      (1L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, 3L, ts("2024-01-01 11:00:00"), "purchase", 4.0),
+      // user 2: equidistant (±1h) -> tie resolves to the EARLIER purchase
+      (2L, 1L, ts("2024-01-01 09:00:00"), "purchase", 5.0),
+      (2L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 3L, ts("2024-01-01 11:00:00"), "purchase", 6.0),
+      // user 3: same-instant purchase (larger event_id) -> dt 0, wins
+      (3L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (3L, 9L, ts("2024-01-01 10:00:00"), "purchase", 7.0),
+      (3L, 2L, ts("2024-01-01 10:30:00"), "purchase", 8.0),
+      // user 4: no purchases at all -> NULLs survive (never NaN)
+      (4L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      // user 5: only a FUTURE purchase -> forward side used
+      (5L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (5L, 2L, ts("2024-01-01 12:00:00"), "purchase", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventQueries.asofNearestOver(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == Seq(
+      (1L, 2L, Some(4.0), Some(3600L * 1000000)),
+      (2L, 2L, Some(5.0), Some(3600L * 1000000)),
+      (3L, 1L, Some(7.0), Some(0L)),
+      (4L, 1L, None, None),
+      (5L, 1L, Some(9.0), Some(2L * 3600 * 1000000))))
+  }
+
+  test("overlap join: brute-force interval replay; non-empty; overlaps >= 0") {
+    // full replay at the smoke SF: the banded spelling must equal the
+    // naive all-pairs inequality join, rolled up identically
+    import org.apache.spark.sql.functions._
+    val got = EventQueries.rangeJoinOverlap(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val iv = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val pairs = for {
+      (ua, da, ta, a0, a1) <- iv
+      (ub, _, tb, b0, b1) <- iv
+      if ua == ub && ta < tb && a0 <= b1 && b0 <= a1
+    } yield ((da, ta, tb),
+      math.min(a1, b1) - math.max(a0, b0))
+    val expected = pairs.groupBy(_._1).map { case ((d, ta, tb), vs) =>
+      (d, ta, tb, vs.length.toLong, vs.map(_._2).sum)
+    }.toSeq.sortBy { case (d, ta, tb, _, _) => (d, ta, tb) }
+    assert(got == expected, s"overlap join diverges from brute force " +
+      s"(${got.length} vs ${expected.length} groups)")
+    assert(got.nonEmpty, "co-engagement matrix must not be empty")
+    assert(pairs.forall(_._2 >= 0), "closed-interval overlap is >= 0")
+  }
+
   test("funnel requires strict stage order — out-of-order events don't count") {
     val events = Seq(
       // user 1: full ordered funnel
