@@ -256,15 +256,20 @@ object EventQueries {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val us = unix_micros(col("ts"))
     val prevNearer = (us - col("prev_us")) <= (col("next_us") - us)
+    // all four window columns in ONE projection: chained withColumns
+    // planned four stacked Window nodes with a local re-sort between
+    // each; a single select lets CollapseWindow fuse them over one
+    // user-keyed exchange + one in-partition sort
     events
-      .withColumn("prev_us",
-        last(when(isPurchase, us), ignoreNulls = true).over(wBack))
-      .withColumn("prev_val",
-        last(when(isPurchase, col("value")), ignoreNulls = true).over(wBack))
-      .withColumn("next_us",
-        first(when(isPurchase, us), ignoreNulls = true).over(wFwd))
-      .withColumn("next_val",
-        first(when(isPurchase, col("value")), ignoreNulls = true).over(wFwd))
+      .select(col("*"),
+        last(when(isPurchase, us), ignoreNulls = true).over(wBack)
+          .as("prev_us"),
+        last(when(isPurchase, col("value")), ignoreNulls = true).over(wBack)
+          .as("prev_val"),
+        first(when(isPurchase, us), ignoreNulls = true).over(wFwd)
+          .as("next_us"),
+        first(when(isPurchase, col("value")), ignoreNulls = true).over(wFwd)
+          .as("next_val"))
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         when(col("prev_us").isNull && col("next_us").isNull, lit(null))
