@@ -106,6 +106,8 @@ object SparkEntry {
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_minmax_by_brand" -> (Relational.aggMinMaxByBrand _),
     "agg_mode_by_brand" -> (Relational.modeByBrand _),
+    "agg_skew_kurtosis" -> (Relational.skewKurtosisByBrand _),
+    "stats_quantiles_exact" -> (Relational.quantilesExact _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_median_price" -> (Relational.aggMedianPrice _),
     "agg_nations_by_region" -> (Relational.aggNationsByRegion _),
@@ -244,6 +246,7 @@ object SparkEntry {
     "stats_anova_priority" -> (Relational.anovaPriority _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
+    "docs_hapax_share" -> (TextQueries.hapaxShare _),
     "events_burstiness" -> (EventQueries.burstiness _),
     "ts_mann_kendall" -> (TimeSeries.mannKendall _),
     "events_unattributed" -> (EventQueries.unattributedPurchases _),
@@ -270,6 +273,8 @@ object SparkEntry {
     "graph_pref_attachment" -> ((s, d) => GraphQueries.prefAttachment(s, d)),
     "graph_katz_walks" -> ((s, d) => GraphQueries.katzWalks(s, d)),
     "graph_degree_histogram" -> (GraphQueries.degreeHistogram _),
+    "graph_local_bridges" -> ((s, d) => GraphQueries.localBridges(s, d)),
+    "graph_hits_walks" -> ((s, d) => GraphQueries.hitsWalks(s, d)),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
     "drift_mann_whitney" -> (Drift.mannWhitney _),
     "events_funnel_within" -> ((s, d) => EventQueries.funnelWithin(s, d)),
@@ -444,6 +449,8 @@ object SparkEntry {
     "agg_count_distinct" -> Relational.aggCountDistinctSql,
     "agg_minmax_by_brand" -> Relational.aggMinMaxByBrandSql,
     "agg_mode_by_brand" -> Relational.modeByBrandSql,
+    "agg_skew_kurtosis" -> Relational.skewKurtosisByBrandSql,
+    "stats_quantiles_exact" -> Relational.quantilesExactSql,
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_median_price" -> Relational.aggMedianPriceSql,
     "agg_nations_by_region" -> Relational.aggNationsByRegionSql,
@@ -594,6 +601,7 @@ object SparkEntry {
     "stats_anova_priority" -> Relational.anovaPrioritySql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
+    "docs_hapax_share" -> TextQueries.hapaxShareSql,
     "events_burstiness" -> EventQueries.burstinessSql,
     "ts_mann_kendall" -> TimeSeries.mannKendallSql,
     "events_unattributed" -> EventQueries.unattributedPurchasesSql,
@@ -615,6 +623,8 @@ object SparkEntry {
     "graph_pref_attachment" -> GraphQueries.prefAttachmentSql,
     "graph_katz_walks" -> GraphQueries.katzWalksSql,
     "graph_degree_histogram" -> GraphQueries.degreeHistogramSql,
+    "graph_local_bridges" -> GraphQueries.localBridgesSql,
+    "graph_hits_walks" -> GraphQueries.hitsWalksSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,
     "drift_mann_whitney" -> Drift.mannWhitneySql,
     "events_funnel_within" -> EventQueries.funnelWithinSql,

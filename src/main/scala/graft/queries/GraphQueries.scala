@@ -1464,4 +1464,133 @@ object GraphQueries {
       |        FROM edges GROUP BY src)
       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // --- local bridges ----------------------------------------------------------
+  /** Top-20 LOCAL BRIDGES of the co-purchase graph: edges whose
+    * endpoints share NO common neighbor (span > 2 — deleting the edge
+    * puts its endpoints ≥ 3 hops apart), ranked by endpoint degree
+    * product — Granovetter's weak ties ("The Strength of Weak Ties",
+    * AJS 1973): the high-degree pairs connected ONLY by this edge are
+    * the information conduits between otherwise-disjoint
+    * neighborhoods, the exact complement of [[commonNeighbors]]'
+    * highest-overlap pairs. Exact integers; ties break on (u, v).
+    *
+    * Plan: the same [[commonCounts]] core as the link-predictor family
+    * (adjacency consumed broadcast or SHUFFLE_HASH per
+    * `spark.graft.triangles.broadcastAdj`), filtered to common = 0 —
+    * the sorted-merge intersection emits the zero without any extra
+    * pass — then a distributed TakeOrdered(20).
+    */
+  def localBridges(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    localBridges(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def localBridges(s: SparkSession, dir: String, k: Int,
+                   broadcastAdj: Boolean): DataFrame =
+    commonCounts(copurchaseEdges(s, dir), broadcastAdj)
+      .filter(col("common") === 0)
+      .select(col("u"), col("v"), col("du"), col("dv"),
+        (col("du") * col("dv")).as("strength"))
+      .orderBy(col("strength").desc, col("u"), col("v"))
+      .limit(k)
+
+  val localBridgesSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |f AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |      FROM f GROUP BY u),
+      |cm AS (
+      |  SELECT e.u, e.v
+      |  FROM e JOIN f fu ON fu.u = e.u JOIN f fv ON fv.u = e.v
+      |    AND fv.v = fu.v
+      |  GROUP BY e.u, e.v),
+      |br AS (
+      |  SELECT e.u, e.v, du.deg AS du, dv.deg AS dv,
+      |    du.deg * dv.deg AS strength,
+      |    row_number() OVER (ORDER BY du.deg * dv.deg DESC, e.u, e.v)
+      |      AS rnk
+      |  FROM e
+      |  JOIN d du ON du.node = e.u
+      |  JOIN d dv ON dv.node = e.v
+      |  LEFT JOIN cm ON cm.u = e.u AND cm.v = e.v
+      |  WHERE cm.u IS NULL)
+      |SELECT u, v, du, dv, strength FROM br WHERE rnk <= 20
+      |ORDER BY strength DESC, u, v""".stripMargin
+
+  // --- HITS hub/authority walk counts ----------------------------------------
+  /** Top-20 suppliers by unnormalized HITS authority after two
+    * mutual-reinforcement rounds over the DIRECTED customer→supplier
+    * purchase graph (Kleinberg, JACM 1999): a₁(s) = |customers of s|,
+    * h₁(c) = Σ_{s bought by c} a₁(s), a₂(s) = Σ_{c buying s} h₁(c) —
+    * exact BIGINT walk counts (the iterates before normalization,
+    * which only rescales the ranking), so parity is structural like
+    * [[katzWalks]]. A supplier scores high when it serves customers
+    * who also buy from other well-connected suppliers — the
+    * bipartite "good hubs point at good authorities" read, distinct
+    * from raw in-degree (a₁ is reported beside a₂ so the
+    * reinforcement effect is visible).
+    *
+    * Plan: the directed edge set is one distinct projection of
+    * orders ⨝ lineitem; each HITS half-step is ONE join of the edge
+    * table against the node-sized previous vector (broadcast or
+    * SHUFFLE_HASH per the family gate) + one aggregation — the
+    * [[katzWalks]] hop shape on the directed graph. Vectors
+    * materialized once per consumer fan-out.
+    */
+  def hitsWalks(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    hitsWalks(s, dir, k,
+      s.conf.get("spark.graft.triangles.broadcastAdj", "true").toBoolean)
+
+  def hitsWalks(s: SparkSession, dir: String, k: Int,
+                broadcastAdj: Boolean): DataFrame = {
+    // the directed bipartite edge set rides the same conf-gated shared
+    // cache as tradeEdges/copurchaseEdges (kind "bipartite"), and the
+    // three vector consumers below fan out, so default-materialize
+    val edges = sharedEdges(s, dir, "bipartite", materializeDefault = true) {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey").as("sup")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("c"), col("sup"))
+        .distinct()
+    }
+    val side: DataFrame => DataFrame =
+      if (broadcastAdj) broadcast else _.hint("shuffle_hash")
+    val a1 = Graft.materialize(
+      edges.groupBy(col("sup")).agg(count(lit(1)).as("a1")))
+    val h1 = edges
+      .join(side(a1.select(col("sup").as("s1"), col("a1"))),
+        col("sup") === col("s1"))
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = edges
+      .join(side(h1.select(col("c").as("c1"), col("h1"))),
+        col("c") === col("c1"))
+      .groupBy(col("sup")).agg(sum(col("h1")).as("a2"))
+    a1.join(side(a2), Seq("sup"))
+      .select(col("sup").as("suppkey"), col("a1"), col("a2"))
+      .orderBy(col("a2").desc, col("suppkey"))
+      .limit(k)
+  }
+
+  val hitsWalksSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1 AS (SELECT sup, CAST(COUNT(*) AS BIGINT) AS a1
+      |       FROM e GROUP BY sup),
+      |h1 AS (SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+      |       FROM e JOIN a1 ON a1.sup = e.sup GROUP BY e.c),
+      |a2 AS (SELECT e.sup, CAST(SUM(h1.h1) AS BIGINT) AS a2
+      |       FROM e JOIN h1 ON h1.c = e.c GROUP BY e.sup),
+      |r AS (
+      |  SELECT a1.sup, a1.a1, a2.a2,
+      |    row_number() OVER (ORDER BY a2.a2 DESC, a1.sup) AS rnk
+      |  FROM a1 JOIN a2 ON a2.sup = a1.sup)
+      |SELECT sup AS suppkey, a1, a2 FROM r WHERE rnk <= 20
+      |ORDER BY a2 DESC, suppkey""".stripMargin
 }

@@ -2051,4 +2051,163 @@ object Relational {
       |  FROM c)
       |SELECT p_brand, p_type AS mode_type, n_parts
       |FROM r WHERE rk = 1 ORDER BY p_brand""".stripMargin
+
+  // --- exact per-group quantiles ----------------------------------------------
+  /** EXACT per-returnflag quantiles (p25/p50/p75/p90) of lineitem
+    * extended price — percentile_disc semantics (the value at rank
+    * ⌈q·n⌉ of the group's total order), the exact counterpart of the
+    * mergeable sketches in [[EventQueries]] (`events_value_quantiles`
+    * keeps the approx leg; this is the audit leg a pipeline runs when
+    * sketch error bounds must be VERIFIED, not assumed).
+    *
+    * Scale shape — GROUPED rankedByRange, not a group-partitioned
+    * window: `row_number() OVER (PARTITION BY l_returnflag ...)` would
+    * funnel the whole fact table through |flags| = 3 reducers. Instead
+    * ONE global [[graft.Graft.rankedByRange]] over (flag, cents, key)
+    * gives ranks in which each group is a contiguous block; the 3-row
+    * per-group counts (read from the rank checkpoint) become
+    * cumulative block offsets, broadcast back, and the group-local
+    * rank is `i − offset(flag)` — per-group exact ranks with the
+    * two-pass range-partitioned machinery and ZERO low-cardinality
+    * partition funnels. The quantile read is then one conditional
+    * aggregation per group.
+    */
+  def quantilesExact(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "lineitem").select(col("l_returnflag"),
+      (dec(col("l_extendedprice")) * lit(100)).cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ranked = Graft.materialize(Graft.rankedByRange(rows,
+      col("l_returnflag"), col("cents"), col("l_orderkey"),
+      col("l_linenumber")))
+    // per-group block offsets: a |flags|-row aggregate of the rank
+    // checkpoint (metadata-sized), cumulated in flag order
+    val counts = ranked.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, n)) =>
+      (f, acc + n)
+    }.init.zip(counts).map { case ((_, off), (f, n)) => (f, off, n) }
+    val offDf = s.createDataFrame(offsets.toSeq)
+      .toDF("l_returnflag", "off", "n")
+    def pick(pct: Int): Column =
+      max(when(col("ig") === expr(s"(n * $pct + 99) div 100"),
+        col("cents"))).as(s"p${pct}_cents")
+    ranked.join(broadcast(offDf), Seq("l_returnflag"))
+      .withColumn("ig", col("i") - col("off"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        pick(25), pick(50), pick(75), pick(90))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val quantilesExactSql: String = {
+    def pick(pct: Int): String =
+      s"MAX(CASE WHEN i = ${PortableSql.intDiv(s"n * $pct + 99", "100")} " +
+        s"THEN cents END) AS p${pct}_cents"
+    s"""WITH r AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+      |      AS cents,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |rk AS (
+      |  SELECT l_returnflag, cents,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM r)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  ${pick(25)}, ${pick(50)}, ${pick(75)}, ${pick(90)}
+      |FROM rk GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  // --- per-brand shape moments ------------------------------------------------
+  /** Per-brand skewness and excess kurtosis of part retail price —
+    * the distribution-SHAPE moments a pricing or data-drift monitor
+    * reads after mean/variance (Pearson moment coefficients; the
+    * k-statistic forms of Fisher 1930). Population (biased) versions:
+    * g₁ = m₃/m₂^{3/2}, g₂ = m₄/m₂² − 3.
+    *
+    * Determinism ([[TimeSeries.autocorrelation]]'s rule, one power
+    * higher): raw moments Σx, Σx², Σx³, Σx⁴ of exact cents accumulate
+    * in unlimited-precision DECIMAL on BOTH engines (cents ~1e6 ⇒ x⁴
+    * ~1e24 — far past BIGINT, still inside decimal's 38 digits even
+    * summed over per-brand row counts growing to ~1e12), and the
+    * central-moment expansion is a FIXED IEEE sequence spelled
+    * identically in the oracle: mean = s1/n, m₂ = s2/n − mean², m₃ =
+    * s3/n − 3·mean·(s2/n) + 2·mean³, m₄ = s4/n − 4·mean·(s3/n) +
+    * 6·mean²·(s2/n) − 3·mean⁴, with m₂^{3/2} spelled m₂·sqrt(m₂) so
+    * neither engine's pow() enters. One map-side-combined aggregation
+    * over part; everything after is |brands|-sized.
+    */
+  def skewKurtosisByBrand(s: SparkSession, dir: String): DataFrame = {
+    val cents = (dec(col("p_retailprice")) * lit(100)).cast("long")
+    // the third/fourth powers never chain THREE+ decimal multiplies:
+    // x² is squared into an exact BIGINT first (prices are value-
+    // bounded, not SF-bounded — cents² wraps only past a $30M part,
+    // and ANSI would fail loudly), then every sum input is a PAIRWISE
+    // decimal product. The x⁴ pair needs DECIMAL(19,0) operands: in
+    // DuckDB 1.0, (18,0)·(18,0) stays int64 and overflow-CHECKS at
+    // (x²)² ≈ 6.6e19, while (19,0)·(19,0) promotes to the hugeint
+    // DECIMAL(38,0) path — probed directly this round.
+    val xd = cents.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val y = cents * cents
+    val yd = y.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val yw = y.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val g = t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(xd * xd).as("s2"), sum(yd * xd).as("s3"), sum(yw * yw).as("s4"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4 = col("s4").cast("double") / nd
+    val m2 = r2 - mean * mean
+    val m3 = (r3 - lit(3.0) * mean * r2) + lit(2.0) * mean * mean * mean
+    // outer parens required: a line break before `-` would end the
+    // statement and silently drop the tail term (the ljungBox trap)
+    val m4 = (((r4 - lit(4.0) * mean * r3) + lit(6.0) * mean * mean * r2)
+      - lit(3.0) * mean * mean * mean * mean)
+    g.select(col("p_brand"), col("n").as("n_parts"),
+        mean.as("mean_cents"),
+        (m3 / (m2 * sqrt(m2))).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy(col("p_brand"))
+  }
+
+  val skewKurtosisByBrandSql: String =
+    """WITH c AS (
+      |  SELECT p_brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM part),
+      |cy AS (SELECT p_brand, cents, cents * cents AS y FROM c),
+      |g AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s1,
+      |    SUM(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+      |      AS s2,
+      |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+      |      AS s3,
+      |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s4
+      |  FROM cy GROUP BY p_brand),
+      |m AS (
+      |  SELECT p_brand, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM g),
+      |cm AS (
+      |  SELECT p_brand, n, mean,
+      |    r2 - mean * mean AS m2,
+      |    (r3 - 3.0 * mean * r2) + 2.0 * mean * mean * mean AS m3,
+      |    ((r4 - 4.0 * mean * r3) + 6.0 * mean * mean * r2)
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m)
+      |SELECT p_brand, n AS n_parts, mean AS mean_cents,
+      |  m3 / (m2 * sqrt(m2)) AS skewness,
+      |  m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+      |FROM cm ORDER BY p_brand""".stripMargin
 }

@@ -2067,4 +2067,50 @@ object TextQueries {
       |  FROM documents GROUP BY md5(text))
       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
       |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  // --- hapax legomena share ---------------------------------------------------
+  /** Hapax legomena share per language: the fraction of each
+    * language's VOCABULARY that occurs exactly once in its corpus —
+    * classically ~half the vocabulary of natural text (the Zipf-tail
+    * census; Baayen, "Word Frequency Distributions", 2001), and the
+    * working estimate of how fast the vocabulary is still growing
+    * (Good–Turing's n₁ mass). A language whose hapax share collapses
+    * is template/boilerplate text; one whose share is inflated is
+    * OCR noise or tokenizer breakage — both are corpus-mix gates a
+    * pretraining pipeline checks beside [[zipfSlope]] and
+    * [[simpsonDiversity]]. Exact integers + one IEEE division.
+    *
+    * Shape: explode → ONE (lang, word) count aggregation with
+    * map-side partials, then a lang-keyed rollup counting vocab and
+    * the n_w = 1 stratum — no windows, no collects.
+    */
+  def hapaxShare(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), explode(words).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("nw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("nw") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("nw")).as("n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"))
+      .orderBy(col("lang"))
+
+  val hapaxShareSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |cw AS (
+      |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS nw
+      |  FROM tok GROUP BY lang, w),
+      |agg AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN nw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |    CAST(SUM(nw) AS BIGINT) AS n_tokens
+      |  FROM cw GROUP BY lang)
+      |SELECT lang, n_tokens, vocab, hapax,
+      |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share
+      |FROM agg ORDER BY lang""".stripMargin
 }

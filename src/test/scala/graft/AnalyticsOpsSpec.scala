@@ -862,6 +862,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(part.toSeq == got.toSeq, "broadcastAdj flip changed katz results")
   }
 
+  test("localBridges: zero common neighbors, top by degree product; modes agree") {
+    val bridges = GraphQueries.localBridges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // brute-force adjacency replay over the (bounded) co-purchase edges
+    val edges = GraphQueries.copurchaseEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSet }
+    val expected = edges
+      .filter { case (u, v) => (adj(u) & adj(v)).isEmpty }
+      .map { case (u, v) =>
+        (u, v, adj(u).size.toLong, adj(v).size.toLong,
+          adj(u).size.toLong * adj(v).size)
+      }
+      .sortBy { case (u, v, _, _, st) => (-st, u, v) }.take(20).toSeq
+    assert(bridges.toSeq == expected, "local bridges diverge from brute force")
+    val part = GraphQueries.localBridges(spark, sf, 20, broadcastAdj = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(part.toSeq == bridges.toSeq, "broadcastAdj flip changed bridges")
+  }
+
+  test("hitsWalks: two-round mutual reinforcement replays from raw edges") {
+    val got = GraphQueries.hitsWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = edges.groupBy(_._2).map { case (s2, es) => s2 -> es.length.toLong }
+    val h1 = edges.groupBy(_._1).map { case (c, es) =>
+      c -> es.map { case (_, s2) => a1(s2) }.sum
+    }
+    val a2 = edges.groupBy(_._2).map { case (s2, es) =>
+      s2 -> es.map { case (c, _) => h1(c) }.sum
+    }
+    val expected = a1.keys.map(s2 => (s2, a1(s2), a2(s2))).toSeq
+      .sortBy { case (s2, _, v) => (-v, s2) }.take(20)
+    assert(got.toSeq == expected, "HITS top-20 diverges from brute force")
+    val part = GraphQueries.hitsWalks(spark, sf, 20, broadcastAdj = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(part.toSeq == got.toSeq, "broadcastAdj flip changed HITS results")
+  }
+
   test("degreeHistogram: totals account for every node and directed edge") {
     val hist = GraphQueries.degreeHistogram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -897,6 +945,25 @@ class AnalyticsOpsSpec extends SparkSpec {
         s"$src simpson ${r.getDouble(3)} != replay $lambda")
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
+  }
+
+  test("hapaxShare: exact replay per language; share bounded") {
+    val out = TextQueries.hapaxShare(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for (r <- out) {
+      val lang = r.getString(0)
+      val counts = docs.filter(_._1 == lang).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map(_._2.length.toLong)
+      val hapax = counts.count(_ == 1L).toLong
+      assert(r.getLong(1) == counts.sum && r.getLong(2) == counts.size.toLong
+        && r.getLong(3) == hapax, s"$lang counts diverge from replay")
+      assert(math.abs(r.getDouble(4) - hapax.toDouble / counts.size) < 1e-12)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(out.map(_.getString(0)).toSeq ==
+      docs.map(_._1).distinct.sorted.toSeq, "one row per language, ordered")
   }
 
   test("dedupClusterSizes: histogram totals reconcile with the corpus") {

@@ -204,6 +204,62 @@ class RelationalSpec extends SparkSpec {
     assert(bx != mx && bs != ms, "both digests must flip on a 1-row change")
   }
 
+  test("quantilesExact: grouped ranks equal a sorted-array positional read") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.quantilesExact(spark, sf).collect()
+    val rows = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val byFlag = rows.groupBy(_._1)
+    for (r <- out) {
+      val flag = r.getString(0)
+      val sorted = byFlag(flag).sortBy { case (_, c, ok, ln) => (c, ok, ln) }
+        .map(_._2)
+      val n = sorted.length
+      assert(r.getLong(1) == n, s"$flag n_rows")
+      for ((pct, ix) <- Seq(25 -> 2, 50 -> 3, 75 -> 4, 90 -> 5)) {
+        val target = (n.toLong * pct + 99) / 100 // ceil(pct*n/100), 1-based
+        assert(r.getLong(ix) == sorted((target - 1).toInt),
+          s"$flag p$pct diverges from the sorted-array read")
+      }
+    }
+    assert(out.map(_.getString(0)).toSeq == byFlag.keys.toSeq.sorted)
+  }
+
+  test("skewKurtosisByBrand: moments replay with exact BigInt sums") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.skewKurtosisByBrand(spark, sf).collect()
+    val rows = graft.Tables.load(spark, sf, "part")
+      .select(col("p_brand"),
+        (col("p_retailprice").cast("decimal(18,6)") * lit(100))
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byBrand = rows.groupBy(_._1)
+    for (r <- out) {
+      val xs = byBrand(r.getString(0)).map(_._2)
+      val n = xs.length.toDouble
+      val mean = xs.sum.toDouble / n
+      def cm(k: Int) = xs.map(x => math.pow(x - mean, k)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      assert(r.getLong(1) == xs.length)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6 * mean)
+      // the query's raw-moment expansion cancels ~2 digits at the 4th
+      // power (r4 ~ mean⁴ ~ 5e20 vs m4 ~ 6e18), so it agrees with the
+      // more-accurate central-sum replay only to ~1e-5 — numerical,
+      // not semantic; CROSS-ENGINE exactness is the oracle's job (both
+      // engines run the identical expansion bit-for-bit)
+      assert(math.abs(r.getDouble(3) - m3 / (m2 * math.sqrt(m2))) < 1e-4,
+        s"${r.getString(0)} skewness diverges from central-moment replay")
+      assert(math.abs(r.getDouble(4) - (m4 / (m2 * m2) - 3.0)) < 1e-4,
+        s"${r.getString(0)} kurtosis diverges from central-moment replay")
+    }
+  }
+
   test("modeByBrand: per-brand max count with the lexicographic tie-break") {
     import org.apache.spark.sql.functions._
     val out = Relational.modeByBrand(spark, sf).collect()
