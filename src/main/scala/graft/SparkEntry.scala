@@ -232,6 +232,8 @@ object SparkEntry {
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
     "ts_autocorrelation" -> (TimeSeries.autocorrelation _),
     "ts_ljung_box" -> ((s, d) => TimeSeries.ljungBox(s, d)),
+    "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
+    "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "survival_km" -> (Survival.kaplanMeier _),
     "stats_decile_lift" -> (Relational.decileLift _),
@@ -587,6 +589,8 @@ object SparkEntry {
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,
     "ts_ljung_box" -> TimeSeries.ljungBoxSql,
+    "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
+    "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,
     "survival_km" -> Survival.kaplanMeierSql,
     "stats_decile_lift" -> Relational.decileLiftSql,

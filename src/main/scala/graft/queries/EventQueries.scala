@@ -383,6 +383,55 @@ object EventQueries {
       .orderBy(col("d"), col("type_a"), col("type_b"))
   }
 
+  /** Continuous-approximation MLE of the power-law exponent of the
+    * per-user activity distribution with x_min = 1 (Clauset, Shalizi
+    * & Newman, SIAM Rev. 2009, eq. 3.1): α = 1 + n / Σᵢ ln(xᵢ) — the
+    * one-number heavy-tail read behind [[Sampling.skewHistogram]]'s
+    * bucket view, and the quantity a capacity planner fits before
+    * sizing skew mitigation (α near 2 = extreme hubs; α > 3 = tails
+    * thin enough to ignore).
+    *
+    * Determinism: each ln(xᵢ) is the MICRONAT integer
+    * `round(ln(x)·1e6)` of an exact BIGINT count — the
+    * [[GraphQueries.adamicAdar]] discipline, bit-agreed across engines
+    * — so Σ ln is an exact BIGINT and α is one IEEE chain. An
+    * all-singletons corpus (Σ = 0) yields NULL, never an Infinity the
+    * engines could disagree on.
+    *
+    * Shape: one user-keyed count aggregation with map-side partials,
+    * then a 1-row reduce. The user grid never funnels: the micronat
+    * map is narrow and the final aggregate is a grand total.
+    */
+  def powerLawAlpha(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("n_events"),
+        sum(expr("cast(round(ln(cast(x as double)) * 1e6) as bigint)"))
+          .as("s"))
+      .select(col("n").as("n_users"), col("n_events"),
+        col("s").as("sum_ln_micro"),
+        when(col("s") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0)
+            + col("n").cast("double") * lit(1e6) / col("s").cast("double"))
+          .as("alpha"))
+
+  val powerLawAlphaSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(round(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS s
+      |  FROM c)
+      |SELECT n AS n_users, n_events, s AS sum_ln_micro,
+      |  CASE WHEN s = 0 THEN CAST(NULL AS DOUBLE)
+      |       ELSE 1.0 + CAST(n AS DOUBLE) * 1e6 / CAST(s AS DOUBLE)
+      |  END AS alpha
+      |FROM g""".stripMargin
+
   val rangeJoinOverlapSql: String =
     """WITH iv AS (
       |  SELECT user_id, CAST(ts AS DATE) AS d, event_type,

@@ -119,6 +119,108 @@ object TimeSeries {
       |ORDER BY d""".stripMargin
   }
 
+  // --- seasonal strength ------------------------------------------------------
+  /** Strength of seasonality of daily revenue — Hyndman's
+    * decomposition statistic F_S = max(0, 1 − Var(R)/Var(S+R)) over
+    * [[seasonalDecompose]]'s output (Wang, Smith & Hyndman, J.
+    * Comput. Graph. Stat. 2006): 1 means the detrended series is pure
+    * weekly pattern, 0 means the seasonal component explains nothing.
+    * The one-number read a forecaster takes before committing to a
+    * seasonal model (the ACF pair [[autocorrelation]]/[[ljungBox]]
+    * answer "is there structure"; this answers "how much of it is the
+    * season").
+    *
+    * Determinism — every moment is exact or grid-ordered:
+    * Var(S+R) = Var(detrended) comes from EXACT moments (detrended is
+    * an exact BIGINT micro-value, its square sum in pairwise
+    * DECIMAL(19,0) products — the r11 rule: (18,0)·(18,0) stays on
+    * DuckDB's overflow-checked int64 path, and detr² ≈ 1e26 needs the
+    * hugeint path). Var(R) NEVER touches the derived residual
+    * doubles: since R = detr − mean_dow, the group means kill the
+    * cross terms and Σ R² = Σ detr² − Σ_dow S_dow²/C_dow exactly (the
+    * ANOVA within-group identity, with ΣR = 0 identically) — so the
+    * only double accumulation is the 7-term Σ S²/C, cumulated via a
+    * window over the dow-ordered 7-row grid (the
+    * [[Relational.anovaPriority]] ordered-accumulation pattern; a
+    * first spelling cumulated resid² over the ~2400-row DAY grid and
+    * lost the last 2 ulps to DuckDB's segment-tree window combine —
+    * grids must stay single-digit rows for that trick). The F ratio
+    * is a fixed IEEE chain; `greatest` clamps the negative-noise
+    * case.
+    *
+    * Shape: the decomposition's one fact-table aggregation, a 7-row
+    * dow aggregate, and two 1-row reductions.
+    */
+  def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val dc = Graft.materialize(
+      seasonalDecompose(s, dir)
+        .filter(col("trend_micro").isNotNull)
+        .select(col("dow"),
+          (col("rev_cents") * lit(10000L) - col("trend_micro")).as("detr")))
+    val wc = Window.orderBy(col("dow"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("dow"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ssb = dc.groupBy(col("dow"))
+      .agg(sum(col("detr")).as("sdw"), count(lit(1)).as("cdw"))
+      .select(
+        sum(col("sdw").cast("double") * col("sdw").cast("double")
+          / col("cdw").cast("double")).over(wc).as("ssb"),
+        row_number().over(Window.orderBy(col("dow"))).as("rn"),
+        count(lit(1)).over(wAll).as("ng"))
+      .filter(col("rn") === col("ng"))
+      .select(col("ssb"))
+    val dw = col("detr").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val dmo = dc.agg(count(lit(1)).as("n"), sum(col("detr")).as("sd"),
+      sum(dw * dw).as("sd2"))
+    val nd = col("n").cast("double")
+    val varR = (col("sd2").cast("double") - col("ssb")) / nd
+    val varD = (col("sd2").cast("double")
+      - col("sd").cast("double") * col("sd").cast("double") / nd) / nd
+    dmo.crossJoin(broadcast(ssb))
+      .select(col("n").as("n_days"), varD.as("var_detrended"),
+        varR.as("var_residual"),
+        greatest(lit(0.0), lit(1.0) - varR / varD).as("seasonal_strength"))
+  }
+
+  val seasonalStrengthSql: String =
+    s"""WITH dc0 AS (${seasonalDecomposeSql.replace("\n", "\n|  ")}),
+      |base AS (
+      |  SELECT dow, rev_cents * 10000 - trend_micro AS detr
+      |  FROM dc0 WHERE trend_micro IS NOT NULL),
+      |grid AS (
+      |  SELECT dow, CAST(SUM(detr) AS BIGINT) AS sdw,
+      |    CAST(COUNT(*) AS BIGINT) AS cdw
+      |  FROM base GROUP BY dow),
+      |cum AS (
+      |  SELECT
+      |    SUM(CAST(sdw AS DOUBLE) * CAST(sdw AS DOUBLE)
+      |        / CAST(cdw AS DOUBLE))
+      |      OVER (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND CURRENT ROW) AS ssb,
+      |    row_number() OVER (ORDER BY dow) AS rn,
+      |    COUNT(*) OVER () AS ng
+      |  FROM grid),
+      |lastrow AS (SELECT ssb FROM cum WHERE rn = ng),
+      |dmo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(detr) AS BIGINT) AS sd,
+      |    SUM(CAST(detr AS DECIMAL(19,0)) * CAST(detr AS DECIMAL(19,0)))
+      |      AS sd2
+      |  FROM base)
+      |SELECT n AS n_days,
+      |  (CAST(sd2 AS DOUBLE)
+      |     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS var_detrended,
+      |  (CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE) AS var_residual,
+      |  greatest(0.0, 1.0
+      |    - ((CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE))
+      |      / ((CAST(sd2 AS DOUBLE)
+      |          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+      |            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+      |    AS seasonal_strength
+      |FROM dmo, lastrow""".stripMargin
+
   // --- CUSUM changepoint candidates -----------------------------------------
   /** Top-5 mean-shift changepoint candidates on daily revenue by the
     * CUSUM statistic. The textbook S_t = Σ_{i≤t}(x_i − x̄) needs the

@@ -947,6 +947,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("powerLawAlpha: micronat replay; all-singleton corpus yields NULL") {
+    val out = EventQueries.powerLawAlpha(spark, sf).collect().head
+    val xs = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    val sMicro = xs.map(x => math.round(math.log(x.toDouble) * 1e6)).sum
+    assert(out.getLong(0) == xs.length && out.getLong(1) == xs.sum
+      && out.getLong(2) == sMicro, "exact count/micronat sums diverge")
+    val alpha = 1.0 + xs.length.toDouble * 1e6 / sMicro.toDouble
+    assert(math.abs(out.getDouble(3) - alpha) < 1e-12, "alpha diverges")
+    assert(out.getDouble(3) > 1.0, "a finite corpus always fits alpha > 1")
+    // Σ ln = 0 (every user exactly once) must yield NULL, never Infinity
+    val tmp = java.nio.file.Files.createTempDirectory("plaw").toString
+    graft.Tables.events(spark, sf).dropDuplicates("user_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val deg = EventQueries.powerLawAlpha(spark, tmp).collect().head
+    assert(deg.getLong(2) == 0L && deg.isNullAt(3),
+      "all-singleton corpus must produce a NULL alpha")
+  }
+
   test("hapaxShare: exact replay per language; share bounded") {
     val out = TextQueries.hapaxShare(spark, sf).collect()
     val docs = graft.Tables.load(spark, sf, "documents")

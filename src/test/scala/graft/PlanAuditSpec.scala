@@ -392,7 +392,9 @@ class PlanAuditSpec extends SparkSpec {
       "survival_km" -> "KM product over the distinct-day risk grid",
       "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
       "ts_ljung_box" ->
-        "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid")
+        "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",
+      "ts_seasonal_strength" ->
+        "moving-average/cumulative-moment windows over the calendar day grid")
     val hits = scala.collection.mutable.ListBuffer.empty[String]
     // staleness, third direction: an allowlist key that no longer names
     // a registered query protects nothing — the r10 list carried four

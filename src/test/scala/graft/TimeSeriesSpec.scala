@@ -518,6 +518,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rt.isNullAt(3), s"constant series runs z must be NULL, got ${rt.get(3)}")
   }
 
+  test("seasonalStrength: matches a central-sum replay of the decompose output") {
+    val out = TimeSeries.seasonalStrength(spark, sf).collect().head
+    val dc = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("trend_micro")))
+      .map(r => (r.getLong(r.fieldIndex("dow")),
+        r.getLong(r.fieldIndex("rev_cents")) * 10000L
+          - r.getLong(r.fieldIndex("trend_micro"))))
+    val n = dc.length
+    assert(out.getLong(0) == n, "n_days diverges")
+    val meanD = dc.map(_._2.toDouble).sum / n
+    val varD = dc.map { case (_, x) => (x - meanD) * (x - meanD) }.sum / n
+    // residual = detr - dow mean; replay it centrally
+    val dowMean = dc.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2.toDouble).sum / xs.length
+    }
+    val varR = dc.map { case (k, x) =>
+      val r = x - dowMean(k); r * r
+    }.sum / n
+    assert(math.abs(out.getDouble(1) - varD) < 1e-6 * varD,
+      s"var_detrended ${out.getDouble(1)} != replay $varD")
+    assert(math.abs(out.getDouble(2) - varR) < 1e-6 * varR,
+      s"var_residual ${out.getDouble(2)} != replay $varR")
+    val f = math.max(0.0, 1.0 - varR / varD)
+    assert(math.abs(out.getDouble(3) - f) < 1e-6, "strength diverges")
+    assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0)
+  }
+
   test("ljungBox: full driver-side replay of the standard ACF and running Q") {
     val out = TimeSeries.ljungBox(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq == (1L to 10L), "one row per lag 1..10")
