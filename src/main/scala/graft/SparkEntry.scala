@@ -108,6 +108,7 @@ object SparkEntry {
     "agg_mode_by_brand" -> (Relational.modeByBrand _),
     "agg_skew_kurtosis" -> (Relational.skewKurtosisByBrand _),
     "stats_quantiles_exact" -> (Relational.quantilesExact _),
+    "seq_gap_islands" -> ((s, d) => Relational.eventIdIslands(s, d)),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_median_price" -> (Relational.aggMedianPrice _),
     "agg_nations_by_region" -> (Relational.aggNationsByRegion _),
@@ -453,6 +454,7 @@ object SparkEntry {
     "agg_mode_by_brand" -> Relational.modeByBrandSql,
     "agg_skew_kurtosis" -> Relational.skewKurtosisByBrandSql,
     "stats_quantiles_exact" -> Relational.quantilesExactSql,
+    "seq_gap_islands" -> Relational.eventIdIslandsSql,
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_median_price" -> Relational.aggMedianPriceSql,
     "agg_nations_by_region" -> Relational.aggNationsByRegionSql,

@@ -2121,6 +2121,58 @@ object Relational {
       |FROM rk GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  // --- gaps and islands -------------------------------------------------------
+  /** Per-user ISLANDS of consecutive event ids — the classic SQL
+    * "gaps and islands" problem via the Tabibitosan trick: within a
+    * user, `event_id − row_number() OVER (PARTITION BY user ORDER BY
+    * event_id)` is CONSTANT across each maximal consecutive run, so
+    * one GROUP BY on that difference materializes every island with
+    * zero self-joins. Per user: island count, largest island, and the
+    * span coverage ratio islands/(max−min+1 range) read — the
+    * fragmentation census an ingest audit runs on an allocation
+    * pattern (a user whose ids fragment into many 1-islands was
+    * interleaved with heavy concurrent traffic; a 1-island user got a
+    * contiguous batch). Top-20 most fragmented users (island count
+    * desc, user asc). Exact integers throughout.
+    *
+    * Scale shape: the window partitions by USER — high cardinality,
+    * parallel at any SF (the legitimate partitioned-window class, not
+    * the global-order kind) — then two hash aggregations (island
+    * grid, per-user rollup) and a distributed TakeOrdered.
+    */
+  def eventIdIslands(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val islands = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("grp", col("event_id") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_island"),
+        sum(col("len")).as("n_events"))
+      .orderBy(col("n_islands").desc, col("user_id"))
+      .limit(k)
+  }
+
+  val eventIdIslandsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id,
+      |    event_id - row_number() OVER (PARTITION BY user_id
+      |                                  ORDER BY event_id) AS grp
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM t GROUP BY user_id, grp),
+      |u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |    MAX(len) AS max_island, CAST(SUM(len) AS BIGINT) AS n_events,
+      |    row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rnk
+      |  FROM isl GROUP BY user_id)
+      |SELECT user_id, n_islands, max_island, n_events
+      |FROM u WHERE rnk <= 20
+      |ORDER BY n_islands DESC, user_id""".stripMargin
+
   // --- per-brand shape moments ------------------------------------------------
   /** Per-brand skewness and excess kurtosis of part retail price —
     * the distribution-SHAPE moments a pricing or data-drift monitor

@@ -204,6 +204,32 @@ class RelationalSpec extends SparkSpec {
     assert(bx != mx && bs != ms, "both digests must flip on a 1-row change")
   }
 
+  test("eventIdIslands: Tabibitosan islands equal a sorted-run scan") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.eventIdIslands(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val byUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    def runs(ids: Seq[Long]): Seq[Long] = {
+      // lengths of maximal consecutive runs of the sorted id set
+      val s = ids.sorted
+      s.foldLeft(List.empty[(Long, Long)]) { // (runStartCount, lastId)
+        case (Nil, id) => List((1L, id))
+        case ((len, last) :: t, id) =>
+          if (id == last + 1) (len + 1, id) :: t else (1L, id) :: (len, last) :: t
+      }.map(_._1).reverse
+    }
+    val expected = byUser.map { case (u, es) =>
+      val r = runs(es.map(_._2).toSeq)
+      (u, r.length.toLong, r.max, r.sum)
+    }.toSeq.sortBy { case (u, n, _, _) => (-n, u) }.take(20)
+    assert(got == expected, "island census diverges from the run scan")
+    assert(got.forall { case (_, n, mx, tot) => mx <= tot && n <= tot },
+      "island invariants violated")
+  }
+
   test("quantilesExact: grouped ranks equal a sorted-array positional read") {
     import org.apache.spark.sql.functions._
     val out = Relational.quantilesExact(spark, sf).collect()
