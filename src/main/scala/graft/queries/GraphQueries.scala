@@ -63,8 +63,18 @@ object GraphQueries {
     */
   val CacheEdgesKey = "spark.graft.graph.cacheEdges"
 
+  /** Memoizing holder: allocation is cheap (safe inside the CHM bin
+    * lock); the Spark job runs on first `.value` access OUTSIDE the
+    * map, and a concurrent second reader blocks on the holder's own
+    * monitor until the one build finishes — so exactly ONE
+    * materialization per key, never a discarded loser checkpoint.
+    */
+  private final class LazyFrame(build: () => DataFrame) {
+    lazy val value: DataFrame = build()
+  }
+
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    (SparkSession, String, String), LazyFrame]()
 
   /** Sessions whose application-end eviction hook is installed, so the
     * hook registers once per session (the map itself is the dedup).
@@ -84,40 +94,38 @@ object GraphQueries {
     * callers fan out; tradeEdges historically leaves that to callers).
     *
     * Concurrency/lifecycle shape: the materialization (a full Spark
-    * job) runs OUTSIDE any map lock — `computeIfAbsent` would hold the
-    * bin lock for the whole job, stalling every other cache lookup
-    * that hashes to the bin. Two racing builders may both materialize;
-    * `putIfAbsent` keeps exactly one and the loser's checkpoint is a
-    * one-time redundant build (the benign race, vs. a held-lock job).
-    * And entries no longer require manual eviction at session end: the
-    * first insert for a session installs an `onApplicationEnd`
-    * listener that drops that session's entries, so a long-lived
-    * multi-session JVM doesn't pin dead sessions and their lineage-free
-    * checkpointed frames for the JVM lifetime. ([[clearEdgeCache]]
-    * remains the explicit lever for conf flips / data rewrites while a
-    * session is still live.)
+    * job) runs OUTSIDE the map's bin lock — `computeIfAbsent` only
+    * allocates a [[LazyFrame]] holder (cheap under the lock); the job
+    * runs on first `.value` access, and a racing second builder blocks
+    * on the holder's monitor for the one shared build rather than
+    * running a redundant checkpoint of its own. Eviction: the first
+    * insert for a session installs an `onApplicationEnd` listener that
+    * drops that session's entries — note this fires when the shared
+    * SparkContext stops, so it is a JVM-lifetime backstop, not
+    * per-session cleanup: a long-lived JVM churning `newSession()`
+    * clones (which share one context) still pins a retired clone's
+    * lineage-free checkpointed frames until the app ends. Such JVMs
+    * must call [[clearEdgeCache]] when retiring a session — the same
+    * explicit lever used for conf flips / data rewrites while a
+    * session is live. (The intended consumers — bounded single-shot
+    * sessions owning their context — get full cleanup at stop.)
     */
   private def sharedEdges(s: SparkSession, dir: String, kind: String,
                           materializeDefault: Boolean)
                          (build: => DataFrame): DataFrame =
     if (s.conf.get(CacheEdgesKey, "false").toBoolean) {
       val key = (s, dir, kind)
-      val hit = edgeCache.get(key)
-      if (hit != null) hit
-      else {
-        if (evictionHooked.add(s))
-          s.sparkContext.addSparkListener(
-            new org.apache.spark.scheduler.SparkListener {
-              override def onApplicationEnd(
-                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-                edgeCache.keySet.removeIf(_._1 eq s)
-                evictionHooked.remove(s)
-              }
-            })
-        val built = Graft.materialize(build)
-        val prev = edgeCache.putIfAbsent(key, built)
-        if (prev != null) prev else built
-      }
+      if (evictionHooked.add(s))
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              edgeCache.keySet.removeIf(_._1 eq s)
+              evictionHooked.remove(s)
+            }
+          })
+      edgeCache.computeIfAbsent(key,
+        _ => new LazyFrame(() => Graft.materialize(build))).value
     }
     else if (materializeDefault) Graft.materialize(build)
     else build

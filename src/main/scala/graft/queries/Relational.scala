@@ -2080,10 +2080,19 @@ object Relational {
       col("l_returnflag"), col("cents"), col("l_orderkey"),
       col("l_linenumber")))
     // per-group block offsets: a |flags|-row aggregate of the rank
-    // checkpoint (metadata-sized), cumulated in flag order
+    // checkpoint (metadata-sized), cumulated in flag order. The
+    // driver-side sort MUST replay Spark's range-partition order of
+    // the group column — UTF8String binary order, i.e. UNSIGNED UTF-8
+    // byte comparison — not Scala's UTF-16 String ordering (identical
+    // for ASCII flags, whole-block rank shifts on a non-ASCII key).
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val counts = ranked.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)(utf8Order)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, n)) =>
       (f, acc + n)
     }.init.zip(counts).map { case ((_, off), (f, n)) => (f, off, n) }
@@ -2127,13 +2136,16 @@ object Relational {
     * user, `event_id − row_number() OVER (PARTITION BY user ORDER BY
     * event_id)` is CONSTANT across each maximal consecutive run, so
     * one GROUP BY on that difference materializes every island with
-    * zero self-joins. Per user: island count, largest island, and the
-    * span coverage ratio islands/(max−min+1 range) read — the
+    * zero self-joins. Per user: island count, largest island, event
+    * count, the id span (max−min+1), and the span coverage ratio
+    * n_events/span (1.0 = one contiguous block, →0 = sparse) — the
     * fragmentation census an ingest audit runs on an allocation
     * pattern (a user whose ids fragment into many 1-islands was
     * interleaved with heavy concurrent traffic; a 1-island user got a
     * contiguous batch). Top-20 most fragmented users (island count
-    * desc, user asc). Exact integers throughout.
+    * desc, user asc). Exact integers throughout; the one double
+    * (coverage) is a single exact-int division, correctly rounded on
+    * both engines.
     *
     * Scale shape: the window partitions by USER — high cardinality,
     * parallel at any SF (the legitimate partitioned-window class, not
@@ -2146,11 +2158,15 @@ object Relational {
       .select(col("user_id"), col("event_id"))
       .withColumn("grp", col("event_id") - row_number().over(w))
       .groupBy(col("user_id"), col("grp"))
-      .agg(count(lit(1)).as("len"))
+      .agg(count(lit(1)).as("len"), min(col("event_id")).as("lo"),
+        max(col("event_id")).as("hi"))
     islands
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_island"),
-        sum(col("len")).as("n_events"))
+        sum(col("len")).as("n_events"),
+        (max(col("hi")) - min(col("lo")) + lit(1L)).as("span"))
+      .withColumn("coverage",
+        col("n_events").cast("double") / col("span").cast("double"))
       .orderBy(col("n_islands").desc, col("user_id"))
       .limit(k)
   }
@@ -2162,14 +2178,17 @@ object Relational {
       |                                  ORDER BY event_id) AS grp
       |  FROM events),
       |isl AS (
-      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MIN(event_id) AS lo, MAX(event_id) AS hi
       |  FROM t GROUP BY user_id, grp),
       |u AS (
       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
       |    MAX(len) AS max_island, CAST(SUM(len) AS BIGINT) AS n_events,
+      |    CAST(MAX(hi) - MIN(lo) + 1 AS BIGINT) AS span,
       |    row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rnk
       |  FROM isl GROUP BY user_id)
-      |SELECT user_id, n_islands, max_island, n_events
+      |SELECT user_id, n_islands, max_island, n_events, span,
+      |  CAST(n_events AS DOUBLE) / CAST(span AS DOUBLE) AS coverage
       |FROM u WHERE rnk <= 20
       |ORDER BY n_islands DESC, user_id""".stripMargin
 

@@ -146,7 +146,11 @@ object TimeSeries {
     * lost the last 2 ulps to DuckDB's segment-tree window combine —
     * grids must stay single-digit rows for that trick). The F ratio
     * is a fixed IEEE chain; `greatest` clamps the negative-noise
-    * case.
+    * case, and a constant detrended series (Var(detrended) = 0, so
+    * the ratio is 0/0) yields NULL — not NaN — per the repo's
+    * NULL-not-NaN discipline (Spark 0/0 = NaN but DuckDB = NULL, so
+    * an unguarded ratio hash-diverges; same guard class as
+    * [[runsTest]]'s constant-series NULL).
     *
     * Shape: the decomposition's one fact-table aggregation, a 7-row
     * dow aggregate, and two 1-row reductions.
@@ -180,7 +184,9 @@ object TimeSeries {
     dmo.crossJoin(broadcast(ssb))
       .select(col("n").as("n_days"), varD.as("var_detrended"),
         varR.as("var_residual"),
-        greatest(lit(0.0), lit(1.0) - varR / varD).as("seasonal_strength"))
+        when(varD === lit(0.0), lit(null).cast("double"))
+          .otherwise(greatest(lit(0.0), lit(1.0) - varR / varD))
+          .as("seasonal_strength"))
   }
 
   val seasonalStrengthSql: String =
@@ -213,11 +219,15 @@ object TimeSeries {
       |     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
       |    / CAST(n AS DOUBLE) AS var_detrended,
       |  (CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE) AS var_residual,
-      |  greatest(0.0, 1.0
-      |    - ((CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE))
-      |      / ((CAST(sd2 AS DOUBLE)
+      |  CASE WHEN (CAST(sd2 AS DOUBLE)
       |          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
-      |            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+      |            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) = 0.0
+      |    THEN NULL
+      |    ELSE greatest(0.0, 1.0
+      |      - ((CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE))
+      |        / ((CAST(sd2 AS DOUBLE)
+      |            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+      |              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) END
       |    AS seasonal_strength
       |FROM dmo, lastrow""".stripMargin
 

@@ -228,6 +228,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected, "island census diverges from the run scan")
     assert(got.forall { case (_, n, mx, tot) => mx <= tot && n <= tot },
       "island invariants violated")
+    // span/coverage columns: span = max−min+1 of the user's ids, and
+    // coverage is exactly the IEEE quotient n_events/span in (0, 1]
+    val full = Relational.eventIdIslands(spark, sf).collect()
+    for (r <- full) {
+      val ids = byUser(r.getLong(0)).map(_._2)
+      val span = ids.max - ids.min + 1
+      assert(r.getLong(4) == span, s"user ${r.getLong(0)} span")
+      assert(r.getDouble(5) == r.getLong(3).toDouble / span.toDouble &&
+        r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0,
+        s"user ${r.getLong(0)} coverage")
+    }
   }
 
   test("quantilesExact: grouped ranks equal a sorted-array positional read") {

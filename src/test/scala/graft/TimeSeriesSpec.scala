@@ -516,6 +516,12 @@ class TimeSeriesSpec extends SparkSpec {
     assert(mk.isNullAt(3), s"constant series z must be NULL, got ${mk.get(3)}")
     val rt = TimeSeries.runsTest(spark, tmp).collect().head
     assert(rt.isNullAt(3), s"constant series runs z must be NULL, got ${rt.get(3)}")
+    // seasonalStrength's 0/0 guard: constant revenue ⇒ detrended ≡ 0 ⇒
+    // Var(detrended) = 0 exactly, and the ratio must be NULL, not NaN
+    val ss = TimeSeries.seasonalStrength(spark, tmp).collect().head
+    assert(ss.getDouble(1) == 0.0, "constant series var_detrended must be 0")
+    assert(ss.isNullAt(3),
+      s"constant series strength must be NULL, got ${ss.get(3)}")
   }
 
   test("seasonalStrength: matches a central-sum replay of the decompose output") {
