@@ -143,7 +143,7 @@ object Bench {
     }
     var failed = List.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runTimed(name: String)(body: => Unit): (String, Double, Double, Boolean) = {
       val gc0 = JvmStats.gcTimeMs; val gcN0 = JvmStats.gcCount
       val jit0 = JvmStats.jitTimeMs; val cpu0 = JvmStats.processCpuNs
       val (usr0, sys0, minf0, majf0) = JvmStats.procStat
@@ -151,11 +151,8 @@ object Bench {
       val nt0 = taskMetrics.nTasks.get
       val up0 = JvmStats.uptimeMs
       val t0 = System.nanoTime()
-      // noop-format write: runs the DECLARED plan end to end (a bare
-      // .count() would let the optimizer delete top-level sorts, so
-      // every orderBy query's final sort would go unmeasured).
       var ok = true
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try body
       catch { case e: Throwable =>
         // a crashing query must be LOUD — recorded as a failure, never
         // as a suspiciously fast success that lowers the suite total
@@ -187,6 +184,25 @@ object Bench {
         s""""heap_comm_mb":${JvmStats.heapCommitted / (1 << 20)}}"""
       (name, sec, taskCpuSec, ok)
     }
+    // the shared-adjacency cache build as its OWN timed row, so the
+    // alphabetically-first graph query's wall is plan cost, not
+    // plan + family cache build (r11 verdict item 2). Counted in the
+    // suite total (it is real suite work) but not in n_queries.
+    val cacheRows =
+      if (spark.conf.get(graft.queries.GraphQueries.CacheEdgesKey, "false").toBoolean)
+        Seq(runTimed("_graph_cache_build") {
+          graft.queries.GraphQueries.warmEdgeCaches(spark, sfDir)
+        })
+      else Seq.empty
+    // noop-format write: runs the DECLARED plan end to end (a bare
+    // .count() would let the optimizer delete top-level sorts, so
+    // every orderBy query's final sort would go unmeasured).
+    val results = cacheRows ++
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        runTimed(name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      }
     val qs = results.map { case (k, v, _, _) => s"\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     // headline total counts only successful queries: a crashing query's
@@ -236,7 +252,9 @@ object Bench {
           ",\"task_cpu_s\":" + math.round(tc * 100) / 100.0 + "}"
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
+    val cacheBuildJson = cacheRows.headOption
+      .map(r => (math.round(r._2 * 100) / 100.0).toString).getOrElse("null")
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size - cacheRows.size},"n_failed":${failed.size},"failed":$failedJson,"cache_build_s":$cacheBuildJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -442,6 +442,39 @@ object GraphQueries {
         .distinct()
     }
 
+  /** Directed customer→supplier bipartite edge set (kind "bipartite"),
+    * shared by [[hitsWalks]]'s three vector consumers — extracted so
+    * [[warmEdgeCaches]] can force the build outside any one query's
+    * timing window.
+    */
+  private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    sharedEdges(s, dir, "bipartite", materializeDefault = true) {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey").as("sup")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("c"), col("sup"))
+        .distinct()
+    }
+
+  /** Force-build every conf-gated shared edge cache for (session, dir)
+    * — a no-op when [[CacheEdgesKey]] is off. Bench calls this BEFORE
+    * its timed loop and reports the build as its own `_graph_cache_build`
+    * row, so the alphabetically-first graph query's wall reflects its
+    * plan cost instead of absorbing the family's cache build (the r11
+    * bench-table footnote this replaces). The cached path's
+    * materialization is eager (localCheckpoint), so returning from here
+    * means the frames are built.
+    */
+  def warmEdgeCaches(s: SparkSession, dir: String): Unit =
+    if (s.conf.get(CacheEdgesKey, "false").toBoolean) {
+      tradeEdges(s, dir)
+      copurchaseEdges(s, dir)
+      bipartiteEdges(s, dir)
+      ()
+    }
+
   def triangleCount(s: SparkSession, dir: String,
                     broadcastAdj: Boolean): DataFrame =
     triangleCountOn(copurchaseEdges(s, dir), broadcastAdj)
@@ -1558,15 +1591,7 @@ object GraphQueries {
     // the directed bipartite edge set rides the same conf-gated shared
     // cache as tradeEdges/copurchaseEdges (kind "bipartite"), and the
     // three vector consumers below fan out, so default-materialize
-    val edges = sharedEdges(s, dir, "bipartite", materializeDefault = true) {
-      Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("c"))
-        .join(Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey").as("sup")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("c"), col("sup"))
-        .distinct()
-    }
+    val edges = bipartiteEdges(s, dir)
     val side: DataFrame => DataFrame =
       if (broadcastAdj) broadcast else _.hint("shuffle_hash")
     val a1 = Graft.materialize(
