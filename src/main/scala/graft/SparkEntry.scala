@@ -348,6 +348,7 @@ object SparkEntry {
     "mixture_downsample" -> (Sampling.mixtureDownsample _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
+    "dedup_exact_substring" -> ((s, d) => TextQueries.exactSubstringDedup(s, d)),
     "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
     "dedup_prefix_jaccard" -> ((s, d) => TextQueries.dedupPrefixJaccard(s, d)),
@@ -665,6 +666,7 @@ object SparkEntry {
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
+    "dedup_exact_substring" -> TextQueries.exactSubstringDedupSql,
     "dedup_cluster_sizes" -> TextQueries.dedupClusterSizesSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_prefix_jaccard" -> TextQueries.dedupPrefixJaccardSql,

@@ -1116,6 +1116,113 @@ object TextQueries {
       |FROM g GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, passage LIMIT 50""".stripMargin
 
+  // --- exact substring dedup (maximal duplicated spans) ----------------------
+  /** EXACT substring-level dedup census at token granularity k = 8
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — ExactSubstr): per document, the MAXIMAL spans
+    * whose every token lies inside some k-token substring occurring
+    * ≥ 2 times in the corpus (same doc or cross-doc), plus the
+    * duplicated-token share — the removal-decision output the paper's
+    * suffix-array pass produces. Semantics are exact, not sketched: a
+    * k-token window occurring twice IS a verbatim duplicated substring
+    * of length k, any duplicate of length ≥ k contains only such
+    * windows, and merging the overlapping/adjacent [p, p+k−1]
+    * intervals yields precisely the maximal duplicated-coverage runs.
+    * ([[repeatedPassages]] reports the shared passages themselves;
+    * this reports what a dedup pass would CUT, per document.)
+    *
+    * Scale shape — the suffix-array spelling respelled for Spark: the
+    * paper builds one suffix array over the concatenated corpus, which
+    * distributed naively is a global sort of all suffixes (and its
+    * merge step is sequential). Here every stage is hash-keyed or
+    * doc-local: gram extraction is a narrow per-doc map (sequence +
+    * slice + array_join, all codegen'd); duplicate detection is ONE
+    * aggregation shuffle keyed by the gram (bounded keys — k tokens);
+    * the membership join back is gram-keyed and co-partitioned with
+    * it; interval merge is a per-DOC window (high cardinality,
+    * parallel at any SF — the legitimate partitioned-window class);
+    * the rollup is doc-keyed; the report is a distributed
+    * TakeOrdered(20). Nothing funnels: no suffix block ever meets a
+    * single reducer, no global order is ever built. The 100 TB
+    * spelling shuffles a 128-bit gram hash instead of gram text
+    * (collision-negligible, smaller exchange); text keys are kept here
+    * for oracle comparability, like [[repeatedPassages]].
+    */
+  def exactSubstringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), words.as("w"))
+    val grams = toks
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - $k + 1),
+           |  i -> array_join(slice(w, i, $k), ' '))""".stripMargin))
+        .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gram"))
+    val starts = grams.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    // fixed-length intervals [p, p+k−1] merge iff the next start is
+    // ≤ k after the previous (overlap OR adjacency ⇒ one covered run)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lagPos = lag(col("pos"), 1).over(wDoc)
+    val spans = starts
+      .withColumn("new_isl",
+        when(lagPos.isNull || col("pos") - lagPos > k, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong) - 1).as("span_end"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max(col("span_end") - col("span_start") + 1).as("max_span_tokens"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    perDoc
+      .join(toks.select(col("doc_id"), size(col("w")).cast("long")
+        .as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("max_span_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_share"))
+      .orderBy(col("dup_share").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val exactSubstringDedupSql: String = {
+    val k = 8
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+      |        array_to_string(list_slice(w, u.i, u.i + $k - 1), ' ') AS gram
+      |      FROM t, unnest(range(1, len(w) - $k + 2)) AS u(i)
+      |      WHERE len(w) >= $k),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |st AS (SELECT doc_id, pos,
+      |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |       FROM g JOIN d USING (gram)),
+      |si AS (SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev IS NULL OR pos - prev > $k
+      |             THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS isl
+      |       FROM st),
+      |sp AS (SELECT doc_id, isl, MIN(pos) AS span_start,
+      |         MAX(pos) + $k - 1 AS span_end
+      |       FROM si GROUP BY doc_id, isl),
+      |p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+      |        CAST(MAX(span_end - span_start + 1) AS BIGINT)
+      |          AS max_span_tokens,
+      |        CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+      |      FROM sp GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |        AS n_tokens
+      |      FROM documents)
+      |SELECT doc_id, n_tokens, n_dup_spans, max_span_tokens, dup_tokens,
+      |  CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_share
+      |FROM p JOIN n USING (doc_id)
+      |ORDER BY dup_share DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // --- per-document n-gram novelty ------------------------------------------
   /** Per-document novelty: the fraction of a document's DISTINCT
     * 5-gram shingles that appear in no other document. This is the

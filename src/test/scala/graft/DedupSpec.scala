@@ -341,6 +341,47 @@ class DedupSpec extends SparkSpec {
       s"head ranking must pre-prune before the exchange:\n$plan")
   }
 
+  test("exactSubstringDedup: spans replay a brute-force coverage scan") {
+    val k = 8
+    val docsRows = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    // corpus-wide k-gram occurrence counts (same doc or cross-doc)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    for ((_, w) <- docsRows; i <- 0 to w.length - k)
+      counts(w.slice(i, i + k).mkString(" ")) += 1
+    // per-doc maximal covered runs via a literal boolean coverage array —
+    // an independent spelling of the query's interval merge
+    val expected = docsRows.toSeq.flatMap { case (id, w) =>
+      val starts = (0 to w.length - k)
+        .filter(i => counts(w.slice(i, i + k).mkString(" ")) >= 2)
+      if (starts.isEmpty) None
+      else {
+        val covered = Array.fill(w.length)(false)
+        for (i <- starts; j <- i until i + k) covered(j) = true
+        val runs = scala.collection.mutable.ListBuffer.empty[Long]
+        var cur = 0L
+        for (c <- covered) {
+          if (c) cur += 1 else { if (cur > 0) runs += cur; cur = 0 }
+        }
+        if (cur > 0) runs += cur
+        Some((id, w.length.toLong, runs.length.toLong, runs.max, runs.sum))
+      }
+    }
+    val top = expected
+      .map { case (id, n, ns, mx, dt) => (id, n, ns, mx, dt, dt.toDouble / n) }
+      .sortBy { case (id, _, _, _, _, sh) => (-sh, id) }.take(20)
+    val got = TextQueries.exactSubstringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == top, s"exact-substring census diverges from brute force")
+    assert(got.nonEmpty, "fixture must contain duplicated 8-grams")
+    assert(got.forall { case (_, n, _, mx, dt, sh) =>
+      mx >= k && dt >= mx && dt <= n && sh > 0.0 && sh <= 1.0
+    }, "span invariants violated")
+  }
+
   test("exact dedup keeps the minimum doc_id per distinct text") {
     val rows = TextQueries.dedupExact(spark, sf).collect()
     val total = graft.Tables.load(spark, sf, "documents").count()
