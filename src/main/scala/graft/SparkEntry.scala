@@ -363,6 +363,7 @@ object SparkEntry {
     "ann_topk_cosine_i8" -> ((s, d) => EmbeddingQueries.annTopKI8(s, d)),
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqTopK(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => EmbeddingQueries.annIvfPqTopK(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_knn_graph" -> ((s, d) => EmbeddingQueries.knnGraph(s, d)),
     "embed_mmr_topk" -> ((s, d) => EmbeddingQueries.mmrTopK(s, d)),
@@ -420,7 +421,8 @@ object SparkEntry {
     *  3. '''Iterative FP state (k-means / eigen / greedy)''' — centroid
     *     seeds, PQ codebooks, power-iteration eigenvectors and MMR's
     *     greedy chain are deterministic here but not expressible as
-    *     engine-portable SQL: `ann_ivf_topk`/`ann_pq_topk` (EmbeddingSpec
+    *     engine-portable SQL: `ann_ivf_topk`/`ann_pq_topk`/
+    *     `ann_ivfpq_topk` (EmbeddingSpec
     *     recall vs ORACLE-CHECKED `ann_exact_topk`), `embed_mmr_topk`
     *     (EmbeddingSpec greedy replay), `embed_pca_explained`/
     *     `embed_pca_project` (EmbeddingSpec orthonormality + variance

@@ -67,6 +67,32 @@ class EmbeddingSpec extends SparkSpec {
     val pqRecall = (exact & pq).size.toDouble / exact.size
     info(s"sf0.1 PQ recall@10 = $pqRecall")
     assert(pqRecall >= 0.75, s"sf0.1 PQ recall $pqRecall below 0.75")
+    // composed IVF-PQ (residual ADC): measured 0.80 at sf0.1 with
+    // shortlist=200 — same 0.75 floor as its parents, same
+    // regeneration-variance reasoning
+    val ivfpq = keyset(EmbeddingQueries.annIvfPqTopK(spark, dir01))
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"sf0.1 IVF-PQ recall@10 = $ivfpqRecall")
+    assert(ivfpqRecall >= 0.75, s"sf0.1 IVF-PQ recall $ivfpqRecall below 0.75")
+  }
+
+  test("IVF-PQ: residual ADC + exact re-rank recall at sf0.001; k-bounded ranked output") {
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = keyset(EmbeddingQueries.annTopK(spark, sf))
+    val rows = EmbeddingQueries.annIvfPqTopK(spark, sf).collect()
+    val recall = (exact & rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.75, s"IVF-PQ recall $recall below 0.75")
+    // shape: exactly k ranked rows per query, dist2 ascending with rank
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+      val d = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(d == d.sorted, "re-ranked dist2 must ascend with rank")
+    }
   }
 
   test("int8-quantized ANN: recall >= 90% of f64 top-10, cosine error < 0.02") {
