@@ -293,7 +293,7 @@ object SparkEntry {
     "winsorize_stats" -> (Governance.winsorizeStats _),
     "split_balance_chisq" -> (Governance.splitBalanceChisq _),
     "embed_hard_negatives" -> ((s, d) => EmbeddingQueries.hardNegatives(s, d)),
-    "join_size_estimate" -> (EventQueries.joinSizeEstimate _),
+    "join_size_estimate" -> (EventQueries.joinSizeEstimateAudit _),
     "drift_psi" -> ((s, d) => Drift.psi(s, d)),
     "drift_ks" -> (Drift.ks _),
     "graph_modularity" -> (GraphQueries.modularity _),
@@ -343,7 +343,7 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
-    "decontaminate_bloom" -> (Sampling.decontaminateBloom _),
+    "decontaminate_bloom" -> (Sampling.decontaminateBloomAudit _),
     "pack_chunks" -> ((s, d) => Sampling.packChunks(s, d)),
     "mixture_downsample" -> (Sampling.mixtureDownsample _),
     // dedup
@@ -398,10 +398,13 @@ object SparkEntry {
     *     `sketch_hll_rollup`/`sketch_hll_intersect` (AnalyticsOpsSpec
     *     merge-associativity + error envelope vs exact), `sketch_topk_rollup`
     *     (AnalyticsOpsSpec exact-recount), `sketch_word_freq` (SketchSpec
-    *     CMS overcount bound), `join_size_estimate` (SketchSpec vs exact
-    *     join count), `events_value_quantiles_approx`/`events_value_mad_approx`
+    *     CMS overcount bound), `events_value_quantiles_approx`/`events_value_mad_approx`
     *     (AnalyticsOpsSpec vs exact percentiles), `customer_rfm_approx`
-    *     (AnalyticsOpsSpec vs exact quintiles).
+    *     (AnalyticsOpsSpec vs exact quintiles). (`join_size_estimate`
+    *     graduated OUT in r12: the registry entry is the structural-
+    *     oracle audit — exact join sizes + the sketch's envelope
+    *     contract as a driver-checked boolean; the numeric estimate
+    *     stays SketchSpec-pinned via `joinSizeEstimate`.)
     *  2. '''Fixed-seed hash families DuckDB cannot replay''' — xxhash64
     *     MinHash permutations / SimHash planes / LSH band hashes aren't
     *     reproducible in portable SQL, but every reported PAIR passes an
@@ -415,9 +418,11 @@ object SparkEntry {
     *     everywhere at the default cap), `dedup_simhash` (DedupSpec),
     *     `embed_neardup_lsh` (DedupSpec bucket-join plan + cosine verify),
     *     `embed_semdedup` (DedupSpec planted pair + cell-cap candidate
-    *     bound), `decontaminate_bloom` (SamplingSpec:
-    *     zero false negatives vs ORACLE-CHECKED `decontaminate_ngram`,
-    *     fpp bound).
+    *     bound). (`decontaminate_bloom` graduated OUT of this class in
+    *     r12: its registry entry is now the structural-oracle audit —
+    *     exact columns + the contract-constant zero-miss column — so
+    *     the no-FN claim is driver-checked; the fpp bound stays in
+    *     SamplingSpec.)
     *  3. '''Iterative FP state (k-means / eigen / greedy)''' — centroid
     *     seeds, PQ codebooks, power-iteration eigenvectors and MMR's
     *     greedy chain are deterministic here but not expressible as
@@ -515,6 +520,7 @@ object SparkEntry {
     "funnel_stages" -> EventQueries.funnelStagesSql,
     "snapshot_diff" -> Relational.snapshotDiffSql,
     "join_explosion_check" -> EventQueries.joinExplosionCheckSql,
+    "join_size_estimate" -> EventQueries.joinSizeEstimateAuditSql,
     "stats_correlation" -> Relational.statsCorrelationSql,
     "embed_quant_error" -> EmbeddingQueries.quantErrorReportSql,
     "mixture_temperature_alloc" -> Sampling.mixtureTemperatureAllocSql,
@@ -665,6 +671,7 @@ object SparkEntry {
     "text_normalize" -> TextQueries.normalizeTextSql,
     "docs_chunk_sliding" -> TextQueries.chunkSlidingSql,
     "decontaminate_ngram" -> Sampling.decontaminateSql,
+    "decontaminate_bloom" -> Sampling.decontaminateBloomAuditSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,
     "dedup_exact" -> TextQueries.dedupExactSql,

@@ -1928,6 +1928,40 @@ object EventQueries {
       .orderBy(col("join_name"))
   }
 
+  /** [[joinSizeEstimate]]'s STRUCTURAL ORACLE (registered as
+    * `join_size_estimate`): the exact join sizes — DuckDB-computable —
+    * beside the contract claim the sketch must honor: the AMS estimate
+    * within 25% of truth (`est_in_envelope`). The 25% band is ~6
+    * standard errors of the W=512, median-of-D=5 estimator on these
+    * joins (per-row rel. std ≈ √(F2_A·F2_B)/(√W·J) ≈ 4.4% for the
+    * self-join, where F2 = J), so the boolean is deterministically
+    * TRUE on any driver-regenerated fixture while a broken sign hash
+    * (estimate ~0 or ~N_A·N_B/W) flips it and hash-fails the gate.
+    * The numeric estimate and rel_err stay visible through
+    * [[joinSizeEstimate]] and SketchSpec's envelope pin — nothing
+    * weakened, the no-FN-style contract just became driver-checked
+    * (same graduation as `decontaminate_bloom`'s audit).
+    */
+  def joinSizeEstimateAudit(s: SparkSession, dir: String): DataFrame =
+    joinSizeEstimate(s, dir)
+      .select(col("join_name"), col("exact_rows"),
+        (abs(col("rel_err")) <= 0.25).as("est_in_envelope"))
+      .orderBy(col("join_name"))
+
+  val joinSizeEstimateAuditSql: String =
+    """WITH sa AS (
+      |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id),
+      |sj AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_rows FROM sa),
+      |fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT 'events_self_user' AS join_name, exact_rows,
+      |       TRUE AS est_in_envelope FROM sj
+      |UNION ALL
+      |SELECT 'orders_lineitem' AS join_name, exact_rows,
+      |       TRUE AS est_in_envelope FROM fk
+      |ORDER BY join_name""".stripMargin
+
   // --- ordered funnel, single-pass window spelling ---------------------------
   /** The ONE-EXCHANGE twin of [[funnel]] (same operator family as the
     * broadcast/partitioned triangle pair): [[funnel]] spells the

@@ -442,6 +442,61 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** The bloom leg's STRUCTURAL ORACLE (registered as
+    * `decontaminate_bloom`): for every exactly-contaminated training
+    * document, probe each of its exactly-contaminated shingles against
+    * the real [[graft.functions.BloomFilterAgg]] filter and count the
+    * misses — which the bloom no-false-negative contract guarantees is
+    * ZERO for every row, on any data. That constant-zero column plus
+    * the exact columns beside it make the whole frame DuckDB-checkable
+    * (the oracle computes the exact legs and pins the zeros), so a
+    * broken bloom build, merge, or probe hash-fails the driver gate
+    * instead of hiding behind a rows-only entry. The false-POSITIVE
+    * side (data-dependent, not oracle-able) stays pinned by
+    * SamplingSpec's fpp bound on [[decontaminateBloom]], which remains
+    * the production screen (this audit runs the same build + probe
+    * machinery: one BloomFilterAgg aggregation, one 128 KiB broadcast,
+    * per-shingle codegen'd [[graft.functions.BloomMightContain]]).
+    *
+    * Scale shape: identical to [[decontaminate]] (broadcast semi-join
+    * keyed by the shingle, training side never shuffles) plus the
+    * fixed-size bloom broadcast.
+    */
+  def decontaminateBloomAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), isHeldOut(col("doc_id")).as("ev"),
+        graft.llm.MinHashDedup.hashedShingles(col("ws")).as("sh"))
+    val bloom = d.filter(col("ev"))
+      .select(explode(col("sh")).as("g"))
+      .agg(graft.functions.BloomFilterAgg(col("g")).as("bf"))
+    val evalShingles = d.filter(col("ev"))
+      .select(explode(col("sh")).as("g")).distinct()
+    d.filter(!col("ev"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(evalShingles), "g")
+      .crossJoin(broadcast(bloom))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(when(graft.functions.BloomMightContain(col("bf"), col("g")),
+          lit(0L)).otherwise(lit(1L))).as("n_bloom_missed"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        col("n_bloom_missed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[decontaminateSql]] re-projected for the audit: the exact columns
+    * are computed by DuckDB; the bloom-miss column is the contract
+    * constant the Spark side must reproduce from the real filter.
+    */
+  val decontaminateBloomAuditSql: String =
+    s"""SELECT doc_id, n_shingles, n_contaminated,
+      |  CAST(0 AS BIGINT) AS n_bloom_missed
+      |FROM (${decontaminateSql.replace("\n", "\n|  ")}) ex
+      |ORDER BY doc_id""".stripMargin
+
   // --- key-skew diagnosis ------------------------------------------------------
   /** Rows-per-key histogram of events.user_id, bucketed by the DIGIT
     * COUNT of the per-key row count (an exact, engine-portable stand-in
