@@ -157,6 +157,7 @@ object SparkEntry {
     "subquery_not_in" -> (Relational.subqueryNotIn _),
     "join_full_outer" -> (Relational.joinFullOuter _),
     "join_fuzzy_name" -> (Relational.joinFuzzyName _),
+    "dedup_typo_pairs" -> (Relational.typoPairs _),
     "window_distribution" -> (Relational.windowDistribution _),
     "agg_monthly_revenue" -> (Relational.aggMonthlyRevenue _),
     "profile_columns" -> (Relational.profileColumns _),
@@ -324,7 +325,7 @@ object SparkEntry {
     "docs_chunk_sliding" -> (TextQueries.chunkSliding _),
     "text_bm25_terms" -> (TextQueries.bm25TopTerms _),
     "index_inverted" -> (TextQueries.invertedIndex _),
-    "sketch_word_freq" -> (TextQueries.sketchWordFreq _),
+    "sketch_word_freq" -> (TextQueries.sketchWordFreqAudit _),
     "curation_pipeline" -> (TextQueries.curationPipeline _),
     "text_bpe_merge" -> (TextQueries.bpeMergeStep _),
     "text_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
@@ -397,14 +398,15 @@ object SparkEntry {
     *     `agg_approx_distinct` (vs `agg_count_distinct`, RelationalSpec),
     *     `sketch_hll_rollup`/`sketch_hll_intersect` (AnalyticsOpsSpec
     *     merge-associativity + error envelope vs exact), `sketch_topk_rollup`
-    *     (AnalyticsOpsSpec exact-recount), `sketch_word_freq` (SketchSpec
-    *     CMS overcount bound), `events_value_quantiles_approx`/`events_value_mad_approx`
+    *     (AnalyticsOpsSpec exact-recount), `events_value_quantiles_approx`/`events_value_mad_approx`
     *     (AnalyticsOpsSpec vs exact percentiles), `customer_rfm_approx`
     *     (AnalyticsOpsSpec vs exact quintiles). (`join_size_estimate`
-    *     graduated OUT in r12: the registry entry is the structural-
-    *     oracle audit — exact join sizes + the sketch's envelope
-    *     contract as a driver-checked boolean; the numeric estimate
-    *     stays SketchSpec-pinned via `joinSizeEstimate`.)
+    *     and `sketch_word_freq` graduated OUT in r12: their registry
+    *     entries are structural-oracle audits — exact values beside
+    *     each sketch's deterministic contract (AMS envelope boolean,
+    *     CMS never-undercounts boolean) — so the contracts are
+    *     driver-checked; the numeric estimates stay SketchSpec-pinned
+    *     via `joinSizeEstimate` / `sketchWordFreq`.)
     *  2. '''Fixed-seed hash families DuckDB cannot replay''' — xxhash64
     *     MinHash permutations / SimHash planes / LSH band hashes aren't
     *     reproducible in portable SQL, but every reported PAIR passes an
@@ -508,6 +510,7 @@ object SparkEntry {
     "subquery_not_in" -> Relational.subqueryNotInSql,
     "join_full_outer" -> Relational.joinFullOuterSql,
     "join_fuzzy_name" -> Relational.joinFuzzyNameSql,
+    "dedup_typo_pairs" -> Relational.typoPairsSql,
     "window_distribution" -> Relational.windowDistributionSql,
     "agg_monthly_revenue" -> Relational.aggMonthlyRevenueSql,
     "profile_columns" -> Relational.profileColumnsSql,
@@ -517,6 +520,7 @@ object SparkEntry {
     "stats_histogram" -> Relational.statsHistogramSql,
     "attribution_last_touch" -> EventQueries.attributionLastTouchSql,
     "sketch_quantile_rollup" -> EventQueries.quantileRollupSql,
+    "sketch_word_freq" -> TextQueries.sketchWordFreqAuditSql,
     "funnel_stages" -> EventQueries.funnelStagesSql,
     "snapshot_diff" -> Relational.snapshotDiffSql,
     "join_explosion_check" -> EventQueries.joinExplosionCheckSql,

@@ -1062,6 +1062,75 @@ object Relational {
       |WHERE levenshtein(a.name, b.name) <= 4
       |ORDER BY name_a, name_b""".stripMargin
 
+  // --- deletion-neighborhood typo pairs (FastSS) ------------------------------
+  /** Vocabulary typo-pair detection with GUARANTEED-complete candidate
+    * generation (Bočka/Hunt FastSS family — Bocek, Hunt & Stiller,
+    * "Fast Similarity Search in Large Dictionaries", 2007): two tokens
+    * are within edit distance 1 only if they share a string in their
+    * deletion neighborhood ∪ {self} (a deletion hits the deleted char,
+    * an insertion hits the other side's deletion, a substitution hits
+    * the same-position deletions) — so an equi-join on that signature
+    * finds EVERY candidate, unlike [[joinFuzzyName]]'s last-word
+    * blocking heuristic, and a codegen'd `levenshtein` verifies the
+    * superset down to the true pairs. The vocabulary here is the
+    * part-name + part-type word set with corpus counts (the
+    * frequency-asymmetric pair — rare token vs frequent neighbor — is
+    * the classic typo-repair signal in data curation).
+    *
+    * Scale shape: the corpus collapses to a (token, count) VOCABULARY
+    * first (one hash aggregation — the BPE-training posture), variants
+    * are a narrow ≤|token|+1-fold explode of vocabulary rows, the
+    * candidate join is hash-keyed on the signature (never all-pairs:
+    * DedupSpec pins no-cartesian), and the verify filter is a
+    * per-candidate codegen'd DP. Everything past the first aggregation
+    * is vocabulary-sized, not corpus-sized.
+    */
+  def typoPairs(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "part")
+      .select(explode(concat(split(col("p_name"), " "),
+        split(col("p_type"), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val variants = v.select(col("tok"), col("c"), explode(expr(
+      """array_union(
+        |  transform(sequence(1, length(tok)),
+        |    i -> concat(substring(tok, 1, i - 1),
+        |                substring(tok, i + 1, length(tok) - i))),
+        |  array(tok))""".stripMargin)).as("sig"))
+    val a = variants
+      .select(col("sig"), col("tok").as("tok_a"), col("c").as("n_a"))
+    val b = variants
+      .select(col("sig"), col("tok").as("tok_b"), col("c").as("n_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  val typoPairsSql: String =
+    """WITH toks AS (
+      |  SELECT list_concat(string_split(p_name, ' '),
+      |                     string_split(p_type, ' ')) AS ws
+      |  FROM part),
+      |v AS (
+      |  SELECT w AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+      |var AS (
+      |  SELECT tok, c, unnest(list_distinct(list_append(
+      |    list_transform(range(1, len(tok) + 1),
+      |      i -> substr(tok, 1, i - 1) || substr(tok, i + 1)), tok))) AS sig
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+      |         a.c AS n_a, b.c AS n_b
+      |  FROM var a JOIN var b ON a.sig = b.sig AND a.tok < b.tok)
+      |SELECT tok_a, tok_b, n_a, n_b,
+      |  CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   // --- ordered list aggregation ----------------------------------------------
   /** Per-region sorted roster of nation names as one string. collect_list
     * is order-NONdeterministic under parallel aggregation, so the sort

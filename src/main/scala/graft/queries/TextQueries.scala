@@ -278,8 +278,10 @@ object TextQueries {
     * against exact counts (CMS never underestimates; overestimate is
     * eps*N-bounded) and checks partitioning-independence of the merge.
     */
+  private val cmsProbes = Seq("the", "data", "spark", "query", "value")
+
   def sketchWordFreq(s: SparkSession, dir: String): DataFrame = {
-    val probes = Seq("the", "data", "spark", "query", "value")
+    val probes = cmsProbes
     docs(s, dir)
       .select(col("lang"), explode(words).as("w"))
       .groupBy(col("lang"))
@@ -290,6 +292,48 @@ object TextQueries {
           .as("est_count"))
       .orderBy(col("lang"), col("word"))
   }
+
+  /** [[sketchWordFreq]]'s STRUCTURAL ORACLE (registered as
+    * `sketch_word_freq`): Count-Min NEVER undercounts — est ≥ exact is
+    * a deterministic guarantee of the data structure (Cormode &
+    * Muthukrishnan 2005, min over rows of sums that each include the
+    * true count), not a probabilistic envelope — so the exact per-
+    * (lang, probe) counts (DuckDB-computable) paired with that
+    * contract as a boolean make the frame driver-checkable through the
+    * REAL sketch build + merge + probe path. A broken merge or hash
+    * that drops counts flips the boolean and hash-fails the gate. The
+    * eps·N overcount BOUND (probabilistic) stays SketchSpec-pinned via
+    * [[sketchWordFreq]], which remains the production probe. (Same
+    * graduation as `decontaminate_bloom` / `join_size_estimate`.)
+    */
+  def sketchWordFreqAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = docs(s, dir)
+      .select(col("lang"), explode(words).as("word"))
+      .filter(col("word").isin(cmsProbes: _*))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("exact_count"))
+    sketchWordFreq(s, dir)
+      .join(exact, Seq("lang", "word"), "left")
+      .select(col("lang"), col("word"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        (col("est_count") >= coalesce(col("exact_count"), lit(0L)))
+          .as("cms_never_under"))
+      .orderBy(col("lang"), col("word"))
+  }
+
+  val sketchWordFreqAuditSql: String =
+    """WITH langs AS (SELECT DISTINCT lang FROM documents),
+      |p AS (SELECT unnest(['the','data','spark','query','value']) AS word),
+      |w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+      |      FROM documents),
+      |c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS exact_count
+      |      FROM w GROUP BY lang, word)
+      |SELECT l.lang AS lang, p.word AS word,
+      |  COALESCE(c.exact_count, CAST(0 AS BIGINT)) AS exact_count,
+      |  TRUE AS cms_never_under
+      |FROM langs l CROSS JOIN p
+      |LEFT JOIN c ON c.lang = l.lang AND c.word = p.word
+      |ORDER BY l.lang, p.word""".stripMargin
 
   // --- PII-style scrubbing --------------------------------------------------
   /** Training-data scrub pass: redact email addresses and URLs, count

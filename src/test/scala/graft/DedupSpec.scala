@@ -382,6 +382,38 @@ class DedupSpec extends SparkSpec {
     }, "span invariants violated")
   }
 
+  test("typoPairs: FastSS candidates are complete vs brute-force ed<=1; no all-pairs plan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Relational.typoPairs(spark, sf)
+    assertNoAllPairs(planOf(df))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // brute force: every vocabulary pair within edit distance 1
+    val vocab = graft.Tables.load(spark, sf, "part")
+      .select(explode(concat(split(col("p_name"), " "),
+        split(col("p_type"), " "))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = for {
+      ((ta, ca), i) <- vocab.zipWithIndex
+      (tb, cb) <- vocab.drop(i + 1)
+      if ed(ta, tb) <= 1
+    } yield (ta, tb, ca, cb, ed(ta, tb).toLong)
+    assert(got == expected.toSeq,
+      "FastSS pairs diverge from the brute-force edit-distance scan")
+    assert(got.nonEmpty, "fixture vocabulary must contain ed<=1 pairs")
+  }
+
   test("exact dedup keeps the minimum doc_id per distinct text") {
     val rows = TextQueries.dedupExact(spark, sf).collect()
     val total = graft.Tables.load(spark, sf, "documents").count()

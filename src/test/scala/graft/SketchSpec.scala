@@ -46,6 +46,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CMS audit frame: exact column replays; never-under contract holds on every row") {
+    val w = Tables.load(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val exact = w.groupBy(col("lang"), col("w")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = graft.queries.TextQueries.sketchWordFreqAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == exact.getOrElse(key, 0L), s"exact count $key")
+      assert(r.getBoolean(3), s"CMS undercounted $key")
+    }
+  }
+
   test("CMS merge is partitioning-independent") {
     assert(estimates(numParts = 1) == estimates(numParts = 7))
   }
