@@ -214,6 +214,7 @@ object SparkEntry {
     "merge_upsert" -> (EventQueries.mergeUpsert _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
+    "graph_ppr_walks" -> ((s, d) => GraphQueries.pprWalks(s, d)),
     "graph_copurchase" -> (GraphQueries.copurchasePairs _),
     "graph_triangles" -> ((s, d) => GraphQueries.triangleCount(s, d)),
     // the beyond-broadcast spelling: same joins, hash-partitioned —
@@ -588,6 +589,7 @@ object SparkEntry {
     "agg_yoy_growth" -> Relational.aggYoyGrowthSql,
     "customer_rfm" -> Relational.customerRfmSql,
     "graph_pagerank" -> GraphQueries.pagerankSql,
+    "graph_ppr_walks" -> GraphQueries.pprWalksSql,
     "graph_copurchase" -> GraphQueries.copurchasePairsSql,
     "graph_triangles" -> GraphQueries.triangleCountSql,
     "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,

@@ -374,6 +374,101 @@ object GraphQueries {
       |FROM r3 ORDER BY pr_u DESC, node LIMIT 20""".stripMargin
   }
 
+  // --- personalized PageRank ----------------------------------------------
+  /** Three damped iterations of PERSONALIZED PageRank from a fixed
+    * 3-supplier seed set over the symmetrized trade graph (Page et al.
+    * 1999 §6 "personalized" teleport; Jeh & Widom, WWW 2003): the
+    * restart mass returns to the SEEDS, not to every node, so the
+    * stationary mass measures proximity to the seed set — the "expand
+    * this supplier cohort" / related-entity query, vs [[pagerank]]'s
+    * global centrality. Seeds s1–s3 exist at every SF (supplier keys
+    * are 1-based and dense).
+    *
+    * Determinism: the same fixed-point micro-integer discipline as
+    * [[rankedAll]] — mass in units of 1e-6 (seed start 1 000 000 div 3
+    * = 333 333 each; per-iteration teleport 15% of that = 49 999), all
+    * spreading via exact integer `div`, so ranks are bit-identical
+    * BIGINTs on both engines and the double is one final cast.
+    *
+    * Scale shape: the adjacency is built once, checkpointed
+    * hash-partitioned on src (each iteration exchanges only the rank
+    * vector); the PPR-specific property is SPARSITY — `pr_u > 0`
+    * prunes the spread to nodes already reached, so iteration t works
+    * on the t-hop neighborhood of the seeds, not the full graph (the
+    * locality that makes PPR the scalable personalization primitive;
+    * on a 100 TB graph the vector stays seed-neighborhood-sized while
+    * global pagerank's is node-sized). Final read is a distributed
+    * TakeOrdered(20).
+    */
+  def pprWalks(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val seeds = Seq("s1", "s2", "s3")
+    val restartU = 1000000L / seeds.length            // 333333
+    val teleportU = 15L * restartU / 100L             // 49999
+    val edges = tradeEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val adj = Graft.materialize(edges.join(deg, "src")
+      .repartition(col("src")))
+    // node list is consumed once per iteration (the left join that
+    // re-adds teleport mass) — materialize so the distinct doesn't
+    // re-run over the adjacency four times
+    val nodes = Graft.materialize(
+      adj.select(col("src").as("node")).distinct())
+    val isSeed = col("node").isin(seeds: _*)
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(restartU)).otherwise(lit(0L)).as("pr_u"))
+    for (_ <- 1 to 3) {
+      val spread = adj.join(ranks, adj("src") === ranks("node"))
+        .filter(col("pr_u") > 0)
+        .select(col("dst"), expr("pr_u div out_deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(c)) div 100").as("walk_u"))
+        .select(col("dst").as("node"), col("walk_u"))
+      ranks = nodes.join(spread, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("walk_u"), lit(0L)) +
+            when(isSeed, lit(teleportU)).otherwise(lit(0L))).as("pr_u"))
+    }
+    ranks.filter(col("pr_u") > 0)
+      .select(col("node"), (col("pr_u").cast("double") / 1e6).as("ppr"))
+      .orderBy(col("ppr").desc, col("node"))
+      .limit(k)
+  }
+
+  val pprWalksSql: String = {
+    val seedsIn = "('s1','s2','s3')"
+    val step = PortableSql.intDiv(
+      s"85 * SUM(${PortableSql.intDiv("r.pr_u", "a.out_deg")})", "100")
+    def hop(prev: String, cur: String): String =
+      s"""w$cur AS (SELECT a.dst AS node, $step AS walk_u
+         |       FROM adj a JOIN r$prev r ON a.src = r.node
+         |       WHERE r.pr_u > 0 GROUP BY a.dst),
+         |r$cur AS (SELECT n.node,
+         |         COALESCE(w.walk_u, 0)
+         |           + CASE WHEN n.node IN $seedsIn THEN 49999 ELSE 0 END
+         |           AS pr_u
+         |       FROM nodes n LEFT JOIN w$cur w ON w.node = n.node)"""
+        .stripMargin
+    s"""WITH cs AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs
+      |          UNION ALL SELECT dst AS src, src AS dst FROM cs),
+      |deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+      |adj AS (SELECT e.src, e.dst, d.out_deg
+      |        FROM edges e JOIN deg d ON e.src = d.src),
+      |nodes AS (SELECT src AS node FROM deg),
+      |r0 AS (SELECT node,
+      |         CASE WHEN node IN $seedsIn THEN CAST(333333 AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS pr_u
+      |       FROM nodes),
+      |${hop("0", "1")},
+      |${hop("1", "2")},
+      |${hop("2", "3")}
+      |SELECT node, CAST(pr_u AS DOUBLE) / 1e6 AS ppr
+      |FROM r3 WHERE pr_u > 0
+      |ORDER BY pr_u DESC, node LIMIT 20""".stripMargin
+  }
+
   // --- triangle counting -------------------------------------------------
   /** Triangle count of the co-purchase graph (parts adjacent when some
     * order contains both) — the standard graph-health/community metric.

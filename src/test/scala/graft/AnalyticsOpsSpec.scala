@@ -862,6 +862,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(part.toSeq == got.toSeq, "broadcastAdj flip changed katz results")
   }
 
+  test("pprWalks: integer fixed-point replay from raw edges; seed-local mass") {
+    // independent driver-side replay of 3 personalized iterations with
+    // the exact integer div discipline (the ljung_box lesson: every
+    // closed-form integer pipeline gets an independent replay)
+    val edges = GraphQueries.tradeEdges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val outDeg = edges.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
+    val seeds = Set("s1", "s2", "s3")
+    val restartU = 1000000L / 3; val teleportU = 15L * restartU / 100L
+    var pr: Map[String, Long] = outDeg.keys
+      .map(n => n -> (if (seeds(n)) restartU else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val walked = edges.groupBy(_._2).map { case (v, es) =>
+        v -> (85L * es.map { case (u, _) => pr(u) / outDeg(u) }.sum) / 100L
+      }
+      pr = pr.keys.map { n =>
+        n -> (walked.getOrElse(n, 0L) + (if (seeds(n)) teleportU else 0L))
+      }.toMap
+    }
+    val expected = pr.toSeq.filter(_._2 > 0)
+      .map { case (n, u) => (n, u.toDouble / 1e6) }
+      .sortBy { case (n, p) => (-p, n) }.take(20)
+    val got = GraphQueries.pprWalks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == expected, "PPR top-20 diverges from integer replay")
+    // personalization sanity: seeds carry teleport mass, and total mass
+    // stays at most the seed mass (damping only removes integer dust)
+    assert(seeds.forall(s => pr.getOrElse(s, 0L) >= teleportU))
+    assert(pr.values.sum <= 3L * restartU)
+  }
+
   test("localBridges: zero common neighbors, top by degree product; modes agree") {
     val bridges = GraphQueries.localBridges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
