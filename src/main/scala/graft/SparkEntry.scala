@@ -258,6 +258,7 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => GraphQueries.kcorePeel(s, d)),
     "stats_hhi_nation" -> (Relational.hhiNation _),
     "events_user_entropy" -> (EventQueries.userEntropy _),
+    "stats_mutual_info" -> (EventQueries.mutualInfo _),
     "sample_poisson_bootstrap" -> ((s, d) => Sampling.poissonBootstrap(s, d)),
     "text_doc_keywords" -> ((s, d) => TextQueries.docKeywords(s, d)),
     "ts_runs_test" -> (TimeSeries.runsTest _),
@@ -629,6 +630,7 @@ object SparkEntry {
     "graph_kcore" -> GraphQueries.kcorePeelSql,
     "stats_hhi_nation" -> Relational.hhiNationSql,
     "events_user_entropy" -> EventQueries.userEntropySql,
+    "stats_mutual_info" -> EventQueries.mutualInfoSql,
     "sample_poisson_bootstrap" -> Sampling.poissonBootstrapSql,
     "text_doc_keywords" -> TextQueries.docKeywordsSql,
     "ts_runs_test" -> TimeSeries.runsTestSql,

@@ -732,6 +732,100 @@ object EventQueries {
       |FROM r, mm GROUP BY m""".stripMargin
   }
 
+  // --- mutual information (event_type × day-of-week) --------------------------
+  /** Mutual information between event TYPE and DAY-OF-WEEK — "does the
+    * traffic mix depend on the weekday" as ONE number (plus marginal
+    * entropies and the min-normalized NMI in [0,1]) — the feature-
+    * dependence screen a pipeline runs before trusting a column pair
+    * to be independent (stratification, leakage, drift design). MI =
+    * Σ_xy p_xy ln(p_xy/(p_x p_y)) (Cover & Thomas ch. 2).
+    *
+    * Hash-exact by the integer-micronat discipline ([[userEntropy]],
+    * TextQueries.charEntropy): MI·n·1e6 = Σ_xy c_xy·(lnµ(c_xy) +
+    * lnµ(n) − lnµ(c_x) − lnµ(c_y)) — every term an exact BIGINT
+    * (|term| ≤ n·lnµ(n) ≈ 1.4e17 at n = 6e9, inside int64 headroom to
+    * SF ~1e4), marginal entropies the same way, and every reported
+    * double is ONE IEEE division of bit-identical integers. NMI
+    * guards its 0/0 (a constant column ⇒ zero min-entropy) with NULL
+    * per the repo discipline.
+    *
+    * Scale shape: ONE fact-table aggregation to the |types|·7 grid
+    * (map-side combined); everything downstream — margins, totals,
+    * the term table — is grid-sized driver metadata joined by
+    * broadcast. The grid is materialized once so margins/totals don't
+    * re-run the fact scan.
+    */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val grid = graft.Graft.materialize(
+      ev(s, dir)
+        .select(col("event_type").as("x"),
+          (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+            .cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")))
+    val mx = grid.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = grid.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = grid.agg(sum(col("cxy")).as("n"))
+    val mi = grid.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .select((col("cxy") * (lnMicro(col("cxy")) + lnMicro(col("n"))
+        - lnMicro(col("cx")) - lnMicro(col("cy")))).as("term"))
+      .agg(sum(col("term")).as("mi_sum"))
+    val hx = mx.agg(sum(col("cx") * lnMicro(col("cx"))).as("sx"),
+      count(lit(1)).as("n_types"))
+    val hy = my.agg(sum(col("cy") * lnMicro(col("cy"))).as("sy"),
+      count(lit(1)).as("n_dows"))
+    val nd = col("n").cast("double")
+    val hxT = col("n") * lnMicro(col("n")) - col("sx")
+    val hyT = col("n") * lnMicro(col("n")) - col("sy")
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_events"), col("n_types"), col("n_dows"),
+        col("mi_sum").as("mi_micronats"),
+        (col("mi_sum").cast("double") / (nd * lit(1e6))).as("mi_nats"),
+        (hxT.cast("double") / (nd * lit(1e6))).as("h_type_nats"),
+        (hyT.cast("double") / (nd * lit(1e6))).as("h_dow_nats"),
+        when(least(hxT, hyT) === 0, lit(null).cast("double"))
+          .otherwise(col("mi_sum").cast("double")
+            / least(hxT, hyT).cast("double")).as("nmi"))
+  }
+
+  val mutualInfoSql: String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    s"""WITH b AS (
+      |  SELECT event_type AS x,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |         AS BIGINT) AS y
+      |  FROM events),
+      |g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      |      FROM b GROUP BY x, y),
+      |mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM g GROUP BY x),
+      |my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM g GROUP BY y),
+      |t AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM g),
+      |mi AS (
+      |  SELECT CAST(SUM(cxy * (${lnu("cxy")} + ${lnu("n")}
+      |           - ${lnu("cx")} - ${lnu("cy")})) AS BIGINT) AS mi_sum
+      |  FROM g JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+      |hx AS (SELECT CAST(SUM(cx * ${lnu("cx")}) AS BIGINT) AS sx,
+      |              CAST(COUNT(*) AS BIGINT) AS n_types FROM mx),
+      |hy AS (SELECT CAST(SUM(cy * ${lnu("cy")}) AS BIGINT) AS sy,
+      |              CAST(COUNT(*) AS BIGINT) AS n_dows FROM my)
+      |SELECT n AS n_events, n_types, n_dows, mi_sum AS mi_micronats,
+      |  CAST(mi_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats,
+      |  CAST(n * ${lnu("n")} - sx AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * 1e6) AS h_type_nats,
+      |  CAST(n * ${lnu("n")} - sy AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * 1e6) AS h_dow_nats,
+      |  CASE WHEN least(n * ${lnu("n")} - sx, n * ${lnu("n")} - sy) = 0
+      |       THEN NULL
+      |       ELSE CAST(mi_sum AS DOUBLE)
+      |         / CAST(least(n * ${lnu("n")} - sx, n * ${lnu("n")} - sy)
+      |                AS DOUBLE) END AS nmi
+      |FROM mi, hx, hy, t""".stripMargin
+  }
+
   // --- burstiness (Fano factor) ------------------------------------------------
   /** Burstiness of each event type: the Fano factor (index of
     * dispersion, var/mean) of its daily event counts — 1 for a

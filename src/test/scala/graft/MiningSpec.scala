@@ -328,6 +328,41 @@ class MiningSpec extends SparkSpec {
     ents.foreach { case (_, h) => assert(h >= -1e-9) }
   }
 
+  test("mutualInfo: exact micronat replay; information inequalities hold") {
+    val out = EventQueries.mutualInfo(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("y"))
+      .groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("c"))
+      .collect().map(x => ((x.getString(0), x.getLong(1)), x.getLong(2)))
+    def lnMu(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val cx = cells.groupBy(_._1._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val cy = cells.groupBy(_._1._2).map { case (k, g) => k -> g.map(_._2).sum }
+    val n = cells.map(_._2).sum
+    val miSum = cells.map { case ((x, y), c) =>
+      c * (lnMu(c) + lnMu(n) - lnMu(cx(x)) - lnMu(cy(y)))
+    }.sum
+    val hxT = n * lnMu(n) - cx.values.map(v => v * lnMu(v)).sum
+    val hyT = n * lnMu(n) - cy.values.map(v => v * lnMu(v)).sum
+    assert(r.getLong(0) == n && r.getLong(1) == cx.size.toLong &&
+      r.getLong(2) == cy.size.toLong)
+    assert(r.getLong(3) == miSum, "mi_micronats diverges from replay")
+    assert(r.getDouble(4) == miSum.toDouble / (n.toDouble * 1e6))
+    assert(r.getDouble(5) == hxT.toDouble / (n.toDouble * 1e6))
+    assert(r.getDouble(6) == hyT.toDouble / (n.toDouble * 1e6))
+    assert(r.getDouble(7) == miSum.toDouble / math.min(hxT, hyT).toDouble)
+    // information inequalities (up to micronat rounding dust):
+    // 0 <= MI <= min(H(X), H(Y)); entropies bounded by ln |support|
+    assert(miSum >= -(cells.length.toLong), "MI materially negative")
+    assert(miSum <= math.min(hxT, hyT) + cells.length,
+      "MI exceeds the min-entropy bound")
+    assert(r.getDouble(5) <= math.log(cx.size.toDouble) + 1e-6)
+    assert(r.getDouble(6) <= math.log(cy.size.toDouble) + 1e-6)
+  }
+
   test("poissonBootstrap: exact draw replay; weights follow Poisson(1)") {
     val out = graft.queries.Sampling.poissonBootstrap(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
