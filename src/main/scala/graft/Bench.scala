@@ -125,17 +125,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // The generic warmup doesn't touch HLL / codebook-literal / regex
-    // codegen, so three queries pay 2-3x first-run JIT inside their own
+    // codegen, so those queries pay 2-3x first-run JIT inside their own
     // timing every round (r5-r7 instrumented this as jit_ms inside the
     // wall window). Generated code is data-independent: running the same
-    // three pipelines once at the smallest sf compiles + JIT-warms the
+    // pipelines once at the smallest sf compiles + JIT-warms the
     // identical classes for cents, keeping the timed run steady-state.
+    // r12 additions measured the same fingerprint (jit_ms ≳ wall):
+    // ann_ivfpq_topk 6.3 s, dedup_exact_substring 3.8 s,
+    // decontaminate_bloom 2.6 s, graph_ppr_walks 4.3 s of in-window JIT.
     {
       val p = java.nio.file.Paths.get(sfDir)
       val sib = p.resolveSibling("sf0.001")
       val warmDir = if (java.nio.file.Files.isDirectory(sib)) sib.toString
                     else sfDir
-      for (q <- Seq("agg_approx_distinct", "ann_ivf_topk", "string_funcs"))
+      for (q <- Seq("agg_approx_distinct", "ann_ivf_topk", "string_funcs",
+        "ann_ivfpq_topk", "dedup_exact_substring", "decontaminate_bloom",
+        "graph_ppr_walks"))
         try {
           SparkEntry.queries(q)(spark, warmDir)
             .write.format("noop").mode("overwrite").save()

@@ -738,7 +738,12 @@ object EventQueries {
     * entropies and the min-normalized NMI in [0,1]) — the feature-
     * dependence screen a pipeline runs before trusting a column pair
     * to be independent (stratification, leakage, drift design). MI =
-    * Σ_xy p_xy ln(p_xy/(p_x p_y)) (Cover & Thomas ch. 2).
+    * Σ_xy p_xy ln(p_xy/(p_x p_y)) (Cover & Thomas ch. 2). The
+    * likelihood-ratio independence statistic rides for free: G = 2n·MI
+    * = 2·mi_micronats/1e6, χ²₍(r−1)(c−1)₎-distributed under
+    * independence (Sokal & Rohlf's G-test), so this one frame is also
+    * the exact-integer independence test the χ² spelling would need
+    * fractional expected counts for.
     *
     * Hash-exact by the integer-micronat discipline ([[userEntropy]],
     * TextQueries.charEntropy): MI·n·1e6 = Σ_xy c_xy·(lnµ(c_xy) +

@@ -456,7 +456,8 @@ object Sampling {
     * SamplingSpec's fpp bound on [[decontaminateBloom]], which remains
     * the production screen (this audit runs the same build + probe
     * machinery: one BloomFilterAgg aggregation, one 128 KiB broadcast,
-    * per-shingle codegen'd [[graft.functions.BloomMightContain]]).
+    * one codegen'd [[graft.functions.BloomCountContained]] probe per
+    * contaminated doc).
     *
     * Scale shape: identical to [[decontaminate]] (broadcast semi-join
     * keyed by the shingle, training side never shuffles) plus the
@@ -473,17 +474,25 @@ object Sampling {
       .agg(graft.functions.BloomFilterAgg(col("g")).as("bf"))
     val evalShingles = d.filter(col("ev"))
       .select(explode(col("sh")).as("g")).distinct()
+    // probe the bloom ONCE PER DOC over the collected contaminated-
+    // shingle array: the naive per-shingle spelling crossJoined the
+    // 128 KiB filter bytes below the explode, and the join output
+    // memcpy'd those bytes into every shingle row (~2.6 GB of copying
+    // at sf0.1, 4.5 task-CPU-s for a metadata-sized check); here the
+    // bytes ride one row per contaminated doc and the per-shingle loop
+    // runs inside one codegen'd BloomCountContained call
     d.filter(!col("ev"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("g"))
       .join(broadcast(evalShingles), "g")
-      .crossJoin(broadcast(bloom))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_contaminated"),
-        sum(when(graft.functions.BloomMightContain(col("bf"), col("g")),
-          lit(0L)).otherwise(lit(1L))).as("n_bloom_missed"))
+        sort_array(collect_list(col("g"))).as("csh"))
+      .crossJoin(broadcast(bloom))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
-        col("n_bloom_missed"))
+        (col("n_contaminated") -
+          graft.functions.BloomCountContained(col("bf"), col("csh")))
+          .as("n_bloom_missed"))
       .orderBy(col("doc_id"))
   }
 
