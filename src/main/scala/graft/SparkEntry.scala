@@ -333,6 +333,7 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s, d) => TextQueries.bpeEncode(s, d)),
     "text_perplexity" -> (TextQueries.perplexity _),
+    "text_ccnet_buckets" -> (TextQueries.ccnetBuckets _),
     "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
     "events_value_mad" -> (EventQueries.valueMad _),
     "events_value_mad_approx" -> ((s, d) => EventQueries.valueMadApprox(s, d)),
@@ -673,6 +674,7 @@ object SparkEntry {
     "merge_upsert" -> EventQueries.mergeUpsertSql,
     "text_bpe_merge" -> TextQueries.bpeMergeStepSql,
     "text_perplexity" -> TextQueries.perplexitySql,
+    "text_ccnet_buckets" -> TextQueries.ccnetBucketsSql,
     "text_tfidf_terms" -> TextQueries.tfidfTermsSql,
     "events_value_mad" -> EventQueries.valueMadSql,
     "embed_threshold_sweep" -> EmbeddingQueries.thresholdSweepSql,

@@ -1933,6 +1933,88 @@ object TextQueries {
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_surprise_micronats
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- CCNet perplexity buckets -----------------------------------------------
+  /** CCNet's language-model quality split (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020): per language, rank documents by LM surprise
+    * ([[perplexity]]'s trigram model) and cut the ranking into equal
+    * HEAD / MIDDLE / TAIL terciles — head (lowest perplexity) is what
+    * CCNet keeps for training, tail is what it drops. Output: per
+    * (lang, bucket) the doc count, gram mass, and the bucket's
+    * surprise range.
+    *
+    * Determinism: the rank key `avg_surprise_micronats` is one IEEE
+    * division of exact BIGINTs (bit-identical both engines, the
+    * perplexity oracle proves it), ties break on doc_id, and the
+    * tercile id is exact integer arithmetic `(3·(ig−1)) div n_lang`.
+    *
+    * Scale shape — GROUPED [[graft.Graft.rankedByRange]], the
+    * [[Relational.quantilesExact]] pattern: a per-LANG rank window
+    * would funnel the corpus through |langs| ≈ 3 reducers; instead ONE
+    * global range-partitioned rank over (lang, surprise, doc_id)
+    * yields contiguous per-lang blocks, the |langs|-row block offsets
+    * broadcast back (driver-side sort in UTF-8 byte order = Spark's
+    * range-partition order), and the group-local rank is a subtraction.
+    * The rollup is a ~3·3-row aggregate.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ppl = perplexity(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("doc_id"), col("n_grams"),
+        col("avg_surprise_micronats").as("avg_s"))
+    val ranked = graft.Graft.materialize(graft.Graft.rankedByRange(ppl,
+      col("lang"), col("avg_s"), col("doc_id")))
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val counts = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)(utf8Order)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (l, n)) =>
+      (l, acc + n)
+    }.init.zip(counts).map { case ((_, off), (l, n)) => (l, off, n) }
+    val offDf = s.createDataFrame(offsets.toSeq)
+      .toDF("lang", "off", "n_lang")
+    ranked.join(broadcast(offDf), Seq("lang"))
+      .withColumn("ig", col("i") - col("off"))
+      .withColumn("bucket_id", expr("(3 * (ig - 1)) div n_lang"))
+      .groupBy(col("lang"), col("bucket_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+        min(col("avg_s")).as("avg_surprise_lo"),
+        max(col("avg_s")).as("avg_surprise_hi"))
+      .select(col("lang"), col("bucket_id"),
+        element_at(typedLit(Seq("head", "middle", "tail")),
+          col("bucket_id").cast("int") + 1).as("bucket"),
+        col("n_docs"), col("n_grams"),
+        col("avg_surprise_lo"), col("avg_surprise_hi"))
+      .orderBy(col("lang"), col("bucket_id"))
+  }
+
+  val ccnetBucketsSql: String = {
+    val bid = PortableSql.intDiv("3 * (ig - 1)", "n_lang")
+    s"""WITH ppl AS (${perplexitySql.replace("\n", "\n|  ")}),
+      |dl AS (
+      |  SELECT p.doc_id, d.lang, p.n_grams,
+      |    p.avg_surprise_micronats AS avg_s
+      |  FROM ppl p JOIN documents d USING (doc_id)),
+      |r AS (
+      |  SELECT lang, n_grams, avg_s,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY avg_s, doc_id) AS BIGINT) AS ig,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM dl),
+      |b AS (SELECT lang, $bid AS bucket_id, n_grams, avg_s FROM r)
+      |SELECT lang, bucket_id,
+      |  CASE bucket_id WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+      |  MIN(avg_s) AS avg_surprise_lo, MAX(avg_s) AS avg_surprise_hi
+      |FROM b GROUP BY lang, bucket_id
+      |ORDER BY lang, bucket_id""".stripMargin
+  }
+
   // --- tokenizer vocabulary coverage ----------------------------------------
   /** Coverage of a top-K frequency vocabulary per language — the
     * fertility/OOV audit run before fixing a tokenizer vocabulary for

@@ -69,4 +69,39 @@ class PerplexitySpec extends SparkSpec {
       s"surprise ${row.getLong(2)} vs re-derived $expectedSum")
     assert(row.getDouble(3) == expectedSum.toDouble / gs.length.toDouble)
   }
+
+  test("ccnetBuckets: terciles replay from a driver-side rank of the perplexity output") {
+    val langOf = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ppl = TextQueries.perplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = ppl.groupBy(d => langOf(d._1)).toSeq.flatMap {
+      case (lang, ds) =>
+        val sorted = ds.sortBy { case (id, _, avg) => (avg, id) }
+        val n = sorted.length.toLong
+        sorted.zipWithIndex
+          .map { case ((_, ng, avg), i) => (3L * i / n, ng, avg) }
+          .groupBy(_._1).toSeq.map { case (b, g) =>
+            (lang, b, Seq("head", "middle", "tail")(b.toInt),
+              g.length.toLong, g.map(_._2).sum,
+              g.map(_._3).min, g.map(_._3).max)
+          }
+    }.sortBy { case (l, b, _, _, _, _, _) => (l, b) }
+    val got = TextQueries.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected, "tercile census diverges from the driver replay")
+    // tercile invariants: per lang, bucket sizes differ by at most 1
+    // and surprise ranges are non-overlapping in bucket order
+    got.groupBy(_._1).foreach { case (lang, bs) =>
+      val sizes = bs.sortBy(_._2).map(_._4)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      val ordered = bs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._7 <= b._6, s"$lang bucket ranges overlap")
+        case _ => ()
+      }
+    }
+  }
 }
