@@ -226,6 +226,7 @@ object SparkEntry {
     "graph_assortativity" -> (GraphQueries.assortativity _),
     "graph_label_propagation" -> ((s, d) => GraphQueries.labelPropagation(s, d)),
     "stats_gini_spend" -> (Relational.giniSpend _),
+    "stats_theil_nation" -> (Relational.theilNation _),
     "events_interarrival" -> (EventQueries.interArrival _),
     "stats_benford" -> (Governance.benford _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
@@ -600,6 +601,7 @@ object SparkEntry {
     "graph_assortativity" -> GraphQueries.assortativitySql,
     "graph_label_propagation" -> GraphQueries.labelPropagationSql,
     "stats_gini_spend" -> Relational.giniSpendSql,
+    "stats_theil_nation" -> Relational.theilNationSql,
     "events_interarrival" -> EventQueries.interArrivalSql,
     "stats_benford" -> Governance.benfordSql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,

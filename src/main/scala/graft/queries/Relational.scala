@@ -2047,6 +2047,96 @@ object Relational {
           .as("gini"))
   }
 
+  /** Theil T inequality of customer spend, DECOMPOSED by nation
+    * (Theil 1967; Shorrocks, Econometrica 1980 — the additively
+    * decomposable inequality index): per nation its spend share,
+    * within-nation Theil T_g, and its between-nations term
+    * s_g·ln(s_g/p_g) (s_g = spend share, p_g = population share).
+    * Total inequality = Σ between terms + Σ s_g·T_g — the "is
+    * inequality across groups or inside them" read Gini
+    * ([[giniSpend]]) cannot give, because Gini does not decompose.
+    *
+    * Hash-exact by the micronat discipline: with S_g, n_g, W_g =
+    * Σ x·lnµ(x) all exact integers (W_g decimal-summed — the per-row
+    * product stays inside int64, the SUM would wrap past SF ~1e3),
+    *   T_g      = (W_g − S_g·(lnµ(S_g) − lnµ(n_g))) / (S_g·1e6)
+    *   between  = S_g·(lnµS_g − lnµn_g − lnµS + lnµn) / (S·1e6)
+    * — every reported double a FIXED IEEE chain over bit-identical
+    * integers (the [[TextQueries.charEntropy]] identity, regrouped).
+    *
+    * Scale shape: one orders aggregation to customer grain, a
+    * customer-keyed join to the (customer → nation) map, one
+    * 25-row nation aggregate, a 1-row total crossJoined back. No
+    * windows, no sorts beyond the 25-row presentation.
+    */
+  def theilNation(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * lit(100)).cast("long")).as("x"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("x"))
+    val perNation = spend.groupBy(col("nation"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum((col("x") * lnMicro(col("x")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0))).as("wg"))
+    val tot = perNation.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+    perNation.crossJoin(broadcast(tot))
+      .select(col("nation"), col("ng").as("n_customers"),
+        col("sg").as("spend_cents"),
+        (col("sg").cast("double") / col("st").cast("double"))
+          .as("spend_share"),
+        ((col("wg").cast("double")
+          - col("sg").cast("double")
+            * (lnMicro(col("sg")) - lnMicro(col("ng"))).cast("double"))
+          / (col("sg").cast("double") * lit(1e6))).as("theil_within"),
+        ((col("sg").cast("double")
+          * (lnMicro(col("sg")) - lnMicro(col("ng"))
+            - lnMicro(col("st")) + lnMicro(col("n"))).cast("double"))
+          / (col("st").cast("double") * lit(1e6))).as("between_term"))
+      .orderBy(col("nation"))
+  }
+
+  val theilNationSql: String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    s"""WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |sn AS (
+      |  SELECT n.n_name AS nation, s.x
+      |  FROM spend s
+      |  JOIN customer c ON s.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |g AS (
+      |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+      |    CAST(SUM(x) AS BIGINT) AS sg,
+      |    SUM(CAST(x * ${lnu("x")} AS DECIMAL(18,0))) AS wg
+      |  FROM sn GROUP BY nation),
+      |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |               CAST(SUM(sg) AS BIGINT) AS st FROM g)
+      |SELECT nation, ng AS n_customers, sg AS spend_cents,
+      |  CAST(sg AS DOUBLE) / CAST(st AS DOUBLE) AS spend_share,
+      |  (CAST(wg AS DOUBLE)
+      |     - CAST(sg AS DOUBLE)
+      |       * CAST(${lnu("sg")} - ${lnu("ng")} AS DOUBLE))
+      |    / (CAST(sg AS DOUBLE) * 1e6) AS theil_within,
+      |  (CAST(sg AS DOUBLE)
+      |     * CAST(${lnu("sg")} - ${lnu("ng")}
+      |            - ${lnu("st")} + ${lnu("n")} AS DOUBLE))
+      |    / (CAST(st AS DOUBLE) * 1e6) AS between_term
+      |FROM g CROSS JOIN tot
+      |ORDER BY nation""".stripMargin
+  }
+
   val giniSpendSql: String =
     """WITH spend AS (
       |  SELECT o_custkey,

@@ -363,6 +363,51 @@ class MiningSpec extends SparkSpec {
     assert(r.getDouble(6) <= math.log(cy.size.toDouble) + 1e-6)
   }
 
+  test("theilNation: micronat replay; decomposition identity within rounding dust") {
+    val out = graft.queries.Relational.theilNation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // driver-side replay from raw orders/customer/nation
+    val spendRows = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,6)") * lit(100))
+        .cast("long")).as("x"))
+      .join(Tables.load(spark, sf, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def lnMu(v: Long): Long = Math.round(Math.log(v.toDouble) * 1e6)
+    val byNation = spendRows.groupBy(_._1)
+    val n = spendRows.length.toLong
+    val st = spendRows.map(_._2).sum
+    val expected = byNation.toSeq.map { case (nation, xs) =>
+      val ng = xs.length.toLong; val sg = xs.map(_._2).sum
+      val wg = xs.map(x => BigInt(x._2) * lnMu(x._2)).sum
+      val within = (wg.toDouble - sg.toDouble * (lnMu(sg) - lnMu(ng)).toDouble) /
+        (sg.toDouble * 1e6)
+      val between = sg.toDouble *
+        (lnMu(sg) - lnMu(ng) - lnMu(st) + lnMu(n)).toDouble / (st.toDouble * 1e6)
+      (nation, ng, sg, sg.toDouble / st.toDouble, within, between)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected, "per-nation decomposition diverges from replay")
+    // identities (exact math, allow micronat rounding dust):
+    // total Theil == Σ between + Σ share·within, everything ≥ ~0
+    val wAll = spendRows.map(x => BigInt(x._2) * lnMu(x._2)).sum
+    val tTotal = (wAll.toDouble - st.toDouble * (lnMu(st) - lnMu(n)).toDouble) /
+      (st.toDouble * 1e6)
+    val recomposed = expected.map(_._6).sum +
+      expected.map(e => e._4 * e._5).sum
+    assert(math.abs(tTotal - recomposed) < 1e-4,
+      s"decomposition identity broke: $tTotal vs $recomposed")
+    assert(expected.forall(e => e._5 >= -1e-6), "negative within-Theil")
+    assert(tTotal >= 0.0 && tTotal < math.log(n.toDouble),
+      "total Theil outside [0, ln n)")
+  }
+
   test("poissonBootstrap: exact draw replay; weights follow Poisson(1)") {
     val out = graft.queries.Sampling.poissonBootstrap(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
