@@ -200,6 +200,7 @@ object SparkEntry {
     "window_session_native" -> (EventQueries.sessionWindowNative _),
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
+    "events_markov_entropy" -> (EventQueries.markovEntropyRate _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
     "events_activity_streaks" -> (EventQueries.activityStreaks _),
     "typed_group_stats" -> (EventQueries.typedGroupStats _),
@@ -582,6 +583,7 @@ object SparkEntry {
     "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
+    "events_markov_entropy" -> EventQueries.markovEntropyRateSql,
     "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
     "events_activity_streaks" -> EventQueries.activityStreaksSql,
     "typed_group_stats" -> EventQueries.typedGroupStatsSql,

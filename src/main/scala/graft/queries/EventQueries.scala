@@ -1797,6 +1797,84 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Entropy RATE of the per-user event-type Markov chain — the
+    * one-number sequel to [[markovTransitions]]: H(next | current) =
+    * H(pair) − H(current) over the empirical transition table (Shannon
+    * 1948 §7; the entropy rate of the maximum-likelihood first-order
+    * chain). Low conditional entropy = predictable journeys (funnels),
+    * H(cond) ≈ H(marginal) = the next step is independent of the
+    * current one. `predictability` = 1 − H(cond)/H(marginal) ∈ [0,1],
+    * NULL-guarded when the marginal entropy is 0 (single event type).
+    *
+    * Micronat-exact ([[mutualInfo]]'s identity, conditioned instead of
+    * crossed): H(cond)·N·1e6 = Σ_s c_s·lnµ(c_s) − Σ_st c_st·lnµ(c_st)
+    * — exact BIGINTs; the doubles are single IEEE divisions.
+    *
+    * Scale shape: the lead() window partitions by USER (high
+    * cardinality, the legitimate class); ONE aggregation to the
+    * |types|² transition grid; everything above is grid-sized.
+    */
+  def markovEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val grid = graft.Graft.materialize(ev(s, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c")))
+    val marg = grid.groupBy(col("from_type")).agg(sum(col("c")).as("cs"))
+    val pair = grid.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(col("c") * lnMicro(col("c"))).as("spair"))
+    val mg = marg.agg(count(lit(1)).as("n_states"),
+      sum(col("cs") * lnMicro(col("cs"))).as("smarg"))
+    val nd = col("n").cast("double")
+    // H(cond)·N·1e6 and H(marginal current)·N·1e6 as exact BIGINTs
+    val hCond = col("smarg") - col("spair")
+    val hMarg = col("n") * lnMicro(col("n")) - col("smarg")
+    pair.crossJoin(broadcast(mg))
+      .select(col("n").as("n_transitions"), col("n_states"),
+        col("n_cells").as("n_observed_pairs"),
+        (hCond.cast("double") / (nd * lit(1e6))).as("h_cond_nats"),
+        (hMarg.cast("double") / (nd * lit(1e6))).as("h_marginal_nats"),
+        when(hMarg === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - hCond.cast("double") / hMarg.cast("double"))
+          .as("predictability"))
+  }
+
+  val markovEntropyRateSql: String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    s"""WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |g AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |marg AS (SELECT from_type, CAST(SUM(c) AS BIGINT) AS cs
+      |         FROM g GROUP BY from_type),
+      |p AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |        CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |        CAST(SUM(c * ${lnu("c")}) AS BIGINT) AS spair
+      |      FROM g),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+      |        CAST(SUM(cs * ${lnu("cs")}) AS BIGINT) AS smarg
+      |      FROM marg)
+      |SELECT n AS n_transitions, n_states, n_cells AS n_observed_pairs,
+      |  CAST(smarg - spair AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+      |    AS h_cond_nats,
+      |  CAST(n * ${lnu("n")} - smarg AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+      |    AS h_marginal_nats,
+      |  CASE WHEN n * ${lnu("n")} - smarg = 0 THEN NULL
+      |       ELSE 1.0 - CAST(smarg - spair AS DOUBLE)
+      |         / CAST(n * ${lnu("n")} - smarg AS DOUBLE) END
+      |    AS predictability
+      |FROM p CROSS JOIN m""".stripMargin
+  }
+
   val markovTransitionsSql: String =
     """WITH pairs AS (
       |  SELECT event_type AS from_type,

@@ -363,6 +363,38 @@ class MiningSpec extends SparkSpec {
     assert(r.getDouble(6) <= math.log(cy.size.toDouble) + 1e-6)
   }
 
+  test("markovEntropyRate: conditional-entropy replay; chain rule holds") {
+    val out = EventQueries.markovEntropyRate(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(x => (x.getLong(0),
+        (x.getTimestamp(1).getTime, x.getTimestamp(1).getNanos),
+        x.getLong(2), x.getString(3)))
+    val pairs = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2._1, e._2._2, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    def lnMu(v: Long): Long = Math.round(Math.log(v.toDouble) * 1e6)
+    val grid = pairs.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val marg = grid.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val n = grid.values.sum
+    val spair = grid.values.map(c => c * lnMu(c)).sum
+    val smarg = marg.values.map(c => c * lnMu(c)).sum
+    assert(r.getLong(0) == n && r.getLong(1) == marg.size.toLong &&
+      r.getLong(2) == grid.size.toLong)
+    assert(r.getDouble(3) == (smarg - spair).toDouble / (n.toDouble * 1e6))
+    assert(r.getDouble(4) ==
+      (n * lnMu(n) - smarg).toDouble / (n.toDouble * 1e6))
+    // information facts (to micronat dust): 0 <= H(next|cur) <= ln|types|,
+    // and predictability in [~0, 1]
+    assert(r.getDouble(3) >= -1e-6 &&
+      r.getDouble(3) <= math.log(marg.size.toDouble) + 1e-6)
+    assert(r.getDouble(5) >= -1e-6 && r.getDouble(5) <= 1.0 + 1e-9)
+  }
+
   test("theilNation: micronat replay; decomposition identity within rounding dust") {
     val out = graft.queries.Relational.theilNation(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
