@@ -37,6 +37,19 @@ object Graft {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** Unsigned UTF-8 byte ordering of strings — Spark's UTF8String
+    * binary order, i.e. the order `repartitionByRange` gives a string
+    * key. Every DRIVER-side sort that must replay a range partition's
+    * block order (the grouped-[[rankedByRange]] offset pattern:
+    * `Relational.quantilesExact`, `TextQueries.ccnetBuckets`) uses
+    * this, NOT Scala's default UTF-16 String ordering — identical for
+    * ASCII keys, whole-block rank shifts on a non-ASCII key.
+    */
+  val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Exact global dense row ranks (1-based, column `i`) WITHOUT a
     * single-partition window — the two-pass range-partitioned rank the
     * decile/gini/eq-depth docstrings promised as the 100 TB evolution

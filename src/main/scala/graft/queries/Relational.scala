@@ -2241,17 +2241,12 @@ object Relational {
     // per-group block offsets: a |flags|-row aggregate of the rank
     // checkpoint (metadata-sized), cumulated in flag order. The
     // driver-side sort MUST replay Spark's range-partition order of
-    // the group column — UTF8String binary order, i.e. UNSIGNED UTF-8
-    // byte comparison — not Scala's UTF-16 String ordering (identical
-    // for ASCII flags, whole-block rank shifts on a non-ASCII key).
-    val utf8Order: Ordering[String] = (a: String, b: String) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the group column (Graft.utf8Order — unsigned UTF-8 bytes, not
+    // Scala's UTF-16 String ordering).
     val counts = ranked.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)(utf8Order)
+      .sortBy(_._1)(Graft.utf8Order)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, n)) =>
       (f, acc + n)
     }.init.zip(counts).map { case ((_, off), (f, n)) => (f, off, n) }

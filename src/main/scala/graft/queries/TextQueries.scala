@@ -1964,13 +1964,9 @@ object TextQueries {
         col("avg_surprise_micronats").as("avg_s"))
     val ranked = graft.Graft.materialize(graft.Graft.rankedByRange(ppl,
       col("lang"), col("avg_s"), col("doc_id")))
-    val utf8Order: Ordering[String] = (a: String, b: String) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val counts = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)(utf8Order)
+      .sortBy(_._1)(graft.Graft.utf8Order)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (l, n)) =>
       (l, acc + n)
     }.init.zip(counts).map { case ((_, off), (l, n)) => (l, off, n) }

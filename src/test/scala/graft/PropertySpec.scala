@@ -252,4 +252,23 @@ class PropertySpec extends SparkSpec {
       assert(gotCum == wantCum, s"round $round n=$n cumsums")
     }
   }
+
+  test("Graft.utf8Order matches Spark's range-partition order on non-ASCII keys") {
+    // U+10000 (UTF-16 surrogate pair D800 DC00) sorts BELOW U+FF21 in
+    // Scala's default UTF-16 ordering but ABOVE it in UTF-8 bytes
+    // (F0 90 80 80 > EF BC A1) — the exact divergence the grouped
+    // block-offset pattern must not inherit
+    val hi = new String(Character.toChars(0x10000))
+    val ff = "Ａ"
+    assert(Ordering.String.lt(hi, ff), "UTF-16 premise broke")
+    assert(Graft.utf8Order.gt(hi, ff), "utf8Order must flip the pair")
+    // and it must equal Spark's own sort order of the same strings
+    import spark.implicits._
+    val keys = Seq("a", "Z", hi, ff, "é", "zz", "")
+    val sparkOrder = keys.toDF("k")
+      .orderBy(org.apache.spark.sql.functions.col("k")).collect()
+      .map(_.getString(0)).toSeq
+    assert(sparkOrder == keys.sorted(Graft.utf8Order),
+      "utf8Order diverges from Spark's string sort")
+  }
 }
