@@ -293,6 +293,7 @@ object SparkEntry {
     // dataset governance
     "dq_expectations" -> (Governance.dqExpectations _),
     "pii_k_anonymity" -> ((s, d) => Governance.kAnonymity(s, d)),
+    "pii_l_diversity" -> ((s, d) => Governance.lDiversity(s, d)),
     "split_leakage_audit" -> (Governance.splitLeakageAudit _),
     "pareto_frontier" -> (Governance.paretoFrontier _),
     "winsorize_stats" -> (Governance.winsorizeStats _),
@@ -663,6 +664,7 @@ object SparkEntry {
     "embed_knn_graph" -> EmbeddingQueries.knnGraphSql,
     "dq_expectations" -> Governance.dqExpectationsSql,
     "pii_k_anonymity" -> Governance.kAnonymitySql,
+    "pii_l_diversity" -> Governance.lDiversitySql,
     "split_leakage_audit" -> Governance.splitLeakageAuditSql,
     "pareto_frontier" -> Governance.paretoFrontierSql,
     "winsorize_stats" -> Governance.winsorizeStatsSql,

@@ -184,6 +184,85 @@ object Governance {
       |FROM customer GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // --- l-diversity over the k-anonymity classes --------------------------------
+  /** l-DIVERSITY report over [[kAnonymity]]'s equivalence classes
+    * (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    * k-Anonymity", ICDE 2006): k-anonymity alone fails the
+    * HOMOGENEITY attack — a class of 50 people all sharing the same
+    * sensitive value leaks it despite k = 50. Per (nation, segment)
+    * class, with the sensitive attribute = the account-balance band
+    * (negative / low / mid / high — the generalization a release
+    * would actually export): the DISTINCT-l count, distinct-l ≥ 3,
+    * and the stricter ENTROPY l-diversity (class entropy ≥ ln 3 ⇔
+    * entropy-3-diverse; ibid. §3.2 — robust to one dominant value
+    * where distinct-l is not).
+    *
+    * Hash-exact: band cuts are exact decimal comparisons; class
+    * entropy is the integer-micronat identity
+    * ([[graft.queries.TextQueries.charEntropy]]) over exact band
+    * counts, and `meets_entropy_l` compares the BIGINT
+    * `n·lnµ(n) − Σ c·lnµ(c)` against `n · lnµ(3)` — an ALL-INTEGER
+    * inequality, no float threshold anywhere.
+    *
+    * Shape: one groupBy on (QI, band) — bounded domain, map-side
+    * combined — then a class-sized rollup. Nothing scales past
+    * |classes|·4 rows after the first aggregation.
+    */
+  def lDiversity(s: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val band = when(col("c_acctbal") < 0, "negative")
+      .when(col("c_acctbal") < 3000, "low")
+      .when(col("c_acctbal") < 7000, "mid")
+      .otherwise("high")
+    val cells = Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .agg(count(lit(1)).as("c"))
+    // lnµ(l) as an exact literal so the entropy test is integer-only
+    val lnL = Math.round(Math.log(l.toDouble) * 1e6)
+    cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).as("class_size"),
+        count(lit(1)).as("n_sensitive_values"),
+        sum(col("c") * lnMicro(col("c"))).as("sc"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("n_sensitive_values"),
+        (col("n_sensitive_values") >= l).as("meets_distinct_l"),
+        ((col("class_size") * lnMicro(col("class_size")) - col("sc"))
+          .cast("double")
+          / (col("class_size").cast("double") * lit(1e6)))
+          .as("entropy_nats"),
+        (col("class_size") * lnMicro(col("class_size")) - col("sc")
+          >= col("class_size") * lit(lnL)).as("meets_entropy_l"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val lDiversitySql: String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    val lnL = Math.round(Math.log(3.0) * 1e6)
+    s"""WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'negative'
+      |         WHEN c_acctbal < 3000 THEN 'low'
+      |         WHEN c_acctbal < 7000 THEN 'mid'
+      |         ELSE 'high' END AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(SUM(c) AS BIGINT) AS class_size,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sensitive_values,
+      |    CAST(SUM(c * ${lnu("c")}) AS BIGINT) AS sc
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment, class_size, n_sensitive_values,
+      |  n_sensitive_values >= 3 AS meets_distinct_l,
+      |  CAST(class_size * ${lnu("class_size")} - sc AS DOUBLE)
+      |    / (CAST(class_size AS DOUBLE) * 1e6) AS entropy_nats,
+      |  class_size * ${lnu("class_size")} - sc >= class_size * $lnL
+      |    AS meets_entropy_l
+      |FROM cls ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
   // --- near-duplicate leakage across split boundaries -------------------------
   /** Train/val/test LEAKAGE AUDIT: near-duplicate document pairs (the
     * exact prefix-filtered Jaccard join of

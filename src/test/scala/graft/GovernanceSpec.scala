@@ -83,6 +83,46 @@ class GovernanceSpec extends SparkSpec {
       "expected at least one below-k class in the 150-customer table")
   }
 
+  test("lDiversity: band-count replay; entropy test all-integer-consistent") {
+    val rows = Governance.lDiversity(spark, sf).collect()
+    val total = Tables.load(spark, sf, "customer").count()
+    assert(rows.map(_.getAs[Long]("class_size")).sum == total)
+    // driver-side replay of the band histogram per class
+    val raw = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => ((r.getAs[Number](0).longValue, r.getString(1)),
+        r.getAs[Number](2).doubleValue))
+    def band(x: Double): String =
+      if (x < 0) "negative" else if (x < 3000) "low"
+      else if (x < 7000) "mid" else "high"
+    def lnMu(v: Long): Long = Math.round(Math.log(v.toDouble) * 1e6)
+    val byClass = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val key = (r.getAs[Number](0).longValue, r.getString(1))
+      val bands = byClass(key).map(x => band(x._2))
+        .groupBy(identity).map(_._2.size.toLong)
+      val n = bands.sum
+      val sc = bands.map(c => c * lnMu(c)).sum
+      assert(r.getAs[Long]("class_size") == n)
+      assert(r.getAs[Long]("n_sensitive_values") == bands.size.toLong)
+      assert(r.getAs[Boolean]("meets_distinct_l") == (bands.size >= 3))
+      val hScaled = n * lnMu(n) - sc
+      assert(r.getAs[Double]("entropy_nats") ==
+        hScaled.toDouble / (n.toDouble * 1e6))
+      assert(r.getAs[Boolean]("meets_entropy_l") ==
+        (hScaled >= n * lnMu(3)))
+      // the ICDE 2006 relation: entropy-l implies distinct-l (entropy
+      // of a distribution over m values is at most ln m)
+      if (r.getAs[Boolean]("meets_entropy_l"))
+        assert(r.getAs[Boolean]("meets_distinct_l"),
+          s"$key entropy-diverse but not distinct-diverse")
+    }
+    // non-vacuous at test scale: both verdicts must occur
+    assert(rows.exists(_.getAs[Boolean]("meets_distinct_l")) &&
+      rows.exists(!_.getAs[Boolean]("meets_distinct_l")))
+  }
+
   test("splitLeakageAudit: equals the near-dup pairs whose sides split apart " +
     "(independent md5 recompute)") {
     val sf01 = "/root/testdata/sf0.01"
