@@ -235,6 +235,7 @@ object SparkEntry {
     // time series
     "ts_seasonal_decompose" -> (TimeSeries.seasonalDecompose _),
     "ts_changepoint_cusum" -> (TimeSeries.cusumChangepoint _),
+    "ts_peaks" -> ((s, d) => TimeSeries.peaks(s, d)),
     "ts_autocorrelation" -> (TimeSeries.autocorrelation _),
     "ts_ljung_box" -> ((s, d) => TimeSeries.ljungBox(s, d)),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
@@ -611,6 +612,7 @@ object SparkEntry {
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "ts_changepoint_cusum" -> TimeSeries.cusumChangepointSql,
+    "ts_peaks" -> TimeSeries.peaksSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,
     "ts_ljung_box" -> TimeSeries.ljungBoxSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,

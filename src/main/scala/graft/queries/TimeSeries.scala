@@ -45,6 +45,61 @@ object TimeSeries {
       .groupBy(col("d"))
       .agg(sum(col("c")).as("rev_cents"))
 
+  // --- prominence peaks --------------------------------------------------------
+  /** Top-5 PEAK days of daily revenue by local prominence: a day is a
+    * peak iff it strictly dominates every neighbor within ±3 days
+    * (full-window edges only — the [[seasonalDecompose]] ROWS-frame
+    * edge rule), and its prominence is the margin over the taller
+    * flank. The ops read behind "which spikes are real events":
+    * [[cusumChangepoint]] finds sustained LEVEL shifts; this finds
+    * isolated spikes a level-shift detector deliberately ignores.
+    *
+    * Exact integers end-to-end: cents, window MAX and COUNT (both
+    * order-free — no ordered-accumulation hazard), one subtraction.
+    * Strict domination also breaks plateaus: a flat-top spike reports
+    * zero peaks rather than two half-peaks, on both engines.
+    *
+    * Scale: the global ±3-day windows run over the CALENDAR DAY GRID
+    * (the allowlisted bounded class — PlanAuditSpec names this site);
+    * the fact table itself only crosses the one grouping exchange.
+    */
+  def peaks(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val wl = Window.orderBy(col("d")).rowsBetween(-3, -1)
+    val wr = Window.orderBy(col("d")).rowsBetween(1, 3)
+    dailyRevenue(s, dir)
+      .select(col("d"), col("rev_cents"),
+        max(col("rev_cents")).over(wl).as("lmax"),
+        max(col("rev_cents")).over(wr).as("rmax"),
+        count(lit(1)).over(wl).as("nl"),
+        count(lit(1)).over(wr).as("nr"))
+      .filter(col("nl") === 3 && col("nr") === 3 &&
+        col("rev_cents") > col("lmax") && col("rev_cents") > col("rmax"))
+      .select(col("d"), col("rev_cents"),
+        (col("rev_cents") - greatest(col("lmax"), col("rmax")))
+          .as("prominence_cents"))
+      .orderBy(col("prominence_cents").desc, col("d"))
+      .limit(k)
+  }
+
+  val peaksSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT d, rev_cents,
+      |    MAX(rev_cents) OVER wl AS lmax, MAX(rev_cents) OVER wr AS rmax,
+      |    COUNT(*) OVER wl AS nl, COUNT(*) OVER wr AS nr
+      |  FROM rev
+      |  WINDOW wl AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+      |         wr AS (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING))
+      |SELECT d, rev_cents,
+      |  CAST(rev_cents - greatest(lmax, rmax) AS BIGINT) AS prominence_cents
+      |FROM w
+      |WHERE nl = 3 AND nr = 3 AND rev_cents > lmax AND rev_cents > rmax
+      |ORDER BY prominence_cents DESC, d LIMIT 5""".stripMargin
+
   // --- trend / seasonal / residual decomposition ----------------------------
   /** Additive decomposition of daily revenue:
     *   - trend: centered 7-row moving average (defined only where the

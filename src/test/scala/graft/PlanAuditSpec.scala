@@ -394,7 +394,9 @@ class PlanAuditSpec extends SparkSpec {
       "ts_ljung_box" ->
         "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",
       "ts_seasonal_strength" ->
-        "moving-average/cumulative-moment windows over the calendar day grid")
+        "moving-average/cumulative-moment windows over the calendar day grid",
+      "ts_peaks" ->
+        "±3-day neighbor max/count over the calendar day grid; top-5 cut")
     val hits = scala.collection.mutable.ListBuffer.empty[String]
     // staleness, third direction: an allowlist key that no longer names
     // a registered query protects nothing — the r10 list carried four

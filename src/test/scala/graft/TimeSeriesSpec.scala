@@ -443,6 +443,21 @@ class TimeSeriesSpec extends SparkSpec {
     tmp
   }
 
+  test("peaks: planted spikes recovered with exact prominence; plateaus and edges excluded") {
+    // 30 flat days at $100/day with: a spike at day 10 (+50), a taller
+    // spike at day 20 (+80), a two-day PLATEAU at days 14-15 (+30 each
+    // — must report NOTHING: strict domination), and a spike at day 1
+    // (inside the 3-day edge — excluded by the full-window rule)
+    val bump = Map(10 -> 50.0, 20 -> 80.0, 14 -> 30.0, 15 -> 30.0, 1 -> 60.0)
+    val tmp = plantOrders(30, 1)((d, _) => 100.0 + bump.getOrElse(d, 0.0))
+    val got = TimeSeries.peaks(spark, tmp).collect()
+      .map(r => (r.getDate(0).toLocalDate.getDayOfMonth - 1,
+        r.getLong(1), r.getLong(2)))
+    // flanks of both real spikes are flat $100 ⇒ prominence = bump
+    assert(got.toSeq == Seq((20, 18000L, 8000L), (10, 15000L, 5000L)),
+      s"got ${got.toSeq}")
+  }
+
   test("autocorrelation survives daily totals past the BIGINT-squared wrap point") {
     // 40 days x 5 orders x ~2e8 dollars: daily x ~ 1e9, so sum(x*x) ~
     // 3.9e19 > Long.MaxValue — the pre-decimal BIGINT moments wrapped
