@@ -76,6 +76,16 @@ class EmbeddingSpec extends SparkSpec {
     assert(ivfpqRecall >= 0.75, s"sf0.1 IVF-PQ recall $ivfpqRecall below 0.75")
   }
 
+  test("IVF-PQ plan: map-side WindowGroupLimit guards both rank cuts; no all-pairs") {
+    val plan = planOf(EmbeddingQueries.annIvfPqTopK(spark, sf))
+    // the shortlist (200) and top-k (10) caps are both under the
+    // windowGroupLimitThreshold, so each rank window must prune
+    // map-side BEFORE its exchange (the r10 LSH-cap lesson)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side group limits:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+  }
+
   test("IVF-PQ: residual ADC + exact re-rank recall at sf0.001; k-bounded ranked output") {
     def keyset(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
