@@ -666,7 +666,7 @@ object SparkEntry {
     "embed_knn_graph" -> EmbeddingQueries.knnGraphSql,
     "dq_expectations" -> Governance.dqExpectationsSql,
     "pii_k_anonymity" -> Governance.kAnonymitySql,
-    "pii_l_diversity" -> Governance.lDiversitySql,
+    "pii_l_diversity" -> Governance.lDiversitySql(),
     "split_leakage_audit" -> Governance.splitLeakageAuditSql,
     "pareto_frontier" -> Governance.paretoFrontierSql,
     "winsorize_stats" -> Governance.winsorizeStatsSql,

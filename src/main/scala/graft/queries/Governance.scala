@@ -236,10 +236,15 @@ object Governance {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
-  val lDiversitySql: String = {
+  /** DuckDB twin of [[lDiversity]], derived from the SAME `l` so the
+    * two spellings cannot drift (a call with l != 3 against the default
+    * SQL would silently hash-diverge — the threshold and the lnµ(l)
+    * literal both depend on l).
+    */
+  def lDiversitySql(l: Int = 3): String = {
     def lnu(v: String): String =
       s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
-    val lnL = Math.round(Math.log(3.0) * 1e6)
+    val lnL = Math.round(Math.log(l.toDouble) * 1e6)
     s"""WITH cells AS (
       |  SELECT c_nationkey, c_mktsegment,
       |    CASE WHEN c_acctbal < 0 THEN 'negative'
@@ -255,7 +260,7 @@ object Governance {
       |    CAST(SUM(c * ${lnu("c")}) AS BIGINT) AS sc
       |  FROM cells GROUP BY 1, 2)
       |SELECT c_nationkey, c_mktsegment, class_size, n_sensitive_values,
-      |  n_sensitive_values >= 3 AS meets_distinct_l,
+      |  n_sensitive_values >= $l AS meets_distinct_l,
       |  CAST(class_size * ${lnu("class_size")} - sc AS DOUBLE)
       |    / (CAST(class_size AS DOUBLE) * 1e6) AS entropy_nats,
       |  class_size * ${lnu("class_size")} - sc >= class_size * $lnL

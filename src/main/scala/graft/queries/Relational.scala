@@ -1083,12 +1083,19 @@ object Relational {
     * candidate join is hash-keyed on the signature (never all-pairs:
     * DedupSpec pins no-cartesian), and the verify filter is a
     * per-candidate codegen'd DP. Everything past the first aggregation
-    * is vocabulary-sized, not corpus-sized.
+    * is vocabulary-sized, not corpus-sized. One skew caveat the
+    * signature scheme carries: VERY short tokens share tiny deletion
+    * neighborhoods (every 1-char token's neighborhood contains the
+    * empty string, so they all land in ONE signature bucket and the
+    * join goes quadratic in their count) — tokens under 2 chars are
+    * filtered out up front, which also matches the typo-repair intent
+    * (an edit on a 1-char token is a different word, not a typo).
     */
   def typoPairs(s: SparkSession, dir: String): DataFrame = {
     val v = t(s, dir, "part")
       .select(explode(concat(split(col("p_name"), " "),
         split(col("p_type"), " "))).as("tok"))
+      .filter(length(col("tok")) >= 2)
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val variants = v.select(col("tok"), col("c"), explode(expr(
       """array_union(
@@ -1116,7 +1123,8 @@ object Relational {
       |  FROM part),
       |v AS (
       |  SELECT w AS tok, CAST(COUNT(*) AS BIGINT) AS c
-      |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+      |  FROM (SELECT unnest(ws) AS w FROM toks)
+      |  WHERE len(w) >= 2 GROUP BY w),
       |var AS (
       |  SELECT tok, c, unnest(list_distinct(list_append(
       |    list_transform(range(1, len(tok) + 1),

@@ -120,6 +120,10 @@ class SketchSpec extends SparkSpec {
     // AMS envelope: stderr/row ~ sqrt(2*F2A*F2B/W); median-of-5 rows
     // tightens it — 25% covers both audited joins with wide slack while
     // still catching a broken sign hash (which reads ~0 or ~N_A*N_B/W off)
+    // always emit the measured rel_err: if the driver-gate's
+    // est_in_envelope pin ever hash-fails on a regenerated fixture,
+    // this line adjudicates envelope drift vs a broken sketch
+    info(f"joinSizeEstimate rel_err: self=$selfErr%.4f fk=$fkErr%.4f (envelope 0.25)")
     assert(selfEst >= 0 && fkEst >= 0)
     assert(math.abs(selfErr) <= 0.25, s"self-join rel_err $selfErr")
     assert(math.abs(fkErr) <= 0.25, s"fk-join rel_err $fkErr")

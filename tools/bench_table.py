@@ -11,6 +11,11 @@ fixture or training cost folded into their bench number are footnoted.
 import argparse, json, re, sys
 
 FOOTNOTES = {
+    # Names starting with "_" are bench PSEUDO-ROWS, not registry queries:
+    # real suite work timed separately (counted in the suite total, not in
+    # n_queries). Don't join them against SparkEntry.queries.
+    "_graph_cache_build": "bench pseudo-row: shared-adjacency cache build, "
+                          "not a registry query",
     "ann_ivf_topk": "includes 3 k-means training iterations",
     "bucketed_join": "includes writing the bucketed layout to a tmp dir",
     "dolar_e2e_interval": "includes raw-zone fixture materialization",
