@@ -230,6 +230,9 @@ object SparkEntry {
     "stats_theil_nation" -> (Relational.theilNation _),
     "events_interarrival" -> (EventQueries.interArrival _),
     "stats_benford" -> (Governance.benford _),
+    "stats_jarque_bera" -> (Relational.jarqueBera _),
+    "stats_chi2_independence" -> (Relational.chi2Cells _),
+    "stats_cramers_v" -> (Relational.cramersV _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
     // time series
@@ -266,6 +269,9 @@ object SparkEntry {
     "text_doc_keywords" -> ((s, d) => TextQueries.docKeywords(s, d)),
     "ts_runs_test" -> (TimeSeries.runsTest _),
     "ts_spearman" -> (TimeSeries.spearmanDaily _),
+    "ts_kendall_tau" -> (TimeSeries.kendallTau _),
+    "ts_turning_points" -> (TimeSeries.turningPoints _),
+    "ts_variance_ratio" -> ((s, d) => TimeSeries.varianceRatio(s, d)),
     "graph_clustering_coeff" -> (GraphQueries.clusteringCoeff _),
     "graph_link_jaccard" -> ((s, d) => GraphQueries.linkJaccard(s, d)),
     // beyond-broadcast twin: adjacency consumed via shuffled hash
@@ -608,6 +614,9 @@ object SparkEntry {
     "stats_theil_nation" -> Relational.theilNationSql,
     "events_interarrival" -> EventQueries.interArrivalSql,
     "stats_benford" -> Governance.benfordSql,
+    "stats_jarque_bera" -> Relational.jarqueBeraSql,
+    "stats_chi2_independence" -> Relational.chi2CellsSql,
+    "stats_cramers_v" -> Relational.cramersVSql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
@@ -643,6 +652,9 @@ object SparkEntry {
     "text_doc_keywords" -> TextQueries.docKeywordsSql,
     "ts_runs_test" -> TimeSeries.runsTestSql,
     "ts_spearman" -> TimeSeries.spearmanDailySql,
+    "ts_kendall_tau" -> TimeSeries.kendallTauSql,
+    "ts_turning_points" -> TimeSeries.turningPointsSql,
+    "ts_variance_ratio" -> TimeSeries.varianceRatioSql(),
     "graph_clustering_coeff" -> GraphQueries.clusteringCoeffSql,
     "graph_link_jaccard" -> GraphQueries.linkJaccardSql,
     "graph_link_jaccard_partitioned" -> GraphQueries.linkJaccardSql,

@@ -2443,4 +2443,206 @@ object Relational {
       |  m3 / (m2 * sqrt(m2)) AS skewness,
       |  m4 / (m2 * m2) - 3.0 AS kurtosis_excess
       |FROM cm ORDER BY p_brand""".stripMargin
+
+  // --- Jarque–Bera normality test ---------------------------------------------
+  /** Jarque–Bera normality statistic per order priority over order
+    * totals (Jarque & Bera, Economics Letters 1980): JB =
+    * n/6 · (S² + K²/4) from the same exact central-moment machinery as
+    * [[skewKurtosisByBrand]] — the distributional-assumption check a
+    * pipeline runs before trusting z-score thresholds
+    * ([[EventQueries.anomalyZscore]]) or Welch t-tests
+    * ([[Drift]]) on a metric. JB ≫ 9.2 (χ²₂ at 1%) reads as
+    * decisively non-normal.
+    *
+    * Moment discipline: order cents reach ~6e7, so cents² ≈ 3.6e15
+    * still fits int64, but EVERY pairwise product here (s3 = y·x ≈
+    * 2e23, s4 = y·y ≈ 1.3e31) crosses it — all four sums use
+    * DECIMAL(19,0) operands to force both engines onto the wide-decimal
+    * path (the r11 rule: (18,0)·(18,0) stays on DuckDB's
+    * overflow-checked int64). s4 totals ≈ 4e36 at sf1, inside 38
+    * digits; SFs beyond ~100 would need a rescaled unit, noted here so
+    * the bound is explicit. One map-side-combined aggregation over
+    * orders; everything after is 5 rows.
+    */
+  def jarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val cents = (dec(col("o_totalprice")) * lit(100)).cast("long")
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val xd = cents.cast(d19)
+    val y = cents * cents
+    val yd = y.cast(d19)
+    val g = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(xd * xd).as("s2"), sum(yd * xd).as("s3"), sum(yd * yd).as("s4"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4 = col("s4").cast("double") / nd
+    val m2 = r2 - mean * mean
+    val m3 = (r3 - lit(3.0) * mean * r2) + lit(2.0) * mean * mean * mean
+    val m4 = (((r4 - lit(4.0) * mean * r3) + lit(6.0) * mean * mean * r2)
+      - lit(3.0) * mean * mean * mean * mean)
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    g.select(col("o_orderpriority"), col("n").as("n_orders"),
+        skew.as("skewness"), kurt.as("kurtosis_excess"),
+        (nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0))).as("jb"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val jarqueBeraSql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |cy AS (SELECT o_orderpriority, cents, cents * cents AS y FROM c),
+      |g AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s1,
+      |    SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+      |      AS s2,
+      |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS s3,
+      |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s4
+      |  FROM cy GROUP BY o_orderpriority),
+      |m AS (
+      |  SELECT o_orderpriority, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM g),
+      |cm AS (
+      |  SELECT o_orderpriority, n, mean,
+      |    r2 - mean * mean AS m2,
+      |    (r3 - 3.0 * mean * r2) + 2.0 * mean * mean * mean AS m3,
+      |    ((r4 - 4.0 * mean * r3) + 6.0 * mean * mean * r2)
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m),
+      |sk AS (
+      |  SELECT o_orderpriority, n,
+      |    m3 / (m2 * sqrt(m2)) AS skewness,
+      |    m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+      |  FROM cm)
+      |SELECT o_orderpriority, n AS n_orders, skewness, kurtosis_excess,
+      |  CAST(n AS DOUBLE) / 6.0
+      |    * (skewness * skewness + kurtosis_excess * kurtosis_excess / 4.0)
+      |    AS jb
+      |FROM sk ORDER BY o_orderpriority""".stripMargin
+
+  // --- chi-square independence cells ------------------------------------------
+  /** Pearson chi-square DECOMPOSITION of the (o_orderpriority ×
+    * order-year) contingency table: per cell the observed count,
+    * expected count under independence, the standardized (Pearson)
+    * residual (O−E)/√E, and the cell's χ² contribution in exact
+    * integer MICRO-units — the cell-level report that tells an analyst
+    * WHICH priority×year combinations drive a dependence, not just that
+    * one exists ([[EventQueries.mutualInfo]] gives the
+    * information-theoretic one-number view of the same table family).
+    *
+    * Determinism: observed/row/column/grand totals are exact BIGINTs;
+    * E = R·C/N is ONE IEEE division of products that stay ≤ 2^53
+    * (R·C ≤ N² needs N ≤ 9.4e7 as exact-double; past that the oracle
+    * spelling would need a decimal restate — noted bound). Each
+    * double-valued cell statistic is a fixed per-ROW IEEE chain —
+    * never SUMMED as doubles (the ordered-accumulation ban): the χ²
+    * total is left to [[cramersV]], which sums the exact integer
+    * micro-contributions instead.
+    *
+    * Shape: one map-side-combined aggregation over orders to the
+    * 35-cell grid; marginals are windows PARTITIONED over the bounded
+    * grid; the grand total is a broadcast 1-row aggregate of the grid.
+    */
+  def chi2Cells(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(count(lit(1)).as("obs"))
+    val wr = Window.partitionBy(col("o_orderpriority"))
+    val wc = Window.partitionBy(col("order_year"))
+    val withMargins = cells
+      .withColumn("row_total", sum(col("obs")).over(wr))
+      .withColumn("col_total", sum(col("obs")).over(wc))
+    val n = cells.agg(sum(col("obs")).as("grand_total"))
+    withMargins.crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("row_total") * col("col_total")).cast("double")
+          / col("grand_total").cast("double"))
+      .select(col("o_orderpriority"), col("order_year"), col("obs"),
+        col("row_total"), col("col_total"), col("expected"),
+        ((col("obs").cast("double") - col("expected")) / sqrt(col("expected")))
+          .as("pearson_resid"),
+        round((col("obs").cast("double") - col("expected"))
+          * (col("obs").cast("double") - col("expected"))
+          / col("expected") * lit(1e6)).cast("long").as("chi2_micro"))
+      .orderBy(col("o_orderpriority"), col("order_year"))
+  }
+
+  val chi2CellsSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT)
+      |      AS order_year,
+      |    CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT o_orderpriority, order_year, obs,
+      |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+      |      AS row_total,
+      |    CAST(SUM(obs) OVER (PARTITION BY order_year) AS BIGINT)
+      |      AS col_total
+      |  FROM cells),
+      |g AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand_total FROM cells),
+      |e AS (
+      |  SELECT o_orderpriority, order_year, obs, row_total, col_total,
+      |    CAST(row_total * col_total AS DOUBLE) / CAST(grand_total AS DOUBLE)
+      |      AS expected
+      |  FROM m, g)
+      |SELECT o_orderpriority, order_year, obs, row_total, col_total, expected,
+      |  (CAST(obs AS DOUBLE) - expected) / sqrt(expected) AS pearson_resid,
+      |  CAST(round((CAST(obs AS DOUBLE) - expected)
+      |             * (CAST(obs AS DOUBLE) - expected) / expected * 1e6)
+      |       AS BIGINT) AS chi2_micro
+      |FROM e ORDER BY o_orderpriority, order_year""".stripMargin
+
+  // --- Cramér's V --------------------------------------------------------------
+  /** Cramér's V effect size for the same (priority × year) table
+    * (Cramér, Mathematical Methods of Statistics 1946): V =
+    * √(χ²/(N·min(r−1, c−1))) — the [0,1]-normalized strength that
+    * makes chi-square comparable across table shapes. χ² is the SUM of
+    * [[chi2Cells]]' exact integer micro-contributions (order-free
+    * BIGINT addition — the micronat discipline generalized: round each
+    * deterministic per-cell double ONCE to an integer grid, then sum
+    * integers), so both engines add identical integers in any order.
+    * r and c are counted from the data, not assumed.
+    *
+    * Shape: [[chi2Cells]]' one fact aggregation, then 1-row reductions
+    * of the 21-row grid.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame =
+    chi2Cells(s, dir)
+      .agg(sum(col("obs")).as("n_rows"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        countDistinct(col("order_year")).as("n_years"),
+        sum(col("chi2_micro")).as("chi2_micro"))
+      .select(col("n_rows"), col("n_priorities"), col("n_years"),
+        (col("chi2_micro").cast("double") / lit(1e6)).as("chi2"),
+        sqrt((col("chi2_micro").cast("double") / lit(1e6))
+          / (col("n_rows").cast("double")
+            * (least(col("n_priorities"), col("n_years")) - 1L).cast("double")))
+          .as("cramers_v"))
+
+  val cramersVSql: String =
+    s"""WITH cells AS ($chi2CellsSql),
+      |a AS (
+      |  SELECT CAST(SUM(obs) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+      |    CAST(COUNT(DISTINCT order_year) AS BIGINT) AS n_years,
+      |    CAST(SUM(chi2_micro) AS BIGINT) AS chi2_micro
+      |  FROM cells)
+      |SELECT n_rows, n_priorities, n_years,
+      |  CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2,
+      |  sqrt((CAST(chi2_micro AS DOUBLE) / 1e6)
+      |       / (CAST(n_rows AS DOUBLE)
+      |          * CAST(LEAST(n_priorities, n_years) - 1 AS DOUBLE))) AS cramers_v
+      |FROM a""".stripMargin
 }

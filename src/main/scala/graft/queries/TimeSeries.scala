@@ -923,4 +923,250 @@ object TimeSeries {
       |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cum AS q_lb
       |FROM q ORDER BY lag""".stripMargin
   }
+
+  // --- Kendall tau-b between two daily series ---------------------------------
+  /** Exact Kendall rank correlation (tau-b, the tie-corrected form;
+    * Kendall, Biometrika 1938 / 1945) between the daily ORDER COUNT and
+    * the daily REVENUE series — the robust association read between two
+    * operational metrics ([[spearmanDaily]] is the rank-linear
+    * companion; tau answers "how often do the two metrics move the same
+    * way", with an interpretable probability scale). tau_b =
+    * (C − D) / √((n₀−t_x)(n₀−t_y)) over all day pairs, where t_x / t_y
+    * are same-value pair counts of each series.
+    *
+    * Exactness: C, D, tie counts, and n₀ are exact BIGINTs from integer
+    * comparisons (counts and cents); (n₀−t_x)(n₀−t_y) ≤ n₀² ≈ 8.4e12
+    * for a 7-year calendar — exactly representable in a double — so the
+    * √ and the one division are single-rounded IEEE on bit-identical
+    * inputs. A constant series (either factor 0) yields NULL, not NaN.
+    *
+    * Shape: the fact table folds to the day grid first (one map-side
+    * combined aggregation); pairing is [[theilSen]]'s bounded
+    * broadcast nested-loop over the CALENDAR grid (span², never data
+    * volume) — the fact table itself never joins.
+    */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val series = Graft.materialize(
+      Tables.load(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("x"), sum(col("c")).as("y")))
+    val pairs = series.select(col("d").as("da"), col("x").as("xa"),
+        col("y").as("ya"))
+      .join(broadcast(series.select(col("d").as("db"), col("x").as("xb"),
+        col("y").as("yb"))), col("da") < col("db"))
+    val sign = (p: Column, q: Column) => signum(p - q).cast("long")
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(sign(col("xb"), col("xa")) * sign(col("yb"), col("ya")) === 1L,
+        1L).otherwise(0L)).as("concordant"),
+      sum(when(sign(col("xb"), col("xa")) * sign(col("yb"), col("ya")) === -1L,
+        1L).otherwise(0L)).as("discordant"),
+      sum(when(col("xb") === col("xa"), 1L).otherwise(0L)).as("ties_x"),
+      sum(when(col("yb") === col("ya"), 1L).otherwise(0L)).as("ties_y"))
+    agg.select(col("n_pairs"), col("concordant"), col("discordant"),
+      col("ties_x"), col("ties_y"),
+      when((col("n_pairs") > col("ties_x")) && (col("n_pairs") > col("ties_y")),
+        (col("concordant") - col("discordant")).cast("double")
+          / sqrt(((col("n_pairs") - col("ties_x"))
+            * (col("n_pairs") - col("ties_y"))).cast("double")))
+        .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
+  val kendallTauSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = 1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(SUM(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = -1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |    CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+      |    CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+      |  FROM rev a JOIN rev b ON a.d < b.d)
+      |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+      |  CASE WHEN n_pairs > ties_x AND n_pairs > ties_y THEN
+      |    CAST(concordant - discordant AS DOUBLE)
+      |      / sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y) AS DOUBLE))
+      |  ELSE NULL END AS tau_b
+      |FROM p""".stripMargin
+
+  // --- turning points ---------------------------------------------------------
+  /** Turning-point census of daily revenue, per calendar year: counts
+    * of strict local maxima and minima among each year's INTERIOR days
+    * (both neighbors present and inside the year), and the
+    * turning-point share t/(n−2) — under the i.i.d. null the expected
+    * share is 2/3 (Kendall & Stuart, The Advanced Theory of
+    * Statistics, vol. 3: E[t] = 2(n−2)/3), so a materially lower share
+    * reads as trend/seasonality persistence and a higher one as
+    * oscillation. Complements [[runsTest]] (which signs against the
+    * global median) with a purely LOCAL randomness read.
+    *
+    * Exactness: strict integer comparisons on exact cents; the share
+    * is one IEEE division of exact integers. Plateaus produce no
+    * turning point on either engine (strict `<`/`>`).
+    *
+    * Shape: fact table → day grid (one aggregation); lag/lead windows
+    * are PARTITIONED by year (never global), then a per-year rollup of
+    * the bounded grid. Nothing past the first exchange scales with SF.
+    */
+  def turningPoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("yr")).orderBy(col("d"))
+    dailyRevenue(s, dir)
+      .withColumn("yr", year(col("d")).cast("long"))
+      .select(col("yr"), col("d"), col("rev_cents"),
+        lag(col("rev_cents"), 1).over(w).as("prev"),
+        lead(col("rev_cents"), 1).over(w).as("next"))
+      .groupBy(col("yr"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("prev").isNotNull && col("next").isNotNull
+          && col("rev_cents") > col("prev") && col("rev_cents") > col("next"),
+          1L).otherwise(0L)).as("n_peaks"),
+        sum(when(col("prev").isNotNull && col("next").isNotNull
+          && col("rev_cents") < col("prev") && col("rev_cents") < col("next"),
+          1L).otherwise(0L)).as("n_valleys"))
+      .select(col("yr"), col("n_days"), col("n_peaks"), col("n_valleys"),
+        (col("n_peaks") + col("n_valleys")).as("n_turning"),
+        when(col("n_days") > 2,
+          (col("n_peaks") + col("n_valleys")).cast("double")
+            / (col("n_days") - 2L).cast("double"))
+          .otherwise(lit(null).cast("double")).as("turning_share"))
+      .orderBy(col("yr"))
+  }
+
+  val turningPointsSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT CAST(year(d) AS BIGINT) AS yr, d, rev_cents,
+      |    lag(rev_cents) OVER w AS prev, lead(rev_cents) OVER w AS next
+      |  FROM rev
+      |  WINDOW w AS (PARTITION BY year(d) ORDER BY d)),
+      |g AS (
+      |  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+      |                   AND rev_cents > prev AND rev_cents > next
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+      |                   AND rev_cents < prev AND rev_cents < next
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
+      |  FROM lagged GROUP BY yr)
+      |SELECT yr, n_days, n_peaks, n_valleys,
+      |  n_peaks + n_valleys AS n_turning,
+      |  CASE WHEN n_days > 2 THEN
+      |    CAST(n_peaks + n_valleys AS DOUBLE) / CAST(n_days - 2 AS DOUBLE)
+      |  ELSE NULL END AS turning_share
+      |FROM g ORDER BY yr""".stripMargin
+
+  // --- Lo–MacKinlay variance ratio --------------------------------------------
+  /** Variance-ratio test of daily revenue INCREMENTS, per calendar year
+    * (Lo & MacKinlay, Rev. Financial Studies 1988): VR(q) =
+    * Var(q-day overlapping sums) / (q · Var(1-day increments)). A
+    * random walk gives VR ≈ 1; mean reversion pushes it below 1,
+    * positive drift persistence above. q = 5 (the trading-week
+    * convention).
+    *
+    * Exactness: increments r_t = rev_t − rev_{t−1} are exact BIGINT
+    * cents; the overlapping q-sums are window sums of INTEGERS
+    * (order-free — no segment-tree double hazard, unlike the ordered
+    * double-cumulation this repo bans past single-digit grids); both
+    * second moments accumulate in pairwise DECIMAL(19,0) products
+    * (cents² can pass int64 at large SF — the hugeint-path rule), and
+    * each variance is the (Σx² − (Σx)²/n)/n chain on exact integers.
+    * Var₁ = 0 yields NULL, not NaN.
+    *
+    * Shape: fact table → day grid; lag + rolling-sum windows
+    * PARTITIONED by year; per-year rollup. Calendar-bounded after the
+    * first exchange.
+    */
+  def varianceRatio(s: SparkSession, dir: String, q: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("yr")).orderBy(col("d"))
+    val wq = w.rowsBetween(-(q - 1), 0)
+    val d19 = (c: Column) => c.cast(DecimalType(19, 0))
+    val incr = dailyRevenue(s, dir)
+      .withColumn("yr", year(col("d")).cast("long"))
+      .withColumn("r", col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+      .filter(col("r").isNotNull)
+    val sums = incr
+      .withColumn("sq", sum(col("r")).over(wq))
+      .withColumn("cq", count(lit(1)).over(wq))
+    sums.groupBy(col("yr"))
+      .agg(
+        count(lit(1)).as("n1"),
+        sum(col("r")).as("s1"),
+        sum(d19(col("r")) * d19(col("r"))).as("ss1"),
+        sum(when(col("cq") === q, 1L)).as("nq"),
+        sum(when(col("cq") === q, col("sq"))).as("sq1"),
+        sum(when(col("cq") === q, d19(col("sq")) * d19(col("sq")))).as("ssq"))
+      .select(col("yr"), col("n1"), col("nq"),
+        ((col("ss1").cast("double")
+          - (col("s1").cast("double") * col("s1").cast("double")
+            / col("n1").cast("double"))) / col("n1").cast("double"))
+          .as("var_1"),
+        ((col("ssq").cast("double")
+          - (col("sq1").cast("double") * col("sq1").cast("double")
+            / col("nq").cast("double"))) / col("nq").cast("double"))
+          .as("var_q"))
+      .select(col("yr"), col("n1"), col("nq"), col("var_1"), col("var_q"),
+        when(col("var_1") > 0,
+          col("var_q") / (lit(q.toDouble) * col("var_1")))
+          .otherwise(lit(null).cast("double")).as("vr"))
+      .orderBy(col("yr"))
+  }
+
+  /** DuckDB twin of [[varianceRatio]], derived from the SAME q so the
+    * two spellings cannot drift (the window width, the full-window
+    * test, and the q scale factor all depend on it).
+    */
+  def varianceRatioSql(q: Int = 5): String =
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |incr AS (
+      |  SELECT CAST(year(d) AS BIGINT) AS yr, d,
+      |    rev_cents - lag(rev_cents) OVER
+      |      (PARTITION BY year(d) ORDER BY d) AS r
+      |  FROM rev),
+      |nn AS (SELECT yr, d, r FROM incr WHERE r IS NOT NULL),
+      |sums AS (
+      |  SELECT yr, r,
+      |    SUM(r) OVER w AS sq, COUNT(*) OVER w AS cq
+      |  FROM nn
+      |  WINDOW w AS (PARTITION BY yr ORDER BY d
+      |               ROWS BETWEEN ${q - 1} PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(r) AS BIGINT) AS s1,
+      |    SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS ss1,
+      |    CAST(SUM(CASE WHEN cq = $q THEN 1 END) AS BIGINT) AS nq,
+      |    CAST(SUM(CASE WHEN cq = $q THEN sq END) AS BIGINT) AS sq1,
+      |    SUM(CASE WHEN cq = $q
+      |        THEN CAST(sq AS DECIMAL(19,0)) * CAST(sq AS DECIMAL(19,0))
+      |        END) AS ssq
+      |  FROM sums GROUP BY yr),
+      |v AS (
+      |  SELECT yr, n1, nq,
+      |    (CAST(ss1 AS DOUBLE)
+      |       - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |          / CAST(n1 AS DOUBLE))) / CAST(n1 AS DOUBLE) AS var_1,
+      |    (CAST(ssq AS DOUBLE)
+      |       - (CAST(sq1 AS DOUBLE) * CAST(sq1 AS DOUBLE)
+      |          / CAST(nq AS DOUBLE))) / CAST(nq AS DOUBLE) AS var_q
+      |  FROM g)
+      |SELECT yr, n1, nq, var_1, var_q,
+      |  CASE WHEN var_1 > 0 THEN var_q / ($q.0 * var_1) ELSE NULL END AS vr
+      |FROM v ORDER BY yr""".stripMargin
 }
