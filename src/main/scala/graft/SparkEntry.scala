@@ -258,6 +258,10 @@ object SparkEntry {
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
+    "docs_yule_k" -> (TextQueries.yuleK _),
+    "docs_mattr" -> ((s, d) => TextQueries.mattr(s, d)),
+    "text_gopher_repetition" -> (TextQueries.gopherRepetition _),
+    "text_good_turing" -> ((s, d) => TextQueries.goodTuring(s, d)),
     "events_burstiness" -> (EventQueries.burstiness _),
     "ts_mann_kendall" -> (TimeSeries.mannKendall _),
     "events_unattributed" -> (EventQueries.unattributedPurchases _),
@@ -641,6 +645,10 @@ object SparkEntry {
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,
+    "docs_yule_k" -> TextQueries.yuleKSql,
+    "docs_mattr" -> TextQueries.mattrSql(),
+    "text_gopher_repetition" -> TextQueries.gopherRepetitionSql,
+    "text_good_turing" -> TextQueries.goodTuringSql,
     "events_burstiness" -> EventQueries.burstinessSql,
     "ts_mann_kendall" -> TimeSeries.mannKendallSql,
     "events_unattributed" -> EventQueries.unattributedPurchasesSql,

@@ -2342,4 +2342,245 @@ object TextQueries {
       |SELECT lang, n_tokens, vocab, hapax,
       |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share
       |FROM agg ORDER BY lang""".stripMargin
+
+  // --- Gopher n-gram repetition filters ---------------------------------------
+  /** Gopher-rule n-gram REPETITION fractions per document (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, Table A1): the
+    * fraction of n-gram-occurrence characters attributable to
+    * DUPLICATED n-grams, for n = 2 and n = 3 — the word-level
+    * repetition family that [[repetitionStats]]' unigram signals
+    * (top-word / dup-word fraction) can't see: a document cycling a
+    * 10-word boilerplate sentence has near-zero dup-WORD excess but a
+    * dup-2gram fraction near 1. Gopher drops docs with top-2gram
+    * fraction > 0.20 or dup-3gram attribution > 0.18; this report
+    * emits the raw fractions so the threshold stays policy. (The
+    * synthetic corpus has no newlines, so the line-level Gopher rules
+    * have no domain here; the n-gram rules are the meaningful
+    * subset.)
+    *
+    * Char attribution follows the published convention: each
+    * occurrence of a duplicated n-gram contributes its character
+    * length; overlapping occurrences count every time. All counts are
+    * exact integers and each fraction is one IEEE division.
+    *
+    * Shape: per-doc n-gram extraction is a NARROW array transform
+    * (sequence/slice/array_join — no shuffle); the only exchanges are
+    * the (doc, gram)-keyed partial-count aggregations and the final
+    * doc-keyed join of the two gram sizes. Nothing past the first
+    * aggregation exceeds one row per distinct (doc, gram).
+    */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    def gramStats(n: Int, pfx: String): DataFrame =
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(
+          // sequence(1, 0) DESCENDS in Spark, so short docs need the guard
+          s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+             |  transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+             |    i -> array_join(slice(split(text, ' '), i, $n), ' '))
+             |ELSE array() END""".stripMargin)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${pfx}_grams"),
+          sum(col("c") * length(col("gram"))).as("tot_chars"),
+          sum(when(col("c") >= 2, col("c") * length(col("gram")))
+            .otherwise(0L)).as("dup_chars"))
+        .select(col("doc_id"), col(s"${pfx}_grams"),
+          when(col("tot_chars") > 0,
+            col("dup_chars").cast("double") / col("tot_chars").cast("double"))
+            .otherwise(lit(null).cast("double")).as(s"dup_${pfx}_frac"))
+    gramStats(2, "n2").join(gramStats(3, "n3"), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRepetitionSql: String = {
+    def leg(n: Int): String =
+      s"""SELECT doc_id, CAST(SUM(c) AS BIGINT) AS grams,
+         |    CASE WHEN SUM(c * chars) > 0 THEN
+         |      CAST(SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS DOUBLE)
+         |        / CAST(SUM(c * chars) AS DOUBLE)
+         |    ELSE NULL END AS frac
+         |  FROM (
+         |    SELECT doc_id, gram, length(gram) AS chars,
+         |           CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM (
+         |      SELECT doc_id, unnest(list_transform(
+         |        range(1, greatest(len(string_split(text, ' ')) - ${n - 2}, 1)),
+         |        i -> array_to_string(
+         |               list_slice(string_split(text, ' '), i, i + ${n - 1}), ' ')))
+         |        AS gram
+         |      FROM documents)
+         |    GROUP BY doc_id, gram)
+         |  GROUP BY doc_id""".stripMargin
+    s"""WITH g2 AS (${leg(2)}),
+      |g3 AS (${leg(3)})
+      |SELECT g2.doc_id, g2.grams AS n2_grams, g2.frac AS dup_n2_frac,
+      |       g3.grams AS n3_grams, g3.frac AS dup_n3_frac
+      |FROM g2 JOIN g3 ON g2.doc_id = g3.doc_id
+      |ORDER BY g2.doc_id""".stripMargin
+  }
+
+  // --- Good–Turing frequency smoothing ----------------------------------------
+  /** Good–Turing adjusted counts from the corpus WORD-TRIGRAM
+    * frequency-of-frequencies (Good, Biometrika 1953; the smoothing
+    * read behind Katz back-off and the Gale & Sampson 1995 "simple
+    * Good-Turing" estimator): for each observed count r ≤ 10, the
+    * number of trigram types N_r seen exactly r times and the
+    * adjusted count r* = (r+1)·N_{r+1}/N_r — the discounted frequency
+    * an n-gram language model ([[trigramLm]] is this repo's) should
+    * charge instead of the raw r (and, at r = 1, the leave-one-out
+    * estimate of unseen-type mass N_1/N). Trigrams, not unigrams,
+    * because smoothing matters exactly where the count tail is thin —
+    * the n-gram type space is where r = 1..10 lives (the synthetic
+    * corpus's closed word vocabulary has no low-count unigrams at
+    * all, which is also true of any web-scale corpus's stopword
+    * head).
+    *
+    * Exact integers everywhere; r* is one IEEE division of exact
+    * BIGINTs; a missing N_{r+1} bucket yields NULL (left join), never
+    * 0/0.
+    *
+    * Shape: trigram extraction is a narrow per-doc array transform;
+    * corpus → (trigram, count) (one hash aggregation) → FoF
+    * (type-space-sized aggregation) → a ≤10-row self-join on r+1. The
+    * corpus crosses exactly one exchange.
+    */
+  def goodTuring(s: SparkSession, dir: String, maxR: Int = 10): DataFrame = {
+    val fof = graft.Graft.materialize(
+      docs(s, dir).select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 3 THEN
+          |  transform(sequence(1, size(split(text, ' ')) - 2),
+          |    i -> array_join(slice(split(text, ' '), i, 3), ' '))
+          |ELSE array() END""".stripMargin)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_types")))
+    fof.filter(col("r") <= maxR)
+      .join(fof.select((col("r") - 1L).as("r"), col("n_types").as("n_types_next")),
+        Seq("r"), "left_outer")
+      .select(col("r"), col("n_types"), col("n_types_next"),
+        ((col("r") + 1L) * col("n_types_next")).cast("double")
+          .divide(col("n_types").cast("double")).as("r_star"))
+      .orderBy(col("r"))
+  }
+
+  val goodTuringSql: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS w
+      |  FROM t WHERE len(ws) >= 3),
+      |v AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM g GROUP BY w),
+      |fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+      |        FROM v GROUP BY r)
+      |SELECT a.r, a.n_types, b.n_types AS n_types_next,
+      |  CAST((a.r + 1) * b.n_types AS DOUBLE) / CAST(a.n_types AS DOUBLE)
+      |    AS r_star
+      |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+      |WHERE a.r <= 10 ORDER BY a.r""".stripMargin
+
+  // --- Yule's K ---------------------------------------------------------------
+  /** Yule's characteristic K per language (Yule, "The Statistical
+    * Study of Literary Vocabulary", 1944): K = 10⁴·(Σ_w c_w² − N)/N²
+    * — the classic repeat-rate measure of vocabulary concentration
+    * that, unlike raw TTR, is approximately length-invariant (it
+    * estimates the second moment of the underlying word distribution).
+    * High K = formulaic/repetitive text; the corpus-level companion to
+    * the per-doc [[simpsonDiversity]] (Simpson's D is the same second
+    * moment normalized as a probability).
+    *
+    * Σc² accumulates in pairwise DECIMAL(19,0) products (a 100 TB
+    * corpus can push a stopword's count past the int64-square bound —
+    * the hugeint-path rule); N² is a double product of an exact cast.
+    * K is a fixed IEEE chain on bit-identical inputs.
+    *
+    * Shape: one (lang, word) hash aggregation with map-side combine,
+    * then a lang-sized rollup. Vocabulary-bounded after the first
+    * exchange.
+    */
+  def yuleK(s: SparkSession, dir: String): DataFrame = {
+    val d19 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    docs(s, dir).select(col("lang"), explode(words).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(d19(col("c")) * d19(col("c"))).as("s2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        (lit(1e4) * (col("s2").cast("double") - col("n_tokens").cast("double"))
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+      .orderBy(col("lang"))
+  }
+
+  val yuleKSql: String =
+    """WITH c AS (
+      |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0 GROUP BY lang, w),
+      |g AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2
+      |  FROM c GROUP BY lang)
+      |SELECT lang, n_tokens, vocab,
+      |  1e4 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+      |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS yule_k
+      |FROM g ORDER BY lang""".stripMargin
+
+  // --- moving-average type-token ratio ----------------------------------------
+  /** MATTR — Moving-Average Type-Token Ratio per document (Covington
+    * & McFall, J. Quantitative Linguistics 2010): the mean TTR over
+    * every 25-token sliding window, the standard length-independent
+    * lexical-diversity measure (raw TTR decays with document length,
+    * so [[tokenCount]]'s n_unique/n ratio can't compare a tweet to a
+    * book; MATTR can). Spelled exactly: Σᵢ distinct(window i) is an
+    * exact integer sum, and MATTR = that sum / (25 · n_windows) is one
+    * IEEE division. Documents shorter than the window report NULL.
+    *
+    * Shape: the whole computation is a NARROW per-document array fold
+    * (sequence → slice → array_distinct → aggregate) — zero shuffles
+    * beyond the scan; each document's work is O(n·25). The windowed
+    * distinct never leaves the row, so at 100 TB this is
+    * embarrassingly parallel map work.
+    */
+  def mattr(s: SparkSession, dir: String, w: Int = 25): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        expr(
+          s"""CASE WHEN size(split(text, ' ')) >= $w THEN
+             |  aggregate(
+             |    transform(sequence(1, size(split(text, ' ')) - ${w - 1}),
+             |      i -> size(array_distinct(slice(split(text, ' '), i, $w)))),
+             |    0L, (acc, x) -> acc + x)
+             |END""".stripMargin).as("sum_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_distinct"),
+        (col("sum_distinct").cast("double")
+          / (lit(w.toDouble) * (col("n_tokens") - lit((w - 1).toLong)).cast("double")))
+          .as("mattr"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[mattr]], derived from the SAME window width so
+    * the two spellings cannot drift.
+    */
+  def mattrSql(w: Int = 25): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(ws) >= $w THEN
+      |      CAST(list_sum(list_transform(range(1, len(ws) - ${w - 2}),
+      |        i -> len(list_distinct(list_slice(ws, i, i + ${w - 1})))))
+      |        AS BIGINT)
+      |    END AS sum_distinct
+      |  FROM t)
+      |SELECT doc_id, n_tokens, sum_distinct,
+      |  CAST(sum_distinct AS DOUBLE)
+      |    / ($w.0 * CAST(n_tokens - ${w - 1} AS DOUBLE)) AS mattr
+      |FROM s ORDER BY doc_id""".stripMargin
 }
