@@ -199,6 +199,7 @@ object SparkEntry {
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     "window_session_native" -> (EventQueries.sessionWindowNative _),
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
+    "events_quantile_rank_audit" -> (EventQueries.quantileRankAudit _),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_markov_entropy" -> (EventQueries.markovEntropyRate _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
@@ -292,6 +293,7 @@ object SparkEntry {
     "graph_pref_attachment" -> ((s, d) => GraphQueries.prefAttachment(s, d)),
     "graph_katz_walks" -> ((s, d) => GraphQueries.katzWalks(s, d)),
     "graph_degree_histogram" -> (GraphQueries.degreeHistogram _),
+    "graph_rich_club" -> (GraphQueries.richClub _),
     "graph_local_bridges" -> ((s, d) => GraphQueries.localBridges(s, d)),
     "graph_hits_walks" -> ((s, d) => GraphQueries.hitsWalks(s, d)),
     "dedup_containment" -> ((s, d) => TextQueries.dedupContainment(s, d)),
@@ -596,6 +598,7 @@ object SparkEntry {
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_markov_entropy" -> EventQueries.markovEntropyRateSql,
+    "events_quantile_rank_audit" -> EventQueries.quantileRankAuditSql,
     "events_time_weighted_avg" -> EventQueries.timeWeightedAvgSql,
     "events_activity_streaks" -> EventQueries.activityStreaksSql,
     "typed_group_stats" -> EventQueries.typedGroupStatsSql,
@@ -674,6 +677,7 @@ object SparkEntry {
     "graph_pref_attachment" -> GraphQueries.prefAttachmentSql,
     "graph_katz_walks" -> GraphQueries.katzWalksSql,
     "graph_degree_histogram" -> GraphQueries.degreeHistogramSql,
+    "graph_rich_club" -> GraphQueries.richClubSql,
     "graph_local_bridges" -> GraphQueries.localBridgesSql,
     "graph_hits_walks" -> GraphQueries.hitsWalksSql,
     "dedup_containment" -> TextQueries.dedupContainmentSql,

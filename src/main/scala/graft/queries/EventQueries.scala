@@ -2467,4 +2467,73 @@ object EventQueries {
       |  CAST(n_purchase_within AS DOUBLE) / CAST(n_click_within AS DOUBLE)
       |    AS purchase_rate
       |FROM n""".stripMargin
+
+  // --- approx-quantile rank-error audit ----------------------------------------
+  /** [[valueQuantilesApprox]]'s STRUCTURAL ORACLE (registered as
+    * `events_quantile_rank_audit`): Spark's `approx_percentile` is a
+    * Greenwald–Khanna sketch (SIGMOD 2001) whose accuracy contract is
+    * DETERMINISTIC — the returned value's rank interval must intersect
+    * [(p − ε)·n, (p + ε)·n] with ε = 1/accuracy — so the boolean is
+    * TRUE on any fixture while a broken merge or accuracy regression
+    * flips it and hash-fails the driver gate (the same rows-only →
+    * structural-oracle graduation as `sketch_word_freq` /
+    * `decontaminate_bloom` / `join_size_estimate`). Per event type and
+    * p ∈ {0.5, 0.9}: the exact value count (DuckDB-computable) beside
+    * the contract claim.
+    *
+    * The envelope test is ALL-INTEGER: Spark's sketch targets rank
+    * T = ⌈p·n⌉ (QuantileSummaries.query), so with the returned value's
+    * ranks spanning [cnt_lt + 1, cnt_le], the contract holds iff that
+    * interval intersects [T − (εn + 1), T + (εn + 1)] — spelled
+    * cnt_le·acc ≥ T·acc − n − acc and
+    * (cnt_lt + 1)·acc ≤ T·acc + n + acc, where
+    * T = (p·acc·n + acc − 1) div acc and p·acc is an exact integer
+    * literal (5000, 9000). No float threshold anywhere; the +1 slack
+    * absorbs the ceil's sub-unit placement, leaving a bound a broken
+    * merge (off by O(n)) still cannot meet. The numeric estimates stay visible through
+    * [[valueQuantilesApprox]]; SketchSpec pins them against exact
+    * percentiles.
+    *
+    * Shape: one type-sized sketch aggregation (mergeable — the
+    * executor-combine pattern), broadcast back onto ONE events pass of
+    * conditional counts, then a 2-row-per-type unpivot. The fact table
+    * is scanned twice total (sketch + count), never fanned out.
+    */
+  def quantileRankAudit(s: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val vals = ev(s, dir).select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val sk = vals.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(acc)).as("v50"),
+        percentile_approx(col("value"), lit(0.9), lit(acc)).as("v90"))
+    val counted = vals.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("v90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") < col("v90"), 1L).otherwise(0L)).as("lt90"))
+    def envelope(pacc: Int, le: Column, lt: Column): Column = {
+      val accL = lit(acc.toLong)
+      val target = expr(s"(${pacc}L * n + ${acc - 1}L) div ${acc}L")
+      (le * accL >= (target * accL - col("n")) - accL) &&
+        ((lt + 1L) * accL <= (target * accL + col("n")) + accL)
+    }
+    counted.select(col("event_type"), col("n"),
+        envelope(5000, col("le50"), col("lt50")).as("ok50"),
+        envelope(9000, col("le90"), col("lt90")).as("ok90"))
+      .select(col("event_type"), col("n").as("n_values"), expr(
+        "stack(2, 'p50', ok50, 'p90', ok90) AS (quantile, in_envelope)"))
+      .select(col("event_type"), col("quantile"), col("n_values"),
+        col("in_envelope"))
+      .orderBy(col("event_type"), col("quantile"))
+  }
+
+  val quantileRankAuditSql: String =
+    """WITH n AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_values
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, quantile, n_values, TRUE AS in_envelope
+      |FROM n, (VALUES ('p50'), ('p90')) q(quantile)
+      |ORDER BY event_type, quantile""".stripMargin
 }

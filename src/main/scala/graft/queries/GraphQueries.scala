@@ -1721,4 +1721,90 @@ object GraphQueries {
       |  FROM a1 JOIN a2 ON a2.sup = a1.sup)
       |SELECT sup AS suppkey, a1, a2 FROM r WHERE rnk <= 20
       |ORDER BY a2 DESC, suppkey""".stripMargin
+
+  // --- rich-club coefficient ---------------------------------------------------
+  /** Rich-club coefficient profile of the co-purchase graph (Zhou &
+    * Mondragón, IEEE Comm. Lett. 2004; normalization discussion in
+    * Colizza et al., Nature Physics 2006): for every degree threshold
+    * k present in the graph, φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) —
+    * the edge density among the "rich" nodes of degree > k. A rising
+    * φ(k) means hubs preferentially interconnect (the rich-club
+    * effect), the structural complement of [[assortativity]]'s
+    * one-number correlation and [[degreeHistogram]]'s marginal view.
+    *
+    * Exactness: an edge survives threshold k iff min(du, dv) > k, so
+    * E_{>k} and N_{>k} are SUFFIX SUMS of two exact integer
+    * histograms; N·(N−1) stays below 2^53 as long as the graph has
+    * under ~9.5e7 rich nodes per threshold (noted bound — past that
+    * the φ division needs a decimal restate), and φ is one IEEE
+    * division.
+    *
+    * Shape: edge list → node degrees (hash agg) → two histograms: node
+    * degrees, and edge min-degrees (the degree join is node-keyed —
+    * size-chosen broadcast at small SF, plain hash join at scale; the
+    * adjacency itself is never materialized). The suffix sums ride ONE
+    * global window over the DISTINCT-DEGREE histogram grid (≤ max
+    * degree rows, ~hundreds — the PlanAuditSpec-allowlisted bounded
+    * class), so nothing growing ever funnels to one partition.
+    */
+  def richClub(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    val deg = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val nodeHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val edgeHist = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_edges"))
+    val w = Window.orderBy(col("deg").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    nodeHist.join(edgeHist, Seq("deg"), "left_outer")
+      .select(col("deg"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .select(col("deg").as("k"),
+        coalesce(sum(col("n_nodes")).over(w), lit(0L)).as("n_nodes_gt"),
+        coalesce(sum(col("n_edges")).over(w), lit(0L)).as("n_edges_gt"))
+      .select(col("k"), col("n_nodes_gt"), col("n_edges_gt"),
+        when(col("n_nodes_gt") >= 2L,
+          lit(2.0) * col("n_edges_gt").cast("double")
+            / (col("n_nodes_gt") * (col("n_nodes_gt") - 1L)).cast("double"))
+          .otherwise(lit(null).cast("double")).as("phi"))
+      .orderBy(col("k"))
+  }
+
+  val richClubSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      |  GROUP BY n),
+      |nh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |       FROM deg GROUP BY deg),
+      |eh AS (
+      |  SELECT LEAST(du.deg, dv.deg) AS deg,
+      |         CAST(COUNT(*) AS BIGINT) AS n_edges
+      |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+      |  GROUP BY 1),
+      |grid AS (
+      |  SELECT nh.deg, nh.n_nodes, COALESCE(eh.n_edges, 0) AS n_edges
+      |  FROM nh LEFT JOIN eh ON eh.deg = nh.deg),
+      |sfx AS (
+      |  SELECT deg AS k,
+      |    CAST(COALESCE(SUM(n_nodes) OVER w, 0) AS BIGINT) AS n_nodes_gt,
+      |    CAST(COALESCE(SUM(n_edges) OVER w, 0) AS BIGINT) AS n_edges_gt
+      |  FROM grid
+      |  WINDOW w AS (ORDER BY deg DESC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT k, n_nodes_gt, n_edges_gt,
+      |  CASE WHEN n_nodes_gt >= 2 THEN
+      |    2.0 * CAST(n_edges_gt AS DOUBLE)
+      |      / CAST(n_nodes_gt * (n_nodes_gt - 1) AS DOUBLE)
+      |  ELSE NULL END AS phi
+      |FROM sfx ORDER BY k""".stripMargin
 }

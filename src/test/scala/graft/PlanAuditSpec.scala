@@ -396,7 +396,9 @@ class PlanAuditSpec extends SparkSpec {
       "ts_seasonal_strength" ->
         "moving-average/cumulative-moment windows over the calendar day grid",
       "ts_peaks" ->
-        "±3-day neighbor max/count over the calendar day grid; top-5 cut")
+        "±3-day neighbor max/count over the calendar day grid; top-5 cut",
+      "graph_rich_club" ->
+        "suffix sums over the distinct-degree histogram grid (≤ max degree rows)")
     val hits = scala.collection.mutable.ListBuffer.empty[String]
     // staleness, third direction: an allowlist key that no longer names
     // a registered query protects nothing — the r10 list carried four
