@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{EventQueries, GraphQueries, Relational, TextQueries, TimeSeries}
+
+/** Independent driver-side replays for the round-13 statistics batch —
+  * the mandatory closed-form-stats discipline (the ljungBox
+  * newline-parens bug was caught ONLY by its replay spec, never by the
+  * oracle compare, because both engines faithfully computed the same
+  * wrong formula): every new double-valued estimator is recomputed here
+  * from first principles over the collected (bounded) base series and
+  * compared against the distributed spelling.
+  */
+class StatsReplaySpec extends SparkSpec {
+
+  private lazy val daySeries: Array[(Long, Long)] =
+    Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("x"), sum(col("c")).as("y"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+
+  test("kendallTau: brute-force pair replay (tau-b with ties)") {
+    val xs = daySeries
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length) {
+      np += 1
+      val sx = java.lang.Long.signum(xs(j)._1 - xs(i)._1)
+      val sy = java.lang.Long.signum(xs(j)._2 - xs(i)._2)
+      if (sx * sy == 1) c += 1
+      else if (sx * sy == -1) d += 1
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+    }
+    val row = TimeSeries.kendallTau(spark, sf).collect().head
+    assert(row.getLong(0) == np && row.getLong(1) == c && row.getLong(2) == d
+      && row.getLong(3) == tx && row.getLong(4) == ty,
+      s"pair counts ${row.toSeq} != replay ($np, $c, $d, $tx, $ty)")
+    val tau = (c - d).toDouble / math.sqrt(((np - tx) * (np - ty)).toDouble)
+    assert(math.abs(row.getDouble(5) - tau) < 1e-12,
+      s"tau_b ${row.getDouble(5)} != replay $tau")
+    assert(row.getDouble(5) >= -1.0 && row.getDouble(5) <= 1.0)
+  }
+
+  test("turningPoints: per-year local-extrema replay") {
+    val byYear = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0).toLocalDate.getYear, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = TimeSeries.turningPoints(spark, sf).collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(out.keySet == byYear.keySet)
+    for ((yr, ys) <- byYear) {
+      val peaks = (1 until ys.length - 1)
+        .count(i => ys(i) > ys(i - 1) && ys(i) > ys(i + 1))
+      val valleys = (1 until ys.length - 1)
+        .count(i => ys(i) < ys(i - 1) && ys(i) < ys(i + 1))
+      val (n, p, v, share) = out(yr)
+      assert(n == ys.length && p == peaks && v == valleys,
+        s"$yr: ($n,$p,$v) != replay (${ys.length},$peaks,$valleys)")
+      assert(math.abs(share - (peaks + valleys).toDouble / (ys.length - 2))
+        < 1e-12)
+    }
+  }
+
+  test("varianceRatio: per-year overlapping-sum replay (q=5)") {
+    val byYear = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0).toLocalDate.getYear, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = TimeSeries.varianceRatio(spark, sf).collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def popVar(zs: Seq[Long]): Double = {
+      val n = zs.length
+      val s = zs.map(BigInt(_)).sum
+      val s2 = zs.map(z => BigInt(z) * BigInt(z)).sum
+      (s2.toDouble - s.toDouble * s.toDouble / n) / n
+    }
+    for ((yr, ys) <- byYear if ys.length > 5) {
+      val r = ys.sliding(2).map(p => p(1) - p(0)).toSeq
+      val qs = r.sliding(5).map(_.sum).toSeq
+      val (n1, nq, v1, vq) = out(yr)
+      assert(n1 == r.length && nq == qs.length,
+        s"$yr counts ($n1,$nq) != (${r.length},${qs.length})")
+      assert(math.abs(v1 - popVar(r)) < 1e-6 * math.max(1.0, popVar(r)),
+        s"$yr var_1 $v1 != ${popVar(r)}")
+      assert(math.abs(vq - popVar(qs)) < 1e-6 * math.max(1.0, popVar(qs)),
+        s"$yr var_q $vq != ${popVar(qs)}")
+    }
+  }
+
+  test("jarqueBera: BigDecimal moment replay per priority") {
+    val base = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = Relational.jarqueBera(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == base.keySet)
+    for ((pri, cs) <- base) {
+      val n = cs.length.toDouble
+      val mean = cs.map(BigInt(_)).sum.toDouble / n
+      def m(p: Int): Double =
+        cs.map(c => math.pow(c - mean, p)).sum / n
+      val skew = m(3) / math.pow(m(2), 1.5)
+      val kurt = m(4) / (m(2) * m(2)) - 3.0
+      val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+      val (no, so, ko, jo) = out(pri)
+      assert(no == cs.length)
+      assert(math.abs(so - skew) < 1e-7, s"$pri skew $so != $skew")
+      assert(math.abs(ko - kurt) < 1e-7, s"$pri kurt $ko != $kurt")
+      assert(math.abs(jo - jb) < 1e-5 * math.max(1.0, math.abs(jb)),
+        s"$pri jb $jo != $jb")
+    }
+  }
+
+  test("chi2Cells + cramersV: contingency replay") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val obs = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTot = rows.length.toDouble
+    var chi2micro = 0L
+    for (r <- Relational.chi2Cells(spark, sf).collect()) {
+      val key = (r.getString(0), r.getLong(1).toInt)
+      val e = rowT(key._1) * colT(key._2) / nTot
+      assert(r.getLong(2) == obs(key), s"$key obs")
+      assert(math.abs(r.getDouble(5) - e) < 1e-9, s"$key expected")
+      val term = (obs(key) - e) * (obs(key) - e) / e
+      assert(math.abs(r.getDouble(6) - (obs(key) - e) / math.sqrt(e)) < 1e-9)
+      assert(r.getLong(7) == math.round(term * 1e6), s"$key chi2_micro")
+      chi2micro += r.getLong(7)
+    }
+    val v = Relational.cramersV(spark, sf).collect().head
+    assert(v.getLong(0) == rows.length) // n_rows
+    assert(math.abs(v.getDouble(3) - chi2micro / 1e6) < 1e-9)
+    val minDim = math.min(rowT.size, colT.size) - 1
+    val expectV = math.sqrt(chi2micro / 1e6 / (nTot * minDim))
+    assert(math.abs(v.getDouble(4) - expectV) < 1e-12,
+      s"cramers_v ${v.getDouble(4)} != $expectV")
+    assert(v.getDouble(4) >= 0.0 && v.getDouble(4) <= 1.0)
+  }
+
+  private lazy val docTokens: Array[(Long, String, Array[String])] =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+
+  test("yuleK: repeat-rate replay per lang") {
+    val byLang = docTokens.groupBy(_._2).view
+      .mapValues(_.flatMap(_._3).filter(_.nonEmpty)).toMap
+    val out = TextQueries.yuleK(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == byLang.keySet)
+    for ((lang, toks) <- byLang) {
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val nTok = toks.length.toDouble
+      val s2 = counts.values.map(c => BigInt(c) * BigInt(c)).sum
+      val k = 1e4 * (s2.toDouble - nTok) / (nTok * nTok)
+      val (n, v, ko) = out(lang)
+      assert(n == toks.length && v == counts.size)
+      assert(math.abs(ko - k) < 1e-9 * math.max(1.0, math.abs(k)),
+        s"$lang yule_k $ko != $k")
+    }
+  }
+
+  test("goodTuring: trigram frequency-of-frequencies replay") {
+    val grams = docTokens.flatMap { case (_, _, ws) =>
+      if (ws.length >= 3) (0 to ws.length - 3).map(i =>
+        s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      else Seq.empty
+    }
+    val fof = grams.groupBy(identity).view.mapValues(_.length.toLong).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = TextQueries.goodTuring(spark, sf).collect()
+    assert(out.nonEmpty, "trigram tail must be non-empty")
+    for (r <- out) {
+      val rr = r.getLong(0)
+      assert(rr <= 10)
+      assert(r.getLong(1) == fof(rr), s"N_$rr")
+      fof.get(rr + 1) match {
+        case Some(next) =>
+          assert(r.getLong(2) == next)
+          val rStar = (rr + 1) * next.toDouble / fof(rr)
+          assert(math.abs(r.getDouble(3) - rStar) < 1e-12)
+        case None =>
+          assert(r.isNullAt(2) && r.isNullAt(3), s"r=$rr must be NULL-tailed")
+      }
+    }
+  }
+
+  test("mattr: sliding-window TTR replay") {
+    val out = TextQueries.mattr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, _, ws) <- docTokens) {
+      val r = out(id)
+      assert(r.getLong(1) == ws.length)
+      if (ws.length >= 25) {
+        val sumD = (0 to ws.length - 25)
+          .map(i => ws.slice(i, i + 25).distinct.length.toLong).sum
+        assert(r.getLong(2) == sumD, s"$id sum_distinct")
+        val m = sumD.toDouble / (25.0 * (ws.length - 24))
+        assert(math.abs(r.getDouble(3) - m) < 1e-12, s"$id mattr")
+        assert(m > 0.0 && m <= 1.0)
+      } else assert(r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
+  test("gopherRepetition: duplicated n-gram char-attribution replay") {
+    val out = TextQueries.gopherRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def frac(ws: Array[String], n: Int): (Long, Option[Double]) = {
+      if (ws.length < n) return (0L, None)
+      val grams = (0 to ws.length - n).map(i =>
+        ws.slice(i, i + n).mkString(" "))
+      val counts = grams.groupBy(identity).view.mapValues(_.length).toMap
+      val tot = counts.map { case (g, c) => c.toLong * g.length }.sum
+      val dup = counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }
+        .sum
+      (grams.length.toLong,
+        if (tot > 0) Some(dup.toDouble / tot) else None)
+    }
+    for ((id, _, ws) <- docTokens) {
+      val r = out(id)
+      val (g2, f2) = frac(ws, 2)
+      val (g3, f3) = frac(ws, 3)
+      assert(r.getLong(1) == g2 && r.getLong(3) == g3, s"$id gram counts")
+      (f2, f3) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(r.getDouble(2) - a) < 1e-12, s"$id dup2")
+          assert(math.abs(r.getDouble(4) - b) < 1e-12, s"$id dup3")
+        case _ => ()
+      }
+    }
+  }
+
+  test("richClub: suffix-sum replay from the collected edge list") {
+    val edges = GraphQueries.copurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = GraphQueries.richClub(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == deg.values.toSet,
+      "one row per distinct degree")
+    for (r <- out) {
+      val k = r.getLong(0)
+      val nGt = deg.values.count(_ > k).toLong
+      val eGt = edges.count { case (u, v) =>
+        math.min(deg(u), deg(v)) > k
+      }.toLong
+      assert(r.getLong(1) == nGt && r.getLong(2) == eGt,
+        s"k=$k: (${r.getLong(1)},${r.getLong(2)}) != ($nGt,$eGt)")
+      if (nGt >= 2) {
+        val phi = 2.0 * eGt / (nGt.toDouble * (nGt - 1))
+        assert(math.abs(r.getDouble(3) - phi) < 1e-12, s"k=$k phi")
+        assert(phi >= 0.0 && phi <= 1.0)
+      } else assert(r.isNullAt(3))
+    }
+    // no cartesian anywhere in the plan
+    val p = planOf(GraphQueries.richClub(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"rich club plans a cartesian:\n$p")
+  }
+
+  test("quantileRankAudit: every envelope row TRUE, exact-percentile sanity") {
+    val out = EventQueries.quantileRankAudit(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(3)),
+      s"envelope violated: ${out.filterNot(_.getBoolean(3)).mkString(", ")}")
+    // sanity: the p50 estimate sits between exact p25 and p75 per type
+    val approx = EventQueries.valueQuantilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = EventQueries.valueQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(3)))).toMap
+    for ((t, p50) <- approx; (lo, hi) = exact(t))
+      assert(p50 >= lo && p50 <= hi, s"$t p50 $p50 outside [$lo, $hi]")
+  }
+}
