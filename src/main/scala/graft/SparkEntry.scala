@@ -246,6 +246,8 @@ object SparkEntry {
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "survival_km" -> (Survival.kaplanMeier _),
+    "survival_nelson_aalen" -> (Survival.nelsonAalen _),
+    "stats_ks_uniform_weekday" -> (Relational.ksUniformWeekday _),
     "stats_decile_lift" -> (Relational.decileLift _),
     "events_max_concurrency" -> (EventQueries.maxConcurrency _),
     "cohort_ltv" -> (Relational.cohortLtv _),
@@ -263,6 +265,8 @@ object SparkEntry {
     "docs_mattr" -> ((s, d) => TextQueries.mattr(s, d)),
     "text_gopher_repetition" -> (TextQueries.gopherRepetition _),
     "text_good_turing" -> ((s, d) => TextQueries.goodTuring(s, d)),
+    "text_word_burstiness" -> ((s, d) => TextQueries.wordBurstiness(s, d)),
+    "text_langid_prf" -> (TextQueries.langIdPrf _),
     "events_burstiness" -> (EventQueries.burstiness _),
     "ts_mann_kendall" -> (TimeSeries.mannKendall _),
     "events_unattributed" -> (EventQueries.unattributedPurchases _),
@@ -635,6 +639,8 @@ object SparkEntry {
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,
     "survival_km" -> Survival.kaplanMeierSql,
+    "survival_nelson_aalen" -> Survival.nelsonAalenSql,
+    "stats_ks_uniform_weekday" -> Relational.ksUniformWeekdaySql,
     "stats_decile_lift" -> Relational.decileLiftSql,
     "events_max_concurrency" -> EventQueries.maxConcurrencySql,
     "cohort_ltv" -> Relational.cohortLtvSql,
@@ -652,6 +658,8 @@ object SparkEntry {
     "docs_mattr" -> TextQueries.mattrSql(),
     "text_gopher_repetition" -> TextQueries.gopherRepetitionSql,
     "text_good_turing" -> TextQueries.goodTuringSql,
+    "text_word_burstiness" -> TextQueries.wordBurstinessSql,
+    "text_langid_prf" -> TextQueries.langIdPrfSql,
     "events_burstiness" -> EventQueries.burstinessSql,
     "ts_mann_kendall" -> TimeSeries.mannKendallSql,
     "events_unattributed" -> EventQueries.unattributedPurchasesSql,

@@ -2645,4 +2645,73 @@ object Relational {
       |       / (CAST(n_rows AS DOUBLE)
       |          * CAST(LEAST(n_priorities, n_years) - 1 AS DOUBLE))) AS cramers_v
       |FROM a""".stripMargin
+
+  // --- one-sample KS uniformity test -------------------------------------------
+  /** One-sample Kolmogorov–Smirnov test of order WEEKDAY uniformity
+    * (Kolmogorov 1933 / Smirnov 1948; discrete-support caveat per
+    * Conover, "Practical Nonparametric Statistics" — on a 7-point
+    * lattice the statistic is conservative, which is the right
+    * direction for a data-quality gate): D = max_k |F_emp(k) − k/7|
+    * over the weekday CDF, plus √n·D. The one-sample companion to
+    * [[Drift]]'s two-sample KS — this is the "is the load calendar
+    * actually flat" read a partitioning planner wants before assuming
+    * uniform daily volume. Weekday is epoch-day mod 7 (engine-origin-
+    * proof, the [[TimeSeries.seasonalDecompose]] spelling).
+    *
+    * ALL-INTEGER until the last step: D = max_k |7·cum_k − (k+1)·n| /
+    * (7n) has an exact BIGINT numerator (the max of integer absolute
+    * differences — no float CDF anywhere), so `d_num` is exact and D
+    * and √n·D are two IEEE ops on bit-identical inputs.
+    *
+    * Shape: one map-side-combined aggregation to the 7-row weekday
+    * grid; the CDF window and the final max ride that bounded grid
+    * (PlanAuditSpec-allowlisted class).
+    */
+  def ksUniformWeekday(s: SparkSession, dir: String): DataFrame = {
+    val dow = (datediff(to_date(col("o_orderdate")),
+      to_date(lit("1970-01-01"))) % 7).cast("long")
+    val grid = t(s, dir, "orders")
+      .groupBy(dow.as("dow")).agg(count(lit(1)).as("n_k"))
+    val wCum = Window.orderBy(col("dow"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("dow"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("cum", sum(col("n_k")).over(wCum))
+      .withColumn("n", sum(col("n_k")).over(wAll))
+      .withColumn("rn", row_number().over(Window.orderBy(col("dow"))).cast("long"))
+      .select(col("n"),
+        abs(col("cum") * lit(7L) - col("rn") * col("n")).as("dev"))
+      .groupBy(col("n"))
+      .agg(max(col("dev")).as("d_num"))
+      .select(col("n").as("n_orders"), col("d_num"),
+        (col("d_num").cast("double") / (lit(7.0) * col("n").cast("double")))
+          .as("ks_d"),
+        (sqrt(col("n").cast("double"))
+          * (col("d_num").cast("double") / (lit(7.0) * col("n").cast("double"))))
+          .as("sqrt_n_d"))
+  }
+
+  val ksUniformWeekdaySql: String =
+    """WITH grid AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(o_orderdate AS DATE)) % 7 AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_k
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT dow, n_k,
+      |    CAST(SUM(n_k) OVER (ORDER BY dow
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(n_k) OVER () AS BIGINT) AS n,
+      |    CAST(row_number() OVER (ORDER BY dow) AS BIGINT) AS rn
+      |  FROM grid),
+      |d AS (
+      |  SELECT n, CAST(MAX(abs(cum * 7 - rn * n)) AS BIGINT) AS d_num
+      |  FROM c GROUP BY n)
+      |SELECT n AS n_orders, d_num,
+      |  CAST(d_num AS DOUBLE) / (7.0 * CAST(n AS DOUBLE)) AS ks_d,
+      |  sqrt(CAST(n AS DOUBLE))
+      |    * (CAST(d_num AS DOUBLE) / (7.0 * CAST(n AS DOUBLE))) AS sqrt_n_d
+      |FROM d""".stripMargin
 }

@@ -110,4 +110,89 @@ object Survival {
       |SELECT dur AS t_days, n_risk, d_i AS n_events, ln_surv_micro,
       |  CAST(ln_surv_micro AS DOUBLE) / 1e6 AS ln_survival
       |FROM km ORDER BY t_days""".stripMargin
+
+  // --- Nelson–Aalen cumulative hazard ------------------------------------------
+  /** Nelson–Aalen cumulative-hazard estimator over the SAME
+    * churn-duration grid as [[kaplanMeier]] (Nelson, Technometrics
+    * 1972; Aalen, Ann. Stat. 1978): H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ — the
+    * additive counterpart of KM's product (−ln S ≈ H; the pair is the
+    * standard cross-check, and NA is what a Cox-model baseline hazard
+    * actually consumes). Unlike KM's ln spelling, NA has no
+    * log-domain hole at the terminal all-events row, so that row is
+    * KEPT here (documented divergence from [[kaplanMeier]]'s exclusion
+    * rule).
+    *
+    * Determinism: each per-step hazard dᵢ/nᵢ is ONE exact-rounded IEEE
+    * division, immediately rounded onto the integer NANO grid
+    * (round(·1e9) — the micronat discipline at higher resolution,
+    * since step hazards sit at 1e-5..1e-2); the cumulative sum is then
+    * EXACT BIGINT addition (order-free — never a cumulated double),
+    * and the reported double is one final scale-down. Same
+    * duration-grid windows as KM (calendar-bounded, the allowlisted
+    * class).
+    */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("max_d"))
+    val durations = life.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(datediff(col("max_d"), col("last_d")) > 90, 1L).otherwise(0L)
+          .as("churned"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d_i"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Graft.materialize(durations)
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .filter(col("d_i") > 0)
+      .withColumn("hz_nano",
+        round(col("d_i").cast("double") / col("n_risk").cast("double")
+          * lit(1e9)).cast("long"))
+      .withColumn("cum_hz_nano", sum(col("hz_nano")).over(wCum))
+      .select(col("dur").as("t_days"), col("n_risk"),
+        col("d_i").as("n_events"), col("hz_nano"), col("cum_hz_nano"),
+        (col("cum_hz_nano").cast("double") / lit(1e9)).as("cum_hazard"))
+      .orderBy(col("t_days"))
+  }
+
+  val nelsonAalenSql: String =
+    """WITH life AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT MAX(last_d) AS max_d FROM life),
+      |durs AS (
+      |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+      |    CASE WHEN date_diff('day', last_d, max_d) > 90
+      |         THEN 1 ELSE 0 END AS churned
+      |  FROM life, h),
+      |grid AS (
+      |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |         CAST(SUM(churned) AS BIGINT) AS d_i
+      |  FROM durs GROUP BY dur),
+      |risk AS (
+      |  SELECT dur, d_i,
+      |    CAST(SUM(n_at) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM grid),
+      |ev AS (
+      |  SELECT dur, n_risk, d_i,
+      |    CAST(round(CAST(d_i AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9)
+      |         AS BIGINT) AS hz_nano
+      |  FROM risk WHERE d_i > 0),
+      |na AS (
+      |  SELECT dur, n_risk, d_i, hz_nano,
+      |    CAST(SUM(hz_nano) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_hz_nano
+      |  FROM ev)
+      |SELECT dur AS t_days, n_risk, d_i AS n_events, hz_nano, cum_hz_nano,
+      |  CAST(cum_hz_nano AS DOUBLE) / 1e9 AS cum_hazard
+      |FROM na ORDER BY t_days""".stripMargin
 }

@@ -2565,6 +2565,140 @@ object TextQueries {
           .as("mattr"))
       .orderBy(col("doc_id"))
 
+  // --- word burstiness ---------------------------------------------------------
+  /** Word BURSTINESS for the 30 highest-document-frequency words
+    * (Church & Gale, "Poisson Mixtures", Nat. Lang. Eng. 1995): the
+    * probability a word recurs in a document given it appeared at all
+    * — P(c ≥ 2 | c ≥ 1) = df₂/df — against the Poisson prediction
+    * from its rate (content words are bursty, function words are not;
+    * a high-burstiness high-df token in a crawl is the classic
+    * boilerplate fingerprint, which is why curation pipelines read
+    * this before building stopword or template filters). Reported per
+    * word: df, df₂, total occurrences, burstiness, and the mean
+    * within-document count among containing docs.
+    *
+    * Exact integers + two IEEE divisions; the top-30 cut is
+    * `orderBy().limit()` (TakeOrderedAndProject — distributed, never a
+    * global rank window), ties broken on the word string.
+    *
+    * Shape: (doc, word) partial counts collapse map-side; everything
+    * after the first exchange is one row per distinct (doc, word),
+    * then one per word.
+    */
+  def wordBurstiness(s: SparkSession, dir: String, k: Int = 30): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"),
+        sum(col("c")).as("occurrences"))
+      .select(col("w").as("word"), col("df"), col("df2"), col("occurrences"),
+        (col("df2").cast("double") / col("df").cast("double"))
+          .as("burstiness"),
+        (col("occurrences").cast("double") / col("df").cast("double"))
+          .as("mean_count_in_doc"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(k)
+
+  val wordBurstinessSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0 GROUP BY doc_id, w),
+      |g AS (
+      |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+      |    CAST(SUM(c) AS BIGINT) AS occurrences
+      |  FROM c GROUP BY w)
+      |SELECT word, df, df2, occurrences,
+      |  CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+      |  CAST(occurrences AS DOUBLE) / CAST(df AS DOUBLE) AS mean_count_in_doc
+      |FROM g ORDER BY df DESC, word LIMIT 30""".stripMargin
+
+  // --- language-ID precision / recall / F1 -------------------------------------
+  /** Per-class PRECISION / RECALL / F1 of the [[langGuessConfusion]]
+    * heuristic against the labeled `lang` column — the standard
+    * classifier-evaluation triple (van Rijsbergen, Information
+    * Retrieval 1979) the confusion matrix feeds: langGuessConfusion
+    * emits the raw cells; this reduces them to the per-class report a
+    * model card actually quotes. Truth labels are mapped onto the
+    * classifier's own 3-class codomain (en / es / other) so precision
+    * is well-defined for every class.
+    *
+    * Exact integer tp/fp/fn; precision/recall/F1 are guarded IEEE
+    * divisions (an unpredicted class yields NULL precision, not NaN —
+    * the repo's NULL-not-NaN rule).
+    *
+    * Shape: one corpus aggregation to the ≤9-cell confusion grid, then
+    * class-sized arithmetic.
+    */
+  def langIdPrf(s: SparkSession, dir: String): DataFrame = {
+    val guess = when(col("text").contains("the"), "en")
+      .when(col("text").contains("la"), "es")
+      .otherwise("other")
+    val truth = when(col("lang").isin("en", "es"), col("lang"))
+      .otherwise("other")
+    val cells = docs(s, dir)
+      .groupBy(truth.as("truth"), guess.as("guess"))
+      .agg(count(lit(1)).as("n"))
+    val classes = Seq("en", "es", "other")
+    val perClass = classes.map { c =>
+      cells.agg(
+        coalesce(sum(when(col("truth") === c && col("guess") === c,
+          col("n"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("truth") =!= c && col("guess") === c,
+          col("n"))), lit(0L)).as("fp"),
+        coalesce(sum(when(col("truth") === c && col("guess") =!= c,
+          col("n"))), lit(0L)).as("fn"))
+        .select(lit(c).as("class"), col("tp"), col("fp"), col("fn"))
+    }.reduce(_ unionByName _)
+    perClass
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when((col("tp") * 2L + col("fp") + col("fn")) > 0,
+          (col("tp") * 2L).cast("double")
+            / (col("tp") * 2L + col("fp") + col("fn")).cast("double")))
+      .orderBy(col("class"))
+  }
+
+  val langIdPrfSql: String =
+    """WITH lab AS (
+      |  SELECT CASE WHEN lang IN ('en', 'es') THEN lang
+      |              ELSE 'other' END AS truth,
+      |         CASE WHEN contains(text, 'the') THEN 'en'
+      |              WHEN contains(text, 'la') THEN 'es'
+      |              ELSE 'other' END AS guess
+      |  FROM documents),
+      |cls AS (SELECT unnest(['en', 'es', 'other']) AS class),
+      |m AS (
+      |  SELECT class,
+      |    CAST(COALESCE(SUM(CASE WHEN truth = class AND guess = class
+      |                           THEN 1 END), 0) AS BIGINT) AS tp,
+      |    CAST(COALESCE(SUM(CASE WHEN truth <> class AND guess = class
+      |                           THEN 1 END), 0) AS BIGINT) AS fp,
+      |    CAST(COALESCE(SUM(CASE WHEN truth = class AND guess <> class
+      |                           THEN 1 END), 0) AS BIGINT) AS fn
+      |  FROM cls CROSS JOIN lab GROUP BY class)
+      |SELECT class, tp, fp, fn,
+      |  CASE WHEN tp + fp > 0
+      |       THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+      |    AS precision,
+      |  CASE WHEN tp + fn > 0
+      |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+      |    AS recall,
+      |  CASE WHEN tp * 2 + fp + fn > 0
+      |       THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) END
+      |    AS f1
+      |FROM m ORDER BY class""".stripMargin
+
   /** DuckDB twin of [[mattr]], derived from the SAME window width so
     * the two spellings cannot drift.
     */

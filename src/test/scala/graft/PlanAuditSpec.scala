@@ -390,6 +390,10 @@ class PlanAuditSpec extends SparkSpec {
       "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
       "ts_spearman" -> "average ranks over the day grid",
       "survival_km" -> "KM product over the distinct-day risk grid",
+      "survival_nelson_aalen" ->
+        "risk / cumulative-hazard windows over the distinct-duration grid",
+      "stats_ks_uniform_weekday" ->
+        "CDF windows over the 7-row weekday grid",
       "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
       "ts_ljung_box" ->
         "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{EventQueries, GraphQueries, Relational, TextQueries, TimeSeries}
+import graft.queries.{EventQueries, GraphQueries, Relational, Survival, TextQueries, TimeSeries}
 
 /** Independent driver-side replays for the round-13 statistics batch —
   * the mandatory closed-form-stats discipline (the ljungBox
@@ -293,5 +293,122 @@ class StatsReplaySpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(3)))).toMap
     for ((t, p50) <- approx; (lo, hi) = exact(t))
       assert(p50 >= lo && p50 <= hi, s"$t p50 $p50 outside [$lo, $hi]")
+  }
+
+  test("ksUniformWeekday: exact integer D-numerator replay") {
+    val dows = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d")).collect()
+      .map(_.getDate(0).toLocalDate.toEpochDay % 7)
+    val grid = dows.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val n = dows.length.toLong
+    var cum = 0L
+    val dNum = grid.zipWithIndex.map { case ((_, nk), i) =>
+      cum += nk; math.abs(cum * 7L - (i + 1L) * n)
+    }.max
+    val r = Relational.ksUniformWeekday(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == dNum,
+      s"(n, d_num) (${r.getLong(0)}, ${r.getLong(1)}) != replay ($n, $dNum)")
+    val d = dNum.toDouble / (7.0 * n.toDouble)
+    assert(math.abs(r.getDouble(2) - d) < 1e-15)
+    assert(math.abs(r.getDouble(3) - math.sqrt(n.toDouble) * d) < 1e-12)
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  test("nelsonAalen: cumulative-hazard replay; -ln(KM survival) ~ H(t)") {
+    val life = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues { rs =>
+        val ds = rs.map(_._2); (ds.min, ds.max)
+      }.toMap
+    val maxD = life.values.map(_._2).max
+    val durs = life.values.toSeq.map { case (f, l) =>
+      (l.toEpochDay - f.toEpochDay,
+        if (maxD.toEpochDay - l.toEpochDay > 90) 1L else 0L)
+    }
+    val grid = durs.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toSeq.sortBy(_._1)
+    val totalAt = grid.map(_._2._1).sum
+    var seen = 0L
+    var cumNano = 0L
+    val expect = grid.flatMap { case (dur, (nAt, dI)) =>
+      val nRisk = totalAt - seen; seen += nAt
+      if (dI > 0) {
+        val hz = java.math.BigDecimal.valueOf(dI.toDouble / nRisk * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        cumNano += hz
+        Some((dur, nRisk, dI, hz, cumNano))
+      } else None
+    }
+    val out = Survival.nelsonAalen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == expect, s"NA grid mismatch (first diff: ${
+      out.toSeq.zipAll(expect, null, null).find(p => p._1 != p._2)})")
+    // cross-check vs KM: on the shared grid, -ln S(t) >= H(t) with
+    // equality in the small-hazard limit (ln(1-x) <= -x exactly)
+    val km = Survival.kaplanMeier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // (no general upper bound: -ln(1-x)/x grows unboundedly as the
+    // at-risk set shrinks toward the tail, so only the direction is a
+    // theorem)
+    for ((dur, _, _, _, cn) <- expect if km.contains(dur)) {
+      val h = cn / 1e9
+      val negLnS = -km(dur)
+      assert(negLnS >= h - 1e-6, s"dur=$dur -lnS=$negLnS < H=$h")
+    }
+  }
+
+  test("wordBurstiness: per-word df/df2 replay of the top-30 cut") {
+    val perDocWord = docTokens.flatMap { case (id, _, ws) =>
+      ws.filter(_.nonEmpty).groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.map { case (w, c) => (id, w, c) }
+    }
+    val byWord = perDocWord.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(_._3 >= 2).toLong, rs.map(_._3).sum)
+    }.toSeq
+    val top = byWord.sortBy { case (w, (df, _, _)) => (-df, w) }.take(30)
+    val out = TextQueries.wordBurstiness(spark, sf).collect()
+    assert(out.length == top.length)
+    for ((r, (w, (df, df2, occ))) <- out.zip(top)) {
+      assert(r.getString(0) == w && r.getLong(1) == df
+        && r.getLong(2) == df2 && r.getLong(3) == occ,
+        s"${r.toSeq} != replay ($w, $df, $df2, $occ)")
+      assert(math.abs(r.getDouble(4) - df2.toDouble / df) < 1e-15)
+      assert(math.abs(r.getDouble(5) - occ.toDouble / df) < 1e-12)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 1.0)
+    }
+  }
+
+  test("langIdPrf: confusion-matrix precision/recall/F1 replay") {
+    val labeled = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val truth = if (Set("en", "es")(r.getString(0))) r.getString(0)
+          else "other"
+        val t = r.getString(1)
+        val guess = if (t.contains("the")) "en"
+          else if (t.contains("la")) "es" else "other"
+        (truth, guess)
+      }
+    val out = TextQueries.langIdPrf(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("en", "es", "other"))
+    for (r <- out) {
+      val c = r.getString(0)
+      val tp = labeled.count(p => p._1 == c && p._2 == c).toLong
+      val fp = labeled.count(p => p._1 != c && p._2 == c).toLong
+      val fn = labeled.count(p => p._1 == c && p._2 != c).toLong
+      assert(r.getLong(1) == tp && r.getLong(2) == fp && r.getLong(3) == fn,
+        s"$c cells ${r.toSeq} != replay ($tp, $fp, $fn)")
+      def check(i: Int, num: Long, den: Long): Unit =
+        if (den > 0) assert(math.abs(r.getDouble(i) - num.toDouble / den)
+          < 1e-15, s"$c col $i")
+        else assert(r.isNullAt(i), s"$c col $i must be NULL, not NaN")
+      check(4, tp, tp + fp)
+      check(5, tp, tp + fn)
+      check(6, 2 * tp, 2 * tp + fp + fn)
+    }
   }
 }
