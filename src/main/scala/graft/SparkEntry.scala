@@ -267,6 +267,8 @@ object SparkEntry {
     "text_good_turing" -> ((s, d) => TextQueries.goodTuring(s, d)),
     "text_word_burstiness" -> ((s, d) => TextQueries.wordBurstiness(s, d)),
     "text_langid_prf" -> (TextQueries.langIdPrf _),
+    "stats_cohens_kappa" -> (TextQueries.cohensKappa _),
+    "docs_heaps_law" -> ((s, d) => TextQueries.heapsLaw(s, d)),
     "events_burstiness" -> (EventQueries.burstiness _),
     "ts_mann_kendall" -> (TimeSeries.mannKendall _),
     "events_unattributed" -> (EventQueries.unattributedPurchases _),
@@ -660,6 +662,8 @@ object SparkEntry {
     "text_good_turing" -> TextQueries.goodTuringSql,
     "text_word_burstiness" -> TextQueries.wordBurstinessSql,
     "text_langid_prf" -> TextQueries.langIdPrfSql,
+    "stats_cohens_kappa" -> TextQueries.cohensKappaSql,
+    "docs_heaps_law" -> TextQueries.heapsLawSql(),
     "events_burstiness" -> EventQueries.burstinessSql,
     "ts_mann_kendall" -> TimeSeries.mannKendallSql,
     "events_unattributed" -> EventQueries.unattributedPurchasesSql,

@@ -2641,9 +2641,11 @@ object TextQueries {
       .otherwise("other")
     val truth = when(col("lang").isin("en", "es"), col("lang"))
       .otherwise("other")
-    val cells = docs(s, dir)
+    // one corpus scan: the ≤9-cell grid is checkpointed before the
+    // three per-class aggregates re-read it
+    val cells = graft.Graft.materialize(docs(s, dir)
       .groupBy(truth.as("truth"), guess.as("guess"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val classes = Seq("en", "es", "other")
     val perClass = classes.map { c =>
       cells.agg(
@@ -2668,6 +2670,221 @@ object TextQueries {
             / (col("tp") * 2L + col("fp") + col("fn")).cast("double")))
       .orderBy(col("class"))
   }
+
+  // --- Heaps' law ----------------------------------------------------------------
+  /** HEAPS' LAW fit V(n) ≈ K·n^β over the corpus vocabulary-growth
+    * curve (Heaps, Information Retrieval 1978; Herdan 1960): running
+    * token count vs running distinct-type count in doc_id order, log-log
+    * least squares on a BOUNDED checkpoint grid. β predicts vocabulary
+    * (and hence tokenizer/embedding-table) growth when the corpus
+    * scales 100× — the capacity-planning read an LLM-data pipeline
+    * wants before fixing a vocab size.
+    *
+    * Scale spelling: the two running sums ride
+    * [[graft.Graft.cumSumByRange]] (range-partitioned two-pass exact
+    * prefix sums — partition-PARALLEL, never a `SUM OVER (ORDER BY)`
+    * one-task funnel), and the regression consumes only ≤ `points`
+    * equally-spaced checkpoints (two parameters need no 10⁸-point fit),
+    * so moment sums stay exact BIGINT at any SF — micronat logs
+    * (round(ln·1e6), exact on <2^53 integer inputs) make Σxy a
+    * ~2.6e14-per-row integer, safe for 10⁴ checkpoint rows where the
+    * full-grid spelling would overflow int64 at ~35k docs.
+    *
+    * New-type attribution is order-free: a type's first document is
+    * `min(doc_id)` over its postings — one hash aggregation, no scan
+    * order dependence.
+    */
+  def heapsLaw(s: SparkSession, dir: String, points: Int = 24): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .filter(length(col("w")) > 0)
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val newTypes = tok.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("n_new"))
+    val joined = perDoc
+      .join(newTypes, perDoc("doc_id") === newTypes("fd"), "left")
+      .select(perDoc("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cum = graft.Graft.cumSumByRange(joined, Seq(col("doc_id")),
+      Seq((col("n_tok"), "cum_tok"), (col("n_new"), "cum_typ"),
+        (lit(1L), "rn")))
+    // checkpoint step from the cum pass's own materialization (never a
+    // second upstream scan); rn is the exact global ordinal
+    val nDocs = graft.Graft.materialize(cum).agg(max(col("rn")).as("n_docs"))
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val pts = cum.crossJoin(broadcast(nDocs))
+      .withColumn("step",
+        expr(s"(n_docs + ${points - 1}) div ${points.toLong}"))
+      .filter(pmod(col("rn"), col("step")) === 0)
+      .select(lnMicro(col("cum_tok")).as("x"), lnMicro(col("cum_typ")).as("y"),
+        col("cum_tok"), col("cum_typ"))
+    pts
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        max(col("cum_tok")).as("tokens_at_last"),
+        max(col("cum_typ")).as("types_at_last"))
+      .select(col("n").as("n_points"), col("tokens_at_last"),
+        col("types_at_last"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("heaps_beta"),
+        col("sx"), col("sy"))
+      .withColumn("heaps_k",
+        exp((col("sy").cast("double")
+          - col("heaps_beta") * col("sx").cast("double"))
+          / (col("n_points").cast("double") * lit(1e6))))
+      .select(col("n_points"), col("tokens_at_last"), col("types_at_last"),
+        col("heaps_beta"), col("heaps_k"))
+  }
+
+  /** DuckDB twin of [[heapsLaw]], derived from the same points budget
+    * so the checkpoint grids cannot drift.
+    */
+  def heapsLawSql(points: Int = 24): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      |       FROM tok GROUP BY doc_id),
+      |nt AS (
+      |  SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_new
+      |  FROM (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w)
+      |  GROUP BY fd),
+      |j AS (
+      |  SELECT pd.doc_id, n_tok, COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
+      |  FROM pd LEFT JOIN nt ON pd.doc_id = nt.fd),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok,
+      |    CAST(SUM(n_new) OVER w AS BIGINT) AS cum_typ,
+      |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+      |  FROM j
+      |  WINDOW w AS (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pts AS (
+      |  SELECT CAST(round(ln(CAST(cum_tok AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(cum_typ AS DOUBLE)) * 1e6) AS BIGINT) AS y,
+      |    cum_tok, cum_typ
+      |  FROM c
+      |  WHERE rn % CAST((n_docs + ${points - 1}
+      |                   - ((n_docs + ${points - 1}) % $points))
+      |                  / $points AS BIGINT) = 0),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    MAX(cum_tok) AS tokens_at_last, MAX(cum_typ) AS types_at_last
+      |  FROM pts),
+      |fit AS (
+      |  SELECT n AS n_points, tokens_at_last, types_at_last,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta,
+      |    sx, sy
+      |  FROM mo)
+      |SELECT n_points, tokens_at_last, types_at_last, heaps_beta,
+      |  exp((CAST(sy AS DOUBLE) - heaps_beta * CAST(sx AS DOUBLE))
+      |      / (CAST(n_points AS DOUBLE) * 1e6)) AS heaps_k
+      |FROM fit""".stripMargin
+
+  // --- Cohen's kappa -------------------------------------------------------------
+  /** COHEN'S KAPPA chance-corrected agreement between the
+    * [[langIdPrf]] heuristic's guess and the labeled truth on the same
+    * 3-class codomain (Cohen, Educ. Psychol. Meas. 1960): κ = (p_o −
+    * p_e)/(1 − p_e) with p_e from the marginal products — the honest
+    * version of "accuracy" when class priors are skewed, which is what
+    * a curation pipeline should quote for its language router.
+    *
+    * Exact integers, decimal-guarded: p_o's numerator is a BIGINT cell
+    * sum; the marginal-product term Σ rowₘ·colₘ is n²-scaled, so
+    * operands cast to DECIMAL(19,0) (products take DuckDB's hugeint
+    * path and Spark's decimal(38,0) — no int64 wrap at any corpus
+    * size); κ reduces to ONE double division of two exactly-computed
+    * decimal differences.
+    *
+    * Shape: one corpus aggregation to the ≤9-cell grid; marginals and
+    * products are class-sized arithmetic.
+    */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val guess = when(col("text").contains("the"), "en")
+      .when(col("text").contains("la"), "es")
+      .otherwise("other")
+    val truth = when(col("lang").isin("en", "es"), col("lang"))
+      .otherwise("other")
+    // one corpus scan: the ≤9-cell grid is checkpointed before its
+    // three consumers (marginals x2 + agreement) re-read it
+    val cells = graft.Graft.materialize(docs(s, dir)
+      .groupBy(truth.as("truth"), guess.as("guess"))
+      .agg(count(lit(1)).as("n")))
+    val rows = cells.groupBy(col("truth").as("cls"))
+      .agg(sum(col("n")).as("row_n"))
+    val cols = cells.groupBy(col("guess").as("cls"))
+      .agg(sum(col("n")).as("col_n"))
+    val margins = rows.join(cols, Seq("cls"), "full_outer")
+      .select((coalesce(col("row_n"), lit(0L)).cast("decimal(19,0)")
+        * coalesce(col("col_n"), lit(0L)).cast("decimal(19,0)")).as("rc"))
+      .agg(sum(col("rc")).as("s_rc"))
+    val agree = cells.agg(sum(col("n")).as("n_docs"),
+      coalesce(sum(when(col("truth") === col("guess"), col("n"))), lit(0L))
+        .as("n_agree"))
+    agree.crossJoin(broadcast(margins))
+      .withColumn("n2",
+        col("n_docs").cast("decimal(19,0)") * col("n_docs").cast("decimal(19,0)"))
+      .withColumn("p_o",
+        col("n_agree").cast("double") / col("n_docs").cast("double"))
+      .withColumn("p_e", col("s_rc").cast("double") / col("n2").cast("double"))
+      .select(col("n_docs"), col("n_agree"), col("p_o"), col("p_e"),
+        when(col("n2") =!= col("s_rc"),
+          (col("n_docs").cast("decimal(19,0)")
+            * col("n_agree").cast("decimal(19,0)")
+            - col("s_rc")).cast("double")
+            / (col("n2") - col("s_rc")).cast("double")).as("kappa"))
+  }
+
+  val cohensKappaSql: String =
+    """WITH lab AS (
+      |  SELECT CASE WHEN lang IN ('en', 'es') THEN lang
+      |              ELSE 'other' END AS truth,
+      |         CASE WHEN contains(text, 'the') THEN 'en'
+      |              WHEN contains(text, 'la') THEN 'es'
+      |              ELSE 'other' END AS guess
+      |  FROM documents),
+      |cells AS (
+      |  SELECT truth, guess, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lab GROUP BY truth, guess),
+      |r AS (SELECT truth AS cls, CAST(SUM(n) AS BIGINT) AS row_n
+      |      FROM cells GROUP BY truth),
+      |co AS (SELECT guess AS cls, CAST(SUM(n) AS BIGINT) AS col_n
+      |       FROM cells GROUP BY guess),
+      |m AS (
+      |  SELECT SUM(CAST(COALESCE(row_n, 0) AS DECIMAL(19,0))
+      |             * CAST(COALESCE(col_n, 0) AS DECIMAL(19,0))) AS s_rc
+      |  FROM r FULL OUTER JOIN co USING (cls)),
+      |a AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(COALESCE(SUM(CASE WHEN truth = guess THEN n END), 0)
+      |         AS BIGINT) AS n_agree
+      |  FROM cells),
+      |k AS (
+      |  SELECT n_docs, n_agree, s_rc,
+      |    CAST(n_docs AS DECIMAL(19,0)) * CAST(n_docs AS DECIMAL(19,0)) AS n2
+      |  FROM a, m)
+      |SELECT n_docs, n_agree,
+      |  CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_o,
+      |  CAST(s_rc AS DOUBLE) / CAST(n2 AS DOUBLE) AS p_e,
+      |  CASE WHEN n2 <> s_rc THEN
+      |    CAST(CAST(n_docs AS DECIMAL(19,0)) * CAST(n_agree AS DECIMAL(19,0))
+      |         - s_rc AS DOUBLE)
+      |    / CAST(n2 - s_rc AS DOUBLE) END AS kappa
+      |FROM k""".stripMargin
 
   val langIdPrfSql: String =
     """WITH lab AS (

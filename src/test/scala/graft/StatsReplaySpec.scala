@@ -411,4 +411,72 @@ class StatsReplaySpec extends SparkSpec {
       check(6, 2 * tp, 2 * tp + fp + fn)
     }
   }
+
+  test("cohensKappa: marginal-product replay; kappa <= p_o bound") {
+    val labeled = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val truth = if (Set("en", "es")(r.getString(0))) r.getString(0)
+          else "other"
+        val t = r.getString(1)
+        val guess = if (t.contains("the")) "en"
+          else if (t.contains("la")) "es" else "other"
+        (truth, guess)
+      }
+    val n = labeled.length.toLong
+    val agree = labeled.count(p => p._1 == p._2).toLong
+    val sRc = Seq("en", "es", "other").map { c =>
+      BigInt(labeled.count(_._1 == c)) * BigInt(labeled.count(_._2 == c))
+    }.sum
+    val r = graft.queries.TextQueries.cohensKappa(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == agree)
+    val pO = agree.toDouble / n
+    val pE = sRc.toDouble / (BigInt(n) * BigInt(n)).toDouble
+    assert(math.abs(r.getDouble(2) - pO) < 1e-15)
+    assert(math.abs(r.getDouble(3) - pE) < 1e-12)
+    val kappa = (pO - pE) / (1 - pE)
+    assert(math.abs(r.getDouble(4) - kappa) < 1e-9,
+      s"kappa ${r.getDouble(4)} != replay $kappa")
+    assert(r.getDouble(4) <= 1.0 && r.getDouble(4) >= -1.0)
+  }
+
+  test("heapsLaw: checkpoint-grid regression replay") {
+    val byDoc = docTokens.map { case (id, _, ws) =>
+      (id, ws.count(_.nonEmpty).toLong)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val firstDoc = docTokens
+      .flatMap { case (id, _, ws) => ws.filter(_.nonEmpty).map(w => (w, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).values.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var cumTok = 0L; var cumTyp = 0L
+    val curve = byDoc.map { case (id, nt) =>
+      cumTok += nt; cumTyp += firstDoc.getOrElse(id, 0L); (cumTok, cumTyp)
+    }
+    val nDocs = byDoc.length.toLong
+    val step = (nDocs + 23) / 24
+    val sel = curve.zipWithIndex.collect {
+      case ((ct, cy), i) if (i + 1) % step == 0 => (ct, cy)
+    }
+    val pts = sel.map { case (ct, cy) =>
+      (math.round(math.log(ct.toDouble) * 1e6),
+        math.round(math.log(cy.toDouble) * 1e6))
+    }
+    val nP = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (nP.toDouble * sxy - sx.toDouble * sy) /
+      (nP.toDouble * sxx - sx.toDouble * sx)
+    val k = math.exp((sy.toDouble - beta * sx.toDouble) / (nP.toDouble * 1e6))
+    val r = graft.queries.TextQueries.heapsLaw(spark, sf).collect().head
+    assert(r.getLong(0) == nP && r.getLong(1) == sel.last._1
+      && r.getLong(2) == sel.last._2,
+      s"grid ${r.toSeq} != replay ($nP, ${sel.last})")
+    assert(math.abs(r.getDouble(3) - beta) < 1e-9, s"beta ${r.getDouble(3)} != $beta")
+    assert(math.abs(r.getDouble(4) - k) < 1e-6 * math.max(1.0, k))
+    // Heaps exponent is sublinear; the sf0.001 fixture's tiny fixed
+    // vocabulary saturates before the first checkpoint, so 0 (flat
+    // curve) is legitimate there
+    assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
+  }
 }
