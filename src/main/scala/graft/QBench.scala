@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time one SparkEntry query in a fresh JVM.
-  * Usage: runMain graft.QBench <queryName> [repeats]
-  * (sfDir from SPARK_GRAFT_SF_DIR, threads from SPARK_GRAFT_CPUS)
+/** Dev tool: time one or more SparkEntry queries in a fresh JVM.
+  * Usage: runMain graft.QBench <name[,name2,...]> [repeats]
+  * (sfDir from SPARK_GRAFT_SF_DIR, threads from SPARK_GRAFT_CPUS;
+  * QBENCH_EXPLAIN=1 additionally dumps each query's formatted plan —
+  * the per-round PLANS_r*.md source)
   */
 object QBench {
   def main(args: Array[String]): Unit = {
@@ -28,14 +30,18 @@ object QBench {
         sys.env.getOrElse("SPARK_GRAFT_CACHE_EDGES", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[qbench] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    for (n <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val fn = SparkEntry.queries(n)
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[qbench] $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      if (sys.env.contains("QBENCH_EXPLAIN")) {
+        println(s"==== PLAN $n ====")
+        fn(spark, sfDir).explain("formatted")
+      }
     }
-    if (sys.env.contains("QBENCH_EXPLAIN"))
-      fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

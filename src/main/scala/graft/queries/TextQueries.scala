@@ -2705,12 +2705,13 @@ object TextQueries {
       .join(newTypes, perDoc("doc_id") === newTypes("fd"), "left")
       .select(perDoc("doc_id"), col("n_tok"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-    val cum = graft.Graft.cumSumByRange(joined, Seq(col("doc_id")),
-      Seq((col("n_tok"), "cum_tok"), (col("n_new"), "cum_typ"),
-        (lit(1L), "rn")))
-    // checkpoint step from the cum pass's own materialization (never a
-    // second upstream scan); rn is the exact global ordinal
-    val nDocs = graft.Graft.materialize(cum).agg(max(col("rn")).as("n_docs"))
+    // one checkpoint serves BOTH consumers (the 1-row n_docs aggregate
+    // and the checkpoint filter) — never a second window/upstream pass
+    val cum = graft.Graft.materialize(
+      graft.Graft.cumSumByRange(joined, Seq(col("doc_id")),
+        Seq((col("n_tok"), "cum_tok"), (col("n_new"), "cum_typ"),
+          (lit(1L), "rn"))))
+    val nDocs = cum.agg(max(col("rn")).as("n_docs"))
     def lnMicro(c: Column): Column =
       round(log(c.cast("double")) * lit(1e6)).cast("long")
     val pts = cum.crossJoin(broadcast(nDocs))
