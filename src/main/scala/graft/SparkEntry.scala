@@ -226,6 +226,8 @@ object SparkEntry {
     "graph_khop_reach" -> ((s, d) => GraphQueries.khopReach(s, d)),
     "graph_sssp" -> ((s, d) => GraphQueries.ssspBounded(s, d)),
     "graph_assortativity" -> (GraphQueries.assortativity _),
+    "graph_avg_neighbor_degree" -> (GraphQueries.avgNeighborDegree _),
+    "ts_hurst_rs" -> (TimeSeries.hurstRs _),
     "graph_label_propagation" -> ((s, d) => GraphQueries.labelPropagation(s, d)),
     "stats_gini_spend" -> (Relational.giniSpend _),
     "stats_theil_nation" -> (Relational.theilNation _),
@@ -622,6 +624,8 @@ object SparkEntry {
     "graph_khop_reach" -> GraphQueries.khopReachSql,
     "graph_sssp" -> GraphQueries.ssspBoundedSql,
     "graph_assortativity" -> GraphQueries.assortativitySql,
+    "graph_avg_neighbor_degree" -> GraphQueries.avgNeighborDegreeSql,
+    "ts_hurst_rs" -> TimeSeries.hurstRsSql,
     "graph_label_propagation" -> GraphQueries.labelPropagationSql,
     "stats_gini_spend" -> Relational.giniSpendSql,
     "stats_theil_nation" -> Relational.theilNationSql,

@@ -937,6 +937,67 @@ object GraphQueries {
     * on their partitioning keys — the same two honest exchanges as
     * modularity — and the moments reduce map-side to one row.
     */
+  // --- average neighbor degree profile -----------------------------------------
+  /** AVERAGE-NEIGHBOR-DEGREE profile k_nn(k) over the trade graph
+    * (Pastor-Satorras, Vázquez & Vespignani, PRL 2001): for each
+    * degree class k, the node-averaged mean neighbor degree
+    * k_nn(k) = (1/N_k) Σ_{deg v = k} (1/k) Σ_{u∈N(v)} deg u — the
+    * degree-resolved companion of the single-number [[assortativity]]
+    * coefficient (rising profile = assortative mixing, falling =
+    * hubs-attract-leaves). This is the curve a partitioner reads to
+    * predict whether hub-adjacent shuffles will skew.
+    *
+    * Exactness: Σ_v Σ_{u∈N(v)} deg u per class is the degree second
+    * moment restricted to class k — SF-growing, so neighbor-degree
+    * sums accumulate in DECIMAL (the assortativity moments rule);
+    * k_nn is ONE double division of exact quantities (÷ k·N_k).
+    *
+    * Shape: degree is one aggregation of the edge list; one node-keyed
+    * join labels each directed edge with its destination degree; the
+    * per-source sum collapses on the source key and the class rollup
+    * is degree-histogram-sized (≤ max degree rows). Same two honest
+    * exchanges as [[assortativity]] — no adjacency materialization,
+    * no broadcast of anything data-sized.
+    */
+  def avgNeighborDegree(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nbrSum = edges
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(sum(col("dy").cast("decimal(18,0)")).as("s_nbr"))
+    nbrSum.join(deg, Seq("src"))
+      .groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("s_nbr")).as("sum_nbr_deg"))
+      .select(col("k"), col("n_nodes"),
+        // exact below 2^53 and correctly-rounded above in both engines
+        col("sum_nbr_deg").cast("double").as("sum_nbr_deg"),
+        (col("sum_nbr_deg").cast("double")
+          / (col("k") * col("n_nodes")).cast("double")).as("k_nn"))
+      .orderBy(col("k"))
+  }
+
+  val avgNeighborDegreeSql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY src),
+      |ns AS (
+      |  SELECT e.src, SUM(CAST(b.deg AS DECIMAL(18,0))) AS s_nbr
+      |  FROM edges e JOIN deg b ON e.dst = b.src
+      |  GROUP BY e.src),
+      |cls AS (
+      |  SELECT deg AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |         SUM(s_nbr) AS sum_nbr_deg
+      |  FROM ns JOIN deg USING (src)
+      |  GROUP BY deg)
+      |SELECT k, n_nodes, CAST(sum_nbr_deg AS DOUBLE) AS sum_nbr_deg,
+      |  CAST(sum_nbr_deg AS DOUBLE) / CAST(k * n_nodes AS DOUBLE) AS k_nn
+      |FROM cls ORDER BY k""".stripMargin
+
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -1169,4 +1169,159 @@ object TimeSeries {
       |SELECT yr, n1, nq, var_1, var_q,
       |  CASE WHEN var_1 > 0 THEN var_q / ($q.0 * var_1) ELSE NULL END AS vr
       |FROM v ORDER BY yr""".stripMargin
+
+  // --- Hurst exponent (rescaled range) ------------------------------------------
+  /** HURST EXPONENT of daily revenue by rescaled-range (R/S) analysis
+    * (Hurst, Trans. ASCE 1951; Mandelbrot & Wallis 1969): slice the
+    * day grid into complete blocks of n ∈ {16, 32, 64, 128} days,
+    * compute each block's range-of-cumulative-deviations over its
+    * standard deviation, and fit ln E[R/S] against ln n. H ≈ 0.5 is a
+    * random walk, H > 0.5 long-range persistence — the read behind
+    * "does demand memory exist beyond the seasonal period", a
+    * complement of [[varianceRatio]] (which tests ONE aggregation
+    * horizon q; R/S sweeps four octaves).
+    *
+    * Exactness: within a block of FIXED size n, deviations from the
+    * block mean scale to exact integers (n·yᵢ − S_b, the Levene-style
+    * clear-the-denominator move), so each block's R numerator
+    * max(cum) − min(cum) is exact BIGINT; the variance numerator
+    * n·Σy² − S² squares in DECIMAL(19,0) (hugeint path — daily cents
+    * square past int64 by sf≈1). Per block, R/S is ONE division of
+    * exact-derived doubles, logged onto the micronat grid; per-n means
+    * are exact-integer sums over the ≤(2400/16)-block grid. The final
+    * 4-point log-log slope uses FIXED-ORDER arithmetic on the pivoted
+    * single row (conditional 1-term sums, ln-spaced abscissae are
+    * literals) — never a float aggregation whose order could differ
+    * across engines; ln 2 is the shared literal 0.6931471805599453.
+    *
+    * Shape: fact table → day grid (one aggregation, calendar-bounded);
+    * the grid fans out ×4 block sizes; running sums ride windows
+    * PARTITIONED BY (n, block); block rollup and the 4-row pivot are
+    * grid-sized. The one global window (day rank) rides the bounded
+    * day grid (allowlisted class).
+    */
+  def hurstRs(s: SparkSession, dir: String): DataFrame = {
+    val ns = Seq(16L, 32L, 64L, 128L)
+    val grid = dailyRevenue(s, dir)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .select(col("rn"), col("rev_cents").as("y"))
+    val fan = grid
+      .select(col("rn"), col("y"), explode(typedLit(ns)).as("n"))
+      .withColumn("blk", expr("(rn - 1) div n"))
+    val wBlk = Window.partitionBy(col("n"), col("blk"))
+    val wRun = wBlk.orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val y19 = col("y").cast("decimal(19,0)")
+    val perRow = fan
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .filter(col("cnt") === col("n")) // complete blocks only
+      .withColumn("s_b", sum(col("y")).over(wBlk))
+      // n·Σy² spelled as Σ(y·(n·y)): every decimal product stays
+      // pairwise-(19,0) — a (19)×(38) multiply would exceed DuckDB's
+      // 38-digit result-width rule (the r11 probe finding)
+      .withColumn("ssn_b",
+        sum(y19 * (col("n") * col("y")).cast("decimal(19,0)")).over(wBlk))
+      .withColumn("k", row_number().over(wBlk.orderBy(col("rn"))).cast("long"))
+      .withColumn("cum_y", sum(col("y")).over(wRun))
+      // scaled cumulative deviation: n·Σ_{i≤k} yᵢ − k·S_b (exact long)
+      .withColumn("cum_dev", col("n") * col("cum_y") - col("k") * col("s_b"))
+    val perBlock = perRow.groupBy(col("n"), col("blk"))
+      .agg(max(col("cum_dev")).as("maxc"), min(col("cum_dev")).as("minc"),
+        first(col("s_b")).as("s_b"), first(col("ssn_b")).as("ssn_b"))
+      // V_b = n·Σy² − S² (both scaled by n²; the ratio cancels it)
+      .withColumn("v_b",
+        (col("ssn_b")
+          - col("s_b").cast("decimal(19,0)") * col("s_b").cast("decimal(19,0)"))
+          .cast("double"))
+      .filter(col("v_b") > 0.0) // zero-variance block has no R/S
+      .withColumn("lnrs_micro",
+        round(log((col("maxc") - col("minc")).cast("double")
+          / sqrt(col("v_b"))) * lit(1e6)).cast("long"))
+    val perN = perBlock.groupBy(col("n"))
+      .agg(count(lit(1)).as("b"), sum(col("lnrs_micro")).as("sm"))
+    // 4-row pivot onto one row: every "sum" is 1-term ⇒ fixed order
+    def m(n: Long): Column =
+      (sum(when(col("n") === n, col("sm"))).cast("double")
+        / sum(when(col("n") === n, col("b"))).cast("double")) / lit(1e6)
+    def b(n: Long): Column = sum(when(col("n") === n, col("b"))).as(s"blocks_$n")
+    val ln2 = 0.6931471805599453
+    perN.agg(b(16L), b(32L), b(64L), b(128L),
+        m(16L).as("m16"), m(32L).as("m32"), m(64L).as("m64"),
+        m(128L).as("m128"))
+      .select(col("blocks_16"), col("blocks_32"), col("blocks_64"),
+        col("blocks_128"), col("m16").as("mean_lnrs_16"),
+        col("m128").as("mean_lnrs_128"),
+        // ln n are ln16 + j·ln2: closed-form least squares over 4 pts
+        ((lit(1.5) * (col("m128") - col("m16"))
+          + lit(0.5) * (col("m64") - col("m32"))) / lit(5.0 * ln2))
+          .as("hurst_h"))
+  }
+
+  val hurstRsSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |grid AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, y
+      |  FROM rev),
+      |fan AS (
+      |  SELECT rn, y, CAST(n AS BIGINT) AS n,
+      |    CAST((rn - 1 - ((rn - 1) % CAST(n AS BIGINT)))
+      |         / CAST(n AS BIGINT) AS BIGINT) AS blk
+      |  FROM grid, (SELECT unnest([16, 32, 64, 128]) AS n)),
+      |rows_w AS (
+      |  SELECT n, blk, rn, y,
+      |    CAST(COUNT(*) OVER wb AS BIGINT) AS cnt,
+      |    CAST(SUM(y) OVER wb AS BIGINT) AS s_b,
+      |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(n * y AS DECIMAL(19,0)))
+      |      OVER wb AS ssn_b,
+      |    CAST(row_number() OVER (PARTITION BY n, blk ORDER BY rn) AS BIGINT)
+      |      AS k,
+      |    CAST(SUM(y) OVER (PARTITION BY n, blk ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_y
+      |  FROM fan
+      |  WINDOW wb AS (PARTITION BY n, blk)),
+      |devs AS (
+      |  SELECT n, blk, s_b, ssn_b, n * cum_y - k * s_b AS cum_dev
+      |  FROM rows_w WHERE cnt = n),
+      |blocks AS (
+      |  SELECT n, blk,
+      |    MAX(cum_dev) AS maxc, MIN(cum_dev) AS minc,
+      |    CAST(ANY_VALUE(ssn_b)
+      |         - CAST(ANY_VALUE(s_b) AS DECIMAL(19,0))
+      |           * CAST(ANY_VALUE(s_b) AS DECIMAL(19,0)) AS DOUBLE) AS v_b
+      |  FROM devs GROUP BY n, blk),
+      |lnrs AS (
+      |  SELECT n,
+      |    CAST(round(ln(CAST(maxc - minc AS DOUBLE) / sqrt(v_b)) * 1e6)
+      |         AS BIGINT) AS lnrs_micro
+      |  FROM blocks WHERE v_b > 0),
+      |pern AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS b,
+      |    CAST(SUM(lnrs_micro) AS BIGINT) AS sm
+      |  FROM lnrs GROUP BY n),
+      |piv AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN n = 16 THEN b END) AS BIGINT) AS blocks_16,
+      |    CAST(SUM(CASE WHEN n = 32 THEN b END) AS BIGINT) AS blocks_32,
+      |    CAST(SUM(CASE WHEN n = 64 THEN b END) AS BIGINT) AS blocks_64,
+      |    CAST(SUM(CASE WHEN n = 128 THEN b END) AS BIGINT) AS blocks_128,
+      |    CAST(SUM(CASE WHEN n = 16 THEN sm END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN n = 16 THEN b END) AS DOUBLE) / 1e6 AS m16,
+      |    CAST(SUM(CASE WHEN n = 32 THEN sm END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN n = 32 THEN b END) AS DOUBLE) / 1e6 AS m32,
+      |    CAST(SUM(CASE WHEN n = 64 THEN sm END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN n = 64 THEN b END) AS DOUBLE) / 1e6 AS m64,
+      |    CAST(SUM(CASE WHEN n = 128 THEN sm END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN n = 128 THEN b END) AS DOUBLE) / 1e6 AS m128
+      |  FROM pern)
+      |SELECT blocks_16, blocks_32, blocks_64, blocks_128,
+      |  m16 AS mean_lnrs_16, m128 AS mean_lnrs_128,
+      |  (1.5 * (m128 - m16) + 0.5 * (m64 - m32))
+      |    / (5.0 * 0.6931471805599453) AS hurst_h
+      |FROM piv""".stripMargin
 }

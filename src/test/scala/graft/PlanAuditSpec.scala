@@ -394,6 +394,8 @@ class PlanAuditSpec extends SparkSpec {
         "risk / cumulative-hazard windows over the distinct-duration grid",
       "stats_ks_uniform_weekday" ->
         "CDF windows over the 7-row weekday grid",
+      "ts_hurst_rs" ->
+        "day-rank window over the calendar day grid (blocks are partitioned)",
       "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
       "ts_ljung_box" ->
         "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",

@@ -479,4 +479,60 @@ class StatsReplaySpec extends SparkSpec {
     // curve) is legitimate there
     assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
   }
+
+  test("avgNeighborDegree: per-class k_nn replay from the edge list") {
+    val edges = GraphQueries.tradeEdges(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nbrSum = edges.groupBy(_._1).view
+      .mapValues(_.map(e => BigInt(deg(e._2))).sum).toMap
+    // .toSeq before the map: deg.keys is a SET, and mapping a set
+    // through nbrSum would deduplicate EQUAL neighbor-degree sums
+    val byK = deg.keys.toSeq.groupBy(deg).view.mapValues { vs =>
+      (vs.size.toLong, vs.map(nbrSum).sum)
+    }.toMap
+    val out = GraphQueries.avgNeighborDegree(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == byK.keySet)
+    for (r <- out) {
+      val k = r.getLong(0)
+      val (nk, sNbr) = byK(k)
+      assert(r.getLong(1) == nk, s"k=$k n_nodes")
+      assert(math.abs(r.getDouble(2) - sNbr.toDouble) < 1e-6, s"k=$k sum")
+      val knn = sNbr.toDouble / (k * nk).toDouble
+      assert(math.abs(r.getDouble(3) - knn) < 1e-9 * math.max(1.0, knn),
+        s"k=$k knn ${r.getDouble(3)} != $knn")
+      // a neighbor's degree is at least 1 and at most the max degree
+      assert(knn >= 1.0 && knn <= deg.values.max.toDouble)
+    }
+  }
+
+  test("hurstRs: per-block R/S replay from the day series") {
+    val ys = daySeries.map(_._2) // daily revenue cents in date order
+    val perN = Seq(16, 32, 64, 128).map { n =>
+      val lnrs = ys.grouped(n).filter(_.length == n).toSeq.flatMap { blk =>
+        val s = blk.map(BigInt(_)).sum
+        val ssn = blk.map(y => BigInt(y) * (BigInt(n) * y)).sum
+        val vb = (ssn - s * s).toDouble
+        if (vb > 0) {
+          var cum = BigInt(0)
+          val devs = blk.map { y => cum += y; BigInt(n) * cum }
+            .zipWithIndex.map { case (c, i) => c - BigInt(i + 1) * s }
+          val r = (devs.max - devs.min).toDouble
+          Some(math.round(math.log(r / math.sqrt(vb)) * 1e6))
+        } else None
+      }
+      n.toLong -> ((lnrs.length.toLong, lnrs.sum))
+    }.toMap
+    val r = TimeSeries.hurstRs(spark, sf).collect().head
+    val bs = Seq(16L, 32L, 64L, 128L).map(n => perN(n)._1)
+    assert(Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == bs,
+      s"block counts ${r.toSeq} != $bs")
+    def m(n: Long): Double = perN(n)._2.toDouble / perN(n)._1 / 1e6
+    assert(math.abs(r.getDouble(4) - m(16L)) < 1e-12)
+    assert(math.abs(r.getDouble(5) - m(128L)) < 1e-12)
+    val h = (1.5 * (m(128L) - m(16L)) + 0.5 * (m(64L) - m(32L))) /
+      (5.0 * 0.6931471805599453)
+    assert(math.abs(r.getDouble(6) - h) < 1e-12, s"H ${r.getDouble(6)} != $h")
+    assert(h > 0.0 && h < 1.0, s"H $h outside (0,1)")
+  }
 }
