@@ -231,6 +231,7 @@ object SparkEntry {
     "graph_label_propagation" -> ((s, d) => GraphQueries.labelPropagation(s, d)),
     "stats_gini_spend" -> (Relational.giniSpend _),
     "stats_theil_nation" -> (Relational.theilNation _),
+    "stats_atkinson_mld" -> (Relational.atkinsonMld _),
     "events_interarrival" -> (EventQueries.interArrival _),
     "stats_benford" -> (Governance.benford _),
     "stats_jarque_bera" -> (Relational.jarqueBera _),
@@ -629,6 +630,7 @@ object SparkEntry {
     "graph_label_propagation" -> GraphQueries.labelPropagationSql,
     "stats_gini_spend" -> Relational.giniSpendSql,
     "stats_theil_nation" -> Relational.theilNationSql,
+    "stats_atkinson_mld" -> Relational.atkinsonMldSql,
     "events_interarrival" -> EventQueries.interArrivalSql,
     "stats_benford" -> Governance.benfordSql,
     "stats_jarque_bera" -> Relational.jarqueBeraSql,

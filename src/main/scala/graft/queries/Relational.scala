@@ -2111,6 +2111,64 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  // --- Atkinson index + mean log deviation --------------------------------------
+  /** ATKINSON INEQUALITY INDEX at ε = 1 and the MEAN LOG DEVIATION
+    * (Theil-L / GE(0)) over per-customer spend (Atkinson, J. Econ.
+    * Theory 1970): MLD = ln x̄ − mean(ln x) and A₁ = 1 − e^(−MLD) =
+    * 1 − geomean/mean. Completes the inequality triple with
+    * [[giniSpend]] and [[theilNation]] (Theil-T): A₁ is the member
+    * with a welfare interpretation ("share of total spend that could
+    * be discarded under equal division at equal welfare"), the
+    * concentration read behind sampling-weight design.
+    *
+    * Exactness: per-customer cents are exact longs ≥ 1; Σ lnµ(x) is an
+    * exact BIGINT micronat sum; x̄ = S/n is ONE IEEE division and
+    * ln/exp act on bit-identical doubles in a fixed order on both
+    * engines (the micronat-log discipline).
+    *
+    * Shape: one customer-keyed aggregation (map-side combined) then a
+    * grand aggregate — nothing after the first exchange scales with
+    * anything but customer cardinality, and that only until the 1-row
+    * reduce.
+    */
+  def atkinsonMld(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * lit(100)).cast("long")).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("st"),
+        sum(lnMicro(col("x"))).as("sl"))
+      .select(col("n").as("n_customers"), col("st").as("total_cents"),
+        col("sl").as("sum_ln_micro"),
+        (log(col("st").cast("double") / col("n").cast("double"))
+          - col("sl").cast("double")
+            / (col("n").cast("double") * lit(1e6))).as("mld"))
+      .withColumn("atkinson_1",
+        lit(1.0) - exp((col("sum_ln_micro").cast("double")
+          / (col("n_customers").cast("double") * lit(1e6)))
+          - log(col("total_cents").cast("double")
+            / col("n_customers").cast("double"))))
+  }
+
+  val atkinsonMldSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS st,
+      |    CAST(SUM(CAST(round(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS sl
+      |  FROM spend)
+      |SELECT n AS n_customers, st AS total_cents, sl AS sum_ln_micro,
+      |  ln(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+      |    - CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mld,
+      |  1.0 - exp((CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+      |            - ln(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS atkinson_1
+      |FROM g""".stripMargin
+
   val theilNationSql: String = {
     def lnu(v: String): String =
       s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"

@@ -480,6 +480,30 @@ class StatsReplaySpec extends SparkSpec {
     assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
   }
 
+  test("atkinsonMld: micronat geomean replay; 0 <= A1 < 1, A1 vs MLD identity") {
+    val xs = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).values.toSeq
+    val n = xs.length.toLong
+    val st = xs.map(BigInt(_)).sum
+    val sl = xs.map(x => math.round(math.log(x.toDouble) * 1e6)).sum
+    val mld = math.log(st.toDouble / n) - sl.toDouble / (n * 1e6)
+    val a1 = 1.0 - math.exp(sl.toDouble / (n * 1e6)
+      - math.log(st.toDouble / n))
+    val r = graft.queries.Relational.atkinsonMld(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == st.toLong
+      && r.getLong(2) == sl,
+      s"(n, st, sl) ${r.toSeq} != replay ($n, $st, $sl)")
+    assert(math.abs(r.getDouble(3) - mld) < 1e-12)
+    assert(math.abs(r.getDouble(4) - a1) < 1e-12)
+    // AM-GM: mean >= geomean on a non-degenerate spend vector
+    assert(mld > 0.0 && a1 > 0.0 && a1 < 1.0)
+    assert(math.abs((1.0 - a1) - math.exp(-mld)) < 1e-12)
+  }
+
   test("avgNeighborDegree: per-class k_nn replay from the edge list") {
     val edges = GraphQueries.tradeEdges(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)))
