@@ -328,11 +328,11 @@ object Drift {
       |  SELECT n_a, n_b,
       |    CAST(sc_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) AS mean_a,
       |    CAST(sc_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS mean_b,
-      |    (CAST(n_a AS DOUBLE) * CAST(scc_a AS DOUBLE)
+      |    (CAST(n_a AS DOUBLE) * CAST(CAST(scc_a AS VARCHAR) AS DOUBLE)
       |       - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE))
       |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0) * 10000.0)
       |      / CAST(n_a AS DOUBLE) AS sea,
-      |    (CAST(n_b AS DOUBLE) * CAST(scc_b AS DOUBLE)
+      |    (CAST(n_b AS DOUBLE) * CAST(CAST(scc_b AS VARCHAR) AS DOUBLE)
       |       - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE))
       |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0) * 10000.0)
       |      / CAST(n_b AS DOUBLE) AS seb

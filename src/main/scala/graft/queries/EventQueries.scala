@@ -883,7 +883,7 @@ object EventQueries {
       |SELECT event_type, n_days,
       |  CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
       |  CASE WHEN n_days > 1 THEN
-      |    ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+      |    ((CAST(n_days AS DOUBLE) * CAST(CAST(scc AS VARCHAR) AS DOUBLE)
       |       - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
       |      / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
       |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))

@@ -994,8 +994,8 @@ object GraphQueries {
       |         SUM(s_nbr) AS sum_nbr_deg
       |  FROM ns JOIN deg USING (src)
       |  GROUP BY deg)
-      |SELECT k, n_nodes, CAST(sum_nbr_deg AS DOUBLE) AS sum_nbr_deg,
-      |  CAST(sum_nbr_deg AS DOUBLE) / CAST(k * n_nodes AS DOUBLE) AS k_nn
+      |SELECT k, n_nodes, CAST(CAST(sum_nbr_deg AS VARCHAR) AS DOUBLE) AS sum_nbr_deg,
+      |  CAST(CAST(sum_nbr_deg AS VARCHAR) AS DOUBLE) / CAST(k * n_nodes AS DOUBLE) AS k_nn
       |FROM cls ORDER BY k""".stripMargin
 
   def assortativity(s: SparkSession, dir: String): DataFrame = {
@@ -1044,11 +1044,11 @@ object GraphQueries {
       |    SUM(CAST(dy AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS syy
       |  FROM lab)
       |SELECT m AS n_directed_edges,
-      |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  (CAST(m AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |  / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  / sqrt((CAST(m AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |     * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |     * (CAST(m AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
       |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
       |    AS assortativity
       |FROM mo""".stripMargin

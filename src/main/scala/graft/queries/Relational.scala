@@ -1779,7 +1779,7 @@ object Relational {
       |  SELECT k, n,
       |    cum_term - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
       |      AS ss_between,
-      |    CAST(ss AS DOUBLE) - cum_term AS ss_within
+      |    CAST(CAST(ss AS VARCHAR) AS DOUBLE) - cum_term AS ss_within
       |  FROM c, t WHERE i = k)
       |SELECT k, n, ss_between, ss_within,
       |  (ss_between / (CAST(k AS DOUBLE) - 1.0))
@@ -1843,7 +1843,7 @@ object Relational {
       |  FROM rev JOIN sup ON l_suppkey = s_suppkey
       |  GROUP BY n_name)
       |SELECT n_name, n_suppliers, total_dollars,
-      |  CAST(sq AS DOUBLE)
+      |  CAST(CAST(sq AS VARCHAR) AS DOUBLE)
       |    / (CAST(total_dollars AS DOUBLE) * CAST(total_dollars AS DOUBLE))
       |    AS hhi
       |FROM g ORDER BY n_name""".stripMargin
@@ -2191,7 +2191,7 @@ object Relational {
       |               CAST(SUM(sg) AS BIGINT) AS st FROM g)
       |SELECT nation, ng AS n_customers, sg AS spend_cents,
       |  CAST(sg AS DOUBLE) / CAST(st AS DOUBLE) AS spend_share,
-      |  (CAST(wg AS DOUBLE)
+      |  (CAST(CAST(wg AS VARCHAR) AS DOUBLE)
       |     - CAST(sg AS DOUBLE)
       |       * CAST(${lnu("sg")} - ${lnu("ng")} AS DOUBLE))
       |    / (CAST(sg AS DOUBLE) * 1e6) AS theil_within,
@@ -2218,7 +2218,7 @@ object Relational {
       |         SUM(CAST(i AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS six
       |  FROM rk)
       |SELECT n AS n_customers, sx AS total_cents,
-      |  (2.0 * CAST(six AS DOUBLE)
+      |  (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE)
       |     - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
       |  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
       |FROM mo""".stripMargin
@@ -2486,9 +2486,9 @@ object Relational {
       |m AS (
       |  SELECT p_brand, n,
       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
-      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
-      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r4
       |  FROM g),
       |cm AS (
       |  SELECT p_brand, n, mean,
@@ -2566,9 +2566,9 @@ object Relational {
       |m AS (
       |  SELECT o_orderpriority, n,
       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
-      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
-      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r4
       |  FROM g),
       |cm AS (
       |  SELECT o_orderpriority, n, mean,

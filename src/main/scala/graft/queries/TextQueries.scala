@@ -2208,7 +2208,7 @@ object TextQueries {
       |  FROM k GROUP BY n1, n2, n_terms)
       |SELECT n1, n2, n_terms,
       |  (CAST(sa AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6)
-      |   + CAST(sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
+      |   + CAST(sb AS DOUBLE) / (CAST(CAST(n2 AS VARCHAR) AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
       |FROM agg""".stripMargin
 
   // --- Simpson lexical diversity per source -----------------------------------
@@ -2265,7 +2265,7 @@ object TextQueries {
       |      AS s2
       |  FROM cw GROUP BY source)
       |SELECT source, n_tokens, vocab,
-      |  CAST(s2 AS DOUBLE)
+      |  CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
       |    / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
       |    AS simpson
       |FROM agg ORDER BY source""".stripMargin
@@ -2528,7 +2528,7 @@ object TextQueries {
       |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2
       |  FROM c GROUP BY lang)
       |SELECT lang, n_tokens, vocab,
-      |  1e4 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+      |  1e4 * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(n_tokens AS DOUBLE))
       |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS yule_k
       |FROM g ORDER BY lang""".stripMargin
 
@@ -2880,11 +2880,12 @@ object TextQueries {
       |  FROM a, m)
       |SELECT n_docs, n_agree,
       |  CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_o,
-      |  CAST(s_rc AS DOUBLE) / CAST(n2 AS DOUBLE) AS p_e,
+      |  CAST(CAST(s_rc AS VARCHAR) AS DOUBLE) / CAST(CAST(n2 AS VARCHAR) AS DOUBLE) AS p_e,
       |  CASE WHEN n2 <> s_rc THEN
-      |    CAST(CAST(n_docs AS DECIMAL(19,0)) * CAST(n_agree AS DECIMAL(19,0))
-      |         - s_rc AS DOUBLE)
-      |    / CAST(n2 - s_rc AS DOUBLE) END AS kappa
+      |    CAST(CAST(CAST(n_docs AS DECIMAL(19,0))
+      |              * CAST(n_agree AS DECIMAL(19,0)) - s_rc AS VARCHAR)
+      |         AS DOUBLE)
+      |    / CAST(CAST(n2 - s_rc AS VARCHAR) AS DOUBLE) END AS kappa
       |FROM k""".stripMargin
 
   val langIdPrfSql: String =

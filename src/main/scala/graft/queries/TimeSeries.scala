@@ -270,17 +270,17 @@ object TimeSeries {
       |      AS sd2
       |  FROM base)
       |SELECT n AS n_days,
-      |  (CAST(sd2 AS DOUBLE)
+      |  (CAST(CAST(sd2 AS VARCHAR) AS DOUBLE)
       |     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
       |    / CAST(n AS DOUBLE) AS var_detrended,
-      |  (CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE) AS var_residual,
-      |  CASE WHEN (CAST(sd2 AS DOUBLE)
+      |  (CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) - ssb) / CAST(n AS DOUBLE) AS var_residual,
+      |  CASE WHEN (CAST(CAST(sd2 AS VARCHAR) AS DOUBLE)
       |          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
       |            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) = 0.0
       |    THEN NULL
       |    ELSE greatest(0.0, 1.0
-      |      - ((CAST(sd2 AS DOUBLE) - ssb) / CAST(n AS DOUBLE))
-      |        / ((CAST(sd2 AS DOUBLE)
+      |      - ((CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) - ssb) / CAST(n AS DOUBLE))
+      |        / ((CAST(CAST(sd2 AS VARCHAR) AS DOUBLE)
       |            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
       |              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) END
       |    AS seasonal_strength
@@ -796,11 +796,11 @@ object TimeSeries {
       |    SUM(y7d * y7d)
       |  FROM d18 WHERE y7 IS NOT NULL)
       |SELECT lag, n,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |     * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
       |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
       |FROM legs ORDER BY lag""".stripMargin
   }
@@ -903,12 +903,12 @@ object TimeSeries {
       |  FROM pairs GROUP BY lag),
       |r AS (
       |  SELECT lag, m AS n_pairs, n,
-      |    (CAST(c AS DOUBLE)
+      |    (CAST(CAST(c AS VARCHAR) AS DOUBLE)
       |       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
       |         * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
       |       + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
       |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-      |    / (CAST(sxx AS DOUBLE)
+      |    / (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
       |      AS acf
       |  FROM p CROSS JOIN g),
@@ -1159,10 +1159,10 @@ object TimeSeries {
       |  FROM sums GROUP BY yr),
       |v AS (
       |  SELECT yr, n1, nq,
-      |    (CAST(ss1 AS DOUBLE)
+      |    (CAST(CAST(ss1 AS VARCHAR) AS DOUBLE)
       |       - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
       |          / CAST(n1 AS DOUBLE))) / CAST(n1 AS DOUBLE) AS var_1,
-      |    (CAST(ssq AS DOUBLE)
+      |    (CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
       |       - (CAST(sq1 AS DOUBLE) * CAST(sq1 AS DOUBLE)
       |          / CAST(nq AS DOUBLE))) / CAST(nq AS DOUBLE) AS var_q
       |  FROM g)
@@ -1291,9 +1291,10 @@ object TimeSeries {
       |blocks AS (
       |  SELECT n, blk,
       |    MAX(cum_dev) AS maxc, MIN(cum_dev) AS minc,
-      |    CAST(ANY_VALUE(ssn_b)
-      |         - CAST(ANY_VALUE(s_b) AS DECIMAL(19,0))
-      |           * CAST(ANY_VALUE(s_b) AS DECIMAL(19,0)) AS DOUBLE) AS v_b
+      |    CAST(CAST(ANY_VALUE(ssn_b)
+      |              - CAST(ANY_VALUE(s_b) AS DECIMAL(19,0))
+      |                * CAST(ANY_VALUE(s_b) AS DECIMAL(19,0)) AS VARCHAR)
+      |         AS DOUBLE) AS v_b
       |  FROM devs GROUP BY n, blk),
       |lnrs AS (
       |  SELECT n,
