@@ -108,14 +108,35 @@ PORTABILITY_PROBES = [
      "// integer division is DuckDB-specific; use CAST + / or floor()"),
 ]
 
+# Advisory (stderr WARNING, not a gate failure — magnitude-dependent):
+# DuckDB's hugeint->double conversion is not correctly rounded (two-step
+# int128 convert; BENCHNOTES round 13), so a direct CAST of a decimal
+# SUM to DOUBLE hash-diverges from Spark ~2^-11 of the time once the
+# value crosses 2^53. The registry-wide fix is the VARCHAR round-trip
+# CAST(CAST(x AS VARCHAR) AS DOUBLE). This probe flags the RISKY direct
+# spelling so a new oracle gets reviewed at authoring time; linear
+# DECIMAL(18,6) value sums that stay under 2^53 at gate SFs may keep it.
+HUGEINT_CAST_WARNING = re.compile(
+    r"CAST\s*\(\s*SUM\s*\([^;]*?DECIMAL\s*\(\s*1[89][^;]*?\)\s*AS\s+DOUBLE\)",
+    re.I | re.S)
+
+
 def scan_oracle_portability(oracle):
     """Return [(name, reason)] for oracle SQL using version-sensitive
     constructs. Empty list = portable by the probes' lights."""
     hits = []
+    warned = []
     for name, sql in oracle.items():
         for rx, why in PORTABILITY_PROBES:
             if rx.search(sql):
                 hits.append((name, why))
+        if HUGEINT_CAST_WARNING.search(sql):
+            warned.append(name)
+    if warned:
+        print(f"WARNING: {len(warned)} oracles use a direct decimal-sum->"
+              "DOUBLE cast (safe only while the sum stays under 2^53 at "
+              "gate SFs; else round-trip through VARCHAR, BENCHNOTES round "
+              f"13): {' '.join(sorted(warned))}", file=sys.stderr)
     return hits
 
 def main(sfdir, outdir):
