@@ -2396,7 +2396,8 @@ object EventQueries {
       |SELECT event_type, MAX(n) AS n_gaps,
       |  MAX(CASE WHEN rn = $p50 THEN gap END) AS p50_gap_us,
       |  MAX(CASE WHEN rn = $p90 THEN gap END) AS p90_gap_us,
-      |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
+      |  CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_gap_us
       |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 

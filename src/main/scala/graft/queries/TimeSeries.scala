@@ -165,7 +165,8 @@ object TimeSeries {
       |  FROM t),
       |seas AS (
       |  SELECT dow,
-      |    CAST(SUM(detr_micro) AS DOUBLE) / CAST(COUNT(detr_micro) AS DOUBLE)
+      |    CAST(CAST(SUM(detr_micro) AS BIGINT) AS DOUBLE)
+      |      / CAST(COUNT(detr_micro) AS DOUBLE)
       |      AS seasonal_micro
       |  FROM det WHERE detr_micro IS NOT NULL GROUP BY dow)
       |SELECT d, rev_cents, det.dow, trend_micro, seasonal_micro,

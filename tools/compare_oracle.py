@@ -119,6 +119,12 @@ PORTABILITY_PROBES = [
 HUGEINT_CAST_WARNING = re.compile(
     r"CAST\s*\(\s*SUM\s*\([^;]*?DECIMAL\s*\(\s*1[89][^;]*?\)\s*AS\s+DOUBLE\)",
     re.I | re.S)
+# Same class, BIGINT-sum spelling: SUM(BIGINT) returns HUGEINT in DuckDB,
+# so CAST(SUM(x) AS DOUBLE) without the intermediate CAST(... AS BIGINT)
+# exact reduction rides the same non-correctly-rounded conversion.
+BIGINT_SUM_CAST_WARNING = re.compile(
+    r"CAST\(\s*SUM\((?!CAST\()[^;]{0,120}?\)\s*(?:OVER[^;]{0,40}?)?"
+    r"AS\s+DOUBLE\)", re.I | re.S)
 
 
 def scan_oracle_portability(oracle):
@@ -130,7 +136,11 @@ def scan_oracle_portability(oracle):
         for rx, why in PORTABILITY_PROBES:
             if rx.search(sql):
                 hits.append((name, why))
-        if HUGEINT_CAST_WARNING.search(sql):
+        if any(len(m.group(0)) < 200
+               for m in HUGEINT_CAST_WARNING.finditer(sql)):
+            warned.append(name)
+        elif any(len(m.group(0)) < 150 and "AS BIGINT" not in m.group(0)
+                 for m in BIGINT_SUM_CAST_WARNING.finditer(sql)):
             warned.append(name)
     if warned:
         print(f"WARNING: {len(warned)} oracles use a direct decimal-sum->"
