@@ -250,6 +250,7 @@ object SparkEntry {
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "survival_km" -> (Survival.kaplanMeier _),
     "survival_nelson_aalen" -> (Survival.nelsonAalen _),
+    "survival_logrank" -> (Survival.logRank _),
     "stats_ks_uniform_weekday" -> (Relational.ksUniformWeekday _),
     "stats_decile_lift" -> (Relational.decileLift _),
     "events_max_concurrency" -> (EventQueries.maxConcurrency _),
@@ -648,6 +649,7 @@ object SparkEntry {
     "ts_theil_sen" -> TimeSeries.theilSenSql,
     "survival_km" -> Survival.kaplanMeierSql,
     "survival_nelson_aalen" -> Survival.nelsonAalenSql,
+    "survival_logrank" -> Survival.logRankSql,
     "stats_ks_uniform_weekday" -> Relational.ksUniformWeekdaySql,
     "stats_decile_lift" -> Relational.decileLiftSql,
     "events_max_concurrency" -> EventQueries.maxConcurrencySql,

@@ -195,4 +195,141 @@ object Survival {
       |SELECT dur AS t_days, n_risk, d_i AS n_events, hz_nano, cum_hz_nano,
       |  CAST(cum_hz_nano AS DOUBLE) / 1e9 AS cum_hazard
       |FROM na ORDER BY t_days""".stripMargin
+
+  // --- log-rank test -------------------------------------------------------------
+  /** LOG-RANK (Mantel–Cox) test comparing churn survival between the
+    * BUILDING market segment and everyone else (Mantel, Cancer
+    * Chemother. Rep. 1966; Peto & Peto 1972), on the SAME duration /
+    * churn / censoring definitions as [[kaplanMeier]] and
+    * [[nelsonAalen]] — the standard "are these two retention curves
+    * actually different" read an A/B or segment dashboard quotes,
+    * completing the survival triple (curve, hazard, comparison).
+    *
+    * At each duration t with d_t total events: E_A = d_t·n_At/n_t and
+    * hypergeometric variance V_t = d_t·(n_At/n_t)·(1−n_At/n_t)·
+    * (n_t−d_t)/(n_t−1); Z = (O_A − ΣE_A)/√ΣV_t, χ² = Z².
+    *
+    * Determinism: per-step E and V are fixed-order IEEE expressions on
+    * exact BIGINTs, rounded onto the integer NANO grid (the
+    * [[nelsonAalen]] discipline) so the cross-row sums are exact
+    * BIGINT additions — never an order-dependent float accumulation
+    * over the ~10³-row duration grid. Z is three IEEE ops on exact
+    * integers, NULL-guarded for a zero-variance grid.
+    *
+    * Scale shape: orders → one row per customer (map-side combined),
+    * one broadcast customer-dim join for the segment flag, then the
+    * distinct-duration grid; the risk windows ride that bounded grid
+    * (allowlisted class), and the final reduce is 1-row.
+    */
+  def logRank(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val grp = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("in_a"))
+    val horizon = life.agg(max(col("last_d")).as("max_d"))
+    val durations = life
+      .join(grp, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(datediff(col("max_d"), col("last_d")) > 90, 1L).otherwise(0L)
+          .as("churned"),
+        col("in_a"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d_t"),
+        sum(col("in_a")).as("n_at_a"),
+        sum(col("churned") * col("in_a")).as("d_t_a"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Graft.materialize(durations)
+      .withColumn("n_t", sum(col("n_at")).over(wRisk))
+      .withColumn("n_t_a", sum(col("n_at_a")).over(wRisk))
+      .filter(col("d_t") > 0)
+    val d = col("d_t").cast("double")
+    val n = col("n_t").cast("double")
+    val na = col("n_t_a").cast("double")
+    val perStep = ev
+      .withColumn("e_nano",
+        round(d * na / n * lit(1e9)).cast("long"))
+      .withColumn("v_nano",
+        when(col("n_t") > 1L,
+          round(d * (na / n) * (lit(1.0) - na / n)
+            * ((n - d) / (n - lit(1.0))) * lit(1e9)).cast("long"))
+          .otherwise(0L))
+    perStep
+      .agg(count(lit(1)).as("n_event_times"),
+        sum(col("d_t_a")).as("observed_a"),
+        sum(col("e_nano")).as("expected_a_nano"),
+        sum(col("v_nano")).as("var_nano"))
+      .select(col("n_event_times"), col("observed_a"),
+        col("expected_a_nano"),
+        (col("expected_a_nano").cast("double") / lit(1e9)).as("expected_a"),
+        when(col("var_nano") > 0L,
+          (col("observed_a").cast("double")
+            - col("expected_a_nano").cast("double") / lit(1e9))
+            / sqrt(col("var_nano").cast("double") / lit(1e9)))
+          .as("logrank_z"))
+      .withColumn("chi2", col("logrank_z") * col("logrank_z"))
+  }
+
+  val logRankSql: String =
+    """WITH life AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |grp AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS in_a
+      |  FROM customer),
+      |h AS (SELECT MAX(last_d) AS max_d FROM life),
+      |durs AS (
+      |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+      |    CASE WHEN date_diff('day', last_d, max_d) > 90
+      |         THEN 1 ELSE 0 END AS churned,
+      |    in_a
+      |  FROM life JOIN grp ON o_custkey = c_custkey, h),
+      |grid AS (
+      |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |         CAST(SUM(churned) AS BIGINT) AS d_t,
+      |         CAST(SUM(in_a) AS BIGINT) AS n_at_a,
+      |         CAST(SUM(churned * in_a) AS BIGINT) AS d_t_a
+      |  FROM durs GROUP BY dur),
+      |risk AS (
+      |  SELECT dur, d_t, d_t_a,
+      |    CAST(SUM(n_at) OVER w AS BIGINT) AS n_t,
+      |    CAST(SUM(n_at_a) OVER w AS BIGINT) AS n_t_a
+      |  FROM grid
+      |  WINDOW w AS (ORDER BY dur DESC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ev AS (
+      |  SELECT dur, d_t, d_t_a,
+      |    CAST(round(CAST(d_t AS DOUBLE) * CAST(n_t_a AS DOUBLE)
+      |               / CAST(n_t AS DOUBLE) * 1e9) AS BIGINT) AS e_nano,
+      |    CASE WHEN n_t > 1 THEN
+      |      CAST(round(CAST(d_t AS DOUBLE)
+      |                 * (CAST(n_t_a AS DOUBLE) / CAST(n_t AS DOUBLE))
+      |                 * (1.0 - CAST(n_t_a AS DOUBLE) / CAST(n_t AS DOUBLE))
+      |                 * ((CAST(n_t AS DOUBLE) - CAST(d_t AS DOUBLE))
+      |                    / (CAST(n_t AS DOUBLE) - 1.0)) * 1e9) AS BIGINT)
+      |      ELSE 0 END AS v_nano
+      |  FROM risk WHERE d_t > 0),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+      |    CAST(SUM(d_t_a) AS BIGINT) AS observed_a,
+      |    CAST(SUM(e_nano) AS BIGINT) AS expected_a_nano,
+      |    CAST(SUM(v_nano) AS BIGINT) AS var_nano
+      |  FROM ev),
+      |z AS (
+      |  SELECT n_event_times, observed_a, expected_a_nano,
+      |    CAST(expected_a_nano AS DOUBLE) / 1e9 AS expected_a,
+      |    CASE WHEN var_nano > 0 THEN
+      |      (CAST(observed_a AS DOUBLE)
+      |       - CAST(expected_a_nano AS DOUBLE) / 1e9)
+      |      / sqrt(CAST(var_nano AS DOUBLE) / 1e9) END AS logrank_z
+      |  FROM agg)
+      |SELECT n_event_times, observed_a, expected_a_nano, expected_a,
+      |  logrank_z, logrank_z * logrank_z AS chi2
+      |FROM z""".stripMargin
 }

@@ -392,6 +392,8 @@ class PlanAuditSpec extends SparkSpec {
       "survival_km" -> "KM product over the distinct-day risk grid",
       "survival_nelson_aalen" ->
         "risk / cumulative-hazard windows over the distinct-duration grid",
+      "survival_logrank" ->
+        "two at-risk suffix windows over the distinct-duration grid",
       "stats_ks_uniform_weekday" ->
         "CDF windows over the 7-row weekday grid",
       "ts_hurst_rs" ->

@@ -360,6 +360,51 @@ class StatsReplaySpec extends SparkSpec {
     }
   }
 
+  test("logRank: hypergeometric O/E/V replay over the duration grid") {
+    val seg = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "BUILDING")).toMap
+    val life = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues { rs =>
+        val ds = rs.map(_._2); (ds.min, ds.max)
+      }.toMap
+    val maxD = life.values.map(_._2).max
+    val rows = life.toSeq.map { case (ck, (f, l)) =>
+      (l.toEpochDay - f.toEpochDay,
+        maxD.toEpochDay - l.toEpochDay > 90, seg(ck))
+    }
+    val grid = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var obs = 0L; var eNano = 0L; var vNano = 0L; var times = 0L
+    var seen = 0L; var seenA = 0L
+    val totN = rows.length.toLong; val totA = rows.count(_._3).toLong
+    for ((_, rs) <- grid) {
+      val nT = totN - seen; val nTa = totA - seenA
+      seen += rs.length; seenA += rs.count(_._3)
+      val dT = rs.count(_._2).toLong
+      if (dT > 0) {
+        times += 1
+        obs += rs.count(r => r._2 && r._3)
+        def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val d = dT.toDouble; val n = nT.toDouble; val na = nTa.toDouble
+        eNano += r9(d * na / n * 1e9)
+        if (nT > 1)
+          vNano += r9(d * (na / n) * (1.0 - na / n)
+            * ((n - d) / (n - 1.0)) * 1e9)
+      }
+    }
+    val r = Survival.logRank(spark, sf).collect().head
+    assert(r.getLong(0) == times && r.getLong(1) == obs
+      && r.getLong(2) == eNano,
+      s"(times, O, E_nano) ${r.toSeq} != replay ($times, $obs, $eNano)")
+    val z = (obs.toDouble - eNano.toDouble / 1e9) /
+      math.sqrt(vNano.toDouble / 1e9)
+    assert(math.abs(r.getDouble(4) - z) < 1e-9, s"z ${r.getDouble(4)} != $z")
+    assert(math.abs(r.getDouble(5) - z * z) < 1e-9)
+  }
+
   test("wordBurstiness: per-word df/df2 replay of the top-30 cut") {
     val perDocWord = docTokens.flatMap { case (id, _, ws) =>
       ws.filter(_.nonEmpty).groupBy(identity).view
