@@ -232,6 +232,8 @@ object SparkEntry {
     "stats_gini_spend" -> (Relational.giniSpend _),
     "stats_theil_nation" -> (Relational.theilNation _),
     "stats_atkinson_mld" -> (Relational.atkinsonMld _),
+    "docs_pielou_evenness" -> (TextQueries.pielouEvenness _),
+    "events_hill_tail_index" -> ((s, d) => EventQueries.hillTailIndex(s, d)),
     "events_interarrival" -> (EventQueries.interArrival _),
     "stats_benford" -> (Governance.benford _),
     "stats_jarque_bera" -> (Relational.jarqueBera _),
@@ -632,6 +634,8 @@ object SparkEntry {
     "stats_gini_spend" -> Relational.giniSpendSql,
     "stats_theil_nation" -> Relational.theilNationSql,
     "stats_atkinson_mld" -> Relational.atkinsonMldSql,
+    "docs_pielou_evenness" -> TextQueries.pielouEvennessSql,
+    "events_hill_tail_index" -> EventQueries.hillTailIndexSql(),
     "events_interarrival" -> EventQueries.interArrivalSql,
     "stats_benford" -> Governance.benfordSql,
     "stats_jarque_bera" -> Relational.jarqueBeraSql,

@@ -2537,4 +2537,59 @@ object EventQueries {
       |SELECT event_type, quantile, n_values, TRUE AS in_envelope
       |FROM n, (VALUES ('p50'), ('p90')) q(quantile)
       |ORDER BY event_type, quantile""".stripMargin
+
+  // --- Hill tail-index estimator --------------------------------------------------
+  /** HILL ESTIMATOR of the event-value upper-tail index over the top
+    * k = 200 order statistics (Hill, Ann. Stat. 1975): H = (1/k)·
+    * Σᵢ₌₁..k ln(X₍ᵢ₎/X₍ₖ₊₁₎), α̂ = 1/H — the order-statistics dual of
+    * [[powerLawAlpha]]'s MLE over user activity: THIS one asks how
+    * heavy the monetary tail is, the read behind "can a mean-based
+    * budget forecast survive the whales". α̂ ≤ 2 means infinite
+    * variance; α̂ ≤ 1 means even the mean diverges.
+    *
+    * Determinism: values land on exact cents; the top-(k+1) MULTISET
+    * is value-unique regardless of which tied rows a limit picks, so
+    * no tiebreak is needed; Σ lnµ(xᵢ) − (k+1)·lnµ(x₍ₖ₊₁₎) is an exact
+    * BIGINT micronat sum over a k-bounded frame, and H/α̂ are two IEEE
+    * ops.
+    *
+    * Shape: one filter+project pass, then `orderBy().limit(k+1)` —
+    * TakeOrderedAndProject, the distributed top-k (never a global rank
+    * window) — then a 1-row aggregate of the (k+1)-row frame.
+    */
+  def hillTailIndex(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val cents = ev(s, dir)
+      .select((round(col("value") * lit(100))).cast("long").as("c"))
+      .filter(col("c") > 0L)
+    cents.orderBy(col("c").desc).limit(k + 1)
+      .agg(count(lit(1)).as("n"), min(col("c")).as("xk1"),
+        sum(lnMicro(col("c"))).as("sln"))
+      .select((col("n") - 1L).as("k_top"), col("xk1").as("xk1_cents"),
+        ((col("sln") - col("n") * lnMicro(col("xk1"))).cast("double")
+          / ((col("n") - 1L).cast("double") * lit(1e6))).as("hill_h"))
+      .withColumn("alpha_hill",
+        when(col("hill_h") > 0.0, lit(1.0) / col("hill_h")))
+  }
+
+  def hillTailIndexSql(k: Int = 200): String =
+    s"""WITH c AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      |top AS (SELECT c FROM c ORDER BY c DESC LIMIT ${k + 1}),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(c) AS xk1,
+      |    CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS sln
+      |  FROM top),
+      |h AS (
+      |  SELECT n - 1 AS k_top, xk1 AS xk1_cents,
+      |    CAST(sln - n * CAST(round(ln(CAST(xk1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |         AS DOUBLE)
+      |    / (CAST(n - 1 AS DOUBLE) * 1e6) AS hill_h
+      |  FROM g)
+      |SELECT k_top, xk1_cents, hill_h,
+      |  CASE WHEN hill_h > 0 THEN 1.0 / hill_h END AS alpha_hill
+      |FROM h""".stripMargin
 }

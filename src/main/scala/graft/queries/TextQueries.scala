@@ -2499,6 +2499,78 @@ object TextQueries {
     * then a lang-sized rollup. Vocabulary-bounded after the first
     * exchange.
     */
+  // --- Pielou evenness -----------------------------------------------------------
+  /** PIELOU'S EVENNESS J = H / ln V per language (Pielou, J. Theor.
+    * Biol. 1966): Shannon entropy of the token distribution normalized
+    * by its maximum — the [0,1] "how uniformly is the vocabulary used"
+    * read that separates a natural text from keyword-stuffed or
+    * template spam independent of vocabulary SIZE (which [[yuleK]] and
+    * Simpson capture). J near 1 = uniform usage; low J = a few tokens
+    * dominate.
+    *
+    * Exact spelling: H = (N·lnµN − Σ c·lnµc) / (N·10⁶) — the entropy
+    * identity on integer micronat logs; Σ c·lnµc accumulates in
+    * DECIMAL (SF-growing, the theil `wg` rule) and converts through
+    * the VARCHAR round-trip (BENCHNOTES round 13). J is one further
+    * IEEE division, NULL-guarded for a single-token vocabulary
+    * (ln V = 0).
+    *
+    * Shape: identical to [[yuleK]] — (lang, token) counts collapse
+    * map-side; everything after the second exchange is lang-grid-sized.
+    */
+  def pielouEvenness(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val d18 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    docs(s, dir).select(col("lang"), explode(words).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(d18(col("c")) * d18(lnMicro(col("c")))).as("clnc"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        ((col("n_tokens").cast("double")
+          * lnMicro(col("n_tokens")).cast("double")
+          - col("clnc").cast("double"))
+          / (col("n_tokens").cast("double") * lit(1e6)))
+          .as("entropy_nats"))
+      .withColumn("pielou_j",
+        when(col("vocab") > 1L,
+          col("entropy_nats")
+            / (lnMicro(col("vocab")).cast("double") / lit(1e6))))
+      .orderBy(col("lang"))
+  }
+
+  val pielouEvennessSql: String =
+    """WITH tok AS (
+      |  SELECT lang, w
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM tok GROUP BY lang, w),
+      |g AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    SUM(CAST(c AS DECIMAL(18,0))
+      |        * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+      |               AS DECIMAL(18,0))) AS clnc
+      |  FROM c GROUP BY lang),
+      |e AS (
+      |  SELECT lang, n_tokens, vocab,
+      |    (CAST(n_tokens AS DOUBLE)
+      |       * CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+      |              AS DOUBLE)
+      |     - CAST(CAST(clnc AS VARCHAR) AS DOUBLE))
+      |    / (CAST(n_tokens AS DOUBLE) * 1e6) AS entropy_nats
+      |  FROM g)
+      |SELECT lang, n_tokens, vocab, entropy_nats,
+      |  CASE WHEN vocab > 1 THEN entropy_nats
+      |    / (CAST(CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6) AS BIGINT)
+      |            AS DOUBLE) / 1e6) END AS pielou_j
+      |FROM e ORDER BY lang""".stripMargin
+
   def yuleK(s: SparkSession, dir: String): DataFrame = {
     val d19 = (c: Column) =>
       c.cast(org.apache.spark.sql.types.DecimalType(19, 0))

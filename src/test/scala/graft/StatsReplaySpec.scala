@@ -360,6 +360,52 @@ class StatsReplaySpec extends SparkSpec {
     }
   }
 
+  test("pielouEvenness: micronat entropy replay; 0 < J <= 1") {
+    val byLang = docTokens.groupBy(_._2).view
+      .mapValues(_.flatMap(_._3).filter(_.nonEmpty)).toMap
+    val out = graft.queries.TextQueries.pielouEvenness(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == byLang.keySet)
+    for ((lang, toks) <- byLang) {
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = toks.length.toLong
+      val v = counts.size.toLong
+      def lnu(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+      val clnc = counts.values.map(c => BigInt(c) * BigInt(lnu(c))).sum
+      val h = (n.toDouble * lnu(n).toDouble - clnc.toDouble) / (n * 1e6)
+      val r = out(lang)
+      assert(r.getLong(1) == n && r.getLong(2) == v)
+      assert(math.abs(r.getDouble(3) - h) < 1e-12, s"$lang H")
+      if (v > 1) {
+        val j = h / (lnu(v).toDouble / 1e6)
+        assert(math.abs(r.getDouble(4) - j) < 1e-12, s"$lang J")
+        assert(j > 0.0 && j <= 1.0 + 1e-9)
+      } else assert(r.isNullAt(4))
+    }
+  }
+
+  test("hillTailIndex: top-k order-statistics replay") {
+    val cents = Tables.load(spark, sf, "events")
+      .select(col("value")).collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+      .filter(_ > 0).sorted(Ordering[Long].reverse)
+    val top = cents.take(201)
+    def lnu(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    val n = top.length.toLong
+    val xk1 = top.min
+    val sln = top.map(c => BigInt(lnu(c))).sum
+    val h = (sln - BigInt(n) * BigInt(lnu(xk1))).toDouble / ((n - 1) * 1e6)
+    val r = graft.queries.EventQueries.hillTailIndex(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == n - 1 && r.getLong(1) == xk1,
+      s"(k, xk1) ${r.toSeq} != replay (${n - 1}, $xk1)")
+    assert(math.abs(r.getDouble(2) - h) < 1e-12, s"H ${r.getDouble(2)} != $h")
+    if (h > 0) {
+      assert(math.abs(r.getDouble(3) - 1.0 / h) < 1e-9)
+      assert(r.getDouble(3) > 0.0)
+    } else assert(r.isNullAt(3))
+  }
+
   test("logRank: hypergeometric O/E/V replay over the duration grid") {
     val seg = Tables.load(spark, sf, "customer")
       .select(col("c_custkey"), col("c_mktsegment")).collect()
