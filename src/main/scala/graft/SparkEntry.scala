@@ -106,6 +106,7 @@ object SparkEntry {
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_minmax_by_brand" -> (Relational.aggMinMaxByBrand _),
     "agg_mode_by_brand" -> (Relational.modeByBrand _),
+    "agg_geomean_by_brand" -> (Relational.geomeanByBrand _),
     "agg_skew_kurtosis" -> (Relational.skewKurtosisByBrand _),
     "stats_quantiles_exact" -> (Relational.quantilesExact _),
     "seq_gap_islands" -> ((s, d) => Relational.eventIdIslands(s, d)),
@@ -493,6 +494,7 @@ object SparkEntry {
     "agg_count_distinct" -> Relational.aggCountDistinctSql,
     "agg_minmax_by_brand" -> Relational.aggMinMaxByBrandSql,
     "agg_mode_by_brand" -> Relational.modeByBrandSql,
+    "agg_geomean_by_brand" -> Relational.geomeanByBrandSql,
     "agg_skew_kurtosis" -> Relational.skewKurtosisByBrandSql,
     "stats_quantiles_exact" -> Relational.quantilesExactSql,
     "seq_gap_islands" -> Relational.eventIdIslandsSql,

@@ -2144,11 +2144,15 @@ object Relational {
         (log(col("st").cast("double") / col("n").cast("double"))
           - col("sl").cast("double")
             / (col("n").cast("double") * lit(1e6))).as("mld"))
+      // exp's last ulp differs between JVM and DuckDB libm (r13,
+      // geomeanByBrand) — land A₁ on the NANO grid so the wobble
+      // (≲1e-16 here) cannot flip the hash
       .withColumn("atkinson_1",
-        lit(1.0) - exp((col("sum_ln_micro").cast("double")
+        round((lit(1.0) - exp((col("sum_ln_micro").cast("double")
           / (col("n_customers").cast("double") * lit(1e6)))
           - log(col("total_cents").cast("double")
-            / col("n_customers").cast("double"))))
+            / col("n_customers").cast("double")))) * lit(1e9))
+          .cast("long").cast("double") / lit(1e9))
   }
 
   val atkinsonMldSql: String =
@@ -2165,8 +2169,10 @@ object Relational {
       |SELECT n AS n_customers, st AS total_cents, sl AS sum_ln_micro,
       |  ln(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
       |    - CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mld,
-      |  1.0 - exp((CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
-      |            - ln(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS atkinson_1
+      |  CAST(CAST(round(
+      |    (1.0 - exp((CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+      |               - ln(CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))) * 1e9)
+      |    AS BIGINT) AS DOUBLE) / 1e9 AS atkinson_1
       |FROM g""".stripMargin
 
   val theilNationSql: String = {
@@ -2431,6 +2437,69 @@ object Relational {
     * neither engine's pow() enters. One map-side-combined aggregation
     * over part; everything after is |brands|-sized.
     */
+  // --- geometric mean by brand ----------------------------------------------------
+  /** GEOMETRIC MEAN retail price per brand beside the arithmetic mean
+    * and their ratio (the AM–GM gap reads log-scale price dispersion —
+    * ratio 1 = uniform pricing, low ratio = a wide multiplicative
+    * spread): the multiplicative average a pricing index actually
+    * wants for ratio-scaled quantities, completing the brand-stats
+    * family ([[modeByBrand]], [[skewKurtosisByBrand]]).
+    *
+    * Exactness: geomean = exp(Σ lnµ(cents)/(n·10⁶)) — exact BIGINT
+    * micronat sums (prices are value-bounded: lnµ ≤ ~2e7, n·2e7 fits
+    * int64 to ~4e11 rows per brand). exp is the ONE libm call whose
+    * last ulp differs between the JVM and DuckDB (measured r13 — ln
+    * agrees, exp does not), so the result lands on the integer CENT
+    * grid before anything derives from it: a 1-ulp exp wobble
+    * (~1e-8 cents here) flips a cent-rounding with probability ~1e-8,
+    * vs a guaranteed hash mismatch on raw exp output. One
+    * map-side-combined aggregation; brand-grid output.
+    */
+  def geomeanByBrand(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val cents = (dec(col("p_retailprice")) * lit(100)).cast("long")
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(lnMicro(cents)).as("sln"))
+      .select(col("p_brand"), col("n").as("n_parts"),
+        (col("s").cast("double") / (col("n").cast("double") * lit(100.0)))
+          .as("mean_price"),
+        round(exp(col("sln").cast("double")
+          / (col("n").cast("double") * lit(1e6)))).cast("long")
+          .as("geomean_cents"))
+      .withColumn("geomean_price",
+        col("geomean_cents").cast("double") / lit(100.0))
+      .withColumn("gm_am_ratio", col("geomean_price") / col("mean_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val geomeanByBrandSql: String =
+    """WITH c AS (
+      |  SELECT p_brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |g AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS sln
+      |  FROM c GROUP BY p_brand),
+      |m AS (
+      |  SELECT p_brand, n AS n_parts,
+      |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_price,
+      |    CAST(round(exp(CAST(sln AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)))
+      |         AS BIGINT) AS geomean_cents
+      |  FROM g),
+      |p AS (
+      |  SELECT p_brand, n_parts, mean_price, geomean_cents,
+      |    CAST(geomean_cents AS DOUBLE) / 100.0 AS geomean_price
+      |  FROM m)
+      |SELECT p_brand, n_parts, mean_price, geomean_cents, geomean_price,
+      |  geomean_price / mean_price AS gm_am_ratio
+      |FROM p ORDER BY p_brand""".stripMargin
+
   def skewKurtosisByBrand(s: SparkSession, dir: String): DataFrame = {
     val cents = (dec(col("p_retailprice")) * lit(100)).cast("long")
     // the third/fourth powers never chain THREE+ decimal multiplies:

@@ -2806,10 +2806,13 @@ object TextQueries {
             - col("sx").cast("double") * col("sx").cast("double")))
           .as("heaps_beta"),
         col("sx"), col("sy"))
+      // exp's last ulp differs between JVM and DuckDB libm (r13) —
+      // land K on the MICRO grid so the wobble cannot flip the hash
       .withColumn("heaps_k",
-        exp((col("sy").cast("double")
+        round(exp((col("sy").cast("double")
           - col("heaps_beta") * col("sx").cast("double"))
-          / (col("n_points").cast("double") * lit(1e6))))
+          / (col("n_points").cast("double") * lit(1e6))) * lit(1e6))
+          .cast("long").cast("double") / lit(1e6))
       .select(col("n_points"), col("tokens_at_last"), col("types_at_last"),
         col("heaps_beta"), col("heaps_k"))
   }
@@ -2864,8 +2867,10 @@ object TextQueries {
       |    sx, sy
       |  FROM mo)
       |SELECT n_points, tokens_at_last, types_at_last, heaps_beta,
-      |  exp((CAST(sy AS DOUBLE) - heaps_beta * CAST(sx AS DOUBLE))
-      |      / (CAST(n_points AS DOUBLE) * 1e6)) AS heaps_k
+      |  CAST(CAST(round(
+      |    exp((CAST(sy AS DOUBLE) - heaps_beta * CAST(sx AS DOUBLE))
+      |        / (CAST(n_points AS DOUBLE) * 1e6)) * 1e6) AS BIGINT)
+      |    AS DOUBLE) / 1e6 AS heaps_k
       |FROM fit""".stripMargin
 
   // --- Cohen's kappa -------------------------------------------------------------

@@ -360,6 +360,33 @@ class StatsReplaySpec extends SparkSpec {
     }
   }
 
+  test("geomeanByBrand: micronat geomean replay; AM-GM inequality") {
+    val parts = Tables.load(spark, sf, "part")
+      .select(col("p_brand"),
+        (col("p_retailprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = graft.queries.Relational.geomeanByBrand(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == parts.keySet)
+    for ((b, cs) <- parts) {
+      val n = cs.length.toLong
+      val mean = cs.map(BigInt(_)).sum.toDouble / (n * 100.0)
+      val sln = cs.map(c => math.round(math.log(c.toDouble) * 1e6)).sum
+      val gmCents = math.round(math.exp(sln.toDouble / (n * 1e6)))
+      val gm = gmCents.toDouble / 100.0
+      val r = out(b)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-12 * mean, s"$b mean")
+      assert(r.getLong(3) == gmCents, s"$b gm_cents")
+      assert(math.abs(r.getDouble(4) - gm) < 1e-12 * gm, s"$b gm")
+      assert(math.abs(r.getDouble(5) - gm / mean) < 1e-12)
+      // AM-GM (micronat + cent rounding perturb ~1e-5 relative at most)
+      assert(r.getDouble(5) <= 1.0 + 1e-4 && r.getDouble(5) > 0.0)
+    }
+  }
+
   test("pielouEvenness: micronat entropy replay; 0 < J <= 1") {
     val byLang = docTokens.groupBy(_._2).view
       .mapValues(_.flatMap(_._3).filter(_.nonEmpty)).toMap
@@ -558,7 +585,8 @@ class StatsReplaySpec extends SparkSpec {
     val sxx = pts.map(p => p._1 * p._1).sum
     val beta = (nP.toDouble * sxy - sx.toDouble * sy) /
       (nP.toDouble * sxx - sx.toDouble * sx)
-    val k = math.exp((sy.toDouble - beta * sx.toDouble) / (nP.toDouble * 1e6))
+    val k = math.round(math.exp((sy.toDouble - beta * sx.toDouble)
+      / (nP.toDouble * 1e6)) * 1e6).toDouble / 1e6
     val r = graft.queries.TextQueries.heapsLaw(spark, sf).collect().head
     assert(r.getLong(0) == nP && r.getLong(1) == sel.last._1
       && r.getLong(2) == sel.last._2,
@@ -582,8 +610,8 @@ class StatsReplaySpec extends SparkSpec {
     val st = xs.map(BigInt(_)).sum
     val sl = xs.map(x => math.round(math.log(x.toDouble) * 1e6)).sum
     val mld = math.log(st.toDouble / n) - sl.toDouble / (n * 1e6)
-    val a1 = 1.0 - math.exp(sl.toDouble / (n * 1e6)
-      - math.log(st.toDouble / n))
+    val a1 = math.round((1.0 - math.exp(sl.toDouble / (n * 1e6)
+      - math.log(st.toDouble / n))) * 1e9).toDouble / 1e9
     val r = graft.queries.Relational.atkinsonMld(spark, sf).collect().head
     assert(r.getLong(0) == n && r.getLong(1) == st.toLong
       && r.getLong(2) == sl,
@@ -592,7 +620,9 @@ class StatsReplaySpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - a1) < 1e-12)
     // AM-GM: mean >= geomean on a non-degenerate spend vector
     assert(mld > 0.0 && a1 > 0.0 && a1 < 1.0)
-    assert(math.abs((1.0 - a1) - math.exp(-mld)) < 1e-12)
+    // a1 sits on the NANO grid (exp cross-engine guard) — the identity
+    // holds to half a grid step
+    assert(math.abs((1.0 - a1) - math.exp(-mld)) < 1e-9)
   }
 
   test("avgNeighborDegree: per-class k_nn replay from the edge list") {
