@@ -673,8 +673,8 @@ object SparkEntry {
     "docs_yule_k" -> TextQueries.yuleKSql,
     "docs_mattr" -> TextQueries.mattrSql(),
     "text_gopher_repetition" -> TextQueries.gopherRepetitionSql,
-    "text_good_turing" -> TextQueries.goodTuringSql,
-    "text_word_burstiness" -> TextQueries.wordBurstinessSql,
+    "text_good_turing" -> TextQueries.goodTuringSql(),
+    "text_word_burstiness" -> TextQueries.wordBurstinessSql(),
     "text_langid_prf" -> TextQueries.langIdPrfSql,
     "stats_cohens_kappa" -> TextQueries.cohensKappaSql,
     "docs_heaps_law" -> TextQueries.heapsLawSql(),

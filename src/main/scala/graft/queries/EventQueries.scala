@@ -2567,8 +2567,9 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), min(col("c")).as("xk1"),
         sum(lnMicro(col("c"))).as("sln"))
       .select((col("n") - 1L).as("k_top"), col("xk1").as("xk1_cents"),
-        ((col("sln") - col("n") * lnMicro(col("xk1"))).cast("double")
-          / ((col("n") - 1L).cast("double") * lit(1e6))).as("hill_h"))
+        when(col("n") > 1L,
+          (col("sln") - col("n") * lnMicro(col("xk1"))).cast("double")
+            / ((col("n") - 1L).cast("double") * lit(1e6))).as("hill_h"))
       .withColumn("alpha_hill",
         when(col("hill_h") > 0.0, lit(1.0) / col("hill_h")))
   }
@@ -2585,9 +2586,10 @@ object EventQueries {
       |  FROM top),
       |h AS (
       |  SELECT n - 1 AS k_top, xk1 AS xk1_cents,
-      |    CAST(sln - n * CAST(round(ln(CAST(xk1 AS DOUBLE)) * 1e6) AS BIGINT)
-      |         AS DOUBLE)
-      |    / (CAST(n - 1 AS DOUBLE) * 1e6) AS hill_h
+      |    CASE WHEN n > 1 THEN
+      |      CAST(sln - n * CAST(round(ln(CAST(xk1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |           AS DOUBLE)
+      |      / (CAST(n - 1 AS DOUBLE) * 1e6) END AS hill_h
       |  FROM g)
       |SELECT k_top, xk1_cents, hill_h,
       |  CASE WHEN hill_h > 0 THEN 1.0 / hill_h END AS alpha_hill

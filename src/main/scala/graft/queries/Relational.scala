@@ -2677,14 +2677,21 @@ object Relational {
     * micro-contributions instead.
     *
     * Shape: one map-side-combined aggregation over orders to the
-    * 35-cell grid; marginals are windows PARTITIONED over the bounded
-    * grid; the grand total is a broadcast 1-row aggregate of the grid.
+    * priority×year grid (5 priorities × the fixture's order-year span;
+    * 35 cells at the full 1992–1998 range), CHECKPOINTED with
+    * [[graft.Graft.materialize]] so the margins, the grand total, and
+    * [[cramersV]]'s reinvocation all derive from ONE scan of orders
+    * (Spark has no subplan reuse across DataFrame references — the
+    * [[langIdPrf]]/[[cohensKappa]] shared-grid rule); marginals are
+    * windows PARTITIONED over the bounded grid; the grand total is a
+    * broadcast 1-row aggregate of the grid.
     */
   def chi2Cells(s: SparkSession, dir: String): DataFrame = {
-    val cells = t(s, dir, "orders")
-      .groupBy(col("o_orderpriority"),
-        year(col("o_orderdate")).cast("long").as("order_year"))
-      .agg(count(lit(1)).as("obs"))
+    val cells = graft.Graft.materialize(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("obs")))
     val wr = Window.partitionBy(col("o_orderpriority"))
     val wc = Window.partitionBy(col("order_year"))
     val withMargins = cells
@@ -2742,8 +2749,8 @@ object Relational {
     * integers), so both engines add identical integers in any order.
     * r and c are counted from the data, not assumed.
     *
-    * Shape: [[chi2Cells]]' one fact aggregation, then 1-row reductions
-    * of the 21-row grid.
+    * Shape: [[chi2Cells]]' one materialized fact aggregation, then
+    * 1-row reductions of the bounded priority×year grid.
     */
   def cramersV(s: SparkSession, dir: String): DataFrame =
     chi2Cells(s, dir)

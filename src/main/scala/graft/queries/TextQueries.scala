@@ -2208,7 +2208,7 @@ object TextQueries {
       |  FROM k GROUP BY n1, n2, n_terms)
       |SELECT n1, n2, n_terms,
       |  (CAST(sa AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6)
-      |   + CAST(sb AS DOUBLE) / (CAST(CAST(n2 AS VARCHAR) AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
+      |   + CAST(sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
       |FROM agg""".stripMargin
 
   // --- Simpson lexical diversity per source -----------------------------------
@@ -2462,8 +2462,10 @@ object TextQueries {
       .orderBy(col("r"))
   }
 
-  val goodTuringSql: String =
-    """WITH t AS (
+  /** SQL twin; the `maxR` cutoff derives from the same parameter as the
+    * Scala spelling so a non-default call cannot silently hash-diverge. */
+  def goodTuringSql(maxR: Int = 10): String =
+    s"""WITH t AS (
       |  SELECT string_split(text, ' ') AS ws FROM documents),
       |g AS (
       |  SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
@@ -2478,7 +2480,7 @@ object TextQueries {
       |  CAST((a.r + 1) * b.n_types AS DOUBLE) / CAST(a.n_types AS DOUBLE)
       |    AS r_star
       |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
-      |WHERE a.r <= 10 ORDER BY a.r""".stripMargin
+      |WHERE a.r <= $maxR ORDER BY a.r""".stripMargin
 
   // --- Yule's K ---------------------------------------------------------------
   /** Yule's characteristic K per language (Yule, "The Statistical
@@ -2622,13 +2624,18 @@ object TextQueries {
     */
   def mattr(s: SparkSession, dir: String, w: Int = 25): DataFrame =
     docs(s, dir)
+      // bind the tokenization ONCE in a prior select: the window sum
+      // references the array three times, and relying on Catalyst CSE
+      // to collapse three `split(text, ' ')` calls is fragile — a
+      // materialized column makes the single-split plan structural
+      .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
-        size(words).cast("long").as("n_tokens"),
+        size(col("ws")).cast("long").as("n_tokens"),
         expr(
-          s"""CASE WHEN size(split(text, ' ')) >= $w THEN
+          s"""CASE WHEN size(ws) >= $w THEN
              |  aggregate(
-             |    transform(sequence(1, size(split(text, ' ')) - ${w - 1}),
-             |      i -> size(array_distinct(slice(split(text, ' '), i, $w)))),
+             |    transform(sequence(1, size(ws) - ${w - 1}),
+             |      i -> size(array_distinct(slice(ws, i, $w)))),
              |    0L, (acc, x) -> acc + x)
              |END""".stripMargin).as("sum_distinct"))
       .select(col("doc_id"), col("n_tokens"), col("sum_distinct"),
@@ -2674,8 +2681,9 @@ object TextQueries {
       .orderBy(col("df").desc, col("word"))
       .limit(k)
 
-  val wordBurstinessSql: String =
-    """WITH c AS (
+  /** SQL twin; `k` derives from the same parameter as the Scala limit. */
+  def wordBurstinessSql(k: Int = 30): String =
+    s"""WITH c AS (
       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
       |        FROM documents)
@@ -2688,7 +2696,7 @@ object TextQueries {
       |SELECT word, df, df2, occurrences,
       |  CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
       |  CAST(occurrences AS DOUBLE) / CAST(df AS DOUBLE) AS mean_count_in_doc
-      |FROM g ORDER BY df DESC, word LIMIT 30""".stripMargin
+      |FROM g ORDER BY df DESC, word LIMIT $k""".stripMargin
 
   // --- language-ID precision / recall / F1 -------------------------------------
   /** Per-class PRECISION / RECALL / F1 of the [[langGuessConfusion]]
