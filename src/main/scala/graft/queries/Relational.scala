@@ -1486,7 +1486,11 @@ object Relational {
   }
 
   val statsCorrelationSql: String = {
-    def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+    // VARCHAR round-trip: Σy² reaches 7.4e14 at sf0.1 (only 12x under
+    // 2^53, measured by the decimal-margin gate) — route the hugeint->
+    // double conversion through fast_float's correctly-rounded parse.
+    def ds(e: String) =
+      s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
     s"""WITH m AS (
        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
        |    ${ds("l_quantity")} AS sx, ${ds("l_extendedprice")} AS sy,

@@ -127,27 +127,125 @@ BIGINT_SUM_CAST_WARNING = re.compile(
     r"AS\s+DOUBLE\)", re.I | re.S)
 
 
+def flagged_cast_sites(sql):
+    """Match spans of direct decimal/bigint-sum->DOUBLE casts in one
+    oracle SQL, same precedence as the historical advisory warning."""
+    # A span whose text already rides the prescribed VARCHAR round-trip
+    # (CAST(CAST(SUM(..) AS VARCHAR) AS DOUBLE) spelled inline) is the
+    # FIX, not the hazard — the lazy regex crosses the "AS VARCHAR" on
+    # its way to the outer "AS DOUBLE)". Exempt it.
+    rt = re.compile(r"AS\s+VARCHAR", re.I)
+    spans = [m.span() for m in HUGEINT_CAST_WARNING.finditer(sql)
+             if len(m.group(0)) < 200 and not rt.search(m.group(0))]
+    if not spans:
+        spans = [m.span() for m in BIGINT_SUM_CAST_WARNING.finditer(sql)
+                 if len(m.group(0)) < 150 and "AS BIGINT" not in m.group(0)
+                 and not rt.search(m.group(0))]
+
+    def balance(a, b):
+        """The lazy regex can open the span at an EARLIER unrelated CAST(
+        (r14: text_stats_by_lang). Re-anchor the start to the CAST( whose
+        paren actually closes the span's final ')', so the span is a
+        complete balanced expression safe to wrap in a probe call."""
+        depth = 0
+        for i in range(b - 1, a - 1, -1):
+            if sql[i] == ')':
+                depth += 1
+            elif sql[i] == '(':
+                depth -= 1
+                if depth == 0:
+                    m = re.search(r"CAST\s*$", sql[a:i], re.I)
+                    return (a + m.start(), b) if m else (a, b)
+        return (a, b)
+
+    return [balance(a, b) for a, b in spans]
+
+
 def scan_oracle_portability(oracle):
     """Return [(name, reason)] for oracle SQL using version-sensitive
     constructs. Empty list = portable by the probes' lights."""
     hits = []
-    warned = []
     for name, sql in oracle.items():
         for rx, why in PORTABILITY_PROBES:
             if rx.search(sql):
                 hits.append((name, why))
-        if any(len(m.group(0)) < 200
-               for m in HUGEINT_CAST_WARNING.finditer(sql)):
-            warned.append(name)
-        elif any(len(m.group(0)) < 150 and "AS BIGINT" not in m.group(0)
-                 for m in BIGINT_SUM_CAST_WARNING.finditer(sql)):
-            warned.append(name)
-    if warned:
-        print(f"WARNING: {len(warned)} oracles use a direct decimal-sum->"
-              "DOUBLE cast (safe only while the sum stays under 2^53 at "
-              "gate SFs; else round-trip through VARCHAR, BENCHNOTES round "
-              f"13): {' '.join(sorted(warned))}", file=sys.stderr)
     return hits
+
+
+# Minimum allowed ratio 2^53 / max|sum| at the gate SF. The r13 lesson:
+# DuckDB's hugeint->double conversion is not correctly rounded, so a
+# direct CAST of a wide sum to DOUBLE hash-diverges from Spark ~2^-11 of
+# the time once the value crosses 2^53 — and the class sat latent for 12
+# rounds because "looks small enough" was eyeballed, not measured. This
+# gate MEASURES each flagged site: the oracle SQL is instrumented with a
+# tracking UDF wrapped around the cast, run against the gate tables, and
+# the observed max|value| converted to headroom. Within 10x of 2^53 =
+# gate failure; prescribed fix = CAST(CAST(x AS VARCHAR) AS DOUBLE).
+DECIMAL_MARGIN = 10.0
+TWO53 = float(1 << 53)
+
+
+def measure_decimal_margins(con, oracle):
+    """Instrument every flagged direct-cast site with a max-|x| tracking
+    UDF, execute against the gate tables, and print per-site measured
+    headroom. Returns the number of sites inside the margin (gate
+    failures) — unmeasurable sites also count, so they get respelled
+    rather than trusted."""
+    from duckdb.typing import DOUBLE
+    viol = 0
+    flagged = [(n, flagged_cast_sites(oracle[n])) for n in sorted(oracle)]
+    flagged = [(n, s) for n, s in flagged if s]
+    n_sites = sum(len(s) for _, s in flagged)
+    if not flagged:
+        return 0
+    print(f"decimal-margin gate: measuring {n_sites} direct-cast sites "
+          f"across {len(flagged)} oracles", file=sys.stderr)
+    for name, spans in flagged:
+        sql = oracle[name]
+        peaks = {}
+
+        def mk(i):
+            def track(x):
+                if x is not None:
+                    a = abs(x)
+                    if a > peaks.get(i, 0.0):
+                        peaks[i] = a
+                return x
+            return track
+
+        probed = sql
+        for i, (a, b) in reversed(list(enumerate(spans))):
+            fn = f"graft_probe_{i}"
+            try:
+                con.remove_function(fn)
+            except Exception:
+                pass
+            con.create_function(fn, mk(i), [DOUBLE], DOUBLE)
+            probed = probed[:a] + fn + "(" + probed[a:b] + ")" + probed[b:]
+        try:
+            con.execute(probed).fetchall()
+        except Exception as e:
+            print(f"{name}: DECIMAL-MARGIN UNMEASURABLE "
+                  f"({len(spans)} sites): {str(e).splitlines()[0]}")
+            viol += len(spans)
+            continue
+        for i, (a, b) in enumerate(spans):
+            peak = peaks.get(i, 0.0)
+            snip = " ".join(sql[a:b].split())[:60]
+            if peak == 0.0:
+                head = "inf (site not reached / all-zero)"
+            else:
+                head = f"{TWO53 / peak:.3g}x"
+            line = (f"{name}: decimal-margin site {i}: max|sum|={peak:.6g} "
+                    f"headroom={head} [{snip}]")
+            if peak > 0.0 and TWO53 / peak < DECIMAL_MARGIN:
+                print(line + " VIOLATION: within "
+                      f"{DECIMAL_MARGIN:g}x of 2^53 — round-trip through "
+                      "VARCHAR: CAST(CAST(x AS VARCHAR) AS DOUBLE)")
+                viol += 1
+            else:
+                print(line, file=sys.stderr)
+    return viol
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -158,6 +256,7 @@ def main(sfdir, outdir):
     for name, why in scan_oracle_portability(oracle):
         print(f"{name}: PORTABILITY: {why}")
         bad += 1
+    bad += measure_decimal_margins(con, oracle)
     for name in sorted(oracle):
         try:
             duck = con.execute(oracle[name]).fetch_arrow_table()
