@@ -381,6 +381,8 @@ object SparkEntry {
     "mixture_downsample" -> (Sampling.mixtureDownsample _),
     // dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
+    "dedup_exact_paragraph" -> ((s, d) => TextQueries.dedupExactParagraph(s, d)),
+    "dedup_paragraph_top" -> ((s, d) => TextQueries.dedupParagraphTop(s, d)),
     "dedup_exact_substring" -> ((s, d) => TextQueries.exactSubstringDedup(s, d)),
     "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
@@ -743,6 +745,8 @@ object SparkEntry {
     "pack_chunks" -> Sampling.packChunksSql,
     "mixture_downsample" -> Sampling.mixtureDownsampleSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
+    "dedup_exact_paragraph" -> TextQueries.dedupExactParagraphSql(),
+    "dedup_paragraph_top" -> TextQueries.dedupParagraphTopSql(),
     "dedup_exact_substring" -> TextQueries.exactSubstringDedupSql,
     "dedup_cluster_sizes" -> TextQueries.dedupClusterSizesSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,

@@ -482,6 +482,117 @@ object TextQueries {
       | COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  // --- exact paragraph-level dedup --------------------------------------------
+  /** Normalized paragraph blocks of every document — the shared unit for
+    * the paragraph-dedup family. Paragraph = newline-split segment,
+    * re-chunked into non-overlapping `w`-word blocks (real pipelines cap
+    * unbroken paragraphs the same way, so a single 100 KB line can't
+    * hide sub-document duplication; this corpus ships single-line docs).
+    * Normalization = lower + trim + drop empty tokens. Blocks under
+    * `minWords` words (short tails) are dropped — a one-word "paragraph"
+    * matching somewhere is noise, not duplication (same spirit as the
+    * FastSS len>=2 filter). All codegen'd higher-order functions
+    * (split/transform/sequence/slice) — no explode of per-word rows, one
+    * block row per `w` words.
+    */
+  private def paragraphBlocks(s: SparkSession, dir: String, w: Int,
+                              minWords: Int): DataFrame = {
+    val ws = filter(split(trim(lower(col("para0"))), " "), x => x =!= lit(""))
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("para0"))
+      .select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), ((size(col("ws")) - 1) / lit(w)).cast("int")),
+        i => array_join(slice(col("ws"), i * lit(w) + 1, lit(w)), " "))).as("para"))
+      .where(size(split(col("para"), " ")) >= minWords)
+  }
+
+  /** Paragraph-granularity exact dedup — the Dolma/RefinedWeb middle
+    * step between whole-document hashing ([[dedupExact]]) and
+    * suffix-array substring dedup ([[exactSubstringDedup]]), and the one
+    * real curation stacks run FIRST because it is ~10x cheaper than
+    * substring dedup: hash every normalized paragraph block, mark the
+    * ones whose text recurs anywhere in the corpus, and report each
+    * document's duplicated-paragraph share (micro-units).
+    *
+    * Scale shape: blocks shuffle ONCE keyed by block text for the
+    * corpus-wide occurrence count (map-side partial agg; at 100 TB key
+    * by xxhash64(block) so the exchange carries 8 bytes/block — same
+    * plan, and the 2^-64 collision odds only ever over-mark a block as
+    * duplicated), then the counts join back block-keyed and re-aggregate
+    * by doc_id. No all-pairs stage anywhere; both exchanges are
+    * hash-keyed and skew-free (block texts are near-unique).
+    */
+  def dedupExactParagraph(s: SparkSession, dir: String, w: Int = 8,
+                          minWords: Int = 2): DataFrame = {
+    val blocks = paragraphBlocks(s, dir, w, minWords)
+    val counts = blocks.groupBy(col("para")).agg(count(lit(1)).as("n_occ"))
+    blocks.join(counts, "para")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        round(lit(1e6) * col("n_dup_paras") / col("n_paras")).cast("long")
+          .as("dup_share_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupExactParagraphSql(w: Int = 8, minWords: Int = 2): String =
+    s"""WITH seg AS (
+       |  SELECT doc_id, unnest(string_split(text, chr(10))) AS para0 FROM documents),
+       |wt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(lower(para0)), ' '), x -> x <> '') AS ws
+       |  FROM seg),
+       |blocks AS (
+       |  SELECT doc_id, array_to_string(ws[(i*$w+1):(i*$w+$w)], ' ') AS para
+       |  FROM wt, UNNEST(range(0, CAST(floor((len(ws)-1)/$w.0) AS BIGINT) + 1)) t(i)
+       |  WHERE len(ws) > 0),
+       |bf AS (SELECT doc_id, para FROM blocks
+       |       WHERE len(string_split(para, ' ')) >= $minWords),
+       |cnt AS (SELECT para, COUNT(*) AS n_occ FROM bf GROUP BY para)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       |  CAST(ROUND(1e6 * SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) / COUNT(*))
+       |    AS BIGINT) AS dup_share_micro
+       |FROM bf JOIN cnt USING (para)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Top duplicated paragraph blocks corpus-wide, with distinct-doc and
+    * total occurrence counts — the triage view a curation run reads to
+    * spot boilerplate (nav bars, license headers) before choosing drop
+    * rules. Distributed top-k via `orderBy().limit(k)`
+    * (TakeOrderedAndProject) — never a global rank window; ties broken
+    * by block text for a total deterministic order.
+    */
+  def dedupParagraphTop(s: SparkSession, dir: String, w: Int = 8,
+                        minWords: Int = 2, k: Int = 20): DataFrame =
+    paragraphBlocks(s, dir, w, minWords)
+      .groupBy(col("para"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+      .orderBy(col("n_occ").desc, col("para"))
+      .limit(k)
+
+  def dedupParagraphTopSql(w: Int = 8, minWords: Int = 2, k: Int = 20): String =
+    s"""WITH seg AS (
+       |  SELECT doc_id, unnest(string_split(text, chr(10))) AS para0 FROM documents),
+       |wt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(lower(para0)), ' '), x -> x <> '') AS ws
+       |  FROM seg),
+       |blocks AS (
+       |  SELECT doc_id, array_to_string(ws[(i*$w+1):(i*$w+$w)], ' ') AS para
+       |  FROM wt, UNNEST(range(0, CAST(floor((len(ws)-1)/$w.0) AS BIGINT) + 1)) t(i)
+       |  WHERE len(ws) > 0)
+       |SELECT para, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_occ
+       |FROM blocks WHERE len(string_split(para, ' ')) >= $minWords
+       |GROUP BY para HAVING COUNT(*) > 1
+       |ORDER BY n_occ DESC, para LIMIT $k""".stripMargin
+
   // --- exact n-gram-shingle Jaccard near-dup ---------------------------------
   /** Near-duplicate pairs by exact Jaccard over 3-gram shingles, language-
     * bucketed. This is the *verify* stage: candidate pairs come from a

@@ -441,4 +441,35 @@ class DedupSpec extends SparkSpec {
     }.toSet
     assert(df.collect().map(_.getLong(0)).toSet == expected)
   }
+
+  test("paragraph-exact dedup: newline split, normalization, short-tail drop") {
+    import spark.implicits._
+    // the gate corpus ships single-line docs, so the newline path,
+    // messy-whitespace normalization, and sub-minWords tail drop are
+    // exercised ONLY here, against hand-computed expectations
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"$eight\n$eight", "en", "fix"),             // 2 identical paras
+      (1L, "  ALPHA   beta gamma delta epsilon zeta eta THETA  ", "en", "fix"),
+      (2L, "one two three four five six seven eight nine ten", "en", "fix"),
+      (3L, "solo", "en", "fix"),                        // 1-word tail: dropped
+      (4L, "x y\nx y", "en", "fix"))                    // same-doc dup paras
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_paradedup").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val share = TextQueries.dedupExactParagraph(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(share == Map(
+      0L -> ((2L, 2L, 1000000L)),   // both paras recur (each other + doc 1)
+      1L -> ((1L, 1L, 1000000L)),   // normalizes to doc 0's para
+      2L -> ((2L, 0L, 0L)),         // 8-word block + unique 2-word tail
+      4L -> ((2L, 2L, 1000000L))),  // within-doc recurrence counts too
+      s"per-doc shares: $share")    // doc 3: zero blocks => absent
+    val top = TextQueries.dedupParagraphTop(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq((eight, 2L, 3L), ("x y", 1L, 2L)),
+      s"top blocks: ${top.toSeq}")
+    assertNoAllPairs(planOf(TextQueries.dedupExactParagraph(spark, tmp)))
+  }
 }
