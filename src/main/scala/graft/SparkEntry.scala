@@ -411,8 +411,8 @@ object SparkEntry {
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_dedup" -> (Multimodal.mediaDedup _),
-    "multimodal_cdc_chunks" -> (Multimodal.cdcChunkStats _),
-    "multimodal_cdc_pairs" -> ((s, d) => Multimodal.cdcSharedPairs(s, d)),
+    "multimodal_cdc_chunks" -> ((s, d) => Multimodal.cdcChunkAudit(s, d)),
+    "multimodal_cdc_pairs" -> ((s, d) => Multimodal.cdcPairsAudit(s, d)),
     "multimodal_decode_stub" -> (Multimodal.decodeFrames _),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
@@ -479,10 +479,14 @@ object SparkEntry {
     *     iterative trainer (AnalyticsOpsSpec: independent merge-round
     *     induction, char conservation, round-trip; the scorable step
     *     `text_bpe_merge` IS oracle-checked);
-    *     `multimodal_cdc_chunks`/`multimodal_cdc_pairs`/
-    *     `multimodal_decode_stub`/`multimodal_frame_sample` run gear-hash
-    *     chunking and the codec seam over opaque binary (MultimodalSpec
-    *     planted fixtures); `text_compression_ratio` depends on the JVM
+    *     `multimodal_decode_stub`/`multimodal_frame_sample` run the
+    *     codec seam over opaque binary (MultimodalSpec planted
+    *     fixtures; the CDC chunk family graduated to structural
+    *     oracles — `multimodal_cdc_chunks` pins conservation/tiling/
+    *     bounds, `multimodal_cdc_pairs` pins planted-twin completeness,
+    *     while [[graft.llm.Multimodal.cdcChunkStats]] /
+    *     [[graft.llm.Multimodal.cdcSharedPairs]] stay the numeric API,
+    *     MultimodalSpec-pinned); `text_compression_ratio` depends on the JVM
     *     Deflater's exact byte counts (CompressionSpec pins monotonicity
     *     + bounds, not zlib internals).
     */
@@ -759,5 +763,7 @@ object SparkEntry {
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,
     "multimodal_dedup" -> Multimodal.mediaDedupSql,
+    "multimodal_cdc_chunks" -> Multimodal.cdcChunkAuditSql,
+    "multimodal_cdc_pairs" -> Multimodal.cdcPairsAuditSql(),
   )
 }

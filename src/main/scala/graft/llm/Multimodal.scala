@@ -162,6 +162,105 @@ object Multimodal {
       .orderBy(col("n_shared_chunks").desc, col("media_a"), col("media_b"))
   }
 
+  /** Structural oracle for the gear-hash chunker (the r12 graduation
+    * pattern: deterministic exact columns beside a contract constant,
+    * computed FROM the real sketch — here from the real chunk arrays).
+    * Per source: media count and payload byte volume (both
+    * DuckDB-recomputable from the documents fixture) plus three
+    * violation counters the oracle pins at 0:
+    *   - conservation: Σ chunk len == octet_length(payload);
+    *   - tiling: chunks are contiguous from offset 0 (fold over the
+    *     chunk array comparing each offset to the running length sum —
+    *     catches overlaps and gaps that length conservation alone
+    *     would cancel out);
+    *   - bounds: every chunk ≤ maxLen and every NON-FINAL chunk ≥
+    *     minLen (the final chunk may be a short tail).
+    * A broken chunker (dropped chunk, wrong boundary, overlap,
+    * unforced cut) now hash-fails the driver gate instead of only
+    * failing MultimodalSpec. All checks are codegen'd array folds
+    * (`aggregate`/`forall`) riding the same narrow map as the chunker
+    * — payload bytes still never shuffle; the exchange carries one
+    * 5-column row per media.
+    */
+  def cdcChunkAudit(s: SparkSession, dir: String, maskBits: Int = 6,
+                    minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    val perMedia = mediaTable(s, dir).select(
+      col("source"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      graft.functions.CdcChunks(col("payload"), maskBits, minLen, maxLen)
+        .as("chunks"))
+    val lenSum = aggregate(col("chunks"), lit(0L),
+      (acc, x) => acc + x.getField("len").cast("long"))
+    val contig = aggregate(col("chunks"),
+      struct(lit(0L).as("off"), lit(true).as("ok")),
+      (acc, x) => struct(
+        (acc.getField("off") + x.getField("len").cast("long")).as("off"),
+        (acc.getField("ok") &&
+          x.getField("offset").cast("long") === acc.getField("off")).as("ok")))
+      .getField("ok")
+    val bounds =
+      forall(col("chunks"),
+        x => x.getField("len") >= lit(1) && x.getField("len") <= lit(maxLen)) &&
+      forall(slice(col("chunks"), lit(1), greatest(size(col("chunks")) - 1, lit(0))),
+        x => x.getField("len") >= lit(minLen))
+    perMedia
+      .select(col("source"), col("n_bytes"),
+        (lenSum === col("n_bytes")).as("conserved"),
+        contig.as("contig"), bounds.as("bounds"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("bytes_payload"),
+        sum(when(!col("conserved"), 1L).otherwise(0L))
+          .as("conservation_violations"),
+        sum(when(!col("contig"), 1L).otherwise(0L)).as("tiling_violations"),
+        sum(when(!col("bounds"), 1L).otherwise(0L)).as("bounds_violations"))
+      .orderBy(col("source"))
+  }
+
+  val cdcChunkAuditSql: String =
+    """SELECT source, COUNT(*) AS n_media,
+      | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_payload,
+      | CAST(0 AS BIGINT) AS conservation_violations,
+      | CAST(0 AS BIGINT) AS tiling_violations,
+      | CAST(0 AS BIGINT) AS bounds_violations
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Structural oracle for the chunk-sharing pair finder: plant an
+    * exact byte-twin (media_id + 1 000 000) for every document below
+    * `plantBelow`, run [[cdcSharedPairsOf]] over ONLY those docs and
+    * their twins, and assert every planted pair is FOUND (identical
+    * payloads share their entire chunk set, so `found` = 1 is
+    * deterministic whatever boundaries the gear hash picks — this is
+    * the completeness half of the contract, the same one-sided shape
+    * as the bloom no-false-negative audit). The expected pair list is
+    * DuckDB-recomputable from doc_ids alone; extra same-text fixture
+    * pairs the finder may also report are out of contract (LEFT join).
+    * Determinism of the chunker across rows + the inverted-index /
+    * holder-cap / pairing plumbing are what this pins; boundary
+    * CORRECTNESS is [[cdcChunkAudit]]'s job.
+    */
+  def cdcPairsAudit(s: SparkSession, dir: String,
+                    plantBelow: Long = 100L): DataFrame = {
+    val base = mediaTable(s, dir)
+      .filter(col("media_id") < plantBelow)
+      .select(col("media_id"), col("payload"))
+    val twins = base.select((col("media_id") + lit(1000000L)).as("media_id"),
+      col("payload"))
+    val found = cdcSharedPairsOf(base.unionByName(twins),
+      minShared = 1, maxHolders = 10)
+    val expected = base.select(col("media_id").as("media_a"),
+      (col("media_id") + lit(1000000L)).as("media_b"))
+    expected.join(found, Seq("media_a", "media_b"), "left")
+      .select(col("media_a"), col("media_b"),
+        when(col("n_shared_chunks").isNotNull, 1L).otherwise(0L).as("found"))
+      .orderBy(col("media_a"))
+  }
+
+  def cdcPairsAuditSql(plantBelow: Long = 100L): String =
+    s"""SELECT doc_id AS media_a, doc_id + 1000000 AS media_b,
+       | CAST(1 AS BIGINT) AS found
+       |FROM documents WHERE doc_id < $plantBelow ORDER BY media_a""".stripMargin
+
   /** Decoded-frame schema a real decoder would produce. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
