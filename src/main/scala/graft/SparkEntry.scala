@@ -248,6 +248,7 @@ object SparkEntry {
     "ts_peaks" -> ((s, d) => TimeSeries.peaks(s, d)),
     "ts_autocorrelation" -> (TimeSeries.autocorrelation _),
     "ts_ljung_box" -> ((s, d) => TimeSeries.ljungBox(s, d)),
+    "ts_pacf" -> (TimeSeries.pacf _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -656,6 +657,7 @@ object SparkEntry {
     "ts_peaks" -> TimeSeries.peaksSql,
     "ts_autocorrelation" -> TimeSeries.autocorrelationSql,
     "ts_ljung_box" -> TimeSeries.ljungBoxSql,
+    "ts_pacf" -> TimeSeries.pacfSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

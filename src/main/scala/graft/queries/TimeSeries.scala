@@ -925,6 +925,136 @@ object TimeSeries {
       |FROM q ORDER BY lag""".stripMargin
   }
 
+  // --- partial autocorrelation (Durbin–Levinson) -------------------------------
+  /** PACF of daily revenue at lags 1..3 via the Durbin–Levinson
+    * recursion (Durbin, Biometrika 1960; Box & Jenkins 1970 ch. 3) on
+    * the STANDARD sample ACF — the AR-order read a forecaster takes
+    * after [[ljungBox]] says structure exists: pacf(k) is the lag-k
+    * correlation with lags 1..k−1 regressed out, so an AR(p) series
+    * cuts off after lag p where the raw ACF only decays.
+    *
+    * Estimator: the same full-series-mean r_k as [[ljungBox]] (the one
+    * the recursion is defined over), expanded around exact moments —
+    * n, Σx, per-lag pair sums as BIGINTs, second moments in
+    * DECIMAL(18,0) — then
+    *   φ₁₁ = r₁;  φ₂₂ = (r₂ − r₁²)/(1 − r₁²);  φ₂₁ = r₁ − φ₂₂r₁;
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂)
+    * — a FIXED sequence of IEEE ops on bit-identical doubles, spelled
+    * in the same order in the oracle (and re-derived from first
+    * principles in StatsReplaySpec). Degenerate denominators (constant
+    * series, |r₁| = 1) yield NULL, never NaN. Lag depth is FIXED at 3:
+    * the recursion's closed form is written out per lag, so a
+    * parameterized depth would be exactly the silent-divergence class
+    * the r13 advice banned.
+    *
+    * Shape: [[ljungBox]]'s — one fact-table fold to the day grid,
+    * one materialized lead pass, a lag-keyed aggregation, then the
+    * 3-row lag grid pivots onto ONE row via conditional single-term
+    * sums (the fixed-order pivot discipline) where the recursion runs.
+    */
+  def pacf(s: SparkSession, dir: String): DataFrame = {
+    val maxLag = 3
+    val wOrd = Window.orderBy(col("d"))
+    val withLeads = (1 to maxLag).foldLeft(
+      dailyRevenue(s, dir).withColumn("x", expr("rev_cents div 100"))) {
+      case (df, k) => df.withColumn(s"y$k", lead(col("x"), k).over(wOrd))
+    }
+    val series = Graft.materialize(withLeads)
+    val xd = col("x").cast("decimal(18,0)")
+    val g = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(xd * xd).as("sxx"))
+    val pairs = series
+      .select(col("x"),
+        posexplode(array((1 to maxLag).map(k => col(s"y$k")): _*))
+          .as(Seq("p", "y")))
+      .filter(col("y").isNotNull)
+      .select((col("p") + 1).cast("long").as("lag"), col("x"), col("y"))
+    val nd = col("n").cast("double")
+    val xb = col("sx").cast("double") / nd
+    val den = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / nd)
+    val acf = (col("c").cast("double")
+      - xb * (col("a").cast("double") + col("b").cast("double"))
+      + col("m").cast("double") * xb * xb) / den
+    val perLag = pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("a"),
+        sum(col("y")).as("b"),
+        sum(xd * col("y").cast("decimal(18,0)")).as("c"))
+      .crossJoin(broadcast(g))
+      .select(col("lag"), col("n"), when(den =!= 0.0, acf).as("r"))
+    val piv = perLag.groupBy(col("n").as("n_days"))
+      .agg(sum(when(col("lag") === 1, col("r"))).as("r1"),
+        sum(when(col("lag") === 2, col("r"))).as("r2"),
+        sum(when(col("lag") === 3, col("r"))).as("r3"))
+    val r1 = col("r1"); val r2 = col("r2"); val r3 = col("r3")
+    val den2 = lit(1.0) - r1 * r1
+    val p2 = when(den2 =!= 0.0, (r2 - r1 * r1) / den2)
+    val p21 = r1 - p2 * r1
+    val den3 = (lit(1.0) - p21 * r1 - p2 * r2)
+    val p3 = when(den3 =!= 0.0, (r3 - p21 * r2 - p2 * r1) / den3)
+    piv.select(col("n_days"), r1.as("acf1"), r2.as("acf2"), r3.as("acf3"),
+      p2.as("pacf2"), p3.as("pacf3"))
+  }
+
+  val pacfSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    // the r CTE, dl chain, and final projection spell every double op
+    // in the Scala Column order (left-assoc, same parenthesization) —
+    // see the [[pacf]] scaladoc
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT d, $dollars AS x FROM rev),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      |  FROM x),
+      |ks AS (SELECT CAST(lag AS BIGINT) AS lag FROM (VALUES (1), (2), (3)) t(lag)),
+      |xr AS (SELECT x, row_number() OVER (ORDER BY d) AS rn FROM x),
+      |pairs AS (
+      |  SELECT k.lag, a.x AS x, b.x AS y
+      |  FROM xr a JOIN ks k ON true JOIN xr b ON b.rn = a.rn + k.lag),
+      |p AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(x) AS BIGINT) AS a, CAST(SUM(y) AS BIGINT) AS b,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS c
+      |  FROM pairs GROUP BY lag),
+      |r AS (
+      |  SELECT lag, n,
+      |    CASE WHEN (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |                 / CAST(n AS DOUBLE)) <> 0 THEN
+      |      (CAST(CAST(c AS VARCHAR) AS DOUBLE)
+      |         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+      |         + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    ELSE NULL END AS r
+      |  FROM p CROSS JOIN g),
+      |piv AS (
+      |  SELECT n AS n_days,
+      |    SUM(CASE WHEN lag = 1 THEN r END) AS r1,
+      |    SUM(CASE WHEN lag = 2 THEN r END) AS r2,
+      |    SUM(CASE WHEN lag = 3 THEN r END) AS r3
+      |  FROM r GROUP BY n),
+      |dl AS (
+      |  SELECT n_days, r1, r2, r3,
+      |    CASE WHEN 1.0 - r1 * r1 <> 0
+      |         THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p2
+      |  FROM piv),
+      |dl2 AS (SELECT n_days, r1, r2, r3, p2, r1 - p2 * r1 AS p21 FROM dl)
+      |SELECT n_days, r1 AS acf1, r2 AS acf2, r3 AS acf3, p2 AS pacf2,
+      |  CASE WHEN (1.0 - p21 * r1 - p2 * r2) <> 0
+      |       THEN (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)
+      |  END AS pacf3
+      |FROM dl2""".stripMargin
+  }
+
   // --- Kendall tau-b between two daily series ---------------------------------
   /** Exact Kendall rank correlation (tau-b, the tie-corrected form;
     * Kendall, Biometrika 1938 / 1945) between the daily ORDER COUNT and

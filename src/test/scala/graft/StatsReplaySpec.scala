@@ -680,4 +680,33 @@ class StatsReplaySpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - h) < 1e-12, s"H ${r.getDouble(6)} != $h")
     assert(h > 0.0 && h < 1.0, s"H $h outside (0,1)")
   }
+
+  test("pacf: Durbin–Levinson replay from the raw day series") {
+    val xs = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("cents"))
+      .orderBy(col("d"))
+      .collect().map(r => r.getLong(1) / 100) // rev_cents div 100 (positive)
+    val n = xs.length
+    val mean = xs.map(_.toDouble).sum / n
+    def gamma(k: Int): Double =
+      (0 until n - k).map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum
+    val g0 = gamma(0)
+    assert(g0 > 0.0, "degenerate fixture: constant day series")
+    val r = (1 to 3).map(k => gamma(k) / g0)
+    val p2 = (r(1) - r(0) * r(0)) / (1 - r(0) * r(0))
+    val p21 = r(0) - p2 * r(0)
+    val p3 = (r(2) - p21 * r(1) - p2 * r(0)) / (1 - p21 * r(0) - p2 * r(1))
+    val row = TimeSeries.pacf(spark, sf).collect().head
+    assert(row.getLong(0) == n, s"n_days ${row.getLong(0)} != replay $n")
+    for ((got, want, name) <- Seq(
+        (row.getDouble(1), r(0), "acf1"), (row.getDouble(2), r(1), "acf2"),
+        (row.getDouble(3), r(2), "acf3"), (row.getDouble(4), p2, "pacf2"),
+        (row.getDouble(5), p3, "pacf3"))) {
+      assert(math.abs(got - want) < 1e-9, s"$name $got != replay $want")
+      assert(got >= -1.0 && got <= 1.0, s"$name $got outside [-1,1]")
+    }
+  }
 }
