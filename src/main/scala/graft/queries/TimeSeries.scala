@@ -1055,6 +1055,122 @@ object TimeSeries {
       |FROM dl2""".stripMargin
   }
 
+  // --- cross-correlation between two daily series -------------------------------
+  /** Sample cross-correlation function (CCF) between the daily ORDER
+    * COUNT and daily REVENUE series at lags −3..+3 (Box & Jenkins 1970
+    * ch. 11 — the lead/lag read behind "does volume move before
+    * money"): ccf(k) = Σ_t (x_t − x̄)(y_{t+k} − ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²),
+    * full-series means and denominators, overlap-only numerator — so
+    * lag 0 is the plain Pearson of the aligned series and the sign of
+    * the peak lag says which series leads.
+    *
+    * Exactness: the [[ljungBox]] discipline — n, Σx, Σy and per-lag
+    * pair sums exact BIGINTs, second moments (Σx², Σy², Σx·y_{t+k}) in
+    * DECIMAL(18,0), numerator expanded around those sums
+    * (c − ȳa − x̄b + m·x̄ȳ) in a fixed IEEE order the oracle spells
+    * identically; VARCHAR-routed decimal→double casts. A constant
+    * series (either denominator 0) yields NULL, never NaN.
+    *
+    * Shape: one fact fold to the day grid; ONE materialized lead pass
+    * produces x/y leads 1..3; pairs explode to (lag, px, py) rows
+    * (negative lags pair the LED x against the current y — same
+    * multiset as lagging y); one lag-keyed aggregation; the global
+    * moments broadcast from the same checkpoint. Windows touch only
+    * day cardinality.
+    */
+  def crossCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val maxLag = 3
+    val wOrd = Window.orderBy(col("d"))
+    val base = Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("x"), expr("sum(c) div 100").as("y"))
+    val withLeads = (1 to maxLag).foldLeft(base) { case (df, k) =>
+      df.withColumn(s"x$k", lead(col("x"), k).over(wOrd))
+        .withColumn(s"y$k", lead(col("y"), k).over(wOrd))
+    }
+    val series = Graft.materialize(withLeads)
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    val g = series.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(d18(col("x")) * d18(col("x"))).as("sxx"),
+      sum(d18(col("y")) * d18(col("y"))).as("syy"))
+    val entries =
+      Seq(struct(lit(0L).as("lag"), col("x").as("px"), col("y").as("py"))) ++
+      (1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), col("x").as("px"), col(s"y$k").as("py"))) ++
+      (1 to maxLag).map(k =>
+        struct(lit(-k.toLong).as("lag"), col(s"x$k").as("px"), col("y").as("py")))
+    val pairs = series
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.lag").as("lag"), col("e.px").as("px"), col("e.py").as("py"))
+      .filter(col("px").isNotNull && col("py").isNotNull)
+    val perLag = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("px")).as("a"), sum(col("py")).as("b"),
+        sum(d18(col("px")) * d18(col("py"))).as("c"))
+      .crossJoin(broadcast(g))
+    val nd = col("n").cast("double")
+    val xb = col("sx").cast("double") / nd
+    val yb = col("sy").cast("double") / nd
+    val denx = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / nd)
+    val deny = (col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double") / nd)
+    val num = (col("c").cast("double")
+      - yb * col("a").cast("double")
+      - xb * col("b").cast("double")
+      + col("m").cast("double") * xb * yb)
+    perLag.select(col("lag"), col("m").as("n_pairs"),
+        when(denx * deny > 0.0, num / sqrt(denx * deny))
+          .otherwise(lit(null).cast("double")).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  val crossCorrelationSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    s"""WITH day AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |xy AS (SELECT d, x, $dollars AS y FROM day),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
+      |  FROM xy),
+      |ks AS (SELECT CAST(lag AS BIGINT) AS lag
+      |       FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) t(lag)),
+      |xr AS (SELECT x, y, row_number() OVER (ORDER BY d) AS rn FROM xy),
+      |pairs AS (
+      |  SELECT k.lag, a.x AS px, b.y AS py
+      |  FROM xr a JOIN ks k ON true JOIN xr b ON b.rn = a.rn + k.lag),
+      |p AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(px) AS BIGINT) AS a, CAST(SUM(py) AS BIGINT) AS b,
+      |    SUM(CAST(px AS DECIMAL(18,0)) * CAST(py AS DECIMAL(18,0))) AS c
+      |  FROM pairs GROUP BY lag)
+      |SELECT lag, m AS n_pairs,
+      |  CASE WHEN (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |           * (CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |           > 0 THEN
+      |    (CAST(CAST(c AS VARCHAR) AS DOUBLE)
+      |       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a AS DOUBLE)
+      |       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(b AS DOUBLE)
+      |       + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |           * (CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |  ELSE NULL END AS ccf
+      |FROM p CROSS JOIN g ORDER BY lag""".stripMargin
+  }
+
   // --- Kendall tau-b between two daily series ---------------------------------
   /** Exact Kendall rank correlation (tau-b, the tie-corrected form;
     * Kendall, Biometrika 1938 / 1945) between the daily ORDER COUNT and

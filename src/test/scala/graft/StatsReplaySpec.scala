@@ -681,6 +681,36 @@ class StatsReplaySpec extends SparkSpec {
     assert(h > 0.0 && h < 1.0, s"H $h outside (0,1)")
   }
 
+  test("crossCorrelation: lead/lag CCF replay from the raw day series") {
+    val xy = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"), sum(col("c")).as("cs"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getLong(1).toDouble, (r.getLong(2) / 100).toDouble))
+    val n = xy.length
+    val xb = xy.map(_._1).sum / n
+    val yb = xy.map(_._2).sum / n
+    val denx = xy.map(p => (p._1 - xb) * (p._1 - xb)).sum
+    val deny = xy.map(p => (p._2 - yb) * (p._2 - yb)).sum
+    def ccf(k: Int): Double = {
+      val num =
+        if (k >= 0) (0 until n - k).map(t => (xy(t)._1 - xb) * (xy(t + k)._2 - yb)).sum
+        else (0 until n + k).map(t => (xy(t - k)._1 - xb) * (xy(t)._2 - yb)).sum
+      num / math.sqrt(denx * deny)
+    }
+    val rows = TimeSeries.crossCorrelation(spark, sf).collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == (-3 to 3).toSet)
+    for (k <- -3 to 3) {
+      val (m, got) = rows(k)
+      assert(m == n - math.abs(k), s"lag $k pairs $m != ${n - math.abs(k)}")
+      assert(math.abs(got - ccf(k)) < 1e-9, s"ccf($k) $got != replay ${ccf(k)}")
+      assert(got >= -1.0 && got <= 1.0)
+    }
+  }
+
   test("pacf: Durbin–Levinson replay from the raw day series") {
     val xs = Tables.load(spark, sf, "orders")
       .select(to_date(col("o_orderdate")).as("d"),
