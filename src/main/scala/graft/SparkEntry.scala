@@ -267,6 +267,7 @@ object SparkEntry {
     "stats_histogram_eqdepth" -> (Relational.statsHistogramEqdepth _),
     "embed_outliers" -> ((s, d) => EmbeddingQueries.outliersByLabel(s, d)),
     "stats_anova_priority" -> (Relational.anovaPriority _),
+    "stats_levene" -> (Relational.levenePriority _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -677,6 +678,7 @@ object SparkEntry {
     "stats_histogram_eqdepth" -> Relational.statsHistogramEqdepthSql,
     "embed_outliers" -> EmbeddingQueries.outliersByLabelSql,
     "stats_anova_priority" -> Relational.anovaPrioritySql,
+    "stats_levene" -> Relational.levenePrioritySql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

@@ -1791,6 +1791,113 @@ object Relational {
       |FROM f""".stripMargin
   }
 
+  // --- Levene homogeneity-of-variance test -------------------------------------
+  /** Levene's test (mean-centered form; Levene 1960) of order-value
+    * VARIANCE homogeneity across order priorities — the check run
+    * before trusting [[anovaPriority]]'s F (ANOVA assumes equal group
+    * variances; Levene is the standard gatekeeper): a one-way ANOVA on
+    * the absolute deviations z_i = |x_i − x̄_g|.
+    *
+    * Determinism: the per-group mean is cleared from the denominator —
+    * u_i = |n_g·x_i − S_g| is an exact BIGINT (whole dollars; exact
+    * past SF ~3e3, where n_g³·σ² approaches DECIMAL(38)), so
+    * z_i = u_i/n_g and the three group-mixing terms
+    *   Σ_g U_g/n_g,  Σ_g U_g²/n_g³,  Σ_g (Q_g − U_g²/n_g)/n_g²
+    * (U_g = Σu exact in DECIMAL, Q_g = Σu² in DECIMAL(38)) accumulate
+    * via the CUMULATIVE WINDOW over the mode-ordered 5-row grid — the
+    * [[anovaPriority]] small-grid ordered-accumulation trick, with
+    * every double op spelled in the same order in the oracle and the
+    * decimal→double casts VARCHAR-routed.
+    *
+    * Shape: two map-side-combined scans of the fact projection (group
+    * moments, then deviation moments — Levene is inherently two-pass;
+    * the 5-row group frame broadcasts back between them); everything
+    * after is k-sized.
+    */
+  def levenePriority(s: SparkSession, dir: String): DataFrame = {
+    val x = expr(
+      "cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+    val v = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("mode"), x.as("x"))
+    val g1 = v.groupBy(col("mode"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val u = abs(col("n_g") * col("x") - col("s_g"))
+    val g2 = v.join(broadcast(g1), "mode")
+      .select(col("mode"), col("n_g"), u.as("u"))
+      .groupBy(col("mode"), col("n_g"))
+      .agg(sum(d19(col("u"))).as("u_g"), sum(d19(col("u")) * d19(col("u"))).as("q_g"))
+    val nd = col("n_g").cast("double")
+    val ud = col("u_g").cast("double")
+    val qd = col("q_g").cast("double")
+    val wOrd = Window.orderBy(col("mode"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g2
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_z", sum(ud / nd).over(wCum))
+      .withColumn("cum_b", sum(ud * ud / (nd * nd * nd)).over(wCum))
+      .withColumn("cum_w",
+        sum((qd - ud * ud / nd) / (nd * nd)).over(wCum))
+    val tot = g2.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("i") === col("k"))
+      .select(col("k"), col("n"),
+        (col("cum_b") - col("cum_z") * col("cum_z")
+          / col("n").cast("double")).as("ss_between"),
+        col("cum_w").as("ss_within"))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        when(col("ss_within") > 0.0,
+          ((col("ss_between") / (col("k").cast("double") - 1.0))
+            / (col("ss_within") / (col("n").cast("double")
+              - col("k").cast("double")))))
+          .otherwise(lit(null).cast("double")).as("w_stat"))
+  }
+
+  val levenePrioritySql: String = {
+    val dollars = PortableSql.intDiv(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)", "100")
+    s"""WITH v AS (SELECT o_orderpriority AS mode, $dollars AS x FROM orders),
+      |g1 AS (
+      |  SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(x) AS BIGINT) AS s_g
+      |  FROM v GROUP BY mode),
+      |g2 AS (
+      |  SELECT mode, n_g,
+      |    SUM(CAST(abs(n_g * x - s_g) AS DECIMAL(19,0))) AS u_g,
+      |    SUM(CAST(abs(n_g * x - s_g) AS DECIMAL(19,0))
+      |        * CAST(abs(n_g * x - s_g) AS DECIMAL(19,0))) AS q_g
+      |  FROM v JOIN g1 USING (mode) GROUP BY mode, n_g),
+      |c AS (
+      |  SELECT mode, n_g, u_g, q_g,
+      |    CAST(row_number() OVER (ORDER BY mode) AS BIGINT) AS i,
+      |    SUM(CAST(CAST(u_g AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE))
+      |      OVER w AS cum_z,
+      |    SUM(CAST(CAST(u_g AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(u_g AS VARCHAR) AS DOUBLE)
+      |        / (CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE)
+      |           * CAST(n_g AS DOUBLE))) OVER w AS cum_b,
+      |    SUM((CAST(CAST(q_g AS VARCHAR) AS DOUBLE)
+      |         - CAST(CAST(u_g AS VARCHAR) AS DOUBLE)
+      |           * CAST(CAST(u_g AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE))
+      |        / (CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE))) OVER w AS cum_w
+      |  FROM g2
+      |  WINDOW w AS (ORDER BY mode
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n
+      |      FROM g2),
+      |f AS (
+      |  SELECT k, n,
+      |    cum_b - cum_z * cum_z / CAST(n AS DOUBLE) AS ss_between,
+      |    cum_w AS ss_within
+      |  FROM c, t WHERE i = k)
+      |SELECT k, n, ss_between, ss_within,
+      |  CASE WHEN ss_within > 0 THEN
+      |    (ss_between / (CAST(k AS DOUBLE) - 1.0))
+      |      / (ss_within / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+      |  ELSE NULL END AS w_stat
+      |FROM f""".stripMargin
+  }
+
   // --- Herfindahl–Hirschman concentration -------------------------------------
   /** Herfindahl–Hirschman index of supplier revenue concentration per
     * nation — the antitrust-style concentration scalar (HHI > 0.25 =

@@ -681,6 +681,38 @@ class StatsReplaySpec extends SparkSpec {
     assert(h > 0.0 && h < 1.0, s"H $h outside (0,1)")
   }
 
+  test("levenePriority: mean-centered Levene W replay from raw orders") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+          .as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val zs = groups.toSeq.flatMap { case (_, xs) =>
+      val m = xs.sum / xs.length
+      xs.map(v => math.abs(v - m))
+    }
+    val zg = groups.toSeq.map { case (_, xs) =>
+      val m = xs.sum / xs.length
+      xs.map(v => math.abs(v - m))
+    }
+    val n = zs.length; val k = zg.length
+    val zbar = zs.sum / n
+    val ssb = zg.map(g => g.length * math.pow(g.sum / g.length - zbar, 2)).sum
+    val ssw = zg.map(g => { val m = g.sum / g.length
+      g.map(z => (z - m) * (z - m)).sum }).sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = Relational.levenePriority(spark, sf).collect().head
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(math.abs(row.getDouble(2) - ssb) / ssb < 1e-9,
+      s"ss_between ${row.getDouble(2)} != replay $ssb")
+    assert(math.abs(row.getDouble(3) - ssw) / ssw < 1e-9,
+      s"ss_within ${row.getDouble(3)} != replay $ssw")
+    assert(math.abs(row.getDouble(4) - w) / w < 1e-9,
+      s"w_stat ${row.getDouble(4)} != replay $w")
+    assert(w > 0.0)
+  }
+
   test("crossCorrelation: lead/lag CCF replay from the raw day series") {
     val xy = Tables.load(spark, sf, "orders")
       .select(to_date(col("o_orderdate")).as("d"),
