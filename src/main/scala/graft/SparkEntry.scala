@@ -323,6 +323,7 @@ object SparkEntry {
     "dq_expectations" -> (Governance.dqExpectations _),
     "pii_k_anonymity" -> ((s, d) => Governance.kAnonymity(s, d)),
     "pii_l_diversity" -> ((s, d) => Governance.lDiversity(s, d)),
+    "pii_t_closeness" -> ((s, d) => Governance.tCloseness(s, d)),
     "split_leakage_audit" -> (Governance.splitLeakageAudit _),
     "pareto_frontier" -> (Governance.paretoFrontier _),
     "winsorize_stats" -> (Governance.winsorizeStats _),
@@ -729,6 +730,7 @@ object SparkEntry {
     "dq_expectations" -> Governance.dqExpectationsSql,
     "pii_k_anonymity" -> Governance.kAnonymitySql,
     "pii_l_diversity" -> Governance.lDiversitySql(),
+    "pii_t_closeness" -> Governance.tClosenessSql(),
     "split_leakage_audit" -> Governance.splitLeakageAuditSql,
     "pareto_frontier" -> Governance.paretoFrontierSql,
     "winsorize_stats" -> Governance.winsorizeStatsSql,

@@ -268,6 +268,83 @@ object Governance {
       |FROM cls ORDER BY c_nationkey, c_mktsegment""".stripMargin
   }
 
+  // --- t-closeness over the k-anonymity classes ---------------------------------
+  /** t-CLOSENESS report over [[kAnonymity]]'s equivalence classes (Li,
+    * Li & Venkatasubramanian, ICDE 2007) — the third rung of the
+    * anonymity ladder: [[lDiversity]] still leaks when a class's
+    * sensitive distribution is SKEWED relative to the whole table
+    * (the skewness attack), so t-closeness bounds the Earth Mover's
+    * Distance between each class's distribution of the ordered
+    * sensitive attribute (the 4 account-balance bands) and the global
+    * one. For an ordered attribute with unit ground distance,
+    * EMD = (1/(m−1))·Σ_{i<m} |CDF_class(i) − CDF_global(i)| (ibid.
+    * §4.2).
+    *
+    * Exactness: the band CDF counts are NESTED THRESHOLD counts
+    * (C₁ = #(bal<0), C₂ = #(bal<3000), C₃ = #(bal<7000)) — cumulative
+    * by construction, so no window and no band-grid fill-in is needed
+    * anywhere. The CDF gap clears denominators:
+    * Dᵢ = N·Cᵢ − n·Gᵢ is an exact BIGINT (exact past SF ~2e4, where
+    * N·n approaches int64), Σ|Dᵢ| is a fixed 3-term integer add, and
+    * EMD = Σ|Dᵢ| / (3·n·N) is ONE IEEE division of exact-integer
+    * doubles. `meets_t` compares that double against the same t
+    * literal in both engines — deterministic because both sides
+    * derive bit-identical EMDs from the same integers.
+    *
+    * Shape: one map-side-combined groupBy over the bounded QI domain
+    * plus a 1-row global aggregate broadcast back — nothing after the
+    * first exchange exceeds |classes| rows.
+    */
+  def tCloseness(s: SparkSession, dir: String, tPct: Int = 20): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    def cums(pfx: String) = Seq(
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as(s"${pfx}1"),
+      sum(when(col("c_acctbal") < 3000, 1L).otherwise(0L)).as(s"${pfx}2"),
+      sum(when(col("c_acctbal") < 7000, 1L).otherwise(0L)).as(s"${pfx}3"))
+    val gs = cums("g"); val cs = cums("c")
+    val g = cust.agg(count(lit(1)).as("n_total"), gs: _*)
+    val classes = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"), cs: _*)
+    val joined = classes.crossJoin(broadcast(g))
+    def d(i: Int): Column =
+      col("n_total") * col(s"c$i") - col("class_size") * col(s"g$i")
+    val sumAbs = abs(d(1)) + abs(d(2)) + abs(d(3))
+    joined.select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        (sumAbs.cast("double")
+          / (lit(3.0) * col("class_size").cast("double")
+            * col("n_total").cast("double"))).as("emd"))
+      .withColumn("meets_t", col("emd") <= lit(tPct.toDouble / 100.0))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  /** DuckDB twin of [[tCloseness]], derived from the SAME tPct so the
+    * threshold literal cannot drift from the Scala default. */
+  def tClosenessSql(tPct: Int = 20): String = {
+    val t = tPct.toDouble / 100.0
+    s"""WITH g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+      |    CAST(SUM(CASE WHEN c_acctbal < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+      |    CAST(SUM(CASE WHEN c_acctbal < 7000 THEN 1 ELSE 0 END) AS BIGINT) AS g3
+      |  FROM customer),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size,
+      |    CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN c_acctbal < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN c_acctbal < 7000 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+      |  FROM customer GROUP BY 1, 2),
+      |e AS (
+      |  SELECT c_nationkey, c_mktsegment, class_size,
+      |    CAST(abs(n_total * c1 - class_size * g1)
+      |       + abs(n_total * c2 - class_size * g2)
+      |       + abs(n_total * c3 - class_size * g3) AS DOUBLE)
+      |    / (3.0 * CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)) AS emd
+      |  FROM cls CROSS JOIN g)
+      |SELECT c_nationkey, c_mktsegment, class_size, emd, emd <= $t AS meets_t
+      |FROM e ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
   // --- near-duplicate leakage across split boundaries -------------------------
   /** Train/val/test LEAKAGE AUDIT: near-duplicate document pairs (the
     * exact prefix-filtered Jaccard join of

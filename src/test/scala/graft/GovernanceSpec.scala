@@ -123,6 +123,38 @@ class GovernanceSpec extends SparkSpec {
       rows.exists(!_.getAs[Boolean]("meets_distinct_l")))
   }
 
+  test("tCloseness: ordered-EMD replay; class partition and verdict exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getDouble(2)))
+    def cdf(bals: Seq[Double]): Seq[Long] =
+      Seq(bals.count(_ < 0).toLong, bals.count(_ < 3000).toLong,
+        bals.count(_ < 7000).toLong)
+    val all = rows.map(_._2).toSeq
+    val n = all.length.toLong
+    val g = cdf(all)
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val bals = vs.map(_._2).toSeq
+      val c = cdf(bals); val m = bals.length.toLong
+      val sumAbs = (0 until 3).map(i => math.abs(n * c(i) - m * g(i))).sum
+      k -> ((m, sumAbs.toDouble / (3.0 * m * n)))
+    }
+    val got = Governance.tCloseness(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.values.map(_._1).sum == n, "classes must partition the table")
+    for ((k, (m, emd)) <- expected) {
+      val (gm, gemd, meets) = got(k)
+      assert(gm == m, s"$k size $gm != $m")
+      assert(math.abs(gemd - emd) < 1e-15, s"$k emd $gemd != replay $emd")
+      assert(meets == (gemd <= 0.2))
+      assert(gemd >= 0.0 && gemd <= 1.0)
+    }
+  }
+
   test("splitLeakageAudit: equals the near-dup pairs whose sides split apart " +
     "(independent md5 recompute)") {
     val sf01 = "/root/testdata/sf0.01"
