@@ -255,6 +255,7 @@ object SparkEntry {
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "survival_km" -> (Survival.kaplanMeier _),
     "survival_nelson_aalen" -> (Survival.nelsonAalen _),
+    "survival_aalen_johansen" -> ((s, d) => Survival.aalenJohansen(s, d)),
     "survival_logrank" -> (Survival.logRank _),
     "stats_ks_uniform_weekday" -> (Relational.ksUniformWeekday _),
     "stats_decile_lift" -> (Relational.decileLift _),
@@ -667,6 +668,7 @@ object SparkEntry {
     "ts_theil_sen" -> TimeSeries.theilSenSql,
     "survival_km" -> Survival.kaplanMeierSql,
     "survival_nelson_aalen" -> Survival.nelsonAalenSql,
+    "survival_aalen_johansen" -> Survival.aalenJohansenSql(),
     "survival_logrank" -> Survival.logRankSql,
     "stats_ks_uniform_weekday" -> Relational.ksUniformWeekdaySql,
     "stats_decile_lift" -> Relational.decileLiftSql,

@@ -332,4 +332,140 @@ object Survival {
       |SELECT n_event_times, observed_a, expected_a_nano, expected_a,
       |  logrank_z, logrank_z * logrank_z AS chi2
       |FROM z""".stripMargin
+
+  // --- Aalen–Johansen cumulative incidence (competing risks) --------------------
+  /** Aalen–Johansen cumulative-incidence functions under COMPETING
+    * RISKS (Aalen & Johansen, Scand. J. Stat. 1978): the same churn
+    * grid as [[kaplanMeier]], but churn events are split by cause —
+    * an ESTABLISHED customer (≥ 10 lifetime orders) exiting vs a
+    * CASUAL one — and 1 − S(t) is decomposed into per-cause shares:
+    * CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ₋)·d_{k,i}/nᵢ, with S the ALL-CAUSE KM.
+    * Naively treating the competing cause as censoring (1 − KM per
+    * cause) over-counts; AJ is the correct decomposition and the
+    * standard churn-mix read.
+    *
+    * Determinism: ln S rides the KM integer-micronat cumulation;
+    * S(tᵢ₋) = exp of the PREVIOUS row's micronat sum (an exact BIGINT
+    * subtraction of the own step — no lag needed), guarded onto the
+    * integer NANO grid per the r13 exp-ulp rule (JVM and DuckDB libm
+    * exp differ in the last ulp; ln does not); each CIF increment is
+    * then the all-integer (s_prev_nano·d_k) div nᵢ, so the cumulative
+    * CIFs are exact BIGINT sums. The terminal all-events row keeps its
+    * increments (S(tᵢ₋) is still defined there) with the ln-step
+    * guard zeroing only its own never-used log term.
+    *
+    * Scale shape: identical to [[nelsonAalen]] — one custkey-keyed
+    * fold of orders, a 1-row horizon broadcast, then duration-grid
+    * windows (calendar-bounded, the allowlisted class).
+    */
+  def aalenJohansen(s: SparkSession, dir: String,
+                    establishedOrders: Int = 10): DataFrame = {
+    val life = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"),
+        count(lit(1)).as("n_ord"))
+    val horizon = life.agg(max(col("last_d")).as("max_d"))
+    val durations = life.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(datediff(col("max_d"), col("last_d")) > 90, 1L).otherwise(0L)
+          .as("churned"),
+        (col("n_ord") >= establishedOrders).cast("long").as("est"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("churned") * col("est")).as("d1"),
+        sum(col("churned") * (lit(1L) - col("est"))).as("d2"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dI = col("d1") + col("d2")
+    Graft.materialize(durations)
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .filter((col("d1") + col("d2")) > 0)
+      .withColumn("step",
+        when(col("n_risk") > dI,
+          lnMicro(col("n_risk") - dI) - lnMicro(col("n_risk")))
+          .otherwise(0L))
+      .withColumn("ln_s_micro", sum(col("step")).over(wCum))
+      .withColumn("ln_s_prev_micro", col("ln_s_micro") - col("step"))
+      .withColumn("s_prev_nano",
+        round(exp(col("ln_s_prev_micro").cast("double") / lit(1e6)) * lit(1e9))
+          .cast("long"))
+      .withColumn("inc1_nano", expr("(s_prev_nano * d1) div n_risk"))
+      .withColumn("inc2_nano", expr("(s_prev_nano * d2) div n_risk"))
+      .withColumn("cif1_nano", sum(col("inc1_nano")).over(wCum))
+      .withColumn("cif2_nano", sum(col("inc2_nano")).over(wCum))
+      .select(col("dur").as("t_days"), col("n_risk"),
+        col("d1").as("d_established"), col("d2").as("d_casual"),
+        col("cif1_nano"), col("cif2_nano"),
+        (col("cif1_nano").cast("double") / lit(1e9)).as("cif_established"),
+        (col("cif2_nano").cast("double") / lit(1e9)).as("cif_casual"))
+      .orderBy(col("t_days"))
+  }
+
+  /** DuckDB twin of [[aalenJohansen]], derived from the SAME
+    * establishedOrders threshold. */
+  def aalenJohansenSql(establishedOrders: Int = 10): String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    val inc1 = PortableSql.intDiv("s_prev_nano * d1", "n_risk")
+    val inc2 = PortableSql.intDiv("s_prev_nano * d2", "n_risk")
+    s"""WITH life AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+      |         CAST(COUNT(*) AS BIGINT) AS n_ord
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT MAX(last_d) AS max_d FROM life),
+      |durs AS (
+      |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+      |    CASE WHEN date_diff('day', last_d, max_d) > 90
+      |         THEN 1 ELSE 0 END AS churned,
+      |    CASE WHEN n_ord >= $establishedOrders THEN 1 ELSE 0 END AS est
+      |  FROM life, h),
+      |grid AS (
+      |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |    CAST(SUM(churned * est) AS BIGINT) AS d1,
+      |    CAST(SUM(churned * (1 - est)) AS BIGINT) AS d2
+      |  FROM durs GROUP BY dur),
+      |risk AS (
+      |  SELECT dur, d1, d2,
+      |    CAST(SUM(n_at) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM grid),
+      |ev AS (
+      |  SELECT dur, n_risk, d1, d2,
+      |    CASE WHEN n_risk > d1 + d2
+      |         THEN ${lnu("n_risk - (d1 + d2)")} - ${lnu("n_risk")}
+      |         ELSE 0 END AS step
+      |  FROM risk WHERE d1 + d2 > 0),
+      |km AS (
+      |  SELECT dur, n_risk, d1, d2, step,
+      |    CAST(SUM(step) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS ln_s_micro
+      |  FROM ev),
+      |sp AS (
+      |  SELECT dur, n_risk, d1, d2,
+      |    CAST(round(exp(CAST(ln_s_micro - step AS DOUBLE) / 1e6) * 1e9)
+      |         AS BIGINT) AS s_prev_nano
+      |  FROM km),
+      |inc AS (
+      |  SELECT dur, n_risk, d1, d2,
+      |    $inc1 AS inc1_nano, $inc2 AS inc2_nano
+      |  FROM sp),
+      |cif AS (
+      |  SELECT dur, n_risk, d1, d2,
+      |    CAST(SUM(inc1_nano) OVER w AS BIGINT) AS cif1_nano,
+      |    CAST(SUM(inc2_nano) OVER w AS BIGINT) AS cif2_nano
+      |  FROM inc
+      |  WINDOW w AS (ORDER BY dur
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT dur AS t_days, n_risk, d1 AS d_established, d2 AS d_casual,
+      |  cif1_nano, cif2_nano,
+      |  CAST(cif1_nano AS DOUBLE) / 1e9 AS cif_established,
+      |  CAST(cif2_nano AS DOUBLE) / 1e9 AS cif_casual
+      |FROM cif ORDER BY t_days""".stripMargin
+  }
 }

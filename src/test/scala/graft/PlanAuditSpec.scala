@@ -386,6 +386,7 @@ class PlanAuditSpec extends SparkSpec {
       "pareto_frontier" -> "running min over the distinct p_size grid (~50)",
       "split_balance_chisq" -> "marginals over the split x label cell grid",
       "stats_anova_priority" -> "cumulative term over the 5-row priority grid",
+      "stats_levene" -> "three cumulative terms over the 5-row priority grid",
       "text_zipf_slope" -> "rank over the top-100 vocabulary cut",
       "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
       "ts_spearman" -> "average ranks over the day grid",
@@ -394,6 +395,8 @@ class PlanAuditSpec extends SparkSpec {
         "risk / cumulative-hazard windows over the distinct-duration grid",
       "survival_logrank" ->
         "two at-risk suffix windows over the distinct-duration grid",
+      "survival_aalen_johansen" ->
+        "risk / KM-micronat / CIF-cumulation windows over the distinct-duration grid",
       "stats_ks_uniform_weekday" ->
         "CDF windows over the 7-row weekday grid",
       "ts_hurst_rs" ->

@@ -681,6 +681,55 @@ class StatsReplaySpec extends SparkSpec {
     assert(h > 0.0 && h < 1.0, s"H $h outside (0,1)")
   }
 
+  test("aalenJohansen: exact-formula CIF replay + 1-S decomposition identity") {
+    val life = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,
+        r.getLong(3)))
+    val maxD = life.map(_._2).max
+    import java.time.temporal.ChronoUnit.DAYS
+    val subjects = life.map { case (f, l, n) =>
+      val dur = DAYS.between(f, l)
+      val churned = DAYS.between(l, maxD) > 90
+      (dur, if (!churned) 0 else if (n >= 10) 1 else 2)
+    }
+    val grid = subjects.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, ss) =>
+      (d, ss.length.toLong, ss.count(_._2 == 1).toLong, ss.count(_._2 == 2).toLong)
+    }
+    var atRisk = subjects.length.toLong
+    var surv = 1.0; var cif1 = 0.0; var cif2 = 0.0
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Double, Double)]
+    for ((d, nAt, d1, d2) <- grid) {
+      if (d1 + d2 > 0) {
+        cif1 += surv * d1 / atRisk
+        cif2 += surv * d2 / atRisk
+        surv *= (atRisk - d1 - d2).toDouble / atRisk
+        expected(d) = (atRisk, cif1, cif2)
+      }
+      atRisk -= nAt
+    }
+    val got = Survival.aalenJohansen(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((d, (nr, c1, c2)) <- expected) {
+      val (gnr, g1, g2) = got(d)
+      assert(gnr == nr, s"t=$d n_risk $gnr != replay $nr")
+      // nano grid + per-step integer truncation bound the drift at
+      // ~1e-9 per event row
+      assert(math.abs(g1 - c1) < 1e-5, s"t=$d cif1 $g1 != replay $c1")
+      assert(math.abs(g2 - c2) < 1e-5, s"t=$d cif2 $g2 != replay $c2")
+      assert(g1 >= 0.0 && g2 >= 0.0 && g1 + g2 <= 1.0 + 1e-9)
+    }
+    // decomposition identity at the horizon: CIF1 + CIF2 = 1 - S
+    val lastD = expected.keys.max
+    val (_, l1, l2) = got(lastD)
+    assert(math.abs((l1 + l2) - (1.0 - surv)) < 1e-5,
+      s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
+  }
+
   test("levenePriority: mean-centered Levene W replay from raw orders") {
     val rows = Tables.load(spark, sf, "orders")
       .select(col("o_orderpriority"),
