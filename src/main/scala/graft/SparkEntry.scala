@@ -269,6 +269,7 @@ object SparkEntry {
     "embed_outliers" -> ((s, d) => EmbeddingQueries.outliersByLabel(s, d)),
     "stats_anova_priority" -> (Relational.anovaPriority _),
     "stats_levene" -> (Relational.levenePriority _),
+    "stats_mcnemar" -> (Relational.mcnemarYears _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -682,6 +683,7 @@ object SparkEntry {
     "embed_outliers" -> EmbeddingQueries.outliersByLabelSql,
     "stats_anova_priority" -> Relational.anovaPrioritySql,
     "stats_levene" -> Relational.levenePrioritySql,
+    "stats_mcnemar" -> Relational.mcnemarYearsSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

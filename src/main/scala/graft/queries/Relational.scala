@@ -1898,6 +1898,75 @@ object Relational {
       |FROM f""".stripMargin
   }
 
+  // --- McNemar paired flip test ---------------------------------------------
+  /** McNemar's test (Psychometrika 1947) on paired customer activity:
+    * was each customer active in 1997 vs in 1998 — the paired-binary
+    * dual of the independent-sample drift tests, answering "did the
+    * SAME individuals flip state", which an unpaired chi-square cannot.
+    * Discordant cells b (active 1997 only) and c (active 1998 only)
+    * carry the whole test: χ² = (b−c)²/(b+c), plus Edwards' continuity
+    * correction (|b−c|−1)²/(b+c).
+    *
+    * Determinism: every cell is an exact BIGINT count; both statistics
+    * are a single IEEE division of exact-integer doubles ((b−c)² ≤
+    * n² < 2^53 past SF 1e3 — and deterministic either way since both
+    * engines square the same exact doubles). b + c = 0 yields NULL.
+    *
+    * Shape: one map-side-combined fold of orders to (custkey, flag94,
+    * flag95) — the 100 TB side is touched once — then a 1-row reduce.
+    */
+  def mcnemarYears(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"), yr.as("yr"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("yr") === 1997, 1L).otherwise(0L)).as("y94"),
+        max(when(col("yr") === 1998, 1L).otherwise(0L)).as("y95"))
+    val cells = per.agg(count(lit(1)).as("n_customers"),
+      sum(col("y94") * col("y95")).as("n_both"),
+      sum(col("y94") * (lit(1L) - col("y95"))).as("only_a"),
+      sum((lit(1L) - col("y94")) * col("y95")).as("only_b"))
+    val b = col("only_a"); val c = col("only_b")
+    val diff = b.cast("double") - c.cast("double")
+    val disc = b.cast("double") + c.cast("double")
+    cells.select(col("n_customers"), col("n_both"), col("only_a"),
+        col("only_b"),
+        (col("n_customers") - col("n_both") - b - c).as("neither"),
+        when(b + c > 0L, diff * diff / disc)
+          .otherwise(lit(null).cast("double")).as("chi2"),
+        when(b + c > 0L,
+          (abs(diff) - lit(1.0)) * (abs(diff) - lit(1.0)) / disc)
+          .otherwise(lit(null).cast("double")).as("chi2_cc"))
+  }
+
+  val mcnemarYearsSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+      |        THEN 1 ELSE 0 END) AS y94,
+      |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1998
+      |        THEN 1 ELSE 0 END) AS y95
+      |  FROM orders GROUP BY o_custkey),
+      |cells AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(y94 * y95) AS BIGINT) AS n_both,
+      |    CAST(SUM(y94 * (1 - y95)) AS BIGINT) AS only_a,
+      |    CAST(SUM((1 - y94) * y95) AS BIGINT) AS only_b
+      |  FROM per)
+      |SELECT n_customers, n_both, only_a, only_b,
+      |  n_customers - n_both - only_a - only_b AS neither,
+      |  CASE WHEN only_a + only_b > 0 THEN
+      |    (CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE))
+      |      * (CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE))
+      |      / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
+      |  ELSE NULL END AS chi2,
+      |  CASE WHEN only_a + only_b > 0 THEN
+      |    (abs(CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE)) - 1.0)
+      |      * (abs(CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE)) - 1.0)
+      |      / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
+      |  ELSE NULL END AS chi2_cc
+      |FROM cells""".stripMargin
+
   // --- Herfindahl–Hirschman concentration -------------------------------------
   /** Herfindahl–Hirschman index of supplier revenue concentration per
     * nation — the antitrust-style concentration scalar (HHI > 0.25 =

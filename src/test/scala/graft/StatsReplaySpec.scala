@@ -730,6 +730,28 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("mcnemarYears: paired 2x2 cells and chi2 replay from raw orders") {
+    val per = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = per.size.toLong
+    val both = per.values.count(s => s(1997) && s(1998)).toLong
+    val b = per.values.count(s => s(1997) && !s(1998)).toLong
+    val c = per.values.count(s => !s(1997) && s(1998)).toLong
+    val row = Relational.mcnemarYears(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((n, both, b, c, n - both - b - c)),
+      s"cells ${row.toSeq} != replay ($n,$both,$b,$c)")
+    if (b + c > 0) {
+      val chi2 = (b - c).toDouble * (b - c) / (b + c)
+      assert(math.abs(row.getDouble(5) - chi2) < 1e-12)
+      val cc = (math.abs((b - c).toDouble) - 1.0) *
+        (math.abs((b - c).toDouble) - 1.0) / (b + c)
+      assert(math.abs(row.getDouble(6) - cc) < 1e-12)
+    }
+  }
+
   test("levenePriority: mean-centered Levene W replay from raw orders") {
     val rows = Tables.load(spark, sf, "orders")
       .select(col("o_orderpriority"),
