@@ -236,6 +236,8 @@ object SparkEntry {
     "docs_pielou_evenness" -> (TextQueries.pielouEvenness _),
     "events_hill_tail_index" -> ((s, d) => EventQueries.hillTailIndex(s, d)),
     "events_interarrival" -> (EventQueries.interArrival _),
+    "events_hourly_profile" -> (EventQueries.hourlyProfile _),
+    "events_poisson_rate" -> (EventQueries.poissonRateTest _),
     "stats_benford" -> (Governance.benford _),
     "stats_jarque_bera" -> (Relational.jarqueBera _),
     "stats_chi2_independence" -> (Relational.chi2Cells _),
@@ -342,6 +344,7 @@ object SparkEntry {
     // text analysis
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
+    "text_tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
     "text_winnow_fp" -> (TextQueries.winnowFingerprint _),
     "text_stats_by_lang" -> (TextQueries.statsByLang _),
     "text_quality_score" -> (TextQueries.qualityScore _),
@@ -589,6 +592,7 @@ object SparkEntry {
     "cdc_latest_state" -> EventQueries.cdcLatestStateSql,
     "text_token_count" -> TextQueries.tokenCountSql,
     "text_token_bpeish" -> TextQueries.tokenCountBpeSql,
+    "text_tokenizer_fertility" -> TextQueries.tokenizerFertilitySql,
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,
     "text_stats_by_lang" -> TextQueries.statsByLangSql,
     "text_quality_score" -> TextQueries.qualityScoreSql,
@@ -651,6 +655,8 @@ object SparkEntry {
     "docs_pielou_evenness" -> TextQueries.pielouEvennessSql,
     "events_hill_tail_index" -> EventQueries.hillTailIndexSql(),
     "events_interarrival" -> EventQueries.interArrivalSql,
+    "events_hourly_profile" -> EventQueries.hourlyProfileSql,
+    "events_poisson_rate" -> EventQueries.poissonRateTestSql,
     "stats_benford" -> Governance.benfordSql,
     "stats_jarque_bera" -> Relational.jarqueBeraSql,
     "stats_chi2_independence" -> Relational.chi2CellsSql,

@@ -2594,4 +2594,130 @@ object EventQueries {
       |SELECT k_top, xk1_cents, hill_h,
       |  CASE WHEN hill_h > 0 THEN 1.0 / hill_h END AS alpha_hill
       |FROM h""".stripMargin
+
+  // --- hour-of-day x weekday traffic profile -------------------------------------
+  /** Hour-of-day × weekday seasonal traffic profile — the 168-cell
+    * heatmap behind capacity planning and anomaly baselines ("is
+    * Tuesday-9am traffic normal FOR Tuesday 9am"): per (weekday, hour)
+    * cell, event count, exact-decimal value total, and the cell's share
+    * of all traffic. Weekday is epoch-day mod 7 (0 = Thursday), spelled
+    * arithmetically because engines disagree on dayofweek()'s origin
+    * (the [[TimeSeries.seasonalDecompose]] rule); hour() shares its
+    * 0-23 origin everywhere.
+    *
+    * Shape: one map-side-combined fold of events into the fixed
+    * 168-cell grid, materialized so the grand total derives from the
+    * checkpoint (never a second fact scan); share is one IEEE division
+    * of exact BIGINTs.
+    */
+  def hourlyProfile(s: SparkSession, dir: String): DataFrame = {
+    val dow = (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+      .cast("long")
+    val cells = graft.Graft.materialize(
+      ev(s, dir)
+        .groupBy(dow.as("dow"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value")))
+    val tot = cells.agg(sum(col("n_events")).as("n_all"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n_events"), col("total_value"),
+        (col("n_events").cast("double") / col("n_all").cast("double"))
+          .as("share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  val hourlyProfileSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |              AS BIGINT) AS dow,
+      |    CAST(hour(ts) AS BIGINT) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_all FROM cells)
+      |SELECT dow, hr, n_events, total_value,
+      |  CAST(n_events AS DOUBLE) / CAST(n_all AS DOUBLE) AS share
+      |FROM cells, t ORDER BY dow, hr""".stripMargin
+
+  // --- two-period Poisson rate test ---------------------------------------------
+  /** Poisson rate-change test per event type between the first and
+    * second half of the observed window (the conditional/binomial
+    * exact-test normal approximation, Przyborowski & Wilenski 1940;
+    * Lehmann TSH §4.5): under a constant rate, n₁ | n ~
+    * Binomial(n, p₀ = t₁/(t₁+t₂)), so z = (n₁ − n·p₀)/√(n·p₀(1−p₀))
+    * reads "did this event type's rate actually change" — the
+    * release-regression check an ops dashboard runs per signal.
+    *
+    * Determinism: the split day is integer arithmetic on the observed
+    * date bounds (span div 2); counts and exposures are exact BIGINTs;
+    * p₀, the rates, and z are a fixed IEEE chain spelled identically
+    * in the oracle; degenerate windows (single-sided exposure or
+    * n = 0) yield NULL.
+    *
+    * Shape: a 1-row date-bounds broadcast, one map-side-combined fold
+    * of events to the |event types| grid — the fact table is scanned
+    * twice (bounds, then counts), both narrow scans.
+    */
+  def poissonRateTest(s: SparkSession, dir: String): DataFrame = {
+    val bounds = ev(s, dir).agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val counts = ev(s, dir).crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("span"),
+        // `div` (truncating integer division) on BOTH sides — a double
+        // `/ 2` here would shift the split day on odd spans
+        (datediff(to_date(col("ts")), col("d0")).cast("long") <
+          expr("cast(datediff(d1, d0) + 1 as bigint) div 2"))
+          .cast("long").as("p1"))
+      .groupBy(col("event_type"), col("span"))
+      .agg(sum(col("p1")).as("n1"), sum(lit(1L) - col("p1")).as("n2"))
+    val t1 = expr("span div 2")
+    val t2 = col("span") - t1
+    val nd = (col("n1") + col("n2")).cast("double")
+    val p0 = t1.cast("double") / col("span").cast("double")
+    val z = ((col("n1").cast("double") - nd * p0)
+      / sqrt(nd * p0 * (lit(1.0) - p0)))
+    counts
+      .select(col("event_type"), col("n1"), col("n2"),
+        t1.as("t1_days"), t2.as("t2_days"),
+        (col("n1").cast("double") / t1.cast("double")).as("rate1"),
+        (col("n2").cast("double") / t2.cast("double")).as("rate2"),
+        when(t1 > 0L && t2 > 0L && (col("n1") + col("n2")) > 0L, z)
+          .otherwise(lit(null).cast("double")).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  val poissonRateTestSql: String = {
+    val half = PortableSql.intDiv("span", "2")
+    s"""WITH b AS (
+      |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span,
+      |    CASE WHEN CAST(date_diff('day', d0, CAST(ts AS DATE)) AS BIGINT)
+      |              < ${PortableSql.intDiv("CAST(date_diff('day', d0, d1) + 1 AS BIGINT)", "2")}
+      |         THEN 1 ELSE 0 END AS p1
+      |  FROM events, b),
+      |g AS (
+      |  SELECT event_type, span,
+      |    CAST(SUM(p1) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - p1) AS BIGINT) AS n2
+      |  FROM f GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, n1, n2, span,
+      |    $half AS t1_days, span - $half AS t2_days
+      |  FROM g)
+      |SELECT event_type, n1, n2, t1_days, t2_days,
+      |  CAST(n1 AS DOUBLE) / CAST(t1_days AS DOUBLE) AS rate1,
+      |  CAST(n2 AS DOUBLE) / CAST(t2_days AS DOUBLE) AS rate2,
+      |  CASE WHEN t1_days > 0 AND t2_days > 0 AND n1 + n2 > 0 THEN
+      |    (CAST(n1 AS DOUBLE)
+      |       - CAST(n1 + n2 AS DOUBLE)
+      |         * (CAST(t1_days AS DOUBLE) / CAST(span AS DOUBLE)))
+      |    / sqrt(CAST(n1 + n2 AS DOUBLE)
+      |           * (CAST(t1_days AS DOUBLE) / CAST(span AS DOUBLE))
+      |           * (1.0 - CAST(t1_days AS DOUBLE) / CAST(span AS DOUBLE)))
+      |  ELSE NULL END AS z
+      |FROM h ORDER BY event_type""".stripMargin
+  }
 }

@@ -234,6 +234,42 @@ object TextQueries {
       | CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS n_unique_bpeish
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- tokenizer fertility ----------------------------------------------------
+  /** Tokenizer FERTILITY by language — BPE-ish tokens per whitespace
+    * word (Rust et al., "How Good is Your Tokenizer?", ACL 2021): the
+    * standard multilingual-tokenizer health metric (fertility ≫ 1 for
+    * a language means its text costs disproportionate sequence length,
+    * the read behind per-language compute budgeting). Uses the same
+    * GPT-2-style pre-tokenizer regex as [[tokenCountBpe]] so the two
+    * reports agree on what a token is.
+    *
+    * Exactness: both token counts are exact BIGINT sums; fertility is
+    * one IEEE division. One map-side-combined fold to the |langs| grid.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), size(words).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+          .cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_words"),
+        sum(col("t")).as("total_bpeish"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_bpeish"),
+        (col("total_bpeish").cast("double") / col("total_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+
+  val tokenizerFertilitySql: String =
+    """WITH g AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |    CAST(SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS total_bpeish
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, total_words, total_bpeish,
+      |  CAST(total_bpeish AS DOUBLE) / CAST(total_words AS DOUBLE) AS fertility
+      |FROM g ORDER BY lang""".stripMargin
+
   // --- repetition signals ---------------------------------------------------
   /** Gopher/C4-style repetition quality signals: the most-frequent-word
     * fraction and the duplicate-word fraction per document. Shaped as

@@ -730,6 +730,34 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("poissonRateTest: conditional-binomial z replay from raw events") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = evs.map(_._2).min; val d1 = evs.map(_._2).max
+    import java.time.temporal.ChronoUnit.DAYS
+    val span = DAYS.between(d0, d1) + 1
+    val half = span / 2
+    val byType = evs.groupBy(_._1).view.mapValues { vs =>
+      val n1 = vs.count(v => DAYS.between(d0, v._2) < half).toLong
+      (n1, vs.length - n1)
+    }.toMap
+    val got = EventQueries.poissonRateTest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(7)))).toMap
+    assert(got.keySet == byType.keySet)
+    for ((t, (n1, n2)) <- byType) {
+      val (g1, g2, t1, t2, z) = got(t)
+      assert((g1, g2) == ((n1, n2)), s"$t counts ($g1,$g2) != ($n1,$n2)")
+      assert(t1 == half && t2 == span - half)
+      val p0 = half.toDouble / span
+      val n = (n1 + n2).toDouble
+      val zz = (n1 - n * p0) / math.sqrt(n * p0 * (1 - p0))
+      assert(math.abs(z - zz) < 1e-12, s"$t z $z != replay $zz")
+    }
+  }
+
   test("mcnemarYears: paired 2x2 cells and chi2 replay from raw orders") {
     val per = Tables.load(spark, sf, "orders")
       .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"))
