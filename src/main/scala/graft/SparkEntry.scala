@@ -414,6 +414,7 @@ object SparkEntry {
     "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedup(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
+    "embed_dim_ablation" -> (EmbeddingQueries.dimAblation _),
     "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
     "embed_pca_project" -> ((s, d) => EmbeddingQueries.pcaProject(s, d)),
     "embed_pca_explained" -> ((s, d) => EmbeddingQueries.pcaExplained(s, d)),
@@ -779,6 +780,7 @@ object SparkEntry {
     "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,
+    "embed_dim_ablation" -> EmbeddingQueries.dimAblationSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,
     "multimodal_dedup" -> Multimodal.mediaDedupSql,
     "multimodal_cdc_chunks" -> Multimodal.cdcChunkAuditSql,

@@ -1154,6 +1154,67 @@ object EmbeddingQueries {
       | MAX(nrm) AS max_norm
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  // --- Matryoshka dimension-ablation sweep --------------------------------------
+  /** Truncated-dimension retention sweep (the Matryoshka-representation
+    * read, Kusupati et al., NeurIPS 2022): for each prefix length d ∈
+    * {8, 16, 32, 64}, how much of each vector survives truncation —
+    * cos(x, x[1:d] ⊕ 0) collapses to ‖x[1:d]‖/‖x‖ because truncation is
+    * a projection, so no pairwise math is needed anywhere. The report a
+    * team reads before shipping truncated embeddings to cut ANN index
+    * cost 8x.
+    *
+    * Determinism: partial and full norms are the in-order codegen'd
+    * dot + IEEE sqrt ([[normQuantilesByLabel]]'s rule), the per-row
+    * ratio lands on the integer MICRO grid, so the cross-row aggregation
+    * is exact BIGINT sums (never an order-dependent double
+    * accumulation); min/avg are derived from those integers. Zero
+    * vectors are excluded (ratio undefined).
+    *
+    * Shape: one narrow pass over the vectors (a 4-entry explode per
+    * row); the exchange carries (dim, r_micro) pairs — 16 bytes/row —
+    * into a 4-row grid.
+    */
+  def dimAblation(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val base = emb(s, dir).select(col("embedding"),
+      norm(col("embedding").cast("array<double>")).as("nfull"))
+    val entries = dims.map(d => struct(lit(d.toLong).as("dim"),
+      (norm(slice(col("embedding"), 1, d).cast("array<double>"))
+        / col("nfull")).as("r")))
+    base
+      .filter(col("nfull") > 0.0)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.dim").as("dim"),
+        round(col("e.r") * lit(1e6)).cast("long").as("r_micro"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("r_micro")).as("min_micro"),
+        sum(col("r_micro")).as("sum_micro"))
+      .select(col("dim"), col("n_vecs"),
+        (col("min_micro").cast("double") / lit(1e6)).as("min_retained"),
+        (col("sum_micro").cast("double")
+          / (col("n_vecs").cast("double") * lit(1e6))).as("avg_retained"))
+      .orderBy(col("dim"))
+  }
+
+  val dimAblationSql: String =
+    """WITH base AS (
+      |  SELECT embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS nfull
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT CAST(d.dim AS BIGINT) AS dim,
+      |    CAST(round(sqrt(list_sum(list_transform(v[1:d.dim], x -> x * x)))
+      |               / nfull * 1e6) AS BIGINT) AS r_micro
+      |  FROM base, (VALUES (8), (16), (32), (64)) d(dim)
+      |  WHERE nfull > 0)
+      |SELECT dim, COUNT(*) AS n_vecs,
+      |  CAST(MIN(r_micro) AS DOUBLE) / 1e6 AS min_retained,
+      |  CAST(CAST(SUM(r_micro) AS BIGINT) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_retained
+      |FROM r GROUP BY dim ORDER BY dim""".stripMargin
+
   // --- dedup-threshold tuning sweep -------------------------------------
   /** Pair-count-per-cosine-bin histogram over a bounded sample — the
     * TUNING step before a near-dup dedup run: pick the threshold by
