@@ -201,6 +201,7 @@ object SparkEntry {
     "window_session_native" -> (EventQueries.sessionWindowNative _),
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
     "events_quantile_rank_audit" -> (EventQueries.quantileRankAudit _),
+    "events_markov_stationary" -> ((s, d) => EventQueries.markovStationary(s, d)),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_markov_entropy" -> (EventQueries.markovEntropyRate _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
@@ -627,6 +628,7 @@ object SparkEntry {
     "events_retention_cohorts" -> EventQueries.retentionCohortsSql,
     "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
+    "events_markov_stationary" -> EventQueries.markovStationarySql(),
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_markov_entropy" -> EventQueries.markovEntropyRateSql,
     "events_quantile_rank_audit" -> EventQueries.quantileRankAuditSql,

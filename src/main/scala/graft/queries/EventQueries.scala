@@ -2595,6 +2595,87 @@ object EventQueries {
       |  CASE WHEN hill_h > 0 THEN 1.0 / hill_h END AS alpha_hill
       |FROM h""".stripMargin
 
+  // --- Markov stationary distribution --------------------------------------------
+  /** Stationary distribution of the per-user event-type Markov chain —
+    * the long-run "where do user journeys spend their time" read that
+    * complements [[markovTransitions]] (one step) and
+    * [[markovEntropyRate]] (predictability): the power-iteration fixed
+    * point v = vP after 30 steps from uniform.
+    *
+    * Determinism: the transition matrix lands on the integer MICRO grid
+    * (t_micro = n·1e6 div rowsum — truncating div on both engines), the
+    * iteration state stays integer (v'_j = Σᵢ (vᵢ·t_ij) div 1e6, exact
+    * BIGINT), so 30 iterations are bit-identical everywhere; the oracle
+    * replays the SAME integer recursion as a recursive CTE. Mass lost
+    * to truncation (≤ |states| micro per step) is part of the contract,
+    * not noise.
+    *
+    * Scale shape: the lead() window partitions by USER (high
+    * cardinality, the legitimate class) and the grid collapse is one
+    * map-side-combined aggregation; the driver-side loop touches ONLY
+    * the collected |types|² cell grid (metadata-bounded, the BPE-top-1 /
+    * k-means-centroid collect precedent) — 30 iterations over ≤25 cells,
+    * never a distributed fixed point over data-sized state.
+    */
+  def markovStationary(s: SparkSession, dir: String, iters: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val grid = ev(s, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rsum = grid.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._3).sum }
+    val t = grid.map { case (f, to, n) => (f, to, n * 1000000L / rsum(f)) }
+    val states = rsum.keys.toSeq.sorted
+    var v: Map[String, Long] = states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to iters) {
+      val nv = scala.collection.mutable.Map.empty[String, Long]
+      for ((f, to, tm) <- t; vf <- v.get(f))
+        nv(to) = nv.getOrElse(to, 0L) + vf * tm / 1000000L
+      v = nv.toMap
+    }
+    import s.implicits._
+    v.toSeq.sortBy(_._1)
+      .map { case (st, m) => (st, m, m.toDouble / 1e6) }
+      .toDF("st", "stationary_micro", "stationary")
+  }
+
+  /** DuckDB twin of [[markovStationary]] — the same integer power
+    * iteration as a recursive CTE, derived from the SAME iteration
+    * count. */
+  def markovStationarySql(iters: Int = 30): String = {
+    val tMicro = PortableSql.intDiv("g.n * 1000000", "r.rsum")
+    val v0 = PortableSql.intDiv("1000000", "k.k")
+    val step = PortableSql.intDiv("it.v * t.t_micro", "1000000")
+    s"""WITH RECURSIVE
+      |pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |grid AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rsum
+      |       FROM grid GROUP BY 1),
+      |t AS (SELECT g.from_type, g.to_type, $tMicro AS t_micro
+      |      FROM grid g JOIN rs r USING (from_type)),
+      |states AS (SELECT DISTINCT from_type AS st FROM grid),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+      |it(iter, st, v) AS (
+      |  SELECT 0, st, $v0 FROM states, k
+      |  UNION ALL
+      |  SELECT it.iter + 1, t.to_type, CAST(SUM($step) AS BIGINT)
+      |  FROM it JOIN t ON t.from_type = it.st
+      |  WHERE it.iter < $iters
+      |  GROUP BY it.iter + 1, t.to_type)
+      |SELECT st, v AS stationary_micro, CAST(v AS DOUBLE) / 1e6 AS stationary
+      |FROM it WHERE iter = $iters ORDER BY st""".stripMargin
+  }
+
   // --- hour-of-day x weekday traffic profile -------------------------------------
   /** Hour-of-day × weekday seasonal traffic profile — the 168-cell
     * heatmap behind capacity planning and anomaly baselines ("is

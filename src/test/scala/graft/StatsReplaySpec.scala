@@ -730,6 +730,24 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("markovStationary: fixed point is invariant under the true chain") {
+    val grid = EventQueries.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rsum = grid.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val got = EventQueries.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val total = got.values.sum
+    // truncating integer recursion loses at most |states| micro per step
+    assert(math.abs(total - 1.0) < 1e-3, s"mass $total drifted from 1")
+    // invariance: v P ~ v under the exact float transition matrix
+    val next = scala.collection.mutable.Map.empty[String, Double]
+    for ((f, t, n) <- grid; vf <- got.get(f))
+      next(t) = next.getOrElse(t, 0.0) + vf * (n / rsum(f))
+    for ((st, v) <- got)
+      assert(math.abs(next.getOrElse(st, 0.0) - v) < 1e-3,
+        s"$st: vP=${next.get(st)} != v=$v — not stationary")
+  }
+
   test("poissonRateTest: conditional-binomial z replay from raw events") {
     val evs = Tables.events(spark, sf)
       .select(col("event_type"), to_date(col("ts")).as("d"))
