@@ -273,6 +273,7 @@ object SparkEntry {
     "stats_anova_priority" -> (Relational.anovaPriority _),
     "stats_levene" -> (Relational.levenePriority _),
     "stats_mcnemar" -> (Relational.mcnemarYears _),
+    "stats_wilcoxon_signed" -> (Drift.wilcoxonSignedRank _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -693,6 +694,7 @@ object SparkEntry {
     "stats_anova_priority" -> Relational.anovaPrioritySql,
     "stats_levene" -> Relational.levenePrioritySql,
     "stats_mcnemar" -> Relational.mcnemarYearsSql,
+    "stats_wilcoxon_signed" -> Drift.wilcoxonSignedRankSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

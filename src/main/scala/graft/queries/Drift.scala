@@ -344,4 +344,105 @@ object Drift {
       |       + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) AS df
       |FROM v""".stripMargin
   }
+
+  // --- Wilcoxon signed-rank (paired) ---------------------------------------------
+  /** Wilcoxon signed-rank test (Wilcoxon, Biometrics Bull. 1945) on
+    * PAIRED per-customer spend: each customer's 1998 total minus their
+    * 1997 total (cents), zero diffs dropped per the standard procedure —
+    * the nonparametric paired complement of [[mannWhitney]] (independent
+    * samples) and [[Relational.mcnemarYears]] (paired binary): "did the
+    * SAME customers spend more", robust to the heavy order-value tail.
+    *
+    * Exactness: diffs are exact BIGINT cents; |diff| midranks come from
+    * the tie-group identity 2·midrank = 2·cumBelow + t + 1 on the
+    * DOUBLED-rank integer grid ([[mannWhitney]]'s spelling), so
+    * W2⁺ = 2·W⁺ is an exact BIGINT; the normal approximation uses
+    * 48·Var = 2n(n+1)(2n+1) − Σ(t³−t) assembled in DECIMAL (t³ passes
+    * int64 once a tie group nears 2e6) and z is a fixed IEEE chain on
+    * VARCHAR-routed casts. Zero variance (all diffs tied at one
+    * magnitude... degenerate) yields NULL.
+    *
+    * Scale shape: one custkey-keyed fold of orders, then the per-
+    * magnitude tie grid; the exact global midranks ride
+    * [[graft.Graft.cumSumByRange]] (range-partitioned prefix sums — no
+    * single-partition rank window at any size).
+    */
+  def wilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val cents = expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val diffs = Tables.load(s, dir, "orders")
+      .filter(yr === 1997 || yr === 1998)
+      .select(col("o_custkey"), yr.as("yr"), cents.as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") === 1998, col("c")).otherwise(-col("c")))
+        .as("diff"))
+      .filter(col("diff") =!= 0L)
+      .select(abs(col("diff")).as("v"),
+        (col("diff") > 0L).cast("long").as("pos"))
+    val perValue = diffs.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+    val ranked = graft.Graft.cumSumByRange(perValue, Seq(col("v")),
+        Seq(col("t") -> "cum_incl"))
+      .select(col("t"), col("tp"),
+        (col("tp") * (lit(2L) * (col("cum_incl") - col("t")) + col("t")
+          + lit(1L))).as("w2p"),
+        (d19(col("t") * col("t") - lit(1L)) * d19(col("t"))).as("tcorr"))
+    val agg = ranked.agg(sum(col("t")).as("n"), sum(col("tp")).as("n_pos"),
+      sum(col("w2p")).as("w2"), sum(col("tcorr")).as("corr"))
+    val var48 = (d19(col("n") * (col("n") + lit(1L)) * lit(2L))
+      * d19(lit(2L) * col("n") + lit(1L)) - col("corr"))
+    agg
+      .select(col("n").as("n_pairs"), col("n_pos"), col("w2").as("w2_plus"),
+        expr("(n * (n + 1)) div 2").as("mean2"),
+        var48.cast("double").as("var48"))
+      .select(col("n_pairs"), col("n_pos"), col("w2_plus"),
+        when(col("var48") > 0.0,
+          ((col("w2_plus").cast("double") - col("mean2").cast("double"))
+            / (lit(2.0) * sqrt(col("var48") / lit(48.0)))))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  val wilcoxonSignedRankSql: String = {
+    val mean2 = PortableSql.intDiv("n * (n + 1)", "2")
+    s"""WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1997, 1998)),
+      |d AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN yr = 1998 THEN c ELSE -c END) AS BIGINT) AS diff
+      |  FROM c GROUP BY o_custkey),
+      |nz AS (SELECT abs(diff) AS v,
+      |         CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos
+      |       FROM d WHERE diff <> 0),
+      |pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+      |         CAST(SUM(pos) AS BIGINT) AS tp
+      |       FROM nz GROUP BY v),
+      |rk AS (
+      |  SELECT t, tp,
+      |    tp * (2 * COALESCE(SUM(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t + 1) AS w2p,
+      |    CAST(t * t - 1 AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) AS tcorr
+      |  FROM pv),
+      |agg AS (
+      |  SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS n_pos,
+      |    CAST(SUM(w2p) AS BIGINT) AS w2, SUM(tcorr) AS corr
+      |  FROM rk),
+      |v AS (
+      |  SELECT n, n_pos, w2, $mean2 AS mean2,
+      |    CAST(CAST(CAST(n * (n + 1) * 2 AS DECIMAL(19,0))
+      |              * CAST(2 * n + 1 AS DECIMAL(19,0)) - corr AS VARCHAR)
+      |         AS DOUBLE) AS var48
+      |  FROM agg)
+      |SELECT n AS n_pairs, n_pos, w2 AS w2_plus,
+      |  CASE WHEN var48 > 0 THEN
+      |    (CAST(w2 AS DOUBLE) - CAST(mean2 AS DOUBLE))
+      |      / (2.0 * sqrt(var48 / 48.0))
+      |  ELSE NULL END AS z
+      |FROM v""".stripMargin
+  }
 }

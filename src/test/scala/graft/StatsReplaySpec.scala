@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{EventQueries, GraphQueries, Relational, Survival, TextQueries, TimeSeries}
+import graft.queries.{Drift, EventQueries, GraphQueries, Relational, Survival, TextQueries, TimeSeries}
 
 /** Independent driver-side replays for the round-13 statistics batch —
   * the mandatory closed-form-stats discipline (the ljungBox
@@ -728,6 +728,35 @@ class StatsReplaySpec extends SparkSpec {
     val (_, l1, l2) = got(lastD)
     assert(math.abs((l1 + l2) - (1.0 - surv)) < 1e-5,
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
+  }
+
+  test("wilcoxonSignedRank: midrank W+ and z replay from raw orders") {
+    val diffs = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"),
+        expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+          .as("c"))
+      .filter(col("yr") === 1997 || col("yr") === 1998)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).values
+      .map(vs => vs.map(v => if (v._2 == 1998) v._3 else -v._3).sum)
+      .filter(_ != 0L).toSeq
+    val n = diffs.length
+    // midranks of |diff| with ties averaged
+    val sorted = diffs.map(math.abs).sorted.zipWithIndex
+      .map { case (v, i) => (v, i + 1) }
+    val midrank = sorted.groupBy(_._1).view
+      .mapValues(g => g.map(_._2.toDouble).sum / g.length).toMap
+    val wPlus = diffs.filter(_ > 0L).map(d => midrank(math.abs(d))).sum
+    val ties = diffs.map(math.abs).groupBy(identity).values.map(_.length.toLong)
+    val variance = (n.toDouble * (n + 1) * (2 * n + 1)
+      - ties.map(t => (t * t * t - t).toDouble).sum / 2.0) / 24.0
+    val z = (wPlus - n.toDouble * (n + 1) / 4.0) / math.sqrt(variance)
+    val row = Drift.wilcoxonSignedRank(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == diffs.count(_ > 0L))
+    assert(math.abs(row.getLong(2) - 2.0 * wPlus) < 1e-6,
+      s"w2_plus ${row.getLong(2)} != 2*W+ ${2 * wPlus}")
+    assert(math.abs(row.getDouble(3) - z) < 1e-9,
+      s"z ${row.getDouble(3)} != replay $z")
   }
 
   test("markovStationary: fixed point is invariant under the true chain") {
