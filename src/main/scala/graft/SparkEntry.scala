@@ -347,6 +347,7 @@ object SparkEntry {
     "text_token_count" -> (TextQueries.tokenCount _),
     "text_token_bpeish" -> (TextQueries.tokenCountBpe _),
     "text_tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
+    "text_ngram_diversity" -> (TextQueries.ngramDiversity _),
     "text_winnow_fp" -> (TextQueries.winnowFingerprint _),
     "text_stats_by_lang" -> (TextQueries.statsByLang _),
     "text_quality_score" -> (TextQueries.qualityScore _),
@@ -596,6 +597,7 @@ object SparkEntry {
     "text_token_count" -> TextQueries.tokenCountSql,
     "text_token_bpeish" -> TextQueries.tokenCountBpeSql,
     "text_tokenizer_fertility" -> TextQueries.tokenizerFertilitySql,
+    "text_ngram_diversity" -> TextQueries.ngramDiversitySql,
     "text_winnow_fp" -> TextQueries.winnowFingerprintSql,
     "text_stats_by_lang" -> TextQueries.statsByLangSql,
     "text_quality_score" -> TextQueries.qualityScoreSql,

@@ -270,6 +270,63 @@ object TextQueries {
       |  CAST(total_bpeish AS DOUBLE) / CAST(total_words AS DOUBLE) AS fertility
       |FROM g ORDER BY lang""".stripMargin
 
+  // --- distinct-n diversity ----------------------------------------------------
+  /** Distinct-n-gram diversity per source for n = 1..4 (the distinct-1/
+    * distinct-2 metric of Li et al., NAACL 2016, extended two orders) —
+    * the corpus-diversity read a data-mixing run checks per source: a
+    * source whose distinct-4 ratio collapses is template spam even when
+    * its unigram diversity looks healthy. Complements
+    * [[repetitionStats]] (within-doc) and `text_ngram_novelty`
+    * (cross-doc): this is the per-source aggregate diversity.
+    *
+    * Shape: ONE scan of documents (all four n-gram orders emitted from
+    * the same codegen'd transform/flatten/explode — no per-n re-scan),
+    * then the (source, n, gram)-keyed count collapse with map-side
+    * combine; the exchange carries one row per DISTINCT gram. Ratios
+    * are one IEEE division of exact BIGINTs.
+    */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val emptyLeg = array().cast("array<struct<n:bigint,gram:string>>")
+    val legs = (1 to 4).map { n =>
+      val cnt = size(words) - lit(n) + lit(1)
+      when(cnt >= 1,
+        transform(sequence(lit(1), cnt),
+          i => struct(lit(n.toLong).as("n"),
+            array_join(slice(words, i, lit(n)), " ").as("gram"))))
+        .otherwise(emptyLeg)
+    }
+    docs(s, dir)
+      .select(col("source"), explode(flatten(array(legs: _*))).as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("cnt")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .select(col("source"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        (col("distinct_ngrams").cast("double")
+          / col("total_ngrams").cast("double")).as("diversity"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  val ngramDiversitySql: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT source, nn.n AS n, array_to_string(ws[i:i+nn.n-1], ' ') AS gram
+      |  FROM w, (VALUES (1), (2), (3), (4)) nn(n),
+      |    UNNEST(range(1, len(ws) - nn.n + 2)) t(i)),
+      |c AS (SELECT source, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT source, CAST(n AS BIGINT) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+      |    COUNT(*) AS distinct_ngrams
+      |  FROM c GROUP BY 1, 2)
+      |SELECT source, n, total_ngrams, distinct_ngrams,
+      |  CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+      |    AS diversity
+      |FROM r ORDER BY source, n""".stripMargin
+
   // --- repetition signals ---------------------------------------------------
   /** Gopher/C4-style repetition quality signals: the most-frequent-word
     * fraction and the duplicate-word fraction per document. Shaped as
