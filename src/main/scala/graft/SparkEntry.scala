@@ -274,6 +274,7 @@ object SparkEntry {
     "stats_levene" -> (Relational.levenePriority _),
     "stats_mcnemar" -> (Relational.mcnemarYears _),
     "stats_wilcoxon_signed" -> (Drift.wilcoxonSignedRank _),
+    "stats_cochran_armitage" -> (Relational.cochranArmitage _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -697,6 +698,7 @@ object SparkEntry {
     "stats_levene" -> Relational.levenePrioritySql,
     "stats_mcnemar" -> Relational.mcnemarYearsSql,
     "stats_wilcoxon_signed" -> Drift.wilcoxonSignedRankSql,
+    "stats_cochran_armitage" -> Relational.cochranArmitageSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

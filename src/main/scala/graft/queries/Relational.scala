@@ -1967,6 +1967,80 @@ object Relational {
       |  ELSE NULL END AS chi2_cc
       |FROM cells""".stripMargin
 
+  // --- Cochran–Armitage trend test ----------------------------------------------
+  /** Cochran–Armitage test for TREND (Cochran, Biometrics 1954;
+    * Armitage 1955) of order completion across the ORDERED priority
+    * scale (scores 1-URGENT..5-LOW → 1..5): where
+    * [[chi2Independence]] asks "is outcome independent of group", the
+    * trend test asks the sharper ordered question "does completion
+    * probability MOVE monotonically with priority" — one degree of
+    * freedom, far more power against ordered alternatives. Outcome =
+    * order fully shipped (o_orderstatus = 'F').
+    *
+    * Exactness: the whole statistic reduces to four exact BIGINT
+    * moments (N, R, A = Σsᵢrᵢ, B = Σsᵢnᵢ, C = Σsᵢ²nᵢ) via
+    *   z = (N·A − R·B)·√N / √(R(N−R)·(N·C − B²)),
+    * with the two wide differences assembled in DECIMAL(19,0) pairwise
+    * products (N·C and B² pass int64 near SF 2e3) and VARCHAR-routed to
+    * doubles; z is a fixed IEEE chain. Degenerate margins (R = 0,
+    * R = N, single score) yield NULL.
+    *
+    * Shape: ONE map-side-combined fold of orders to the 5-row score
+    * grid, then a 1-row reduce — nothing after the first exchange
+    * exceeds 5 rows.
+    */
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val score = substring(col("o_orderpriority"), 1, 1).cast("long")
+    val g = t(s, dir, "orders")
+      .select(score.as("s_i"),
+        (col("o_orderstatus") === "F").cast("long").as("done"))
+      .groupBy(col("s_i"))
+      .agg(count(lit(1)).as("n_i"), sum(col("done")).as("r_i"))
+    val m = g.agg(sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+      sum(col("s_i") * col("r_i")).as("a"),
+      sum(col("s_i") * col("n_i")).as("b"),
+      sum(col("s_i") * col("s_i") * col("n_i")).as("c"))
+    val num = (d19(col("n")) * d19(col("a"))
+      - d19(col("r")) * d19(col("b"))).cast("double")
+    val v2 = (d19(col("n")) * d19(col("c"))
+      - d19(col("b")) * d19(col("b"))).cast("double")
+    val v1 = (col("r") * (col("n") - col("r"))).cast("double")
+    m.select(col("n").as("n_total"), col("r").as("n_complete"),
+      when(col("r") > 0L && col("r") < col("n") && v2 > 0.0,
+        num * sqrt(col("n").cast("double")) / sqrt(v1 * v2))
+        .otherwise(lit(null).cast("double")).as("trend_z"))
+  }
+
+  val cochranArmitageSql: String =
+    """WITH g AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s_i,
+      |    CAST(COUNT(*) AS BIGINT) AS n_i,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS r_i
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+      |    CAST(SUM(s_i * r_i) AS BIGINT) AS a,
+      |    CAST(SUM(s_i * n_i) AS BIGINT) AS b,
+      |    CAST(SUM(s_i * s_i * n_i) AS BIGINT) AS c
+      |  FROM g),
+      |v AS (
+      |  SELECT n, r,
+      |    CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0))
+      |              - CAST(r AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))
+      |         AS VARCHAR) AS DOUBLE) AS num,
+      |    CAST(r * (n - r) AS DOUBLE) AS v1,
+      |    CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+      |              - CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))
+      |         AS VARCHAR) AS DOUBLE) AS v2
+      |  FROM m)
+      |SELECT n AS n_total, r AS n_complete,
+      |  CASE WHEN r > 0 AND r < n AND v2 > 0
+      |       THEN num * sqrt(CAST(n AS DOUBLE)) / sqrt(v1 * v2)
+      |  ELSE NULL END AS trend_z
+      |FROM v""".stripMargin
+
   // --- Herfindahl–Hirschman concentration -------------------------------------
   /** Herfindahl–Hirschman index of supplier revenue concentration per
     * nation — the antitrust-style concentration scalar (HHI > 0.25 =

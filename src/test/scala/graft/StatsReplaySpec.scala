@@ -730,6 +730,27 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("cochranArmitage: trend z replay from raw orders") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("s"),
+        (col("o_orderstatus") === "F").cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toDouble
+    val r = rows.map(_._2).sum.toDouble
+    val pbar = r / n
+    val groups = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toDouble, g.map(_._2).sum.toDouble)).toMap
+    val t = groups.map { case (s, (ni, ri)) => s * (ri - ni * pbar) }.sum
+    val sbar = groups.map { case (s, (ni, _)) => s * ni }.sum / n
+    val varT = pbar * (1 - pbar) *
+      groups.map { case (s, (ni, _)) => ni * (s - sbar) * (s - sbar) }.sum
+    val z = t / math.sqrt(varT)
+    val row = Relational.cochranArmitage(spark, sf).collect().head
+    assert(row.getLong(0) == rows.length && row.getLong(1) == r.toLong)
+    assert(math.abs(row.getDouble(2) - z) < 1e-9,
+      s"trend_z ${row.getDouble(2)} != replay $z")
+  }
+
   test("wilcoxonSignedRank: midrank W+ and z replay from raw orders") {
     val diffs = Tables.load(spark, sf, "orders")
       .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"),
