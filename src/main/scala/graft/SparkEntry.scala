@@ -396,6 +396,7 @@ object SparkEntry {
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_exact_paragraph" -> ((s, d) => TextQueries.dedupExactParagraph(s, d)),
     "dedup_paragraph_top" -> ((s, d) => TextQueries.dedupParagraphTop(s, d)),
+    "dedup_paragraph_savings" -> ((s, d) => TextQueries.dedupParagraphSavings(s, d)),
     "dedup_exact_substring" -> ((s, d) => TextQueries.exactSubstringDedup(s, d)),
     "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
     "dedup_ngram_jaccard" -> ((s, d) => TextQueries.dedupNgramJaccard(s, d)),
@@ -778,6 +779,7 @@ object SparkEntry {
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_exact_paragraph" -> TextQueries.dedupExactParagraphSql(),
     "dedup_paragraph_top" -> TextQueries.dedupParagraphTopSql(),
+    "dedup_paragraph_savings" -> TextQueries.dedupParagraphSavingsSql(),
     "dedup_exact_substring" -> TextQueries.exactSubstringDedupSql,
     "dedup_cluster_sizes" -> TextQueries.dedupClusterSizesSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,

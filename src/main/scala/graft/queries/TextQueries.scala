@@ -592,10 +592,11 @@ object TextQueries {
                               minWords: Int): DataFrame = {
     val ws = filter(split(trim(lower(col("para0"))), " "), x => x =!= lit(""))
     docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("para0"))
-      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "\n")).as("para0"))
+      .select(col("doc_id"), col("source"), ws.as("ws"))
       .where(size(col("ws")) > 0)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), col("source"), explode(transform(
         sequence(lit(0), ((size(col("ws")) - 1) / lit(w)).cast("int")),
         i => array_join(slice(col("ws"), i * lit(w) + 1, lit(w)), " "))).as("para"))
       .where(size(split(col("para"), " ")) >= minWords)
@@ -651,6 +652,83 @@ object TextQueries {
        |    AS BIGINT) AS dup_share_micro
        |FROM bf JOIN cnt USING (para)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-source paragraph-dedup SAVINGS scorecard — the report that
+    * justifies running [[dedupExactParagraph]] at all: if the corpus
+    * keeps exactly ONE copy of every duplicated paragraph block (the
+    * kept copy living in the LOWEST doc_id that holds it), how many
+    * blocks and tokens does each source shed? Real curation runs read
+    * this before committing to the 10x-costlier substring pass.
+    *
+    * Keeper rule is engine-portable by construction: keeper doc =
+    * min(doc_id) per block text (no intra-doc ordering needed — extra
+    * copies INSIDE the keeper doc are dropped too, since only one
+    * occurrence survives). All counts are exact BIGINTs; the share is
+    * one IEEE division.
+    *
+    * Shape: the shared block builder, one (block, doc, source)-keyed
+    * collapse, a block-keyed keeper aggregate joined back block-keyed,
+    * then the |sources| rollup — every exchange is hash-keyed on block
+    * text (at 100 TB: xxhash64(block), same plan).
+    */
+  def dedupParagraphSavings(s: SparkSession, dir: String, w: Int = 8,
+                            minWords: Int = 2): DataFrame = {
+    val perDoc = paragraphBlocks(s, dir, w, minWords)
+      .groupBy(col("para"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_occ"),
+        max(size(split(col("para"), " "))).cast("long").as("wlen"))
+    val keeper = perDoc.groupBy(col("para"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    perDoc.join(keeper, "para")
+      .select(col("source"), col("n_occ"), col("wlen"),
+        (col("n_occ") - when(col("doc_id") === col("keep_doc"), 1L)
+          .otherwise(0L)).as("dropped"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_occ")).as("n_blocks"),
+        sum(col("n_occ") * col("wlen")).as("n_tokens"),
+        sum(col("dropped")).as("n_dropped_blocks"),
+        sum(col("dropped") * col("wlen")).as("n_dropped_tokens"))
+      .select(col("source"), col("n_blocks"), col("n_tokens"),
+        col("n_dropped_blocks"), col("n_dropped_tokens"),
+        (col("n_dropped_tokens").cast("double")
+          / col("n_tokens").cast("double")).as("savings_share"))
+      .orderBy(col("source"))
+  }
+
+  def dedupParagraphSavingsSql(w: Int = 8, minWords: Int = 2): String =
+    s"""WITH seg AS (
+       |  SELECT doc_id, source, unnest(string_split(text, chr(10))) AS para0
+       |  FROM documents),
+       |wt AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(trim(lower(para0)), ' '), x -> x <> '') AS ws
+       |  FROM seg),
+       |blocks AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(ws[(i*$w+1):(i*$w+$w)], ' ') AS para
+       |  FROM wt, UNNEST(range(0, CAST(floor((len(ws)-1)/$w.0) AS BIGINT) + 1)) t(i)
+       |  WHERE len(ws) > 0),
+       |bf AS (SELECT doc_id, source, para FROM blocks
+       |       WHERE len(string_split(para, ' ')) >= $minWords),
+       |pd AS (
+       |  SELECT para, doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |    CAST(MAX(len(string_split(para, ' '))) AS BIGINT) AS wlen
+       |  FROM bf GROUP BY 1, 2, 3),
+       |kp AS (SELECT para, MIN(doc_id) AS keep_doc FROM pd GROUP BY para),
+       |d AS (
+       |  SELECT source, n_occ, wlen,
+       |    n_occ - CASE WHEN doc_id = keep_doc THEN 1 ELSE 0 END AS dropped
+       |  FROM pd JOIN kp USING (para)),
+       |r AS (
+       |  SELECT source, CAST(SUM(n_occ) AS BIGINT) AS n_blocks,
+       |    CAST(SUM(n_occ * wlen) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(dropped) AS BIGINT) AS n_dropped_blocks,
+       |    CAST(SUM(dropped * wlen) AS BIGINT) AS n_dropped_tokens
+       |  FROM d GROUP BY source)
+       |SELECT source, n_blocks, n_tokens, n_dropped_blocks, n_dropped_tokens,
+       |  CAST(n_dropped_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS savings_share
+       |FROM r ORDER BY source""".stripMargin
 
   /** Top duplicated paragraph blocks corpus-wide, with distinct-doc and
     * total occurrence counts — the triage view a curation run reads to
