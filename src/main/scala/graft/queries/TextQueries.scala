@@ -279,26 +279,41 @@ object TextQueries {
     * [[repetitionStats]] (within-doc) and `text_ngram_novelty`
     * (cross-doc): this is the per-source aggregate diversity.
     *
-    * Shape: ONE scan of documents (all four n-gram orders emitted from
-    * the same codegen'd transform/flatten/explode — no per-n re-scan),
-    * then the (source, n, gram)-keyed count collapse with map-side
-    * combine; the exchange carries one row per DISTINCT gram. Ratios
-    * are one IEEE division of exact BIGINTs.
+    * Shape: ONE scan of documents; words posexplode once and the four
+    * gram orders come from THREE lead() windows (per-doc partitions —
+    * the high-cardinality legitimate class) hashed with multi-arg
+    * xxhash64 — every operator stays inside whole-stage codegen. The
+    * first HOF spelling (transform + slice + array_join per gram) ran
+    * INTERPRETED and cost 9.7 task-CPU-s at sf0.1 — the registry's
+    * slowest query — vs well under 1 s for this one; the lesson is the
+    * same class as the Gopher posexplode note: per-row array surgery
+    * belongs in codegen'd leads, not lambda forests. Gram identity is
+    * the 64-bit hash of the word TUPLE (no join-string ambiguity, no
+    * string shuffle): a distinct-count collision needs two of ~1e6
+    * grams to share 64 bits (~3e-8 corpus-wide — the dedupNgramJaccard
+    * precedent), while the oracle counts the exact strings. Ratios are
+    * one IEEE division of exact BIGINTs.
     */
   def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
-    val emptyLeg = array().cast("array<struct<n:bigint,gram:string>>")
-    val legs = (1 to 4).map { n =>
-      val cnt = size(words) - lit(n) + lit(1)
-      when(cnt >= 1,
-        transform(sequence(lit(1), cnt),
-          i => struct(lit(n.toLong).as("n"),
-            array_join(slice(words, i, lit(n)), " ").as("gram"))))
-        .otherwise(emptyLeg)
-    }
-    docs(s, dir)
-      .select(col("source"), explode(flatten(array(legs: _*))).as("g"))
-      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .groupBy(col("source"), col("n"), col("gram"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs(s, dir)
+      .select(col("source"), col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(wnd))
+      .withColumn("w2", lead(col("w"), 2).over(wnd))
+      .withColumn("w3", lead(col("w"), 3).over(wnd))
+    val entries = Seq(
+      struct(lit(1L).as("n"), xxhash64(col("w")).as("h")),
+      struct(lit(2L).as("n"), when(col("w1").isNotNull,
+        xxhash64(col("w"), col("w1"))).as("h")),
+      struct(lit(3L).as("n"), when(col("w2").isNotNull,
+        xxhash64(col("w"), col("w1"), col("w2"))).as("h")),
+      struct(lit(4L).as("n"), when(col("w3").isNotNull,
+        xxhash64(col("w"), col("w1"), col("w2"), col("w3"))).as("h")))
+    toks
+      .select(col("source"), explode(array(entries: _*)).as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.h").as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("source"), col("n"), col("h"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"), col("n"))
       .agg(sum(col("cnt")).as("total_ngrams"),
