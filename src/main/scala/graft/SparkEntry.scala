@@ -275,6 +275,8 @@ object SparkEntry {
     "stats_mcnemar" -> (Relational.mcnemarYears _),
     "stats_wilcoxon_signed" -> (Drift.wilcoxonSignedRank _),
     "stats_cochran_armitage" -> (Relational.cochranArmitage _),
+    "stats_kruskal_wallis" -> (Relational.kruskalWallis _),
+    "stats_dunn_pairs" -> (Relational.dunnPairs _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -700,6 +702,8 @@ object SparkEntry {
     "stats_mcnemar" -> Relational.mcnemarYearsSql,
     "stats_wilcoxon_signed" -> Drift.wilcoxonSignedRankSql,
     "stats_cochran_armitage" -> Relational.cochranArmitageSql,
+    "stats_kruskal_wallis" -> Relational.kruskalWallisSql,
+    "stats_dunn_pairs" -> Relational.dunnPairsSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

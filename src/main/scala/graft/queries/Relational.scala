@@ -1898,6 +1898,217 @@ object Relational {
       |FROM f""".stripMargin
   }
 
+  // --- Kruskal–Wallis rank test + Dunn post-hoc --------------------------------
+  /** Shared rank grid for [[kruskalWallis]] / [[dunnPairs]]: the
+    * per-group (mode, n_g, R2_g) frame with R2_g = Σ DOUBLED pooled
+    * midranks of that group's order values, plus the 1-row pooled
+    * tie-correction Σ(t³−t).
+    *
+    * Exactness: values are exact BIGINT cents; pooled midranks come
+    * from the tie-group identity 2·midrank = 2·cumBelow + t + 1 on the
+    * doubled-rank integer grid (the [[Drift.mannWhitney]] spelling),
+    * so every R2_g is an exact BIGINT (Σ over all groups ≤ 2N², exact
+    * to N < 2.1e9 rows); t³ accumulates in DECIMAL (a tie group passes
+    * int64 near 2.1e6 members).
+    *
+    * Scale shape: one (value, group)-keyed map-side-combined fold of
+    * orders (materialized once — both the pooled tie grid and the
+    * rank join read it), pooled per-value counts ride
+    * [[graft.Graft.cumSumByRange]] (range-partitioned prefix sums —
+    * no single-partition rank window at any size), and the rank join
+    * is value-keyed hash-to-hash (both sides NDV-sized, same key).
+    */
+  private def kwRankGrid(s: SparkSession,
+                         dir: String): (DataFrame, DataFrame) = {
+    val cents = expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val pc = Graft.materialize(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority").as("mode"), cents.as("x"))
+        .groupBy(col("x"), col("mode")).agg(count(lit(1)).as("c")))
+    val pt = pc.groupBy(col("x")).agg(sum(col("c")).as("t_x"))
+    val ranked = Graft.cumSumByRange(pt, Seq(col("x")),
+      Seq(col("t_x") -> "cum_incl"))
+    val grp = pc.join(
+        ranked.select(col("x"),
+          (lit(2L) * (col("cum_incl") - col("t_x")) + col("t_x") + lit(1L))
+            .as("m2")),
+        "x")
+      .groupBy(col("mode"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("m2")).as("r2_g"))
+    val ties = ranked.agg(
+      sum(d19(col("t_x") * col("t_x") - lit(1L)) * d19(col("t_x")))
+        .as("tcorr"))
+    (grp, ties)
+  }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis, JASA 1952) of order
+    * value across order priorities — the RANK-based k-group location
+    * test: the nonparametric dual of [[anovaPriority]] (robust to the
+    * heavy order-value tail) and the k-group extension of
+    * [[Drift.mannWhitney]]. H = 12/(N(N+1))·Σ_g R̄²_g·n_g − 3(N+1)
+    * with the standard tie adjustment H/(1 − Σ(t³−t)/(N³−N)).
+    *
+    * Determinism: n_g/R2_g/tcorr are exact per [[kwRankGrid]]; the
+    * group-mixing double sum Σ_g R2_g²/(4n_g) accumulates via the
+    * CUMULATIVE WINDOW over the mode-ordered 5-row group grid (the
+    * [[anovaPriority]] small-grid ordered-accumulation trick), the
+    * decimal tcorr cast is VARCHAR-routed in the oracle, and H is a
+    * fixed IEEE chain. All values tied (zero tie factor) yields NULL.
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val (grp, ties) = kwRankGrid(s, dir)
+    val wOrd = Window.orderBy(col("mode"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grp
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_term",
+        sum(col("r2_g").cast("double") * col("r2_g").cast("double")
+          / (lit(4.0) * col("n_g").cast("double"))).over(wCum))
+    val tot = grp.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"))
+    val nd = col("n").cast("double")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .filter(col("i") === col("k"))
+      .select(col("k").as("k_groups"), col("n").as("n_total"),
+        (lit(12.0) / (nd * (nd + lit(1.0))) * col("cum_term")
+          - lit(3.0) * (nd + lit(1.0))).as("h_stat"),
+        (lit(1.0) - col("tcorr").cast("double")
+          / (nd * nd * nd - nd)).as("tie_factor"))
+      .select(col("k_groups"), col("n_total"), col("h_stat"),
+        when(col("tie_factor") > 0.0, col("h_stat") / col("tie_factor"))
+          .otherwise(lit(null).cast("double")).as("h_tie_adj"))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH v AS (SELECT o_orderpriority AS mode,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS x
+      |  FROM orders),
+      |pc AS (SELECT x, mode, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM v GROUP BY x, mode),
+      |pt AS (SELECT x, CAST(SUM(c) AS BIGINT) AS t_x FROM pc GROUP BY x),
+      |rk AS (
+      |  SELECT x, t_x,
+      |    2 * COALESCE(SUM(t_x) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t_x + 1 AS m2
+      |  FROM pt),
+      |ties AS (SELECT SUM(CAST(t_x * t_x - 1 AS DECIMAL(19,0))
+      |                    * CAST(t_x AS DECIMAL(19,0))) AS tcorr FROM rk),
+      |g AS (
+      |  SELECT mode, CAST(SUM(c) AS BIGINT) AS n_g,
+      |    CAST(SUM(c * m2) AS BIGINT) AS r2_g
+      |  FROM pc JOIN rk USING (x) GROUP BY mode),
+      |cm AS (
+      |  SELECT mode, n_g, r2_g,
+      |    CAST(row_number() OVER (ORDER BY mode) AS BIGINT) AS i,
+      |    SUM(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+      |        / (4.0 * CAST(n_g AS DOUBLE))) OVER (ORDER BY mode
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_term
+      |  FROM g),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n
+      |      FROM g),
+      |f AS (
+      |  SELECT k, n,
+      |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * cum_term
+      |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+      |    1.0 - CAST(CAST(tcorr AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |         - CAST(n AS DOUBLE)) AS tie_factor
+      |  FROM cm, t, ties WHERE i = k)
+      |SELECT k AS k_groups, n AS n_total, h_stat,
+      |  CASE WHEN tie_factor > 0 THEN h_stat / tie_factor
+      |       ELSE NULL END AS h_tie_adj
+      |FROM f""".stripMargin
+
+  /** Dunn's post-hoc pairwise comparisons (Dunn, Technometrics 1964)
+    * on the SAME pooled midrank grid as [[kruskalWallis]] — the test
+    * run AFTER a significant H to localize WHICH priority classes
+    * differ: z_gh = (R̄_g − R̄_h) / √(V·(1/n_g + 1/n_h)) with the
+    * tie-adjusted pooled variance V = N(N+1)/12 − Σ(t³−t)/(12(N−1)).
+    *
+    * Determinism: each pair's z is a fixed IEEE chain on that pair's
+    * exact integers plus the two global constants — no cross-pair
+    * double accumulation exists, so no ordered-window trick is needed
+    * (the [[kwRankGrid]] exactness notes apply). Degenerate V ≤ 0
+    * (all values tied) yields NULL.
+    *
+    * Scale: the k-row group grid self-joins into k(k−1)/2 pair rows
+    * (broadcast BNLJ on a 5-row side); the fact table is touched only
+    * by the shared grid build.
+    */
+  def dunnPairs(s: SparkSession, dir: String): DataFrame = {
+    val (grp, ties) = kwRankGrid(s, dir)
+    val tot = grp.agg(sum(col("n_g")).as("n"))
+    val a = grp.select(col("mode").as("mode_a"), col("n_g").as("n_a"),
+      col("r2_g").as("r2_a"))
+    val b = grp.select(col("mode").as("mode_b"), col("n_g").as("n_b"),
+      col("r2_g").as("r2_b"))
+    val nd = col("n").cast("double")
+    val meanA = col("r2_a").cast("double") /
+      (lit(2.0) * col("n_a").cast("double"))
+    val meanB = col("r2_b").cast("double") /
+      (lit(2.0) * col("n_b").cast("double"))
+    // tie term on the SAME expression (operator at line end — the
+    // leading-minus newline split parses as a separate unary statement
+    // and silently drops the term; the oracle hash caught exactly that)
+    val vpool = nd * (nd + lit(1.0)) / lit(12.0) -
+      col("tcorr").cast("double") / (lit(12.0) * (nd - lit(1.0)))
+    a.crossJoin(broadcast(b)).filter(col("mode_a") < col("mode_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("mode_a"), col("mode_b"), col("n_a"), col("n_b"),
+        meanA.as("mean_rank_a"), meanB.as("mean_rank_b"),
+        vpool.as("vpool"))
+      .select(col("mode_a"), col("mode_b"), col("n_a"), col("n_b"),
+        col("mean_rank_a"), col("mean_rank_b"),
+        when(col("vpool") > 0.0,
+          (col("mean_rank_a") - col("mean_rank_b"))
+            / sqrt(col("vpool") * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))))
+          .otherwise(lit(null).cast("double")).as("z_dunn"))
+      .orderBy(col("mode_a"), col("mode_b"))
+  }
+
+  val dunnPairsSql: String =
+    """WITH v AS (SELECT o_orderpriority AS mode,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS x
+      |  FROM orders),
+      |pc AS (SELECT x, mode, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM v GROUP BY x, mode),
+      |pt AS (SELECT x, CAST(SUM(c) AS BIGINT) AS t_x FROM pc GROUP BY x),
+      |rk AS (
+      |  SELECT x, t_x,
+      |    2 * COALESCE(SUM(t_x) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t_x + 1 AS m2
+      |  FROM pt),
+      |ties AS (SELECT SUM(CAST(t_x * t_x - 1 AS DECIMAL(19,0))
+      |                    * CAST(t_x AS DECIMAL(19,0))) AS tcorr FROM rk),
+      |g AS (
+      |  SELECT mode, CAST(SUM(c) AS BIGINT) AS n_g,
+      |    CAST(SUM(c * m2) AS BIGINT) AS r2_g
+      |  FROM pc JOIN rk USING (x) GROUP BY mode),
+      |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM g),
+      |p AS (
+      |  SELECT a.mode AS mode_a, b.mode AS mode_b,
+      |    a.n_g AS n_a, b.n_g AS n_b,
+      |    CAST(a.r2_g AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+      |      AS mean_rank_a,
+      |    CAST(b.r2_g AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE))
+      |      AS mean_rank_b
+      |  FROM g a, g b WHERE a.mode < b.mode),
+      |f AS (
+      |  SELECT mode_a, mode_b, n_a, n_b, mean_rank_a, mean_rank_b,
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+      |      - CAST(CAST(tcorr AS VARCHAR) AS DOUBLE)
+      |        / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS vpool
+      |  FROM p, t, ties)
+      |SELECT mode_a, mode_b, n_a, n_b, mean_rank_a, mean_rank_b,
+      |  CASE WHEN vpool > 0 THEN (mean_rank_a - mean_rank_b)
+      |    / sqrt(vpool * (1.0 / CAST(n_a AS DOUBLE)
+      |                    + 1.0 / CAST(n_b AS DOUBLE)))
+      |  ELSE NULL END AS z_dunn
+      |FROM f ORDER BY mode_a, mode_b""".stripMargin
+
   // --- McNemar paired flip test ---------------------------------------------
   /** McNemar's test (Psychometrika 1947) on paired customer activity:
     * was each customer active in 1997 vs in 1998 — the paired-binary

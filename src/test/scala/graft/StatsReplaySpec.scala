@@ -938,4 +938,68 @@ class StatsReplaySpec extends SparkSpec {
       assert(got >= -1.0 && got <= 1.0, s"$name $got outside [-1,1]")
     }
   }
+
+  /** Pooled textbook midranks of the (priority, cents) order values —
+    * shared by the Kruskal–Wallis and Dunn replays. */
+  private lazy val kwReplayBase: (Map[String, (Long, Double)], Double, Long) = {
+    val vals = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority").as("m"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = vals.map(_._2).sorted
+    // value -> average 1-based rank of its tie run
+    val midrank = sorted.zipWithIndex.groupBy(_._1).map { case (v, ps) =>
+      v -> ps.map(_._2 + 1).map(_.toDouble).sum / ps.length
+    }
+    val byGroup = vals.groupBy(_._1).map { case (m, vs) =>
+      m -> ((vs.length.toLong, vs.map(v => midrank(v._2)).sum))
+    }
+    val tcorr = sorted.groupBy(identity).values
+      .map(g => g.length.toDouble)
+      .map(t => t * t * t - t).sum
+    (byGroup, tcorr, vals.length.toLong)
+  }
+
+  test("kruskalWallis: textbook midrank replay with tie correction") {
+    val (byGroup, tcorr, n) = kwReplayBase
+    val nd = n.toDouble
+    val h = 12.0 / (nd * (nd + 1.0)) *
+      byGroup.values.map { case (ng, rsum) => rsum * rsum / ng }.sum -
+      3.0 * (nd + 1.0)
+    val hAdj = h / (1.0 - tcorr / (nd * nd * nd - nd))
+    val row = Relational.kruskalWallis(spark, sf).collect().head
+    assert(row.getLong(0) == byGroup.size && row.getLong(1) == n,
+      s"(k, n) (${row.getLong(0)}, ${row.getLong(1)}) != " +
+        s"replay (${byGroup.size}, $n)")
+    assert(math.abs(row.getDouble(2) - h) < 1e-7 * math.max(1.0, h.abs),
+      s"h_stat ${row.getDouble(2)} != replay $h")
+    assert(math.abs(row.getDouble(3) - hAdj) < 1e-7 * math.max(1.0, hAdj.abs),
+      s"h_tie_adj ${row.getDouble(3)} != replay $hAdj")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(3) >= row.getDouble(2),
+      "H must be >= 0 and the tie adjustment can only inflate it")
+  }
+
+  test("dunnPairs: pairwise z replay from the same midranks") {
+    val (byGroup, tcorr, n) = kwReplayBase
+    val nd = n.toDouble
+    val vpool = nd * (nd + 1.0) / 12.0 - tcorr / (12.0 * (nd - 1.0))
+    val rows = Relational.dunnPairs(spark, sf).collect()
+    val modes = byGroup.keys.toSeq.sorted
+    assert(rows.length == modes.size * (modes.size - 1) / 2,
+      s"expected all ${modes.size * (modes.size - 1) / 2} pairs, " +
+        s"got ${rows.length}")
+    for (r <- rows) {
+      val (na, ra) = byGroup(r.getString(0))
+      val (nb, rb) = byGroup(r.getString(1))
+      assert(r.getString(0) < r.getString(1), "pairs must be mode_a < mode_b")
+      assert(r.getLong(2) == na && r.getLong(3) == nb)
+      val ma = ra / na; val mb = rb / nb
+      assert(math.abs(r.getDouble(4) - ma) < 1e-9, s"mean_rank_a @$r")
+      assert(math.abs(r.getDouble(5) - mb) < 1e-9, s"mean_rank_b @$r")
+      val z = (ma - mb) / math.sqrt(vpool * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getDouble(6) - z) < 1e-7 * math.max(1.0, z.abs),
+        s"z_dunn ${r.getDouble(6)} != replay $z")
+    }
+  }
 }
