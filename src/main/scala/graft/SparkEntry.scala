@@ -260,6 +260,7 @@ object SparkEntry {
     "survival_nelson_aalen" -> (Survival.nelsonAalen _),
     "survival_aalen_johansen" -> ((s, d) => Survival.aalenJohansen(s, d)),
     "survival_logrank" -> (Survival.logRank _),
+    "survival_rmst" -> ((s, d) => Survival.rmst(s, d)),
     "stats_ks_uniform_weekday" -> (Relational.ksUniformWeekday _),
     "stats_decile_lift" -> (Relational.decileLift _),
     "events_max_concurrency" -> (EventQueries.maxConcurrency _),
@@ -687,6 +688,7 @@ object SparkEntry {
     "survival_nelson_aalen" -> Survival.nelsonAalenSql,
     "survival_aalen_johansen" -> Survival.aalenJohansenSql(),
     "survival_logrank" -> Survival.logRankSql,
+    "survival_rmst" -> Survival.rmstSql(),
     "stats_ks_uniform_weekday" -> Relational.ksUniformWeekdaySql,
     "stats_decile_lift" -> Relational.decileLiftSql,
     "events_max_concurrency" -> EventQueries.maxConcurrencySql,

@@ -468,4 +468,151 @@ object Survival {
       |  CAST(cif2_nano AS DOUBLE) / 1e9 AS cif_casual
       |FROM cif ORDER BY t_days""".stripMargin
   }
+
+  // --- restricted mean survival time --------------------------------------------
+  /** Restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt at fixed
+    * horizons (1/2/5 years) — the model-free "expected retained
+    * lifetime within τ" summary (Royston & Parmar, BMC Med Res
+    * Methodol 2013) that survival dashboards report next to the KM
+    * curve, robust where the median is undefined under heavy
+    * censoring. The integral of the KM step function is a SUM over
+    * inter-event intervals: Σ_k S(t_{k-1})·(min(t_k,τ) − min(t_{k-1},τ))
+    * plus the tail S(t_m)·(τ − t_m) when τ outlives the grid.
+    *
+    * Determinism: S rides the [[kaplanMeier]] integer-micronat
+    * cumulation with every exp output guarded onto the integer NANO
+    * grid (the [[aalenJohansen]] exp-ulp rule; s_prev_nano at row k is
+    * bit-identical to s_nano at row k−1 because the micronat sum is
+    * exact BIGINT), interval lengths are exact day integers, so every
+    * per-τ sum is an exact BIGINT in nano·days; the reported doubles
+    * are one final scale-down each. The terminal risk-set-exhaustion
+    * row (S = 0, excluded by KM's ln spelling) is KEPT here with
+    * s_nano = 0 — RMST needs S to actually reach zero. The tail factor
+    * uses min(s_nano) — valid because S is non-increasing, so the
+    * minimum IS the post-grid survival.
+    *
+    * Scale: the same one-pass custkey fold + duration-grid windows as
+    * [[kaplanMeier]] (calendar-bounded, allowlisted); the τ grid is a
+    * |taus|-row broadcast and the result is |taus| rows.
+    */
+  def rmst(s: SparkSession, dir: String,
+           taus: Seq[Long] = Seq(365L, 730L, 1825L)): DataFrame = {
+    val life = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("max_d"))
+    val durations = life.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(datediff(col("max_d"), col("last_d")) > 90, 1L).otherwise(0L)
+          .as("churned"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d_i"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy(col("dur"))
+    val sNano = (lnCol: Column) =>
+      round(exp(lnCol.cast("double") / lit(1e6)) * lit(1e9)).cast("long")
+    val km = Graft.materialize(durations)
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .filter(col("d_i") > 0)
+      .withColumn("step",
+        when(col("n_risk") > col("d_i"),
+          lnMicro(col("n_risk") - col("d_i")) - lnMicro(col("n_risk")))
+          .otherwise(0L))
+      .withColumn("ln_s_micro", sum(col("step")).over(wCum))
+      .withColumn("s_prev_nano", sNano(col("ln_s_micro") - col("step")))
+      .withColumn("s_nano",
+        when(col("n_risk") > col("d_i"), sNano(col("ln_s_micro")))
+          .otherwise(lit(0L)))
+      .withColumn("prev_dur", lag(col("dur"), 1, 0L).over(wLag))
+    val tauDf = s.createDataFrame(taus.map(Tuple1(_))).toDF("tau_days")
+    km.crossJoin(broadcast(tauDf))
+      .groupBy(col("tau_days"))
+      .agg(
+        sum(col("s_prev_nano")
+          * (least(col("dur"), col("tau_days"))
+            - least(col("prev_dur"), col("tau_days")))).as("body_nano"),
+        min(col("s_nano")).as("s_tail_nano"),
+        max(col("dur")).as("max_dur"))
+      .select(col("tau_days"),
+        (col("body_nano") + col("s_tail_nano")
+          * greatest(lit(0L), col("tau_days")
+            - least(col("max_dur"), col("tau_days")))).as("rmst_nano"))
+      .select(col("tau_days"), col("rmst_nano"),
+        (col("rmst_nano").cast("double") / lit(1e9)).as("rmst_days"),
+        (col("rmst_nano").cast("double")
+          / (lit(1e9) * col("tau_days").cast("double"))).as("rmst_share"))
+      .orderBy(col("tau_days"))
+  }
+
+  /** DuckDB twin of [[rmst]], derived from the SAME τ grid. */
+  def rmstSql(taus: Seq[Long] = Seq(365L, 730L, 1825L)): String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    val tauValues = taus.map(t => s"(CAST($t AS BIGINT))").mkString(", ")
+    s"""WITH life AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT MAX(last_d) AS max_d FROM life),
+      |durs AS (
+      |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+      |    CASE WHEN date_diff('day', last_d, max_d) > 90
+      |         THEN 1 ELSE 0 END AS churned
+      |  FROM life, h),
+      |grid AS (
+      |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |         CAST(SUM(churned) AS BIGINT) AS d_i
+      |  FROM durs GROUP BY dur),
+      |risk AS (
+      |  SELECT dur, d_i,
+      |    CAST(SUM(n_at) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM grid),
+      |ev AS (
+      |  SELECT dur, n_risk, d_i,
+      |    CASE WHEN n_risk > d_i
+      |         THEN ${lnu("n_risk - d_i")} - ${lnu("n_risk")}
+      |         ELSE 0 END AS step
+      |  FROM risk WHERE d_i > 0),
+      |km AS (
+      |  SELECT dur, n_risk, d_i, step,
+      |    CAST(SUM(step) OVER w AS BIGINT) AS ln_s_micro,
+      |    CAST(COALESCE(lag(dur) OVER (ORDER BY dur), 0) AS BIGINT)
+      |      AS prev_dur
+      |  FROM ev
+      |  WINDOW w AS (ORDER BY dur
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |sv AS (
+      |  SELECT dur, prev_dur,
+      |    CAST(round(exp(CAST(ln_s_micro - step AS DOUBLE) / 1e6) * 1e9)
+      |      AS BIGINT) AS s_prev_nano,
+      |    CASE WHEN n_risk > d_i
+      |      THEN CAST(round(exp(CAST(ln_s_micro AS DOUBLE) / 1e6) * 1e9)
+      |        AS BIGINT)
+      |      ELSE 0 END AS s_nano
+      |  FROM km),
+      |r AS (
+      |  SELECT tau.tau_days,
+      |    CAST(SUM(s_prev_nano * (least(dur, tau.tau_days)
+      |                            - least(prev_dur, tau.tau_days)))
+      |      AS BIGINT) AS body_nano,
+      |    MIN(s_nano) AS s_tail_nano, MAX(dur) AS max_dur
+      |  FROM sv, (VALUES $tauValues) tau(tau_days)
+      |  GROUP BY tau.tau_days),
+      |f AS (
+      |  SELECT tau_days,
+      |    body_nano + s_tail_nano
+      |      * greatest(0, tau_days - least(max_dur, tau_days)) AS rmst_nano
+      |  FROM r)
+      |SELECT tau_days, rmst_nano,
+      |  CAST(rmst_nano AS DOUBLE) / 1e9 AS rmst_days,
+      |  CAST(rmst_nano AS DOUBLE) / (1e9 * CAST(tau_days AS DOUBLE))
+      |    AS rmst_share
+      |FROM f ORDER BY tau_days""".stripMargin
+  }
 }

@@ -398,6 +398,8 @@ class PlanAuditSpec extends SparkSpec {
         "two at-risk suffix windows over the distinct-duration grid",
       "survival_aalen_johansen" ->
         "risk / KM-micronat / CIF-cumulation windows over the distinct-duration grid",
+      "survival_rmst" ->
+        "risk / KM-micronat / interval-lag windows over the distinct-duration grid",
       "stats_ks_uniform_weekday" ->
         "CDF windows over the 7-row weekday grid",
       "ts_hurst_rs" ->

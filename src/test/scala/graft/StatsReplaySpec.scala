@@ -730,6 +730,55 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("rmst: plain-double KM step-integral replay at all three horizons") {
+    val life = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val maxD = life.map(_._2).max
+    import java.time.temporal.ChronoUnit.DAYS
+    val subjects = life.map { case (f, l) =>
+      (DAYS.between(f, l), DAYS.between(l, maxD) > 90)
+    }
+    val grid = subjects.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, ss) =>
+      (d, ss.length.toLong, ss.count(_._2).toLong)
+    }
+    def rmstAt(tau: Long): Double = {
+      var atRisk = subjects.length.toLong
+      var surv = 1.0; var prev = 0L; var area = 0.0
+      var tail = 1.0; var lastDur = 0L
+      for ((d, nAt, dI) <- grid) {
+        if (dI > 0) {
+          area += surv * (math.min(d, tau) - math.min(prev, tau))
+          surv *= (atRisk - dI).toDouble / atRisk
+          prev = d; tail = surv; lastDur = d
+        }
+        atRisk -= nAt
+      }
+      area + tail * math.max(0L, tau - math.min(lastDur, tau))
+    }
+    val got = Survival.rmst(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(365L, 730L, 1825L))
+    for (tau <- Seq(365L, 730L, 1825L)) {
+      val want = rmstAt(tau)
+      val (nano, days, share) = got(tau)
+      // micronat + nano rounding drift is <= ~1e-6 relative per event
+      // row; the integral damps it further
+      assert(math.abs(days - want) < 1e-4 * tau,
+        s"rmst($tau) $days != replay $want")
+      assert(math.abs(days - nano / 1e9) < 1e-12)
+      assert(math.abs(share - days / tau) < 1e-9)
+      assert(days > 0.0 && days <= tau.toDouble,
+        s"rmst($tau)=$days outside (0, tau]")
+    }
+    // monotone in tau, with increments at most the added horizon span
+    val d1 = got(365L)._2; val d2 = got(730L)._2; val d5 = got(1825L)._2
+    assert(d1 <= d2 && d2 <= d5 && d2 - d1 <= 365.0 && d5 - d2 <= 1095.0)
+  }
+
   test("cochranArmitage: trend z replay from raw orders") {
     val rows = Tables.load(spark, sf, "orders")
       .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("s"),
