@@ -253,6 +253,7 @@ object SparkEntry {
     "ts_ljung_box" -> ((s, d) => TimeSeries.ljungBox(s, d)),
     "ts_pacf" -> (TimeSeries.pacf _),
     "ts_cross_correlation" -> (TimeSeries.crossCorrelation _),
+    "ts_permutation_entropy" -> (TimeSeries.permutationEntropy _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -681,6 +682,7 @@ object SparkEntry {
     "ts_ljung_box" -> TimeSeries.ljungBoxSql,
     "ts_pacf" -> TimeSeries.pacfSql,
     "ts_cross_correlation" -> TimeSeries.crossCorrelationSql,
+    "ts_permutation_entropy" -> TimeSeries.permutationEntropySql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

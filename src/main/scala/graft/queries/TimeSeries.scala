@@ -1572,4 +1572,119 @@ object TimeSeries {
       |  (1.5 * (m128 - m16) + 0.5 * (m64 - m32))
       |    / (5.0 * 0.6931471805599453) AS hurst_h
       |FROM piv""".stripMargin
+
+  // --- permutation entropy -------------------------------------------------------
+  /** Permutation entropy of the daily order-count series at embedding
+    * order 3 (Bandt & Pompe, PRL 2002) — the ordinal-pattern complexity
+    * read: a perfectly regular series concentrates all (x_t, x_{t+1},
+    * x_{t+2}) windows on one of the 6 rank patterns (PE → 0), white
+    * noise spreads them uniformly (normalized PE → 1). Complements
+    * [[turningPoints]] (one specific order-2 pattern family) and
+    * [[EventQueries]]' Markov entropy (symbol-level, not ordinal).
+    *
+    * Tie rule: ranks break ties by POSITION (stable order — the
+    * standard discretization for integer-valued series), spelled as
+    * pure comparisons: rank_i = #{j : x_j < x_i, or x_j = x_i with
+    * j < i}, so the pattern word r0·100+r1·10+r2 is an exact integer
+    * both engines compute identically — no sort, no ambiguity.
+    *
+    * Determinism: pattern counts are exact BIGINTs; the entropy uses
+    * the identity H = ln n − (Σ c·ln c)/n with each ln rounded to
+    * integer MICRONATS (the [[Survival]] discipline), so the numerator
+    * n·lnμ(n) − Σ c·lnμ(c) is an exact BIGINT and PE (and its /ln 6
+    * normalization, with ln 6 on the same micronat grid) are one IEEE
+    * division of exact integers each.
+    *
+    * Scale: one map-side-combined fold of orders into the calendar day
+    * grid; the two lead windows ride that grid (the allowlisted
+    * bounded class), patterns collapse to a ≤6-row grid, output is
+    * one row.
+    */
+  def permutationEntropy(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val days = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("d"))
+    val a = col("x"); val b = col("b"); val c = col("c")
+    val tri = Graft.materialize(days)
+      .withColumn("b", lead(col("x"), 1).over(w))
+      .withColumn("c", lead(col("x"), 2).over(w))
+      .filter(col("c").isNotNull)
+    val r0 = (b < a).cast("long") + (c < a).cast("long")
+    val r1 = (a <= b).cast("long") + (c < b).cast("long")
+    val r2 = (a <= c).cast("long") + (b <= c).cast("long")
+    val pats = tri
+      .select((r0 * lit(100L) + r1 * lit(10L) + r2).as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    def pc(id: Long, name: String): Column =
+      coalesce(sum(when(col("pid") === lit(id), col("cnt"))), lit(0L))
+        .as(name)
+    val agg = pats.agg(
+      sum(col("cnt")).as("n_windows"),
+      count(lit(1)).as("n_patterns"),
+      pc(12L, "c_012"), pc(21L, "c_021"), pc(102L, "c_102"),
+      pc(120L, "c_120"), pc(201L, "c_201"), pc(210L, "c_210"),
+      sum(col("cnt") * lnMicro(col("cnt"))).as("clnc"))
+    val nW = col("n_windows")
+    agg
+      .withColumn("h_numer", nW * lnMicro(nW) - col("clnc"))
+      .select(col("n_windows"), col("n_patterns"),
+        col("c_012"), col("c_021"), col("c_102"),
+        col("c_120"), col("c_201"), col("c_210"),
+        (col("h_numer").cast("double")
+          / (nW.cast("double") * lit(1e6))).as("pe"),
+        (col("h_numer").cast("double")
+          / (nW * lnMicro(lit(6.0))).cast("double")).as("pe_norm"))
+  }
+
+  val permutationEntropySql: String =
+    """WITH days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |tri AS (
+      |  SELECT x AS a,
+      |    lead(x, 1) OVER (ORDER BY d) AS b,
+      |    lead(x, 2) OVER (ORDER BY d) AS c
+      |  FROM days),
+      |pid AS (
+      |  SELECT (CASE WHEN b < a THEN 1 ELSE 0 END
+      |          + CASE WHEN c < a THEN 1 ELSE 0 END) * 100
+      |       + (CASE WHEN a <= b THEN 1 ELSE 0 END
+      |          + CASE WHEN c < b THEN 1 ELSE 0 END) * 10
+      |       + (CASE WHEN a <= c THEN 1 ELSE 0 END
+      |          + CASE WHEN b <= c THEN 1 ELSE 0 END) AS pid
+      |  FROM tri WHERE c IS NOT NULL),
+      |pats AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM pid GROUP BY pid),
+      |agg AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_windows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_patterns,
+      |    CAST(COALESCE(SUM(CASE WHEN pid = 12 THEN cnt END), 0) AS BIGINT)
+      |      AS c_012,
+      |    CAST(COALESCE(SUM(CASE WHEN pid = 21 THEN cnt END), 0) AS BIGINT)
+      |      AS c_021,
+      |    CAST(COALESCE(SUM(CASE WHEN pid = 102 THEN cnt END), 0) AS BIGINT)
+      |      AS c_102,
+      |    CAST(COALESCE(SUM(CASE WHEN pid = 120 THEN cnt END), 0) AS BIGINT)
+      |      AS c_120,
+      |    CAST(COALESCE(SUM(CASE WHEN pid = 201 THEN cnt END), 0) AS BIGINT)
+      |      AS c_201,
+      |    CAST(COALESCE(SUM(CASE WHEN pid = 210 THEN cnt END), 0) AS BIGINT)
+      |      AS c_210,
+      |    CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT))
+      |      AS BIGINT) AS clnc
+      |  FROM pats),
+      |h AS (
+      |  SELECT *, n_windows
+      |    * CAST(round(ln(CAST(n_windows AS DOUBLE)) * 1e6) AS BIGINT)
+      |    - clnc AS h_numer
+      |  FROM agg)
+      |SELECT n_windows, n_patterns, c_012, c_021, c_102, c_120, c_201, c_210,
+      |  CAST(h_numer AS DOUBLE) / (CAST(n_windows AS DOUBLE) * 1e6) AS pe,
+      |  CAST(h_numer AS DOUBLE)
+      |    / CAST(n_windows * CAST(round(ln(CAST(6.0 AS DOUBLE)) * 1e6)
+      |                            AS BIGINT) AS DOUBLE) AS pe_norm
+      |FROM h""".stripMargin
 }

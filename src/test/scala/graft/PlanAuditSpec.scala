@@ -407,6 +407,8 @@ class PlanAuditSpec extends SparkSpec {
       "ts_changepoint_cusum" -> "cumulative stats over the calendar day grid",
       "ts_ljung_box" ->
         "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",
+      "ts_permutation_entropy" ->
+        "two lead windows over the calendar day grid",
       "ts_seasonal_strength" ->
         "moving-average/cumulative-moment windows over the calendar day grid",
       "ts_peaks" ->

@@ -730,6 +730,38 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("permutationEntropy: stable-sort ordinal-pattern replay") {
+    val xs = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("d"))
+      .collect().map(_.getLong(1))
+    // pattern word from an actual stable sort of (value, position)
+    val counts = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    for (t <- 0 until xs.length - 2) {
+      val tri = Array(xs(t), xs(t + 1), xs(t + 2))
+      val order = tri.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._2)
+      val rank = new Array[Int](3)
+      for (r <- 0 until 3) rank(order(r)) = r
+      val pid = rank(0) * 100 + rank(1) * 10 + rank(2)
+      counts(pid) += 1
+    }
+    val n = counts.values.sum
+    val pe = math.log(n.toDouble) -
+      counts.values.map(c => c * math.log(c.toDouble)).sum / n
+    val row = TimeSeries.permutationEntropy(spark, sf).collect().head
+    assert(row.getLong(0) == n, s"n_windows ${row.getLong(0)} != replay $n")
+    assert(row.getLong(1) == counts.size)
+    for ((pid, ix) <- Seq(12, 21, 102, 120, 201, 210).zipWithIndex)
+      assert(row.getLong(2 + ix) == counts(pid),
+        s"pattern $pid: ${row.getLong(2 + ix)} != replay ${counts(pid)}")
+    assert(math.abs(row.getDouble(8) - pe) < 1e-4,
+      s"pe ${row.getDouble(8)} != replay $pe")
+    assert(math.abs(row.getDouble(9) - pe / math.log(6.0)) < 1e-4)
+    assert(row.getDouble(9) >= 0.0 && row.getDouble(9) <= 1.0 + 1e-9)
+  }
+
   test("rmst: plain-double KM step-integral replay at all three horizons") {
     val life = Tables.load(spark, sf, "orders")
       .groupBy(col("o_custkey"))
