@@ -279,6 +279,7 @@ object SparkEntry {
     "stats_cochran_armitage" -> (Relational.cochranArmitage _),
     "stats_kruskal_wallis" -> (Relational.kruskalWallis _),
     "stats_dunn_pairs" -> (Relational.dunnPairs _),
+    "stats_tukey_hsd" -> (Relational.tukeyHsd _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -708,6 +709,7 @@ object SparkEntry {
     "stats_cochran_armitage" -> Relational.cochranArmitageSql,
     "stats_kruskal_wallis" -> Relational.kruskalWallisSql,
     "stats_dunn_pairs" -> Relational.dunnPairsSql,
+    "stats_tukey_hsd" -> Relational.tukeyHsdSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

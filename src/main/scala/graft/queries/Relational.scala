@@ -2109,6 +2109,106 @@ object Relational {
       |  ELSE NULL END AS z_dunn
       |FROM f ORDER BY mode_a, mode_b""".stripMargin
 
+  /** Tukey–Kramer HSD pairwise comparisons (Tukey 1949; Kramer 1956
+    * for unequal n) on order value across priorities — the PARAMETRIC
+    * post-hoc localization after [[anovaPriority]]'s F, as [[dunnPairs]]
+    * is after [[kruskalWallis]]: the studentized-range statistic
+    * q_gh = (x̄_g − x̄_h) / √( MSW/2 · (1/n_g + 1/n_h) ) per pair.
+    *
+    * Determinism: per-group n/Σx are exact BIGINT dollars and Σx²
+    * rides DECIMAL (the [[anovaPriority]] moments); MSW's group-mixing
+    * double sum accumulates via the CUMULATIVE WINDOW over the
+    * mode-ordered 5-row grid with the decimal Σx² cast VARCHAR-routed
+    * in the oracle; each pair's q is then a fixed IEEE chain on that
+    * pair's exact integers plus the shared 1-row MSW. Zero within-group
+    * variance yields NULL q.
+    *
+    * Scale: ONE map-side-combined fold of orders into the k-row grid;
+    * pairs are a broadcast BNLJ of k-row sides and MSW a 1-row
+    * broadcast.
+    */
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val x = expr(
+      "cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+    val g = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("mode"), x.as("x"))
+      .groupBy(col("mode"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("ss_g"))
+    val wOrd = Window.orderBy(col("mode"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_term",
+        sum(col("s_g").cast("double") * col("s_g").cast("double")
+          / col("n_g").cast("double")).over(wCum))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("ss_g")).as("ss"))
+    val msw = cum.crossJoin(broadcast(tot))
+      .filter(col("i") === col("k"))
+      .select(((col("ss").cast("double") - col("cum_term"))
+        / (col("n").cast("double") - col("k").cast("double"))).as("msw"))
+    val a = g.select(col("mode").as("mode_a"), col("n_g").as("n_a"),
+      col("s_g").as("s_a"))
+    val b = g.select(col("mode").as("mode_b"), col("n_g").as("n_b"),
+      col("s_g").as("s_b"))
+    val meanA = col("s_a").cast("double") / col("n_a").cast("double")
+    val meanB = col("s_b").cast("double") / col("n_b").cast("double")
+    a.crossJoin(broadcast(b)).filter(col("mode_a") < col("mode_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("mode_a"), col("mode_b"), col("n_a"), col("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"), col("msw"))
+      .select(col("mode_a"), col("mode_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        (col("mean_a") - col("mean_b")).as("diff_means"),
+        when(col("msw") > 0.0,
+          abs(col("mean_a") - col("mean_b"))
+            / sqrt(col("msw") / lit(2.0)
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double"))))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+      .orderBy(col("mode_a"), col("mode_b"))
+  }
+
+  val tukeyHsdSql: String = {
+    val dollars = PortableSql.intDiv(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)", "100")
+    s"""WITH v AS (SELECT o_orderpriority AS mode, $dollars AS x FROM orders),
+      |g AS (
+      |  SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(x) AS BIGINT) AS s_g,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS ss_g
+      |  FROM v GROUP BY mode),
+      |c AS (
+      |  SELECT mode, n_g, s_g,
+      |    CAST(row_number() OVER (ORDER BY mode) AS BIGINT) AS i,
+      |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |        / CAST(n_g AS DOUBLE)) OVER (ORDER BY mode
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_term
+      |  FROM g),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |             SUM(ss_g) AS ss
+      |      FROM g),
+      |m AS (
+      |  SELECT (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - cum_term)
+      |    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+      |  FROM c, t WHERE i = k),
+      |p AS (
+      |  SELECT a.mode AS mode_a, b.mode AS mode_b,
+      |    a.n_g AS n_a, b.n_g AS n_b,
+      |    CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE) AS mean_a,
+      |    CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mean_b
+      |  FROM g a, g b WHERE a.mode < b.mode)
+      |SELECT mode_a, mode_b, n_a, n_b, mean_a, mean_b,
+      |  mean_a - mean_b AS diff_means,
+      |  CASE WHEN msw > 0 THEN abs(mean_a - mean_b)
+      |    / sqrt(msw / 2.0 * (1.0 / CAST(n_a AS DOUBLE)
+      |                        + 1.0 / CAST(n_b AS DOUBLE)))
+      |  ELSE NULL END AS q_stat
+      |FROM p, m ORDER BY mode_a, mode_b""".stripMargin
+  }
+
   // --- McNemar paired flip test ---------------------------------------------
   /** McNemar's test (Psychometrika 1947) on paired customer activity:
     * was each customer active in 1997 vs in 1998 — the paired-binary

@@ -730,6 +730,37 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("tukeyHsd: pairwise q replay from raw per-group moments") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority").as("m"),
+        expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+          .as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = rows.groupBy(_._1).map { case (m, vs) =>
+      m -> vs.map(_._2.toDouble)
+    }
+    val n = rows.length; val k = byG.size
+    val ssWithin = byG.values.map { vs =>
+      val mean = vs.sum / vs.length
+      vs.map(v => (v - mean) * (v - mean)).sum
+    }.sum
+    val msw = ssWithin / (n - k)
+    val got = Relational.tukeyHsd(spark, sf).collect()
+    assert(got.length == k * (k - 1) / 2)
+    for (r <- got) {
+      val va = byG(r.getString(0)); val vb = byG(r.getString(1))
+      val ma = va.sum / va.length; val mb = vb.sum / vb.length
+      assert(r.getLong(2) == va.length && r.getLong(3) == vb.length)
+      assert(math.abs(r.getDouble(4) - ma) < 1e-6 * math.max(1.0, ma.abs))
+      assert(math.abs(r.getDouble(5) - mb) < 1e-6 * math.max(1.0, mb.abs))
+      val q = math.abs(ma - mb) /
+        math.sqrt(msw / 2.0 * (1.0 / va.length + 1.0 / vb.length))
+      assert(math.abs(r.getDouble(7) - q) < 1e-6 * math.max(1.0, q),
+        s"q ${r.getDouble(7)} != replay $q for ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getDouble(7) >= 0.0)
+    }
+  }
+
   test("permutationEntropy: stable-sort ordinal-pattern replay") {
     val xs = Tables.load(spark, sf, "orders")
       .groupBy(to_date(col("o_orderdate")).as("d"))
