@@ -368,6 +368,7 @@ object SparkEntry {
     "text_first_positions" -> (TextQueries.firstPositions _),
     "dedup_incremental" -> (TextQueries.dedupIncremental _),
     "text_bigrams" -> (TextQueries.bigrams _),
+    "text_bigram_pmi" -> ((s, d) => TextQueries.bigramPmi(s, d)),
     "text_trigram_lm" -> (TextQueries.trigramLm _),
     "docs_source_concentration" -> (TextQueries.sourceConcentration _),
     "text_normalize" -> (TextQueries.normalizeText _),
@@ -619,6 +620,7 @@ object SparkEntry {
     "text_first_positions" -> TextQueries.firstPositionsSql,
     "dedup_incremental" -> TextQueries.dedupIncrementalSql,
     "text_bigrams" -> TextQueries.bigramsSql,
+    "text_bigram_pmi" -> TextQueries.bigramPmiSql(),
     "text_trigram_lm" -> TextQueries.trigramLmSql,
     "docs_source_concentration" -> TextQueries.sourceConcentrationSql,
     "window_range_hour" -> EventQueries.rangeLastHourSql,

@@ -3318,4 +3318,89 @@ object TextQueries {
       |  CAST(sum_distinct AS DOUBLE)
       |    / ($w.0 * CAST(n_tokens - ${w - 1} AS DOUBLE)) AS mattr
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // --- bigram PMI collocations -----------------------------------------------
+  /** Top adjacent-bigram collocations by pointwise mutual information
+    * (Church & Hanks, CL 1990) with a minimum pair count — the
+    * phrase/multiword-expression extraction pass a tokenizer-training
+    * or phrase-mining pipeline runs over a corpus: PMI(a,b) =
+    * ln( P(ab) / (P(a)·P(b)) ) with P(ab) = c_ab/B over bigram
+    * positions and P(w) = c_w/N over tokens, i.e.
+    * ln( c_ab·N² / (B·c_a·c_b) ). The min-count floor is the standard
+    * guard against PMI's rare-pair bias.
+    *
+    * Determinism: all five counts are exact BIGINTs, and the PMI
+    * rides the integer MICRONAT grid term-by-term — pmi_micro =
+    * lnμ(c_ab) + 2·lnμ(N) − lnμ(B) − lnμ(c_a) − lnμ(c_b) is an exact
+    * BIGINT (each lnμ is ln of an exact integer rounded to 1e-6), so
+    * the top-k ORDER is on exact integers (word tie-break) and the
+    * reported double is one scale-down.
+    *
+    * Scale shape: posexplode once, bigrams from ONE lead() window over
+    * per-doc partitions (the high-cardinality legitimate class — the
+    * [[ngramDiversity]] codegen lesson), then word-keyed map-side-
+    * combined counts; the two unigram attachments are word-keyed
+    * hash joins (vocab-sized sides, never broadcast-assumed), and the
+    * k-row report is a distributed TakeOrderedAndProject — no global
+    * rank window.
+    */
+  def bigramPmi(s: SparkSession, dir: String,
+                minCount: Int = 5, k: Int = 30): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = graft.Graft.materialize(
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(wnd)))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = toks.agg(count(lit(1)).as("n_tok"),
+      count(col("w2")).as("n_bi"))
+    val bi = toks.filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= lit(minCount.toLong))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (lnMicro(col("c_ab")) + lit(2L) * lnMicro(col("n_tok"))
+          - lnMicro(col("n_bi")) - lnMicro(col("c_a")) - lnMicro(col("c_b")))
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_micro"),
+        (col("pmi_micro").cast("double") / lit(1e6)).as("pmi"))
+  }
+
+  /** DuckDB twin of [[bigramPmi]], derived from the SAME minCount/k. */
+  def bigramPmiSql(minCount: Int = 5, k: Int = 30): String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, unnest(ws) AS w,
+      |             generate_subscripts(ws, 1) AS pos FROM t),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM p GROUP BY w),
+      |bp AS (
+      |  SELECT a.w AS w1, c.w AS w2
+      |  FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+      |tot AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_tok,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bp) AS n_bi),
+      |bi AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM bp GROUP BY w1, w2
+      |  HAVING COUNT(*) >= $minCount),
+      |j AS (
+      |  SELECT bi.w1, bi.w2, bi.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+      |    ${lnu("bi.c_ab")} + 2 * ${lnu("n_tok")} - ${lnu("n_bi")}
+      |      - ${lnu("a.c_w")} - ${lnu("b.c_w")} AS pmi_micro
+      |  FROM bi JOIN uni a ON bi.w1 = a.w
+      |         JOIN uni b ON bi.w2 = b.w, tot)
+      |SELECT w1, w2, c_ab, c_a, c_b, pmi_micro,
+      |  CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
+      |FROM j ORDER BY pmi_micro DESC, w1, w2 LIMIT $k""".stripMargin
+  }
 }
