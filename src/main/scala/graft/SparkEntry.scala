@@ -235,6 +235,7 @@ object SparkEntry {
     "stats_theil_nation" -> (Relational.theilNation _),
     "stats_atkinson_mld" -> (Relational.atkinsonMld _),
     "docs_pielou_evenness" -> (TextQueries.pielouEvenness _),
+    "docs_readability" -> (TextQueries.readability _),
     "events_hill_tail_index" -> ((s, d) => EventQueries.hillTailIndex(s, d)),
     "events_interarrival" -> (EventQueries.interArrival _),
     "events_hourly_profile" -> (EventQueries.hourlyProfile _),
@@ -668,6 +669,7 @@ object SparkEntry {
     "stats_theil_nation" -> Relational.theilNationSql,
     "stats_atkinson_mld" -> Relational.atkinsonMldSql,
     "docs_pielou_evenness" -> TextQueries.pielouEvennessSql,
+    "docs_readability" -> TextQueries.readabilitySql,
     "events_hill_tail_index" -> EventQueries.hillTailIndexSql(),
     "events_interarrival" -> EventQueries.interArrivalSql,
     "events_hourly_profile" -> EventQueries.hourlyProfileSql,

@@ -3375,6 +3375,88 @@ object TextQueries {
         (col("pmi_micro").cast("double") / lit(1e6)).as("pmi"))
   }
 
+  /** Flesch readability profile per source — reading ease and
+    * Flesch–Kincaid grade (Flesch 1948; Kincaid et al. 1975) over a
+    * DETERMINISTIC proxy decomposition: sentences are maximal
+    * [.!?]+ punctuation runs and syllables are maximal vowel-group
+    * runs [aeiouy]+ — the standard no-dictionary approximation, and a
+    * pure regex both engines' (Java / RE2) character-class semantics
+    * agree on exactly. The corpus-curation read: a source whose grade
+    * collapses (or explodes) relative to its language peers is
+    * boilerplate or OCR noise.
+    *
+    * Determinism: all three counts are exact BIGINTs summed per
+    * source; words-per-sentence / syllables-per-word are one IEEE
+    * division each, and both scores are a fixed IEEE chain on those
+    * named intermediates (computed once, referenced — never respelled
+    * twice). Sources with zero sentences or zero words yield NULL
+    * scores by NULL propagation in both engines.
+    *
+    * Scale: ONE scan, three codegen'd regex/size counts per row,
+    * map-side-combined fold into the |sources|-row grid.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("source"),
+        size(words).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("sn"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("sy"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sn")).as("n_sentences"), sum(col("sy")).as("n_syllables"))
+    base
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        when(col("n_sentences") > 0L,
+          col("n_words").cast("double") / col("n_sentences").cast("double"))
+          .as("words_per_sentence"),
+        when(col("n_words") > 0L,
+          col("n_syllables").cast("double") / col("n_words").cast("double"))
+          .as("syllables_per_word"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        col("words_per_sentence"), col("syllables_per_word"),
+        (lit(206.835) - lit(1.015) * col("words_per_sentence")
+          - lit(84.6) * col("syllables_per_word")).as("flesch_ease"),
+        (lit(0.39) * col("words_per_sentence")
+          + lit(11.8) * col("syllables_per_word") - lit(15.59))
+          .as("fk_grade"))
+      .orderBy(col("source"))
+  }
+
+  val readabilitySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sn,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS sy
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(w) AS BIGINT) AS n_words,
+      |    CAST(SUM(sn) AS BIGINT) AS n_sentences,
+      |    CAST(SUM(sy) AS BIGINT) AS n_syllables
+      |  FROM d GROUP BY source),
+      |r AS (
+      |  SELECT source, n_docs, n_words, n_sentences, n_syllables,
+      |    CASE WHEN n_sentences > 0 THEN
+      |      CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+      |    END AS words_per_sentence,
+      |    CASE WHEN n_words > 0 THEN
+      |      CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |    END AS syllables_per_word
+      |  FROM g)
+      |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+      |  words_per_sentence, syllables_per_word,
+      |  206.835 - 1.015 * words_per_sentence
+      |    - 84.6 * syllables_per_word AS flesch_ease,
+      |  0.39 * words_per_sentence + 11.8 * syllables_per_word
+      |    - 15.59 AS fk_grade
+      |FROM r ORDER BY source""".stripMargin
+
   /** DuckDB twin of [[bigramPmi]], derived from the SAME minCount/k. */
   def bigramPmiSql(minCount: Int = 5, k: Int = 30): String = {
     def lnu(v: String): String =
