@@ -255,6 +255,7 @@ object SparkEntry {
     "ts_pacf" -> (TimeSeries.pacf _),
     "ts_cross_correlation" -> (TimeSeries.crossCorrelation _),
     "ts_permutation_entropy" -> (TimeSeries.permutationEntropy _),
+    "ts_sample_entropy" -> (TimeSeries.sampleEntropy _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -688,6 +689,7 @@ object SparkEntry {
     "ts_pacf" -> TimeSeries.pacfSql,
     "ts_cross_correlation" -> TimeSeries.crossCorrelationSql,
     "ts_permutation_entropy" -> TimeSeries.permutationEntropySql,
+    "ts_sample_entropy" -> TimeSeries.sampleEntropySql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

@@ -1573,6 +1573,108 @@ object TimeSeries {
       |    / (5.0 * 0.6931471805599453) AS hurst_h
       |FROM piv""".stripMargin
 
+  // --- sample entropy --------------------------------------------------------
+  /** Sample entropy of the daily order-count series at embedding m = 2
+    * (Richman & Moorman, Am J Physiol 2000) — the template-match
+    * regularity read that complements [[permutationEntropy]] (ordinal
+    * patterns ignore magnitudes; SampEn measures them): SampEn =
+    * −ln(A/B) where B counts day pairs whose length-2 templates match
+    * within Chebyshev tolerance r and A the same at length 3,
+    * self-matches excluded. Tolerance is the standard 0.2·σ, ROUNDED
+    * to an integer count — the series is integer-valued, so every
+    * template comparison is then pure BIGINT arithmetic.
+    *
+    * Determinism: σ comes from exact BIGINT/DECIMAL moments via a
+    * fixed IEEE chain (VARCHAR-routed decimal cast in the oracle) and
+    * the single round() guards r onto the integer grid (the exp-ulp
+    * rule's class: a .5 boundary is measure-zero); A and B are exact
+    * BIGINT counts and SampEn = (lnμ(B) − lnμ(A))/1e6 rides the
+    * micronat grid. A = 0 or B = 0 yields NULL.
+    *
+    * Scale: the pairing is the [[kendallTau]] calendar-grid BNLJ —
+    * the day grid collapses FIRST (one map-side-combined fold of
+    * orders), so the O(grid²) pair count is calendar-bounded
+    * (~3M pairs at ANY corpus size), never data-sized.
+    */
+  def sampleEntropy(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val w = Window.orderBy(col("d"))
+    val series = Graft.materialize(
+      Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("x1", lead(col("x"), 1).over(w))
+        .withColumn("x2", lead(col("x"), 2).over(w)))
+    val mom = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .as("sxx"))
+    val rTol = mom.select(col("n"),
+      round(lit(0.2) * sqrt(
+        (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double"))))
+        .cast("long").as("r_tol"))
+    val a = series.select(col("d").as("da"), col("x").as("xa"),
+      col("x1").as("xa1"), col("x2").as("xa2"))
+    val b = series.select(col("d").as("db"), col("x").as("xb"),
+      col("x1").as("xb1"), col("x2").as("xb2"))
+    val near = (p: String, q: String) =>
+      abs(col(p) - col(q)) <= col("r_tol")
+    val agg = a.join(broadcast(b), col("da") < col("db"))
+      .crossJoin(broadcast(rTol))
+      .agg(max(col("n")).as("n_days"), max(col("r_tol")).as("r_tol"),
+        sum(when(col("xa1").isNotNull && col("xb1").isNotNull
+          && near("xa", "xb") && near("xa1", "xb1"), 1L).otherwise(0L))
+          .as("b_pairs"),
+        sum(when(col("xa2").isNotNull && col("xb2").isNotNull
+          && near("xa", "xb") && near("xa1", "xb1") && near("xa2", "xb2"),
+          1L).otherwise(0L)).as("a_pairs"))
+    agg.select(col("n_days"), col("r_tol"), col("b_pairs"), col("a_pairs"),
+      when(col("a_pairs") > 0L && col("b_pairs") > 0L,
+        (lnMicro(col("b_pairs")) - lnMicro(col("a_pairs"))).cast("double")
+          / lit(1e6))
+        .otherwise(lit(null).cast("double")).as("sampen"))
+  }
+
+  val sampleEntropySql: String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    s"""WITH days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT d, x, lead(x, 1) OVER (ORDER BY d) AS x1,
+      |         lead(x, 2) OVER (ORDER BY d) AS x2
+      |  FROM days),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      |  FROM g),
+      |r AS (
+      |  SELECT n, CAST(round(0.2 * sqrt(
+      |      (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS r_tol
+      |  FROM m),
+      |p AS (
+      |  SELECT r.n AS n_days, r.r_tol,
+      |    CAST(SUM(CASE WHEN a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+      |      AND abs(a.x - b.x) <= r.r_tol AND abs(a.x1 - b.x1) <= r.r_tol
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+      |    CAST(SUM(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+      |      AND abs(a.x - b.x) <= r.r_tol AND abs(a.x1 - b.x1) <= r.r_tol
+      |      AND abs(a.x2 - b.x2) <= r.r_tol
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+      |  FROM g a JOIN g b ON a.d < b.d, r
+      |  GROUP BY r.n, r.r_tol)
+      |SELECT n_days, r_tol, b_pairs, a_pairs,
+      |  CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+      |    CAST(${lnu("b_pairs")} - ${lnu("a_pairs")} AS DOUBLE) / 1e6
+      |  END AS sampen
+      |FROM p""".stripMargin
+  }
+
   // --- permutation entropy -------------------------------------------------------
   /** Permutation entropy of the daily order-count series at embedding
     * order 3 (Bandt & Pompe, PRL 2002) — the ordinal-pattern complexity

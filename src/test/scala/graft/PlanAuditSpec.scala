@@ -410,6 +410,8 @@ class PlanAuditSpec extends SparkSpec {
         "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",
       "ts_permutation_entropy" ->
         "two lead windows over the calendar day grid",
+      "ts_sample_entropy" ->
+        "two lead windows over the calendar day grid (pairing is the grid BNLJ)",
       "ts_seasonal_strength" ->
         "moving-average/cumulative-moment windows over the calendar day grid",
       "ts_peaks" ->

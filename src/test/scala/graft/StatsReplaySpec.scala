@@ -730,6 +730,38 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("sampleEntropy: brute-force template-match replay") {
+    val xs = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("d"))
+      .collect().map(_.getLong(1))
+    val n = xs.length
+    val mean = xs.map(_.toDouble).sum / n
+    val variance = xs.map(v => (v - mean) * (v - mean)).sum / n
+    val r = math.round(0.2 * math.sqrt(variance))
+    var bCnt = 0L; var aCnt = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      if (i + 1 < n && j + 1 < n &&
+          math.abs(xs(i) - xs(j)) <= r && math.abs(xs(i + 1) - xs(j + 1)) <= r) {
+        bCnt += 1
+        if (i + 2 < n && j + 2 < n && math.abs(xs(i + 2) - xs(j + 2)) <= r)
+          aCnt += 1
+      }
+    }
+    val row = TimeSeries.sampleEntropy(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == r,
+      s"(n, r) (${row.getLong(0)}, ${row.getLong(1)}) != replay ($n, $r)")
+    assert(row.getLong(2) == bCnt && row.getLong(3) == aCnt,
+      s"(B, A) (${row.getLong(2)}, ${row.getLong(3)}) != replay ($bCnt, $aCnt)")
+    if (aCnt > 0 && bCnt > 0) {
+      val want = -math.log(aCnt.toDouble / bCnt)
+      assert(math.abs(row.getDouble(4) - want) < 1e-5,
+        s"sampen ${row.getDouble(4)} != replay $want")
+      assert(row.getDouble(4) >= 0.0)
+    } else assert(row.isNullAt(4))
+  }
+
   test("tukeyHsd: pairwise q replay from raw per-group moments") {
     val rows = Tables.load(spark, sf, "orders")
       .select(col("o_orderpriority").as("m"),
