@@ -417,6 +417,7 @@ object SparkEntry {
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
     // similarity search
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
+    "embed_intrinsic_dim" -> ((s, d) => EmbeddingQueries.intrinsicDim(s, d)),
     "ann_topk_cosine_i8" -> ((s, d) => EmbeddingQueries.annTopKI8(s, d)),
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqTopK(s, d)),
@@ -803,6 +804,7 @@ object SparkEntry {
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
     "dedup_keep_best" -> graft.llm.DedupClusters.dedupKeepBestSql,
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
+    "embed_intrinsic_dim" -> EmbeddingQueries.intrinsicDimSql(),
     "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,

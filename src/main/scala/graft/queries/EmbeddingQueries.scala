@@ -1215,6 +1215,97 @@ object EmbeddingQueries {
       |    / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_retained
       |FROM r GROUP BY dim ORDER BY dim""".stripMargin
 
+  // --- intrinsic dimension (TwoNN) ----------------------------------------
+  /** TwoNN intrinsic-dimension estimate (Facco et al., Sci Rep 2017)
+    * of the embedding manifold: for each sample point the ratio
+    * μ = r₂/r₁ of its second- to first-nearest-neighbor cosine
+    * distance follows Pareto(d) where d is the INTRINSIC dimension,
+    * and the MLE is d̂ = n / Σ ln μ — the "how many dimensions do
+    * these embeddings actually use" read that tells an ANN/PQ tuning
+    * pass how aggressively it can compress (complements
+    * [[pcaExplained]]: TwoNN sees curved manifolds PCA cannot).
+    *
+    * Determinism: distances are 1 − cosine on the bit-identical
+    * [[graft.functions.DotProductF64]] chain; each ln μ is rounded to
+    * integer MICRONATS so the cross-point sum is an exact BIGINT
+    * (order-free), and d̂ is one IEEE division of exact integers.
+    * Duplicate-vector points (r₁ ≤ 0, including the float-rounding
+    * cos>1 pathology — identical bits in both engines) are dropped,
+    * as the estimator prescribes.
+    *
+    * Scale posture: the sample side is FIXED (vec_id < sampleN) and
+    * broadcast — the "few queries against a 100 TB corpus" plan of
+    * [[annTopK]]: one pass over the candidate table, per-sample top-2
+    * via a rank window PARTITIONED by the bounded q_id (map-side
+    * WindowGroupLimit), never an all-pairs corpus join.
+    */
+  def intrinsicDim(s: SparkSession, dir: String,
+                   sampleN: Int = 512): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c) * lit(1e6)).cast("long")
+    val e = emb(s, dir)
+      .filter(graft.functions.DotProductF64(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")) > 0)
+    val q = e.filter(col("vec_id") < sampleN)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("neighbor_id"))
+    val nn2 = broadcast(q).join(c, col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"),
+        (lit(1.0) - cosine(col("qv"), col("v"))).as("d"),
+        col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+    val mu = nn2.groupBy(col("q_id"))
+      .agg(min(col("d")).as("r1"), max(col("d")).as("r2"))
+      .filter(col("r1") > 0.0)
+      .select(lnMicro(col("r2") / col("r1")).as("mu_micro"))
+    mu.agg(count(lit(1)).as("n_used"), sum(col("mu_micro")).as("sum_ln_mu"))
+      .select(col("n_used"), col("sum_ln_mu"),
+        when(col("sum_ln_mu") > 0L,
+          col("n_used").cast("double") * lit(1e6)
+            / col("sum_ln_mu").cast("double"))
+          .otherwise(lit(null).cast("double")).as("id_twonn"))
+  }
+
+  /** DuckDB twin of [[intrinsicDim]], derived from the SAME sampleN. */
+  def intrinsicDimSql(sampleN: Int = 512): String =
+    s"""WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE list_sum(list_transform(embedding::DOUBLE[],
+      |                                          x -> x * x)) > 0),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM nz WHERE vec_id < $sampleN),
+      |c AS (SELECT vec_id AS neighbor_id, v FROM nz),
+      |dist AS (
+      |  SELECT q_id,
+      |    1.0 - list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(v, x -> x * x)))) AS d,
+      |    neighbor_id
+      |  FROM q, c WHERE q_id <> neighbor_id),
+      |r AS (SELECT q_id, d,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d ASC, neighbor_id)
+      |      AS rank
+      |  FROM dist),
+      |mu AS (
+      |  SELECT q_id, MIN(d) AS r1, MAX(d) AS r2
+      |  FROM r WHERE rank <= 2 GROUP BY q_id),
+      |ln AS (
+      |  SELECT CAST(round(ln(r2 / r1) * 1e6) AS BIGINT) AS mu_micro
+      |  FROM mu WHERE r1 > 0),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+      |    CAST(SUM(mu_micro) AS BIGINT) AS sum_ln_mu
+      |  FROM ln)
+      |SELECT n_used, sum_ln_mu,
+      |  CASE WHEN sum_ln_mu > 0 THEN
+      |    CAST(n_used AS DOUBLE) * 1e6 / CAST(sum_ln_mu AS DOUBLE)
+      |  END AS id_twonn
+      |FROM agg""".stripMargin
+
   // --- dedup-threshold tuning sweep -------------------------------------
   /** Pair-count-per-cosine-bin histogram over a bounded sample — the
     * TUNING step before a near-dup dedup run: pick the threshold by

@@ -357,4 +357,29 @@ class EmbeddingSpec extends SparkSpec {
         s"pc${a}*pc$b covariance $cov not ~0")
     }
   }
+
+  test("intrinsicDim: brute-force TwoNN replay") {
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sumLn = 0.0; var nUsed = 0
+    for ((qid, qv) <- vecs if qid < 512) {
+      val ds = vecs.filter(_._1 != qid)
+        .map { case (nid, v) => (1.0 - cos(qv, v), nid) }.sorted.take(2)
+      val (r1, r2) = (ds(0)._1, ds(1)._1)
+      if (r1 > 0) { sumLn += math.log(r2 / r1); nUsed += 1 }
+    }
+    val row = EmbeddingQueries.intrinsicDim(spark, sf).collect().head
+    assert(row.getLong(0) == nUsed, s"n_used ${row.getLong(0)} != replay $nUsed")
+    val want = nUsed / sumLn
+    assert(math.abs(row.getDouble(2) - want) < 1e-3 * math.max(1.0, want),
+      s"id_twonn ${row.getDouble(2)} != replay $want")
+    // 64-dim embeddings: the estimate must land in (0, 64]
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 64.0 + 1e-9)
+  }
 }
