@@ -282,6 +282,7 @@ object SparkEntry {
     "stats_kruskal_wallis" -> (Relational.kruskalWallis _),
     "stats_dunn_pairs" -> (Relational.dunnPairs _),
     "stats_tukey_hsd" -> (Relational.tukeyHsd _),
+    "stats_bartlett" -> (Relational.bartlett _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -717,6 +718,7 @@ object SparkEntry {
     "stats_kruskal_wallis" -> Relational.kruskalWallisSql,
     "stats_dunn_pairs" -> Relational.dunnPairsSql,
     "stats_tukey_hsd" -> Relational.tukeyHsdSql,
+    "stats_bartlett" -> Relational.bartlettSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

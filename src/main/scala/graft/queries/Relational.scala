@@ -2209,6 +2209,115 @@ object Relational {
       |FROM p, m ORDER BY mode_a, mode_b""".stripMargin
   }
 
+  // --- Bartlett variance-homogeneity test -----------------------------------
+  /** Bartlett's test (Proc. R. Soc. 1937) of order-value variance
+    * homogeneity across priorities — the CLASSICAL (normality-assuming,
+    * most powerful) leg beside the robust [[levenePriority]]; reporting
+    * both is the standard practice since they disagree exactly when the
+    * data is heavy-tailed. χ² = [(N−k)·ln Sp² − Σ(n_g−1)·ln S_g²] / C
+    * with C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Determinism: per-group variances and the pooled MSW come from the
+    * exact BIGINT/DECIMAL moments via fixed IEEE chains (decimal casts
+    * VARCHAR-routed in the oracle); each ln is rounded to integer
+    * MICRONATS, so the weighted log sum Σ(n_g−1)·lnμ(S_g²) and the
+    * numerator (N−k)·lnμ(Sp²) − Σ… are exact BIGINTs (order-free — no
+    * window needed for THAT sum); the two group-mixing double sums
+    * (MSW's cum_term, C's Σ1/(n_g−1)) ride the mode-ordered 5-row
+    * cumulative window ([[anovaPriority]] discipline). Any
+    * non-positive group variance yields NULL.
+    *
+    * Scale: ONE map-side-combined fold of orders into the k-row grid;
+    * everything after is k-sized.
+    */
+  def bartlett(s: SparkSession, dir: String): DataFrame = {
+    val x = expr(
+      "cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+    val lnMicro = (c: Column) => round(log(c) * lit(1e6)).cast("long")
+    val g = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("mode"), x.as("x"))
+      .groupBy(col("mode"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("ss_g"))
+    val nd = col("n_g").cast("double")
+    val sg2 = (nd * col("ss_g").cast("double")
+      - col("s_g").cast("double") * col("s_g").cast("double")) /
+      (nd * (nd - lit(1.0)))
+    val wOrd = Window.orderBy(col("mode"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_term",
+        sum(col("s_g").cast("double") * col("s_g").cast("double")
+          / col("n_g").cast("double")).over(wCum))
+      .withColumn("cum_inv",
+        sum(lit(1.0) / (col("n_g").cast("double") - lit(1.0))).over(wCum))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("ss_g")).as("ss"),
+      sum((col("n_g") - lit(1L)) * lnMicro(sg2)).as("wlog_micro"),
+      min(sg2).as("min_sg2"))
+    val kd = col("k").cast("double"); val ntd = col("n").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("i") === col("k"))
+      .select(col("k").as("k_groups"), col("n").as("n_total"),
+        ((col("ss").cast("double") - col("cum_term")) / (ntd - kd))
+          .as("msw"),
+        (lit(1.0) + (col("cum_inv") - lit(1.0) / (ntd - kd))
+          / (lit(3.0) * (kd - lit(1.0)))).as("c_factor"),
+        col("min_sg2"), col("wlog_micro"),
+        (col("n") - col("k")).as("nmk"))
+      .select(col("k_groups"), col("n_total"), col("msw"), col("c_factor"),
+        when(col("min_sg2") > 0.0 && col("msw") > 0.0,
+          (col("nmk") * lnMicro(col("msw")) - col("wlog_micro"))
+            .cast("double") / lit(1e6) / col("c_factor"))
+          .otherwise(lit(null).cast("double")).as("bartlett_chi2"))
+  }
+
+  val bartlettSql: String = {
+    val dollars = PortableSql.intDiv(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)", "100")
+    def lnu(v: String): String =
+      s"CAST(round(ln($v) * 1e6) AS BIGINT)"
+    val sg2 = """(CAST(n_g AS DOUBLE) * CAST(CAST(ss_g AS VARCHAR) AS DOUBLE)
+      |       - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+      |      / (CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) - 1.0))""".stripMargin
+    s"""WITH v AS (SELECT o_orderpriority AS mode, $dollars AS x FROM orders),
+      |g AS (
+      |  SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(x) AS BIGINT) AS s_g,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS ss_g
+      |  FROM v GROUP BY mode),
+      |c AS (
+      |  SELECT mode, n_g, s_g,
+      |    CAST(row_number() OVER (ORDER BY mode) AS BIGINT) AS i,
+      |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |        / CAST(n_g AS DOUBLE)) OVER w AS cum_term,
+      |    SUM(1.0 / (CAST(n_g AS DOUBLE) - 1.0)) OVER w AS cum_inv
+      |  FROM g
+      |  WINDOW w AS (ORDER BY mode
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    SUM(ss_g) AS ss,
+      |    CAST(SUM((n_g - 1) * ${lnu(sg2)}) AS BIGINT) AS wlog_micro,
+      |    MIN($sg2) AS min_sg2
+      |  FROM g),
+      |f AS (
+      |  SELECT k AS k_groups, n AS n_total,
+      |    (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - cum_term)
+      |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+      |    1.0 + (cum_inv - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+      |      / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS c_factor,
+      |    min_sg2, wlog_micro, n - k AS nmk
+      |  FROM c, t WHERE i = k)
+      |SELECT k_groups, n_total, msw, c_factor,
+      |  CASE WHEN min_sg2 > 0 AND msw > 0 THEN
+      |    CAST(nmk * ${lnu("msw")} - wlog_micro AS DOUBLE) / 1e6 / c_factor
+      |  END AS bartlett_chi2
+      |FROM f""".stripMargin
+  }
+
   // --- McNemar paired flip test ---------------------------------------------
   /** McNemar's test (Psychometrika 1947) on paired customer activity:
     * was each customer active in 1997 vs in 1998 — the paired-binary

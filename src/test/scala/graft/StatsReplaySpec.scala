@@ -730,6 +730,35 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("bartlett: textbook chi2 replay from raw per-group variances") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority").as("m"),
+        expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) div 100")
+          .as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val byG = rows.groupBy(_._1).map { case (m, vs) => m -> vs.map(_._2) }
+    val n = rows.length; val k = byG.size
+    val vars = byG.map { case (_, vs) =>
+      val mean = vs.sum / vs.length
+      (vs.length, vs.map(v => (v - mean) * (v - mean)).sum / (vs.length - 1))
+    }
+    val sp2 = vars.map { case (ng, s2) => (ng - 1) * s2 }.sum / (n - k)
+    val tNum = (n - k) * math.log(sp2) -
+      vars.map { case (ng, s2) => (ng - 1) * math.log(s2) }.sum
+    val cF = 1.0 + (vars.map(v => 1.0 / (v._1 - 1)).sum - 1.0 / (n - k)) /
+      (3.0 * (k - 1))
+    val want = tNum / cF
+    val row = Relational.bartlett(spark, sf).collect().head
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(math.abs(row.getDouble(2) - sp2) < 1e-6 * sp2,
+      s"msw ${row.getDouble(2)} != replay $sp2")
+    assert(math.abs(row.getDouble(3) - cF) < 1e-9)
+    // micronat rounding of the k+1 logs bounds drift at ~(n/1e6) in the
+    // weighted numerator; compare at that scale
+    assert(math.abs(row.getDouble(4) - want) < 1e-4 * math.max(1.0, n / 100.0),
+      s"bartlett_chi2 ${row.getDouble(4)} != replay $want")
+  }
+
   test("sampleEntropy: brute-force template-match replay") {
     val xs = Tables.load(spark, sf, "orders")
       .groupBy(to_date(col("o_orderdate")).as("d"))
