@@ -236,6 +236,7 @@ object SparkEntry {
     "stats_atkinson_mld" -> (Relational.atkinsonMld _),
     "docs_pielou_evenness" -> (TextQueries.pielouEvenness _),
     "docs_readability" -> (TextQueries.readability _),
+    "docs_source_jsd" -> ((s, d) => TextQueries.sourceJsd(s, d)),
     "events_hill_tail_index" -> ((s, d) => EventQueries.hillTailIndex(s, d)),
     "events_interarrival" -> (EventQueries.interArrival _),
     "events_hourly_profile" -> (EventQueries.hourlyProfile _),
@@ -673,6 +674,7 @@ object SparkEntry {
     "stats_atkinson_mld" -> Relational.atkinsonMldSql,
     "docs_pielou_evenness" -> TextQueries.pielouEvennessSql,
     "docs_readability" -> TextQueries.readabilitySql,
+    "docs_source_jsd" -> TextQueries.sourceJsdSql(),
     "events_hill_tail_index" -> EventQueries.hillTailIndexSql(),
     "events_interarrival" -> EventQueries.interArrivalSql,
     "events_hourly_profile" -> EventQueries.hourlyProfileSql,

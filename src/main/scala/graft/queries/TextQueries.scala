@@ -2508,6 +2508,124 @@ object TextQueries {
       |   + CAST(sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
       |FROM agg""".stripMargin
 
+  // --- pairwise source JSD matrix ---------------------------------------------
+  /** Pairwise Jensen–Shannon divergence between ALL source token
+    * distributions, restricted to the top-K corpus vocabulary — the
+    * source-similarity matrix a data-mixing run reads before weighting:
+    * two crawl sources with near-zero JSD are distributional
+    * near-duplicates (over-weighting both double-counts one voice),
+    * and a source far from every peer is an outlier worth auditing.
+    * Extends [[jsdLangs]] (one fixed language pair) to the full
+    * |sources|² grid; the top-K restriction is what keeps the pair
+    * stage bounded — K·pairs rows regardless of corpus size — and is
+    * standard practice (tail tokens contribute negligible JSD mass).
+    *
+    * Determinism: the [[jsdLangs]] integer identity per term —
+    * c_a·(lnμ(2·c_a·n_b) − lnμ(c_a·n_b + c_b·n_a)) with every lnμ an
+    * integer micronat of an exact BIGINT product — so per-pair sums
+    * are exact BIGINTs and the JSD is a fixed IEEE chain (exact while
+    * c·n < 2⁶³, the jsdLangs bound). Zero-count sides contribute 0 by
+    * the same guard; the DENSE vocab×source grid (coalesced zeros)
+    * keeps the mix term correct where only one source uses a word.
+    * Top-K selection orders by (count DESC, term) — fully tie-broken.
+    *
+    * Scale: one token fold into (term, source) counts; top-K cut is a
+    * distributed TakeOrderedAndProject on the corpus vocabulary; all
+    * later stages are K·|sources|²-bounded with broadcast grids.
+    */
+  def sourceJsd(s: SparkSession, dir: String, topK: Int = 500): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val tok = docs(s, dir)
+      .select(col("source"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+    val perSrc = tok.groupBy(col("term"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = perSrc.groupBy(col("term"))
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(topK)
+      .select(col("term"))
+    val sources = perSrc.select(col("source")).distinct()
+    val dense = broadcast(vocab).crossJoin(broadcast(sources))
+      .join(perSrc, Seq("term", "source"), "left")
+      .select(col("term"), col("source"), coalesce(col("c"), lit(0L)).as("c"))
+    val tots = dense.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = dense.select(col("term"), col("source").as("source_a"),
+      col("c").as("ca"))
+    val b = dense.select(col("term"), col("source").as("source_b"),
+      col("c").as("cb"))
+    val na = col("n_a"); val nb = col("n_b")
+    val mix = col("ca") * nb + col("cb") * na
+    a.join(b, "term").filter(col("source_a") < col("source_b"))
+      .join(broadcast(tots.select(col("source").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(tots.select(col("source").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), na, nb,
+        when(col("ca") > 0,
+          col("ca") * (lnMicro(lit(2L) * col("ca") * nb) - lnMicro(mix)))
+          .otherwise(0L).as("ta"),
+        when(col("cb") > 0,
+          col("cb") * (lnMicro(lit(2L) * col("cb") * na) - lnMicro(mix)))
+          .otherwise(0L).as("tb"))
+      .groupBy(col("source_a"), col("source_b"), na, nb)
+      .agg(sum(col("ta")).as("sa"), sum(col("tb")).as("sb"))
+      .select(col("source_a"), col("source_b"), na, nb,
+        ((col("sa").cast("double") / (na.cast("double") * lit(1e6))
+          + col("sb").cast("double") / (nb.cast("double") * lit(1e6)))
+          / lit(2.0)).as("jsd_nats"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB twin of [[sourceJsd]], derived from the SAME topK. */
+  def sourceJsdSql(topK: Int = 500): String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    s"""WITH tk AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |ps AS (
+      |  SELECT term, source, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tk WHERE len(term) > 0 GROUP BY term, source),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, CAST(SUM(c) AS BIGINT) AS cnt FROM ps GROUP BY term)
+      |  ORDER BY cnt DESC, term LIMIT $topK),
+      |srcs AS (SELECT DISTINCT source FROM ps),
+      |dense AS (
+      |  SELECT v.term, s.source, COALESCE(ps.c, 0) AS c
+      |  FROM vocab v CROSS JOIN srcs s
+      |  LEFT JOIN ps ON ps.term = v.term AND ps.source = s.source),
+      |tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |         FROM dense GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    ta.n AS n_a, tb.n AS n_b, a.c AS ca, b.c AS cb
+      |  FROM dense a JOIN dense b ON a.term = b.term
+      |    AND a.source < b.source
+      |  JOIN tots ta ON ta.source = a.source
+      |  JOIN tots tb ON tb.source = b.source),
+      |k AS (
+      |  SELECT source_a, source_b, n_a, n_b,
+      |    CASE WHEN ca > 0 THEN ca *
+      |      (${lnu("2 * ca * n_b")} - ${lnu("ca * n_b + cb * n_a")})
+      |      ELSE 0 END AS ta,
+      |    CASE WHEN cb > 0 THEN cb *
+      |      (${lnu("2 * cb * n_a")} - ${lnu("ca * n_b + cb * n_a")})
+      |      ELSE 0 END AS tb
+      |  FROM p),
+      |agg AS (
+      |  SELECT source_a, source_b, n_a, n_b,
+      |    CAST(SUM(ta) AS BIGINT) AS sa, CAST(SUM(tb) AS BIGINT) AS sb
+      |  FROM k GROUP BY source_a, source_b, n_a, n_b)
+      |SELECT source_a, source_b, n_a, n_b,
+      |  (CAST(sa AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1e6)
+      |   + CAST(sb AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1e6)) / 2.0
+      |    AS jsd_nats
+      |FROM agg ORDER BY source_a, source_b""".stripMargin
+  }
+
   // --- Simpson lexical diversity per source -----------------------------------
   /** Simpson concentration of the token distribution per source:
     * λ = Σ_w n_w(n_w−1) / (N(N−1)) — the probability two tokens drawn
