@@ -279,6 +279,7 @@ object SparkEntry {
     "stats_levene" -> (Relational.levenePriority _),
     "stats_mcnemar" -> (Relational.mcnemarYears _),
     "stats_wilcoxon_signed" -> (Drift.wilcoxonSignedRank _),
+    "stats_friedman" -> (Drift.friedman _),
     "stats_cochran_armitage" -> (Relational.cochranArmitage _),
     "stats_kruskal_wallis" -> (Relational.kruskalWallis _),
     "stats_dunn_pairs" -> (Relational.dunnPairs _),
@@ -716,6 +717,7 @@ object SparkEntry {
     "stats_levene" -> Relational.levenePrioritySql,
     "stats_mcnemar" -> Relational.mcnemarYearsSql,
     "stats_wilcoxon_signed" -> Drift.wilcoxonSignedRankSql,
+    "stats_friedman" -> Drift.friedmanSql,
     "stats_cochran_armitage" -> Relational.cochranArmitageSql,
     "stats_kruskal_wallis" -> Relational.kruskalWallisSql,
     "stats_dunn_pairs" -> Relational.dunnPairsSql,

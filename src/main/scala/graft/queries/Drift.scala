@@ -445,4 +445,130 @@ object Drift {
       |  ELSE NULL END AS z
       |FROM v""".stripMargin
   }
+
+  // --- Friedman test ------------------------------------------------------------
+  /** Friedman test (JASA 1937) on paired per-customer yearly spend —
+    * each customer active in ALL of 1996/1997/1998 is a BLOCK ranked
+    * within itself across the k = 3 years: the k-group extension of
+    * [[wilcoxonSignedRank]] (as Kruskal–Wallis extends Mann–Whitney),
+    * answering "do the SAME customers rank the years consistently"
+    * with every customer's scale normalized away.
+    *
+    * Determinism — and a window-free plan: with k FIXED at 3 the
+    * within-block midranks are pure comparisons on the customer's
+    * pivoted (x₉₆, x₉₇, x₉₈) row — 2·midrank_j = 2 + 2·#{l: x_l < x_j}
+    * + #{l≠j: x_l = x_j} is an exact BIGINT — and the per-block tie
+    * cubes Σ(t³−t) collapse to a 3-case map of the equality count
+    * (0 ties → 0, one pair → 6, triple → 24). Column sums R2_j pivot
+    * onto ONE row by conditional aggregation (the fixed-order pivot
+    * discipline), so χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) and its tie
+    * adjustment χ²/C, C = 1 − Σ(t³−t)/(nk(k²−1)), are fixed IEEE
+    * chains on exact integers — no ordered-accumulation window
+    * anywhere. No complete blocks (or all-tied C ≤ 0) yields NULL.
+    *
+    * Scale: ONE custkey-keyed fold of orders into the per-customer
+    * pivot, one grand aggregate. Nothing after the fold scales.
+    */
+  def friedman(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val cents = expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+    def ysum(y: Int): Column =
+      sum(when(col("yr") === y, col("c")).otherwise(0L)).as(s"x$y")
+    val piv = Tables.load(s, dir, "orders")
+      .filter(yr.isin(1996, 1997, 1998))
+      .select(col("o_custkey"), yr.as("yr"), cents.as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(ysum(1996), ysum(1997), ysum(1998),
+        countDistinct(col("yr")).as("n_years"))
+      .filter(col("n_years") === 3L)
+    def lt(a: String, b: String): Column =
+      (col(b) < col(a)).cast("long")
+    def eq(a: String, b: String): Column =
+      (col(a) === col(b)).cast("long")
+    def r2(j: String, l1: String, l2: String): Column =
+      lit(2L) + lit(2L) * (lt(j, l1) + lt(j, l2)) + eq(j, l1) + eq(j, l2)
+    val eqCnt = eq("x1996", "x1997") + eq("x1996", "x1998") +
+      eq("x1997", "x1998")
+    val ranked = piv.select(
+      r2("x1996", "x1997", "x1998").as("r96"),
+      r2("x1997", "x1996", "x1998").as("r97"),
+      r2("x1998", "x1996", "x1997").as("r98"),
+      when(eqCnt === 3L, 24L).when(eqCnt === 1L, 6L).otherwise(0L)
+        .as("tcube"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r96")).as("r2_1996"), sum(col("r97")).as("r2_1997"),
+      sum(col("r98")).as("r2_1998"), sum(col("tcube")).as("tie_sum"))
+    val nd = col("n").cast("double")
+    val sq = (c: String) => col(c).cast("double") * col(c).cast("double")
+    agg.select(col("n").as("n_blocks"), col("r2_1996"), col("r2_1997"),
+        col("r2_1998"),
+        when(col("n") > 0L,
+          lit(12.0) / (nd * lit(12.0))
+            * ((sq("r2_1996") + sq("r2_1997") + sq("r2_1998")) / lit(4.0))
+            - lit(12.0) * nd).as("chi2_f"),
+        when(col("n") > 0L,
+          lit(1.0) - col("tie_sum").cast("double") / (lit(24.0) * nd))
+          .as("c_factor"))
+      .select(col("n_blocks"), col("r2_1996"), col("r2_1997"),
+        col("r2_1998"), col("chi2_f"),
+        when(col("c_factor") > 0.0, col("chi2_f") / col("c_factor"))
+          .otherwise(lit(null).cast("double")).as("chi2_f_tie_adj"))
+  }
+
+  val friedmanSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997, 1998)),
+      |piv AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN yr = 1996 THEN c ELSE 0 END) AS BIGINT) AS x96,
+      |    CAST(SUM(CASE WHEN yr = 1997 THEN c ELSE 0 END) AS BIGINT) AS x97,
+      |    CAST(SUM(CASE WHEN yr = 1998 THEN c ELSE 0 END) AS BIGINT) AS x98,
+      |    COUNT(DISTINCT yr) AS n_years
+      |  FROM c GROUP BY o_custkey),
+      |rk AS (
+      |  SELECT
+      |    2 + 2 * (CASE WHEN x97 < x96 THEN 1 ELSE 0 END
+      |             + CASE WHEN x98 < x96 THEN 1 ELSE 0 END)
+      |      + CASE WHEN x96 = x97 THEN 1 ELSE 0 END
+      |      + CASE WHEN x96 = x98 THEN 1 ELSE 0 END AS r96,
+      |    2 + 2 * (CASE WHEN x96 < x97 THEN 1 ELSE 0 END
+      |             + CASE WHEN x98 < x97 THEN 1 ELSE 0 END)
+      |      + CASE WHEN x97 = x96 THEN 1 ELSE 0 END
+      |      + CASE WHEN x97 = x98 THEN 1 ELSE 0 END AS r97,
+      |    2 + 2 * (CASE WHEN x96 < x98 THEN 1 ELSE 0 END
+      |             + CASE WHEN x97 < x98 THEN 1 ELSE 0 END)
+      |      + CASE WHEN x98 = x96 THEN 1 ELSE 0 END
+      |      + CASE WHEN x98 = x97 THEN 1 ELSE 0 END AS r98,
+      |    CASE (CASE WHEN x96 = x97 THEN 1 ELSE 0 END
+      |          + CASE WHEN x96 = x98 THEN 1 ELSE 0 END
+      |          + CASE WHEN x97 = x98 THEN 1 ELSE 0 END)
+      |      WHEN 3 THEN 24 WHEN 1 THEN 6 ELSE 0 END AS tcube
+      |  FROM piv WHERE n_years = 3),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(r96) AS BIGINT) AS r2_1996,
+      |    CAST(SUM(r97) AS BIGINT) AS r2_1997,
+      |    CAST(SUM(r98) AS BIGINT) AS r2_1998,
+      |    CAST(SUM(tcube) AS BIGINT) AS tie_sum
+      |  FROM rk),
+      |f AS (
+      |  SELECT n AS n_blocks, r2_1996, r2_1997, r2_1998,
+      |    CASE WHEN n > 0 THEN
+      |      12.0 / (CAST(n AS DOUBLE) * 12.0)
+      |        * ((CAST(r2_1996 AS DOUBLE) * CAST(r2_1996 AS DOUBLE)
+      |            + CAST(r2_1997 AS DOUBLE) * CAST(r2_1997 AS DOUBLE)
+      |            + CAST(r2_1998 AS DOUBLE) * CAST(r2_1998 AS DOUBLE)) / 4.0)
+      |        - 12.0 * CAST(n AS DOUBLE) END AS chi2_f,
+      |    CASE WHEN n > 0 THEN
+      |      1.0 - CAST(tie_sum AS DOUBLE) / (24.0 * CAST(n AS DOUBLE))
+      |    END AS c_factor
+      |  FROM agg)
+      |SELECT n_blocks, r2_1996, r2_1997, r2_1998, chi2_f,
+      |  CASE WHEN c_factor > 0 THEN chi2_f / c_factor
+      |       ELSE NULL END AS chi2_f_tie_adj
+      |FROM f""".stripMargin
 }

@@ -730,6 +730,51 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("friedman: true-midrank replay over complete customer blocks") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("yr"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .filter(col("yr").isin(1996, 1997, 1998))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val blocks = rows.groupBy(_._1).values
+      .map { vs =>
+        val byYr = vs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        byYr
+      }
+      .filter(_.keySet == Set(1996, 1997, 1998)).toSeq
+    val n = blocks.length
+    // true midranks per block via sort
+    var rsum = Map(1996 -> 0.0, 1997 -> 0.0, 1998 -> 0.0)
+    var tieSum = 0L
+    for (b <- blocks) {
+      val vals = Seq(1996, 1997, 1998).map(b)
+      for (y <- Seq(1996, 1997, 1998)) {
+        val less = vals.count(_ < b(y)); val eqs = vals.count(_ == b(y))
+        rsum = rsum.updated(y, rsum(y) + (less + (eqs + 1) / 2.0))
+      }
+      val grp = vals.groupBy(identity).values.map(_.size)
+      tieSum += grp.map(t => t.toLong * t * t - t).sum
+    }
+    val sumR2 = Seq(1996, 1997, 1998).map(y => rsum(y) * rsum(y)).sum
+    val chi2 = 12.0 / (n * 3 * 4) * sumR2 - 3.0 * n * 4
+    val cF = 1.0 - tieSum.toDouble / (n * 3 * 8)
+    val row = Drift.friedman(spark, sf).collect().head
+    assert(row.getLong(0) == n, s"n_blocks ${row.getLong(0)} != replay $n")
+    for ((y, ix) <- Seq(1996, 1997, 1998).zipWithIndex)
+      assert(row.getLong(1 + ix) == math.round(2 * rsum(y)),
+        s"R2_$y ${row.getLong(1 + ix)} != replay ${2 * rsum(y)}")
+    assert(math.abs(row.getDouble(4) - chi2) < 1e-8 * math.max(1.0, chi2),
+      s"chi2_f ${row.getDouble(4)} != replay $chi2")
+    if (cF > 0)
+      assert(math.abs(row.getDouble(5) - chi2 / cF)
+        < 1e-8 * math.max(1.0, (chi2 / cF).abs),
+        s"chi2_f_tie_adj ${row.getDouble(5)} != replay ${chi2 / cF}")
+    assert(row.getDouble(4) >= -1e-9 && row.getDouble(4) <= 2.0 * n + 1e-9,
+      "chi2_f outside [0, n(k-1)]")
+  }
+
   test("bartlett: textbook chi2 replay from raw per-group variances") {
     val rows = Tables.load(spark, sf, "orders")
       .select(col("o_orderpriority").as("m"),
