@@ -257,6 +257,7 @@ object SparkEntry {
     "ts_cross_correlation" -> (TimeSeries.crossCorrelation _),
     "ts_permutation_entropy" -> (TimeSeries.permutationEntropy _),
     "ts_sample_entropy" -> (TimeSeries.sampleEntropy _),
+    "ts_dickey_fuller" -> (TimeSeries.dickeyFuller _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -695,6 +696,7 @@ object SparkEntry {
     "ts_cross_correlation" -> TimeSeries.crossCorrelationSql,
     "ts_permutation_entropy" -> TimeSeries.permutationEntropySql,
     "ts_sample_entropy" -> TimeSeries.sampleEntropySql,
+    "ts_dickey_fuller" -> TimeSeries.dickeyFullerSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

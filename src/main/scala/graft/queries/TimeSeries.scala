@@ -1573,6 +1573,107 @@ object TimeSeries {
       |    / (5.0 * 0.6931471805599453) AS hurst_h
       |FROM piv""".stripMargin
 
+  // --- Dickey–Fuller unit-root test --------------------------------------------
+  /** Dickey–Fuller unit-root test with constant (JASA 1979) on daily
+    * revenue: the t-statistic of ρ in Δy_t = α + ρ·y_{t−1} + ε — the
+    * "is this series mean-reverting or a random walk" read that decides
+    * whether [[cusumChangepoint]]-style level logic or differenced
+    * models apply. (Non-augmented: the daily grid's AR(1) term carries
+    * the test; [[pacf]] is the lag-depth diagnostic.)
+    *
+    * Determinism: the five regression moments (Σx, Σy, Σxy, Σx², Σy²
+    * over x = y_{t−1} cents, y = Δ cents) are exact BIGINT/DECIMAL
+    * sums — squares and cross products ride DECIMAL(19,0)² since
+    * daily cents² passes int64 — and ρ̂, SSR, and the t all follow by
+    * ONE fixed IEEE chain on VARCHAR-routed casts. Degenerate Sxx or
+    * SSR ≤ 0 yields NULL.
+    *
+    * Scale: one fold of orders into the calendar day grid, one lag
+    * window over that grid (the allowlisted bounded class), one
+    * 1-row moment aggregate.
+    */
+  def dickeyFuller(s: SparkSession, dir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val w = Window.orderBy(col("d"))
+    val pairs = dailyRevenue(s, dir)
+      .withColumn("xlag", lag(col("rev_cents"), 1).over(w))
+      .filter(col("xlag").isNotNull)
+      .select(col("xlag").as("x"), (col("rev_cents") - col("xlag")).as("y"))
+    val mom = pairs.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+      sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+      sum(d19(col("y")) * d19(col("y"))).as("syy"))
+    val md = col("m").cast("double")
+    // centering terms spelled with the operator at line END — a leading
+    // minus on the next line parses as a separate unary statement and
+    // silently drops the term (the dunn/ljungBox class; this site was
+    // the third kill, caught by the replay before the oracle even ran)
+    val cxy = col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / md
+    val cxx = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / md
+    val cyy = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / md
+    mom
+      .select(col("m").as("n_obs"), cxy.as("cxy"), cxx.as("cxx"),
+        cyy.as("cyy"))
+      .select(col("n_obs"),
+        when(col("cxx") > 0.0, col("cxy") / col("cxx")).as("rho_hat"),
+        col("cxx"), col("cyy"), col("cxy"))
+      .select(col("n_obs"), col("rho_hat"),
+        (col("cyy") - col("rho_hat") * col("cxy")).as("ssr"), col("cxx"))
+      .select(col("n_obs"), col("rho_hat"),
+        when(col("ssr") > 0.0 && col("cxx") > 0.0,
+          col("rho_hat") / sqrt(
+            col("ssr") / (col("n_obs").cast("double") - lit(2.0))
+              / col("cxx")))
+          .otherwise(lit(null).cast("double")).as("t_df"))
+  }
+
+  val dickeyFullerSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT lag(rev_cents) OVER (ORDER BY d) AS x,
+      |         rev_cents - lag(rev_cents) OVER (ORDER BY d) AS y
+      |  FROM rev),
+      |pp AS (SELECT x, y FROM p WHERE x IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+      |  FROM pp),
+      |c AS (
+      |  SELECT m AS n_obs,
+      |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)
+      |      AS cxy,
+      |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+      |      AS cxx,
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)
+      |      AS cyy
+      |  FROM m),
+      |r AS (
+      |  SELECT n_obs,
+      |    CASE WHEN cxx > 0 THEN cxy / cxx END AS rho_hat, cxx, cyy, cxy
+      |  FROM c),
+      |f AS (
+      |  SELECT n_obs, rho_hat, cyy - rho_hat * cxy AS ssr, cxx
+      |  FROM r)
+      |SELECT n_obs, rho_hat,
+      |  CASE WHEN ssr > 0 AND cxx > 0 THEN
+      |    rho_hat / sqrt(ssr / (CAST(n_obs AS DOUBLE) - 2.0) / cxx)
+      |  ELSE NULL END AS t_df
+      |FROM f""".stripMargin
+
   // --- sample entropy --------------------------------------------------------
   /** Sample entropy of the daily order-count series at embedding m = 2
     * (Richman & Moorman, Am J Physiol 2000) — the template-match

@@ -411,6 +411,7 @@ class PlanAuditSpec extends SparkSpec {
         "lead windows over the calendar day grid; cumulative Q over the 10-row lag grid",
       "ts_permutation_entropy" ->
         "two lead windows over the calendar day grid",
+      "ts_dickey_fuller" -> "one lag window over the calendar day grid",
       // ts_sample_entropy's two day-grid lead windows run INSIDE its
       // Graft.materialize (the checkpoint truncates the visible plan),
       // so the sweep sees it clean — the bounded-grid argument lives in

@@ -730,6 +730,30 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("dickeyFuller: OLS replay of the delta-on-lag regression") {
+    val ys = daySeries.map(_._2.toDouble)
+    val x = ys.dropRight(1); val dy = ys.indices.drop(1)
+      .map(i => ys(i) - ys(i - 1))
+    val m = x.length
+    val mx = x.sum / m; val my = dy.sum / m
+    val cxy = x.indices.map(i => (x(i) - mx) * (dy(i) - my)).sum
+    val cxx = x.map(v => (v - mx) * (v - mx)).sum
+    val cyy = dy.map(v => (v - my) * (v - my)).sum
+    val rho = cxy / cxx
+    val ssr = cyy - rho * cxy
+    val t = rho / math.sqrt(ssr / (m - 2) / cxx)
+    val row = TimeSeries.dickeyFuller(spark, sf).collect().head
+    assert(row.getLong(0) == m, s"n_obs ${row.getLong(0)} != replay $m")
+    assert(math.abs(row.getDouble(1) - rho) < 1e-9 * math.max(1.0, rho.abs),
+      s"rho_hat ${row.getDouble(1)} != replay $rho")
+    assert(math.abs(row.getDouble(2) - t) < 1e-7 * math.max(1.0, t.abs),
+      s"t_df ${row.getDouble(2)} != replay $t")
+    // a stationary-around-trend revenue series must reject the unit
+    // root hard: rho in (-2, 0) and t strongly negative
+    assert(row.getDouble(1) < 0.0 && row.getDouble(1) > -2.0)
+    assert(row.getDouble(2) < 0.0)
+  }
+
   test("friedman: true-midrank replay over complete customer blocks") {
     val rows = Tables.load(spark, sf, "orders")
       .select(col("o_custkey"),
