@@ -57,3 +57,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
+// A Column expression discarded as a statement is almost always the
+// leading-operator newline-split bug (three confirmed kills: ljungBox
+// r13, dunnPairs + dickeyFuller r14 — a continuation line starting
+// with `- x` parses as a separate unary statement and silently drops
+// the term). -Wnonunit-statement makes the compiler flag every such
+// discard; main sources are kept warning-CLEAN (legitimate
+// side-effect discards are spelled `val _ =`) so a new occurrence is
+// loud. Scoped to Compile: test code discards results routinely.
+Compile / compile / scalacOptions += "-Wnonunit-statement"

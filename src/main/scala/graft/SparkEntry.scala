@@ -31,13 +31,13 @@ object SparkEntry {
   private def dolarE2e(s: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_dolar_e2e")
     val raw = tmp.resolve("raw").toString
-    RawZone.write(raw, 1704164645L,
+    val _ = RawZone.write(raw, 1704164645L,
       """[["1757509256000","3920.12"],["1757509266000","3921.55"]]""")
     // one corrupt row (bad valor), one wrong arity — dropped + counted
-    RawZone.write(raw, 1704164646L,
+    val _ = RawZone.write(raw, 1704164646L,
       """[["1757509276000","abc"],["1757509286000","3922.77"],["x"]]""")
     val dest = tmp.resolve("dolar").toString
-    DolarIngest.batchToPath(s, raw, dest)
+    val _ = DolarIngest.batchToPath(s, raw, dest)
     IntervalQuery.over(s.read.parquet(dest),
       LocalDateTime.parse("2025-09-10T00:00:00"),
       LocalDateTime.parse("2025-09-11T00:00:00"))

@@ -117,7 +117,7 @@ object DolarIngest {
       val valid = rows.filter(col("valid")).select(col("fechahora"), col("valor"))
       if (details.nonEmpty) write(valid)
       LoadReport(details.size.toLong, details.map(_.inserted).sum, details)
-    } finally rows.unpersist()
+    } finally { val _ = rows.unpersist() }
   }
 
   /** D2 via the observe API: attach named load metrics (wire rows /
@@ -139,7 +139,7 @@ object DolarIngest {
   /** A7/A8/A9: idempotent DDL + append into the managed `dolar` table. */
   def batchToTable(spark: SparkSession, rawDir: String,
                    table: String = "dolar"): LoadReport = {
-    spark.sql(Schemas.dolarDdl.replace("dolar", table))
+    val _ = spark.sql(Schemas.dolarDdl.replace("dolar", table))
     load(spark, rawDir)(_.write.mode("append").saveAsTable(table))
   }
 
@@ -207,7 +207,7 @@ object DolarIngest {
           if (corrupt.nonEmpty) throw new CorruptFileException(corrupt.toSeq.sorted)
           val valid = rows.filter(col("valid")).select(col("fechahora"), col("valor"))
           if (!valid.isEmpty) valid.write.mode("append").parquet(dest)
-        } finally { rows.unpersist(); () }
+        } finally { val _ = rows.unpersist() }
       }
       .start()
   }

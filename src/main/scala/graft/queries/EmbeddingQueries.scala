@@ -407,7 +407,7 @@ object EmbeddingQueries {
     // the training loop (the standard iterative-algorithm posture; at
     // cluster scale this is the same .cache()/checkpoint every k-means
     // implementation puts around its iteration set) and release after.
-    if (iters > 0) e.cache()
+    if (iters > 0) { val _ = e.cache() }
     try {
       var codebook: Seq[(Int, Seq[Double])] =
         seedVectors(e, nCent, angular = true)
@@ -425,7 +425,7 @@ object EmbeddingQueries {
         codebook = codebook.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
       }
       codebook
-    } finally if (iters > 0) { e.unpersist(); () }
+    } finally if (iters > 0) { val _ = e.unpersist() }
   }
 
   /** Deterministic id-agnostic k-means seed in two stages:
@@ -612,7 +612,7 @@ object EmbeddingQueries {
   private def trainPqOn(e: DataFrame, m: Int, kSub: Int,
                         iters: Int): Seq[Seq[Seq[Double]]] = {
     val dSub = 64 / m
-    if (iters > 0) e.cache()
+    if (iters > 0) { val _ = e.cache() }
     try {
       val init = seedVectors(e, kSub, angular = false)
       var codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
@@ -637,7 +637,7 @@ object EmbeddingQueries {
         }
       }
       codebooks
-    } finally if (iters > 0) { e.unpersist(); () }
+    } finally if (iters > 0) { val _ = e.unpersist() }
   }
 
   /** array<int> of per-subspace nearest-centroid codes (0-based) for
@@ -1114,7 +1114,7 @@ object EmbeddingQueries {
       }
       val best = scored.minBy { case (id, _, score) => (-score, id) }
       selected += best
-      remaining.remove(best._1)
+      val _ = remaining.remove(best._1)
     }
     import s.implicits._
     selected.zipWithIndex

@@ -564,9 +564,9 @@ object GraphQueries {
     */
   def warmEdgeCaches(s: SparkSession, dir: String): Unit =
     if (s.conf.get(CacheEdgesKey, "false").toBoolean) {
-      tradeEdges(s, dir)
-      copurchaseEdges(s, dir)
-      bipartiteEdges(s, dir)
+      val _ = tradeEdges(s, dir)
+      val _ = copurchaseEdges(s, dir)
+      val _ = bipartiteEdges(s, dir)
       ()
     }
 
