@@ -258,6 +258,7 @@ object SparkEntry {
     "ts_permutation_entropy" -> (TimeSeries.permutationEntropy _),
     "ts_sample_entropy" -> (TimeSeries.sampleEntropy _),
     "ts_dickey_fuller" -> (TimeSeries.dickeyFuller _),
+    "ts_pettitt" -> (TimeSeries.pettitt _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -697,6 +698,7 @@ object SparkEntry {
     "ts_permutation_entropy" -> TimeSeries.permutationEntropySql,
     "ts_sample_entropy" -> TimeSeries.sampleEntropySql,
     "ts_dickey_fuller" -> TimeSeries.dickeyFullerSql,
+    "ts_pettitt" -> TimeSeries.pettittSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

@@ -1674,6 +1674,88 @@ object TimeSeries {
       |  ELSE NULL END AS t_df
       |FROM f""".stripMargin
 
+  // --- Pettitt changepoint -----------------------------------------------------
+  /** Pettitt changepoint test (Appl. Stat. 1979) on daily revenue —
+    * the RANK-based single-changepoint locator: U_t = 2·Σ_{i≤t}r_i −
+    * t(n+1) (a running Mann–Whitney of "before t" vs "after t"), the
+    * day maximizing |U_t| is the most likely break, with the standard
+    * approximate significance p ≈ 2·exp(−6K²/(n³+n²)). Complements
+    * [[cusumChangepoint]]: CUSUM tracks MEAN shifts in original units
+    * (outlier-sensitive), Pettitt is distribution-free.
+    *
+    * Determinism: doubled midranks over the day grid come from the
+    * rank/count window identity m2 = 2·rank + t − 1 (exact BIGINTs;
+    * the grid windows are the allowlisted calendar-bounded class), so
+    * every U2_t = Σm2 − t·(n+1) is an exact BIGINT; the argmax day is
+    * a distributed top-1 with |U|-then-date tie-break, and the p
+    * approximation's exp output is guarded onto the integer NANO grid
+    * (the exp-ulp rule) before the final capped doubling.
+    *
+    * Scale: one fold of orders into the day grid; three grid windows
+    * + a TakeOrdered(1). Nothing data-sized after the fold.
+    */
+  def pettitt(s: SparkSession, dir: String): DataFrame = {
+    val grid = Graft.materialize(dailyRevenue(s, dir))
+    val tot = grid.agg(count(lit(1)).as("n"))
+    val wVal = Window.orderBy(col("rev_cents"))
+    val wTie = Window.partitionBy(col("rev_cents"))
+    val wDate = Window.orderBy(col("d"))
+    val wCum = wDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = grid
+      .withColumn("m2",
+        lit(2L) * rank().over(wVal).cast("long")
+          + count(lit(1)).over(wTie) - lit(1L))
+      .withColumn("i", row_number().over(wDate).cast("long"))
+      .withColumn("s2", sum(col("m2")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("s2") - col("i") * (col("n") + lit(1L))).as("u2"))
+      .orderBy(abs(col("u2")).desc, col("d"))
+      .limit(1)
+    val nd = col("n").cast("double")
+    val kd = col("u_abs_max").cast("double")
+    u.select(col("n"), col("d").as("change_day"),
+        abs(col("u2")).as("u_abs_max"))
+      .select(col("n").as("n_days"), col("change_day"), col("u_abs_max"),
+        least(lit(1.0), lit(2.0)
+          * (round(exp(lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd))
+            * lit(1e9)).cast("long").cast("double") / lit(1e9)))
+          .as("p_approx"))
+  }
+
+  val pettittSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+      |rk AS (
+      |  SELECT d,
+      |    2 * CAST(rank() OVER (ORDER BY rev_cents) AS BIGINT)
+      |      + CAST(COUNT(*) OVER (PARTITION BY rev_cents) AS BIGINT) - 1
+      |      AS m2
+      |  FROM rev),
+      |cu AS (
+      |  SELECT d,
+      |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+      |    CAST(SUM(m2) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+      |  FROM rk),
+      |u AS (
+      |  SELECT d, n, s2 - i * (n + 1) AS u2
+      |  FROM cu, t
+      |  ORDER BY abs(s2 - i * (n + 1)) DESC, d LIMIT 1)
+      |SELECT n AS n_days, d AS change_day,
+      |  CAST(abs(u2) AS BIGINT) AS u_abs_max,
+      |  least(1.0, 2.0 *
+      |    (CAST(CAST(round(exp(-6.0 * CAST(abs(u2) AS DOUBLE)
+      |                          * CAST(abs(u2) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |         + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1e9) AS BIGINT)
+      |      AS DOUBLE) / 1e9)) AS p_approx
+      |FROM u""".stripMargin
+
   // --- sample entropy --------------------------------------------------------
   /** Sample entropy of the daily order-count series at embedding m = 2
     * (Richman & Moorman, Am J Physiol 2000) — the template-match

@@ -730,6 +730,36 @@ class StatsReplaySpec extends SparkSpec {
       s"CIF sum ${l1 + l2} != 1 - S ${1.0 - surv}")
   }
 
+  test("pettitt: brute-force U_t replay with true midranks") {
+    val ys = daySeries.map(_._2)
+    val n = ys.length
+    val sorted = ys.sorted
+    val midrank = sorted.zipWithIndex.groupBy(_._1).map { case (v, ps) =>
+      v -> ps.map(_._2 + 1).map(_.toDouble).sum / ps.length
+    }
+    val ranks = ys.map(midrank)
+    var s = 0.0; var best = 0.0; var bestT = -1
+    for (t <- 0 until n) {
+      s += ranks(t)
+      val u = 2 * s - (t + 1).toDouble * (n + 1)
+      if (math.abs(u) > best) { best = math.abs(u); bestT = t }
+    }
+    val row = TimeSeries.pettitt(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(2) == math.round(best),
+      s"u_abs_max ${row.getLong(2)} != replay $best")
+    // the argmax day is the bestT-th day in date order (ties earliest)
+    val days = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct().orderBy(col("d")).collect().map(_.getDate(0))
+    assert(row.getDate(1) == days(bestT),
+      s"change_day ${row.getDate(1)} != replay ${days(bestT)}")
+    val p = math.min(1.0,
+      2.0 * math.exp(-6.0 * best * best / (math.pow(n, 3) + n.toDouble * n)))
+    assert(math.abs(row.getDouble(3) - p) < 1e-6,
+      s"p_approx ${row.getDouble(3)} != replay $p")
+  }
+
   test("dickeyFuller: OLS replay of the delta-on-lag regression") {
     val ys = daySeries.map(_._2.toDouble)
     val x = ys.dropRight(1); val dy = ys.indices.drop(1)
