@@ -202,6 +202,7 @@ object SparkEntry {
     "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
     "events_quantile_rank_audit" -> (EventQueries.quantileRankAudit _),
     "events_markov_stationary" -> ((s, d) => EventQueries.markovStationary(s, d)),
+    "events_markov_attribution" -> ((s, d) => EventQueries.markovAttribution(s, d)),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_markov_entropy" -> (EventQueries.markovEntropyRate _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
@@ -649,6 +650,7 @@ object SparkEntry {
     "events_anomaly_zscore" -> EventQueries.anomalyZscoreSql,
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "events_markov_stationary" -> EventQueries.markovStationarySql(),
+    "events_markov_attribution" -> EventQueries.markovAttributionSql(),
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_markov_entropy" -> EventQueries.markovEntropyRateSql,
     "events_quantile_rank_audit" -> EventQueries.quantileRankAuditSql,

@@ -2676,6 +2676,181 @@ object EventQueries {
       |FROM it WHERE iter = $iters ORDER BY st""".stripMargin
   }
 
+  // --- Markov removal-effect attribution -----------------------------------------
+  /** Data-driven (Markov removal-effect) attribution over user event
+    * journeys (Anderl et al., Int. J. Res. Marketing 2016) — the
+    * principled successor to [[lastTouch]]/[[timeDecay]]: model each
+    * user's pre-conversion path as a first-order chain
+    * (START → events → purchase | END), and credit each channel by how
+    * much the conversion probability DROPS when journeys through it are
+    * cut ("removal effect"), normalized into attribution shares.
+    *
+    * Chain spec: journeys truncate at the FIRST 'purchase' (inclusive);
+    * non-converting journeys end in the absorbing END state. Removing a
+    * channel redirects entry into it to END — implemented as clamping
+    * that state's absorption value to 0 in the iteration, which is
+    * exactly equivalent.
+    *
+    * Determinism: the transition grid collapses to ≤ (|types|+1)² exact
+    * BIGINT counts (the [[markovStationary]] metadata-bounded collect);
+    * row-normalized probabilities and the 30-step absorption value
+    * iteration stay on the exact INTEGER micro grid (per-term
+    * tm·a div 1e6, order-free integer sums), run once per removal
+    * candidate plus the unremoved base — the oracle replays the
+    * IDENTICAL integer recursion as one recursive CTE with a `removed`
+    * dimension (absorbing states carried by micro self-loops). Shares
+    * are one IEEE division of exact micro integers.
+    *
+    * Scale: two per-user windows (high-cardinality legitimate class)
+    * + one grid fold are the only data-sized work; the driver loop
+    * touches ≤ channels·iters·|grid| ≈ 5·30·36 integer cells.
+    */
+  def markovAttribution(s: SparkSession, dir: String,
+                        convType: String = "purchase",
+                        iters: Int = 30): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wUser = Window.partitionBy(col("user_id"))
+    val evs = ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("cpos",
+        min(when(col("event_type") === convType, col("pos"))).over(wUser))
+    val trunc = evs.filter(col("cpos").isNull || col("pos") <= col("cpos"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+    val withNext = trunc
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .withColumn("maxpos", max(col("pos")).over(wUser))
+    val pairs = withNext.filter(col("nxt").isNotNull)
+        .select(col("event_type").as("from_type"), col("nxt").as("to_type"))
+      .unionAll(withNext.filter(col("pos") === 1L)
+        .select(lit("START").as("from_type"), col("event_type").as("to_type")))
+      .unionAll(withNext
+        .filter(col("cpos").isNull && col("pos") === col("maxpos"))
+        .select(col("event_type").as("from_type"), lit("END").as("to_type")))
+    val grid = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rsum = grid.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._3).sum }
+    // row-normalized micro transitions + micro self-loops carrying the
+    // absorbing states through the backward iteration (END stays 0)
+    val t = grid.map { case (f, to, n) => (f, to, n * 1000000L / rsum(f)) } ++
+      Seq((convType, convType, 1000000L), ("END", "END", 1000000L))
+    val states = t.map(_._1).distinct.sorted
+    val byFrom = t.groupBy(_._1)
+    val channels = grid.map(_._1).distinct
+      .filterNot(c => c == "START" || c == convType || c == "END").sorted
+    def absorb(removed: String): Long = {
+      var a: Map[String, Long] =
+        states.map(st => st -> (if (st == convType) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        a = states.map { st =>
+          st -> (if (st == removed) 0L
+          else byFrom(st).map { case (_, to, tm) =>
+            tm * a.getOrElse(to, 0L) / 1000000L
+          }.sum)
+        }.toMap
+      }
+      a("START")
+    }
+    val p0 = absorb("(none)")
+    val rows = channels.map { c =>
+      val pc = absorb(c)
+      (c, p0, pc, math.max(0L, p0 - pc))
+    }
+    val rtot = rows.map(_._4).sum
+    import s.implicits._
+    rows.toSeq.map { case (c, b, pc, rnum) =>
+      (c, b.toDouble / 1e6, pc.toDouble / 1e6,
+        if (b > 0) rnum.toDouble / b.toDouble else Double.NaN,
+        if (rtot > 0) rnum.toDouble / rtot.toDouble else Double.NaN)
+    }.toDF("channel", "p_base", "p_removed", "removal_effect",
+      "attribution_share")
+      .select(col("channel"), col("p_base"), col("p_removed"),
+        when(!isnan(col("removal_effect")), col("removal_effect"))
+          .as("removal_effect"),
+        when(!isnan(col("attribution_share")), col("attribution_share"))
+          .as("attribution_share"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB twin of [[markovAttribution]] — the identical integer value
+    * iteration as ONE recursive CTE with a `removed` dimension, derived
+    * from the SAME convType/iters. */
+  def markovAttributionSql(convType: String = "purchase",
+                           iters: Int = 30): String = {
+    val tMicro = PortableSql.intDiv("g.n * 1000000", "r.rsum")
+    val step = PortableSql.intDiv("t2.t_micro * it.a", "1000000")
+    s"""WITH RECURSIVE
+      |e0 AS (
+      |  SELECT user_id, event_type,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AS BIGINT) AS pos
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, event_type, pos,
+      |    MIN(CASE WHEN event_type = '$convType' THEN pos END)
+      |      OVER (PARTITION BY user_id) AS cpos
+      |  FROM e0),
+      |tr AS (
+      |  SELECT user_id, event_type, pos, cpos,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY pos) AS nxt,
+      |    MAX(pos) OVER (PARTITION BY user_id) AS maxpos
+      |  FROM e WHERE cpos IS NULL OR pos <= cpos),
+      |pairs AS (
+      |  SELECT event_type AS from_type, nxt AS to_type FROM tr
+      |  WHERE nxt IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'START', event_type FROM tr WHERE pos = 1
+      |  UNION ALL
+      |  SELECT event_type, 'END' FROM tr
+      |  WHERE cpos IS NULL AND pos = maxpos),
+      |grid AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs GROUP BY 1, 2),
+      |rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rsum
+      |       FROM grid GROUP BY 1),
+      |t2 AS (
+      |  SELECT g.from_type, g.to_type, $tMicro AS t_micro
+      |  FROM grid g JOIN rs r USING (from_type)
+      |  UNION ALL SELECT '$convType', '$convType', 1000000
+      |  UNION ALL SELECT 'END', 'END', 1000000),
+      |states AS (SELECT DISTINCT from_type AS st FROM t2),
+      |rd AS (
+      |  SELECT DISTINCT from_type AS removed FROM grid
+      |  WHERE from_type NOT IN ('START', '$convType', 'END')
+      |  UNION ALL SELECT '(none)'),
+      |it(iter, removed, st, a) AS (
+      |  SELECT 0, rd.removed, s.st,
+      |    CASE WHEN s.st = '$convType' THEN 1000000 ELSE CAST(0 AS BIGINT) END
+      |  FROM states s, rd
+      |  UNION ALL
+      |  SELECT it.iter + 1, it.removed, t2.from_type,
+      |    CASE WHEN t2.from_type = it.removed THEN 0
+      |         ELSE CAST(SUM($step) AS BIGINT) END
+      |  FROM it JOIN t2 ON t2.to_type = it.st
+      |  WHERE it.iter < $iters
+      |  GROUP BY it.iter + 1, it.removed, t2.from_type),
+      |res AS (
+      |  SELECT removed AS channel, a AS pc FROM it
+      |  WHERE iter = $iters AND st = 'START' AND removed <> '(none)'),
+      |base AS (
+      |  SELECT a AS p0 FROM it
+      |  WHERE iter = $iters AND st = 'START' AND removed = '(none)'),
+      |r AS (
+      |  SELECT channel, p0, pc, greatest(0, p0 - pc) AS rnum
+      |  FROM res, base),
+      |tot AS (SELECT CAST(SUM(rnum) AS BIGINT) AS rtot FROM r)
+      |SELECT channel,
+      |  CAST(p0 AS DOUBLE) / 1e6 AS p_base,
+      |  CAST(pc AS DOUBLE) / 1e6 AS p_removed,
+      |  CASE WHEN p0 > 0 THEN CAST(rnum AS DOUBLE) / CAST(p0 AS DOUBLE)
+      |  END AS removal_effect,
+      |  CASE WHEN rtot > 0 THEN CAST(rnum AS DOUBLE) / CAST(rtot AS DOUBLE)
+      |  END AS attribution_share
+      |FROM r, tot ORDER BY channel""".stripMargin
+  }
+
   // --- hour-of-day x weekday traffic profile -------------------------------------
   /** Hour-of-day × weekday seasonal traffic profile — the 168-cell
     * heatmap behind capacity planning and anomaly baselines ("is

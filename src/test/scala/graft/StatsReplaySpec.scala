@@ -1070,6 +1070,60 @@ class StatsReplaySpec extends SparkSpec {
         s"$st: vP=${next.get(st)} != v=$v — not stationary")
   }
 
+  test("markovAttribution: removal monotonicity, share mass, brute-force base") {
+    val rows = EventQueries.markovAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p0 = rows.head.getDouble(1)
+    assert(p0 > 0.0 && p0 <= 1.0, s"p_base $p0 outside (0,1]")
+    var shareSum = 0.0
+    for (r <- rows) {
+      assert(r.getDouble(1) == p0, "p_base must be constant across channels")
+      val pc = r.getDouble(2)
+      // clamping a state's absorption value to 0 can only reduce P(conv)
+      assert(pc >= 0.0 && pc <= p0 + 1e-9,
+        s"${r.getString(0)}: p_removed $pc above base $p0")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+      shareSum += r.getDouble(4)
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-9,
+      s"attribution shares sum to $shareSum, not 1")
+    // brute-force base conversion probability: a long float value
+    // iteration over the same truncated-journey chain must agree with
+    // the integer micro recursion to micro resolution
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2)),
+        r.getString(3)))
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for ((_, g) <- evs.groupBy(_._1)) {
+      val ordered = g.sortBy(_._2).map(_._3)
+      val cut = ordered.indexOf("purchase") match {
+        case -1 => ordered
+        case i  => ordered.take(i + 1)
+      }
+      val path = "START" +: cut
+      for (i <- 0 until path.length - 1)
+        trans((path(i), path(i + 1))) += 1
+      if (!cut.contains("purchase")) trans((cut.last, "END")) += 1
+    }
+    val rsum = trans.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum.toDouble).toMap
+    var a = Map("purchase" -> 1.0).withDefaultValue(0.0)
+    for (_ <- 1 to 200) {
+      val na = rsum.keys.map { st =>
+        st -> trans.toSeq.filter(_._1._1 == st)
+          .map { case ((_, to), n) =>
+            (n / rsum(st)) * (if (to == "purchase") 1.0 else a(to))
+          }.sum
+      }.toMap
+      a = na.withDefaultValue(0.0) ++ Map("purchase" -> 1.0)
+    }
+    assert(math.abs(p0 - a("START")) < 1e-3,
+      s"p_base $p0 != float value-iteration replay ${a("START")}")
+  }
+
   test("poissonRateTest: conditional-binomial z replay from raw events") {
     val evs = Tables.events(spark, sf)
       .select(col("event_type"), to_date(col("ts")).as("d"))
