@@ -203,6 +203,8 @@ object SparkEntry {
     "events_quantile_rank_audit" -> (EventQueries.quantileRankAudit _),
     "events_markov_stationary" -> ((s, d) => EventQueries.markovStationary(s, d)),
     "events_markov_attribution" -> ((s, d) => EventQueries.markovAttribution(s, d)),
+    "attribution_position" -> ((s, d) => EventQueries.attributionPosition(s, d)),
+    "events_growth_accounting" -> (EventQueries.growthAccounting _),
     "events_markov_transitions" -> (EventQueries.markovTransitions _),
     "events_markov_entropy" -> (EventQueries.markovEntropyRate _),
     "events_time_weighted_avg" -> (EventQueries.timeWeightedAvg _),
@@ -651,6 +653,8 @@ object SparkEntry {
     "window_session_native" -> EventQueries.sessionWindowNativeSql,
     "events_markov_stationary" -> EventQueries.markovStationarySql(),
     "events_markov_attribution" -> EventQueries.markovAttributionSql(),
+    "attribution_position" -> EventQueries.attributionPositionSql(),
+    "events_growth_accounting" -> EventQueries.growthAccountingSql,
     "events_markov_transitions" -> EventQueries.markovTransitionsSql,
     "events_markov_entropy" -> EventQueries.markovEntropyRateSql,
     "events_quantile_rank_audit" -> EventQueries.quantileRankAuditSql,

@@ -2851,6 +2851,181 @@ object EventQueries {
       |FROM r, tot ORDER BY channel""".stripMargin
   }
 
+  // --- position-based (U-shaped) attribution --------------------------------------
+  /** Position-based ("U-shaped" 40/20/40) attribution over converting
+    * journeys — the rules-based midpoint between [[lastTouch]] and
+    * [[markovAttribution]]: the first and last touchpoint before the
+    * purchase get 40% credit each and the middle touches split the
+    * remaining 20% evenly (1-touch journeys take 100%, 2-touch split
+    * 50/50).
+    *
+    * Determinism: credits live on the integer MICRO grid — the middle
+    * split is 200000 div (k−2) per touch (the remainder is dropped,
+    * identically in both engines; journeys therefore carry ≤ 1e6
+    * micro), per-channel totals are exact BIGINT sums, and the share
+    * is one IEEE division. Journeys whose first event IS the purchase
+    * have no touchpoints and carry no credit.
+    *
+    * Scale: the same two per-user windows as [[markovAttribution]]
+    * (high-cardinality legitimate class) + one channel fold; output is
+    * |channels| rows.
+    */
+  def attributionPosition(s: SparkSession, dir: String,
+                          convType: String = "purchase"): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wUser = Window.partitionBy(col("user_id"))
+    val evs = ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("cpos",
+        min(when(col("event_type") === convType, col("pos"))).over(wUser))
+    val touches = evs
+      .filter(col("cpos").isNotNull && col("pos") < col("cpos"))
+      .withColumn("k", col("cpos") - lit(1L))
+    val credit = when(col("k") === 1L, lit(1000000L))
+      .when(col("k") === 2L, lit(500000L))
+      .when(col("pos") === 1L || col("pos") === col("k"), lit(400000L))
+      .otherwise(expr("200000 div (k - 2)"))
+    val grid = touches
+      .select(col("event_type").as("channel"), credit.as("credit_micro"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_micro")).as("credit"))
+    val tot = grid.agg(sum(col("credit")).as("ctot"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_touches"),
+        col("credit").as("credit_micro"),
+        when(col("ctot") > 0L,
+          col("credit").cast("double") / col("ctot").cast("double"))
+          .otherwise(lit(null).cast("double")).as("credit_share"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB twin of [[attributionPosition]], derived from the SAME
+    * convType. */
+  def attributionPositionSql(convType: String = "purchase"): String = {
+    val mid = PortableSql.intDiv("200000", "(k - 2)")
+    s"""WITH e0 AS (
+      |  SELECT user_id, event_type,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AS BIGINT) AS pos
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, event_type, pos,
+      |    MIN(CASE WHEN event_type = '$convType' THEN pos END)
+      |      OVER (PARTITION BY user_id) AS cpos
+      |  FROM e0),
+      |touch AS (
+      |  SELECT event_type AS channel, pos, cpos - 1 AS k
+      |  FROM e WHERE cpos IS NOT NULL AND pos < cpos),
+      |cr AS (
+      |  SELECT channel,
+      |    CASE WHEN k = 1 THEN 1000000
+      |         WHEN k = 2 THEN 500000
+      |         WHEN pos = 1 OR pos = k THEN 400000
+      |         ELSE $mid END AS credit_micro
+      |  FROM touch),
+      |g AS (
+      |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |    CAST(SUM(credit_micro) AS BIGINT) AS credit
+      |  FROM cr GROUP BY channel),
+      |t AS (SELECT CAST(SUM(credit) AS BIGINT) AS ctot FROM g)
+      |SELECT channel, n_touches, credit AS credit_micro,
+      |  CASE WHEN ctot > 0 THEN
+      |    CAST(credit AS DOUBLE) / CAST(ctot AS DOUBLE)
+      |  END AS credit_share
+      |FROM g, t ORDER BY channel""".stripMargin
+  }
+
+  // --- weekly growth accounting ----------------------------------------------------
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition of weekly actives (the Social-Capital "growth
+    * accounting" standard): every weekly-active user is exactly one of
+    * NEW (first week ever), RETAINED (also active the previous week),
+    * or RESURRECTED (returning after a gap), and churned(w) =
+    * actives(w−1) − retained(w); the quick ratio
+    * (new+resurrected)/churned summarizes gain vs loss. The
+    * per-user-lifecycle dual of [[retentionCohorts]] (fixed-cohort
+    * view) and [[dauWau]] (volume view).
+    *
+    * Determinism: weeks are epoch-day div 7 (pure arithmetic — no
+    * engine week-origin dependence, the [[hourlyProfile]] rule); every
+    * class count is an exact BIGINT from per-user min/lag windows, and
+    * the quick ratio is one IEEE division. First week churn is NULL
+    * (no prior week).
+    *
+    * Scale: one distinct (user, week) fold; per-user windows
+    * (high-cardinality class) + one lag over the bounded week grid
+    * (allowlisted).
+    */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = ev(s, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date'1970-01-01') div 7").cast("long")
+          .as("wk"))
+      .distinct()
+    val wUser = Window.partitionBy(col("user_id"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val classified = uw
+      .withColumn("first_wk", min(col("wk")).over(wUser))
+      .withColumn("prev_wk", lag(col("wk"), 1).over(wSeq))
+      .select(col("wk"),
+        when(col("wk") === col("first_wk"), 1L).otherwise(0L).as("is_new"),
+        when(col("prev_wk") === col("wk") - 1L, 1L).otherwise(0L)
+          .as("is_ret"),
+        when(col("prev_wk").isNotNull && col("prev_wk") < col("wk") - 1L, 1L)
+          .otherwise(0L).as("is_res"))
+    val weekly = classified.groupBy(col("wk"))
+      .agg(count(lit(1)).as("actives"), sum(col("is_new")).as("new_users"),
+        sum(col("is_ret")).as("retained"), sum(col("is_res")).as("resurrected"))
+    val wWeek = Window.orderBy(col("wk"))
+    weekly
+      .withColumn("prev_actives", lag(col("actives"), 1).over(wWeek))
+      .select(col("wk"), col("actives"), col("new_users"), col("retained"),
+        col("resurrected"),
+        when(col("prev_actives").isNotNull,
+          col("prev_actives") - col("retained")).as("churned"))
+      .select(col("wk"), col("actives"), col("new_users"), col("retained"),
+        col("resurrected"), col("churned"),
+        when(col("churned") > 0L,
+          (col("new_users") + col("resurrected")).cast("double")
+            / col("churned").cast("double"))
+          .otherwise(lit(null).cast("double")).as("quick_ratio"))
+      .orderBy(col("wk"))
+  }
+
+  val growthAccountingSql: String = {
+    val wk = PortableSql.intDiv(
+      "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "7")
+    s"""WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST($wk AS BIGINT) AS wk FROM events),
+      |cl AS (
+      |  SELECT wk,
+      |    CASE WHEN wk = MIN(wk) OVER (PARTITION BY user_id)
+      |         THEN 1 ELSE 0 END AS is_new,
+      |    CASE WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk) = wk - 1
+      |         THEN 1 ELSE 0 END AS is_ret,
+      |    CASE WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk) IS NOT NULL
+      |          AND lag(wk) OVER (PARTITION BY user_id ORDER BY wk) < wk - 1
+      |         THEN 1 ELSE 0 END AS is_res
+      |  FROM uw),
+      |wkly AS (
+      |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS actives,
+      |    CAST(SUM(is_new) AS BIGINT) AS new_users,
+      |    CAST(SUM(is_ret) AS BIGINT) AS retained,
+      |    CAST(SUM(is_res) AS BIGINT) AS resurrected
+      |  FROM cl GROUP BY wk),
+      |ch AS (
+      |  SELECT wk, actives, new_users, retained, resurrected,
+      |    lag(actives) OVER (ORDER BY wk) - retained AS churned
+      |  FROM wkly)
+      |SELECT wk, actives, new_users, retained, resurrected, churned,
+      |  CASE WHEN churned > 0 THEN
+      |    CAST(new_users + resurrected AS DOUBLE) / CAST(churned AS DOUBLE)
+      |  END AS quick_ratio
+      |FROM ch ORDER BY wk""".stripMargin
+  }
+
   // --- hour-of-day x weekday traffic profile -------------------------------------
   /** Hour-of-day × weekday seasonal traffic profile — the 168-cell
     * heatmap behind capacity planning and anomaly baselines ("is

@@ -381,6 +381,7 @@ class PlanAuditSpec extends SparkSpec {
       "embed_threshold_sweep" -> "cumulative count over the 11-row threshold grid",
       "events_gapfill_daily" -> "forward-fill over the calendar day grid",
       "events_reach_curve" -> "cumulative users over the first-touch day grid",
+      "events_growth_accounting" -> "one lag over the bounded week grid",
       "events_session_paths" ->
         "top-10 rank over event-type trigram counts (|types|^3-bounded)",
       "pareto_frontier" -> "running min over the distinct p_size grid (~50)",

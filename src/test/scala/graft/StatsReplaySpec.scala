@@ -1124,6 +1124,31 @@ class StatsReplaySpec extends SparkSpec {
       s"p_base $p0 != float value-iteration replay ${a("START")}")
   }
 
+  test("growthAccounting + attributionPosition: decomposition identities") {
+    val ga = EventQueries.growthAccounting(spark, sf).collect()
+    assert(ga.nonEmpty)
+    for (r <- ga) {
+      // every weekly active is exactly one of new/retained/resurrected
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"week ${r.getLong(0)}: actives != new + retained + resurrected")
+      if (!r.isNullAt(5)) assert(r.getLong(5) >= 0L, "negative churn")
+    }
+    assert(ga.head.isNullAt(5), "first week must have NULL churn")
+    assert(ga.head.getLong(1) == ga.head.getLong(2),
+      "first week actives must all be new")
+    val ap = EventQueries.attributionPosition(spark, sf).collect()
+    val shareSum = ap.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"credit shares sum $shareSum")
+    // journeys carry at most 1e6 micro each (mid-split remainder only
+    // ever drops credit) — totals can't exceed converting journeys * 1e6
+    val nConv = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    val credTot = ap.map(_.getLong(2)).sum
+    assert(credTot <= nConv * 1000000L,
+      s"total credit $credTot exceeds $nConv journeys worth")
+  }
+
   test("poissonRateTest: conditional-binomial z replay from raw events") {
     val evs = Tables.events(spark, sf)
       .select(col("event_type"), to_date(col("ts")).as("d"))
