@@ -240,6 +240,7 @@ object SparkEntry {
     "docs_pielou_evenness" -> (TextQueries.pielouEvenness _),
     "docs_readability" -> (TextQueries.readability _),
     "docs_source_jsd" -> ((s, d) => TextQueries.sourceJsd(s, d)),
+    "docs_length_histogram" -> (TextQueries.lengthHistogram _),
     "events_hill_tail_index" -> ((s, d) => EventQueries.hillTailIndex(s, d)),
     "events_interarrival" -> (EventQueries.interArrival _),
     "events_hourly_profile" -> (EventQueries.hourlyProfile _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "stats_dunn_pairs" -> (Relational.dunnPairs _),
     "stats_tukey_hsd" -> (Relational.tukeyHsd _),
     "stats_bartlett" -> (Relational.bartlett _),
+    "stats_mood_median" -> (Relational.moodMedian _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -684,6 +686,7 @@ object SparkEntry {
     "docs_pielou_evenness" -> TextQueries.pielouEvennessSql,
     "docs_readability" -> TextQueries.readabilitySql,
     "docs_source_jsd" -> TextQueries.sourceJsdSql(),
+    "docs_length_histogram" -> TextQueries.lengthHistogramSql,
     "events_hill_tail_index" -> EventQueries.hillTailIndexSql(),
     "events_interarrival" -> EventQueries.interArrivalSql,
     "events_hourly_profile" -> EventQueries.hourlyProfileSql,
@@ -733,6 +736,7 @@ object SparkEntry {
     "stats_dunn_pairs" -> Relational.dunnPairsSql,
     "stats_tukey_hsd" -> Relational.tukeyHsdSql,
     "stats_bartlett" -> Relational.bartlettSql,
+    "stats_mood_median" -> Relational.moodMedianSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

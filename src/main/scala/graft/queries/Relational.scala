@@ -2318,6 +2318,91 @@ object Relational {
       |FROM f""".stripMargin
   }
 
+  // --- Mood's median test -------------------------------------------------------
+  /** Mood's median test (Introduction to the Theory of Statistics,
+    * 1950) of order value across priorities — the coarsest, most
+    * outlier-robust member of the k-group family: classify every order
+    * as above vs at-or-below the GRAND median and χ²-test the 2×k
+    * contingency. Reported beside [[kruskalWallis]] (which uses full
+    * rank information) as the standard robustness cross-check.
+    *
+    * Determinism: the grand median comes from the engines' shared
+    * quantile_cont/percentile midpoint contract (the
+    * [[aggMedianPrice]] precedent — identical IEEE midpoint of exact
+    * cents), the 2×k cells are exact BIGINT counts from ONE fold, and
+    * the χ² accumulates via the CUMULATIVE WINDOW over the
+    * mode-ordered 5-row grid ([[anovaPriority]] discipline) with every
+    * expected-count term a fixed IEEE chain. A degenerate split (no
+    * order above / none below the median) yields NULL.
+    *
+    * Scale: one 1-row median aggregate broadcast back, one map-side-
+    * combined fold into the k-row grid; everything after is k-sized.
+    */
+  def moodMedian(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+    val v = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("mode"), cents.as("x"))
+    val med = v.agg(percentile(col("x"), lit(0.5)).as("med"))
+    val g = v.crossJoin(broadcast(med))
+      .groupBy(col("mode"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("x").cast("double") > col("med"), 1L).otherwise(0L))
+          .as("a_g"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("a_g")).as("ma"))
+    val nd = col("n").cast("double"); val mad = col("ma").cast("double")
+    val ngd = col("n_g").cast("double"); val agd = col("a_g").cast("double")
+    val ea = ngd * mad / nd
+    val el = ngd * (nd - mad) / nd
+    val term = (agd - ea) * (agd - ea) / ea +
+      ((ngd - agd) - el) * ((ngd - agd) - el) / el
+    val wOrd = Window.orderBy(col("mode"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_chi2", sum(term).over(wCum))
+      .filter(col("i") === col("k"))
+      .select(col("k").as("k_groups"), col("n").as("n_total"),
+        col("ma").as("n_above"),
+        when(col("ma") > 0L && col("ma") < col("n"), col("cum_chi2"))
+          .otherwise(lit(null).cast("double")).as("chi2_mood"))
+  }
+
+  val moodMedianSql: String =
+    """WITH v AS (SELECT o_orderpriority AS mode,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS x
+      |  FROM orders),
+      |m AS (SELECT quantile_cont(x, 0.5) AS med FROM v),
+      |g AS (
+      |  SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > med THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS a_g
+      |  FROM v, m GROUP BY mode),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |             CAST(SUM(a_g) AS BIGINT) AS ma
+      |      FROM g),
+      |c AS (
+      |  SELECT mode, n_g, a_g, k, n, ma,
+      |    CAST(row_number() OVER (ORDER BY mode) AS BIGINT) AS i,
+      |    SUM((CAST(a_g AS DOUBLE)
+      |           - CAST(n_g AS DOUBLE) * CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(a_g AS DOUBLE)
+      |           - CAST(n_g AS DOUBLE) * CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n_g AS DOUBLE) * CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + ((CAST(n_g AS DOUBLE) - CAST(a_g AS DOUBLE))
+      |           - CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ma AS DOUBLE))
+      |             / CAST(n AS DOUBLE))
+      |        * ((CAST(n_g AS DOUBLE) - CAST(a_g AS DOUBLE))
+      |           - CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ma AS DOUBLE))
+      |             / CAST(n AS DOUBLE))
+      |        / (CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ma AS DOUBLE))
+      |           / CAST(n AS DOUBLE))) OVER (ORDER BY mode
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chi2
+      |  FROM g, t)
+      |SELECT k AS k_groups, n AS n_total, ma AS n_above,
+      |  CASE WHEN ma > 0 AND ma < n THEN cum_chi2 ELSE NULL END AS chi2_mood
+      |FROM c WHERE i = k""".stripMargin
+
   // --- McNemar paired flip test ---------------------------------------------
   /** McNemar's test (Psychometrika 1947) on paired customer activity:
     * was each customer active in 1997 vs in 1998 — the paired-binary

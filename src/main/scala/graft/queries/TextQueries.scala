@@ -2508,6 +2508,68 @@ object TextQueries {
       |   + CAST(sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e6)) / 2.0 AS jsd_nats
       |FROM agg""".stripMargin
 
+  // --- token-length histogram per source ----------------------------------------
+  /** Per-source document-length histogram in power-of-two token
+    * buckets — the sequence-length distribution every training-data
+    * pipeline plots before packing/truncation decisions (a source
+    * whose mass sits past the model context length wastes tokens to
+    * truncation; one collapsed into tiny buckets wastes padding).
+    * Complements [[Sampling]]'s pack_chunks (which consumes these
+    * lengths) and `text_token_count` (per-doc raw counts).
+    *
+    * Determinism: bucket = floor(log2(n_tokens)) is deterministic
+    * across engines — IEEE log2 is exact at powers of two and no
+    * other integer sits within an ulp of an integer log2 — and all
+    * counts/extrema/sums are exact BIGINTs; the share is one IEEE
+    * division.
+    *
+    * Scale: one scan, one map-side-combined fold into the
+    * |sources|·~log2(maxlen) grid (≲ 300 cells at any corpus size).
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("source"), size(words).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0L)
+      .select(col("source"), col("n_tok"),
+        floor(log2(col("n_tok"))).cast("long").as("bucket"))
+    val grid = base.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"), sum(col("n_tok")).as("sum_tokens"))
+    val tot = grid.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    grid.join(tot, "source")
+      .select(col("source"), col("bucket"),
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int))")
+          .as("bucket_lo"),
+        col("n_docs"), col("min_tokens"), col("max_tokens"),
+        col("sum_tokens"),
+        (col("n_docs").cast("double") / col("src_docs").cast("double"))
+          .as("share"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val lengthHistogramSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, n_tok,
+      |    CAST(floor(log2(CAST(n_tok AS DOUBLE))) AS BIGINT) AS bucket
+      |  FROM d WHERE n_tok > 0),
+      |g AS (
+      |  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+      |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      |  FROM b GROUP BY source, bucket),
+      |t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+      |      FROM g GROUP BY source)
+      |SELECT g.source, bucket,
+      |  CAST(1 AS BIGINT) << CAST(bucket AS INT) AS bucket_lo,
+      |  n_docs, min_tokens, max_tokens, sum_tokens,
+      |  CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE) AS share
+      |FROM g JOIN t ON g.source = t.source
+      |ORDER BY g.source, bucket""".stripMargin
+
   // --- pairwise source JSD matrix ---------------------------------------------
   /** Pairwise Jensen–Shannon divergence between ALL source token
     * distributions, restricted to the top-K corpus vocabulary — the

@@ -391,6 +391,7 @@ class PlanAuditSpec extends SparkSpec {
       "stats_kruskal_wallis" -> "cumulative rank term over the 5-row priority grid",
       "stats_tukey_hsd" -> "cumulative MSW term over the 5-row priority grid",
       "stats_bartlett" -> "two cumulative terms over the 5-row priority grid",
+      "stats_mood_median" -> "cumulative chi2 term over the 5-row priority grid",
       "text_zipf_slope" -> "rank over the top-100 vocabulary cut",
       "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
       "ts_spearman" -> "average ranks over the day grid",

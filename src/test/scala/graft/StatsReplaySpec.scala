@@ -829,6 +829,36 @@ class StatsReplaySpec extends SparkSpec {
       "chi2_f outside [0, n(k-1)]")
   }
 
+  test("moodMedian: textbook 2xk chi2 replay from the raw split") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority").as("m"),
+        expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+          .as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val xs = rows.map(_._2).sorted
+    val n = xs.length
+    val med =
+      if (n % 2 == 1) xs(n / 2).toDouble
+      else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    val byG = rows.groupBy(_._1).map { case (m, vs) =>
+      m -> ((vs.length.toLong, vs.count(_._2.toDouble > med).toLong))
+    }
+    val ma = byG.values.map(_._2).sum
+    var chi2 = 0.0
+    for ((_, (ng, ag)) <- byG) {
+      val ea = ng.toDouble * ma / n; val el = ng.toDouble * (n - ma) / n
+      chi2 += (ag - ea) * (ag - ea) / ea +
+        ((ng - ag) - el) * ((ng - ag) - el) / el
+    }
+    val row = Relational.moodMedian(spark, sf).collect().head
+    assert(row.getLong(0) == byG.size && row.getLong(1) == n
+      && row.getLong(2) == ma,
+      s"(k,n,ma) mismatch ${row.toSeq} vs (${byG.size}, $n, $ma)")
+    assert(math.abs(row.getDouble(3) - chi2) < 1e-9 * math.max(1.0, chi2),
+      s"chi2_mood ${row.getDouble(3)} != replay $chi2")
+    assert(row.getDouble(3) >= 0.0)
+  }
+
   test("bartlett: textbook chi2 replay from raw per-group variances") {
     val rows = Tables.load(spark, sf, "orders")
       .select(col("o_orderpriority").as("m"),
