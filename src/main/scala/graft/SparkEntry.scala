@@ -292,6 +292,9 @@ object SparkEntry {
     "stats_tukey_hsd" -> (Relational.tukeyHsd _),
     "stats_bartlett" -> (Relational.bartlett _),
     "stats_mood_median" -> (Relational.moodMedian _),
+    "eval_roc_auc" -> (Evaluation.rocAuc _),
+    "eval_average_precision" -> (Evaluation.averagePrecision _),
+    "eval_calibration" -> (Evaluation.calibration _),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -737,6 +740,9 @@ object SparkEntry {
     "stats_tukey_hsd" -> Relational.tukeyHsdSql,
     "stats_bartlett" -> Relational.bartlettSql,
     "stats_mood_median" -> Relational.moodMedianSql,
+    "eval_roc_auc" -> Evaluation.rocAucSql,
+    "eval_average_precision" -> Evaluation.averagePrecisionSql,
+    "eval_calibration" -> Evaluation.calibrationSql,
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classifier/filter evaluation metrics over the documents corpus —
+  * the scorecard every quality-filtering pipeline reads before and
+  * after tuning a heuristic (does the score actually separate the
+  * target class? is it calibrated? how front-loaded is the ranking?).
+  * The evaluated "model" is the deterministic length score
+  * (`n_chars`) against the `lang = 'en'` label: the naive baseline
+  * every learned quality classifier must beat, and — because both
+  * score and label live in the fixtures — exactly reproducible by the
+  * DuckDB oracle.
+  *
+  * Determinism disciplines (shared with [[Drift]]'s rank family):
+  * ties ride the DOUBLED-midrank identity so every rank sum is an
+  * exact BIGINT; ranked-order cumulations ride
+  * [[graft.Graft.cumSumByRange]] (range-partitioned prefix sums,
+  * never a single-partition ORDER BY window); per-rank precisions
+  * land on the integer micro grid via `div`; every reported double is
+  * one IEEE division of exact BIGINTs.
+  */
+object Evaluation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** 1 if the doc is the positive class (en), else 0 — total on NULL. */
+  private val isPos: Column =
+    when(col("lang") === "en", 1L).otherwise(0L)
+
+  // --- ROC AUC (Mann–Whitney identity) -----------------------------------
+  /** Area under the ROC curve of "longer docs are en" — the
+    * threshold-free separation read (AUC = P(score⁺ > score⁻) +
+    * ½P(=), exactly U/(n⁺·n⁻) by Mann–Whitney 1947), plus the Gini
+    * coefficient 2·AUC−1 the ads-world quotes.
+    *
+    * Exactness: per-VALUE pos/neg counts collapse the corpus first;
+    * doubled midranks (2·avgrank = 2c + n_v + 1 over the pooled
+    * cumulative count c) keep U2 = 2U an exact BIGINT; AUC and Gini
+    * are each ONE IEEE division of exact integers ((U2 − n⁺n⁻)/n⁺n⁻
+    * for Gini — no float chaining through AUC).
+    *
+    * Scale: one map-side-combined fold to the score-value grid, then
+    * [[graft.Graft.cumSumByRange]]'s range-partitioned prefix sums —
+    * the same 100×-safe shape as `drift_mann_whitney`; exact while
+    * n⁺·n⁻ < 2⁶².
+    */
+  def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    val perValue = docs(s, dir)
+      .groupBy(col("n_chars"))
+      .agg(sum(isPos).as("cp"),
+        sum(lit(1L) - isPos).as("cn"))
+    val ranked = graft.Graft.cumSumByRange(perValue, Seq(col("n_chars")),
+        Seq((col("cp") + col("cn")) -> "cum_incl"))
+      .select(col("cp"), col("cn"),
+        (col("cp") * (lit(2L) * (col("cum_incl") - col("cp") - col("cn"))
+          + col("cp") + col("cn") + lit(1L))).as("r2p"))
+    ranked
+      .agg(sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"),
+        sum(col("r2p")).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("u2_pos"))
+      .select(col("n_pos"), col("n_neg"), col("u2_pos"),
+        (col("u2_pos").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double"))).as("auc"),
+        ((col("u2_pos") - col("n_pos") * col("n_neg")).cast("double")
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("gini"))
+  }
+
+  val rocAucSql: String =
+    """WITH base AS (
+      |  SELECT n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+      |  FROM documents),
+      |pv AS (
+      |  SELECT n_chars,
+      |    CAST(SUM(p) AS BIGINT) AS cp,
+      |    CAST(SUM(1 - p) AS BIGINT) AS cn
+      |  FROM base GROUP BY n_chars),
+      |rk AS (
+      |  SELECT cp, cn,
+      |    cp * (2 * COALESCE(SUM(cp + cn) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cp + cn + 1) AS r2p
+      |  FROM pv),
+      |agg AS (
+      |  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+      |         CAST(SUM(cn) AS BIGINT) AS n_neg,
+      |         CAST(SUM(r2p) AS BIGINT) AS r2
+      |  FROM rk)
+      |SELECT n_pos, n_neg,
+      |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+      |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+      |  CAST(r2 - n_pos * (n_pos + 1) - n_pos * n_neg AS DOUBLE)
+      |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS gini
+      |FROM agg""".stripMargin
+
+  // --- average precision (PR-curve area) ---------------------------------
+  /** Average precision of the length ranking — the PR-curve summary
+    * retrieval and dedup evals quote when positives are rare (AUC is
+    * blind to the negative-heavy tail; AP is not). Contract: the
+    * ranking is made TIE-FREE by (n_chars DESC, doc_id ASC), so
+    * AP = (1/n⁺)·Σ_{k ranked positive} precision@k is a single exact
+    * rational; also reports precision@50 (both fixtures hold ≥ 50
+    * docs).
+    *
+    * Exactness: each precision@k lands on the integer micro grid via
+    * `div` (identical truncation in both engines), so the AP
+    * numerator is an exact BIGINT sum and AP is one IEEE division.
+    *
+    * Scale: the global tie-free rank and running positive count ride
+    * [[graft.Graft.cumSumByRange]] — range-partitioned, never a
+    * single-partition row_number; everything after is a 1-row
+    * aggregate.
+    */
+  def averagePrecision(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), isPos.as("p"))
+    val ranked = graft.Graft.cumSumByRange(base,
+      Seq(col("n_chars").desc, col("doc_id")),
+      Seq(col("p") -> "cum_pos", lit(1L) -> "rnk"))
+    ranked.agg(
+      sum(col("p")).as("n_pos"),
+      count(lit(1)).as("n_docs"),
+      sum(when(col("p") === 1L,
+        expr("(cum_pos * 1000000L) div rnk"))).as("sum_prec_micro"),
+      max(when(col("rnk") === 50L, col("cum_pos"))).as("pos_at_50"))
+      .select(col("n_pos"), col("n_docs"),
+        (col("sum_prec_micro").cast("double")
+          / (col("n_pos").cast("double") * lit(1e6))).as("avg_precision"),
+        (col("pos_at_50").cast("double") / lit(50.0)).as("precision_at_50"))
+  }
+
+  val averagePrecisionSql: String = {
+    val pk = PortableSql.intDiv("cum_pos * 1000000", "rnk")
+    s"""WITH base AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+      |  FROM documents),
+      |r AS (
+      |  SELECT p,
+      |    CAST(SUM(p) OVER w AS BIGINT) AS cum_pos,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk
+      |  FROM base
+      |  WINDOW w AS (ORDER BY n_chars DESC, doc_id)),
+      |agg AS (
+      |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(CASE WHEN p = 1 THEN $pk END) AS BIGINT)
+      |           AS sum_prec_micro,
+      |         CAST(MAX(CASE WHEN rnk = 50 THEN cum_pos END) AS BIGINT)
+      |           AS pos_at_50
+      |  FROM r)
+      |SELECT n_pos, n_docs,
+      |  CAST(sum_prec_micro AS DOUBLE)
+      |    / (CAST(n_pos AS DOUBLE) * 1e6) AS avg_precision,
+      |  CAST(pos_at_50 AS DOUBLE) / 50.0 AS precision_at_50
+      |FROM agg""".stripMargin
+  }
+
+  // --- calibration / reliability table + ECE ------------------------------
+  /** 10-bin reliability table of the length score read as a
+    * probability (pred = n_chars / max_chars on the integer micro
+    * grid), with the expected-calibration-error summary — the read
+    * that says whether a filter score's VALUE means anything or only
+    * its ORDER does (AUC can be 0.9 while calibration is garbage).
+    *
+    * Exactness: pred_micro = n_chars·10⁶ div max is pure integer; the
+    * per-bin |obs − pred| gap clears denominators to the exact BIGINT
+    * |n⁺_b·10⁶ − Σpred_micro_b|, so ECE = Σ_b gap / (N·10⁶) needs NO
+    * ordered accumulation at all — one division at the end, and the
+    * per-bin means/rates are one division each.
+    *
+    * Scale: a 1-row max broadcast into a narrow map, one
+    * map-side-combined fold to the 10-bin grid, and a 1-row grid
+    * aggregate broadcast back. Nothing after the fold scales with
+    * corpus size.
+    */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val mx = docs(s, dir).agg(max(col("n_chars")).as("maxc"))
+    val bins = docs(s, dir)
+      .crossJoin(broadcast(mx))
+      .select(isPos.as("p"),
+        expr("(n_chars * 1000000L) div maxc").as("pred_micro"))
+      .select(col("p"),
+        least(lit(9L), expr("pred_micro div 100000L")).as("bin"),
+        col("pred_micro"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("pred_micro")).as("sum_pred_micro"),
+        sum(col("p")).as("n_pos"))
+      .withColumn("gap_micro",
+        abs(col("n_pos") * lit(1000000L) - col("sum_pred_micro")))
+    val tot = bins.agg(sum(col("gap_micro")).as("sum_gap"),
+      sum(col("n_b")).as("n_total"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_b"), col("n_pos"),
+        (col("sum_pred_micro").cast("double")
+          / (col("n_b").cast("double") * lit(1e6))).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n_b").cast("double"))
+          .as("obs_rate"),
+        (col("gap_micro").cast("double")
+          / (col("n_b").cast("double") * lit(1e6))).as("bin_gap"),
+        (col("sum_gap").cast("double")
+          / (col("n_total").cast("double") * lit(1e6))).as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationSql: String = {
+    val pm = PortableSql.intDiv("n_chars * 1000000", "maxc")
+    val bn = PortableSql.intDiv("pred_micro", "100000")
+    s"""WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents),
+      |base AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p,
+      |    $pm AS pred_micro
+      |  FROM documents, mx),
+      |bins AS (
+      |  SELECT LEAST(9, $bn) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_b,
+      |    CAST(SUM(pred_micro) AS BIGINT) AS sum_pred_micro,
+      |    CAST(SUM(p) AS BIGINT) AS n_pos
+      |  FROM base GROUP BY 1),
+      |g AS (
+      |  SELECT bin, n_b, n_pos, sum_pred_micro,
+      |    abs(n_pos * 1000000 - sum_pred_micro) AS gap_micro
+      |  FROM bins),
+      |tot AS (SELECT CAST(SUM(gap_micro) AS BIGINT) AS sum_gap,
+      |               CAST(SUM(n_b) AS BIGINT) AS n_total FROM g)
+      |SELECT bin, n_b, n_pos,
+      |  CAST(sum_pred_micro AS DOUBLE)
+      |    / (CAST(n_b AS DOUBLE) * 1e6) AS mean_pred,
+      |  CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE) AS obs_rate,
+      |  CAST(gap_micro AS DOUBLE)
+      |    / (CAST(n_b AS DOUBLE) * 1e6) AS bin_gap,
+      |  CAST(sum_gap AS DOUBLE)
+      |    / (CAST(n_total AS DOUBLE) * 1e6) AS ece
+      |FROM g, tot
+      |ORDER BY bin""".stripMargin
+  }
+}

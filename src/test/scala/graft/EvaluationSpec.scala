@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Evaluation
+
+/** First-principles driver-side replays for the evaluation family
+  * (the mandatory closed-form-stats discipline): each metric is
+  * recomputed from the collected (bounded) documents fixture with an
+  * INDEPENDENT algorithm — brute-force pairwise AUC instead of the
+  * midrank identity, a plain-double AP loop instead of the micro-grid
+  * cumulation — so a formula transcription bug that both engines
+  * faithfully compute cannot survive (the ljungBox lesson).
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private lazy val base: Array[(Long, Long, Boolean)] =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+  test("rocAuc: brute-force pairwise replay (wins + half-ties)") {
+    val pos = base.filter(_._3).map(_._2)
+    val neg = base.filterNot(_._3).map(_._2)
+    var wins2 = 0L // doubled: 2 per win, 1 per tie
+    for (a <- pos; b <- neg)
+      wins2 += (if (a > b) 2L else if (a == b) 1L else 0L)
+    val row = Evaluation.rocAuc(spark, sf).collect().head
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(row.getLong(2) == wins2,
+      s"u2_pos ${row.getLong(2)} != doubled pairwise wins $wins2")
+    val auc = wins2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(row.getDouble(3) - auc) < 1e-12)
+    assert(math.abs(row.getDouble(4) - (2 * auc - 1)) < 1e-12,
+      s"gini ${row.getDouble(4)} != ${2 * auc - 1}")
+  }
+
+  test("averagePrecision: plain-double ranked-loop replay") {
+    // independent algorithm: sort, walk, accumulate double precisions
+    val ranked = base.sortBy { case (id, len, _) => (-len, id) }
+    var cum = 0L
+    var apSum = 0.0
+    var p50 = 0.0
+    for (((_, _, p), i) <- ranked.zipWithIndex) {
+      val k = i + 1L
+      if (p) { cum += 1; apSum += cum.toDouble / k }
+      if (k == 50L) p50 = cum.toDouble / 50.0
+    }
+    val nPos = ranked.count(_._3)
+    val row = Evaluation.averagePrecision(spark, sf).collect().head
+    assert(row.getLong(0) == nPos && row.getLong(1) == ranked.length)
+    // the query truncates each precision@k to the micro grid, so it
+    // can sit at most 1e-6 below the true mean precision, never above
+    val ap = row.getDouble(2)
+    assert(ap <= apSum / nPos + 1e-12 && ap >= apSum / nPos - 1e-6,
+      s"avg_precision $ap vs replay ${apSum / nPos}")
+    assert(math.abs(row.getDouble(3) - p50) < 1e-12)
+  }
+
+  test("calibration: direct double ECE replay + bin-count conservation") {
+    val maxc = base.map(_._2).max
+    val binned = base.groupBy { case (_, len, _) =>
+      math.min(9L, (len * 1000000L / maxc) / 100000L)
+    }
+    var ece = 0.0
+    val n = base.length
+    for ((_, rows) <- binned) {
+      val pred = rows.map(r => (r._2 * 1000000L / maxc).toDouble / 1e6)
+      val obs = rows.count(_._3).toDouble / rows.length
+      ece += (rows.length.toDouble / n) * math.abs(obs - pred.sum / rows.length)
+    }
+    val out = Evaluation.calibration(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == n, "bin counts must conserve N")
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val got = out.head.getDouble(6)
+    assert(math.abs(got - ece) < 1e-9, s"ece $got != replay $ece")
+    assert(out.forall(r => r.getDouble(6) == got), "ece must be global")
+    for (r <- out) {
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+}
