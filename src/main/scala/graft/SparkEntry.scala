@@ -249,6 +249,7 @@ object SparkEntry {
     "stats_jarque_bera" -> (Relational.jarqueBera _),
     "stats_chi2_independence" -> (Relational.chi2Cells _),
     "stats_cramers_v" -> (Relational.cramersV _),
+    "stats_g_test" -> (Relational.gTest _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
     // time series
@@ -263,6 +264,7 @@ object SparkEntry {
     "ts_sample_entropy" -> (TimeSeries.sampleEntropy _),
     "ts_dickey_fuller" -> (TimeSeries.dickeyFuller _),
     "ts_pettitt" -> (TimeSeries.pettitt _),
+    "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -698,6 +700,7 @@ object SparkEntry {
     "stats_jarque_bera" -> Relational.jarqueBeraSql,
     "stats_chi2_independence" -> Relational.chi2CellsSql,
     "stats_cramers_v" -> Relational.cramersVSql,
+    "stats_g_test" -> Relational.gTestSql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
@@ -711,6 +714,7 @@ object SparkEntry {
     "ts_sample_entropy" -> TimeSeries.sampleEntropySql,
     "ts_dickey_fuller" -> TimeSeries.dickeyFullerSql,
     "ts_pettitt" -> TimeSeries.pettittSql,
+    "ts_ewma" -> TimeSeries.ewmaSql(),
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

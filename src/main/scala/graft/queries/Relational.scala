@@ -3539,6 +3539,76 @@ object Relational {
       |          * CAST(LEAST(n_priorities, n_years) - 1 AS DOUBLE))) AS cramers_v
       |FROM a""".stripMargin
 
+  // --- G-test (likelihood-ratio independence) -----------------------------------
+  /** Likelihood-ratio independence test on the same (priority × year)
+    * table — the information-theoretic twin of the Pearson χ² (Sokal &
+    * Rohlf's G-test; G = 2·Σ obs·ln(obs/expected) is 2N·MI(nats), so
+    * it is additive across table partitions where χ² is not, which is
+    * why log-linear modelling prefers it). Reported beside df so the
+    * two tests can be read against the same null distribution.
+    *
+    * Exactness: ln(obs/exp) = ln(obs·N) − ln(row·col) with each log
+    * rounded ONCE to integer micronats (both products ≤ N² ≈ 2.25e10
+    * at sf0.1, exactly representable doubles), so every per-cell term
+    * is an exact BIGINT and the grid sum is order-free; G is one IEEE
+    * division of the doubled exact sum. Cells with obs = 0 don't
+    * exist in the grouped grid, matching the G-test's 0·ln0 = 0
+    * convention.
+    *
+    * Shape: [[chi2Cells]]' one materialized fact aggregation; the
+    * 1-row (N, r, c) reduction of the bounded grid broadcasts back
+    * (allowlisted scalar class) and everything after is grid-sized.
+    */
+  def gTest(s: SparkSession, dir: String): DataFrame = {
+    val lnm = (c: Column) => round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val cells = chi2Cells(s, dir)
+      .select(col("o_orderpriority"), col("order_year"),
+        col("obs"), col("row_total"), col("col_total"))
+    val g = cells.agg(sum(col("obs")).as("n_rows"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"),
+      countDistinct(col("order_year")).as("n_years"))
+    cells.crossJoin(broadcast(g))
+      .select(col("n_rows"), col("n_priorities"), col("n_years"),
+        (col("obs") * (lnm(col("obs") * col("n_rows"))
+          - lnm(col("row_total") * col("col_total")))).as("term_micro"))
+      .groupBy(col("n_rows"), col("n_priorities"), col("n_years"))
+      .agg(sum(col("term_micro")).as("sum_micro"))
+      .select(col("n_rows"),
+        ((col("n_priorities") - 1L) * (col("n_years") - 1L)).as("df"),
+        ((col("sum_micro") * 2L).cast("double") / lit(1e6)).as("g2"))
+  }
+
+  val gTestSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT obs,
+      |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+      |      AS row_total,
+      |    CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS col_total
+      |  FROM cells),
+      |g AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_rows,
+      |             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+      |               AS n_priorities,
+      |             CAST(COUNT(DISTINCT y) AS BIGINT) AS n_years
+      |      FROM cells),
+      |t AS (
+      |  SELECT n_rows, n_priorities, n_years,
+      |    obs * (CAST(round(ln(CAST(obs * n_rows AS DOUBLE)) * 1e6) AS BIGINT)
+      |      - CAST(round(ln(CAST(row_total * col_total AS DOUBLE)) * 1e6)
+      |             AS BIGINT)) AS term_micro
+      |  FROM m, g),
+      |a AS (
+      |  SELECT n_rows, n_priorities, n_years,
+      |    CAST(SUM(term_micro) AS BIGINT) AS sum_micro
+      |  FROM t GROUP BY 1, 2, 3)
+      |SELECT n_rows,
+      |  CAST((n_priorities - 1) * (n_years - 1) AS BIGINT) AS df,
+      |  CAST(sum_micro * 2 AS DOUBLE) / 1e6 AS g2
+      |FROM a""".stripMargin
+
   // --- one-sample KS uniformity test -------------------------------------------
   /** One-sample Kolmogorov–Smirnov test of order WEEKDAY uniformity
     * (Kolmogorov 1933 / Smirnov 1948; discrete-support caveat per

@@ -1972,4 +1972,77 @@ object TimeSeries {
       |    / CAST(n_windows * CAST(round(ln(CAST(6.0 AS DOUBLE)) * 1e6)
       |                            AS BIGINT) AS DOUBLE) AS pe_norm
       |FROM h""".stripMargin
+
+  // --- exponentially weighted moving average -----------------------------------
+  /** EWMA of daily revenue with α = 1/5 — the recursive smoother
+    * behind every monitoring baseline (Roberts, Technometrics 1959:
+    * the EWMA control chart) and the one read [[cusumChangepoint]] /
+    * `events_anomaly_zscore` don't cover: a LEVEL estimate that
+    * forgets old data geometrically instead of equally weighting a
+    * fixed window ([[seasonalDecompose]]'s MA). Reports the last 60
+    * grid days with the smoothed level and the residual the chart
+    * alarms on.
+    *
+    * Determinism: the recursion runs on the integer MICROCENT grid —
+    * s_0 = y_0·10⁶, s_t = (y_t·10⁶ + 4·s_{t−1}) div 5 — truncating
+    * integer division both engines share, so all ~2.4k steps are
+    * bit-identical; the oracle replays the IDENTICAL integer
+    * recursion as a recursive CTE over the same day grid. Headroom:
+    * 5·s < 2⁶³ until daily revenue ≈ 1.8e16 cents (~SF 8e4).
+    * Residual y − (s div 10⁶) stays exact BIGINT; the reported level
+    * is one IEEE division per row.
+    *
+    * Scale: ONE map-side-combined fold of orders into the calendar
+    * day grid is the only data-sized work; the recursion itself is
+    * inherently sequential, so it runs driver-side over the COLLECTED
+    * grid (calendar-bounded — ~2.4k rows at ANY corpus size — the
+    * [[EventQueries.markovStationary]] metadata-bounded-collect
+    * precedent; a distributed window could not express the recursion
+    * and a 2.4k-step chain has no parallelism to exploit).
+    */
+  def ewma(s: SparkSession, dir: String, lastN: Int = 60): DataFrame = {
+    val series = dailyRevenue(s, dir)
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val sm = new Array[Long](series.length)
+    for (i <- series.indices)
+      sm(i) = if (i == 0) series(0)._2 * 1000000L
+      else (series(i)._2 * 1000000L + 4L * sm(i - 1)) / 5L
+    import s.implicits._
+    val from = series.length - math.min(lastN, series.length)
+    series.indices.drop(from)
+      .map { i =>
+        val (d, y) = series(i)
+        (d, y, sm(i), sm(i) / 1e6 / 100.0, y - sm(i) / 1000000L)
+      }
+      .toDF("d", "rev_cents", "ewma_microcents", "ewma_dollars",
+        "resid_cents")
+  }
+
+  /** DuckDB twin of [[ewma]] — the same integer recursion as a
+    * recursive CTE over the same day grid, derived from the SAME
+    * lastN parameter. */
+  def ewmaSql(lastN: Int = 60): String = {
+    val step = PortableSql.intDiv("g.y * 1000000 + 4 * it.s", "5")
+    val lvl = PortableSql.intDiv("s", "1000000")
+    s"""WITH RECURSIVE
+      |rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT d, y,
+      |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      |      FROM rev),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM g),
+      |it(i, d, y, s) AS (
+      |  SELECT i, d, y, y * 1000000 FROM g WHERE i = 1
+      |  UNION ALL
+      |  SELECT g.i, g.d, g.y, $step
+      |  FROM it JOIN g ON g.i = it.i + 1)
+      |SELECT d, y AS rev_cents, s AS ewma_microcents,
+      |  CAST(s AS DOUBLE) / 1e6 / 100.0 AS ewma_dollars,
+      |  y - $lvl AS resid_cents
+      |FROM it, n WHERE i > n_days - $lastN ORDER BY d""".stripMargin
+  }
 }

@@ -159,6 +159,61 @@ class StatsReplaySpec extends SparkSpec {
     assert(v.getDouble(4) >= 0.0 && v.getDouble(4) <= 1.0)
   }
 
+  test("gTest: plain-double likelihood-ratio replay on the same table") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val obs = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toDouble
+    // independent algorithm: G = 2·Σ obs·ln(obs/expected) in doubles
+    var g2 = 0.0
+    for (((p, y), o) <- obs) {
+      val e = rowT(p) * colT(y) / n
+      g2 += 2.0 * o * math.log(o / e)
+    }
+    val out = Relational.gTest(spark, sf).collect().head
+    assert(out.getLong(0) == rows.length)
+    assert(out.getLong(1) == (rowT.size - 1L) * (colT.size - 1L), "df")
+    // per-cell micronat rounding bounds: |err| ≤ obs·1e-6 per log, two
+    // logs per cell → total ≤ 2e-6·N·2 on the doubled sum
+    assert(math.abs(out.getDouble(2) - g2) < 4e-6 * n + 1e-9,
+      s"g2 ${out.getDouble(2)} != replay $g2")
+    assert(out.getDouble(2) >= 0.0 || math.abs(out.getDouble(2)) < 4e-6 * n)
+  }
+
+  test("ewma: plain-double recursion replay with truncation bound") {
+    val series = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    // independent algorithm: the textbook double recursion
+    val sm = new Array[Double](series.length)
+    for (i <- series.indices)
+      sm(i) = if (i == 0) series(0)._2.toDouble
+      else 0.2 * series(i)._2 + 0.8 * sm(i - 1)
+    val out = TimeSeries.ewma(spark, sf).collect()
+    assert(out.length == math.min(60, series.length))
+    val byD = series.map(_._1.toString).zipWithIndex.toMap
+    for (r <- out) {
+      val i = byD(r.getDate(0).toString)
+      // per-step truncation ≤ 1 microcent, geometric carry ⇒ ≤ 5 micro
+      val gotCents = r.getLong(2) / 1e6
+      assert(math.abs(gotCents - sm(i) / 1.0) < 1e-4 + 1e-9 * sm(i),
+        s"day ${r.getDate(0)}: ewma $gotCents != replay ${sm(i)}")
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(2) / 1000000L)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e6 / 100.0) < 1e-12)
+    }
+    // smoother must stay inside the series envelope
+    val (mn, mx) = (series.map(_._2).min, series.map(_._2).max)
+    assert(out.forall(r => r.getLong(2) >= (mn - 1) * 1000000L
+      && r.getLong(2) <= (mx + 1) * 1000000L))
+  }
+
   private lazy val docTokens: Array[(Long, String, Array[String])] =
     Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
