@@ -442,6 +442,7 @@ object SparkEntry {
     "embed_mmr_topk" -> ((s, d) => EmbeddingQueries.mmrTopK(s, d)),
     "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedup(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
+    "embed_silhouette" -> (EmbeddingQueries.silhouette _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
     "embed_dim_ablation" -> (EmbeddingQueries.dimAblation _),
     "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
@@ -837,6 +838,7 @@ object SparkEntry {
     "embed_intrinsic_dim" -> EmbeddingQueries.intrinsicDimSql(),
     "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
+    "embed_silhouette" -> EmbeddingQueries.silhouetteSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,
     "embed_dim_ablation" -> EmbeddingQueries.dimAblationSql,
     "multimodal_meta" -> Multimodal.mediaMetaSql,

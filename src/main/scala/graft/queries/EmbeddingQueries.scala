@@ -923,6 +923,115 @@ object EmbeddingQueries {
       |  sqrt(CAST(score AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000.0) AS dist
       |FROM r WHERE rnk <= 10 ORDER BY label, rnk""".stripMargin
 
+  // --- centroid silhouette -----------------------------------------------------
+  /** Per-label simplified (centroid) silhouette — the cluster-quality
+    * scorecard before trusting labels for stratified sampling or
+    * SemDeDup-style per-cluster dedup: s = (b − a)/max(a, b) with
+    * a = distance to the OWN label centroid and b = distance to the
+    * nearest OTHER centroid (the O(n·k) simplification of Rousseeuw
+    * 1987's O(n²) silhouette — the variant sklearn calls "simplified"
+    * and BigQuery ML ships, the only one that scales). Reports the
+    * per-label mean and the count of NEGATIVE-silhouette vectors
+    * (nearer to a foreign centroid than their own — the mislabel
+    * candidates [[outliersByLabel]] ranks within-label).
+    *
+    * Exactness: dims quantize to the MILLI grid ([[outliersByLabel]]'s
+    * contract); each vector-centroid distance² clears the centroid
+    * mean to the exact BIGINT Σ_d (n_l·q_d − S_l,d)², so dist² =
+    * num/n_l² is ONE correctly-rounded IEEE division of exact
+    * integers and the a/b comparisons and s chain (two sqrt, one
+    * subtract, one divide) are bit-identical across engines; s lands
+    * on the integer micro grid so per-label means are exact-BIGINT
+    * sums with one final division. Same overflow envelope as
+    * outliersByLabel (exact until n per label ≈ 4e6; past that the
+    * scale path divides first in doubles).
+    *
+    * Scale: one posexplode fold to the (label, dim) grid, then the
+    * labels·dims centroid table broadcasts into a NARROW map over the
+    * corpus (labels× row inflation, no pairwise stage, nothing
+    * data-sized crosses a second exchange) — the [[outliersByLabel]]
+    * shape extended from 1 to k centroids per row.
+    */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000)).cast("long")).as("q"))
+    val sums = e.select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d")).agg(sum(col("v")).as("sv"))
+    val cent = sums.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("sv")))),
+        st => st.getField("sv")).as("sv"))
+    val nPer = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val cn = cent.join(nPer, "label")
+      .select(col("label").as("c_label"), col("sv"), col("n"))
+    val scored = e.crossJoin(broadcast(cn))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (aggregate(zip_with(col("q"), col("sv"),
+          (qi, si) => (col("n") * qi - si) * (col("n") * qi - si)),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          / (col("n") * col("n")).cast("double")).as("dist2"))
+    val ab = scored.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("c_label"), col("dist2"))).as("a2"),
+        min(when(col("label") =!= col("c_label"), col("dist2"))).as("b2"))
+    val sil = ab.select(col("label"),
+      round(when(greatest(col("a2"), col("b2")) > 0.0,
+        (sqrt(col("b2")) - sqrt(col("a2")))
+          / sqrt(greatest(col("a2"), col("b2"))))
+        .otherwise(lit(0.0)) * lit(1e6)).cast("long").as("s_micro"))
+    sil.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("s_micro")).as("sum_micro"),
+        sum(when(col("s_micro") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("label"), col("n"),
+        (col("sum_micro").cast("double")
+          / (col("n").cast("double") * lit(1e6))).as("mean_silhouette"),
+        col("n_negative"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB twin of [[silhouette]]. list_sum over BIGINTs returns
+    * HUGEINT, whose direct →DOUBLE conversion is not correctly rounded
+    * (the r13 landmine) — both it and the micro-sum reduce to BIGINT
+    * before the final DOUBLE cast.
+    */
+  val silhouetteSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT label, unnest(q) AS v, unnest(range(1, length(q) + 1)) AS d
+      |  FROM e),
+      |sums AS (SELECT label, d, CAST(SUM(v) AS BIGINT) AS sv
+      |         FROM x GROUP BY label, d),
+      |cent AS (SELECT label, list(sv ORDER BY d) AS sv FROM sums GROUP BY label),
+      |np AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label),
+      |cn AS (SELECT cent.label AS c_label, sv, n
+      |       FROM cent JOIN np ON cent.label = np.label),
+      |d2 AS (
+      |  SELECT e.vec_id, e.label, cn.c_label,
+      |    CAST(CAST(list_sum(list_transform(range(1, length(q) + 1),
+      |      i -> (cn.n * q[i] - sv[i]) * (cn.n * q[i] - sv[i]))) AS BIGINT)
+      |      AS DOUBLE) / CAST(cn.n * cn.n AS DOUBLE) AS dist2
+      |  FROM e, cn),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    MAX(CASE WHEN label = c_label THEN dist2 END) AS a2,
+      |    MIN(CASE WHEN label <> c_label THEN dist2 END) AS b2
+      |  FROM d2 GROUP BY vec_id, label),
+      |sm AS (
+      |  SELECT label,
+      |    CAST(round((CASE WHEN GREATEST(a2, b2) > 0
+      |      THEN (sqrt(b2) - sqrt(a2)) / sqrt(GREATEST(a2, b2))
+      |      ELSE 0.0 END) * 1e6) AS BIGINT) AS s_micro
+      |  FROM ab)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(s_micro) AS BIGINT) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_silhouette,
+      |  CAST(SUM(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_negative
+      |FROM sm GROUP BY label ORDER BY label""".stripMargin
+
   // --- mutual-kNN graph --------------------------------------------------------
   /** Exact mutual-kNN graph over the (bounded) corpus: edge (a, b)
     * exists iff a is in b's cosine top-k AND b is in a's — the

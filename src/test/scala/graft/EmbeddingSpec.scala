@@ -382,4 +382,46 @@ class EmbeddingSpec extends SparkSpec {
     // 64-dim embeddings: the estimate must land in (0, 64]
     assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 64.0 + 1e-9)
   }
+
+  test("silhouette: driver-side brute-force replay of the milli-grid contract") {
+    val rows = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray.map(x => math.round(x * 1000))))
+    val byLabel = rows.groupBy(_._2)
+    val sums = byLabel.view.mapValues { vs =>
+      val s = new Array[Long](vs.head._3.length)
+      for ((_, _, q) <- vs; d <- q.indices) s(d) += q(d)
+      (vs.length.toLong, s)
+    }.toMap
+    def dist2(q: Array[Long], l: Int): Double = {
+      val (n, sv) = sums(l)
+      var num = 0L
+      for (d <- q.indices) { val t = n * q(d) - sv(d); num += t * t }
+      num.toDouble / (n * n).toDouble
+    }
+    val silByLabel = rows.groupBy(_._2).view.mapValues { vs =>
+      val micros = vs.map { case (_, l, q) =>
+        val a2 = dist2(q, l)
+        val b2 = sums.keys.filter(_ != l).map(dist2(q, _)).min
+        val s = if (math.max(a2, b2) > 0)
+          (math.sqrt(b2) - math.sqrt(a2)) / math.sqrt(math.max(a2, b2))
+        else 0.0
+        math.round(s * 1e6)
+      }
+      (vs.length.toLong, micros.sum.toDouble / (vs.length * 1e6),
+        micros.count(_ < 0L).toLong)
+    }.toMap
+    val out = EmbeddingQueries.silhouette(spark, sf).collect()
+    assert(out.length == silByLabel.size)
+    for (r <- out) {
+      val (n, mean, neg) = silByLabel(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-12,
+        s"label ${r.getInt(0)} mean ${r.getDouble(2)} != replay $mean")
+      assert(r.getLong(3) == neg, s"label ${r.getInt(0)} n_negative")
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
 }
