@@ -297,6 +297,7 @@ object SparkEntry {
     "eval_roc_auc" -> (Evaluation.rocAuc _),
     "eval_average_precision" -> (Evaluation.averagePrecision _),
     "eval_calibration" -> (Evaluation.calibration _),
+    "eval_self_retrieval_mrr" -> ((s, d) => Evaluation.selfRetrievalMrr(s, d)),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -748,6 +749,7 @@ object SparkEntry {
     "eval_roc_auc" -> Evaluation.rocAucSql,
     "eval_average_precision" -> Evaluation.averagePrecisionSql,
     "eval_calibration" -> Evaluation.calibrationSql,
+    "eval_self_retrieval_mrr" -> Evaluation.selfRetrievalMrrSql(),
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier/filter evaluation metrics over the documents corpus —
@@ -209,6 +210,148 @@ object Evaluation {
         (col("sum_gap").cast("double")
           / (col("n_total").cast("double") * lit(1e6))).as("ece"))
       .orderBy(col("bin"))
+  }
+
+  // --- BM25 self-retrieval MRR --------------------------------------------
+  /** Known-item self-retrieval scorecard: each query document's top
+    * TF-IDF keyword is issued as a one-term query against the whole
+    * corpus under BM25, and the metric is where the document ranks in
+    * its OWN keyword's result list — MRR plus hit@1/hit@10. This is
+    * the classic index-quality smoke test (a corpus whose documents
+    * can't be found by their own most-distinctive term has a broken
+    * tokenizer, a flooded vocabulary, or near-duplicate contamination
+    * — heavy duplication shows up directly as sunk self-ranks), run
+    * here over the first `nQueries` doc_ids.
+    *
+    * Determinism: keyword selection rides [[TextQueries.docKeywords]]'
+    * exact-BIGINT micronat tf-idf (term-asc tie-break); BM25 is
+    * [[TextQueries.bm25TopTerms]]' fixed IEEE tree on exact integers
+    * (rational Robertson idf, shared fp literals), bit-identical
+    * across engines, so the rank — 1 + count of strictly-better
+    * (score desc, doc_id asc) candidates — is an exact BIGINT
+    * computed by COUNTING, never by a global sort; reciprocal ranks
+    * land on the integer micro grid via `div`.
+    *
+    * Scale: ONE tokenize→(doc, term) aggregate is the only
+    * corpus-sized work (materialized — keyword selection, posting
+    * lookup, and dl all reuse it); the query keyword set is
+    * nQueries-bounded and broadcasts into a term-keyed semi-join that
+    * touches only those terms' posting lists; ranks are per-query
+    * counts over those lists (no window at all), and the report is a
+    * 1-row reduce.
+    */
+  def selfRetrievalMrr(s: SparkSession, dir: String,
+                       nQueries: Int = 100): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val tf = graft.Graft.materialize(
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_corpus"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // top-1 tf-idf keyword per query doc (docKeywords' exact contract)
+    val wKey = Window.partitionBy(col("doc_id"))
+      .orderBy(col("kscore").desc, col("term"))
+    // nQueries-bounded and read by three consumers — materialized so
+    // the keyword ranking runs once; columns are RENAMED (q_id/q_term)
+    // because keyw, qs, and cand all derive from the same tf and
+    // shared names would trip Spark's ambiguous-self-join check
+    val keyw = graft.Graft.materialize(
+      tf.filter(col("doc_id") < nQueries.toLong)
+        .join(df, "term")
+        .crossJoin(broadcast(stats.select(col("n_corpus"))))
+        .withColumn("kscore",
+          col("tf") * (lnMicro(col("n_corpus")) - lnMicro(col("df"))))
+        .withColumn("rnk", row_number().over(wKey))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id").as("q_id"), col("term").as("q_term")))
+    // BM25 over the keyword terms' posting lists only
+    val score = ((col("n_corpus") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5))) * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val cand = tf
+      .join(broadcast(
+        keyw.select(col("q_term").as("term")).distinct()), "term")
+      .join(dl, "doc_id").join(df, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), score.as("score"))
+    val qs = cand.join(broadcast(keyw),
+        col("term") === col("q_term") && col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("q_term"), col("score").as("q_score"))
+    // rank by counting strictly-better candidates (score desc, id asc)
+    val ranks = cand.join(broadcast(qs), col("term") === col("q_term"))
+      .groupBy(col("q_id"))
+      .agg((sum(when(col("score") > col("q_score"), 1L)
+        .when(col("score") === col("q_score")
+          && col("doc_id") < col("q_id"), 1L)
+        .otherwise(0L)) + lit(1L)).as("self_rank"),
+        count(lit(1)).as("n_candidates"))
+    ranks
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("self_rank") === 1L, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("self_rank") <= 10L, 1L).otherwise(0L)).as("hits_at_10"),
+        sum(expr("1000000L div self_rank")).as("rr_micro"),
+        sum(col("n_candidates")).as("n_postings"))
+      .select(col("n_queries"), col("hits_at_1"), col("hits_at_10"),
+        col("n_postings"),
+        (col("rr_micro").cast("double")
+          / (col("n_queries").cast("double") * lit(1e6))).as("mrr"))
+  }
+
+  def selfRetrievalMrrSql(nQueries: Int = 100): String = {
+    val rr = PortableSql.intDiv("1000000", "self_rank")
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM t WHERE len(term) > 0 GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |keyw AS (
+      |  SELECT doc_id AS q_id, term FROM (
+      |    SELECT tf.doc_id, tf.term,
+      |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+      |        tf * (CAST(round(ln(CAST(n_corpus AS DOUBLE)) * 1e6) AS BIGINT)
+      |            - CAST(round(ln(CAST(df AS DOUBLE)) * 1e6) AS BIGINT)) DESC,
+      |        tf.term) AS rnk
+      |    FROM tf JOIN df ON tf.term = df.term, st
+      |    WHERE tf.doc_id < $nQueries)
+      |  WHERE rnk = 1),
+      |cand AS (
+      |  SELECT tf.term, tf.doc_id,
+      |    ((st.n_corpus - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE))
+      |      * (tf.tf * 2.2::DOUBLE)
+      |      / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+      |         + 0.75::DOUBLE * dl.dl / st.avgdl)) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+      |  WHERE tf.term IN (SELECT term FROM keyw)),
+      |qs AS (
+      |  SELECT k.q_id, k.term, c.score AS q_score
+      |  FROM keyw k JOIN cand c ON c.term = k.term AND c.doc_id = k.q_id),
+      |ranks AS (
+      |  SELECT qs.q_id,
+      |    CAST(SUM(CASE WHEN c.score > qs.q_score THEN 1
+      |      WHEN c.score = qs.q_score AND c.doc_id < qs.q_id THEN 1
+      |      ELSE 0 END) + 1 AS BIGINT) AS self_rank,
+      |    CAST(COUNT(*) AS BIGINT) AS n_candidates
+      |  FROM cand c JOIN qs ON c.term = qs.term
+      |  GROUP BY qs.q_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(SUM(CASE WHEN self_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_1,
+      |  CAST(SUM(CASE WHEN self_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_10,
+      |  CAST(SUM(n_candidates) AS BIGINT) AS n_postings,
+      |  CAST(CAST(SUM($rr) AS BIGINT) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mrr
+      |FROM ranks""".stripMargin
   }
 
   val calibrationSql: String = {

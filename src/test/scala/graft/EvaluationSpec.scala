@@ -79,4 +79,52 @@ class EvaluationSpec extends SparkSpec {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
     }
   }
+
+  test("selfRetrievalMrr: driver-side brute-force replay of the contract") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty))
+    val tf = toks.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dl = tf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nCorpus = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nCorpus
+    def lnm(x: Double): Long = math.round(math.log(x) * 1e6)
+    // top-1 tf-idf keyword per query doc, term-asc tie-break
+    val keyw = tf.filter(_._1 < 100L).groupBy(_._1).view.mapValues { rows =>
+      rows.map { case (_, w, t) =>
+        (w, t * (lnm(nCorpus.toDouble) - lnm(df(w).toDouble)))
+      }.minBy { case (w, sc) => (-sc, w) }._1
+    }.toMap
+    def bm25(t: Long, d: Long, docId: Long): Double =
+      ((nCorpus - d + 0.5) / (d + 0.5)) * (t * 2.2) /
+        (t + 1.2 * (0.25 + 0.75 * dl(docId) / avgdl))
+    val postings = tf.groupBy(_._2)
+    var rrSum = 0L
+    var h1 = 0L; var h10 = 0L; var nPost = 0L
+    for ((q, term) <- keyw) {
+      val cand = postings(term)
+        .map { case (id, _, t) => (id, bm25(t, df(term), id)) }
+      val qScore = cand.find(_._1 == q).get._2
+      val rank = 1 + cand.count { case (id, sc) =>
+        sc > qScore || (sc == qScore && id < q)
+      }
+      rrSum += 1000000L / rank
+      if (rank == 1) h1 += 1
+      if (rank <= 10) h10 += 1
+      nPost += cand.length
+    }
+    val row = Evaluation.selfRetrievalMrr(spark, sf).collect().head
+    assert(row.getLong(0) == keyw.size, "n_queries")
+    assert(row.getLong(1) == h1, s"hits_at_1 ${row.getLong(1)} != $h1")
+    assert(row.getLong(2) == h10, s"hits_at_10 ${row.getLong(2)} != $h10")
+    assert(row.getLong(3) == nPost, "n_postings")
+    val mrr = rrSum.toDouble / (keyw.size * 1e6)
+    assert(math.abs(row.getDouble(4) - mrr) < 1e-12,
+      s"mrr ${row.getDouble(4)} != replay $mrr")
+    assert(mrr > 0.0 && mrr <= 1.0)
+  }
 }
