@@ -250,6 +250,7 @@ object SparkEntry {
     "stats_chi2_independence" -> (Relational.chi2Cells _),
     "stats_cramers_v" -> (Relational.cramersV _),
     "stats_g_test" -> (Relational.gTest _),
+    "stats_trimmed_mean" -> ((s, d) => Relational.trimmedMean(s, d)),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
     // time series
@@ -265,6 +266,8 @@ object SparkEntry {
     "ts_dickey_fuller" -> (TimeSeries.dickeyFuller _),
     "ts_pettitt" -> (TimeSeries.pettitt _),
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
+    "ts_holt_linear" -> ((s, d) => TimeSeries.holtLinear(s, d)),
+    "ts_rolling_median" -> (TimeSeries.rollingMedian _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -703,6 +706,7 @@ object SparkEntry {
     "stats_chi2_independence" -> Relational.chi2CellsSql,
     "stats_cramers_v" -> Relational.cramersVSql,
     "stats_g_test" -> Relational.gTestSql,
+    "stats_trimmed_mean" -> Relational.trimmedMeanSql(),
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
@@ -717,6 +721,8 @@ object SparkEntry {
     "ts_dickey_fuller" -> TimeSeries.dickeyFullerSql,
     "ts_pettitt" -> TimeSeries.pettittSql,
     "ts_ewma" -> TimeSeries.ewmaSql(),
+    "ts_holt_linear" -> TimeSeries.holtLinearSql(),
+    "ts_rolling_median" -> TimeSeries.rollingMedianSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

@@ -3539,6 +3539,70 @@ object Relational {
       |          * CAST(LEAST(n_priorities, n_years) - 1 AS DOUBLE))) AS cramers_v
       |FROM a""".stripMargin
 
+  // --- trimmed mean --------------------------------------------------------------
+  /** Two-sided 10% trimmed mean of order value — the robust location
+    * beside `winsorize_stats` (winsorizing CLAMPS the tails to the cut
+    * values; trimming DROPS them — Tukey's preferred estimator when
+    * outliers are bad records rather than extreme-but-real values).
+    * Reports the ordinary mean beside it so the gap reads as tail
+    * influence.
+    *
+    * Contract: k = n·pct div 100 rows trimmed from EACH side of the
+    * (cents, orderkey) tie-free total order; both engines compute the
+    * identical integer k and the identical kept set, so both sums are
+    * exact BIGINT cents and each mean is one IEEE division (the sums
+    * reduce to BIGINT before the DOUBLE cast per the r13 rule;
+    * measured headroom ≈ 390× at sf0.1, inside the margin gate).
+    *
+    * Scale: the global rank rides [[graft.Graft.rankedByRange]]
+    * (range-partitioned two-pass, never a single-partition
+    * row_number); everything after is a 1-row reduce.
+    */
+  def trimmedMean(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * lit(100)).cast("long").as("c"))
+    val ranked = Graft.rankedByRange(base, col("c"), col("o_orderkey"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("c")).as("sum_all"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("k_trim", expr(s"(n * $pct) div 100"))
+      .filter(col("i") > col("k_trim")
+        && col("i") <= col("n") - col("k_trim"))
+      .groupBy(col("n"), col("k_trim"), col("sum_all"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("sum_kept"))
+      .select(col("n"), col("k_trim"), col("n_kept"),
+        (col("sum_kept").cast("double")
+          / (col("n_kept").cast("double") * lit(100.0))).as("trimmed_mean"),
+        (col("sum_all").cast("double")
+          / (col("n").cast("double") * lit(100.0))).as("mean"))
+  }
+
+  def trimmedMeanSql(pct: Int = 10): String = {
+    val k = PortableSql.intDiv(s"n * $pct", "100")
+    s"""WITH base AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |r AS (
+      |  SELECT c,
+      |    CAST(row_number() OVER (ORDER BY c, o_orderkey) AS BIGINT) AS i
+      |  FROM base),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(c) AS BIGINT) AS sum_all FROM r),
+      |kept AS (
+      |  SELECT n, $k AS k_trim, sum_all,
+      |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(SUM(c) AS BIGINT) AS sum_kept
+      |  FROM r, tot
+      |  WHERE i > $k AND i <= n - ($k)
+      |  GROUP BY n, k_trim, sum_all)
+      |SELECT n, k_trim, n_kept,
+      |  CAST(sum_kept AS DOUBLE) / (CAST(n_kept AS DOUBLE) * 100.0)
+      |    AS trimmed_mean,
+      |  CAST(sum_all AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean
+      |FROM kept""".stripMargin
+  }
+
   // --- G-test (likelihood-ratio independence) -----------------------------------
   /** Likelihood-ratio independence test on the same (priority × year)
     * table — the information-theoretic twin of the Pearson χ² (Sokal &

@@ -2019,6 +2019,157 @@ object TimeSeries {
         "resid_cents")
   }
 
+  // --- trailing rolling median / IQR ---------------------------------------------
+  /** Trailing 7-day rolling median and quartiles of daily revenue —
+    * the robust local baseline monitoring uses where [[ewma]] is the
+    * smooth one (a single spiked day drags a mean-based baseline but
+    * not the median; dev/IQR is the robust z the alarm thresholds).
+    * Full windows only (the [[seasonalDecompose]] edge rule: the
+    * first 6 grid days have no 7-day history).
+    *
+    * Determinism: with EXACTLY 7 values the order statistics need no
+    * interpolation contract at all — median = 3rd, quartiles = 1st
+    * and 5th of the sorted window (positions (n+1)/4, (n+1)/2,
+    * 3(n+1)/4 are integral at n = 7) — so med/q1/q3/IQR/deviation are
+    * all exact BIGINT cents; dev/IQR is the one IEEE division. Both
+    * engines collect the frame in d-order and sort it, so the lists
+    * are identical.
+    *
+    * Scale: one fold of orders into the materialized calendar day
+    * grid; the 7-row trailing window rides that bounded grid
+    * (allowlisted class).
+    */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val series = Graft.materialize(dailyRevenue(s, dir))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+    series
+      .withColumn("win", collect_list(col("rev_cents")).over(w))
+      .filter(size(col("win")) === 7)
+      .withColumn("srt", array_sort(col("win")))
+      .select(col("d"), col("rev_cents"),
+        element_at(col("srt"), 4).as("med7_cents"),
+        element_at(col("srt"), 2).as("q1_cents"),
+        element_at(col("srt"), 6).as("q3_cents"))
+      .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+      .withColumn("dev_cents", col("rev_cents") - col("med7_cents"))
+      .withColumn("dev_over_iqr",
+        when(col("iqr_cents") > 0L,
+          col("dev_cents").cast("double") / col("iqr_cents").cast("double")))
+      .orderBy(col("d"))
+  }
+
+  val rollingMedianSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT d, y, list_sort(list(y) OVER (ORDER BY d
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS srt
+      |  FROM rev),
+      |full_ AS (
+      |  SELECT d, y AS rev_cents, srt[4] AS med7_cents,
+      |    srt[2] AS q1_cents, srt[6] AS q3_cents
+      |  FROM win WHERE len(srt) = 7)
+      |SELECT d, rev_cents, med7_cents, q1_cents, q3_cents,
+      |  q3_cents - q1_cents AS iqr_cents,
+      |  rev_cents - med7_cents AS dev_cents,
+      |  CASE WHEN q3_cents - q1_cents > 0 THEN
+      |    CAST(rev_cents - med7_cents AS DOUBLE)
+      |      / CAST(q3_cents - q1_cents AS DOUBLE) END AS dev_over_iqr
+      |FROM full_ ORDER BY d""".stripMargin
+
+  // --- Holt linear-trend smoothing ----------------------------------------------
+  /** Holt's linear (double-exponential) smoothing of daily revenue
+    * with α = 1/5, β = 1/10 — the trend-aware successor to [[ewma]]
+    * (Holt 1957/2004): a level that forgets geometrically PLUS a
+    * smoothed slope, which is what a capacity planner actually wants
+    * from a growing series (EWMA systematically lags a trending
+    * level; Holt's one-step-ahead forecast l + b does not). Reports
+    * the last 30 grid days with level, trend, the one-step-ahead
+    * fitted value f_t = l_{t−1} + b_{t−1}, and its residual — the
+    * in-sample forecast error the chart alarms on.
+    *
+    * Determinism: both recursions stay on the integer MICROCENT grid
+    *   l_t = (y_t·10⁶ + 4·(l_{t−1} + b_{t−1})) div 5
+    *   b_t = ((l_t − l_{t−1}) + 9·b_{t−1}) div 10
+    * seeded l₁ = y₁·10⁶, b₁ = (y₂ − y₁)·10⁶ — `div` truncates toward
+    * zero for the (possibly negative) trend in BOTH engines (Scala
+    * Long division == DuckDB's (a − a%b)/b spelling), so all ~2.4k
+    * steps are bit-identical and the oracle replays the IDENTICAL
+    * two-state integer recursion as a recursive CTE. Every reported
+    * double is one IEEE division.
+    *
+    * Scale: identical posture to [[ewma]] — one fold of orders into
+    * the calendar day grid, then an inherently sequential recursion
+    * over the COLLECTED calendar-bounded grid (driver-side, the
+    * markov_stationary precedent).
+    */
+  def holtLinear(s: SparkSession, dir: String, lastN: Int = 30): DataFrame = {
+    val series = dailyRevenue(s, dir)
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(series.length >= 2, "holtLinear needs at least two grid days")
+    val l = new Array[Long](series.length)
+    val b = new Array[Long](series.length)
+    val f = new Array[Long](series.length)
+    for (i <- series.indices) {
+      if (i == 0) {
+        l(0) = series(0)._2 * 1000000L
+        b(0) = (series(1)._2 - series(0)._2) * 1000000L
+        f(0) = l(0)
+      } else {
+        f(i) = l(i - 1) + b(i - 1)
+        l(i) = (series(i)._2 * 1000000L + 4L * f(i)) / 5L
+        b(i) = ((l(i) - l(i - 1)) + 9L * b(i - 1)) / 10L
+      }
+    }
+    import s.implicits._
+    val from = series.length - math.min(lastN, series.length)
+    series.indices.drop(from)
+      .map { i =>
+        val (d, y) = series(i)
+        (d, y, l(i), b(i), f(i), y * 1000000L - f(i),
+          l(i) / 1e6 / 100.0, b(i) / 1e6 / 100.0)
+      }
+      .toDF("d", "rev_cents", "level_micro", "trend_micro", "fitted_micro",
+        "resid_micro", "level_dollars", "trend_dollars")
+  }
+
+  /** DuckDB twin of [[holtLinear]] — the identical two-state integer
+    * recursion as a recursive CTE, derived from the SAME lastN. */
+  def holtLinearSql(lastN: Int = 30): String = {
+    val lStep = PortableSql.intDiv("g.y * 1000000 + 4 * (it.l + it.b)", "5")
+    s"""WITH RECURSIVE
+      |rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT d, y,
+      |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      |      FROM rev),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM g),
+      |it(i, d, y, l, b, f) AS (
+      |  SELECT g1.i, g1.d, g1.y, g1.y * 1000000,
+      |    (g2.y - g1.y) * 1000000, g1.y * 1000000
+      |  FROM g g1 JOIN g g2 ON g1.i = 1 AND g2.i = 2
+      |  UNION ALL
+      |  SELECT g.i, g.d, g.y,
+      |    $lStep,
+      |    ${PortableSql.intDiv(
+             s"(${PortableSql.intDiv("g.y * 1000000 + 4 * (it.l + it.b)", "5")}" +
+               " - it.l) + 9 * it.b", "10")},
+      |    it.l + it.b
+      |  FROM it JOIN g ON g.i = it.i + 1)
+      |SELECT d, y AS rev_cents, l AS level_micro, b AS trend_micro,
+      |  f AS fitted_micro, y * 1000000 - f AS resid_micro,
+      |  CAST(l AS DOUBLE) / 1e6 / 100.0 AS level_dollars,
+      |  CAST(b AS DOUBLE) / 1e6 / 100.0 AS trend_dollars
+      |FROM it, n WHERE i > n_days - $lastN ORDER BY d""".stripMargin
+  }
+
   /** DuckDB twin of [[ewma]] — the same integer recursion as a
     * recursive CTE over the same day grid, derived from the SAME
     * lastN parameter. */

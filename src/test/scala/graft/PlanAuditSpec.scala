@@ -420,6 +420,8 @@ class PlanAuditSpec extends SparkSpec {
       // Graft.materialize (the checkpoint truncates the visible plan),
       // so the sweep sees it clean — the bounded-grid argument lives in
       // its scaladoc
+      "ts_rolling_median" ->
+        "7-row trailing list window over the calendar day grid",
       "ts_seasonal_strength" ->
         "moving-average/cumulative-moment windows over the calendar day grid",
       "ts_peaks" ->

@@ -214,6 +214,89 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("trimmedMean: driver-side sorted-trim replay") {
+    val cents = Tables.load(spark, sf, "orders")
+      .select((col("o_totalprice").cast("decimal(18,6)") * lit(100))
+        .cast("long").as("c"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (c, k) => (c, k) }.map(_._1)
+    val n = cents.length
+    val k = n * 10 / 100
+    val kept = cents.slice(k, n - k)
+    val row = Relational.trimmedMean(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == k)
+    assert(row.getLong(2) == kept.length)
+    val tm = kept.sum.toDouble / (kept.length * 100.0)
+    val m = cents.sum.toDouble / (n * 100.0)
+    assert(math.abs(row.getDouble(3) - tm) < 1e-9, s"trimmed ${row.getDouble(3)} != $tm")
+    assert(math.abs(row.getDouble(4) - m) < 1e-9)
+    // the trimmed mean must lie inside the kept envelope
+    assert(row.getDouble(3) >= kept.head / 100.0 - 1e-9
+      && row.getDouble(3) <= kept.last / 100.0 + 1e-9)
+  }
+
+  test("rollingMedian: driver-side sorted-window replay") {
+    val series = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val expected = series.indices.drop(6).map { i =>
+      val win = (i - 6 to i).map(series(_)._2).sorted
+      series(i)._1 -> ((win(3), win(1), win(5)))
+    }.toMap
+    val out = TimeSeries.rollingMedian(spark, sf).collect()
+    assert(out.length == series.length - 6)
+    for (r <- out) {
+      val (med, q1, q3) = expected(r.getDate(0).toString)
+      assert(r.getLong(2) == med && r.getLong(3) == q1 && r.getLong(4) == q3,
+        s"day ${r.getDate(0)}: (${r.getLong(2)},${r.getLong(3)},${r.getLong(4)})"
+          + s" != ($med,$q1,$q3)")
+      assert(r.getLong(5) == q3 - q1)
+      assert(r.getLong(6) == r.getLong(1) - med)
+    }
+  }
+
+  test("holtLinear: plain-double two-state recursion replay") {
+    val series = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    // independent algorithm: textbook double Holt with alpha=.2 beta=.1
+    val l = new Array[Double](series.length)
+    val b = new Array[Double](series.length)
+    val f = new Array[Double](series.length)
+    for (i <- series.indices) {
+      if (i == 0) {
+        l(0) = series(0)._2.toDouble
+        b(0) = (series(1)._2 - series(0)._2).toDouble
+        f(0) = l(0)
+      } else {
+        f(i) = l(i - 1) + b(i - 1)
+        l(i) = 0.2 * series(i)._2 + 0.8 * f(i)
+        b(i) = 0.1 * (l(i) - l(i - 1)) + 0.9 * b(i - 1)
+      }
+    }
+    val out = TimeSeries.holtLinear(spark, sf).collect()
+    assert(out.length == math.min(30, series.length))
+    val byD = series.map(_._1.toString).zipWithIndex.toMap
+    for (r <- out) {
+      val i = byD(r.getDate(0).toString)
+      // truncation carries ≤ tens of microcents through both states
+      assert(math.abs(r.getLong(2) / 1e6 - l(i)) < 1e-3 + 1e-9 * math.abs(l(i)),
+        s"day ${r.getDate(0)}: level ${r.getLong(2) / 1e6} != replay ${l(i)}")
+      assert(math.abs(r.getLong(3) / 1e6 - b(i)) < 1e-3 + 1e-9 * math.abs(b(i)),
+        s"day ${r.getDate(0)}: trend ${r.getLong(3) / 1e6} != replay ${b(i)}")
+      assert(r.getLong(5) == r.getLong(1) * 1000000L - r.getLong(4))
+      assert(math.abs(r.getDouble(6) - r.getLong(2) / 1e6 / 100.0) < 1e-12)
+    }
+  }
+
   private lazy val docTokens: Array[(Long, String, Array[String])] =
     Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
