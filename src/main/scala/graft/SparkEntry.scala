@@ -229,6 +229,7 @@ object SparkEntry {
     "graph_triangles_partitioned" ->
       ((s, d) => GraphQueries.triangleCount(s, d, broadcastAdj = false)),
     "graph_khop_reach" -> ((s, d) => GraphQueries.khopReach(s, d)),
+    "graph_closeness_sampled" -> ((s, d) => GraphQueries.closenessSampled(s, d)),
     "graph_sssp" -> ((s, d) => GraphQueries.ssspBounded(s, d)),
     "graph_assortativity" -> (GraphQueries.assortativity _),
     "graph_avg_neighbor_degree" -> (GraphQueries.avgNeighborDegree _),
@@ -685,6 +686,7 @@ object SparkEntry {
     "graph_triangles" -> GraphQueries.triangleCountSql,
     "graph_triangles_partitioned" -> GraphQueries.triangleCountSql,
     "graph_khop_reach" -> GraphQueries.khopReachSql,
+    "graph_closeness_sampled" -> GraphQueries.closenessSampledSql,
     "graph_sssp" -> GraphQueries.ssspBoundedSql,
     "graph_assortativity" -> GraphQueries.assortativitySql,
     "graph_avg_neighbor_degree" -> GraphQueries.avgNeighborDegreeSql,

@@ -671,6 +671,75 @@ object GraphQueries {
       .orderBy(col("root"), col("hop"))
   }
 
+  // --- sampled harmonic closeness centrality -----------------------------------
+  /** Harmonic closeness centrality for the bounded seed set, truncated
+    * at `hops` BFS levels — Boldi & Vigna's "Axioms for Centrality"
+    * (Internet Math. 2014) harmonic variant, the one that stays
+    * well-defined on disconnected graphs (unreached nodes contribute
+    * exactly 0 instead of breaking the mean-distance form). Truncation
+    * is the standard scale posture: every node beyond `hops` would add
+    * < 1/hops, and the hop profile comes from the SAME bounded-BFS
+    * machinery as [[khopReach]] — this is the centrality READ of that
+    * expansion profile. Normalized by N−1 (all trade-graph nodes), so
+    * 1.0 = "adjacent to everyone".
+    *
+    * Determinism: per-hop reciprocals land on the integer micro grid
+    * via `div` (1e6, 5e5, 333333 at hops ≤ 3), so the harmonic sum is
+    * an exact BIGINT and the normalized score one IEEE division.
+    *
+    * Scale: inherits khopReach's Pregel-on-dataframes posture — the
+    * edge list materialized once and hash-partitioned on src,
+    * frontier-sized joins per level, LEFT ANTI visited dedup; the
+    * closeness fold is |seeds|·hops-sized.
+    */
+  def closenessSampled(s: SparkSession, dir: String,
+                       hops: Int = 3, seedMax: Long = 10): DataFrame = {
+    val reach = khopReach(s, dir, hops, seedMax)
+    val nTotal = Tables.load(s, dir, "customer")
+      .agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(
+        Tables.load(s, dir, "supplier").agg(count(lit(1)).as("ns"))))
+      .select((col("nc") + col("ns")).as("n_nodes_total"))
+    reach.groupBy(col("root"))
+      .agg(sum(col("n_nodes")).as("n_reached"),
+        sum(col("n_nodes") * expr("1000000L div hop")).as("harmonic_micro"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("root"), col("n_reached"), col("n_nodes_total"),
+        col("harmonic_micro"),
+        (col("harmonic_micro").cast("double")
+          / ((col("n_nodes_total") - 1L).cast("double") * lit(1e6)))
+          .as("harmonic_closeness"))
+      .orderBy(col("root"))
+  }
+
+  val closenessSampledSql: String = {
+    val rh = PortableSql.intDiv("1000000", "hop")
+    s"""WITH RECURSIVE ce AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM ce
+      |          UNION SELECT dst, src FROM ce),
+      |walk(root, node, hop) AS (
+      |  SELECT c_custkey, 'c' || CAST(c_custkey AS VARCHAR), 0
+      |  FROM customer WHERE c_custkey <= 10
+      |  UNION
+      |  SELECT w.root, e.dst, w.hop + 1
+      |  FROM walk w JOIN edges e ON w.node = e.src
+      |  WHERE w.hop < 3),
+      |best AS (SELECT root, node, CAST(MIN(hop) AS BIGINT) AS hop
+      |         FROM walk GROUP BY root, node),
+      |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+      |             + (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier)
+      |             AS n_nodes_total)
+      |SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached, n_nodes_total,
+      |  CAST(SUM($rh) AS BIGINT) AS harmonic_micro,
+      |  CAST(CAST(SUM($rh) AS BIGINT) AS DOUBLE)
+      |    / (CAST(n_nodes_total - 1 AS DOUBLE) * 1e6) AS harmonic_closeness
+      |FROM best, tot
+      |WHERE hop > 0 GROUP BY root, n_nodes_total ORDER BY root""".stripMargin
+  }
+
   // --- partition modularity ---------------------------------------------------
   /** Newman modularity of the NATION partition over the trade graph:
     * per community c, `Q_c = e_c/2m − (d_c/2m)²` where e_c counts

@@ -214,6 +214,46 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("closenessSampled: driver-side BFS harmonic replay") {
+    // independent algorithm: plain BFS over the collected trade edges
+    val ordersK = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .foreach { r =>
+        for (c <- ordersK.get(r.getLong(0))) {
+          val (a, b) = (s"c$c", s"s${r.getLong(1)}")
+          adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+        }
+      }
+    val nTotal = Tables.load(spark, sf, "customer").count() +
+      Tables.load(spark, sf, "supplier").count()
+    val out = GraphQueries.closenessSampled(spark, sf).collect()
+    for (r <- out) {
+      val root = s"c${r.getLong(0)}"
+      var frontier = Set(root)
+      var visited = Set(root)
+      var harm = 0L
+      var reached = 0L
+      for (h <- 1 to 3) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(visited)
+        visited ++= frontier
+        harm += frontier.size * (1000000L / h)
+        reached += frontier.size
+      }
+      assert(r.getLong(1) == reached, s"root $root n_reached")
+      assert(r.getLong(2) == nTotal)
+      assert(r.getLong(3) == harm, s"root $root harmonic_micro")
+      assert(math.abs(r.getDouble(4)
+        - harm.toDouble / ((nTotal - 1) * 1e6)) < 1e-12)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("trimmedMean: driver-side sorted-trim replay") {
     val cents = Tables.load(spark, sf, "orders")
       .select((col("o_totalprice").cast("decimal(18,6)") * lit(100))
