@@ -269,6 +269,10 @@ object SparkEntry {
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
     "ts_holt_linear" -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_rolling_median" -> (TimeSeries.rollingMedian _),
+    "ts_forecast_backtest" -> ((s, d) => TimeSeries.forecastBacktest(s, d)),
+    "stats_dispersion_index" -> (TimeSeries.dispersionIndex _),
+    "drift_qq_deciles" -> (Drift.qqDeciles _),
+    "eval_pr_threshold_sweep" -> (Evaluation.prThresholdSweep _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -725,6 +729,10 @@ object SparkEntry {
     "ts_ewma" -> TimeSeries.ewmaSql(),
     "ts_holt_linear" -> TimeSeries.holtLinearSql(),
     "ts_rolling_median" -> TimeSeries.rollingMedianSql,
+    "ts_forecast_backtest" -> TimeSeries.forecastBacktestSql(),
+    "stats_dispersion_index" -> TimeSeries.dispersionIndexSql,
+    "drift_qq_deciles" -> Drift.qqDecilesSql,
+    "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,
     "ts_theil_sen" -> TimeSeries.theilSenSql,

@@ -571,4 +571,96 @@ object Drift {
       |  CASE WHEN c_factor > 0 THEN chi2_f / c_factor
       |       ELSE NULL END AS chi2_f_tie_adj
       |FROM f""".stripMargin
+
+  // --- Q-Q decile table --------------------------------------------------------
+  /** Decile-by-decile quantile comparison (the Q-Q plot, tabulated)
+    * between the temporal halves — WHERE the distribution moved, which
+    * the single-number [[ks]] / [[mannWhitney]] / [[welchTTest]]
+    * summaries can't say (a tail-only shift and a uniform shift can
+    * share a KS statistic; their Q-Q rows look nothing alike).
+    *
+    * Contract: nearest-rank quantiles on the cent grid — q_d = the
+    * smallest value whose inclusive cumulative count reaches
+    * ⌈d·n/10⌉ = (d·n + 9) div 10 — so every reported quantile is an
+    * exact data value (no interpolation to disagree on) and the b/a
+    * ratio is the one IEEE division.
+    *
+    * Scale: per-side per-VALUE counts collapse the stream first; the
+    * running CDF rides [[graft.Graft.cumSumByRange]]; each of the 9
+    * thresholds then matches EXACTLY ONE value row via the
+    * (cum − cnt, cum] interval condition — a 9-row broadcast against
+    * the value grid, never a rank window or a per-decile re-scan.
+    */
+  def qqDeciles(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * 100).cast("long")
+    val perValue = sided(s, dir).select(col("side"), c.as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val cum = graft.Graft.materialize(
+      graft.Graft.cumSumByRange(perValue, Seq(col("c")),
+        Seq(col("ca") -> "cum_a", col("cb") -> "cum_b")))
+    val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val dec = tot
+      .select(col("na"), col("nb"),
+        explode(sequence(lit(1L), lit(9L))).as("d"))
+      .select(col("d"),
+        expr("(d * na + 9) div 10").as("thr_a"),
+        expr("(d * nb + 9) div 10").as("thr_b"))
+    val qa = cum.join(broadcast(dec),
+        col("cum_a") >= col("thr_a")
+          && col("cum_a") - col("ca") < col("thr_a"))
+      .select(col("d"), col("c").as("qa_cents"))
+    // db rename: qa.d and qb.d would carry the SAME attribute id (both
+    // descend from dec), tripping Spark's ambiguous-self-join check
+    val qb = cum.join(broadcast(dec),
+        col("cum_b") >= col("thr_b")
+          && col("cum_b") - col("cb") < col("thr_b"))
+      .select(col("d").as("db"), col("c").as("qb_cents"))
+    qa.join(qb, col("d") === col("db"))
+      .select(col("d").as("decile"), col("qa_cents"), col("qb_cents"),
+        (col("qb_cents") - col("qa_cents")).as("diff_cents"),
+        when(col("qa_cents") =!= 0L, col("qb_cents").cast("double")
+          / col("qa_cents").cast("double")).as("ratio_b_over_a"))
+      .orderBy(col("decile"))
+  }
+
+  val qqDecilesSql: String = {
+    val mid = PortableSql.intDiv("mn + mx", "2")
+    val thrA = PortableSql.intDiv("d * na + 9", "10")
+    val thrB = PortableSql.intDiv("d * nb + 9", "10")
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us,
+      |              CAST(round(value * 100) AS BIGINT) AS c
+      |            FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < $mid THEN 'a' ELSE 'b' END AS side, c
+      |  FROM ev, b),
+      |pv AS (
+      |  SELECT c,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sided GROUP BY c),
+      |cum AS (
+      |  SELECT c, ca, cb,
+      |    CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+      |  FROM pv WINDOW w AS (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |               CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+      |dec AS (SELECT unnest(range(1, 10)) AS d, na, nb FROM tot),
+      |qa AS (
+      |  SELECT d, c AS qa_cents FROM cum, dec
+      |  WHERE cum_a >= $thrA AND cum_a - ca < $thrA),
+      |qb AS (
+      |  SELECT d, c AS qb_cents FROM cum, dec
+      |  WHERE cum_b >= $thrB AND cum_b - cb < $thrB)
+      |SELECT qa.d AS decile, qa_cents, qb_cents,
+      |  qb_cents - qa_cents AS diff_cents,
+      |  CASE WHEN qa_cents <> 0 THEN CAST(qb_cents AS DOUBLE)
+      |    / CAST(qa_cents AS DOUBLE) END AS ratio_b_over_a
+      |FROM qa JOIN qb ON qa.d = qb.d
+      |ORDER BY decile""".stripMargin
+  }
 }

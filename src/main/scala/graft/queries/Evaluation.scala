@@ -212,6 +212,77 @@ object Evaluation {
       .orderBy(col("bin"))
   }
 
+  // --- precision/recall threshold sweep ------------------------------------
+  /** Precision / recall / F1 of the length classifier at 11 evenly
+    * spaced thresholds t_i = i·max/10 — the OPERATING-POINT view that
+    * [[rocAuc]]'s threshold-free summary hides (a filter ships with
+    * ONE threshold; this is the table you pick it from). Predict
+    * positive iff n_chars ≥ t_i.
+    *
+    * Exactness: thresholds are integers via `div`, the per-threshold
+    * confusion cells are exact BIGINT counts, and precision / recall /
+    * F1 = 2TP/(2TP+FP+FN) are ONE IEEE division each (never chained
+    * through each other). Degenerate cells yield NULL, not NaN.
+    *
+    * Scale: an 11-row threshold grid broadcasts into the corpus scan
+    * (11× inflation in a narrow codegen'd map), one map-side-combined
+    * fold back to the grid. Nothing after the fold scales with SF.
+    */
+  def prThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val mx = docs(s, dir).agg(max(col("n_chars")).as("maxc"))
+    val grid = docs(s, dir)
+      .crossJoin(broadcast(mx))
+      .select(col("n_chars"), isPos.as("p"), col("maxc"),
+        explode(sequence(lit(0L), lit(10L))).as("i"))
+      .select(col("i"), col("p"),
+        (col("n_chars") >= expr("(maxc * i) div 10")).as("pred"))
+      .groupBy(col("i"))
+      .agg(sum(when(col("pred") && col("p") === 1L, 1L).otherwise(0L))
+        .as("tp"),
+        sum(when(col("pred") && col("p") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("pred") && col("p") === 1L, 1L).otherwise(0L))
+          .as("fn"))
+    grid.select(col("i").as("threshold_decile"), col("tp"), col("fp"),
+      col("fn"),
+      when(col("tp") + col("fp") > 0L, col("tp").cast("double")
+        / (col("tp") + col("fp")).cast("double")).as("precision"),
+      when(col("tp") + col("fn") > 0L, col("tp").cast("double")
+        / (col("tp") + col("fn")).cast("double")).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        (lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .as("f1"))
+      .orderBy(col("threshold_decile"))
+  }
+
+  val prThresholdSweepSql: String = {
+    val thr = PortableSql.intDiv("maxc * i", "10")
+    s"""WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents),
+      |base AS (
+      |  SELECT n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+      |  FROM documents),
+      |g AS (SELECT unnest(range(0, 11)) AS i),
+      |cells AS (
+      |  SELECT g.i,
+      |    CAST(SUM(CASE WHEN n_chars >= $thr AND p = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN n_chars >= $thr AND p = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN n_chars < $thr AND p = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM base, mx, g GROUP BY g.i)
+      |SELECT i AS threshold_decile, tp, fp, fn,
+      |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+      |    / CAST(tp + fp AS DOUBLE) END AS precision,
+      |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+      |    / CAST(tp + fn AS DOUBLE) END AS recall,
+      |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE)
+      |    / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+      |FROM cells ORDER BY threshold_decile""".stripMargin
+  }
+
   // --- BM25 self-retrieval MRR --------------------------------------------
   /** Known-item self-retrieval scorecard: each query document's top
     * TF-IDF keyword is issued as a one-term query against the whole

@@ -2019,6 +2019,187 @@ object TimeSeries {
         "resid_cents")
   }
 
+  // --- index of dispersion --------------------------------------------------------
+  /** Index of dispersion (variance-to-mean ratio) of DAILY ORDER
+    * COUNTS — the one-number Poisson-ness test (Fisher's dispersion
+    * test: under a homogeneous Poisson arrival process D ≈ 1 and
+    * (n−1)·D is χ²_{n−1}; D ≫ 1 = clumped arrivals, D ≪ 1 =
+    * regularized). The capacity-planning prior check: Poisson-sizing a
+    * queue from an over-dispersed arrival series under-provisions the
+    * bursts, and this is the read that says whether `events_burstiness`
+    * style clumping also lives in the ORDER stream.
+    *
+    * Exactness: χ² = (n_d·Σx² − S²)/S from exact BIGINT/DECIMAL
+    * moments (Σx² rides DECIMAL(18,0) products per the
+    * [[autocorrelation]] decimal-moments rule; the oracle routes its
+    * decimal→double through the VARCHAR round-trip), so D and χ² are
+    * a fixed IEEE chain on bit-identical inputs. NULL on a degenerate
+    * (S = 0) series.
+    *
+    * Scale: one map-side-combined fold of orders into the calendar
+    * day grid, one 1-row reduce — nothing else.
+    */
+  def dispersionIndex(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val m = g.agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_orders"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .as("sxx"))
+    m.select(col("n_days"), col("n_orders"),
+      (col("n_orders").cast("double") / col("n_days").cast("double"))
+        .as("mean_per_day"),
+      when(col("n_orders") > 0L,
+        (col("n_days").cast("double") * col("sxx").cast("double")
+          - col("n_orders").cast("double") * col("n_orders").cast("double"))
+          / col("n_orders").cast("double")).as("chi2"))
+      .withColumn("dispersion",
+        col("chi2") / (col("n_days") - 1L).cast("double"))
+  }
+
+  val dispersionIndexSql: String =
+    """WITH g AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS n_orders,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+      |         AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM g),
+      |r AS (
+      |  SELECT n_days, n_orders,
+      |    CAST(n_orders AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_per_day,
+      |    CASE WHEN n_orders > 0 THEN
+      |      (CAST(n_days AS DOUBLE) * sxx
+      |       - CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |      / CAST(n_orders AS DOUBLE) END AS chi2
+      |  FROM m)
+      |SELECT n_days, n_orders, mean_per_day, chi2,
+      |  chi2 / CAST(n_days - 1 AS DOUBLE) AS dispersion
+      |FROM r""".stripMargin
+
+  // --- one-step forecast backtest --------------------------------------------------
+  /** One-step-ahead forecast backtest over the last `evalDays` grid
+    * days: MAE and RMSE of the naive carry-forward (f_t = y_{t−1}),
+    * [[ewma]] (f_t = s_{t−1}) and [[holtLinear]] (f_t = l_{t−1} +
+    * b_{t−1}) forecasters — the model-selection read that justifies
+    * shipping the trend-aware smoother (if Holt doesn't beat naive
+    * out-of-sample, it's curve-fitting). Standard rolling-origin
+    * backtest, one-step horizon.
+    *
+    * Determinism: both recursions are the bit-identical integer
+    * recursions of their parent queries; per-day errors truncate to
+    * exact BIGINT CENTS (|y − f div 10⁶|), so the MAE/RMSE sums are
+    * exact integers and each reported double is a fixed one/two-op
+    * IEEE chain. The oracle replays the recursions as recursive CTEs
+    * and the naive leg as one lag.
+    *
+    * Scale: the [[ewma]] posture — one fold of orders into the
+    * calendar day grid, sequential recursion driver-side over the
+    * collected calendar-bounded series.
+    */
+  def forecastBacktest(s: SparkSession, dir: String,
+                       evalDays: Int = 365): DataFrame = {
+    val series = dailyRevenue(s, dir)
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(series.length >= 3, "forecastBacktest needs three grid days")
+    val n = series.length
+    val sm = new Array[Long](n)
+    val l = new Array[Long](n)
+    val b = new Array[Long](n)
+    for (i <- series.indices) {
+      if (i == 0) {
+        sm(0) = series(0)._2 * 1000000L
+        l(0) = series(0)._2 * 1000000L
+        b(0) = (series(1)._2 - series(0)._2) * 1000000L
+      } else {
+        sm(i) = (series(i)._2 * 1000000L + 4L * sm(i - 1)) / 5L
+        val f = l(i - 1) + b(i - 1)
+        l(i) = (series(i)._2 * 1000000L + 4L * f) / 5L
+        b(i) = ((l(i) - l(i - 1)) + 9L * b(i - 1)) / 10L
+      }
+    }
+    val from = math.max(1, n - evalDays)
+    // se in BigInt: daily-cent errors reach ~1e10 at sf0.1, so the
+    // squared-error sum passes 2^63 (a Long wrapped silently here —
+    // caught by rmse < mae and a NaN at the sf0.1 gate); the oracle
+    // mirrors with DECIMAL(19,0) products and the VARCHAR round-trip
+    def fold(f: Int => Long): (Long, Long, BigInt) = {
+      var cnt = 0L; var ae = 0L; var se = BigInt(0)
+      for (i <- from until n) {
+        val e = math.abs(series(i)._2 - f(i) / 1000000L)
+        cnt += 1; ae += e; se += BigInt(e) * BigInt(e)
+      }
+      (cnt, ae, se)
+    }
+    val rows = Seq(
+      ("ewma", fold(i => sm(i - 1))),
+      ("holt", fold(i => l(i - 1) + b(i - 1))),
+      ("naive", fold(i => series(i - 1)._2 * 1000000L)))
+    import s.implicits._
+    rows.map { case (mdl, (cnt, ae, se)) =>
+      (mdl, cnt, ae.toDouble / (cnt * 100.0),
+        math.sqrt(se.toDouble / cnt) / 100.0)
+    }.toDF("model", "n_days_eval", "mae_dollars", "rmse_dollars")
+      .orderBy(col("model"))
+  }
+
+  /** DuckDB twin of [[forecastBacktest]] — the parent recursions as
+    * recursive CTEs plus a lag for the naive leg, derived from the
+    * SAME evalDays. */
+  def forecastBacktestSql(evalDays: Int = 365): String = {
+    val sStep = PortableSql.intDiv("g.y * 1000000 + 4 * e.s", "5")
+    val lStep = PortableSql.intDiv("g.y * 1000000 + 4 * (h.l + h.b)", "5")
+    val bStep = PortableSql.intDiv(
+      s"(${PortableSql.intDiv("g.y * 1000000 + 4 * (h.l + h.b)", "5")}" +
+        " - h.l) + 9 * h.b", "10")
+    val fD = (f: String) => PortableSql.intDiv(f, "1000000")
+    s"""WITH RECURSIVE
+      |rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT d, y,
+      |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      |      FROM rev),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM g),
+      |e(i, y, s) AS (
+      |  SELECT i, y, y * 1000000 FROM g WHERE i = 1
+      |  UNION ALL
+      |  SELECT g.i, g.y, $sStep
+      |  FROM e JOIN g ON g.i = e.i + 1),
+      |h(i, y, l, b) AS (
+      |  SELECT g1.i, g1.y, g1.y * 1000000, (g2.y - g1.y) * 1000000
+      |  FROM g g1 JOIN g g2 ON g1.i = 1 AND g2.i = 2
+      |  UNION ALL
+      |  SELECT g.i, g.y, $lStep, $bStep
+      |  FROM h JOIN g ON g.i = h.i + 1),
+      |errs AS (
+      |  SELECT 'ewma' AS model, g.y,
+      |    abs(g.y - ${fD("ep.s")}) AS err
+      |  FROM g JOIN e ep ON ep.i = g.i - 1, n
+      |  WHERE g.i > GREATEST(1, n.n_days - $evalDays)
+      |  UNION ALL
+      |  SELECT 'holt', g.y, abs(g.y - ${fD("hp.l + hp.b")})
+      |  FROM g JOIN h hp ON hp.i = g.i - 1, n
+      |  WHERE g.i > GREATEST(1, n.n_days - $evalDays)
+      |  UNION ALL
+      |  SELECT 'naive', g.y, abs(g.y - gp.y)
+      |  FROM g JOIN g gp ON gp.i = g.i - 1, n
+      |  WHERE g.i > GREATEST(1, n.n_days - $evalDays))
+      |SELECT model, CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+      |  CAST(CAST(SUM(err) AS BIGINT) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS mae_dollars,
+      |  sqrt(CAST(CAST(SUM(CAST(err AS DECIMAL(19,0))
+      |      * CAST(err AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS rmse_dollars
+      |FROM errs GROUP BY model ORDER BY model""".stripMargin
+  }
+
   // --- trailing rolling median / IQR ---------------------------------------------
   /** Trailing 7-day rolling median and quartiles of daily revenue —
     * the robust local baseline monitoring uses where [[ewma]] is the

@@ -80,6 +80,28 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("prThresholdSweep: driver-side confusion-cell replay") {
+    val maxc = base.map(_._2).max
+    val out = Evaluation.prThresholdSweep(spark, sf).collect()
+    assert(out.length == 11)
+    for (r <- out) {
+      val i = r.getLong(0)
+      val thr = maxc * i / 10
+      val tp = base.count { case (_, len, p) => len >= thr && p }
+      val fp = base.count { case (_, len, p) => len >= thr && !p }
+      val fn = base.count { case (_, len, p) => len < thr && p }
+      assert(r.getLong(1) == tp && r.getLong(2) == fp && r.getLong(3) == fn,
+        s"threshold $i cells")
+      if (tp + fp > 0)
+        assert(math.abs(r.getDouble(4) - tp.toDouble / (tp + fp)) < 1e-12)
+      if (tp + fn > 0)
+        assert(math.abs(r.getDouble(5) - tp.toDouble / (tp + fn)) < 1e-12)
+    }
+    // recall must be monotone non-increasing in the threshold
+    val recalls = out.sortBy(_.getLong(0)).map(_.getDouble(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, c) => a >= c - 1e-12 })
+  }
+
   test("selfRetrievalMrr: driver-side brute-force replay of the contract") {
     val toks = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()

@@ -214,6 +214,79 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("dispersionIndex: plain-double variance-over-mean replay") {
+    val xs = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate"))).agg(count(lit(1)).as("x"))
+      .collect().map(_.getLong(1))
+    val n = xs.length
+    val mean = xs.sum.toDouble / n
+    val chi2 = xs.map(x => (x - mean) * (x - mean)).sum / mean
+    val row = TimeSeries.dispersionIndex(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == xs.sum)
+    assert(math.abs(row.getDouble(2) - mean) < 1e-9)
+    assert(math.abs(row.getDouble(3) - chi2) < 1e-6 * math.max(1.0, chi2),
+      s"chi2 ${row.getDouble(3)} != replay $chi2")
+    assert(math.abs(row.getDouble(4) - chi2 / (n - 1)) < 1e-6 * math.max(1.0, chi2))
+  }
+
+  test("qqDeciles: driver-side nearest-rank quantile replay") {
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val a = ev.filter(_._1 < mid).map(_._2).sorted
+    val b = ev.filter(_._1 >= mid).map(_._2).sorted
+    def q(v: Array[Long], d: Int): Long = v(((d.toLong * v.length + 9) / 10).toInt - 1)
+    val out = Drift.qqDeciles(spark, sf).collect()
+    assert(out.length == 9)
+    for (r <- out) {
+      val d = r.getLong(0).toInt
+      assert(r.getLong(1) == q(a, d), s"decile $d side a")
+      assert(r.getLong(2) == q(b, d), s"decile $d side b")
+      assert(r.getLong(3) == q(b, d) - q(a, d))
+    }
+  }
+
+  test("forecastBacktest: plain-double backtest replay + ordering sanity") {
+    val ys = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val n = ys.length
+    val sm = new Array[Double](n); val l = new Array[Double](n)
+    val b = new Array[Double](n)
+    for (i <- ys.indices) {
+      if (i == 0) { sm(0) = ys(0); l(0) = ys(0); b(0) = (ys(1) - ys(0)).toDouble }
+      else {
+        sm(i) = 0.2 * ys(i) + 0.8 * sm(i - 1)
+        val f = l(i - 1) + b(i - 1)
+        l(i) = 0.2 * ys(i) + 0.8 * f
+        b(i) = 0.1 * (l(i) - l(i - 1)) + 0.9 * b(i - 1)
+      }
+    }
+    val from = math.max(1, n - 365)
+    def mae(f: Int => Double): Double =
+      (from until n).map(i => math.abs(ys(i) - f(i))).sum /
+        ((n - from) * 100.0)
+    val out = TimeSeries.forecastBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("ewma", "holt", "naive"))
+    val reps = Map(
+      "ewma" -> mae(i => sm(i - 1)), "holt" -> mae(i => l(i - 1) + b(i - 1)),
+      "naive" -> mae(i => ys(i - 1).toDouble))
+    for ((m, (cnt, gmae, grmse)) <- out) {
+      assert(cnt == n - from)
+      // integer truncation of forecasts shifts each |err| ≤ 1 cent
+      assert(math.abs(gmae - reps(m)) < 0.011 + 1e-9 * reps(m),
+        s"$m mae $gmae != replay ${reps(m)}")
+      assert(grmse >= gmae - 1e-9, s"$m rmse $grmse < mae $gmae")
+    }
+  }
+
   test("closenessSampled: driver-side BFS harmonic replay") {
     // independent algorithm: plain BFS over the collected trade edges
     val ordersK = Tables.load(spark, sf, "orders")
