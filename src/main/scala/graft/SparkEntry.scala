@@ -272,6 +272,8 @@ object SparkEntry {
     "ts_forecast_backtest" -> ((s, d) => TimeSeries.forecastBacktest(s, d)),
     "stats_dispersion_index" -> (TimeSeries.dispersionIndex _),
     "drift_qq_deciles" -> (Drift.qqDeciles _),
+    "ab_conversion_ztest" -> (Drift.abConversion _),
+    "ab_cuped_revenue" -> (Drift.abCuped _),
     "eval_pr_threshold_sweep" -> (Evaluation.prThresholdSweep _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
@@ -732,6 +734,8 @@ object SparkEntry {
     "ts_forecast_backtest" -> TimeSeries.forecastBacktestSql(),
     "stats_dispersion_index" -> TimeSeries.dispersionIndexSql,
     "drift_qq_deciles" -> Drift.qqDecilesSql,
+    "ab_conversion_ztest" -> Drift.abConversionSql,
+    "ab_cuped_revenue" -> Drift.abCupedSql,
     "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,

@@ -572,6 +572,199 @@ object Drift {
       |       ELSE NULL END AS chi2_f_tie_adj
       |FROM f""".stripMargin
 
+  // --- A/B experimentation readouts ---------------------------------------------
+  /** Two-proportion conversion z-test between the two parity arms
+    * (user_id % 2 — the deterministic stand-in for a randomized
+    * assignment column): conversion = "user purchased within the last
+    * 30 days of the stream", the recency-bounded outcome a growth
+    * experiment actually reads. Reports per-arm rates, absolute lift,
+    * and the pooled z (the standard two-proportion test; z² is the
+    * 2×2 χ² with this pooling).
+    *
+    * Exactness: the conversion flag, per-arm user counts, and
+    * converted counts are exact BIGINTs from one per-user fold; the z
+    * is a fixed IEEE chain on those integers, NULL when the pooled
+    * variance is degenerate. The 30-day cut is integer microsecond
+    * arithmetic off the 1-row max-timestamp broadcast.
+    *
+    * Scale: one events scan → per-user fold (user-keyed, map-side
+    * combined) → 2-row arm grid → 1-row pivot. Nothing after the fold
+    * scales with SF.
+    */
+  def abConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("mx"))
+    val perUser = ev.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase"
+        && col("us") >= col("mx") - lit(30L * 86400000000L), 1L)
+        .otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).as("arm"), col("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val row = arms.agg(
+      sum(when(col("arm") === 0L, col("n"))).as("n_a"),
+      sum(when(col("arm") === 0L, col("c"))).as("c_a"),
+      sum(when(col("arm") === 1L, col("n"))).as("n_b"),
+      sum(when(col("arm") === 1L, col("c"))).as("c_b"))
+    def d(n: String): Column = col(n).cast("double")
+    val pa = d("c_a") / d("n_a")
+    val pb = d("c_b") / d("n_b")
+    val pp = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    row.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      pa.as("rate_a"), pb.as("rate_b"), (pb - pa).as("lift"),
+      when(col("c_a") + col("c_b") > 0L
+        && col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+        (pb - pa) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))).as("z"))
+  }
+
+  val abConversionSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS mx FROM ev),
+      |pu AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase'
+      |      AND us >= mx - 2592000000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM ev, mx GROUP BY user_id),
+      |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |                CAST(SUM(conv) AS BIGINT) AS c
+      |         FROM pu GROUP BY arm),
+      |r AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_b
+      |  FROM arms)
+      |SELECT n_a, c_a, n_b, c_b,
+      |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+      |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+      |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |    - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+      |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+      |    (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |     - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |  END AS z
+      |FROM r""".stripMargin
+
+  /** CUPED variance-reduced treatment-effect estimate on per-user
+    * revenue (Deng, Xu, Kohavi & Walker, WSDM 2013 — the controlled-
+    * experiment workhorse): outcome y = user's SECOND-half value,
+    * covariate x = the SAME user's FIRST-half value, θ = cov(x,y)/
+    * var(x) pooled across arms, adjusted effect = (ȳ_b − ȳ_a) −
+    * θ(x̄_b − x̄_a). Reports the raw diff beside the adjusted one and
+    * the theoretical variance reduction ρ²(x,y) — the whole point of
+    * CUPED is the tighter CI at the same sample size.
+    *
+    * Exactness: per-user x/y are exact BIGINT cent sums; all second
+    * moments ride DECIMAL products (VARCHAR-routed in the oracle —
+    * Σxy clears 2^53 at sf0.1); θ, both diffs, and ρ² are one fixed
+    * IEEE chain on those bit-identical doubles, NULL on degenerate
+    * var(x)/var(y).
+    *
+    * Scale: one events scan → per-user conditional fold → 1-row
+    * moment reduce. The per-user grid is the only exchange.
+    */
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < expr("(mn + mx) div 2"), col("c"))
+        .otherwise(0L)).as("x"),
+        sum(when(col("us") >= expr("(mn + mx) div 2"), col("c"))
+          .otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    def dd(c: Column): Column = c.cast("decimal(18,0)")
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dd(col("x")) * dd(col("y"))).as("sxy"),
+      sum(dd(col("x")) * dd(col("x"))).as("sxx"),
+      sum(dd(col("y")) * dd(col("y"))).as("syy"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("sy_b"))
+    def d(n: String): Column = col(n).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy")
+    val varXN = d("n") * d("sxx") - d("sx") * d("sx")
+    val varYN = d("n") * d("syy") - d("sy") * d("sy")
+    val theta = covN / varXN
+    val diffRaw = d("sy_b") / d("n_b") - d("sy_a") / d("n_a")
+    val diffX = d("sx_b") / d("n_b") - d("sx_a") / d("n_a")
+    m.select(col("n_a"), col("n_b"),
+      (diffRaw / lit(100.0)).as("diff_raw_dollars"),
+      when(varXN > 0.0, theta).as("theta"),
+      when(varXN > 0.0, (diffRaw - theta * diffX) / lit(100.0))
+        .as("diff_cuped_dollars"),
+      when(varXN > 0.0 && varYN > 0.0,
+        covN * covN / (varXN * varYN)).as("var_reduction"))
+  }
+
+  val abCupedSql: String = {
+    val mid = PortableSql.intDiv("mn + mx", "2")
+    def ds(e: String) =
+      s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,0)) * CAST($e AS DECIMAL(18,0)))" +
+        " AS VARCHAR) AS DOUBLE)"
+    s"""WITH ev AS (SELECT user_id,
+      |              CAST(round(value * 100) AS BIGINT) AS c,
+      |              epoch_us(ts) AS us FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |pu AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(SUM(CASE WHEN us < $mid THEN c ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN us >= $mid THEN c ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev, b GROUP BY user_id),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+      |         AS VARCHAR) AS DOUBLE) AS sxy,
+      |    ${ds("x")} AS sxx,
+      |    ${ds("y")} AS syy,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+      |  FROM pu),
+      |k AS (
+      |  SELECT n_a, n_b,
+      |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      AS cov_n,
+      |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |      AS varx_n,
+      |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      AS vary_n,
+      |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff_raw,
+      |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff_x
+      |  FROM m)
+      |SELECT n_a, n_b,
+      |  diff_raw / 100.0 AS diff_raw_dollars,
+      |  CASE WHEN varx_n > 0 THEN cov_n / varx_n END AS theta,
+      |  CASE WHEN varx_n > 0 THEN
+      |    (diff_raw - (cov_n / varx_n) * diff_x) / 100.0
+      |  END AS diff_cuped_dollars,
+      |  CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+      |    cov_n * cov_n / (varx_n * vary_n) END AS var_reduction
+      |FROM k""".stripMargin
+  }
+
   // --- Q-Q decile table --------------------------------------------------------
   /** Decile-by-decile quantile comparison (the Q-Q plot, tabulated)
     * between the temporal halves — WHERE the distribution moved, which

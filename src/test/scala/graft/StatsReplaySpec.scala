@@ -214,6 +214,69 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("abConversion + abCuped: textbook replays from collected events") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mx = ev.map(_._4).max
+    val mn = ev.map(_._4).min
+    val cut = mx - 30L * 86400000000L
+    // conversion replay
+    val conv = ev.groupBy(_._1).view.mapValues(rows =>
+      rows.exists(r => r._2 == "purchase" && r._4 >= cut)).toMap
+    val (na, ca) = (conv.count(_._1 % 2 == 0),
+      conv.count(kv => kv._1 % 2 == 0 && kv._2))
+    val (nb, cb) = (conv.count(_._1 % 2 == 1),
+      conv.count(kv => kv._1 % 2 == 1 && kv._2))
+    val r1 = Drift.abConversion(spark, sf).collect().head
+    assert(r1.getLong(0) == na && r1.getLong(1) == ca
+      && r1.getLong(2) == nb && r1.getLong(3) == cb, s"cells ${r1.toSeq}")
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    assert(math.abs(r1.getDouble(6) - (pb - pa)) < 1e-12)
+    // at tiny SFs every user can convert inside the window — the pooled
+    // variance degenerates and the contract says NULL, not NaN
+    if (ca + cb == 0 || ca + cb == na + nb) assert(r1.isNullAt(7))
+    else {
+      val pp = (ca + cb).toDouble / (na + nb)
+      val z = (pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r1.getDouble(7) - z) < 1e-9,
+        s"z ${r1.getDouble(7)} != $z")
+    }
+    // CUPED replay
+    val mid = (mn + mx) / 2
+    val pu = ev.groupBy(_._1).view.mapValues { rows =>
+      (rows.filter(_._4 < mid).map(_._3).sum,
+        rows.filter(_._4 >= mid).map(_._3).sum)
+    }.toMap
+    val xs = pu.values.map(_._1.toDouble).toArray
+    val ys = pu.values.map(_._2.toDouble).toArray
+    val n = xs.length
+    val (mxm, mym) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mxm) * (y - mym) }.sum
+    val vx = xs.map(x => (x - mxm) * (x - mxm)).sum
+    val vy = ys.map(y => (y - mym) * (y - mym)).sum
+    val theta = cov / vx
+    def armMeans(arm: Long): (Double, Double) = {
+      val vs = pu.filter(_._1 % 2 == arm).values
+      (vs.map(_._1).sum.toDouble / vs.size, vs.map(_._2).sum.toDouble / vs.size)
+    }
+    val ((xa, ya), (xb, yb)) = (armMeans(0), armMeans(1))
+    val r2 = Drift.abCuped(spark, sf).collect().head
+    assert(r2.getLong(0) == pu.count(_._1 % 2 == 0))
+    assert(math.abs(r2.getDouble(2) - (yb - ya) / 100.0)
+      < 1e-9 * math.max(1.0, math.abs(yb - ya)))
+    assert(math.abs(r2.getDouble(3) - theta) < 1e-6,
+      s"theta ${r2.getDouble(3)} != $theta")
+    val cuped = ((yb - ya) - theta * (xb - xa)) / 100.0
+    assert(math.abs(r2.getDouble(4) - cuped) < 1e-6 * math.max(1.0, math.abs(cuped)),
+      s"cuped ${r2.getDouble(4)} != $cuped")
+    assert(math.abs(r2.getDouble(5) - cov * cov / (vx * vy)) < 1e-9)
+    assert(r2.getDouble(5) >= 0.0 && r2.getDouble(5) <= 1.0 + 1e-12)
+  }
+
   test("dispersionIndex: plain-double variance-over-mean replay") {
     val xs = Tables.load(spark, sf, "orders")
       .groupBy(to_date(col("o_orderdate"))).agg(count(lit(1)).as("x"))
