@@ -270,6 +270,7 @@ object SparkEntry {
     "ts_holt_linear" -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_rolling_median" -> (TimeSeries.rollingMedian _),
     "ts_forecast_backtest" -> ((s, d) => TimeSeries.forecastBacktest(s, d)),
+    "ts_stl_anomaly" -> ((s, d) => TimeSeries.stlAnomaly(s, d)),
     "stats_dispersion_index" -> (TimeSeries.dispersionIndex _),
     "drift_qq_deciles" -> (Drift.qqDeciles _),
     "ab_conversion_ztest" -> (Drift.abConversion _),
@@ -732,6 +733,7 @@ object SparkEntry {
     "ts_holt_linear" -> TimeSeries.holtLinearSql(),
     "ts_rolling_median" -> TimeSeries.rollingMedianSql,
     "ts_forecast_backtest" -> TimeSeries.forecastBacktestSql(),
+    "ts_stl_anomaly" -> TimeSeries.stlAnomalySql(),
     "stats_dispersion_index" -> TimeSeries.dispersionIndexSql,
     "drift_qq_deciles" -> Drift.qqDecilesSql,
     "ab_conversion_ztest" -> Drift.abConversionSql,

@@ -2019,6 +2019,126 @@ object TimeSeries {
         "resid_cents")
   }
 
+  // --- seasonal-adjusted anomaly days ----------------------------------------------
+  /** Top-10 anomaly days AFTER removing trend and weekday seasonality —
+    * the read [[cusumChangepoint]] (level shifts) and `ts_peaks` (raw
+    * spikes) both miss: a Tuesday that is huge FOR A TUESDAY, on an
+    * otherwise normal week. Decomposition is [[seasonalDecompose]]'s
+    * (±3-day MA trend, weekday-mean seasonal, full windows only);
+    * anomaly score is |residual| over the residuals' MAD — the robust
+    * denominator that one fat outlier can't inflate (so the outlier
+    * can't hide itself).
+    *
+    * Exactness: this query's seasonal is the TRUNCATING integer mean
+    * `Σdetr div n_dow` (signed-safe: both engines truncate toward
+    * zero), so residuals are exact BIGINTs; the doubled-MAD
+    * m2 = lo + hi order statistics of |resid| avoids the midpoint
+    * division, and the reported ratio is ONE IEEE division of exact
+    * integers (2·|resid| / m2). Top-10 orders on (|resid|, d) — both
+    * exact.
+    *
+    * Scale: one fold of orders into the materialized day grid; every
+    * window (MA trend, median rank) rides that calendar-bounded grid
+    * (allowlisted); the top-10 is a distributed TakeOrdered cut.
+    */
+  def stlAnomaly(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val series = dailyRevenue(s, dir)
+      .withColumn("dow",
+        (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+    val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val det = Graft.materialize(series
+      .withColumn("s7", sum(col("rev_cents")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .select(col("d"), col("rev_cents"), col("dow"),
+        (col("rev_cents") * lit(10000L) - expr("(s7 * 10000) div 7"))
+          .as("detr_micro")))
+    val seasonal = det.groupBy(col("dow"))
+      .agg(sum(col("detr_micro")).as("sd"), count(lit(1)).as("cd"))
+      .select(col("dow"), expr("sd div cd").as("seasonal_micro"))
+    val resid = Graft.materialize(
+      det.join(broadcast(seasonal), "dow")
+        .select(col("d"), col("rev_cents"),
+          (col("detr_micro") - col("seasonal_micro")).as("resid_micro"))
+        .withColumn("abs_resid", abs(col("resid_micro"))))
+    val wOrd = Window.orderBy(col("abs_resid"), col("d"))
+    val nRow = resid.agg(count(lit(1)).as("n"))
+    val m2 = resid.withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .crossJoin(broadcast(nRow))
+      .select((col("abs_resid")
+        * (when(col("rnk") === expr("(n + 1) div 2"), 1L).otherwise(0L)
+          + when(col("rnk") === expr("(n + 2) div 2"), 1L).otherwise(0L)))
+        .as("part"))
+      .agg(sum(col("part")).as("mad2"))
+    resid.crossJoin(broadcast(m2))
+      .orderBy(col("abs_resid").desc, col("d"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("abs_resid").desc, col("d"))).cast("long"))
+      .select(col("rnk"), col("d"), col("rev_cents"), col("resid_micro"),
+        (col("resid_micro").cast("double") / lit(1e6)).as("resid_dollars"),
+        col("mad2"),
+        when(col("mad2") > 0L, (col("abs_resid") * 2L).cast("double")
+          / col("mad2").cast("double")).as("robust_ratio"))
+      .orderBy(col("rnk"))
+  }
+
+  def stlAnomalySql(k: Int = 10): String = {
+    val trend = PortableSql.intDiv("s7 * 10000", "7")
+    // sd div cd with a possibly NEGATIVE sd: (a - a%b)/b truncates
+    // toward zero in DuckDB exactly like Spark's div (both %'s take
+    // the dividend's sign)
+    val seas = PortableSql.intDiv("sd", "cd")
+    val lo = PortableSql.intDiv("n + 1", "2")
+    val hi = PortableSql.intDiv("n + 2", "2")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT d, rev_cents,
+      |    CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow,
+      |    CAST(SUM(rev_cents) OVER win AS BIGINT) AS s7,
+      |    COUNT(*) OVER win AS c7
+      |  FROM rev
+      |  WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (
+      |  SELECT d, rev_cents, dow,
+      |    rev_cents * 10000 - $trend AS detr_micro
+      |  FROM w WHERE c7 = 7),
+      |seas AS (
+      |  SELECT dow, $seas AS seasonal_micro
+      |  FROM (SELECT dow, CAST(SUM(detr_micro) AS BIGINT) AS sd,
+      |          CAST(COUNT(*) AS BIGINT) AS cd
+      |        FROM det GROUP BY dow)),
+      |res AS (
+      |  SELECT d, rev_cents,
+      |    detr_micro - seasonal_micro AS resid_micro,
+      |    abs(detr_micro - seasonal_micro) AS abs_resid
+      |  FROM det JOIN seas USING (dow)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM res),
+      |rk AS (
+      |  SELECT abs_resid,
+      |    CAST(row_number() OVER (ORDER BY abs_resid, d) AS BIGINT) AS rnk
+      |  FROM res),
+      |m AS (
+      |  SELECT CAST(SUM(abs_resid
+      |    * ((CASE WHEN rnk = $lo THEN 1 ELSE 0 END)
+      |       + (CASE WHEN rnk = $hi THEN 1 ELSE 0 END))) AS BIGINT) AS mad2
+      |  FROM rk, n),
+      |top AS (
+      |  SELECT d, rev_cents, resid_micro, abs_resid,
+      |    CAST(row_number() OVER (ORDER BY abs_resid DESC, d) AS BIGINT)
+      |      AS rnk
+      |  FROM res)
+      |SELECT rnk, d, rev_cents, resid_micro,
+      |  CAST(resid_micro AS DOUBLE) / 1e6 AS resid_dollars, mad2,
+      |  CASE WHEN mad2 > 0 THEN CAST(abs_resid * 2 AS DOUBLE)
+      |    / CAST(mad2 AS DOUBLE) END AS robust_ratio
+      |FROM top, m WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
   // --- index of dispersion --------------------------------------------------------
   /** Index of dispersion (variance-to-mean ratio) of DAILY ORDER
     * COUNTS — the one-number Poisson-ness test (Fisher's dispersion

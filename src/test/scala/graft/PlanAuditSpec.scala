@@ -422,6 +422,8 @@ class PlanAuditSpec extends SparkSpec {
       // its scaladoc
       "ts_rolling_median" ->
         "7-row trailing list window over the calendar day grid",
+      "ts_stl_anomaly" ->
+        "median-rank window over the calendar day grid; 10-row post-TakeOrdered rank",
       "ts_seasonal_strength" ->
         "moving-average/cumulative-moment windows over the calendar day grid",
       "ts_peaks" ->

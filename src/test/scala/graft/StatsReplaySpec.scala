@@ -214,6 +214,44 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("stlAnomaly: driver-side decompose + MAD replay") {
+    val series = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    val n = series.length
+    def dow(d: java.sql.Date): Long = ((d.toLocalDate.toEpochDay % 7) + 7) % 7
+    val det = (3 until n - 3).map { i =>
+      val s7 = (i - 3 to i + 3).map(series(_)._2).sum
+      (series(i)._1, series(i)._2,
+        series(i)._2 * 10000L - (s7 * 10000L) / 7L)
+    }
+    val seas = det.groupBy(r => dow(r._1)).view.mapValues { rows =>
+      val sd = rows.map(_._3).sum
+      sd / rows.length // toward-zero truncation, both signs
+    }.toMap
+    val res = det.map { case (d, y, dm) => (d, y, dm - seas(dow(d))) }
+    val absSorted = res.map(r => math.abs(r._3)).sorted
+    val m = absSorted.length
+    val mad2 = absSorted((m + 1) / 2 - 1) + absSorted((m + 2) / 2 - 1)
+    val top = res.sortBy(r => (-math.abs(r._3), r._1.toString)).take(10)
+    val out = TimeSeries.stlAnomaly(spark, sf).collect()
+    assert(out.length == math.min(10, res.length))
+    for ((r, i) <- out.zipWithIndex) {
+      assert(r.getLong(0) == i + 1)
+      assert(r.getDate(1).toString == top(i)._1.toString,
+        s"rank ${i + 1}: ${r.getDate(1)} != ${top(i)._1}")
+      assert(r.getLong(2) == top(i)._2 && r.getLong(3) == top(i)._3)
+      assert(r.getLong(5) == mad2, s"mad2 ${r.getLong(5)} != $mad2")
+      if (mad2 > 0)
+        assert(math.abs(r.getDouble(6)
+          - 2.0 * math.abs(top(i)._3) / mad2) < 1e-12)
+    }
+  }
+
   test("abConversion + abCuped: textbook replays from collected events") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
