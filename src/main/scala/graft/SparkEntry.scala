@@ -273,8 +273,9 @@ object SparkEntry {
     "ts_stl_anomaly" -> ((s, d) => TimeSeries.stlAnomaly(s, d)),
     "stats_dispersion_index" -> (TimeSeries.dispersionIndex _),
     "drift_qq_deciles" -> (Drift.qqDeciles _),
-    "ab_conversion_ztest" -> (Drift.abConversion _),
+    "ab_conversion_ztest" -> ((s, d) => Drift.abConversion(s, d)),
     "ab_cuped_revenue" -> (Drift.abCuped _),
+    "ab_permutation_test" -> ((s, d) => Drift.abPermutationTest(s, d)),
     "eval_pr_threshold_sweep" -> (Evaluation.prThresholdSweep _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
@@ -736,8 +737,9 @@ object SparkEntry {
     "ts_stl_anomaly" -> TimeSeries.stlAnomalySql(),
     "stats_dispersion_index" -> TimeSeries.dispersionIndexSql,
     "drift_qq_deciles" -> Drift.qqDecilesSql,
-    "ab_conversion_ztest" -> Drift.abConversionSql,
+    "ab_conversion_ztest" -> Drift.abConversionSql(),
     "ab_cuped_revenue" -> Drift.abCupedSql,
+    "ab_permutation_test" -> Drift.abPermutationTestSql(),
     "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,

@@ -576,22 +576,25 @@ object Drift {
   /** Two-proportion conversion z-test between the two parity arms
     * (user_id % 2 — the deterministic stand-in for a randomized
     * assignment column): conversion = "user purchased within the last
-    * 30 days of the stream", the recency-bounded outcome a growth
-    * experiment actually reads. Reports per-arm rates, absolute lift,
+    * `windowDays` days of the stream" (default 3 — wide enough windows
+    * converge to all-users-convert on these fixtures and degenerate
+    * the test), the recency-bounded outcome a growth experiment reads. Reports per-arm rates, absolute lift,
     * and the pooled z (the standard two-proportion test; z² is the
-    * 2×2 χ² with this pooling).
+    * 2×2 χ² with this pooling). The SQL twin derives from the SAME
+    * windowDays parameter.
     *
     * Exactness: the conversion flag, per-arm user counts, and
     * converted counts are exact BIGINTs from one per-user fold; the z
     * is a fixed IEEE chain on those integers, NULL when the pooled
-    * variance is degenerate. The 30-day cut is integer microsecond
+    * variance is degenerate. The window cut is integer microsecond
     * arithmetic off the 1-row max-timestamp broadcast.
     *
     * Scale: one events scan → per-user fold (user-keyed, map-side
     * combined) → 2-row arm grid → 1-row pivot. Nothing after the fold
     * scales with SF.
     */
-  def abConversion(s: SparkSession, dir: String): DataFrame = {
+  def abConversion(s: SparkSession, dir: String,
+                   windowDays: Int = 3): DataFrame = {
     val ev = graft.Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
@@ -599,7 +602,7 @@ object Drift {
     val perUser = ev.crossJoin(broadcast(mx))
       .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase"
-        && col("us") >= col("mx") - lit(30L * 86400000000L), 1L)
+        && col("us") >= col("mx") - lit(windowDays * 86400000000L), 1L)
         .otherwise(0L)).as("conv"))
       .select((col("user_id") % 2).as("arm"), col("conv"))
     val arms = perUser.groupBy(col("arm"))
@@ -621,13 +624,14 @@ object Drift {
           * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))).as("z"))
   }
 
-  val abConversionSql: String =
-    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+  def abConversionSql(windowDays: Int = 3): String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
       |mx AS (SELECT MAX(us) AS mx FROM ev),
       |pu AS (
       |  SELECT user_id % 2 AS arm,
       |    CAST(MAX(CASE WHEN event_type = 'purchase'
-      |      AND us >= mx - 2592000000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |      AND us >= mx - ${windowDays} * 86400000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
       |  FROM ev, mx GROUP BY user_id),
       |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
       |                CAST(SUM(conv) AS BIGINT) AS c
@@ -652,6 +656,120 @@ object Drift {
       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
       |  END AS z
       |FROM r""".stripMargin
+
+  /** Permutation test for the conversion lift between the parity arms
+    * — the distribution-free p-value that [[abConversion]]'s normal
+    * z approximates (exact inference logic, no CLT assumption; Fisher
+    * 1935 via the Monte-Carlo spelling of Dwass 1957). Labels are
+    * re-assigned B times by the repo's deterministic cross-engine
+    * PRNG ([[Sampling.poissonBootstrap]]'s seeded-md5 hex fold), and
+    * p = (1 + #{b : T_b ≥ T_obs}) / (B + 1) — the add-one estimator
+    * that can never return 0.
+    *
+    * Exactness: the statistic comparison |c₁n₀ − c₀n₁| cross-
+    * multiplied by the OTHER side's n₁n₀ keeps every comparison an
+    * exact DECIMAL product (no rate division inside the indicator);
+    * the only IEEE ops are the reported observed lift and the final
+    * p division.
+    *
+    * Scale: the B-fold explode inflates the per-USER grid (already
+    * thousands of times smaller than events), folds map-side to the
+    * (replicate, arm) grid, and compares against a 1-row broadcast.
+    */
+  def abPermutationTest(s: SparkSession, dir: String,
+                        nPerms: Int = 200, windowDays: Int = 3): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("mx"))
+    val perUser = graft.Graft.materialize(ev.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase"
+        && col("us") >= col("mx") - lit(windowDays * 86400000000L), 1L)
+        .otherwise(0L)).as("conv")))
+    def tStat(armCol: Column): Seq[Column] = Seq(
+      sum(when(armCol === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(armCol === 0L, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(armCol === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(armCol === 1L, col("conv")).otherwise(0L)).as("c1"))
+    val obs = perUser.agg(tStat(col("user_id") % 2).head,
+      tStat(col("user_id") % 2).tail: _*)
+      .select(col("n0").as("n0_o"), col("c0").as("c0_o"),
+        col("n1").as("n1_o"), col("c1").as("c1_o"))
+    val permed = perUser
+      .select(col("user_id"), col("conv"),
+        explode(array((1 to nPerms).map(i => lit(i.toLong)): _*)).as("b"))
+      .withColumn("h", conv(substring(md5(concat(lit("perm"),
+        col("b").cast("string"), lit(":"),
+        col("user_id").cast("string"))), 1, 6), 16, 10).cast("long"))
+      .groupBy(col("b"))
+      .agg(tStat(col("h") % 2).head, tStat(col("h") % 2).tail: _*)
+    def dd(c: Column): Column = c.cast("decimal(19,0)")
+    val ge = permed.crossJoin(broadcast(obs))
+      .select((abs(dd(col("c1")) * dd(col("n0")) - dd(col("c0")) * dd(col("n1")))
+        * (dd(col("n1_o")) * dd(col("n0_o"))) >=
+        abs(dd(col("c1_o")) * dd(col("n0_o")) - dd(col("c0_o")) * dd(col("n1_o")))
+          * (dd(col("n1")) * dd(col("n0")))).as("ge"))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("ge"), 1L).otherwise(0L)).as("n_ge"))
+    ge.crossJoin(broadcast(obs))
+      .select(col("n_perms"), col("n_ge"),
+        (col("c1_o").cast("double") / col("n1_o").cast("double")
+          - col("c0_o").cast("double") / col("n0_o").cast("double"))
+          .as("observed_lift"),
+        ((col("n_ge") + 1L).cast("double")
+          / (col("n_perms") + 1L).cast("double")).as("p_value"))
+  }
+
+  def abPermutationTestSql(nPerms: Int = 200, windowDays: Int = 3): String = {
+    val h = PortableSql.hexValue("m", 6)
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS mx FROM ev),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase'
+      |      AND us >= mx - ${windowDays} * 86400000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM ev, mx GROUP BY user_id),
+      |obs AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_o,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0_o,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_o,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1_o
+      |  FROM pu),
+      |d AS (
+      |  SELECT b, conv,
+      |    md5('perm' || CAST(b AS VARCHAR) || ':'
+      |        || CAST(user_id AS VARCHAR)) AS m
+      |  FROM pu, (SELECT CAST(unnest(range(1, ${nPerms + 1})) AS BIGINT)
+      |              AS b) reps),
+      |hh AS (SELECT b, conv, ($h) % 2 AS arm FROM d),
+      |perm AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      |  FROM hh GROUP BY b),
+      |ind AS (
+      |  SELECT CASE WHEN
+      |    abs(CAST(c1 AS DECIMAL(19,0)) * CAST(n0 AS DECIMAL(19,0))
+      |      - CAST(c0 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)))
+      |    * (CAST(n1_o AS DECIMAL(19,0)) * CAST(n0_o AS DECIMAL(19,0))) >=
+      |    abs(CAST(c1_o AS DECIMAL(19,0)) * CAST(n0_o AS DECIMAL(19,0))
+      |      - CAST(c0_o AS DECIMAL(19,0)) * CAST(n1_o AS DECIMAL(19,0)))
+      |    * (CAST(n1 AS DECIMAL(19,0)) * CAST(n0 AS DECIMAL(19,0)))
+      |    THEN 1 ELSE 0 END AS ge
+      |  FROM perm, obs),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+      |               CAST(SUM(ge) AS BIGINT) AS n_ge FROM ind)
+      |SELECT n_perms, n_ge,
+      |  CAST(c1_o AS DOUBLE) / CAST(n1_o AS DOUBLE)
+      |    - CAST(c0_o AS DOUBLE) / CAST(n0_o AS DOUBLE) AS observed_lift,
+      |  CAST(n_ge + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE) AS p_value
+      |FROM agg, obs""".stripMargin
+  }
 
   /** CUPED variance-reduced treatment-effect estimate on per-user
     * revenue (Deng, Xu, Kohavi & Walker, WSDM 2013 — the controlled-

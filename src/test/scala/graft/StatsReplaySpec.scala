@@ -261,7 +261,7 @@ class StatsReplaySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val mx = ev.map(_._4).max
     val mn = ev.map(_._4).min
-    val cut = mx - 30L * 86400000000L
+    val cut = mx - 3L * 86400000000L
     // conversion replay
     val conv = ev.groupBy(_._1).view.mapValues(rows =>
       rows.exists(r => r._2 == "purchase" && r._4 >= cut)).toMap
