@@ -323,6 +323,7 @@ object SparkEntry {
     "docs_heaps_law" -> ((s, d) => TextQueries.heapsLaw(s, d)),
     "events_burstiness" -> (EventQueries.burstiness _),
     "ts_mann_kendall" -> (TimeSeries.mannKendall _),
+    "ts_seasonal_mann_kendall" -> (TimeSeries.seasonalMannKendall _),
     "events_unattributed" -> (EventQueries.unattributedPurchases _),
     "graph_kcore" -> ((s, d) => GraphQueries.kcorePeel(s, d)),
     "stats_hhi_nation" -> (Relational.hhiNation _),
@@ -787,6 +788,7 @@ object SparkEntry {
     "docs_heaps_law" -> TextQueries.heapsLawSql(),
     "events_burstiness" -> EventQueries.burstinessSql,
     "ts_mann_kendall" -> TimeSeries.mannKendallSql,
+    "ts_seasonal_mann_kendall" -> TimeSeries.seasonalMannKendallSql,
     "events_unattributed" -> EventQueries.unattributedPurchasesSql,
     "graph_kcore" -> GraphQueries.kcorePeelSql,
     "stats_hhi_nation" -> Relational.hhiNationSql,

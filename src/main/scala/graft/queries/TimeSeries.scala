@@ -2019,6 +2019,96 @@ object TimeSeries {
         "resid_cents")
   }
 
+  // --- seasonal Mann–Kendall ------------------------------------------------------
+  /** Seasonal Mann–Kendall trend test on daily revenue (Hirsch & Slack,
+    * Water Resour. Res. 1984, independent-seasons form): the S
+    * statistic and its variance are computed WITHIN each weekday
+    * series and summed, so the strong day-of-week cycle — which
+    * plain `ts_mann_kendall` reads as noise (and partly as spurious
+    * concordance) — contributes nothing, and only the cross-week
+    * monotone drift is tested. The standard pre-test before fitting
+    * [[theilSen]]'s slope to seasonal data.
+    *
+    * Exactness: per-season pair signs, tie terms and variance
+    * numerators are the exact BIGINT spellings of `ts_mann_kendall`,
+    * summed over the 7 seasons; z is the same sign-corrected one-sqrt
+    * chain, NULL when every season is constant.
+    *
+    * Scale: the pairing is the kendallTau calendar-grid BNLJ — the
+    * fact table collapses into the day grid FIRST, and within-season
+    * pairs are (|days|/7)²·7 ≈ |days|²/7 at ANY corpus size.
+    */
+  def seasonalMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val series = Graft.materialize(
+      dailyRevenue(s, dir).select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("t"),
+        expr("rev_cents div 100").as("x"))
+        .withColumn("dow", col("t") % 7))
+    val sStat = series.select(col("dow"), col("t").as("ta"), col("x").as("xa"))
+      .join(broadcast(series.select(col("dow"), col("t").as("tb"),
+        col("x").as("xb"))), Seq("dow"))
+      .filter(col("ta") < col("tb"))
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_total"))
+    val perSeason = series.groupBy(col("dow"))
+      .agg(count(lit(1)).as("ng"))
+    val ties = series.groupBy(col("dow"), col("x"))
+      .agg(count(lit(1)).as("tp"))
+      .groupBy(col("dow"))
+      .agg(sum(col("tp") * (col("tp") - 1L) * (lit(2L) * col("tp") + 5L))
+        .as("tie_g"))
+    val varNum = perSeason.join(ties, "dow")
+      .agg(count(lit(1)).as("n_seasons"), sum(col("ng")).as("n_days"),
+        sum(col("ng") * (col("ng") - 1L) * (lit(2L) * col("ng") + 5L)
+          - col("tie_g")).as("var_num"))
+    sStat.crossJoin(broadcast(varNum))
+      .select(col("n_seasons"), col("n_days"), col("s_total"), col("var_num"),
+        when(col("var_num") > 0,
+          when(col("s_total") > 0, col("s_total") - 1L)
+            .when(col("s_total") < 0, col("s_total") + 1L)
+            .otherwise(0L).cast("double")
+            / sqrt(col("var_num").cast("double") / 18.0))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  val seasonalMannKendallSql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    s"""WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS t,
+      |             CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) % 7
+      |               AS dow,
+      |             $dollars AS x
+      |      FROM rev),
+      |s AS (
+      |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+      |                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+      |           AS s_total
+      |  FROM x a JOIN x b ON a.dow = b.dow AND a.t < b.t),
+      |ng AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng FROM x GROUP BY dow),
+      |tie AS (
+      |  SELECT dow,
+      |    CAST(SUM(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT) AS tie_g
+      |  FROM (SELECT dow, CAST(COUNT(*) AS BIGINT) AS tp
+      |        FROM x GROUP BY dow, x.x) g
+      |  GROUP BY dow),
+      |v AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+      |    CAST(SUM(ng) AS BIGINT) AS n_days,
+      |    CAST(SUM(ng * (ng - 1) * (2 * ng + 5) - tie_g) AS BIGINT)
+      |      AS var_num
+      |  FROM ng JOIN tie USING (dow))
+      |SELECT n_seasons, n_days, s_total, var_num,
+      |  CASE WHEN var_num > 0 THEN
+      |    CAST(CASE WHEN s_total > 0 THEN s_total - 1
+      |              WHEN s_total < 0 THEN s_total + 1 ELSE 0 END AS DOUBLE)
+      |    / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |  END AS z
+      |FROM s, v""".stripMargin
+  }
+
   // --- seasonal-adjusted anomaly days ----------------------------------------------
   /** Top-10 anomaly days AFTER removing trend and weekday seasonality —
     * the read [[cusumChangepoint]] (level shifts) and `ts_peaks` (raw

@@ -214,6 +214,37 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("seasonalMannKendall: brute-force within-season pair replay") {
+    val xs = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("y"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1) / 100L))
+    var sTot = 0L
+    var varNum = 0L
+    for (g <- 0L until 7L) {
+      val season = xs.filter(_._1 % 7 == g).sortBy(_._1).map(_._2)
+      for (i <- season.indices; j <- (i + 1) until season.length)
+        sTot += java.lang.Long.signum(season(j) - season(i))
+      val ng = season.length.toLong
+      val tieG = season.groupBy(identity).values
+        .map(v => v.length.toLong)
+        .map(tp => tp * (tp - 1) * (2 * tp + 5)).sum
+      varNum += ng * (ng - 1) * (2 * ng + 5) - tieG
+    }
+    val r = TimeSeries.seasonalMannKendall(spark, sf).collect().head
+    assert(r.getLong(0) == 7 && r.getLong(1) == xs.length)
+    assert(r.getLong(2) == sTot, s"s_total ${r.getLong(2)} != $sTot")
+    assert(r.getLong(3) == varNum)
+    if (varNum > 0) {
+      val corr = if (sTot > 0) sTot - 1 else if (sTot < 0) sTot + 1 else 0L
+      val z = corr.toDouble / math.sqrt(varNum / 18.0)
+      assert(math.abs(r.getDouble(4) - z) < 1e-12)
+    } else assert(r.isNullAt(4))
+  }
+
   test("stlAnomaly: driver-side decompose + MAD replay") {
     val series = Tables.load(spark, sf, "orders")
       .select(to_date(col("o_orderdate")).as("d"),
