@@ -276,6 +276,9 @@ object SparkEntry {
     "ab_conversion_ztest" -> ((s, d) => Drift.abConversion(s, d)),
     "ab_cuped_revenue" -> (Drift.abCuped _),
     "ab_permutation_test" -> ((s, d) => Drift.abPermutationTest(s, d)),
+    "ab_power_mde" -> ((s, d) => Drift.abPowerMde(s, d)),
+    "drift_effect_size" -> (Drift.effectSize _),
+    "pii_reid_risk" -> ((s, d) => Governance.reidRisk(s, d)),
     "eval_pr_threshold_sweep" -> (Evaluation.prThresholdSweep _),
     "ts_seasonal_strength" -> (TimeSeries.seasonalStrength _),
     "stats_power_law_alpha" -> (EventQueries.powerLawAlpha _),
@@ -741,6 +744,9 @@ object SparkEntry {
     "ab_conversion_ztest" -> Drift.abConversionSql(),
     "ab_cuped_revenue" -> Drift.abCupedSql,
     "ab_permutation_test" -> Drift.abPermutationTestSql(),
+    "ab_power_mde" -> Drift.abPowerMdeSql(),
+    "drift_effect_size" -> Drift.effectSizeSql,
+    "pii_reid_risk" -> Governance.reidRiskSql(),
     "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,
     "ts_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "stats_power_law_alpha" -> EventQueries.powerLawAlphaSql,

@@ -883,6 +883,159 @@ object Drift {
       |FROM k""".stripMargin
   }
 
+  /** Required sample size per arm across a relative-MDE grid, from the
+    * OBSERVED control conversion — the experiment-design calculator
+    * that closes the A/B family's loop (design → [[abConversion]]
+    * inference → [[abCuped]] adjustment → [[abPermutationTest]]
+    * exactness): n = (z_{α/2} + z_β)²·(p₀(1−p₀) + p₁(1−p₁)) /
+    * (p₁ − p₀)² at two-sided α = 5%, power 80%, for relative lifts
+    * 1%..10%. The z constants are SHARED fp literals (1.959963985,
+    * 0.8416212336) so both engines start from identical doubles; p₀
+    * is one division of the exact control cells and each grid row a
+    * fixed IEEE chain, NULL when p₁ ≥ 1. `ceil` of identical doubles
+    * is identical, so `n_per_arm` is an exact BIGINT.
+    *
+    * Scale: one per-user fold (the [[abConversion]] shape) to a 1-row
+    * control cell, broadcast into a 10-row grid.
+    */
+  def abPowerMde(s: SparkSession, dir: String,
+                 windowDays: Int = 3): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("mx"))
+    val ctl = ev.crossJoin(broadcast(mx))
+      .filter(col("user_id") % 2 === 0L)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase"
+        && col("us") >= col("mx") - lit(windowDays * 86400000000L), 1L)
+        .otherwise(0L)).as("conv"))
+      .agg(count(lit(1)).as("n0"), sum(col("conv")).as("c0"))
+    val zsum = lit(1.959963985) + lit(0.8416212336)
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = p0 * (lit(1.0) + col("mde_pct").cast("double") / lit(100.0))
+    ctl.select(col("n0"), col("c0"),
+        explode(sequence(lit(1L), lit(10L))).as("mde_pct"))
+      .select(col("mde_pct"), col("n0").as("n_control"),
+        p0.as("p_baseline"), p1.as("p_target"),
+        when(p1 < 1.0,
+          ceil((zsum * zsum)
+            * (p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))
+            / ((p1 - p0) * (p1 - p0))).cast("long")).as("n_per_arm"))
+      .orderBy(col("mde_pct"))
+  }
+
+  def abPowerMdeSql(windowDays: Int = 3): String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS mx FROM ev),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase'
+      |      AND us >= mx - ${windowDays} * 86400000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM ev, mx WHERE user_id % 2 = 0 GROUP BY user_id),
+      |ctl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+      |               CAST(SUM(conv) AS BIGINT) AS c0 FROM pu),
+      |g AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS mde_pct),
+      |k AS (
+      |  SELECT mde_pct, n0, c0,
+      |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+      |    (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      * (1.0 + CAST(mde_pct AS DOUBLE) / 100.0) AS p1
+      |  FROM ctl, g)
+      |SELECT mde_pct, n0 AS n_control, p0 AS p_baseline, p1 AS p_target,
+      |  CASE WHEN p1 < 1.0 THEN CAST(ceil(
+      |    ((1.959963985::DOUBLE + 0.8416212336::DOUBLE)
+      |     * (1.959963985::DOUBLE + 0.8416212336::DOUBLE))
+      |    * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+      |    / ((p1 - p0) * (p1 - p0))) AS BIGINT) END AS n_per_arm
+      |FROM k ORDER BY mde_pct""".stripMargin
+
+  /** Cohen's d / Hedges' g effect size for the temporal-halves value
+    * shift — the magnitude read [[welchTTest]]'s t deliberately isn't
+    * (t grows with √n; d does not, so only d is comparable across
+    * datasets and powers the [[abPowerMde]]-style planning for
+    * continuous metrics). Pooled-SD convention (Cohen 1988), with
+    * Hedges' small-sample correction g = d·(1 − 3/(4(n_a+n_b) − 9)).
+    *
+    * Exactness: the same exact BIGINT cent / DECIMAL square moments
+    * as [[welchTTest]]; d and g are one fixed IEEE chain, NULL on
+    * degenerate pooled variance.
+    */
+  def effectSize(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * 100).cast("long")
+    val sidedC = sided(s, dir).select(col("side"), c.as("c"))
+    val m = sidedC.groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .as("scc"))
+    val row = m.agg(
+      sum(when(col("side") === "a", col("n"))).as("n_a"),
+      sum(when(col("side") === "a", col("sc"))).as("sc_a"),
+      sum(when(col("side") === "a", col("scc"))).as("scc_a"),
+      sum(when(col("side") === "b", col("n"))).as("n_b"),
+      sum(when(col("side") === "b", col("sc"))).as("sc_b"),
+      sum(when(col("side") === "b", col("scc"))).as("scc_b"))
+    def d(n: String): Column = col(n).cast("double")
+    // (n−1)·s² in cents² = Σc² − (Σc)²/n, kept as one double chain
+    def ssq(n: String, sc: String, scc: String): Column =
+      d(scc) - d(sc) * d(sc) / d(n)
+    val sp2 = (ssq("n_a", "sc_a", "scc_a") + ssq("n_b", "sc_b", "scc_b")) /
+      (d("n_a") + d("n_b") - lit(2.0))
+    val diff = d("sc_b") / d("n_b") - d("sc_a") / d("n_a")
+    val cd = diff / sqrt(sp2)
+    row.select(col("n_a"), col("n_b"),
+      (d("sc_a") / (d("n_a") * lit(100.0))).as("mean_a"),
+      (d("sc_b") / (d("n_b") * lit(100.0))).as("mean_b"),
+      when(sp2 > 0.0, cd).as("cohens_d"),
+      when(sp2 > 0.0, cd * (lit(1.0) - lit(3.0)
+        / (lit(4.0) * (d("n_a") + d("n_b")) - lit(9.0)))).as("hedges_g"))
+  }
+
+  val effectSizeSql: String = {
+    val mid = PortableSql.intDiv("mn + mx", "2")
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us,
+      |              CAST(round(value * 100) AS BIGINT) AS c
+      |            FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < $mid THEN 'a' ELSE 'b' END AS side, c
+      |  FROM ev, b),
+      |m AS (
+      |  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+      |         AS VARCHAR) AS DOUBLE) AS scc
+      |  FROM sided GROUP BY side),
+      |r AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN side = 'a' THEN n END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN sc END) AS BIGINT) AS sc_a,
+      |    SUM(CASE WHEN side = 'a' THEN scc END) AS scc_a,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN n END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN sc END) AS BIGINT) AS sc_b,
+      |    SUM(CASE WHEN side = 'b' THEN scc END) AS scc_b
+      |  FROM m),
+      |k AS (
+      |  SELECT n_a, n_b,
+      |    CAST(sc_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) AS mean_a,
+      |    CAST(sc_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS mean_b,
+      |    ((scc_a - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE)
+      |        / CAST(n_a AS DOUBLE))
+      |     + (scc_b - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE)
+      |        / CAST(n_b AS DOUBLE)))
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS sp2,
+      |    CAST(sc_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(sc_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff
+      |  FROM r)
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  CASE WHEN sp2 > 0 THEN diff / sqrt(sp2) END AS cohens_d,
+      |  CASE WHEN sp2 > 0 THEN (diff / sqrt(sp2))
+      |    * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |                    - 9.0)) END AS hedges_g
+      |FROM k""".stripMargin
+  }
+
   // --- Q-Q decile table --------------------------------------------------------
   /** Decile-by-decile quantile comparison (the Q-Q plot, tabulated)
     * between the temporal halves — WHERE the distribution moved, which

@@ -184,6 +184,62 @@ object Governance {
       |FROM customer GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // --- dataset-level re-identification risk --------------------------------------
+  /** Dataset-level re-identification risk summary over [[kAnonymity]]'s
+    * (nation, segment) equivalence classes — the three standard attack
+    * models (El Emam & Dankar, JAMIA 2008): PROSECUTOR max risk
+    * (1/min class size — the attacker knows their target is in the
+    * data and targets the smallest class), the average per-RECORD
+    * risk (= n_classes/N exactly, since Σ_records 1/size(class) =
+    * n_classes), and the MARKETER expected re-identification count
+    * (= n_classes under the random-match model). Plus the share of
+    * records in classes below k = 5 — the population the release
+    * would actually generalize or suppress.
+    *
+    * Exactness: every numerator/denominator is an exact BIGINT class
+    * count; each reported rate is ONE IEEE division (the avg-risk
+    * identity avoids summing per-class reciprocals entirely).
+    *
+    * Scale: one map-side-combined fold to the bounded QI grid, one
+    * 1-row reduce.
+    */
+  def reidRisk(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .agg(sum(col("class_size")).as("n_records"),
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("records_below_k"))
+      .select(col("n_records"), col("n_classes"), col("min_class_size"),
+        col("records_below_k"),
+        (lit(1.0) / col("min_class_size").cast("double"))
+          .as("prosecutor_max_risk"),
+        (col("n_classes").cast("double") / col("n_records").cast("double"))
+          .as("avg_record_risk"),
+        (col("records_below_k").cast("double")
+          / col("n_records").cast("double")).as("share_below_k"))
+
+  def reidRiskSql(k: Int = 5): String =
+    s"""WITH cls AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS class_size
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+      |a AS (
+      |  SELECT CAST(SUM(class_size) AS BIGINT) AS n_records,
+      |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |    CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+      |    CAST(SUM(CASE WHEN class_size < $k THEN class_size ELSE 0 END)
+      |         AS BIGINT) AS records_below_k
+      |  FROM cls)
+      |SELECT n_records, n_classes, min_class_size, records_below_k,
+      |  1.0 / CAST(min_class_size AS DOUBLE) AS prosecutor_max_risk,
+      |  CAST(n_classes AS DOUBLE) / CAST(n_records AS DOUBLE)
+      |    AS avg_record_risk,
+      |  CAST(records_below_k AS DOUBLE) / CAST(n_records AS DOUBLE)
+      |    AS share_below_k
+      |FROM a""".stripMargin
+
   // --- l-diversity over the k-anonymity classes --------------------------------
   /** l-DIVERSITY report over [[kAnonymity]]'s equivalence classes
     * (Machanavajjhala et al., "l-Diversity: Privacy Beyond

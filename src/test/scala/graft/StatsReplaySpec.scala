@@ -214,6 +214,54 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("abPowerMde + effectSize + reidRisk: textbook replays") {
+    // power grid replay from the query's own control cells
+    val pw = Drift.abPowerMde(spark, sf).collect()
+    assert(pw.length == 10)
+    for (r <- pw) {
+      val p0 = r.getDouble(2)
+      val p1 = p0 * (1.0 + r.getLong(0) / 100.0)
+      assert(math.abs(r.getDouble(3) - p1) < 1e-12)
+      if (p1 < 1.0) {
+        val zs = 1.959963985 + 0.8416212336
+        val n = math.ceil(zs * zs * (p0 * (1 - p0) + p1 * (1 - p1))
+          / ((p1 - p0) * (p1 - p0)))
+        assert(r.getLong(4) == n.toLong,
+          s"mde ${r.getLong(0)}: n ${r.getLong(4)} != $n")
+      } else assert(r.isNullAt(4))
+    }
+    // larger MDE must never need more samples
+    val ns = pw.filter(!_.isNullAt(4)).map(_.getLong(4))
+    assert(ns.zip(ns.tail).forall { case (a, c) => a >= c })
+    // Cohen's d replay
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val a = ev.filter(_._1 < mid).map(_._2.toDouble)
+    val b = ev.filter(_._1 >= mid).map(_._2.toDouble)
+    def mean(v: Array[Double]) = v.sum / v.length
+    def ss(v: Array[Double]) = { val m = mean(v); v.map(x => (x - m) * (x - m)).sum }
+    val sp2 = (ss(a) + ss(b)) / (a.length + b.length - 2)
+    val d0 = (mean(b) - mean(a)) / math.sqrt(sp2)
+    val es = Drift.effectSize(spark, sf).collect().head
+    assert(es.getLong(0) == a.length && es.getLong(1) == b.length)
+    assert(math.abs(es.getDouble(4) - d0) < 1e-9, s"d ${es.getDouble(4)} != $d0")
+    val g0 = d0 * (1.0 - 3.0 / (4.0 * (a.length + b.length) - 9.0))
+    assert(math.abs(es.getDouble(5) - g0) < 1e-9)
+    // re-identification risk replay
+    val sizes = Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(_.getLong(2))
+    val rr = graft.queries.Governance.reidRisk(spark, sf).collect().head
+    assert(rr.getLong(0) == sizes.sum && rr.getLong(1) == sizes.length)
+    assert(rr.getLong(2) == sizes.min)
+    assert(rr.getLong(3) == sizes.filter(_ < 5).sum)
+    assert(math.abs(rr.getDouble(4) - 1.0 / sizes.min) < 1e-15)
+    assert(math.abs(rr.getDouble(5) - sizes.length.toDouble / sizes.sum) < 1e-15)
+  }
+
   test("seasonalMannKendall: brute-force within-season pair replay") {
     val xs = Tables.load(spark, sf, "orders")
       .select(to_date(col("o_orderdate")).as("d"),
