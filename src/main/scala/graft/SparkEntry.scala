@@ -252,6 +252,8 @@ object SparkEntry {
     "stats_cramers_v" -> (Relational.cramersV _),
     "stats_g_test" -> (Relational.gTest _),
     "stats_trimmed_mean" -> ((s, d) => Relational.trimmedMean(s, d)),
+    "stats_sign_test" -> (Relational.signTest _),
+    "stats_bowker_symmetry" -> (Relational.bowkerSymmetry _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
     // time series
@@ -721,6 +723,8 @@ object SparkEntry {
     "stats_cramers_v" -> Relational.cramersVSql,
     "stats_g_test" -> Relational.gTestSql,
     "stats_trimmed_mean" -> Relational.trimmedMeanSql(),
+    "stats_sign_test" -> Relational.signTestSql,
+    "stats_bowker_symmetry" -> Relational.bowkerSymmetrySql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,

@@ -3539,6 +3539,134 @@ object Relational {
       |          * CAST(LEAST(n_priorities, n_years) - 1 AS DOUBLE))) AS cramers_v
       |FROM a""".stripMargin
 
+  // --- paired sign test -----------------------------------------------------------
+  /** Paired sign test on per-customer 1997-vs-1998 spend — the
+    * assumption-free floor of the paired family (sign ⊂ Wilcoxon ⊂ t:
+    * uses only the DIRECTION of each customer's change, so it is exact
+    * under any symmetric or asymmetric noise where Wilcoxon needs
+    * symmetry of differences). Ties (equal spend, including the
+    * both-zero customers) drop per the standard convention; z carries
+    * the ±1 continuity correction, signed by the plus–minus margin.
+    *
+    * Exactness: per-customer year spends are exact BIGINT cent sums,
+    * so every comparison and all three counts are exact; z is one
+    * fixed IEEE chain, NULL when every pair ties.
+    *
+    * Scale: one custkey-keyed conditional fold (map-side combined),
+    * one 1-row reduce.
+    */
+  def signTest(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"), yr.as("yr"),
+        (dec(col("o_totalprice")) * lit(100)).cast("long").as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") === 1997, col("c")).otherwise(0L)).as("s97"),
+        sum(when(col("yr") === 1998, col("c")).otherwise(0L)).as("s98"))
+    val cells = per.agg(
+      sum(when(col("s98") > col("s97"), 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("s98") < col("s97"), 1L).otherwise(0L)).as("n_minus"),
+      sum(when(col("s98") === col("s97"), 1L).otherwise(0L)).as("n_ties"))
+    val np = col("n_plus"); val nm = col("n_minus")
+    cells.select(col("n_plus"), col("n_minus"), col("n_ties"),
+      when(np + nm > 0L,
+        signum((np - nm).cast("double"))
+          * (abs((np - nm).cast("double")) - lit(1.0))
+          / sqrt((np + nm).cast("double")))
+        .otherwise(lit(null).cast("double")).as("z_cc"))
+  }
+
+  val signTestSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS s97,
+      |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1998
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS s98
+      |  FROM orders GROUP BY o_custkey),
+      |cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN s98 > s97 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_plus,
+      |    CAST(SUM(CASE WHEN s98 < s97 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_minus,
+      |    CAST(SUM(CASE WHEN s98 = s97 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ties
+      |  FROM per)
+      |SELECT n_plus, n_minus, n_ties,
+      |  CASE WHEN n_plus + n_minus > 0 THEN
+      |    sign(CAST(n_plus - n_minus AS DOUBLE))
+      |    * (abs(CAST(n_plus - n_minus AS DOUBLE)) - 1.0)
+      |    / sqrt(CAST(n_plus + n_minus AS DOUBLE))
+      |  END AS z_cc
+      |FROM cells""".stripMargin
+
+  // --- Bowker symmetry test ---------------------------------------------------------
+  /** Bowker's symmetry test on the user event-type transition grid
+    * (Bowker, JASA 1948 — McNemar's k×k generalization): does flow
+    * i→j balance flow j→i for every event-type pair? A strongly
+    * asymmetric pair (view→purchase ≫ purchase→view) is the funnel
+    * signature; symmetry means the chain is closer to a random walk.
+    * χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji), df = # pairs with any
+    * flow.
+    *
+    * Exactness: per-pair terms land on the integer micro grid via
+    * `div` ((n_ij−n_ji)²·10⁶ div (n_ij+n_ji) — exact truncating
+    * division of exact BIGINTs), so the grid sum is order-free and χ²
+    * is one IEEE division. Headroom: n²·10⁶ < 2⁶³ until a single
+    * ordered pair carries ~3e6 · 10³ transitions.
+    *
+    * Scale: one lead window (user-partitioned, the legitimate class)
+    * + one fold to the ≤|types|² grid; the pair join is grid×grid.
+    */
+  def bowkerSymmetry(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("ft"),
+        lead(col("event_type"), 1).over(w).as("tt"))
+      .filter(col("tt").isNotNull && col("ft") =!= col("tt"))
+      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
+    val rev = grid.select(col("tt").as("ft"), col("ft").as("tt"),
+      col("n").as("n_rev"))
+    grid.join(rev, Seq("ft", "tt"), "full_outer")
+      .select(col("ft"), col("tt"), coalesce(col("n"), lit(0L)).as("nij"),
+        coalesce(col("n_rev"), lit(0L)).as("nji"))
+      .filter(col("ft") < col("tt"))
+      .select(expr("((nij - nji) * (nij - nji) * 1000000L) div (nij + nji)")
+        .as("term_micro"))
+      .agg(count(lit(1)).as("df"), sum(col("term_micro")).as("sum_micro"))
+      .select(col("df"),
+        (col("sum_micro").cast("double") / lit(1e6)).as("chi2_bowker"))
+  }
+
+  val bowkerSymmetrySql: String = {
+    val term = PortableSql.intDiv(
+      "(nij - nji) * (nij - nji) * 1000000", "nij + nji")
+    s"""WITH pairs AS (
+      |  SELECT event_type AS ft,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS tt
+      |  FROM events),
+      |grid AS (
+      |  SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE tt IS NOT NULL AND ft <> tt GROUP BY ft, tt),
+      |j AS (
+      |  SELECT COALESCE(a.ft, b.tt) AS ft, COALESCE(a.tt, b.ft) AS tt,
+      |    COALESCE(a.n, 0) AS nij, COALESCE(b.n, 0) AS nji
+      |  FROM grid a FULL OUTER JOIN grid b
+      |    ON a.ft = b.tt AND a.tt = b.ft),
+      |terms AS (
+      |  SELECT $term AS term_micro
+      |  FROM j WHERE ft < tt)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(CAST(SUM(term_micro) AS BIGINT) AS DOUBLE) / 1e6 AS chi2_bowker
+      |FROM terms""".stripMargin
+  }
+
   // --- trimmed mean --------------------------------------------------------------
   /** Two-sided 10% trimmed mean of order value — the robust location
     * beside `winsorize_stats` (winsorizing CLAMPS the tails to the cut

@@ -214,6 +214,56 @@ class StatsReplaySpec extends SparkSpec {
       && r.getLong(2) <= (mx + 1) * 1000000L))
   }
 
+  test("signTest + bowkerSymmetry: textbook replays") {
+    // sign test from per-customer year spends
+    val per = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { rows =>
+        (rows.filter(_._2 == 1997).map(_._3).sum,
+          rows.filter(_._2 == 1998).map(_._3).sum)
+      }.toMap
+    val np = per.values.count { case (a, b) => b > a }
+    val nm = per.values.count { case (a, b) => b < a }
+    val nt = per.values.count { case (a, b) => a == b }
+    val r1 = Relational.signTest(spark, sf).collect().head
+    assert(r1.getLong(0) == np && r1.getLong(1) == nm && r1.getLong(2) == nt)
+    if (np + nm > 0) {
+      val z = math.signum((np - nm).toDouble) *
+        (math.abs((np - nm).toDouble) - 1.0) / math.sqrt((np + nm).toDouble)
+      assert(math.abs(r1.getDouble(3) - z) < 1e-12)
+    }
+    // Bowker from the collected transition grid
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000
+        + r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val grid = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, rows) <- evs.groupBy(_._1)) {
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      for (Array(a, b) <- seq.sliding(2).map(_.toArray) if a != b)
+        grid((a, b)) = grid.getOrElse((a, b), 0L) + 1
+    }
+    var chi2micro = 0L
+    var df = 0L
+    val types = grid.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    for (i <- types; j <- types if i < j) {
+      val nij = grid.getOrElse((i, j), 0L)
+      val nji = grid.getOrElse((j, i), 0L)
+      if (nij + nji > 0) {
+        df += 1
+        chi2micro += (nij - nji) * (nij - nji) * 1000000L / (nij + nji)
+      }
+    }
+    val r2 = Relational.bowkerSymmetry(spark, sf).collect().head
+    assert(r2.getLong(0) == df, s"df ${r2.getLong(0)} != $df")
+    assert(math.abs(r2.getDouble(1) - chi2micro / 1e6) < 1e-9,
+      s"chi2 ${r2.getDouble(1)} != ${chi2micro / 1e6}")
+  }
+
   test("abPowerMde + effectSize + reidRisk: textbook replays") {
     // power grid replay from the query's own control cells
     val pw = Drift.abPowerMde(spark, sf).collect()
