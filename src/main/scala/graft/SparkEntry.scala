@@ -254,6 +254,7 @@ object SparkEntry {
     "stats_trimmed_mean" -> ((s, d) => Relational.trimmedMean(s, d)),
     "stats_sign_test" -> (Relational.signTest _),
     "stats_bowker_symmetry" -> (Relational.bowkerSymmetry _),
+    "graph_reciprocity" -> (Relational.reciprocity _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
     // time series
@@ -725,6 +726,7 @@ object SparkEntry {
     "stats_trimmed_mean" -> Relational.trimmedMeanSql(),
     "stats_sign_test" -> Relational.signTestSql,
     "stats_bowker_symmetry" -> Relational.bowkerSymmetrySql,
+    "graph_reciprocity" -> Relational.reciprocitySql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
     "ts_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,

@@ -3667,6 +3667,68 @@ object Relational {
       |FROM terms""".stripMargin
   }
 
+  // --- weighted reciprocity ---------------------------------------------------------
+  /** Weighted reciprocity of the user event-type transition graph
+    * (Squartini, Picciolo, Ruzzenenti & Garlaschelli, Sci. Rep. 2013:
+    * r = W↔/W, with W↔ = Σ_{i≠j} min(w_ij, w_ji) the reciprocated
+    * flow volume) — the one-number companion to
+    * [[bowkerSymmetry]]'s per-pair χ²: Bowker says WHETHER flows
+    * balance, reciprocity says HOW MUCH of the volume is two-way
+    * (1 = every transition eventually flows back, 0 = purely
+    * feed-forward funnel).
+    *
+    * Exactness: all three totals are exact BIGINT sums over the
+    * bounded type grid; r is ONE IEEE division.
+    *
+    * Scale: [[bowkerSymmetry]]'s shape — one user-partitioned lead
+    * window + one fold to the ≤|types|² grid, grid×grid pair join.
+    */
+  def reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("ft"),
+        lead(col("event_type"), 1).over(w).as("tt"))
+      .filter(col("tt").isNotNull && col("ft") =!= col("tt"))
+      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
+    val rev = grid.select(col("tt").as("ft"), col("ft").as("tt"),
+      col("n").as("n_rev"))
+    grid.join(rev, Seq("ft", "tt"), "full_outer")
+      .select(coalesce(col("n"), lit(0L)).as("nij"),
+        coalesce(col("n_rev"), lit(0L)).as("nji"))
+      .agg(count(lit(1)).as("n_ordered_pairs"),
+        sum(col("nij")).as("total_flow"),
+        sum(least(col("nij"), col("nji"))).as("reciprocated_flow"))
+      .select(col("n_ordered_pairs"), col("total_flow"),
+        col("reciprocated_flow"),
+        (col("reciprocated_flow").cast("double")
+          / col("total_flow").cast("double")).as("reciprocity"))
+  }
+
+  val reciprocitySql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS ft,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS tt
+      |  FROM events),
+      |grid AS (
+      |  SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE tt IS NOT NULL AND ft <> tt GROUP BY ft, tt),
+      |j AS (
+      |  SELECT COALESCE(a.n, 0) AS nij, COALESCE(b.n, 0) AS nji
+      |  FROM grid a FULL OUTER JOIN grid b
+      |    ON a.ft = b.tt AND a.tt = b.ft),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ordered_pairs,
+      |    CAST(SUM(nij) AS BIGINT) AS total_flow,
+      |    CAST(SUM(LEAST(nij, nji)) AS BIGINT) AS reciprocated_flow
+      |  FROM j)
+      |SELECT n_ordered_pairs, total_flow, reciprocated_flow,
+      |  CAST(reciprocated_flow AS DOUBLE) / CAST(total_flow AS DOUBLE)
+      |    AS reciprocity
+      |FROM agg""".stripMargin
+
   // --- trimmed mean --------------------------------------------------------------
   /** Two-sided 10% trimmed mean of order value — the robust location
     * beside `winsorize_stats` (winsorizing CLAMPS the tails to the cut

@@ -262,6 +262,22 @@ class StatsReplaySpec extends SparkSpec {
     assert(r2.getLong(0) == df, s"df ${r2.getLong(0)} != $df")
     assert(math.abs(r2.getDouble(1) - chi2micro / 1e6) < 1e-9,
       s"chi2 ${r2.getDouble(1)} != ${chi2micro / 1e6}")
+    // reciprocity from the same grid (ordered pairs, volume-weighted)
+    var totFlow = 0L
+    var recFlow = 0L
+    var nPairs = 0L
+    for (i <- types; j <- types if i != j) {
+      val nij = grid.getOrElse((i, j), 0L)
+      val nji = grid.getOrElse((j, i), 0L)
+      if (nij > 0 || nji > 0) {
+        nPairs += 1; totFlow += nij; recFlow += math.min(nij, nji)
+      }
+    }
+    val r3 = Relational.reciprocity(spark, sf).collect().head
+    assert(r3.getLong(0) == nPairs && r3.getLong(1) == totFlow
+      && r3.getLong(2) == recFlow, s"${r3.toSeq} vs ($nPairs,$totFlow,$recFlow)")
+    assert(math.abs(r3.getDouble(3) - recFlow.toDouble / totFlow) < 1e-15)
+    assert(r3.getDouble(3) >= 0.0 && r3.getDouble(3) <= 1.0)
   }
 
   test("abPowerMde + effectSize + reidRisk: textbook replays") {
