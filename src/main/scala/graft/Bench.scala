@@ -219,9 +219,43 @@ object Bench {
     // headline total counts only successful queries: a crashing query's
     // (typically fast) elapsed time must not lower the suite total
     val total = results.collect { case (_, v, _, true) => v }.sum
+    // Stall guard (r14 lesson: one kernel-reclaim window put a 289.7 s
+    // graph_triangles — 20.8 s task-CPU, 2.2 s calm — into the round's
+    // public artifact). Wall ≫ in-task CPU is the idle-wall fingerprint
+    // of a host stall, computable in-process: re-measure those queries
+    // once and report BOTH observations, plus a stall-adjusted total
+    // using the min wall, so one transient stall can't masquerade as a
+    // plan regression. The threshold is deliberately coarse (>5 s AND
+    // >5× task CPU): driver-side-recursion queries have low task CPU
+    // but sub-5 s walls, so a calm run re-measures nothing.
+    val stallSuspects = results.filter { case (name, sec, tcpu, ok) =>
+      ok && !name.startsWith("_") && sec > 5.0 && sec > 5.0 * math.max(tcpu, 0.01)
+    }
+    val remeasured = stallSuspects.map { case (name, sec1, tcpu1, _) =>
+      val (_, sec2, tcpu2, ok2) = runTimed(name + "__remeasure") {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      (name, sec1, tcpu1, sec2, tcpu2, ok2)
+    }
+    val remeasuredJson = remeasured.map {
+      case (name, s1, t1, s2, t2, ok2) =>
+        s"\"" + esc(name) + "\":{\"wall\":" + math.round(s1 * 100) / 100.0 +
+          ",\"task_cpu_s\":" + math.round(t1 * 100) / 100.0 +
+          ",\"wall2\":" + math.round(s2 * 100) / 100.0 +
+          ",\"task_cpu2_s\":" + math.round(t2 * 100) / 100.0 +
+          ",\"ok2\":" + ok2 + "}"
+    }.mkString("{", ",", "}")
+    val totalAdjusted = total - remeasured.collect {
+      case (_, s1, _, s2, _, true) if s2 < s1 => s1 - s2
+    }.sum
+    // a rerun failure is recorded in its ok2 field; the synthetic
+    // "<name>__remeasure" key must not reach the driver's failed list
+    // (it isn't a registry key, and the query's REAL run succeeded)
+    failed = failed.filterNot(_.endsWith("__remeasure"))
     val failedJson = failed.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val statsJson = stats.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"${esc(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_stall_adjusted":${math.round(totalAdjusted * 100) / 100.0},"remeasured":$remeasuredJson,"queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"${esc(sfDir)}"}"""
     // The driver's stdout capture keeps only the LAST ~2000 chars, so
     // the full per-query line (~75 KB with jvm_stats) can never parse
     // from its tail — every BENCH_r0*.json shipped "parsed": null.
@@ -265,7 +299,7 @@ object Bench {
       .mkString("{", ",", "}")
     val cacheBuildJson = cacheRows.headOption
       .map(r => (math.round(r._2 * 100) / 100.0).toString).getOrElse("null")
-    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size - cacheRows.size},"n_failed":${failed.size},"failed":$failedJson,"cache_build_s":$cacheBuildJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","total_stall_adjusted":${math.round(totalAdjusted * 100) / 100.0},"remeasured":$remeasuredJson,"n_queries":${results.size - cacheRows.size},"n_failed":${failed.size},"failed":$failedJson,"cache_build_s":$cacheBuildJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -892,8 +892,12 @@ object Drift {
     * 1%..10%. The z constants are SHARED fp literals (1.959963985,
     * 0.8416212336) so both engines start from identical doubles; p₀
     * is one division of the exact control cells and each grid row a
-    * fixed IEEE chain, NULL when p₁ ≥ 1. `ceil` of identical doubles
-    * is identical, so `n_per_arm` is an exact BIGINT.
+    * fixed IEEE chain, NULL when p₁ ≥ 1 OR p₁ ≤ p₀ (a zero-conversion
+    * control makes (p₁−p₀)² = 0 and the ratio 0/0 — Spark's non-ANSI
+    * NaN→long cast would yield 0 while DuckDB's CAST(ceil(NaN)) errors,
+    * so the degenerate case is NULL by contract, like the rest of the
+    * family). `ceil` of identical doubles is identical, so `n_per_arm`
+    * is an exact BIGINT.
     *
     * Scale: one per-user fold (the [[abConversion]] shape) to a 1-row
     * control cell, broadcast into a 10-row grid.
@@ -918,7 +922,7 @@ object Drift {
         explode(sequence(lit(1L), lit(10L))).as("mde_pct"))
       .select(col("mde_pct"), col("n0").as("n_control"),
         p0.as("p_baseline"), p1.as("p_target"),
-        when(p1 < 1.0,
+        when(p1 < 1.0 && p1 > p0,
           ceil((zsum * zsum)
             * (p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))
             / ((p1 - p0) * (p1 - p0))).cast("long")).as("n_per_arm"))
@@ -944,7 +948,7 @@ object Drift {
       |      * (1.0 + CAST(mde_pct AS DOUBLE) / 100.0) AS p1
       |  FROM ctl, g)
       |SELECT mde_pct, n0 AS n_control, p0 AS p_baseline, p1 AS p_target,
-      |  CASE WHEN p1 < 1.0 THEN CAST(ceil(
+      |  CASE WHEN p1 < 1.0 AND p1 > p0 THEN CAST(ceil(
       |    ((1.959963985::DOUBLE + 0.8416212336::DOUBLE)
       |     * (1.959963985::DOUBLE + 0.8416212336::DOUBLE))
       |    * (p0 * (1.0 - p0) + p1 * (1.0 - p1))

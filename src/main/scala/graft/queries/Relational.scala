@@ -3603,6 +3603,51 @@ object Relational {
       |  END AS z_cc
       |FROM cells""".stripMargin
 
+  // --- event-type transition pair grid (shared by Bowker + reciprocity) -----------
+  /** Ordered-pair flow grid of the user event-type transition graph:
+    * one row per (ft, tt) with `nij` = transitions ft→tt and `nji` =
+    * the reversed flow tt→ft (0 when absent) — the shared substrate of
+    * [[bowkerSymmetry]] and [[reciprocity]], factored so the pair
+    * contract (lead window ordered by (ts, event_id), self-loops
+    * dropped, full-outer reversed self-join) cannot drift between the
+    * two queries.
+    *
+    * Scale: one user-partitioned lead window (the legitimate class) +
+    * one fold to the ≤|types|² grid; the reversed join is grid×grid.
+    */
+  private def transitionPairGrid(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("ft"),
+        lead(col("event_type"), 1).over(w).as("tt"))
+      .filter(col("tt").isNotNull && col("ft") =!= col("tt"))
+      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
+    val rev = grid.select(col("tt").as("ft"), col("ft").as("tt"),
+      col("n").as("n_rev"))
+    grid.join(rev, Seq("ft", "tt"), "full_outer")
+      .select(col("ft"), col("tt"), coalesce(col("n"), lit(0L)).as("nij"),
+        coalesce(col("n_rev"), lit(0L)).as("nji"))
+  }
+
+  /** SQL twin of [[transitionPairGrid]]: CTEs `pairs`, `grid`, `j`
+    * where `j` has (ft, tt, nij, nji) — prepend and build on `j`. */
+  private val transitionPairGridSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS ft,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS tt
+      |  FROM events),
+      |grid AS (
+      |  SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE tt IS NOT NULL AND ft <> tt GROUP BY ft, tt),
+      |j AS (
+      |  SELECT COALESCE(a.ft, b.tt) AS ft, COALESCE(a.tt, b.ft) AS tt,
+      |    COALESCE(a.n, 0) AS nij, COALESCE(b.n, 0) AS nji
+      |  FROM grid a FULL OUTER JOIN grid b
+      |    ON a.ft = b.tt AND a.tt = b.ft)""".stripMargin
+
   // --- Bowker symmetry test ---------------------------------------------------------
   /** Bowker's symmetry test on the user event-type transition grid
     * (Bowker, JASA 1948 — McNemar's k×k generalization): does flow
@@ -3622,19 +3667,7 @@ object Relational {
     * + one fold to the ≤|types|² grid; the pair join is grid×grid.
     */
   def bowkerSymmetry(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val grid = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("ft"),
-        lead(col("event_type"), 1).over(w).as("tt"))
-      .filter(col("tt").isNotNull && col("ft") =!= col("tt"))
-      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
-    val rev = grid.select(col("tt").as("ft"), col("ft").as("tt"),
-      col("n").as("n_rev"))
-    grid.join(rev, Seq("ft", "tt"), "full_outer")
-      .select(col("ft"), col("tt"), coalesce(col("n"), lit(0L)).as("nij"),
-        coalesce(col("n_rev"), lit(0L)).as("nji"))
+    transitionPairGrid(s, dir)
       .filter(col("ft") < col("tt"))
       .select(expr("((nij - nji) * (nij - nji) * 1000000L) div (nij + nji)")
         .as("term_micro"))
@@ -3646,19 +3679,7 @@ object Relational {
   val bowkerSymmetrySql: String = {
     val term = PortableSql.intDiv(
       "(nij - nji) * (nij - nji) * 1000000", "nij + nji")
-    s"""WITH pairs AS (
-      |  SELECT event_type AS ft,
-      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |      AS tt
-      |  FROM events),
-      |grid AS (
-      |  SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM pairs WHERE tt IS NOT NULL AND ft <> tt GROUP BY ft, tt),
-      |j AS (
-      |  SELECT COALESCE(a.ft, b.tt) AS ft, COALESCE(a.tt, b.ft) AS tt,
-      |    COALESCE(a.n, 0) AS nij, COALESCE(b.n, 0) AS nji
-      |  FROM grid a FULL OUTER JOIN grid b
-      |    ON a.ft = b.tt AND a.tt = b.ft),
+    s"""$transitionPairGridSql,
       |terms AS (
       |  SELECT $term AS term_micro
       |  FROM j WHERE ft < tt)
@@ -3684,19 +3705,7 @@ object Relational {
     * window + one fold to the ≤|types|² grid, grid×grid pair join.
     */
   def reciprocity(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val grid = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("ft"),
-        lead(col("event_type"), 1).over(w).as("tt"))
-      .filter(col("tt").isNotNull && col("ft") =!= col("tt"))
-      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
-    val rev = grid.select(col("tt").as("ft"), col("ft").as("tt"),
-      col("n").as("n_rev"))
-    grid.join(rev, Seq("ft", "tt"), "full_outer")
-      .select(coalesce(col("n"), lit(0L)).as("nij"),
-        coalesce(col("n_rev"), lit(0L)).as("nji"))
+    transitionPairGrid(s, dir)
       .agg(count(lit(1)).as("n_ordered_pairs"),
         sum(col("nij")).as("total_flow"),
         sum(least(col("nij"), col("nji"))).as("reciprocated_flow"))
@@ -3707,18 +3716,7 @@ object Relational {
   }
 
   val reciprocitySql: String =
-    """WITH pairs AS (
-      |  SELECT event_type AS ft,
-      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |      AS tt
-      |  FROM events),
-      |grid AS (
-      |  SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM pairs WHERE tt IS NOT NULL AND ft <> tt GROUP BY ft, tt),
-      |j AS (
-      |  SELECT COALESCE(a.n, 0) AS nij, COALESCE(b.n, 0) AS nji
-      |  FROM grid a FULL OUTER JOIN grid b
-      |    ON a.ft = b.tt AND a.tt = b.ft),
+    s"""$transitionPairGridSql,
       |agg AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ordered_pairs,
       |    CAST(SUM(nij) AS BIGINT) AS total_flow,

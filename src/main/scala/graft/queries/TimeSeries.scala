@@ -2244,7 +2244,8 @@ object TimeSeries {
     * [[autocorrelation]] decimal-moments rule; the oracle routes its
     * decimal→double through the VARCHAR round-trip), so D and χ² are
     * a fixed IEEE chain on bit-identical inputs. NULL on a degenerate
-    * (S = 0) series.
+    * series (S = 0, or a single-day grid where the n−1 denominator
+    * would put Inf/NaN in `dispersion`).
     *
     * Scale: one map-side-combined fold of orders into the calendar
     * day grid, one 1-row reduce — nothing else.
@@ -2264,7 +2265,8 @@ object TimeSeries {
           - col("n_orders").cast("double") * col("n_orders").cast("double"))
           / col("n_orders").cast("double")).as("chi2"))
       .withColumn("dispersion",
-        col("chi2") / (col("n_days") - 1L).cast("double"))
+        when(col("n_days") > 1L,
+          col("chi2") / (col("n_days") - 1L).cast("double")))
   }
 
   val dispersionIndexSql: String =
@@ -2287,7 +2289,8 @@ object TimeSeries {
       |      / CAST(n_orders AS DOUBLE) END AS chi2
       |  FROM m)
       |SELECT n_days, n_orders, mean_per_day, chi2,
-      |  chi2 / CAST(n_days - 1 AS DOUBLE) AS dispersion
+      |  CASE WHEN n_days > 1 THEN
+      |    chi2 / CAST(n_days - 1 AS DOUBLE) END AS dispersion
       |FROM r""".stripMargin
 
   // --- one-step forecast backtest --------------------------------------------------

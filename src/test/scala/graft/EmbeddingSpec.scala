@@ -384,11 +384,16 @@ class EmbeddingSpec extends SparkSpec {
   }
 
   test("silhouette: driver-side brute-force replay of the milli-grid contract") {
+    // the query/oracle contract rounds HALF_UP (away from zero);
+    // math.round is half-toward-+inf, which differs for negative values
+    // landing exactly on a grid boundary — replay with the same rule
+    def roundAway(x: Double): Long =
+      math.signum(x).toLong * math.round(math.abs(x))
     val rows = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1),
-        r.getSeq[Double](2).toArray.map(x => math.round(x * 1000))))
+        r.getSeq[Double](2).toArray.map(x => roundAway(x * 1000))))
     val byLabel = rows.groupBy(_._2)
     val sums = byLabel.view.mapValues { vs =>
       val s = new Array[Long](vs.head._3.length)
@@ -408,7 +413,7 @@ class EmbeddingSpec extends SparkSpec {
         val s = if (math.max(a2, b2) > 0)
           (math.sqrt(b2) - math.sqrt(a2)) / math.sqrt(math.max(a2, b2))
         else 0.0
-        math.round(s * 1e6)
+        roundAway(s * 1e6)
       }
       (vs.length.toLong, micros.sum.toDouble / (vs.length * 1e6),
         micros.count(_ < 0L).toLong)

@@ -28,6 +28,22 @@ import re
 import sys
 
 
+def registry_size():
+    """Number of registered queries, parsed from the tree itself
+    (SparkEntry.scala's `queries` map) — the r14 lesson: a query landed
+    after the close-artifacts commit and the README said 359 in a
+    360-query tree. Counting the tree at update time (and failing when
+    the logs disagree, see main) makes that drift a build failure."""
+    src = open("src/main/scala/graft/SparkEntry.scala").read()
+    start = src.index("def queries")
+    end = src.index("def oracleSql")
+    keys = re.findall(r'"([A-Za-z0-9_]+)"\s*->', src[start:end])
+    if len(keys) != len(set(keys)):
+        dupes = sorted(k for k in set(keys) if keys.count(k) > 1)
+        sys.exit(f"duplicate registry keys in SparkEntry.queries: {dupes}")
+    return len(keys)
+
+
 def newest_driver_artifact():
     """(path, round_no) of the newest CORRECTNESS_r*.json, or None."""
     best = None
@@ -53,8 +69,28 @@ def main(round_label, sbt_log, cmp_log, bench_table=None, bench_json=None):
     duck_ver = re.search(r"local gate duckdb ([\d.]+)", cmp_txt)
     duck_note = f", local gate duckdb {duck_ver.group(1)}" if duck_ver else ""
     # every registered query appears exactly once in the compare log —
-    # either as an oracle-checked row or in the rows-only list
+    # either as an oracle-checked row or in the rows-only list — so the
+    # log total must equal the TREE's registry size; a mismatch means
+    # the gate logs are stale (a query landed after they were produced)
+    # and the claims they would generate are wrong. Fail loudly.
     total = n_ok + rows_only
+    tree_total = registry_size()
+    if total != tree_total:
+        sys.exit(
+            f"STALE LOGS: compare log covers {total} queries but "
+            f"SparkEntry.queries registers {tree_total} — rerun "
+            f"graft.Verify + compare_oracle.py on the current tree "
+            f"before regenerating claims")
+    # OPERATORS.md is generated from the same registry — hold it to the
+    # same staleness gate so the index can't lag a post-close addition
+    if os.path.exists("OPERATORS.md"):
+        ops = re.search(r"\*\*(\d+) registered queries\*\*",
+                        open("OPERATORS.md").read())
+        if not ops or int(ops.group(1)) != tree_total:
+            sys.exit(
+                f"STALE OPERATORS.md: says "
+                f"{ops.group(1) if ops else '?'} queries, tree has "
+                f"{tree_total} — rerun tools/gen_operators.py")
 
     # driver artifact, when present, is the stronger evidence: report its
     # numbers for the queries it covers, local-gate numbers for the rest
@@ -91,8 +127,9 @@ def main(round_label, sbt_log, cmp_log, bench_table=None, bench_json=None):
 
     status = "all green" if n_failed == n_aborted == n_bad == 0 else (
         f"{n_failed} test / {n_bad} oracle FAILURES")
-    table_ref = f" Latest per-query bench table: `{bench_table}`." \
-        if bench_table else ""
+    # repo-relative: an absolute /root/... path is machine-local noise
+    table_ref = (f" Latest per-query bench table: "
+                 f"`{os.path.relpath(bench_table)}`.") if bench_table else ""
     # bench total is generated from the artifact, never hand-typed (the
     # r11 "~2 min" prose drifted to 3.5 min as the registry grew)
     if bench_json:
