@@ -199,7 +199,8 @@ object SparkEntry {
     "events_anomaly_zscore" -> (EventQueries.anomalyZscore _),
     "cdc_latest_state" -> (EventQueries.cdcLatestState _),
     "window_session_native" -> (EventQueries.sessionWindowNative _),
-    "events_value_quantiles_approx" -> (EventQueries.valueQuantilesApprox _),
+    "events_value_quantiles_approx" ->
+      ((s, d) => EventQueries.valueQuantilesApproxAudit(s, d)),
     "events_quantile_rank_audit" -> (EventQueries.quantileRankAudit _),
     "events_markov_stationary" -> ((s, d) => EventQueries.markovStationary(s, d)),
     "events_markov_attribution" -> ((s, d) => EventQueries.markovAttribution(s, d)),
@@ -212,7 +213,7 @@ object SparkEntry {
     "typed_group_stats" -> (EventQueries.typedGroupStats _),
     "text_hash_features" -> (TextQueries.hashFeatures _),
     "text_importance_dsir" -> ((s, d) => TextQueries.importanceDsir(s, d)),
-    "text_compression_ratio" -> (TextQueries.compressionRatio _),
+    "text_compression_ratio" -> (TextQueries.compressionAudit _),
     "text_repeated_passages" -> (TextQueries.repeatedPassages _),
     "agg_regr_slope" -> (Relational.aggRegrSlope _),
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
@@ -254,6 +255,7 @@ object SparkEntry {
     "stats_trimmed_mean" -> ((s, d) => Relational.trimmedMean(s, d)),
     "stats_sign_test" -> (Relational.signTest _),
     "stats_bowker_symmetry" -> (Relational.bowkerSymmetry _),
+    "stats_bh_adjust" -> (MultipleTesting.bhAdjust _),
     "graph_reciprocity" -> (Relational.reciprocity _),
     "text_ngram_novelty" -> (TextQueries.ngramNovelty _),
     "text_zipf_slope" -> ((s, d) => TextQueries.zipfSlope(s, d)),
@@ -316,6 +318,7 @@ object SparkEntry {
     "eval_average_precision" -> (Evaluation.averagePrecision _),
     "eval_calibration" -> (Evaluation.calibration _),
     "eval_self_retrieval_mrr" -> ((s, d) => Evaluation.selfRetrievalMrr(s, d)),
+    "eval_ndcg" -> ((s, d) => Evaluation.ndcg(s, d)),
     "text_jsd_langs" -> ((s, d) => TextQueries.jsdLangs(s, d)),
     "docs_simpson_diversity" -> (TextQueries.simpsonDiversity _),
     "docs_hapax_share" -> (TextQueries.hapaxShare _),
@@ -421,7 +424,8 @@ object SparkEntry {
     "text_ccnet_buckets" -> (TextQueries.ccnetBuckets _),
     "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
     "events_value_mad" -> (EventQueries.valueMad _),
-    "events_value_mad_approx" -> ((s, d) => EventQueries.valueMadApprox(s, d)),
+    "events_value_mad_approx" ->
+      ((s, d) => EventQueries.valueMadApproxAudit(s, d)),
     "sketch_hll_rollup" -> (EventQueries.hllRollup _),
     "sketch_hll_intersect" -> (EventQueries.hllIntersect _),
     "sketch_topk_rollup" -> ((s, d) => EventQueries.topkRollup(s, d)),
@@ -448,7 +452,7 @@ object SparkEntry {
     "dedup_keep_best" -> (graft.llm.DedupClusters.dedupKeepBest _),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
     "dedup_lsh_bucket_audit" -> ((s, d) => MinHashDedup.bucketCensus(s, d)),
-    "dedup_minhash_signatures" -> (MinHashDedup.signatures _),
+    "dedup_minhash_signatures" -> (MinHashDedup.signatureAudit _),
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
     // similarity search
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
@@ -492,10 +496,17 @@ object SparkEntry {
     *     `agg_approx_distinct` (vs `agg_count_distinct`, RelationalSpec),
     *     `sketch_hll_rollup`/`sketch_hll_intersect` (AnalyticsOpsSpec
     *     merge-associativity + error envelope vs exact), `sketch_topk_rollup`
-    *     (AnalyticsOpsSpec exact-recount), `events_value_quantiles_approx`/`events_value_mad_approx`
-    *     (AnalyticsOpsSpec vs exact percentiles), `customer_rfm_approx`
-    *     (AnalyticsOpsSpec vs exact quintiles). (`join_size_estimate`
-    *     and `sketch_word_freq` graduated OUT in r12: their registry
+    *     (AnalyticsOpsSpec exact-recount), `customer_rfm_approx`
+    *     (AnalyticsOpsSpec vs exact quintiles).
+    *     (`events_value_quantiles_approx`/`events_value_mad_approx`
+    *     graduated OUT in r15: their registry entries are now
+    *     rank-guarantee audits — the (q±ε)·n window of every sketch
+    *     estimate checked against exact ≤/< counts, violation
+    *     counters pinned to 0 by the oracle beside recomputable group
+    *     sizes/extremes; the per-value estimates stay the
+    *     AnalyticsOpsSpec-bounded `valueQuantilesApprox` /
+    *     `valueMadApprox` API. `join_size_estimate`
+    *     and `sketch_word_freq` graduated in r12: their registry
     *     entries are structural-oracle audits — exact values beside
     *     each sketch's deterministic contract (AMS envelope boolean,
     *     CMS never-undercounts boolean) — so the contracts are
@@ -504,9 +515,14 @@ object SparkEntry {
     *  2. '''Fixed-seed hash families DuckDB cannot replay''' — xxhash64
     *     MinHash permutations / SimHash planes / LSH band hashes aren't
     *     reproducible in portable SQL, but every reported PAIR passes an
-    *     exact verify stage: `dedup_minhash_lsh`/`dedup_minhash_signatures`
+    *     exact verify stage: `dedup_minhash_lsh`
     *     (DedupSpec recall vs `dedup_ngram_jaccard`'s ORACLE-CHECKED exact
-    *     Jaccard, precision, hot-bucket cap), `dedup_lsh_bucket_audit`
+    *     Jaccard, precision, hot-bucket cap;
+    *     `dedup_minhash_signatures` graduated OUT in r15 — its registry
+    *     entry is the structural signature audit: shingle-total /
+    *     dup-text conservation recomputed by DuckDB from raw 3-grams
+    *     beside sig-length, order-invariance and identical-sets-sign-
+    *     identically violation counters pinned to 0), `dedup_lsh_bucket_audit`
     *     (the cap's observability census over the same band hashes —
     *     top-20 bucket sizes with over-cap drop counts; DedupSpec: a
     *     planted 40-doc pile reports once per band with the exact
@@ -546,9 +562,13 @@ object SparkEntry {
     *     bounds, `multimodal_cdc_pairs` pins planted-twin completeness,
     *     while [[graft.llm.Multimodal.cdcChunkStats]] /
     *     [[graft.llm.Multimodal.cdcSharedPairs]] stay the numeric API,
-    *     MultimodalSpec-pinned); `text_compression_ratio` depends on the JVM
-    *     Deflater's exact byte counts (CompressionSpec pins monotonicity
-    *     + bounds, not zlib internals).
+    *     MultimodalSpec-pinned; `text_compression_ratio` graduated the
+    *     same way in r15 — its registry entry is the per-source deflate
+    *     audit: char totals recomputed by DuckDB beside length-
+    *     conservation / stored-block-bound / self-concat-subadditivity
+    *     violation counters pinned to 0, while
+    *     [[graft.queries.TextQueries.compressionRatio]] stays the
+    *     per-doc API, CompressionSpec-pinned).
     */
   def oracleSql: Map[String, String] = Map(
     "dolar_parity" -> dolarParitySql,
@@ -726,6 +746,7 @@ object SparkEntry {
     "stats_trimmed_mean" -> Relational.trimmedMeanSql(),
     "stats_sign_test" -> Relational.signTestSql,
     "stats_bowker_symmetry" -> Relational.bowkerSymmetrySql,
+    "stats_bh_adjust" -> MultipleTesting.bhAdjustSql,
     "graph_reciprocity" -> Relational.reciprocitySql,
     "text_ngram_novelty" -> TextQueries.ngramNoveltySql,
     "text_zipf_slope" -> TextQueries.zipfSlopeSql,
@@ -787,6 +808,7 @@ object SparkEntry {
     "eval_average_precision" -> Evaluation.averagePrecisionSql,
     "eval_calibration" -> Evaluation.calibrationSql,
     "eval_self_retrieval_mrr" -> Evaluation.selfRetrievalMrrSql(),
+    "eval_ndcg" -> Evaluation.ndcgSql(),
     "text_jsd_langs" -> TextQueries.jsdLangsSql,
     "docs_simpson_diversity" -> TextQueries.simpsonDiversitySql,
     "docs_hapax_share" -> TextQueries.hapaxShareSql,
@@ -884,6 +906,10 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.mediaMetaSql,
     "multimodal_dedup" -> Multimodal.mediaDedupSql,
     "multimodal_cdc_chunks" -> Multimodal.cdcChunkAuditSql,
+    "dedup_minhash_signatures" -> MinHashDedup.signatureAuditSql,
+    "events_value_quantiles_approx" -> EventQueries.valueQuantilesApproxAuditSql,
+    "events_value_mad_approx" -> EventQueries.valueMadApproxAuditSql,
+    "text_compression_ratio" -> TextQueries.compressionAuditSql,
     "multimodal_cdc_pairs" -> Multimodal.cdcPairsAuditSql(),
   )
 }

@@ -221,14 +221,69 @@ object MinHashDedup {
       .select(col("band"), col("bucket"), col("bucket_size"),
         greatest(col("bucket_size") - maxBucket, lit(0L)).as("dropped_docs"))
 
-  /** Per-doc MinHash summary (deterministic; one row per doc): the
-    * signature's first slot and its first band hash — a registered
-    * rows-only query exercising the signature path.
+  /** Structural-oracle audit of the signature stage (the CDC-chunk
+    * pattern that moved that family from rows-only to hash-green):
+    * the signature VALUES are engine-specific (mix64∘SplitMix64 has
+    * no DuckDB twin), but the stage's INVARIANTS are checkable, and
+    * the inputs they conserve are recomputable from raw text — so the
+    * oracle hash-checks both. One row:
+    *   - `n_docs` / `n_shingles_total` / `n_dup_texts` — DuckDB
+    *     recomputes from `documents` (distinct (doc, w₁w₂w₃) 3-gram
+    *     tuples ≡ distinct shingle hashes barring a ~2⁻⁴⁷ xxhash64
+    *     birthday collision at these set sizes);
+    *   - `sig_len_violations` — docs whose signature isn't exactly
+    *     [[NumPerms]] slots (the banding contract);
+    *   - `order_invariance_violations` — docs where the signature of
+    *     the REVERSED shingle array differs (each slot is a min over
+    *     the set, so any order dependence is an implementation bug);
+    *   - `dup_sig_mismatches` — duplicate-text groups whose members'
+    *     signatures differ (identical sets MUST sign identically —
+    *     the invariant the whole LSH recall story rests on).
+    * The oracle pins the three counters to literal 0.
+    *
+    * Scale: two narrow maps over documents (signature + reversed
+    * signature), one text-keyed fold for the dup check, one 1-row
+    * reduce — no explode, no pair join.
     */
-  def signatures(s: SparkSession, dir: String): DataFrame =
-    signatureCols(s, dir)
-      .select(col("doc_id"),
-        element_at(col("sig"), 1).as("sig0"),
-        xxhash64((1 to RowsPerBand).map(r => element_at(col("sig"), r)): _*).as("band0"))
-      .orderBy(col("doc_id"))
+  def signatureAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("text"), hashedShingles(col("ws")).as("sh"))
+    val sigs = base.select(col("text"), size(col("sh")).cast("long").as("n_sh"),
+      graft.functions.MinHashSignature(col("sh"), NumPerms).as("sig"),
+      graft.functions.MinHashSignature(reverse(col("sh")), NumPerms).as("sig_rev"))
+    val perText = sigs.groupBy(col("text"))
+      .agg(count(lit(1)).as("n_docs_t"), sum(col("n_sh")).as("sh_t"),
+        sum(when(size(col("sig")) =!= NumPerms, 1L).otherwise(0L)).as("lenviol_t"),
+        sum(when(not(col("sig") === col("sig_rev")), 1L).otherwise(0L))
+          .as("ordviol_t"),
+        countDistinct(col("sig")).as("n_sigs_t"))
+    perText.agg(
+      sum(col("n_docs_t")).as("n_docs"),
+      sum(col("sh_t")).as("n_shingles_total"),
+      sum(when(col("n_docs_t") > 1L, 1L).otherwise(0L)).as("n_dup_texts"),
+      sum(col("lenviol_t")).as("sig_len_violations"),
+      sum(col("ordviol_t")).as("order_invariance_violations"),
+      sum(when(col("n_docs_t") > 1L && col("n_sigs_t") > 1L, 1L)
+        .otherwise(0L)).as("dup_sig_mismatches"))
+  }
+
+  val signatureAuditSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |f AS (SELECT doc_id, text, ws FROM w WHERE len(ws) >= 3),
+      |g AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+      |  FROM f, unnest(range(1, len(ws) - 1)) AS t(i))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_docs,
+      |  (SELECT CAST(COUNT(DISTINCT (doc_id, w1, w2, w3)) AS BIGINT) FROM g)
+      |    AS n_shingles_total,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      |    (SELECT text FROM f GROUP BY text HAVING COUNT(*) > 1))
+      |    AS n_dup_texts,
+      |  CAST(0 AS BIGINT) AS sig_len_violations,
+      |  CAST(0 AS BIGINT) AS order_invariance_violations,
+      |  CAST(0 AS BIGINT) AS dup_sig_mismatches""".stripMargin
 }

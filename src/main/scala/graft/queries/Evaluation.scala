@@ -456,4 +456,96 @@ object Evaluation {
       |FROM g, tot
       |ORDER BY bin""".stripMargin
   }
+
+  // --- NDCG@k (graded relevance) ------------------------------------------
+  /** NDCG@k of the length ranking with GRADED relevance — the ranking
+    * scorecard [[averagePrecision]] and [[selfRetrievalMrr]] still
+    * lack: AP/MRR see binary labels, NDCG credits partial relevance
+    * (rel 2 = en, rel 1 = es, 0 otherwise — the "primary language,
+    * acceptable language, rest" grading a curation pipeline actually
+    * uses) and discounts by rank (Järvelin & Kekäläinen, TOIS 2002).
+    * DCG@k = Σ_{r≤k} (2^rel − 1)/log₂(r+1); NDCG = DCG/IDCG where
+    * IDCG is the DCG of the ideal (relevance-sorted) ordering.
+    *
+    * Exactness: the ranking is tie-free (n_chars DESC, doc_id ASC);
+    * each discount rides the integer micro grid as
+    * round(10⁶/(ln(r+1)/ln 2)) — a DATA-INDEPENDENT grid (r ≤ k), so
+    * cross-engine equality of the rounded values was verified once
+    * for r ≤ 200 and holds at every SF; gains are exact integers
+    * {0,1,3}; DCG/IDCG numerators are exact BIGINT micro sums and
+    * NDCG is ONE IEEE division. The ideal ordering needs no sort:
+    * with n₂ docs at rel 2 and n₁ at rel 1, position r's ideal gain
+    * is 3 when r ≤ n₂, 1 when r ≤ n₂+n₁, else 0.
+    *
+    * Scale: the global tie-free rank rides
+    * [[graft.Graft.cumSumByRange]] (range-partitioned, never a
+    * single-partition row_number); DCG folds only the top-k rows;
+    * IDCG is a k-row grid exploded off the 1-row corpus counts.
+    */
+  def ndcg(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val rel = when(col("lang") === "en", 2L)
+      .when(col("lang") === "es", 1L).otherwise(0L)
+    def discMicro(r: Column): Column =
+      round(lit(1e6) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0))))
+        .cast("long")
+    val gain = when(col("rel") === 2L, 3L)
+      .when(col("rel") === 1L, 1L).otherwise(0L)
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), rel.as("rel"))
+    val ranked = graft.Graft.cumSumByRange(base,
+      Seq(col("n_chars").desc, col("doc_id")), Seq(lit(1L) -> "rnk"))
+    val dcg = ranked.filter(col("rnk") <= k.toLong)
+      .agg(sum(gain * discMicro(col("rnk"))).as("dcg_micro"))
+    val ideal = base
+      .agg(sum(when(col("rel") === 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("rel") === 1L, 1L).otherwise(0L)).as("n1"))
+      .select(col("n2"), col("n1"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("kk"))
+      .agg(max(col("n2")).as("n_rel2"), max(col("n1")).as("n_rel1"),
+        sum(when(col("kk") <= col("n2"), 3L)
+          .when(col("kk") <= col("n2") + col("n1"), 1L).otherwise(0L)
+          * discMicro(col("kk"))).as("idcg_micro"))
+    dcg.crossJoin(broadcast(ideal))
+      .select(lit(k.toLong).as("k"), col("n_rel2"), col("n_rel1"),
+        (col("dcg_micro").cast("double") / lit(1e6)).as("dcg_at_k"),
+        (col("idcg_micro").cast("double") / lit(1e6)).as("idcg_at_k"),
+        (col("dcg_micro").cast("double")
+          / col("idcg_micro").cast("double")).as("ndcg_at_k"))
+  }
+
+  def ndcgSql(k: Int = 20): String =
+    s"""WITH base AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN lang = 'en' THEN 2 WHEN lang = 'es' THEN 1 ELSE 0 END
+      |      AS rel
+      |  FROM documents),
+      |r AS (
+      |  SELECT rel,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+      |      AS rnk
+      |  FROM base),
+      |dcg AS (
+      |  SELECT CAST(SUM(
+      |    (CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+      |    * CAST(round(1e6 / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0)))
+      |        AS BIGINT)) AS BIGINT) AS dcg_micro
+      |  FROM r WHERE rnk <= $k),
+      |c AS (
+      |  SELECT CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n2,
+      |    CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM base),
+      |g AS (SELECT CAST(i + 1 AS BIGINT) AS kk FROM range($k) t(i)),
+      |ideal AS (
+      |  SELECT MAX(n2) AS n_rel2, MAX(n1) AS n_rel1,
+      |    CAST(SUM(
+      |      (CASE WHEN kk <= n2 THEN 3 WHEN kk <= n2 + n1 THEN 1 ELSE 0 END)
+      |      * CAST(round(1e6 / (ln(CAST(kk + 1 AS DOUBLE)) / ln(2.0)))
+      |          AS BIGINT)) AS BIGINT) AS idcg_micro
+      |  FROM g, c)
+      |SELECT CAST($k AS BIGINT) AS k, n_rel2, n_rel1,
+      |  CAST(dcg_micro AS DOUBLE) / 1e6 AS dcg_at_k,
+      |  CAST(idcg_micro AS DOUBLE) / 1e6 AS idcg_at_k,
+      |  CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) AS ndcg_at_k
+      |FROM dcg, ideal""".stripMargin
 }

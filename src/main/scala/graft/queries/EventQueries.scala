@@ -1379,9 +1379,11 @@ object EventQueries {
     * bounded state, map-side partial merge) replaces it in BOTH passes
     * with everything else — the broadcast medians re-join, the
     * IEEE-exact |x − med| — unchanged. Same exact/approx twin pattern
-    * as [[Relational.customerRfmApprox]]. No oracle (sketch internals
-    * are engine-specific); AnalyticsOpsSpec bounds its divergence from
-    * the exact twin.
+    * as [[Relational.customerRfmApprox]]. Sketch internals are
+    * engine-specific, so the REGISTERED spelling is
+    * [[valueMadApproxAudit]] (rank-guarantee violations, hash-checked);
+    * AnalyticsOpsSpec additionally bounds this per-value surface
+    * against the exact twin.
     */
   def valueMadApprox(s: SparkSession, dir: String,
                      accuracy: Int = 10000): DataFrame = {
@@ -1394,6 +1396,109 @@ object EventQueries {
       .agg(percentile_approx(col("dev"), lit(0.5), lit(accuracy)).as("mad"))
       .orderBy(col("event_type"))
   }
+
+  /** True iff the exact rank interval [n_lt+1, n_le] of a sketch
+    * estimate MISSES the guaranteed window (q±ε)·n (±1 row of slack
+    * for the interval-endpoint convention) — the per-quantile
+    * violation predicate of the two approx-family audits below.
+    * Only Spark evaluates this (the oracle pins the counters to 0),
+    * so plain double arithmetic is fine here.
+    */
+  private def rankViol(q: Double, eps: Double, n: Column,
+                       nLe: Column, nLt: Column): Column = {
+    val nd = n.cast("double")
+    when(nLe.cast("double") < nd * lit(q - eps) - lit(1.0)
+      || nLt.cast("double") > nd * lit(q + eps) + lit(1.0), 1L).otherwise(0L)
+  }
+
+  /** Structural-oracle audit of [[valueQuantilesApprox]] (the
+    * CDC-chunk pattern; per the r14 verdict, riding the same exact-
+    * rank machinery as `events_quantile_rank_audit`): the estimates
+    * themselves are sketch-internal, but each carries the KLL/GK rank
+    * GUARANTEE — the value returned for quantile q has exact rank
+    * within (q±ε)·n, ε = 1/accuracy — and that is checkable against
+    * the raw data. Per event type: the recomputable group size and
+    * value extremes, plus one violation counter per quantile, each
+    * 0/1 and pinned to 0 by the oracle (a violated bound is a broken
+    * sketch, not noise).
+    *
+    * Scale: the sketch fold (mergeable, fixed-size state), ONE
+    * broadcast re-join of the 5-row estimate grid to events, one
+    * map-side-combined fold counting ≤/< per group.
+    */
+  def valueQuantilesApproxAudit(s: SparkSession, dir: String,
+                                accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val est = ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99"))
+    ev(s, dir).join(broadcast(est), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") < col("p90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("le99"),
+        sum(when(col("value") < col("p99"), 1L).otherwise(0L)).as("lt99"))
+      .select(col("event_type"), col("n"), col("value_min"), col("value_max"),
+        rankViol(0.5, eps, col("n"), col("le50"), col("lt50"))
+          .as("p50_rank_violations"),
+        rankViol(0.9, eps, col("n"), col("le90"), col("lt90"))
+          .as("p90_rank_violations"),
+        rankViol(0.99, eps, col("n"), col("le99"), col("lt99"))
+          .as("p99_rank_violations"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueQuantilesApproxAuditSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(value) AS value_min, MAX(value) AS value_max,
+      |  CAST(0 AS BIGINT) AS p50_rank_violations,
+      |  CAST(0 AS BIGINT) AS p90_rank_violations,
+      |  CAST(0 AS BIGINT) AS p99_rank_violations
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Structural-oracle audit of [[valueMadApprox]]: both sketch
+    * stages carry the rank guarantee — the approximate median must
+    * sit within (½±ε)·n of the values, and the approximate MAD
+    * within (½±ε)·n of the |value − med| deviations — so both are
+    * checkable against raw data even though the estimates themselves
+    * are sketch-internal. Same shape and oracle contract as
+    * [[valueQuantilesApproxAudit]].
+    */
+  def valueMadApproxAudit(s: SparkSession, dir: String,
+                          accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val est = valueMadApprox(s, dir, accuracy) // event_type, med, mad
+    ev(s, dir).join(broadcast(est), "event_type")
+      .select(col("event_type"), col("value"),
+        abs(col("value") - col("med")).as("dev"),
+        col("med"), col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("le_m"),
+        sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("lt_m"),
+        sum(when(col("dev") <= col("mad"), 1L).otherwise(0L)).as("le_d"),
+        sum(when(col("dev") < col("mad"), 1L).otherwise(0L)).as("lt_d"))
+      .select(col("event_type"), col("n"),
+        rankViol(0.5, eps, col("n"), col("le_m"), col("lt_m"))
+          .as("med_rank_violations"),
+        rankViol(0.5, eps, col("n"), col("le_d"), col("lt_d"))
+          .as("mad_rank_violations"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueMadApproxAuditSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(0 AS BIGINT) AS med_rank_violations,
+      |  CAST(0 AS BIGINT) AS mad_rank_violations
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- mergeable HLL sketch rollup -----------------------------------------
   /** Distinct users per trailing window WITHOUT re-touching events: one
@@ -1895,9 +2000,10 @@ object EventQueries {
     * need the full sorted value multiset per group (state grows with
     * data), while the sketch is fixed-size per group and merges
     * associatively across partitions, so the shuffle carries sketches,
-    * not values. Rows-only checked (the sketch's exact outputs are
-    * algorithm-specific); AnalyticsOpsSpec bounds its error against the
-    * exact dual.
+    * not values. The sketch's exact outputs are algorithm-specific, so
+    * the REGISTERED spelling is [[valueQuantilesApproxAudit]] (rank-
+    * guarantee violations, hash-checked); AnalyticsOpsSpec additionally
+    * bounds this per-value surface against the exact dual.
     */
   def valueQuantilesApprox(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)

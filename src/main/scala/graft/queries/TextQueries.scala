@@ -1693,6 +1693,59 @@ object TextQueries {
           .as("compression_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Structural-oracle audit of the DEFLATE stage (the CDC-chunk
+    * pattern): the per-doc deflate sizes stay engine-specific (DuckDB
+    * exposes no deflate — [[compressionRatio]] keeps the per-doc
+    * surface), but the stage's INVARIANTS are checkable and the totals
+    * they conserve are recomputable, so the registered query is
+    * hash-checked. Per source:
+    *   - `n_docs` / `total_chars` — DuckDB recomputes from raw text;
+    *   - `len_conservation_violations` — docs where the fixture's
+    *     n_chars disagrees with length(text) (the ratio's denominator
+    *     contract);
+    *   - `deflate_bound_violations` — docs where the deflate size
+    *     leaves (0, len + 5·⌈len/65535⌉ + 16]: the stored-block worst
+    *     case of raw DEFLATE (5-byte header per 64 KiB stored block)
+    *     plus slack — a compressor "compressing" past the incompress-
+    *     ibility bound is broken, as is a zero/negative size;
+    *   - `subadditivity_violations` — docs where deflate(text‖text) >
+    *     2·deflate(text) + 16: self-concatenation must never compress
+    *     WORSE than twice the original (LZ77's ≥32 KiB window makes
+    *     the second copy nearly free for typical docs — the
+    *     "repetition compresses" property the quality filter rides).
+    * The oracle pins the three counters to literal 0.
+    *
+    * Scale: one narrow codegen'd map over documents (two deflate
+    * calls per doc), one source-keyed fold.
+    */
+  def compressionAudit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("len"),
+        graft.functions.DeflateSize(col("text")).as("d1"),
+        graft.functions.DeflateSize(concat(col("text"), col("text")))
+          .as("d2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("n_chars") =!= col("len"), 1L).otherwise(0L))
+          .as("len_conservation_violations"),
+        sum(when(col("d1") <= 0L
+          || col("d1") > col("len")
+            + lit(5L) * expr("(len + 65534L) div 65535L") + lit(16L), 1L)
+          .otherwise(0L)).as("deflate_bound_violations"),
+        sum(when(col("d2") > lit(2L) * col("d1") + lit(16L), 1L)
+          .otherwise(0L)).as("subadditivity_violations"))
+      .orderBy(col("source"))
+
+  val compressionAuditSql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(0 AS BIGINT) AS len_conservation_violations,
+      |  CAST(0 AS BIGINT) AS deflate_bound_violations,
+      |  CAST(0 AS BIGINT) AS subadditivity_violations
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // --- feature hashing (hashing-trick vectorizer) ------------------------
   /** Bag-of-words → fixed 64-dimension sparse count vector via the
     * hashing trick (Weinberger et al., "Feature Hashing for Large Scale

@@ -56,4 +56,21 @@ class CompressionSpec extends SparkSpec {
       assert(math.abs(ratio - dBytes.toDouble / nChars) < 1e-15)
     }
   }
+
+  test("compressionAudit: counters clean + char totals tie to the per-doc surface") {
+    val audit = graft.queries.TextQueries.compressionAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (src, nDocs, _, lv, bv, sv) =>
+      assert(nDocs > 0L, src)
+      assert(lv == 0L && bv == 0L && sv == 0L,
+        s"$src violations: len=$lv bound=$bv subadd=$sv")
+    }
+    // conservation cross-check against the independent per-doc query
+    val perDocChars = graft.queries.TextQueries.compressionRatio(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(audit.map(_._3).sum == perDocChars,
+      "audit total_chars != per-doc n_chars sum")
+  }
 }

@@ -145,6 +145,28 @@ class DedupSpec extends SparkSpec {
       s"pile census lost the overflow rows: ${pileCensus.toSeq}")
   }
 
+  test("signatureAudit: invariants have teeth on a planted dup-text fixture") {
+    import spark.implicits._
+    // 3 copies of one text + 2 distinct texts: the audit must COUNT the
+    // dup group (n_dup_texts = 1), sign its members identically
+    // (dup_sig_mismatches = 0 is an invariant, not vacuous here), and
+    // conserve the shingle total (distinct 3-grams: 8 + 3 + 4)
+    val a = (1 to 10).map(i => s"a$i").mkString(" ") // 8 shingles
+    val b = "b1 b2 b3 b4 b5"                         // 3 shingles
+    val c = "c1 c2 c3 c4 c5 c6"                      // 4 shingles
+    val docs = Seq((0L, a), (1L, a), (2L, a), (3L, b), (4L, c), (5L, "x y"))
+      .map { case (i, t) => (i, t, "en", "fix", t.length.toLong) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigaudit").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = MinHashDedup.signatureAudit(spark, tmp).collect().head
+    assert(r.getLong(0) == 5L, s"n_docs ${r.getLong(0)} (the 2-word doc drops)")
+    assert(r.getLong(1) == 3 * 8 + 3 + 4, s"n_shingles_total ${r.getLong(1)}")
+    assert(r.getLong(2) == 1L, s"n_dup_texts ${r.getLong(2)}")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L,
+      s"violations on a healthy fixture: $r")
+  }
+
   test("MinHash-LSH precision: every reported pair passes exact verify") {
     val pairs = MinHashDedup.nearDupPairs(spark, sf).collect()
     assert(pairs.nonEmpty, "corpus should contain planted near-dups")

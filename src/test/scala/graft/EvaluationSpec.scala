@@ -149,4 +149,41 @@ class EvaluationSpec extends SparkSpec {
       s"mrr ${row.getDouble(4)} != replay $mrr")
     assert(mrr > 0.0 && mrr <= 1.0)
   }
+
+  test("ndcg: plain-double ranked-loop replay (graded relevance)") {
+    // independent algorithm: sort the collected fixture, walk the top
+    // 20 with double log2 discounts (no micro grid), and build the
+    // ideal ordering by an actual sort of relevances — the query's
+    // closed-form n2/n1 positional ideal must agree
+    val k = 20
+    val graded = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .collect()
+      .map { r =>
+        val rel = r.getString(2) match {
+          case "en" => 2; case "es" => 1; case _ => 0 }
+        (r.getLong(0), r.getLong(1), rel)
+      }
+    def gain(rel: Int): Double = (1 << rel) - 1.0
+    def disc(r: Int): Double = math.log(2.0) / math.log(r + 1.0)
+    val ranked = graded.sortBy { case (id, len, _) => (-len, id) }
+    val dcg = ranked.take(k).zipWithIndex
+      .map { case ((_, _, rel), i) => gain(rel) * disc(i + 1) }.sum
+    val idcg = graded.map(_._3).sorted(Ordering.Int.reverse).take(k)
+      .zipWithIndex.map { case (rel, i) => gain(rel) * disc(i + 1) }.sum
+    val row = Evaluation.ndcg(spark, sf).collect().head
+    assert(row.getLong(0) == k.toLong)
+    assert(row.getLong(1) == graded.count(_._3 == 2).toLong, "n_rel2")
+    assert(row.getLong(2) == graded.count(_._3 == 1).toLong, "n_rel1")
+    // each of the k discounts is on the micro grid (±5e-7 relative),
+    // gains ≤ 3 — so DCG/IDCG sit within ~k·3·5e-7·max-disc of the
+    // plain-double replay; 1e-4 absolute is comfortably outside that
+    assert(math.abs(row.getDouble(3) - dcg) < 1e-4,
+      s"dcg ${row.getDouble(3)} != replay $dcg")
+    assert(math.abs(row.getDouble(4) - idcg) < 1e-4,
+      s"idcg ${row.getDouble(4)} != replay $idcg")
+    assert(math.abs(row.getDouble(5) - dcg / idcg) < 1e-4,
+      s"ndcg ${row.getDouble(5)} != replay ${dcg / idcg}")
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0 + 1e-9)
+  }
 }

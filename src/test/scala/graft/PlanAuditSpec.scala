@@ -392,6 +392,8 @@ class PlanAuditSpec extends SparkSpec {
       "stats_tukey_hsd" -> "cumulative MSW term over the 5-row priority grid",
       "stats_bartlett" -> "two cumulative terms over the 5-row priority grid",
       "stats_mood_median" -> "cumulative chi2 term over the 5-row priority grid",
+      "stats_bh_adjust" ->
+        "rank + tail-running-min windows over the ≤12-row hypothesis battery grid",
       "text_zipf_slope" -> "rank over the top-100 vocabulary cut",
       "ts_runs_test" -> "median rank + sign-flip lag over the day grid",
       "ts_spearman" -> "average ranks over the day grid",

@@ -1880,4 +1880,70 @@ class StatsReplaySpec extends SparkSpec {
         s"z_dunn ${r.getDouble(6)} != replay $z")
     }
   }
+
+  test("bhAdjust: textbook step-up replay over the collected battery") {
+    // independent algorithm: collect each member test's z through its
+    // OWN registered query, compute two-sided p with plain doubles
+    // (java erfc chain, no nano grid), run the textbook BH step-up
+    // loop (sort ascending, p*m/i, running min from the tail), and
+    // compare names, order, rejections, and values to the query
+    def erfc(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.5 * x)
+      t * math.exp(-x * x - 1.26551223 + t * (1.00002368
+        + t * (0.37409196 + t * (0.09678418 + t * (-0.18628806
+        + t * (0.27886807 + t * (-1.13520398 + t * (1.48851587
+        + t * (-0.82215223 + t * 0.17087277)))))))))
+    }
+    def z(df: org.apache.spark.sql.DataFrame, c: String): Option[Double] = {
+      val r = df.select(col(c)).collect().head
+      if (r.isNullAt(0)) None else Some(math.abs(r.getDouble(0)))
+    }
+    val members: Seq[(String, Option[Double])] = Seq(
+      "ab_conversion" -> z(Drift.abConversion(spark, sf), "z"),
+      "cochran_armitage" -> z(Relational.cochranArmitage(spark, sf),
+        "trend_z"),
+      "mann_kendall" -> z(TimeSeries.mannKendall(spark, sf), "z"),
+      "mcnemar" -> z(Relational.mcnemarYears(spark, sf), "chi2_cc")
+        .map(math.sqrt),
+      "runs_test" -> z(TimeSeries.runsTest(spark, sf), "z"),
+      "sign_test" -> z(Relational.signTest(spark, sf), "z_cc"),
+      "wilcoxon_signed" -> z(Drift.wilcoxonSignedRank(spark, sf), "z")
+    ) ++ EventQueries.poissonRateTest(spark, sf)
+      .select(col("event_type"), col("z")).collect()
+      .map(r => (s"poisson_rate_${r.getString(0)}",
+        if (r.isNullAt(1)) None else Some(math.abs(r.getDouble(1)))))
+    val tested = members.collect { case (n, Some(az)) => (n, az) }
+    val m = tested.length
+    val ps = tested
+      .map { case (n, az) => (n, az, erfc(az / math.sqrt(2.0))) }
+      .sortBy { case (n, _, p) => (p, n) }
+    // textbook step-up: adjusted p(i) = min_{j>=i} p(j)*m/j, capped
+    val adj = new Array[Double](m)
+    var run = Double.MaxValue
+    for (i <- (m - 1) to 0 by -1) {
+      run = math.min(run, ps(i)._3 * m / (i + 1.0))
+      adj(i) = math.min(1.0, run)
+    }
+    val rows = graft.queries.MultipleTesting.bhAdjust(spark, sf).collect()
+    assert(rows.length == m, s"${rows.length} rows != $m tested hypotheses")
+    for ((r, i) <- rows.zipWithIndex) {
+      assert(r.getString(0) == ps(i)._1,
+        s"row $i test ${r.getString(0)} != replay order ${ps(i)._1}")
+      assert(math.abs(r.getDouble(1) - ps(i)._2) < 1e-12, "abs_z")
+      // the query's p rides the nano grid: within 5e-10 of plain p
+      assert(math.abs(r.getDouble(2) - ps(i)._3) < 1e-9,
+        s"${ps(i)._1} p ${r.getDouble(2)} != replay ${ps(i)._3}")
+      // adjusted p: nano-grid + truncating div sit at most m ulps of
+      // the grid below the double replay
+      assert(math.abs(r.getDouble(3) - adj(i)) < 1e-7,
+        s"${ps(i)._1} adj ${r.getDouble(3)} != replay ${adj(i)}")
+      assert(r.getBoolean(4) == (adj(i) <= 0.05 + 1e-9),
+        s"${ps(i)._1} rejection flag")
+      assert(r.getLong(5) == m.toLong)
+    }
+    // monotone non-decreasing adjusted p down the ranking — the BH
+    // step-up invariant
+    for (i <- 1 until m)
+      assert(rows(i).getDouble(3) >= rows(i - 1).getDouble(3) - 1e-12)
+  }
 }
