@@ -282,6 +282,13 @@ object SparkEntry {
     "ab_cuped_revenue" -> (Drift.abCuped _),
     "ab_permutation_test" -> ((s, d) => Drift.abPermutationTest(s, d)),
     "ab_power_mde" -> ((s, d) => Drift.abPowerMde(s, d)),
+    "ab_srm_check" -> (Drift.abSrmCheck _),
+    "eval_brier_score" -> (Evaluation.brierScore _),
+    "eval_score_agreement" -> (Evaluation.scoreAgreement _),
+    "stats_hodges_lehmann" -> (TimeSeries.hodgesLehmann _),
+    "stats_page_trend" -> (Drift.pageTrend _),
+    "events_wilson_ci" -> (EventQueries.wilsonCi _),
+    "drift_cvm" -> (Drift.cvm _),
     "drift_effect_size" -> (Drift.effectSize _),
     "pii_reid_risk" -> ((s, d) => Governance.reidRisk(s, d)),
     "eval_pr_threshold_sweep" -> (Evaluation.prThresholdSweep _),
@@ -293,6 +300,7 @@ object SparkEntry {
     "survival_aalen_johansen" -> ((s, d) => Survival.aalenJohansen(s, d)),
     "survival_logrank" -> (Survival.logRank _),
     "survival_rmst" -> ((s, d) => Survival.rmst(s, d)),
+    "survival_life_table" -> ((s, d) => Survival.lifeTable(s, d)),
     "stats_ks_uniform_weekday" -> (Relational.ksUniformWeekday _),
     "stats_decile_lift" -> (Relational.decileLift _),
     "events_max_concurrency" -> (EventQueries.maxConcurrency _),
@@ -772,6 +780,13 @@ object SparkEntry {
     "ab_cuped_revenue" -> Drift.abCupedSql,
     "ab_permutation_test" -> Drift.abPermutationTestSql(),
     "ab_power_mde" -> Drift.abPowerMdeSql(),
+    "ab_srm_check" -> Drift.abSrmCheckSql,
+    "eval_brier_score" -> Evaluation.brierScoreSql,
+    "eval_score_agreement" -> Evaluation.scoreAgreementSql,
+    "stats_hodges_lehmann" -> TimeSeries.hodgesLehmannSql,
+    "stats_page_trend" -> Drift.pageTrendSql,
+    "events_wilson_ci" -> EventQueries.wilsonCiSql,
+    "drift_cvm" -> Drift.cvmSql,
     "drift_effect_size" -> Drift.effectSizeSql,
     "pii_reid_risk" -> Governance.reidRiskSql(),
     "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,
@@ -783,6 +798,7 @@ object SparkEntry {
     "survival_aalen_johansen" -> Survival.aalenJohansenSql(),
     "survival_logrank" -> Survival.logRankSql,
     "survival_rmst" -> Survival.rmstSql(),
+    "survival_life_table" -> Survival.lifeTableSql(),
     "stats_ks_uniform_weekday" -> Relational.ksUniformWeekdaySql,
     "stats_decile_lift" -> Relational.decileLiftSql,
     "events_max_concurrency" -> EventQueries.maxConcurrencySql,

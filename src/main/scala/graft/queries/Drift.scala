@@ -182,6 +182,98 @@ object Drift {
       |FROM cum, t
       |ORDER BY ks_scaled DESC, value LIMIT 1""".stripMargin
 
+  // --- Cramér–von Mises two-sample --------------------------------------------
+  /** Cramér–von Mises two-sample statistic between the temporal
+    * halves (Anderson, Ann. Math. Stat. 1962) — the INTEGRATED
+    * companion to [[ks]]'s supremum: T = (n·m/N²)·Σ_pooled
+    * (F̂_a − F̂_b)², which accumulates distributional drift across the
+    * WHOLE range where KS sees only the single worst point (a shift
+    * spread thinly over many values moves T long before it moves KS).
+    * Ties are handled by the ECDF-integral definition itself — every
+    * pooled observation contributes its value's squared ECDF gap.
+    * The asymptotic null mean 1/6 + 1/(6N) is reported beside T so
+    * the excess reads directly.
+    *
+    * Exactness: the numerator Σ_v cnt_v·D_v² (D_v = cumA·m − cumB·n,
+    * the integer-scaled ECDF gap) is EXACT — spelled as the
+    * DECIMAL(18,0) product (cnt·D)·D per the decimal-moment rule, so
+    * no per-term grid truncation accumulates across the N summands
+    * (a micro-grid spelling measured a bias linear in N — an O(1)
+    * statistic can't carry per-term truncation); T = num/(N²·n·m) is
+    * one IEEE chain off the decimal→double cast (VARCHAR-routed in
+    * the oracle). Headroom: |D| ≤ n·m and cnt·D ≤ N·n·m must fit
+    * DECIMAL(18,0) — per-half counts to ~10⁵·10⁹ products; beyond
+    * that the gap pre-scales by `div N` at a documented resolution
+    * cost.
+    *
+    * Scale: identical to [[ks]] — per-VALUE fold, range-partitioned
+    * prefix sums via [[graft.Graft.cumSumByRange]], 1-row reduce.
+    */
+  def cvm(s: SparkSession, dir: String): DataFrame = {
+    val perValue = sided(s, dir)
+      .groupBy(col("value"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = perValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    graft.Graft.cumSumByRange(perValue, Seq(col("value")),
+        Seq(col("ca") -> "cumA", col("cb") -> "cumB"))
+      .select(col("ca"), col("cb"), col("cumA"), col("cumB"))
+      .crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        (col("cumA") * col("nb") - col("cumB") * col("na")).as("d"),
+        (col("ca") + col("cb")).as("cnt"))
+      .select(col("na"), col("nb"),
+        ((col("cnt") * col("d")).cast("decimal(18,0)")
+          * col("d").cast("decimal(18,0)")).as("term"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        (col("num").cast("double")
+          / ((col("na") + col("nb")).cast("double")
+            * (col("na") + col("nb")).cast("double")
+            * (col("na") * col("nb")).cast("double")))
+          .as("cvm_t"),
+        (lit(1.0) / lit(6.0)
+          + lit(1.0) / (lit(6.0) * (col("na") + col("nb")).cast("double")))
+          .as("cvm_t_null_mean"))
+  }
+
+  val cvmSql: String = {
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < CAST(((mn + mx) - ((mn + mx) % 2)) / 2 AS BIGINT)
+      |              THEN 'a' ELSE 'b' END AS side, value
+      |  FROM ev, b),
+      |pv AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sided GROUP BY value),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |      FROM pv),
+      |cum AS (
+      |  SELECT ca, cb,
+      |    CAST(SUM(ca) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumA,
+      |    CAST(SUM(cb) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumB
+      |  FROM pv),
+      |agg AS (
+      |  SELECT na, nb,
+      |    CAST(CAST(SUM(CAST((ca + cb) * (cumA * nb - cumB * na)
+      |        AS DECIMAL(18,0))
+      |      * CAST(cumA * nb - cumB * na AS DECIMAL(18,0))) AS VARCHAR)
+      |      AS DOUBLE) AS num
+      |  FROM cum, t GROUP BY na, nb)
+      |SELECT na AS n_a, nb AS n_b,
+      |  num / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+      |         * CAST(na * nb AS DOUBLE)) AS cvm_t,
+      |  1.0 / 6.0 + 1.0 / (6.0 * CAST(na + nb AS DOUBLE))
+      |    AS cvm_t_null_mean
+      |FROM agg""".stripMargin
+  }
+
   // --- Mann–Whitney U / AUC ---------------------------------------------------
   /** Rank-based two-sample location test between the temporal halves —
     * the nonparametric complement to [[ks]] (Mann & Whitney, Ann. Math.
@@ -514,6 +606,106 @@ object Drift {
         when(col("c_factor") > 0.0, col("chi2_f") / col("c_factor"))
           .otherwise(lit(null).cast("double")).as("chi2_f_tie_adj"))
   }
+
+  /** Page's L trend test for ORDERED alternatives across the three
+    * repeated-measure years (Page, JASA 1963) — the directional
+    * companion to [[friedman]]: Friedman asks "do the years differ at
+    * all?", Page asks "do per-customer spends increase MONOTONICALLY
+    * 1996 < 1997 < 1998?", which is the alternative a growth analysis
+    * actually posits, and is strictly more powerful for it. L =
+    * Σ_j j·R_j over the per-block (customer) within-year ranks;
+    * z = (L − n·k(k+1)²/4) / √(n(k³−k)²/(144(k−1))) — for k = 3,
+    * mean 12n and variance 2n.
+    *
+    * Exactness: reuses [[friedman]]'s DOUBLED-midrank comparison
+    * spelling (each block's rank from two integer comparisons, ties
+    * as midranks), so L2 = Σ j·R2_j is an exact BIGINT and L = L2/2;
+    * z is one fixed IEEE chain, NULL on an empty block set. The
+    * no-tie variance is the standard Page spelling; tied blocks are
+    * counted beside it (`n_tied_blocks`) so the reader can see how
+    * much midranking the statistic absorbed.
+    *
+    * Scale: the same one custkey-keyed fold as [[friedman]] → 1-row
+    * reduce.
+    */
+  def pageTrend(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val cents = expr("cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint)")
+    def ysum(y: Int): Column =
+      sum(when(col("yr") === y, col("c")).otherwise(0L)).as(s"x$y")
+    val piv = Tables.load(s, dir, "orders")
+      .filter(yr.isin(1996, 1997, 1998))
+      .select(col("o_custkey"), yr.as("yr"), cents.as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(ysum(1996), ysum(1997), ysum(1998),
+        countDistinct(col("yr")).as("n_years"))
+      .filter(col("n_years") === 3L)
+    def lt(a: String, b: String): Column =
+      (col(b) < col(a)).cast("long")
+    def eq(a: String, b: String): Column =
+      (col(a) === col(b)).cast("long")
+    def r2(j: String, l1: String, l2: String): Column =
+      lit(2L) + lit(2L) * (lt(j, l1) + lt(j, l2)) + eq(j, l1) + eq(j, l2)
+    val anyTie = (eq("x1996", "x1997") + eq("x1996", "x1998")
+      + eq("x1997", "x1998") > 0L).cast("long")
+    val agg = piv.select(
+        (r2("x1996", "x1997", "x1998")
+          + lit(2L) * r2("x1997", "x1996", "x1998")
+          + lit(3L) * r2("x1998", "x1996", "x1997")).as("l2_block"),
+        anyTie.as("tied"))
+      .agg(count(lit(1)).as("n"), sum(col("l2_block")).as("l2"),
+        sum(col("tied")).as("n_tied_blocks"))
+    val nd = col("n").cast("double")
+    agg.select(col("n").as("n_blocks"), col("n_tied_blocks"),
+      (col("l2").cast("double") / lit(2.0)).as("page_l"),
+      when(col("n") > 0L,
+        (col("l2").cast("double") / lit(2.0) - lit(12.0) * nd)
+          / sqrt(lit(2.0) * nd))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  val pageTrendSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997, 1998)),
+      |piv AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN yr = 1996 THEN c ELSE 0 END) AS BIGINT) AS x96,
+      |    CAST(SUM(CASE WHEN yr = 1997 THEN c ELSE 0 END) AS BIGINT) AS x97,
+      |    CAST(SUM(CASE WHEN yr = 1998 THEN c ELSE 0 END) AS BIGINT) AS x98
+      |  FROM c GROUP BY o_custkey
+      |  HAVING COUNT(DISTINCT yr) = 3),
+      |r AS (
+      |  SELECT
+      |    (2 + 2 * ((CASE WHEN x97 < x96 THEN 1 ELSE 0 END)
+      |             + (CASE WHEN x98 < x96 THEN 1 ELSE 0 END))
+      |       + (CASE WHEN x96 = x97 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x96 = x98 THEN 1 ELSE 0 END))
+      |    + 2 * (2 + 2 * ((CASE WHEN x96 < x97 THEN 1 ELSE 0 END)
+      |             + (CASE WHEN x98 < x97 THEN 1 ELSE 0 END))
+      |       + (CASE WHEN x97 = x96 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x97 = x98 THEN 1 ELSE 0 END))
+      |    + 3 * (2 + 2 * ((CASE WHEN x96 < x98 THEN 1 ELSE 0 END)
+      |             + (CASE WHEN x97 < x98 THEN 1 ELSE 0 END))
+      |       + (CASE WHEN x98 = x96 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x98 = x97 THEN 1 ELSE 0 END)) AS l2_block,
+      |    CASE WHEN x96 = x97 OR x96 = x98 OR x97 = x98
+      |      THEN 1 ELSE 0 END AS tied
+      |  FROM piv),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(l2_block) AS BIGINT) AS l2,
+      |    CAST(SUM(tied) AS BIGINT) AS n_tied_blocks
+      |  FROM r)
+      |SELECT n AS n_blocks, n_tied_blocks,
+      |  CAST(l2 AS DOUBLE) / 2.0 AS page_l,
+      |  CASE WHEN n > 0 THEN
+      |    (CAST(l2 AS DOUBLE) / 2.0 - 12.0 * CAST(n AS DOUBLE))
+      |      / sqrt(2.0 * CAST(n AS DOUBLE)) END AS z
+      |FROM agg""".stripMargin
 
   val friedmanSql: String =
     """WITH c AS (
@@ -954,6 +1146,82 @@ object Drift {
       |    * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
       |    / ((p1 - p0) * (p1 - p0))) AS BIGINT) END AS n_per_arm
       |FROM k ORDER BY mde_pct""".stripMargin
+
+  /** Sample-ratio-mismatch check on the parity assignment — the
+    * sanity gate a real experimentation platform runs BEFORE any
+    * lift readout (Fabijan et al., KDD 2019: a randomizer bug that
+    * skews arm sizes invalidates every downstream test, and SRM is
+    * its one-number detector): χ² goodness-of-fit of the observed
+    * arm sizes against the designed 50/50 split, with the standard
+    * p < 0.001 alarm threshold. Closes the A/B family's loop at the
+    * front: [[abSrmCheck]] gate → [[abPowerMde]] design →
+    * [[abConversion]] inference → [[abCuped]] adjustment →
+    * [[abPermutationTest]] exactness.
+    *
+    * Exactness: arm user counts are exact BIGINTs from one per-user
+    * fold; χ²₁ = (n_a−n_b)²/(n_a+n_b) rides the integer micro grid
+    * via `div`; z = √χ² signed by the imbalance; p = erfc(|z|/√2) on
+    * the [[MultipleTesting.erfcPos]] nano grid (one rounding point —
+    * the lnMicro bet); the alarm is an integer comparison on the
+    * nano grid.
+    *
+    * Scale: one events scan → per-user fold → 2-row arm grid →
+    * 1-row reduce.
+    */
+  def abSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val users = graft.Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("arm"))
+    val row = users.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("arm") === 0L, col("n"))).as("n_a"),
+        sum(when(col("arm") === 1L, col("n"))).as("n_b"))
+    def d(n: String): Column = col(n).cast("double")
+    row.select(col("n_a"), col("n_b"),
+        (d("n_a") / (d("n_a") + d("n_b"))).as("share_a"),
+        (expr("(((n_a - n_b) * (n_a - n_b)) * 1000000L) div (n_a + n_b)")
+          .cast("double") / lit(1e6)).as("chi2_srm"),
+        when(col("n_a") + col("n_b") > 0L,
+          signum((col("n_a") - col("n_b")).cast("double"))
+            * sqrt(expr("(((n_a - n_b) * (n_a - n_b)) * 1000000L) div (n_a + n_b)")
+              .cast("double") / lit(1e6))).as("z"))
+      .select(col("n_a"), col("n_b"), col("share_a"), col("chi2_srm"),
+        col("z"),
+        round(MultipleTesting.erfcPos(abs(col("z")) / sqrt(lit(2.0)))
+          * lit(1e9)).cast("long").as("p_nano"))
+      .select(col("n_a"), col("n_b"), col("share_a"), col("chi2_srm"),
+        col("z"), (col("p_nano").cast("double") / lit(1e9)).as("p_value"),
+        (col("p_nano") < lit(1000000L)).as("srm_alarm"))
+  }
+
+  val abSrmCheckSql: String = {
+    val chi = PortableSql.intDiv("((n_a - n_b) * (n_a - n_b)) * 1000000",
+      "n_a + n_b")
+    val e = MultipleTesting.erfcPosSql("abs(z) / sqrt(2.0)")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+      |arms AS (
+      |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b
+      |  FROM u),
+      |k AS (
+      |  SELECT n_a, n_b,
+      |    CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |      AS share_a,
+      |    CAST($chi AS DOUBLE) / 1e6 AS chi2_srm,
+      |    CASE WHEN n_a + n_b > 0 THEN
+      |      sign(CAST(n_a - n_b AS DOUBLE))
+      |      * sqrt(CAST($chi AS DOUBLE) / 1e6) END AS z
+      |  FROM arms),
+      |p AS (
+      |  SELECT n_a, n_b, share_a, chi2_srm, z,
+      |    CAST(round(($e) * 1e9) AS BIGINT) AS p_nano
+      |  FROM k)
+      |SELECT n_a, n_b, share_a, chi2_srm, z,
+      |  CAST(p_nano AS DOUBLE) / 1e9 AS p_value,
+      |  p_nano < 1000000 AS srm_alarm
+      |FROM p""".stripMargin
+  }
 
   /** Cohen's d / Hedges' g effect size for the temporal-halves value
     * shift — the magnitude read [[welchTTest]]'s t deliberately isn't

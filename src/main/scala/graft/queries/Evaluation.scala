@@ -457,6 +457,206 @@ object Evaluation {
       |ORDER BY bin""".stripMargin
   }
 
+  // --- quality-heuristic rank agreement (Spearman) -------------------------
+  /** Spearman rank correlation between two document quality
+    * heuristics — character length vs word count — the "do my
+    * heuristics rank the corpus the same way" read a curation
+    * pipeline does before dropping the more expensive score (ρ ≈ 1 ⇒
+    * the cheap one carries the same ordering information; ρ far
+    * below 1 ⇒ they disagree and both earn their keep). Spearman
+    * (not Pearson) because filters consume the ORDER, not the value.
+    *
+    * Exactness: tie-aware DOUBLED midranks per score value (2R =
+    * 2·cum_before + count + 1 — the [[rocAuc]] identity) keep every
+    * rank an exact BIGINT; rank moments ride DECIMAL(18,0) products
+    * (the dispersion-index rule); ρ = (n·S_ab − S_a·S_b) /
+    * √((n·S_aa − S_a²)(n·S_bb − S_b²)) is one fixed IEEE chain, NULL
+    * when either score is constant.
+    *
+    * Scale: two per-VALUE folds + [[graft.Graft.cumSumByRange]]
+    * prefix sums (range-partitioned, never a global row_number),
+    * two value-keyed hash joins back to the corpus, one 1-row
+    * reduce.
+    */
+  def scoreAgreement(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Graft.materialize(
+      docs(s, dir).select(col("doc_id"), col("n_chars").as("a"),
+        size(split(col("text"), " ")).cast("long").as("b")))
+    def rankMap(c: String): DataFrame = {
+      val g = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      graft.Graft.cumSumByRange(g, Seq(col(c)), Seq(col("cnt") -> "cum"))
+        .select(col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .as(s"r2$c"))
+    }
+    def dec(c: Column): Column = c.cast("decimal(18,0)")
+    val m = base.join(rankMap("a"), "a").join(rankMap("b"), "b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2a")).as("sa"), sum(col("r2b")).as("sb"),
+        sum(dec(col("r2a")) * dec(col("r2b"))).as("sab"),
+        sum(dec(col("r2a")) * dec(col("r2a"))).as("saa"),
+        sum(dec(col("r2b")) * dec(col("r2b"))).as("sbb"))
+    def d(c: String): Column = col(c).cast("double")
+    val varA = d("n") * d("saa") - d("sa") * d("sa")
+    val varB = d("n") * d("sbb") - d("sb") * d("sb")
+    m.select(col("n").as("n_docs"),
+      when(varA > 0.0 && varB > 0.0,
+        (d("n") * d("sab") - d("sa") * d("sb")) / sqrt(varA * varB))
+        .otherwise(lit(null).cast("double")).as("spearman_rho"))
+  }
+
+  val scoreAgreementSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars AS a,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+      |  FROM documents),
+      |ga AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY a),
+      |ra AS (SELECT a,
+      |  CAST(2 * (SUM(cnt) OVER (ORDER BY a) - cnt) + cnt + 1 AS BIGINT)
+      |    AS r2a FROM ga),
+      |gb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY b),
+      |rb AS (SELECT b,
+      |  CAST(2 * (SUM(cnt) OVER (ORDER BY b) - cnt) + cnt + 1 AS BIGINT)
+      |    AS r2b FROM gb),
+      |j AS (SELECT r2a, r2b FROM base JOIN ra USING (a) JOIN rb USING (b)),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(r2a) AS BIGINT) AS sa, CAST(SUM(r2b) AS BIGINT) AS sb,
+      |    CAST(CAST(SUM(CAST(r2a AS DECIMAL(18,0)) * CAST(r2b AS DECIMAL(18,0)))
+      |      AS VARCHAR) AS DOUBLE) AS sab,
+      |    CAST(CAST(SUM(CAST(r2a AS DECIMAL(18,0)) * CAST(r2a AS DECIMAL(18,0)))
+      |      AS VARCHAR) AS DOUBLE) AS saa,
+      |    CAST(CAST(SUM(CAST(r2b AS DECIMAL(18,0)) * CAST(r2b AS DECIMAL(18,0)))
+      |      AS VARCHAR) AS DOUBLE) AS sbb
+      |  FROM j)
+      |SELECT n AS n_docs,
+      |  CASE WHEN CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0.0
+      |        AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0.0
+      |  THEN (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+      |  END AS spearman_rho
+      |FROM m""".stripMargin
+
+  // --- Brier score + Murphy decomposition ---------------------------------
+  /** Brier score of the length score read as a probability (pred =
+    * n_chars·10⁶ div max — [[calibration]]'s grid) against the en
+    * label, with the Murphy (1973) 10-bin decomposition: reliability
+    * (calibration gap², the ECE's squared cousin), resolution (how far
+    * bin outcome rates stray from the base rate — the part you WANT),
+    * uncertainty (base-rate entropy ȳ(1−ȳ), the floor no model
+    * changes), and the residual Brier − (UNC + REL − RES), which for
+    * binned forecasts reads as within-bin forecast variance minus
+    * twice the within-bin forecast–outcome covariance.
+    *
+    * Exactness: Brier's Σ(p_micro − y·10⁶)² rides DECIMAL(18,0)
+    * products (the dispersion-index rule, VARCHAR-routed to double);
+    * UNC is one chain of exact BIGINTs; REL/RES collapse each bin to
+    * micro-grid RATES via `div` (mean-pred, obs, base), square on the
+    * micro grid (diff² div 10⁶ — exact truncating arithmetic, ≤10⁻⁶
+    * absolute truncation per rate), and sum order-free as BIGINTs —
+    * each reported double is ONE IEEE division. The residual is a
+    * fixed chain of those four doubles.
+    *
+    * Scale: a 1-row max broadcast into a narrow map, one fold to the
+    * 10-bin grid, one 1-row reduce — the [[calibration]] shape.
+    */
+  def brierScore(s: SparkSession, dir: String): DataFrame = {
+    val mx = docs(s, dir).agg(max(col("n_chars")).as("maxc"))
+    val base = docs(s, dir)
+      .crossJoin(broadcast(mx))
+      .select(isPos.as("y"),
+        expr("(n_chars * 1000000L) div maxc").as("pm"))
+    val bins = base
+      .select(col("y"), col("pm"),
+        least(lit(9L), expr("pm div 100000L")).as("bin"),
+        (col("pm") - col("y") * lit(1000000L)).as("diff"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("y_b"),
+        sum(col("pm")).as("s_b"),
+        sum(col("diff").cast("decimal(18,0)")
+          * col("diff").cast("decimal(18,0)")).as("sq_b"))
+    val tot = bins.agg(sum(col("n_b")).as("n"), sum(col("y_b")).as("y"),
+      sum(col("sq_b")).as("sq"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("y"), col("sq"), col("n_b"),
+        expr("s_b div n_b").as("pm_b"),
+        expr("(y_b * 1000000L) div n_b").as("ob_b"),
+        expr("(y * 1000000L) div n").as("ybar"))
+      .select(col("n"), col("y"), col("sq"), col("n_b"),
+        (col("n_b") * expr("((pm_b - ob_b) * (pm_b - ob_b)) div 1000000L"))
+          .as("rel_t"),
+        (col("n_b") * expr("((ob_b - ybar) * (ob_b - ybar)) div 1000000L"))
+          .as("res_t"))
+      .groupBy(col("n"), col("y"), col("sq"))
+      .agg(sum(col("rel_t")).as("rel_num"), sum(col("res_t")).as("res_num"))
+      .select(col("n").as("n_docs"), col("y").as("n_pos"),
+        (col("sq").cast("double")
+          / (col("n").cast("double") * lit(1e12))).as("brier"),
+        ((col("y") * (col("n") - col("y"))).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")))
+          .as("uncertainty"),
+        (col("rel_num").cast("double") / (col("n").cast("double") * lit(1e6)))
+          .as("reliability"),
+        (col("res_num").cast("double") / (col("n").cast("double") * lit(1e6)))
+          .as("resolution"))
+      .withColumn("decomp_residual",
+        col("brier") - (col("uncertainty") + col("reliability")
+          - col("resolution")))
+  }
+
+  val brierScoreSql: String = {
+    val pm = PortableSql.intDiv("n_chars * 1000000", "maxc")
+    val pmB = PortableSql.intDiv("s_b", "n_b")
+    val obB = PortableSql.intDiv("y_b * 1000000", "n_b")
+    val ybar = PortableSql.intDiv("y * 1000000", "n")
+    val relT = PortableSql.intDiv("(pm_b - ob_b) * (pm_b - ob_b)", "1000000")
+    val resT = PortableSql.intDiv("(ob_b - ybar) * (ob_b - ybar)", "1000000")
+    val bin = PortableSql.intDiv("pm", "100000")
+    s"""WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents),
+      |base AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    $pm AS pm
+      |  FROM documents, mx),
+      |bins AS (
+      |  SELECT LEAST(9, $bin) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_b,
+      |    CAST(SUM(y) AS BIGINT) AS y_b,
+      |    CAST(SUM(pm) AS BIGINT) AS s_b,
+      |    SUM(CAST(pm - y * 1000000 AS DECIMAL(18,0))
+      |      * CAST(pm - y * 1000000 AS DECIMAL(18,0))) AS sq_b
+      |  FROM base GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(y_b) AS BIGINT) AS y,
+      |    CAST(CAST(SUM(sq_b) AS VARCHAR) AS DOUBLE) AS sq
+      |  FROM bins),
+      |rates AS (
+      |  SELECT n, y, sq, n_b,
+      |    $pmB AS pm_b, $obB AS ob_b, $ybar AS ybar
+      |  FROM bins, tot),
+      |terms AS (
+      |  SELECT n, y, sq,
+      |    n_b * ($relT) AS rel_t,
+      |    n_b * ($resT) AS res_t
+      |  FROM rates),
+      |agg AS (
+      |  SELECT n, y, sq,
+      |    CAST(SUM(rel_t) AS BIGINT) AS rel_num,
+      |    CAST(SUM(res_t) AS BIGINT) AS res_num
+      |  FROM terms GROUP BY n, y, sq),
+      |fin AS (
+      |  SELECT n AS n_docs, y AS n_pos,
+      |    sq / (CAST(n AS DOUBLE) * 1e12) AS brier,
+      |    CAST(y * (n - y) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty,
+      |    CAST(rel_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS reliability,
+      |    CAST(res_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS resolution
+      |  FROM agg)
+      |SELECT n_docs, n_pos, brier, uncertainty, reliability, resolution,
+      |  brier - (uncertainty + reliability - resolution) AS decomp_residual
+      |FROM fin""".stripMargin
+  }
+
   // --- NDCG@k (graded relevance) ------------------------------------------
   /** NDCG@k of the length ranking with GRADED relevance — the ranking
     * scorecard [[averagePrecision]] and [[selfRetrievalMrr]] still

@@ -1397,6 +1397,75 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Per-event-type user REACH with its Wilson score interval
+    * (Wilson, JASA 1927) — the serving-layer read behind "X% of users
+    * did Y, ± what?": the Wilson interval stays inside [0,1], never
+    * collapses to a point at k = 0 or k = n, and is the standard
+    * recommendation over the Wald interval at any n (Brown, Cai &
+    * DasGupta 2001). Reach = distinct users with the event type over
+    * all distinct users, at 95%.
+    *
+    * Exactness: k and n are exact BIGINT distinct counts; the Wilson
+    * center (p̂ + z²/2n)/(1 + z²/n) and half-width are fixed IEEE
+    * chains on those integers with the SHARED z literal 1.959963985
+    * (the [[graft.queries.Drift.abPowerMde]] convention), so both
+    * engines run bit-identical arithmetic.
+    *
+    * Scale: one (type, user) distinct fold + a 1-row total-users
+    * broadcast into the ≤|types| grid.
+    */
+  def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val tot = ev(s, dir).agg(countDistinct(col("user_id")).as("n"))
+    val perType = ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("k"))
+    val z = lit(1.959963985)
+    def d(c: String): Column = col(c).cast("double")
+    val p = d("k") / d("n")
+    val z2n = z * z / d("n")
+    val center = (p + z2n / lit(2.0)) / (lit(1.0) + z2n)
+    val half = z * sqrt(p * (lit(1.0) - p) / d("n")
+      + z * z / (lit(4.0) * d("n") * d("n"))) / (lit(1.0) + z2n)
+    perType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("k").as("n_users_with"),
+        col("n").as("n_users"), p.as("reach"),
+        (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val wilsonCiSql: String =
+    """WITH tot AS (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+      |pt AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, k AS n_users_with, n AS n_users,
+      |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS reach,
+      |  ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + (1.959963985 * 1.959963985 / CAST(n AS DOUBLE)) / 2.0)
+      |    / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE)))
+      |  - (1.959963985 * sqrt(
+      |      CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + 1.959963985 * 1.959963985
+      |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |    / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE)))
+      |    AS wilson_lo,
+      |  ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + (1.959963985 * 1.959963985 / CAST(n AS DOUBLE)) / 2.0)
+      |    / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE)))
+      |  + (1.959963985 * sqrt(
+      |      CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + 1.959963985 * 1.959963985
+      |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |    / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE)))
+      |    AS wilson_hi
+      |FROM pt, tot ORDER BY event_type""".stripMargin
+
   /** True iff the exact rank interval [n_lt+1, n_le] of a sketch
     * estimate MISSES the guaranteed window (q±ε)·n (±1 row of slack
     * for the interval-endpoint convention) — the per-quantile

@@ -25,7 +25,7 @@ object MultipleTesting {
     * the same measure-zero bet the repo's lnMicro discipline has
     * carried green since r6.
     */
-  private def erfcPos(x: Column): Column = {
+  private[queries] def erfcPos(x: Column): Column = {
     val t = lit(1.0) / (lit(1.0) + lit(0.5) * x)
     t * exp(-(x * x) - lit(1.26551223) + t * (lit(1.00002368)
       + t * (lit(0.37409196) + t * (lit(0.09678418)
@@ -35,7 +35,7 @@ object MultipleTesting {
   }
 
   /** SQL twin of [[erfcPos]] — identical literals, identical nesting. */
-  private def erfcPosSql(x: String): String =
+  private[queries] def erfcPosSql(x: String): String =
     s"""(1.0 / (1.0 + 0.5 * ($x))) * exp(-(($x) * ($x)) - 1.26551223
        | + (1.0 / (1.0 + 0.5 * ($x))) * (1.00002368
        | + (1.0 / (1.0 + 0.5 * ($x))) * (0.37409196

@@ -111,6 +111,107 @@ object Survival {
       |  CAST(ln_surv_micro AS DOUBLE) / 1e6 AS ln_survival
       |FROM km ORDER BY t_days""".stripMargin
 
+  // --- actuarial life table ------------------------------------------------------
+  /** Actuarial (life-table) estimator over 30-day duration bands —
+    * the third classical estimator beside [[kaplanMeier]] (exact
+    * event times) and [[nelsonAalen]] (cumulative hazard): group
+    * lifetimes into fixed intervals, adjust the at-risk count for
+    * within-interval censoring by the standard half-credit n′ₖ =
+    * nₖ − cₖ/2 (Cutler & Ederer, J. Chronic Dis. 1958), and
+    * multiply conditional survivals q̂ₖ = dₖ/n′ₖ. The spelling a
+    * reporting layer actually publishes when exact-time granularity
+    * is noise (monthly retention tables).
+    *
+    * Exactness: the ½ in n′ₖ clears by DOUBLING — ln(1−qₖ) =
+    * ln(2nₖ−cₖ−2dₖ) − ln(2nₖ−cₖ) on exact BIGINTs — so the product
+    * rides the [[kaplanMeier]] integer-micronat cumulation
+    * unchanged; q̂ₖ is ONE IEEE division of exact integers.
+    * Censoring-only bands contribute an exactly-zero micronat term
+    * (ln x − ln x) and are kept; a terminal band whose doubled
+    * effective risk set is exhausted (2nₖ−cₖ−2dₖ ≤ 0, ln S → −∞) is
+    * excluded like KM's terminal row.
+    *
+    * Scale: the same one-row-per-customer fold as KM, collapsed to
+    * the ≤(calendar-span/30)-row band grid; suffix/cumulative
+    * windows ride that bounded grid (allowlisted).
+    */
+  def lifeTable(s: SparkSession, dir: String, bandDays: Int = 30): DataFrame = {
+    val life = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("max_d"))
+    val grid = life.crossJoin(broadcast(horizon))
+      .select(expr(s"datediff(last_d, first_d) div $bandDays").as("band"),
+        when(datediff(col("max_d"), col("last_d")) > 90, 1L).otherwise(0L)
+          .as("churned"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_end"), sum(col("churned")).as("d_k"))
+      .withColumn("c_k", col("n_end") - col("d_k"))
+    val wRisk = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Graft.materialize(grid)
+      .withColumn("n_enter", sum(col("n_end")).over(wRisk))
+      .withColumn("eff2", lit(2L) * col("n_enter") - col("c_k"))
+      .filter(col("eff2") - lit(2L) * col("d_k") > 0L)
+      .withColumn("ln_surv_micro",
+        sum(lnMicro(col("eff2") - lit(2L) * col("d_k")) - lnMicro(col("eff2")))
+          .over(wCum))
+      .select((col("band") * bandDays.toLong).as("band_start_day"),
+        col("n_enter"), col("d_k").as("n_events"),
+        col("c_k").as("n_censored"),
+        ((lit(2L) * col("d_k")).cast("double") / col("eff2").cast("double"))
+          .as("q_hazard"),
+        col("ln_surv_micro"),
+        (col("ln_surv_micro").cast("double") / lit(1e6)).as("ln_survival"))
+      .orderBy(col("band_start_day"))
+  }
+
+  def lifeTableSql(bandDays: Int = 30): String = {
+    def lnu(v: String): String =
+      s"CAST(round(ln(CAST($v AS DOUBLE)) * 1e6) AS BIGINT)"
+    val band = PortableSql.intDiv("date_diff('day', first_d, last_d)",
+      bandDays.toString)
+    s"""WITH life AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT MAX(last_d) AS max_d FROM life),
+      |ends AS (
+      |  SELECT $band AS band,
+      |    CASE WHEN date_diff('day', last_d, max_d) > 90
+      |         THEN 1 ELSE 0 END AS churned
+      |  FROM life, h),
+      |grid AS (
+      |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_end,
+      |    CAST(SUM(churned) AS BIGINT) AS d_k
+      |  FROM ends GROUP BY band),
+      |risk AS (
+      |  SELECT band, d_k, n_end - d_k AS c_k,
+      |    CAST(SUM(n_end) OVER (ORDER BY band DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_enter
+      |  FROM grid),
+      |eff AS (
+      |  SELECT band, n_enter, d_k, c_k, 2 * n_enter - c_k AS eff2
+      |  FROM risk WHERE 2 * n_enter - c_k - 2 * d_k > 0),
+      |lt AS (
+      |  SELECT band, n_enter, d_k, c_k, eff2,
+      |    CAST(SUM(${lnu("eff2 - 2 * d_k")} - ${lnu("eff2")})
+      |      OVER (ORDER BY band
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS ln_surv_micro
+      |  FROM eff)
+      |SELECT CAST(band * $bandDays AS BIGINT) AS band_start_day,
+      |  n_enter, d_k AS n_events, c_k AS n_censored,
+      |  CAST(2 * d_k AS DOUBLE) / CAST(eff2 AS DOUBLE) AS q_hazard,
+      |  ln_surv_micro,
+      |  CAST(ln_surv_micro AS DOUBLE) / 1e6 AS ln_survival
+      |FROM lt ORDER BY band_start_day""".stripMargin
+  }
+
   // --- Nelson–Aalen cumulative hazard ------------------------------------------
   /** Nelson–Aalen cumulative-hazard estimator over the SAME
     * churn-duration grid as [[kaplanMeier]] (Nelson, Technometrics

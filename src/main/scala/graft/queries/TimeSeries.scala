@@ -581,6 +581,69 @@ object TimeSeries {
       |FROM v""".stripMargin
   }
 
+  // --- Hodges–Lehmann pseudo-median of daily change ----------------------------
+  /** Hodges–Lehmann pseudo-median of the day-over-day revenue change
+    * (Hodges & Lehmann, Ann. Math. Stat. 1963): the median of all
+    * Walsh averages (Δᵢ+Δⱼ)/2, i ≤ j — the location estimator the
+    * Wilcoxon signed-rank test inverts, with 0.955 asymptotic
+    * efficiency vs the mean under normality and a 29% breakdown
+    * point. The robust "typical daily drift" companion to
+    * [[theilSen]] (median pairwise SLOPE vs time) and the magnitude
+    * beside [[mannKendall]]'s significance: a few promotion-spike
+    * days move the mean change, not this.
+    *
+    * Exactness: deltas are exact BIGINT cents off the day grid (one
+    * lag window — the allowlisted calendar-grid class); Walsh SUMS
+    * Δᵢ+Δⱼ stay exact BIGINTs; the median is `percentile`(0.5) ==
+    * DuckDB `quantile_cont` — identical sort + linear interpolation
+    * on identical integers (the `agg_median_price` precedent) — and
+    * the ÷2 (Walsh) ÷100 (dollars) is one fixed chain.
+    *
+    * Scale: the pairing is the [[theilSen]] bounded nested-loop over
+    * the day-aggregated series — |days|² pairs at ANY corpus size —
+    * and the median is a grand aggregate over that bounded multiset.
+    */
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("t"))
+    val deltas = Graft.materialize(
+      dailyRevenue(s, dir)
+        .select(datediff(col("d"), to_date(lit("1970-01-01")))
+          .cast("long").as("t"), col("rev_cents"))
+        .select(col("t"),
+          (col("rev_cents") - lag(col("rev_cents"), 1).over(w)).as("dx"))
+        .filter(col("dx").isNotNull))
+    val a = deltas.select(col("t").as("ta"), col("dx").as("xa"))
+    val b = deltas.select(col("t").as("tb"), col("dx").as("xb"))
+    val n = deltas.agg(count(lit(1)).as("n_deltas"))
+    a.join(broadcast(b), col("ta") <= col("tb"))
+      .select((col("xa") + col("xb")).as("wsum"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (percentile(col("wsum"), lit(0.5)) / lit(200.0))
+          .as("hl_pseudomedian_dollars"))
+      .crossJoin(broadcast(n))
+      .select(col("n_deltas"), col("n_pairs"),
+        col("hl_pseudomedian_dollars"))
+  }
+
+  val hodgesLehmannSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS t,
+      |             rev_cents
+      |      FROM rev),
+      |d AS (SELECT t, rev_cents - lag(rev_cents) OVER (ORDER BY t) AS dx
+      |      FROM x),
+      |dd AS (SELECT t, CAST(dx AS BIGINT) AS dx FROM d WHERE dx IS NOT NULL),
+      |wl AS (SELECT a.dx + b.dx AS wsum
+      |       FROM dd a JOIN dd b ON a.t <= b.t)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_deltas,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  quantile_cont(wsum, 0.5) / 200.0 AS hl_pseudomedian_dollars
+      |FROM wl""".stripMargin
+
   // --- Wald–Wolfowitz runs test ----------------------------------------------
   /** Runs test for randomness of daily revenue around its median
     * (Wald & Wolfowitz, Ann. Math. Stat. 1940): days are signed

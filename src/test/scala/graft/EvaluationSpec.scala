@@ -150,6 +150,81 @@ class EvaluationSpec extends SparkSpec {
     assert(mrr > 0.0 && mrr <= 1.0)
   }
 
+  test("brierScore: plain-double replay of Brier + binned Murphy terms") {
+    val maxc = base.map(_._2).max
+    val rows = base.map { case (_, len, p) =>
+      (len * 1000000L / maxc, if (p) 1L else 0L) }
+    val n = rows.length
+    val brier = rows.map { case (pm, y) =>
+      val d = pm / 1e6 - y; d * d }.sum / n
+    val yBar = rows.map(_._2).sum.toDouble / n
+    val unc = yBar * (1 - yBar)
+    // binned terms on the query's micro-grid contract (truncating div)
+    val byBin = rows.groupBy { case (pm, _) => math.min(9L, pm / 100000L) }
+    def t(x: Long): Double = x.toDouble
+    val yTot = rows.map(_._2).sum
+    val ybarM = yTot * 1000000L / n
+    var relNum = 0L; var resNum = 0L
+    for ((_, vs) <- byBin) {
+      val nb = vs.length.toLong
+      val pmB = vs.map(_._1).sum / nb
+      val obB = vs.map(_._2).sum * 1000000L / nb
+      relNum += nb * ((pmB - obB) * (pmB - obB) / 1000000L)
+      resNum += nb * ((obB - ybarM) * (obB - ybarM) / 1000000L)
+    }
+    val row = Evaluation.brierScore(spark, sf).collect().head
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == yTot)
+    assert(math.abs(row.getDouble(2) - brier) < 1e-9,
+      s"brier ${row.getDouble(2)} != replay $brier")
+    assert(math.abs(row.getDouble(3) - unc) < 1e-12, "uncertainty")
+    assert(math.abs(row.getDouble(4) - t(relNum) / (n * 1e6)) < 1e-12,
+      "reliability")
+    assert(math.abs(row.getDouble(5) - t(resNum) / (n * 1e6)) < 1e-12,
+      "resolution")
+    // the residual must close the decomposition identity by definition
+    assert(math.abs(row.getDouble(6)
+      - (row.getDouble(2) - (row.getDouble(3) + row.getDouble(4)
+        - row.getDouble(5)))) < 1e-15)
+    // sanity: Brier of a [0,1] forecast on binary outcomes is in [0,1]
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
+
+  test("scoreAgreement: textbook average-rank Spearman replay") {
+    // independent algorithm: plain-double average ranks (not the
+    // doubled-midrank integer identity), textbook Pearson on ranks
+    val ab = Tables.load(spark, sf, "documents")
+      .selectExpr("n_chars", "cast(size(split(text, ' ')) as long) as b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def avgRanks(xs: Array[Long]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val avg = (i + j + 2) / 2.0 // 1-based average rank of the tie run
+        for (k <- i to j) out(sorted(k)._2) = avg
+        i = j + 1
+      }
+      out
+    }
+    val ra = avgRanks(ab.map(_._1)); val rb = avgRanks(ab.map(_._2))
+    val n = ab.length
+    val ma = ra.sum / n; val mb = rb.sum / n
+    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val va = ra.map(x => (x - ma) * (x - ma)).sum
+    val vb = rb.map(y => (y - mb) * (y - mb)).sum
+    val rho = cov / math.sqrt(va * vb)
+    val row = Evaluation.scoreAgreement(spark, sf).collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - rho) < 1e-9,
+      s"spearman_rho ${row.getDouble(1)} != replay $rho")
+    assert(row.getDouble(1) >= -1.0 - 1e-9 && row.getDouble(1) <= 1.0 + 1e-9)
+    // chars and words must agree strongly on this corpus — the read
+    // the operator exists for
+    assert(row.getDouble(1) > 0.5, s"suspiciously low rho ${row.getDouble(1)}")
+  }
+
   test("ndcg: plain-double ranked-loop replay (graded relevance)") {
     // independent algorithm: sort the collected fixture, walk the top
     // 20 with double log2 discounts (no micro grid), and build the

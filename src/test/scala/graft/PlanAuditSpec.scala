@@ -406,6 +406,8 @@ class PlanAuditSpec extends SparkSpec {
         "risk / KM-micronat / CIF-cumulation windows over the distinct-duration grid",
       "survival_rmst" ->
         "risk / KM-micronat / interval-lag windows over the distinct-duration grid",
+      "survival_life_table" ->
+        "suffix-risk / micronat-cumulation windows over the 30-day band grid",
       "stats_ks_uniform_weekday" ->
         "CDF windows over the 7-row weekday grid",
       "ts_hurst_rs" ->
@@ -416,6 +418,7 @@ class PlanAuditSpec extends SparkSpec {
       "ts_permutation_entropy" ->
         "two lead windows over the calendar day grid",
       "ts_dickey_fuller" -> "one lag window over the calendar day grid",
+      "stats_hodges_lehmann" -> "one lag window over the calendar day grid",
       "ts_pettitt" ->
         "rank/row-number/cumsum windows over the calendar day grid; top-1 cut",
       // ts_sample_entropy's two day-grid lead windows run INSIDE its

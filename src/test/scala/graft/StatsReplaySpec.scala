@@ -1881,6 +1881,146 @@ class StatsReplaySpec extends SparkSpec {
     }
   }
 
+  test("cvm: plain-double ECDF-integral replay") {
+    // independent algorithm: collect the sided values, build both
+    // ECDFs in doubles, sum squared gaps over every pooled observation
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) as us", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val a = ev.filter(_._1 < mid).map(_._2).sorted
+    val b = ev.filter(_._1 >= mid).map(_._2).sorted
+    val n = a.length.toLong; val m = b.length.toLong
+    def ecdf(xs: Array[Double], v: Double): Double = {
+      var lo = 0; var hi = xs.length // count <= v
+      while (lo < hi) {
+        val md = (lo + hi) >>> 1
+        if (xs(md) <= v) lo = md + 1 else hi = md
+      }
+      lo.toDouble / xs.length
+    }
+    val t = (a ++ b).map { v =>
+      val g = ecdf(a, v) - ecdf(b, v); g * g
+    }.sum * n * m / ((n + m).toDouble * (n + m))
+    val row = Drift.cvm(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == m)
+    // the query's numerator is exact (decimal products); the only gap
+    // vs this double replay is summation rounding
+    assert(math.abs(row.getDouble(2) - t) < 1e-9 * math.max(1.0, t),
+      s"cvm_t ${row.getDouble(2)} != replay $t")
+    assert(math.abs(row.getDouble(3) - (1.0 / 6 + 1.0 / (6 * (n + m)))) < 1e-12)
+    assert(row.getDouble(2) >= 0.0)
+  }
+
+  test("pageTrend: textbook average-rank L replay") {
+    // independent algorithm: collect complete blocks, average ranks in
+    // doubles (not the doubled-comparison identity), direct L sum
+    val piv = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey",
+        "cast(year(cast(o_orderdate as date)) as int) as yr",
+        "cast(cast(o_totalprice as decimal(18,6)) * 100 as bigint) as c")
+      .filter(col("yr").isin(1996, 1997, 1998))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") === 1996, col("c")).otherwise(0L)).as("x96"),
+        sum(when(col("yr") === 1997, col("c")).otherwise(0L)).as("x97"),
+        sum(when(col("yr") === 1998, col("c")).otherwise(0L)).as("x98"),
+        countDistinct(col("yr")).as("ny"))
+      .filter(col("ny") === 3L)
+      .collect().map(r => Array(r.getLong(1), r.getLong(2), r.getLong(3)))
+    def avgRanks(xs: Array[Long]): Array[Double] =
+      xs.map(x => 1.0 + xs.count(_ < x)
+        + (xs.count(_ == x) - 1) / 2.0)
+    var l = 0.0; var tied = 0L
+    for (block <- piv) {
+      val r = avgRanks(block)
+      l += 1 * r(0) + 2 * r(1) + 3 * r(2)
+      if (block.distinct.length < 3) tied += 1
+    }
+    val n = piv.length
+    val z = (l - 12.0 * n) / math.sqrt(2.0 * n)
+    val row = graft.queries.Drift.pageTrend(spark, sf).collect().head
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == tied)
+    assert(math.abs(row.getDouble(2) - l) < 1e-9,
+      s"page_l ${row.getDouble(2)} != replay $l")
+    assert(math.abs(row.getDouble(3) - z) < 1e-9, "z")
+    // cross-validation: Page's z and Friedman's chi2 read the same
+    // blocks — a monotone trend strong in one must register in both
+    // directions consistently (|z|^2 <= chi2_f is NOT an identity, so
+    // only pin the shared block count)
+    val f = Drift.friedman(spark, sf).collect().head
+    assert(f.getLong(0) == n.toLong, "friedman/page block sets differ")
+  }
+
+  test("wilsonCi: textbook interval replay per event type") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = ev.map(_._2).distinct.length.toLong
+    val z = 1.959963985
+    val rows = graft.queries.EventQueries.wilsonCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val k = ev.count(_._1 == r.getString(0)).toLong
+      assert(r.getLong(1) == k && r.getLong(2) == n)
+      val p = k.toDouble / n
+      val center = (p + z * z / n / 2.0) / (1.0 + z * z / n)
+      val half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)) /
+        (1.0 + z * z / n)
+      assert(math.abs(r.getDouble(3) - p) < 1e-12)
+      assert(math.abs(r.getDouble(4) - (center - half)) < 1e-9, "wilson_lo")
+      assert(math.abs(r.getDouble(5) - (center + half)) < 1e-9, "wilson_hi")
+      // interval properties the Wald interval lacks
+      assert(r.getDouble(4) > 0.0 - 1e-12 && r.getDouble(5) < 1.0 + 1e-12)
+      assert(r.getDouble(4) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(5))
+    }
+  }
+
+  test("hodgesLehmann: brute-force Walsh-average replay") {
+    // independent algorithm: collect the day series, difference it,
+    // enumerate all i <= j Walsh sums, interpolated median in doubles
+    val xs = daySeries.map(_._2) // daily revenue cents (date-ordered)
+    val deltas = xs.sliding(2).map(p => p(1) - p(0)).toArray
+    val walsh = (for {
+      i <- deltas.indices; j <- i until deltas.length
+    } yield (deltas(i) + deltas(j)).toDouble).sorted.toArray
+    val m = walsh.length
+    val pos = (m - 1) * 0.5
+    val lo = walsh(pos.toInt); val hi = walsh(math.ceil(pos).toInt)
+    val med = lo + (pos - pos.toInt) * (hi - lo)
+    val hl = med / 200.0
+    val row = TimeSeries.hodgesLehmann(spark, sf).collect().head
+    assert(row.getLong(0) == deltas.length.toLong, "n_deltas")
+    assert(row.getLong(1) == m.toLong, "n_pairs")
+    assert(math.abs(row.getDouble(2) - hl) < 1e-9,
+      s"hl ${row.getDouble(2)} != replay $hl")
+  }
+
+  test("abSrmCheck: direct count replay + alarm threshold semantics") {
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val nA = users.count(_ % 2 == 0).toLong
+    val nB = users.length - nA
+    def erfc(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.5 * x)
+      t * math.exp(-x * x - 1.26551223 + t * (1.00002368
+        + t * (0.37409196 + t * (0.09678418 + t * (-0.18628806
+        + t * (0.27886807 + t * (-1.13520398 + t * (1.48851587
+        + t * (-0.82215223 + t * 0.17087277)))))))))
+    }
+    val chi2 = ((nA - nB) * (nA - nB) * 1000000L / (nA + nB)) / 1e6
+    val z = math.signum((nA - nB).toDouble) * math.sqrt(chi2)
+    val p = erfc(math.abs(z) / math.sqrt(2.0))
+    val row = graft.queries.Drift.abSrmCheck(spark, sf).collect().head
+    assert(row.getLong(0) == nA && row.getLong(1) == nB)
+    assert(math.abs(row.getDouble(2) - nA.toDouble / (nA + nB)) < 1e-12)
+    assert(math.abs(row.getDouble(3) - chi2) < 1e-9, "chi2_srm")
+    assert(math.abs(row.getDouble(4) - z) < 1e-9, "z")
+    assert(math.abs(row.getDouble(5) - p) < 1e-6, "p_value")
+    assert(row.getBoolean(6) == (row.getDouble(5) < 0.001), "srm_alarm")
+    // a parity split of sequential ids cannot trip the alarm
+    assert(!row.getBoolean(6), "parity assignment flagged as SRM")
+  }
+
   test("bhAdjust: textbook step-up replay over the collected battery") {
     // independent algorithm: collect each member test's z through its
     // OWN registered query, compute two-sided p with plain doubles

@@ -45,6 +45,47 @@ class SurvivalSpec extends SparkSpec {
     assert(lnS.head < 0)
   }
 
+  test("lifeTable: textbook actuarial replay (half-credit censoring)") {
+    val out = Survival.lifeTable(spark, sf).collect()
+    assert(out.nonEmpty)
+    val life = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .groupBy("o_custkey")
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .collect()
+      .map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val maxD = life.map(_._2).max
+    import java.time.temporal.ChronoUnit.DAYS
+    val ends = life.map { case (f, l) =>
+      (f.until(l, DAYS) / 30, if (l.until(maxD, DAYS) > 90) 1L else 0L)
+    }
+    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    var cum = 0L
+    val expected = ends.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (band, g) =>
+        val d = g.map(_._2).sum
+        val c = g.length - d
+        val nEnter = ends.count(_._1 >= band).toLong
+        val eff2 = 2 * nEnter - c
+        if (eff2 - 2 * d > 0) {
+          cum += lnMicro(eff2 - 2 * d) - lnMicro(eff2)
+          Some((band * 30, nEnter, d, c, 2.0 * d / eff2, cum))
+        } else None
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._6))
+      == expected.map(t => (t._1, t._2, t._3, t._4, t._6)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-12, s"q_hazard at band ${g._1}") }
+    // censoring-only bands contribute exactly zero to ln S
+    val lnS = out.map(_.getLong(5))
+    assert(lnS.zip(lnS.tail).forall { case (a, b) => b <= a })
+    // the half-credit adjustment makes q_hazard >= the naive d/n rate
+    got.foreach { case (_, nEnter, d, _, q, _) =>
+      assert(q >= d.toDouble / nEnter - 1e-12) }
+  }
+
   test("theilSen: exact pairwise-slope lower-median replay") {
     val row = TimeSeries.theilSen(spark, sf).collect()
     assert(row.length == 1)

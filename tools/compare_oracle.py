@@ -248,16 +248,31 @@ def measure_decimal_margins(con, oracle):
     return viol
 
 def main(sfdir, outdir):
+    import os as _os
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = bad = 0
+    # portability scan stays registry-wide (pure text, cheap)
     for name, why in scan_oracle_portability(oracle):
         print(f"{name}: PORTABILITY: {why}")
         bad += 1
-    bad += measure_decimal_margins(con, oracle)
-    for name in sorted(oracle):
+    # dev-subset fast path: graft.Verify's name-filtered dumps leave most
+    # queries MISSING — executing all 360 oracle SQLs (and the margin
+    # probe) against sf0.1 for a 2-query iteration wastes ~8 min. A full
+    # dump (the gate the claims tooling consumes) is unaffected: every
+    # query has a dump, so nothing is skipped.
+    dumped = {n for n in _os.listdir(outdir)
+              if _os.path.isdir(_os.path.join(outdir, n))}
+    exec_oracle = oracle
+    if dumped and len(dumped & set(oracle)) < len(oracle):
+        exec_oracle = {n: q for n, q in oracle.items() if n in dumped}
+        print(f"subset run: executing {len(exec_oracle)}/{len(oracle)} "
+              f"oracles (only dumped queries); full-gate claims need a "
+              f"full dump", file=sys.stderr)
+    bad += measure_decimal_margins(con, exec_oracle)
+    for name in sorted(exec_oracle):
         try:
             duck = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
