@@ -103,7 +103,7 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
-    "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
+    "agg_approx_distinct" -> (Relational.aggApproxDistinctAudit _),
     "agg_minmax_by_brand" -> (Relational.aggMinMaxByBrand _),
     "agg_mode_by_brand" -> (Relational.modeByBrand _),
     "agg_geomean_by_brand" -> (Relational.geomeanByBrand _),
@@ -218,7 +218,7 @@ object SparkEntry {
     "agg_regr_slope" -> (Relational.aggRegrSlope _),
     "agg_yoy_growth" -> (Relational.aggYoyGrowth _),
     "customer_rfm" -> (Relational.customerRfm _),
-    "customer_rfm_approx" -> (Relational.customerRfmApprox _),
+    "customer_rfm_approx" -> (Relational.customerRfmApproxAudit _),
     "merge_upsert" -> (EventQueries.mergeUpsert _),
     // graph analytics
     "graph_pagerank" -> (GraphQueries.pagerank _),
@@ -434,7 +434,7 @@ object SparkEntry {
     "events_value_mad" -> (EventQueries.valueMad _),
     "events_value_mad_approx" ->
       ((s, d) => EventQueries.valueMadApproxAudit(s, d)),
-    "sketch_hll_rollup" -> (EventQueries.hllRollup _),
+    "sketch_hll_rollup" -> (EventQueries.hllRollupAudit _),
     "sketch_hll_intersect" -> (EventQueries.hllIntersect _),
     "sketch_topk_rollup" -> ((s, d) => EventQueries.topkRollup(s, d)),
     // dataset management: deterministic splits / samples / skew diagnosis
@@ -501,11 +501,17 @@ object SparkEntry {
     *     ApproxTopK / CMS / count-sketch / t-digest state has no DuckDB
     *     equivalent, so value-level SQL parity is undefined; each is
     *     bounded against its EXACT in-engine dual instead:
-    *     `agg_approx_distinct` (vs `agg_count_distinct`, RelationalSpec),
-    *     `sketch_hll_rollup`/`sketch_hll_intersect` (AnalyticsOpsSpec
-    *     merge-associativity + error envelope vs exact), `sketch_topk_rollup`
-    *     (AnalyticsOpsSpec exact-recount), `customer_rfm_approx`
-    *     (AnalyticsOpsSpec vs exact quintiles).
+    *     `sketch_hll_intersect` (AnalyticsOpsSpec merge-associativity +
+    *     error envelope vs exact), `sketch_topk_rollup`
+    *     (AnalyticsOpsSpec exact-recount).
+    *     (`agg_approx_distinct`, `customer_rfm_approx` and
+    *     `sketch_hll_rollup` graduated OUT in r15: their registry
+    *     entries are structural-oracle audits — recomputable exact
+    *     counts hash-checked beside error-envelope / KLL-rank /
+    *     merge-associativity violation counters pinned to 0 — while
+    *     the numeric estimates stay the spec-bounded
+    *     `aggApproxDistinct` / `customerRfmApprox` / `hllRollup`
+    *     APIs.)
     *     (`events_value_quantiles_approx`/`events_value_mad_approx`
     *     graduated OUT in r15: their registry entries are now
     *     rank-guarantee audits — the (q±ε)·n window of every sketch
@@ -787,6 +793,9 @@ object SparkEntry {
     "stats_page_trend" -> Drift.pageTrendSql,
     "events_wilson_ci" -> EventQueries.wilsonCiSql,
     "drift_cvm" -> Drift.cvmSql,
+    "agg_approx_distinct" -> Relational.aggApproxDistinctAuditSql,
+    "customer_rfm_approx" -> Relational.customerRfmApproxAuditSql,
+    "sketch_hll_rollup" -> EventQueries.hllRollupAuditSql,
     "drift_effect_size" -> Drift.effectSizeSql,
     "pii_reid_risk" -> Governance.reidRiskSql(),
     "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,

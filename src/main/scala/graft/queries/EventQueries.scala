@@ -1473,8 +1473,8 @@ object EventQueries {
     * Only Spark evaluates this (the oracle pins the counters to 0),
     * so plain double arithmetic is fine here.
     */
-  private def rankViol(q: Double, eps: Double, n: Column,
-                       nLe: Column, nLt: Column): Column = {
+  private[queries] def rankViol(q: Double, eps: Double, n: Column,
+                                nLe: Column, nLt: Column): Column = {
     val nd = n.cast("double")
     when(nLe.cast("double") < nd * lit(q - eps) - lit(1.0)
       || nLt.cast("double") > nd * lit(q + eps) + lit(1.0), 1L).otherwise(0L)
@@ -1599,6 +1599,61 @@ object EventQueries {
         .as("approx_users"))
       .orderBy(col("week_start"))
   }
+  /** Structural-oracle audit of [[hllRollup]]: the DataSketches
+    * register state is engine-specific, but two invariants are
+    * checkable beside the recomputable exact weekly distincts —
+    * (a) the published HLL error envelope (lgK = 12 ⇒ rsd ≈ 1.04/64
+    * ≈ 1.6%; |est − exact| ≤ 8.5%·exact is a >5σ bound a correct
+    * sketch essentially never leaves), and (b) MERGE CONSISTENCY:
+    * the union of daily sketches must estimate within 2%·exact of the
+    * direct weekly sketch. (Not exact equality: DataSketches unions
+    * transition representation modes — sparse/list vs dense HLL_4/8 —
+    * so the merged gadget's registers can differ from the
+    * directly-updated sketch's once cardinality leaves sparse mode;
+    * measured at sf0.1, the estimates differ by ≪1% while sf0.01
+    * weeks agree exactly.) The oracle hash-checks (week_start,
+    * n_exact) and pins both violation counters to 0; the numeric
+    * estimates stay the AnalyticsOpsSpec-bounded [[hllRollup]] API.
+    *
+    * Scale: the sketch legs are the [[hllRollup]] mergeable-state
+    * folds; the exact leg is one (week, user) distinct-combine; the
+    * joins ride the ≤|weeks| grid.
+    */
+  def hllRollupAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val wk = (c: Column) => date_trunc("week", c).cast("date")
+    val union = e.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy(wk(col("day")).as("week_start"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_union"))
+    val direct = e.groupBy(wk(col("day")).as("week_start"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est_direct"))
+    val exact = e.groupBy(wk(col("day")).as("week_start"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(union, Seq("week_start")).join(direct, Seq("week_start"))
+      .select(col("week_start"), col("n_exact"),
+        when(abs(col("est_union") - col("n_exact")).cast("double")
+          > lit(0.085) * col("n_exact").cast("double"), 1L).otherwise(0L)
+          .as("envelope_violations"),
+        when(abs(col("est_union") - col("est_direct")).cast("double")
+          > lit(0.02) * col("n_exact").cast("double"), 1L).otherwise(0L)
+          .as("merge_violations"))
+      .orderBy(col("week_start"))
+  }
+
+  val hllRollupAuditSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+      |    AS week_start, user_id
+      |  FROM events)
+      |SELECT week_start, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(0 AS BIGINT) AS envelope_violations,
+      |  CAST(0 AS BIGINT) AS merge_violations
+      |FROM e GROUP BY week_start ORDER BY week_start""".stripMargin
+
   /** Heavy-hitter rollup, the frequent-items twin of [[hllRollup]]:
     * ONE pass builds a per-day ApproxTopK (frequent-items) sketch of
     * active users (`approx_top_k_accumulate`), and any wider window is

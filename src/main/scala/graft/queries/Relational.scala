@@ -486,6 +486,38 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Structural-oracle audit of [[aggApproxDistinct]] (the CDC-chunk
+    * pattern): the HLL++ register state is engine-specific, but the
+    * estimate carries a published error envelope — rsd 0.01 here, so
+    * |est − exact| ≤ 5·rsd·exact is a ≥5σ bound a correct sketch
+    * essentially never leaves — and the exact count is recomputable.
+    * The oracle hash-checks the exact distinct counts per group and
+    * pins the envelope-violation counter to 0; the numeric estimate
+    * stays the RelationalSpec-bounded [[aggApproxDistinct]] API.
+    *
+    * Scale: the exact leg is one distinct-combine per group (the
+    * `agg_count_distinct` shape); the sketch leg is fixed-size
+    * mergeable state; the join is on the ≤|flags| grid.
+    */
+  def aggApproxDistinctAudit(s: SparkSession, dir: String): DataFrame = {
+    val approx = aggApproxDistinct(s, dir)
+    val exact = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts_exact"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_parts_exact"),
+        when(abs(col("approx_parts") - col("n_parts_exact")).cast("double")
+          > lit(0.05) * col("n_parts_exact").cast("double"), 1L)
+          .otherwise(0L).as("envelope_violations"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggApproxDistinctAuditSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+      |  CAST(0 AS BIGINT) AS envelope_violations
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def aggMinMaxByBrand(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part")
     // floor() explicitly: CAST(double AS BIGINT) truncates in Spark but
@@ -1433,6 +1465,65 @@ object Relational {
         score(col("monetary"), col("m_edges")).as("m_score"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Structural-oracle audit of [[customerRfmApprox]]: each of the 12
+    * approximate quintile edges (3 dims × q = 0.2/0.4/0.6/0.8,
+    * accuracy 10⁴) carries the KLL rank guarantee — the edge value's
+    * exact rank among the dim's per-customer values must land within
+    * (q±10⁻⁴)·N — and N is recomputable, so the oracle hash-checks
+    * the per-customer population beside 12 pinned-to-0 violation
+    * counters (the [[EventQueries.valueQuantilesApproxAudit]]
+    * pattern). The per-customer scores stay the
+    * AnalyticsOpsSpec-bounded [[customerRfmApprox]] API.
+    *
+    * Scale: one custkey fold, a 1-row edge broadcast, one counting
+    * fold (24 conditional sums), a 12-row reshape of the 1-row
+    * aggregate.
+    */
+  def customerRfmApproxAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
+    val edges = base.agg(
+      percentile_approx(col("last_us"), qs, lit(10000)).as("e_recency"),
+      percentile_approx(col("frequency"), qs, lit(10000)).as("e_frequency"),
+      percentile_approx(col("monetary"), qs, lit(10000)).as("e_monetary"))
+    val dims = Seq(("frequency", "frequency"), ("monetary", "monetary"),
+      ("recency", "last_us"))
+    val counts = base.crossJoin(broadcast(edges))
+      .agg(count(lit(1)).as("n"),
+        (for { (dim, vcol) <- dims; i <- 1 to 4; op <- Seq("lt", "le") }
+          yield {
+            val e = element_at(col(s"e_$dim"), i)
+            val hit = if (op == "lt") col(vcol) < e else col(vcol) <= e
+            sum(when(hit, 1L).otherwise(0L)).as(s"${op}_${dim}_$i")
+          }): _*)
+    val one = graft.Graft.materialize(counts)
+    val rows = for { (dim, _) <- dims; i <- 1 to 4 } yield
+      one.select(lit(dim).as("dim"), lit(i * 20L).as("edge_pct"),
+        col("n").as("n_customers"),
+        EventQueries.rankViol(i * 0.2, 1e-4, col("n"),
+          col(s"le_${dim}_$i"), col(s"lt_${dim}_$i")).as("rank_violations"))
+    rows.reduce(_.unionAll(_)).orderBy(col("dim"), col("edge_pct"))
+  }
+
+  val customerRfmApproxAuditSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey FROM orders GROUP BY o_custkey),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM base),
+      |g AS (SELECT * FROM (VALUES
+      |  ('frequency', 20), ('frequency', 40), ('frequency', 60),
+      |  ('frequency', 80), ('monetary', 20), ('monetary', 40),
+      |  ('monetary', 60), ('monetary', 80), ('recency', 20),
+      |  ('recency', 40), ('recency', 60), ('recency', 80))
+      |  t(dim, edge_pct))
+      |SELECT dim, CAST(edge_pct AS BIGINT) AS edge_pct, n_customers,
+      |  CAST(0 AS BIGINT) AS rank_violations
+      |FROM g, n ORDER BY dim, edge_pct""".stripMargin
 
   val customerRfmSql: String =
     """WITH base AS (

@@ -1016,6 +1016,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       docs.map(_._1).distinct.sorted.toSeq, "one row per language, ordered")
   }
 
+  test("sketch audits: clean counters + grids reconcile with the estimate APIs") {
+    // agg_approx_distinct audit: exact counts match the exact twin,
+    // envelope holds (the estimate API itself is bounded two tests up)
+    val ad = Relational.aggApproxDistinctAudit(spark, sf).collect()
+    assert(ad.nonEmpty)
+    ad.foreach(r => assert(r.getLong(2) == 0L,
+      s"HLL envelope violated for ${r.getString(0)}"))
+    // rfm audit: 12 rows, one per dim x edge, all rank-clean, N = tree
+    val rfm = Relational.customerRfmApproxAudit(spark, sf).collect()
+    assert(rfm.length == 12)
+    val nCust = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    rfm.foreach { r =>
+      assert(r.getLong(2) == nCust)
+      assert(r.getLong(3) == 0L,
+        s"KLL rank violated at ${r.getString(0)}/${r.getLong(1)}")
+    }
+    // hll rollup audit: week grid matches the estimate API's, both
+    // counters clean (merge associativity must hold EXACTLY)
+    val audit = EventQueries.hllRollupAudit(spark, sf).collect()
+    val est = EventQueries.hllRollup(spark, sf).collect()
+    assert(audit.map(_.getDate(0).toString).toSeq
+      == est.map(_.getDate(0).toString).toSeq, "week grids differ")
+    audit.foreach { r =>
+      assert(r.getLong(2) == 0L, s"HLL weekly envelope at ${r.getDate(0)}")
+      assert(r.getLong(3) == 0L, s"merge associativity at ${r.getDate(0)}")
+    }
+  }
+
   test("dedupClusterSizes: histogram totals reconcile with the corpus") {
     val hist = TextQueries.dedupClusterSizes(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
