@@ -289,6 +289,8 @@ object SparkEntry {
     "stats_page_trend" -> (Drift.pageTrend _),
     "events_wilson_ci" -> (EventQueries.wilsonCi _),
     "drift_cvm" -> (Drift.cvm _),
+    "ts_holt_winters" -> ((s, d) => TimeSeries.holtWinters(s, d)),
+    "events_rfm_migration" -> (EventQueries.rfmMigration _),
     "drift_effect_size" -> (Drift.effectSize _),
     "pii_reid_risk" -> ((s, d) => Governance.reidRisk(s, d)),
     "eval_pr_threshold_sweep" -> (Evaluation.prThresholdSweep _),
@@ -793,6 +795,8 @@ object SparkEntry {
     "stats_page_trend" -> Drift.pageTrendSql,
     "events_wilson_ci" -> EventQueries.wilsonCiSql,
     "drift_cvm" -> Drift.cvmSql,
+    "ts_holt_winters" -> TimeSeries.holtWintersSql(),
+    "events_rfm_migration" -> EventQueries.rfmMigrationSql,
     "agg_approx_distinct" -> Relational.aggApproxDistinctAuditSql,
     "customer_rfm_approx" -> Relational.customerRfmApproxAuditSql,
     "sketch_hll_rollup" -> EventQueries.hllRollupAuditSql,

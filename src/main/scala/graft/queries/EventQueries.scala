@@ -1397,6 +1397,90 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Period-over-period value-segment MIGRATION matrix: each user's
+    * total event value is quintiled WITHIN the first and second
+    * temporal halves of the stream, and the 5×5 transition counts —
+    * plus the new-user (absent→q) and churned-user (q→absent)
+    * margins — show where the value base is moving (the
+    * segment-migration report a retention team reads next to
+    * [[growthAccounting]]'s user-count flows; segment 0 = absent).
+    *
+    * Exactness: per-(half, user) values are exact BIGINT cents;
+    * quintiles use the tie-free rank formula q = 1 + (5·(rank−1))
+    * div n over (value, user_id) order — NOT NTILE, whose
+    * remainder-bucket convention differs between engines — so every
+    * assignment is exact integer arithmetic; transition counts are
+    * exact.
+    *
+    * Scale: one events scan → (half, user) fold; ranks ride
+    * [[graft.Graft.cumSumByRange]] over (half, value, user) with the
+    * per-half offset subtracted (half 'a' sorts first), never a
+    * global row_number window; the migration fold lands on the ≤36
+    * cell grid.
+    */
+  def rfmMigration(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val bounds = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val per = e.crossJoin(broadcast(bounds))
+      .select(when(col("us") < expr("(mn + mx) div 2"), "a").otherwise("b")
+        .as("half"), col("user_id"), col("c"))
+      .groupBy(col("half"), col("user_id"))
+      .agg(sum(col("c")).as("v"))
+    val halves = per.groupBy(col("half")).agg(count(lit(1)).as("n_half"))
+    val ranked = graft.Graft.cumSumByRange(per,
+        Seq(col("half"), col("v"), col("user_id")), Seq(lit(1L) -> "grk"))
+      .join(broadcast(halves), "half")
+      .crossJoin(broadcast(halves.agg(
+        sum(when(col("half") === "a", col("n_half")).otherwise(0L))
+          .as("n_a"))))
+      .select(col("half"), col("user_id"),
+        (when(col("half") === "a", col("grk"))
+          .otherwise(col("grk") - col("n_a")) - 1L).as("rk0"),
+        col("n_half"))
+      .select(col("half"), col("user_id"),
+        (lit(1L) + expr("(5 * rk0) div n_half")).as("q"))
+    val qa = ranked.filter(col("half") === "a")
+      .select(col("user_id"), col("q").as("q_first"))
+    val qb = ranked.filter(col("half") === "b")
+      .select(col("user_id"), col("q").as("q_second"))
+    qa.join(qb, Seq("user_id"), "full_outer")
+      .select(coalesce(col("q_first"), lit(0L)).as("q_first"),
+        coalesce(col("q_second"), lit(0L)).as("q_second"))
+      .groupBy(col("q_first"), col("q_second"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("q_first"), col("q_second"))
+  }
+
+  val rfmMigrationSql: String = {
+    val q = PortableSql.intDiv("5 * (rk - 1)", "n_half")
+    s"""WITH e AS (
+      |  SELECT epoch_us(ts) AS us, user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+      |per AS (
+      |  SELECT CASE WHEN us < CAST(((mn + mx) - ((mn + mx) % 2)) / 2 AS BIGINT)
+      |              THEN 'a' ELSE 'b' END AS half,
+      |    user_id, CAST(SUM(c) AS BIGINT) AS v
+      |  FROM e, b GROUP BY 1, 2),
+      |r AS (
+      |  SELECT half, user_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY half ORDER BY v, user_id)
+      |      AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY half) AS BIGINT) AS n_half
+      |  FROM per),
+      |sc AS (SELECT half, user_id, 1 + ($q) AS q FROM r),
+      |j AS (
+      |  SELECT COALESCE(a.q, 0) AS q_first, COALESCE(bb.q, 0) AS q_second
+      |  FROM (SELECT user_id, q FROM sc WHERE half = 'a') a
+      |  FULL OUTER JOIN (SELECT user_id, q FROM sc WHERE half = 'b') bb
+      |    ON a.user_id = bb.user_id)
+      |SELECT q_first, q_second, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM j GROUP BY q_first, q_second ORDER BY q_first, q_second""".stripMargin
+  }
+
   /** Per-event-type user REACH with its Wilson score interval
     * (Wilson, JASA 1927) — the serving-layer read behind "X% of users
     * did Y, ± what?": the Wilson interval stays inside [0,1], never

@@ -2082,6 +2082,117 @@ object TimeSeries {
         "resid_cents")
   }
 
+  // --- Holt–Winters additive seasonal smoother -------------------------------------
+  /** Holt–Winters additive triple-exponential smoother on daily
+    * revenue with weekly (m = 7) seasonality — the top of the
+    * smoother ladder ([[ewma]] level-only → [[holtLinear]]
+    * level+trend → this level+trend+seasonal; Winters, Mgmt. Sci.
+    * 1960): the day-of-week cycle that inflates both simpler models'
+    * residuals becomes explicit state. α = 1/5, β = 1/10, γ = 1/5 as
+    * the exact integer fractions of the family. Textbook two-week
+    * init: l = mean(week₁), b = (mean(week₂) − mean(week₁))/7,
+    * sⱼ = yⱼ − mean(week₁).
+    *
+    * Exactness: the three-state recursion runs on the integer
+    * MICRO-CENT grid with truncating division — lᵢ = (ymᵢ − sᵢ₋₇ +
+    * 4(lᵢ₋₁+bᵢ₋₁)) / 5 etc. — so every state is an exact BIGINT and
+    * the DuckDB twin is the IDENTICAL recursion as a recursive CTE
+    * carrying the rotating 7-slot seasonal vector (truncation toward
+    * zero matches Scala `/` and the intDiv spelling on both signs).
+    *
+    * Scale: the recursion is inherently sequential, so it runs
+    * driver-side over the COLLECTED day grid (~2.4k rows at ANY
+    * corpus size — the [[ewma]]/[[holtLinear]]/markov_stationary
+    * metadata-bounded collect precedent); the corpus-sized fold into
+    * that grid is the distributed part.
+    */
+  def holtWinters(s: SparkSession, dir: String, lastN: Int = 30): DataFrame = {
+    val series = dailyRevenue(s, dir)
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val n = series.length
+    require(n >= 15, "holtWinters needs two full weeks + 1 grid days")
+    val ym = series.map(_._2 * 1000000L)
+    val a1 = ym.take(7).sum / 7L
+    val a2 = ym.slice(7, 14).sum / 7L
+    val l = new Array[Long](n); val b = new Array[Long](n)
+    val se = new Array[Long](n); val f = new Array[Long](n)
+    for (i <- 0 until 7) { l(i) = a1; b(i) = (a2 - a1) / 7L; se(i) = ym(i) - a1 }
+    for (i <- 7 until n) {
+      val sPrev = se(i - 7)
+      f(i) = l(i - 1) + b(i - 1) + sPrev
+      l(i) = ((ym(i) - sPrev) + 4L * (l(i - 1) + b(i - 1))) / 5L
+      b(i) = ((l(i) - l(i - 1)) + 9L * b(i - 1)) / 10L
+      se(i) = ((ym(i) - l(i)) + 4L * sPrev) / 5L
+    }
+    import s.implicits._
+    val from = math.max(7, n - math.min(lastN, n))
+    series.indices.drop(from)
+      .map { i =>
+        val (d, y) = series(i)
+        (d, y, l(i), b(i), se(i), f(i), ym(i) - f(i),
+          l(i) / 1e6 / 100.0, se(i) / 1e6 / 100.0)
+      }
+      .toDF("d", "rev_cents", "level_micro", "trend_micro",
+        "seasonal_micro", "fitted_micro", "resid_micro",
+        "level_dollars", "seasonal_dollars")
+  }
+
+  /** DuckDB twin of [[holtWinters]] — the identical three-state
+    * integer recursion as a recursive CTE whose state carries the
+    * rotating 7-slot seasonal vector, derived from the SAME lastN. */
+  def holtWintersSql(lastN: Int = 30): String = {
+    val lNew = PortableSql.intDiv(
+      "(g.y * 1000000 - it.s0) + 4 * (it.l + it.b)", "5")
+    val bNew = PortableSql.intDiv(s"(($lNew) - it.l) + 9 * it.b", "10")
+    val sNew = PortableSql.intDiv(s"(g.y * 1000000 - ($lNew)) + 4 * it.s0", "5")
+    s"""WITH RECURSIVE
+      |rev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT d, y,
+      |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      |      FROM rev),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM g),
+      |w1 AS (SELECT ${PortableSql.intDiv("SUM(y * 1000000)", "7")} AS a1
+      |       FROM g WHERE i <= 7),
+      |w2 AS (SELECT ${PortableSql.intDiv("SUM(y * 1000000)", "7")} AS a2
+      |       FROM g WHERE i BETWEEN 8 AND 14),
+      |init AS (
+      |  SELECT
+      |    (SELECT d FROM g WHERE i = 7) AS d,
+      |    (SELECT y FROM g WHERE i = 7) AS y,
+      |    a1 AS l, ${PortableSql.intDiv("a2 - a1", "7")} AS b,
+      |    MAX(CASE WHEN i = 1 THEN y * 1000000 - a1 END) AS s0,
+      |    MAX(CASE WHEN i = 2 THEN y * 1000000 - a1 END) AS s1,
+      |    MAX(CASE WHEN i = 3 THEN y * 1000000 - a1 END) AS s2,
+      |    MAX(CASE WHEN i = 4 THEN y * 1000000 - a1 END) AS s3,
+      |    MAX(CASE WHEN i = 5 THEN y * 1000000 - a1 END) AS s4,
+      |    MAX(CASE WHEN i = 6 THEN y * 1000000 - a1 END) AS s5,
+      |    MAX(CASE WHEN i = 7 THEN y * 1000000 - a1 END) AS s6
+      |  FROM g, w1, w2 WHERE i <= 7 GROUP BY a1, a2),
+      |it(i, d, y, l, b, f, s0, s1, s2, s3, s4, s5, s6) AS (
+      |  SELECT CAST(7 AS BIGINT), d, y, l, b, CAST(NULL AS BIGINT),
+      |    s0, s1, s2, s3, s4, s5, s6
+      |  FROM init
+      |  UNION ALL
+      |  SELECT g.i, g.d, g.y,
+      |    $lNew,
+      |    $bNew,
+      |    it.l + it.b + it.s0,
+      |    it.s1, it.s2, it.s3, it.s4, it.s5, it.s6,
+      |    $sNew
+      |  FROM it JOIN g ON g.i = it.i + 1)
+      |SELECT d, y AS rev_cents, l AS level_micro, b AS trend_micro,
+      |  s6 AS seasonal_micro, f AS fitted_micro,
+      |  y * 1000000 - f AS resid_micro,
+      |  CAST(l AS DOUBLE) / 1e6 / 100.0 AS level_dollars,
+      |  CAST(s6 AS DOUBLE) / 1e6 / 100.0 AS seasonal_dollars
+      |FROM it, nn WHERE i >= 8 AND i > n_days - $lastN ORDER BY d""".stripMargin
+  }
+
   // --- seasonal Mann–Kendall ------------------------------------------------------
   /** Seasonal Mann–Kendall trend test on daily revenue (Hirsch & Slack,
     * Water Resour. Res. 1984, independent-seasons form): the S

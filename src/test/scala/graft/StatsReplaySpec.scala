@@ -1881,6 +1881,68 @@ class StatsReplaySpec extends SparkSpec {
     }
   }
 
+  test("holtWinters: plain-double triple-smoother replay") {
+    // independent algorithm: the same textbook recursion in DOUBLES
+    // (no micro grid, no truncating division) — the integer spelling
+    // must track it within the accumulated truncation envelope
+    val ys = daySeries.map(_._2.toDouble) // cents, date-ordered
+    val n = ys.length
+    val a1 = ys.take(7).sum / 7.0
+    val a2 = ys.slice(7, 14).sum / 7.0
+    val l = new Array[Double](n); val b = new Array[Double](n)
+    val se = new Array[Double](n); val f = new Array[Double](n)
+    for (i <- 0 until 7) { l(i) = a1; b(i) = (a2 - a1) / 7.0; se(i) = ys(i) - a1 }
+    for (i <- 7 until n) {
+      val sp = se(i - 7)
+      f(i) = l(i - 1) + b(i - 1) + sp
+      l(i) = ((ys(i) - sp) + 4.0 * (l(i - 1) + b(i - 1))) / 5.0
+      b(i) = ((l(i) - l(i - 1)) + 9.0 * b(i - 1)) / 10.0
+      se(i) = ((ys(i) - l(i)) + 4.0 * sp) / 5.0
+    }
+    val out = TimeSeries.holtWinters(spark, sf).collect()
+    assert(out.length == math.min(30, n - 7))
+    // each micro-grid step truncates < 1 micro-cent and the recursion
+    // contracts (alpha < 1), so the drift vs doubles stays far under
+    // a cent; compare in dollars at 1e-3
+    for ((r, idx) <- out.zipWithIndex) {
+      val i = n - out.length + idx
+      assert(r.getLong(1) == daySeries(i)._2, "rev_cents misaligned")
+      assert(math.abs(r.getDouble(7) - l(i) / 100.0) < 1e-3,
+        s"level at ${r.getDate(0)}: ${r.getDouble(7)} vs ${l(i) / 100.0}")
+      assert(math.abs(r.getDouble(8) - se(i) / 100.0) < 1e-3,
+        s"seasonal at ${r.getDate(0)}")
+      // identities on the integer spelling itself
+      assert(r.getLong(6) == r.getLong(1) * 1000000L - r.getLong(5),
+        "resid_micro != y*1e6 - fitted_micro")
+    }
+  }
+
+  test("rfmMigration: exact driver-side transition replay") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) as us", "user_id",
+        "cast(round(value * 100) as long) as c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    def quintiles(rows: Array[(Long, Long)]): Map[Long, Long] = {
+      val sorted = rows.sortBy { case (u, v) => (v, u) }
+      val nh = sorted.length
+      sorted.zipWithIndex.map { case ((u, _), i) =>
+        u -> (1L + 5L * i / nh)
+      }.toMap
+    }
+    val qa = quintiles(ev.filter(_._1 < mid).groupBy(_._2)
+      .map { case (u, g) => (u, g.map(_._3).sum) }.toArray)
+    val qb = quintiles(ev.filter(_._1 >= mid).groupBy(_._2)
+      .map { case (u, g) => (u, g.map(_._3).sum) }.toArray)
+    val expected = (qa.keySet ++ qb.keySet).toSeq
+      .map(u => (qa.getOrElse(u, 0L), qb.getOrElse(u, 0L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventQueries.rfmMigration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"migration cells differ: got ${got.size} cells")
+    assert(got.values.sum == (qa.keySet ++ qb.keySet).size.toLong)
+  }
+
   test("cvm: plain-double ECDF-integral replay") {
     // independent algorithm: collect the sided values, build both
     // ECDFs in doubles, sum squared gaps over every pooled observation
