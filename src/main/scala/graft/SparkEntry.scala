@@ -437,8 +437,8 @@ object SparkEntry {
     "events_value_mad_approx" ->
       ((s, d) => EventQueries.valueMadApproxAudit(s, d)),
     "sketch_hll_rollup" -> (EventQueries.hllRollupAudit _),
-    "sketch_hll_intersect" -> (EventQueries.hllIntersect _),
-    "sketch_topk_rollup" -> ((s, d) => EventQueries.topkRollup(s, d)),
+    "sketch_hll_intersect" -> (EventQueries.hllIntersectAudit _),
+    "sketch_topk_rollup" -> ((s, d) => EventQueries.topkRollupAudit(s, d)),
     // dataset management: deterministic splits / samples / skew diagnosis
     "sample_hash_split" -> (Sampling.hashSplit _),
     "sample_stratified" -> (Sampling.stratifiedSample _),
@@ -502,18 +502,17 @@ object SparkEntry {
     *  1. '''Sketch registers are engine-specific''' — DataSketches HLL /
     *     ApproxTopK / CMS / count-sketch / t-digest state has no DuckDB
     *     equivalent, so value-level SQL parity is undefined; each is
-    *     bounded against its EXACT in-engine dual instead:
-    *     `sketch_hll_intersect` (AnalyticsOpsSpec merge-associativity +
-    *     error envelope vs exact), `sketch_topk_rollup`
-    *     (AnalyticsOpsSpec exact-recount).
-    *     (`agg_approx_distinct`, `customer_rfm_approx` and
-    *     `sketch_hll_rollup` graduated OUT in r15: their registry
-    *     entries are structural-oracle audits — recomputable exact
-    *     counts hash-checked beside error-envelope / KLL-rank /
-    *     merge-associativity violation counters pinned to 0 — while
-    *     the numeric estimates stay the spec-bounded
-    *     `aggApproxDistinct` / `customerRfmApprox` / `hllRollup`
-    *     APIs.)
+    *     bounded against its EXACT in-engine dual instead — though as
+    *     of r15 the whole class has graduated:
+    *     (`agg_approx_distinct`, `customer_rfm_approx`,
+    *     `sketch_hll_rollup`, `sketch_hll_intersect` and
+    *     `sketch_topk_rollup` all carry structural-oracle audit
+    *     registry entries — recomputable exact counts hash-checked
+    *     beside error-envelope / KLL-rank / merge-consistency /
+    *     top-k-coverage violation counters pinned to 0 — while the
+    *     numeric estimates stay the spec-bounded `aggApproxDistinct`
+    *     / `customerRfmApprox` / `hllRollup` / `hllIntersect` /
+    *     `topkRollup` APIs.)
     *     (`events_value_quantiles_approx`/`events_value_mad_approx`
     *     graduated OUT in r15: their registry entries are now
     *     rank-guarantee audits — the (q±ε)·n window of every sketch
@@ -800,6 +799,8 @@ object SparkEntry {
     "agg_approx_distinct" -> Relational.aggApproxDistinctAuditSql,
     "customer_rfm_approx" -> Relational.customerRfmApproxAuditSql,
     "sketch_hll_rollup" -> EventQueries.hllRollupAuditSql,
+    "sketch_hll_intersect" -> EventQueries.hllIntersectAuditSql,
+    "sketch_topk_rollup" -> EventQueries.topkRollupAuditSql,
     "drift_effect_size" -> Drift.effectSizeSql,
     "pii_reid_risk" -> Governance.reidRiskSql(),
     "eval_pr_threshold_sweep" -> Evaluation.prThresholdSweepSql,

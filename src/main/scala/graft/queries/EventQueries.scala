@@ -1807,6 +1807,137 @@ object EventQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Structural-oracle audit of [[hllIntersect]]: the
+    * inclusion–exclusion intersection estimate Â∩B = Â + B̂ − Â∪B has
+    * a checkable contract against the RECOMPUTABLE exact intersection
+    * — each of the three sketch estimates carries the lgK = 12
+    * envelope, so |est_intersect − exact| ≤ 3·8.5%·max(|A|,|B|) is
+    * the additive-error bound (I-E amplifies sketch error: the bound
+    * rides the UNION sizes, not the possibly-tiny intersection — the
+    * known weakness the scaladoc of the estimate API documents). The
+    * oracle hash-checks (type_a, type_b, exact per-set and
+    * intersection counts) and pins the violation counter to 0; the
+    * estimates stay the AnalyticsOpsSpec-bounded [[hllIntersect]]
+    * API.
+    *
+    * Scale: exact legs are (type, user) distinct-combines and one
+    * pair-grid semi-join count on the ≤|types|² grid; sketch legs as
+    * in the estimate API.
+    */
+  def hllIntersectAudit(s: SparkSession, dir: String): DataFrame = {
+    val tu = ev(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_set"))
+    val inter = tu.select(col("event_type").as("type_a"),
+        col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_intersect_exact"))
+    val est = hllIntersect(s, dir)
+      .select(col("type_a"), col("type_b"), col("est_intersect"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"),
+        col("n_set").as("n_a_exact")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"),
+        col("n_set").as("n_b_exact")), "type_b")
+      .join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a_exact"),
+        col("n_b_exact"), col("n_intersect_exact"),
+        when(abs(col("est_intersect").cast("double")
+          - col("n_intersect_exact").cast("double"))
+          > lit(0.255) * greatest(col("n_a_exact"), col("n_b_exact"))
+            .cast("double"), 1L).otherwise(0L)
+          .as("envelope_violations"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val hllIntersectAuditSql: String =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_set
+      |       FROM tu GROUP BY event_type),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_intersect_exact
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b,
+      |  sa.n_set AS n_a_exact, sb.n_set AS n_b_exact, n_intersect_exact,
+      |  CAST(0 AS BIGINT) AS envelope_violations
+      |FROM inter
+      |JOIN sz sa ON sa.event_type = type_a
+      |JOIN sz sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** Structural-oracle audit of [[topkRollup]]: at the configured
+    * tracking width (4096 ≫ weekly user cardinality at gate SFs) the
+    * frequent-items sketch is in exact mode, and at ANY scale it
+    * guarantees (a) reported counts within εN of exact (ε =
+    * 4/maxItems per the DataSketches ApproxTopK bound) and (b) no
+    * user with exact count strictly above the k-th reported count +
+    * εN is missing. The audit recounts each reported user exactly
+    * and checks both: `count_violations` (estimate off by > εN) and
+    * `coverage_violations` (a missed heavier user exists), both
+    * pinned to 0 beside the recomputable per-week event total and
+    * distinct-user count.
+    *
+    * Scale: the sketch leg as in the estimate API; the exact leg is
+    * one (week, user) fold joined back on the ≤|weeks|·k grid.
+    */
+  def topkRollupAudit(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = ev(s, dir)
+      .select(date_trunc("week", to_date(col("ts"))).cast("date")
+        .as("week_start"), col("user_id"))
+    val exact = e.groupBy(col("week_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val weekTot = e.groupBy(col("week_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val top = topkRollup(s, dir, k)
+    val eps = weekTot.select(col("week_start"),
+      (col("n_events").cast("double") * lit(4.0 / 4096.0)).as("eps_n"))
+    val perRow = top.join(exact, Seq("week_start", "user_id"), "left")
+      .join(broadcast(eps), "week_start")
+      .select(col("week_start"),
+        when(abs(col("est_events").cast("double")
+          - coalesce(col("n_exact"), lit(0L)).cast("double"))
+          > col("eps_n"), 1L).otherwise(0L).as("cv"),
+        least(col("est_events"), coalesce(col("n_exact"), lit(0L)))
+          .as("floor_k"))
+    val kthFloor = perRow.groupBy(col("week_start"))
+      .agg(sum(col("cv")).as("count_violations"),
+        min(col("floor_k")).as("kth_floor"))
+    val missed = exact.join(broadcast(kthFloor), "week_start")
+      .join(broadcast(eps), "week_start")
+      .join(top.select(col("week_start"), col("user_id"),
+        lit(1L).as("reported")), Seq("week_start", "user_id"), "left")
+      .filter(col("reported").isNull
+        && col("n_exact").cast("double")
+          > col("kth_floor").cast("double") + col("eps_n"))
+      .groupBy(col("week_start"))
+      .agg(count(lit(1)).as("coverage_violations"))
+    weekTot.join(kthFloor, Seq("week_start"))
+      .join(missed, Seq("week_start"), "left")
+      .select(col("week_start"), col("n_events"), col("n_users"),
+        col("count_violations"),
+        coalesce(col("coverage_violations"), lit(0L))
+          .as("coverage_violations"))
+      .orderBy(col("week_start"))
+  }
+
+  val topkRollupAuditSql: String =
+    """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+      |    AS week_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(0 AS BIGINT) AS count_violations,
+      |  CAST(0 AS BIGINT) AS coverage_violations
+      |FROM events GROUP BY 1 ORDER BY week_start""".stripMargin
+
   /** Aggregation over a JSON payload column: `props` carries
     * `{"k": <int>}` per event; the path extract + cast + sum runs
     * without ever materializing a parsed struct. `get_json_object` is

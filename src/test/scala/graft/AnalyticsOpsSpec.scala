@@ -1043,6 +1043,22 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(r.getLong(2) == 0L, s"HLL weekly envelope at ${r.getDate(0)}")
       assert(r.getLong(3) == 0L, s"merge associativity at ${r.getDate(0)}")
     }
+    // hll intersect audit: I-E envelope clean, pair grid matches the
+    // estimate API's
+    val ia = EventQueries.hllIntersectAudit(spark, sf).collect()
+    val ie = EventQueries.hllIntersect(spark, sf).collect()
+    assert(ia.map(r => (r.getString(0), r.getString(1))).toSeq
+      == ie.map(r => (r.getString(0), r.getString(1))).toSeq)
+    ia.foreach(r => assert(r.getLong(5) == 0L,
+      s"I-E envelope at ${r.getString(0)}/${r.getString(1)}"))
+    // top-k audit: counts exact at this tracking width, no missed
+    // heavier user
+    val ta = EventQueries.topkRollupAudit(spark, sf).collect()
+    assert(ta.nonEmpty)
+    ta.foreach { r =>
+      assert(r.getLong(3) == 0L, s"topk count at ${r.getDate(0)}")
+      assert(r.getLong(4) == 0L, s"topk coverage at ${r.getDate(0)}")
+    }
   }
 
   test("dedupClusterSizes: histogram totals reconcile with the corpus") {

@@ -418,7 +418,10 @@ class PlanAuditSpec extends SparkSpec {
       "ts_permutation_entropy" ->
         "two lead windows over the calendar day grid",
       "ts_dickey_fuller" -> "one lag window over the calendar day grid",
-      "stats_hodges_lehmann" -> "one lag window over the calendar day grid",
+      // stats_hodges_lehmann's day-grid lag window runs INSIDE its
+      // Graft.materialize (the checkpoint truncates the visible plan),
+      // so the sweep sees it clean — the bounded-grid argument lives
+      // in its scaladoc (the ts_sample_entropy precedent)
       "ts_pettitt" ->
         "rank/row-number/cumsum windows over the calendar day grid; top-1 cut",
       // ts_sample_entropy's two day-grid lead windows run INSIDE its
