@@ -27,7 +27,9 @@ def main(round_label, bench_json, rep2_txt):
     print()
     print(f"In-suite: one full `sbt \"runMain graft.Bench\"` at sf0.1 "
           f"(driver-identical), total **{d['value']:.1f} s** / "
-          f"{len(insuite)} queries, failed={d['failed']}, "
+          f"{sum(1 for k in insuite if not k.startswith('_'))} queries "
+          f"(+ the _-prefixed shared cache-build row), "
+          f"failed={d['failed']}, "
           f"t_main_ms={d['t_main_ms']} (JVM+pretouch+session+warmup, "
           f"outside query timings). rep2: `graft.QBench <name> 2` in a "
           f"fresh JVM per query (steady state). Ratio = in-suite / rep2. "

@@ -134,7 +134,12 @@ def main(round_label, sbt_log, cmp_log, bench_table=None, bench_json=None):
     # r11 "~2 min" prose drifted to 3.5 min as the registry grew)
     if bench_json:
         b = json.load(open(bench_json))
-        nq = b.get("n_queries") or len(b.get("queries") or {})
+        # "_"-prefixed rows (the shared cache-build) are suite work but
+        # not registered queries — excluding them keeps this count equal
+        # to the registry size (r14 lesson: a 359-vs-360 cosmetic gap in
+        # this very line drew a verdict item)
+        nq = b.get("n_queries") or sum(
+            1 for k in (b.get("queries") or {}) if not k.startswith("_"))
         table_ref += (f" Driver-identical bench"
                       f" (`{os.path.basename(bench_json)}`):"
                       f" {b['value']:.1f} s / {nq} queries at sf0.1.")
