@@ -303,6 +303,7 @@ object SparkEntry {
     "survival_logrank" -> (Survival.logRank _),
     "survival_rmst" -> ((s, d) => Survival.rmst(s, d)),
     "survival_life_table" -> ((s, d) => Survival.lifeTable(s, d)),
+    "survival_hazard_ratio" -> (Survival.hazardRatio _),
     "stats_ks_uniform_weekday" -> (Relational.ksUniformWeekday _),
     "stats_decile_lift" -> (Relational.decileLift _),
     "events_max_concurrency" -> (EventQueries.maxConcurrency _),
@@ -461,7 +462,8 @@ object SparkEntry {
     "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
     "dedup_keep_best" -> (graft.llm.DedupClusters.dedupKeepBest _),
     "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
-    "dedup_lsh_bucket_audit" -> ((s, d) => MinHashDedup.bucketCensus(s, d)),
+    "dedup_lsh_bucket_audit" ->
+      ((s, d) => MinHashDedup.bucketConservationAudit(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatureAudit _),
     "dedup_simhash" -> (SimHashDedup.fingerprints _),
     // similarity search
@@ -542,7 +544,11 @@ object SparkEntry {
     *     top-20 bucket sizes with over-cap drop counts; DedupSpec: a
     *     planted 40-doc pile reports once per band with the exact
     *     dropped count, the real corpus shows dropped_docs = 0
-    *     everywhere at the default cap), `dedup_simhash` (DedupSpec),
+    *     everywhere at the default cap; the REGISTERED spelling
+    *     graduated in r15 to the per-band conservation audit —
+    *     membership totals recomputed from raw text, drops pinned to
+    *     0 — while the top-k census detail stays this spec-pinned
+    *     API), `dedup_simhash` (DedupSpec),
     *     `embed_neardup_lsh` (DedupSpec bucket-join plan + cosine verify),
     *     `embed_semdedup` (DedupSpec planted pair + cell-cap candidate
     *     bound). (`decontaminate_bloom` graduated OUT of this class in
@@ -813,6 +819,7 @@ object SparkEntry {
     "survival_logrank" -> Survival.logRankSql,
     "survival_rmst" -> Survival.rmstSql(),
     "survival_life_table" -> Survival.lifeTableSql(),
+    "survival_hazard_ratio" -> Survival.hazardRatioSql,
     "stats_ks_uniform_weekday" -> Relational.ksUniformWeekdaySql,
     "stats_decile_lift" -> Relational.decileLiftSql,
     "events_max_concurrency" -> EventQueries.maxConcurrencySql,
@@ -937,6 +944,7 @@ object SparkEntry {
     "multimodal_dedup" -> Multimodal.mediaDedupSql,
     "multimodal_cdc_chunks" -> Multimodal.cdcChunkAuditSql,
     "dedup_minhash_signatures" -> MinHashDedup.signatureAuditSql,
+    "dedup_lsh_bucket_audit" -> MinHashDedup.bucketConservationAuditSql,
     "events_value_quantiles_approx" -> EventQueries.valueQuantilesApproxAuditSql,
     "events_value_mad_approx" -> EventQueries.valueMadApproxAuditSql,
     "text_compression_ratio" -> TextQueries.compressionAuditSql,

@@ -211,6 +211,44 @@ object MinHashDedup {
       .orderBy(col("bucket_size").desc, col("band"), col("bucket"))
       .limit(k)
 
+  /** Structural-oracle audit of the LSH banding stage (registered as
+    * `dedup_lsh_bucket_audit` since r15; the top-k census detail
+    * stays the DedupSpec-pinned [[bucketCensus]] API): bucket IDs are
+    * hash-derived, but banding CONSERVES membership — every signed
+    * doc lands in exactly ONE bucket per band — so each band's total
+    * membership equals the recomputable shingled-doc count, and at
+    * the default cap a healthy corpus drops nothing. One row per
+    * band: (band, n_memberships, dropped_docs_total) with the oracle
+    * recomputing n_memberships from raw text and pinning drops to 0
+    * (an over-cap pile IS observable recall loss — the gate turning
+    * red here is the point).
+    *
+    * Scale: the banded explode is the candidate join's own exchange
+    * (map-side partial counts); the audit folds it to 16 rows.
+    */
+  def bucketConservationAudit(s: SparkSession, dir: String): DataFrame =
+    bucketConservationAudit(s, dir,
+      s.conf.get("spark.graft.lsh.maxBucket", "1000").toInt)
+
+  def bucketConservationAudit(s: SparkSession, dir: String,
+                              maxBucket: Int): DataFrame =
+    bucketSizes(s, dir, maxBucket)
+      .groupBy(col("band"))
+      .agg(sum(col("bucket_size")).as("n_memberships"),
+        sum(col("dropped_docs")).as("dropped_docs_total"))
+      .select(col("band").cast("long").as("band"), col("n_memberships"),
+        col("dropped_docs_total"))
+      .orderBy(col("band"))
+
+  val bucketConservationAuditSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_memberships FROM w),
+      |g AS (SELECT CAST(i AS BIGINT) AS band FROM range(${Bands}) t(i))
+      |SELECT band, n_memberships, CAST(0 AS BIGINT) AS dropped_docs_total
+      |FROM g, n ORDER BY band""".stripMargin
+
   private def bucketSizes(s: SparkSession, dir: String,
                           maxBucket: Int): DataFrame =
     signatureCols(s, dir)

@@ -297,32 +297,20 @@ object Survival {
       |  CAST(cum_hz_nano AS DOUBLE) / 1e9 AS cum_hazard
       |FROM na ORDER BY t_days""".stripMargin
 
-  // --- log-rank test -------------------------------------------------------------
-  /** LOG-RANK (Mantel–Cox) test comparing churn survival between the
-    * BUILDING market segment and everyone else (Mantel, Cancer
-    * Chemother. Rep. 1966; Peto & Peto 1972), on the SAME duration /
-    * churn / censoring definitions as [[kaplanMeier]] and
-    * [[nelsonAalen]] — the standard "are these two retention curves
-    * actually different" read an A/B or segment dashboard quotes,
-    * completing the survival triple (curve, hazard, comparison).
+  // --- shared Mantel per-event-time grid (log-rank + hazard ratio) --------------
+  /** One row per churn duration with events: (dur, d_t, d_t_a, n_t,
+    * n_t_a, e_nano, v_nano) — the hypergeometric O/E/V machinery of
+    * the Mantel family, factored so [[logRank]] and [[hazardRatio]]
+    * share one contract (the transitionPairGrid discipline). Group A
+    * is the BUILDING market segment; e/v ride the integer NANO grid
+    * per the [[nelsonAalen]] rounding rule so cross-row sums stay
+    * exact BIGINT additions.
     *
-    * At each duration t with d_t total events: E_A = d_t·n_At/n_t and
-    * hypergeometric variance V_t = d_t·(n_At/n_t)·(1−n_At/n_t)·
-    * (n_t−d_t)/(n_t−1); Z = (O_A − ΣE_A)/√ΣV_t, χ² = Z².
-    *
-    * Determinism: per-step E and V are fixed-order IEEE expressions on
-    * exact BIGINTs, rounded onto the integer NANO grid (the
-    * [[nelsonAalen]] discipline) so the cross-row sums are exact
-    * BIGINT additions — never an order-dependent float accumulation
-    * over the ~10³-row duration grid. Z is three IEEE ops on exact
-    * integers, NULL-guarded for a zero-variance grid.
-    *
-    * Scale shape: orders → one row per customer (map-side combined),
-    * one broadcast customer-dim join for the segment flag, then the
-    * distinct-duration grid; the risk windows ride that bounded grid
-    * (allowlisted class), and the final reduce is 1-row.
+    * Scale: orders → one row per customer (map-side combined), one
+    * broadcast segment join, the distinct-duration grid, and the
+    * allowlisted suffix-risk window over that bounded grid.
     */
-  def logRank(s: SparkSession, dir: String): DataFrame = {
+  private def mantelGrid(s: SparkSession, dir: String): DataFrame = {
     val life = Tables.load(s, dir, "orders")
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
       .groupBy(col("o_custkey"))
@@ -351,31 +339,18 @@ object Survival {
     val d = col("d_t").cast("double")
     val n = col("n_t").cast("double")
     val na = col("n_t_a").cast("double")
-    val perStep = ev
-      .withColumn("e_nano",
+    ev.withColumn("e_nano",
         round(d * na / n * lit(1e9)).cast("long"))
       .withColumn("v_nano",
         when(col("n_t") > 1L,
           round(d * (na / n) * (lit(1.0) - na / n)
             * ((n - d) / (n - lit(1.0))) * lit(1e9)).cast("long"))
           .otherwise(0L))
-    perStep
-      .agg(count(lit(1)).as("n_event_times"),
-        sum(col("d_t_a")).as("observed_a"),
-        sum(col("e_nano")).as("expected_a_nano"),
-        sum(col("v_nano")).as("var_nano"))
-      .select(col("n_event_times"), col("observed_a"),
-        col("expected_a_nano"),
-        (col("expected_a_nano").cast("double") / lit(1e9)).as("expected_a"),
-        when(col("var_nano") > 0L,
-          (col("observed_a").cast("double")
-            - col("expected_a_nano").cast("double") / lit(1e9))
-            / sqrt(col("var_nano").cast("double") / lit(1e9)))
-          .as("logrank_z"))
-      .withColumn("chi2", col("logrank_z") * col("logrank_z"))
   }
 
-  val logRankSql: String =
+  /** SQL twin of [[mantelGrid]]: CTEs through `ev` with the same
+    * columns — prepend and build on `ev`. */
+  private val mantelGridSql: String =
     """WITH life AS (
       |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
       |         MAX(CAST(o_orderdate AS DATE)) AS last_d
@@ -415,7 +390,51 @@ object Survival {
       |                 * ((CAST(n_t AS DOUBLE) - CAST(d_t AS DOUBLE))
       |                    / (CAST(n_t AS DOUBLE) - 1.0)) * 1e9) AS BIGINT)
       |      ELSE 0 END AS v_nano
-      |  FROM risk WHERE d_t > 0),
+      |  FROM risk WHERE d_t > 0)""".stripMargin
+
+  // --- log-rank test -------------------------------------------------------------
+  /** LOG-RANK (Mantel–Cox) test comparing churn survival between the
+    * BUILDING market segment and everyone else (Mantel, Cancer
+    * Chemother. Rep. 1966; Peto & Peto 1972), on the SAME duration /
+    * churn / censoring definitions as [[kaplanMeier]] and
+    * [[nelsonAalen]] — the standard "are these two retention curves
+    * actually different" read an A/B or segment dashboard quotes,
+    * completing the survival triple (curve, hazard, comparison).
+    *
+    * At each duration t with d_t total events: E_A = d_t·n_At/n_t and
+    * hypergeometric variance V_t = d_t·(n_At/n_t)·(1−n_At/n_t)·
+    * (n_t−d_t)/(n_t−1); Z = (O_A − ΣE_A)/√ΣV_t, χ² = Z².
+    *
+    * Determinism: per-step E and V are fixed-order IEEE expressions on
+    * exact BIGINTs, rounded onto the integer NANO grid (the
+    * [[nelsonAalen]] discipline) so the cross-row sums are exact
+    * BIGINT additions — never an order-dependent float accumulation
+    * over the ~10³-row duration grid. Z is three IEEE ops on exact
+    * integers, NULL-guarded for a zero-variance grid.
+    *
+    * Scale shape: orders → one row per customer (map-side combined),
+    * one broadcast customer-dim join for the segment flag, then the
+    * distinct-duration grid; the risk windows ride that bounded grid
+    * (allowlisted class), and the final reduce is 1-row.
+    */
+  def logRank(s: SparkSession, dir: String): DataFrame =
+    mantelGrid(s, dir)
+      .agg(count(lit(1)).as("n_event_times"),
+        sum(col("d_t_a")).as("observed_a"),
+        sum(col("e_nano")).as("expected_a_nano"),
+        sum(col("v_nano")).as("var_nano"))
+      .select(col("n_event_times"), col("observed_a"),
+        col("expected_a_nano"),
+        (col("expected_a_nano").cast("double") / lit(1e9)).as("expected_a"),
+        when(col("var_nano") > 0L,
+          (col("observed_a").cast("double")
+            - col("expected_a_nano").cast("double") / lit(1e9))
+            / sqrt(col("var_nano").cast("double") / lit(1e9)))
+          .as("logrank_z"))
+      .withColumn("chi2", col("logrank_z") * col("logrank_z"))
+
+  val logRankSql: String =
+    s"""$mantelGridSql,
       |agg AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
       |    CAST(SUM(d_t_a) AS BIGINT) AS observed_a,
@@ -433,6 +452,90 @@ object Survival {
       |SELECT n_event_times, observed_a, expected_a_nano, expected_a,
       |  logrank_z, logrank_z * logrank_z AS chi2
       |FROM z""".stripMargin
+
+  // --- Mantel–Haenszel hazard ratio ----------------------------------------------
+  /** Mantel–Haenszel (Pike) hazard-ratio estimate from the SAME
+    * per-event-time grid as [[logRank]]: HR ≈ (O_A/E_A)/(O_B/E_B) —
+    * the MAGNITUDE read the log-rank z deliberately isn't (z says
+    * WHETHER the BUILDING segment churns differently; HR says HOW
+    * MANY TIMES the hazard is, the number a retention dashboard
+    * quotes), with the standard log-scale 95% CI, se(ln HR) ≈
+    * √(1/E_A + 1/E_B) (Pike 1972 convention).
+    *
+    * Determinism: O and the nano-grid E sums are exact BIGINTs off
+    * [[mantelGrid]]; HR = (O_A·E_B)/(E_A·O_B) is transcendental-free;
+    * ln HR takes ONE ln on a bit-identical double, rounded to the
+    * nano grid (the lnMicro bet), and the CI bounds are fixed chains
+    * of that and the se. NULL when any of O_A, O_B, E_A, E_B is
+    * degenerate (a zero cell makes the MH estimator undefined).
+    */
+  def hazardRatio(s: SparkSession, dir: String): DataFrame = {
+    val agg = mantelGrid(s, dir)
+      .agg(sum(col("d_t")).as("events_total"),
+        sum(col("d_t_a")).as("observed_a"),
+        sum(col("e_nano")).as("expected_a_nano"))
+    def d(c: Column): Column = c.cast("double")
+    val oa = d(col("observed_a"))
+    val ob = d(col("events_total") - col("observed_a"))
+    val ea = d(col("expected_a_nano")) / lit(1e9)
+    val eb = d(col("events_total") * lit(1000000000L)
+      - col("expected_a_nano")) / lit(1e9)
+    val ok = (col("observed_a") > 0L) &&
+      (col("events_total") > col("observed_a")) &&
+      (col("expected_a_nano") > 0L) &&
+      (col("events_total") * lit(1000000000L) > col("expected_a_nano"))
+    val hr = (oa * eb) / (ea * ob)
+    agg.select(col("events_total"), col("observed_a"),
+        ea.as("expected_a"), eb.as("expected_b"),
+        when(ok, hr).as("hazard_ratio"),
+        when(ok, round(log(hr) * lit(1e9)).cast("long")).as("ln_hr_nano"),
+        when(ok, sqrt(lit(1.0) / ea + lit(1.0) / eb)).as("ln_hr_se"))
+      .select(col("events_total"), col("observed_a"), col("expected_a"),
+        col("expected_b"), col("hazard_ratio"),
+        (col("ln_hr_nano").cast("double") / lit(1e9)).as("ln_hr"),
+        col("ln_hr_se"),
+        (col("ln_hr_nano").cast("double") / lit(1e9)
+          - lit(1.959963985) * col("ln_hr_se")).as("ln_hr_lo95"),
+        (col("ln_hr_nano").cast("double") / lit(1e9)
+          + lit(1.959963985) * col("ln_hr_se")).as("ln_hr_hi95"))
+  }
+
+  val hazardRatioSql: String =
+    s"""$mantelGridSql,
+      |agg AS (
+      |  SELECT CAST(SUM(d_t) AS BIGINT) AS events_total,
+      |    CAST(SUM(d_t_a) AS BIGINT) AS observed_a,
+      |    CAST(SUM(e_nano) AS BIGINT) AS expected_a_nano
+      |  FROM ev),
+      |k AS (
+      |  SELECT events_total, observed_a,
+      |    CAST(expected_a_nano AS DOUBLE) / 1e9 AS expected_a,
+      |    CAST(events_total * 1000000000 - expected_a_nano AS DOUBLE) / 1e9
+      |      AS expected_b,
+      |    (observed_a > 0 AND events_total > observed_a
+      |     AND expected_a_nano > 0
+      |     AND events_total * 1000000000 > expected_a_nano) AS ok,
+      |    (CAST(observed_a AS DOUBLE)
+      |       * (CAST(events_total * 1000000000 - expected_a_nano AS DOUBLE)
+      |          / 1e9))
+      |    / ((CAST(expected_a_nano AS DOUBLE) / 1e9)
+      |       * CAST(events_total - observed_a AS DOUBLE)) AS hr
+      |  FROM agg),
+      |p AS (
+      |  SELECT events_total, observed_a, expected_a, expected_b,
+      |    CASE WHEN ok THEN hr END AS hazard_ratio,
+      |    CASE WHEN ok THEN CAST(round(ln(hr) * 1e9) AS BIGINT) END
+      |      AS ln_hr_nano,
+      |    CASE WHEN ok THEN sqrt(1.0 / expected_a + 1.0 / expected_b) END
+      |      AS ln_hr_se
+      |  FROM k)
+      |SELECT events_total, observed_a, expected_a, expected_b, hazard_ratio,
+      |  CAST(ln_hr_nano AS DOUBLE) / 1e9 AS ln_hr, ln_hr_se,
+      |  CAST(ln_hr_nano AS DOUBLE) / 1e9 - 1.959963985 * ln_hr_se
+      |    AS ln_hr_lo95,
+      |  CAST(ln_hr_nano AS DOUBLE) / 1e9 + 1.959963985 * ln_hr_se
+      |    AS ln_hr_hi95
+      |FROM p""".stripMargin
 
   // --- Aalen–Johansen cumulative incidence (competing risks) --------------------
   /** Aalen–Johansen cumulative-incidence functions under COMPETING

@@ -143,6 +143,16 @@ class DedupSpec extends SparkSpec {
     assert(pileCensus.take(MinHashDedup.Bands)
         .forall(r => r.getLong(2) == 40L && r.getLong(3) == 36L),
       s"pile census lost the overflow rows: ${pileCensus.toSeq}")
+    // the registered conservation audit: per band, memberships equal
+    // the pile size and the planted overflow is COUNTED (36 per band
+    // at cap 4) — the violation column has teeth; on the real corpus
+    // at the default cap it must be 0 everywhere
+    val cons = MinHashDedup.bucketConservationAudit(spark, tmp, 4).collect()
+    assert(cons.length == MinHashDedup.Bands)
+    assert(cons.forall(r => r.getLong(1) == 40L && r.getLong(2) == 36L),
+      s"conservation audit wrong on the pile: ${cons.toSeq}")
+    assert(MinHashDedup.bucketConservationAudit(spark, sf).collect()
+      .forall(_.getLong(2) == 0L), "real corpus drops at default cap")
   }
 
   test("signatureAudit: invariants have teeth on a planted dup-text fixture") {

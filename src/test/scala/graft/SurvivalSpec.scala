@@ -45,6 +45,40 @@ class SurvivalSpec extends SparkSpec {
     assert(lnS.head < 0)
   }
 
+  test("hazardRatio: O/E replay from the log-rank grid + CI identities") {
+    // the O/E machinery is already replayed against logRank's outputs;
+    // here rebuild HR from logRank's OWN published numbers plus the
+    // total-events recount, and pin the CI construction
+    val lr = Survival.logRank(spark, sf).collect().head
+    val oa = lr.getLong(1)
+    val ea = lr.getLong(2) / 1e9
+    // total churn events: independent recount from raw orders
+    val life = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "cast(o_orderdate as date) as d")
+      .groupBy("o_custkey")
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val maxD = life.agg(max(col("l"))).collect().head.getDate(0)
+    val et = life.filter(datediff(lit(maxD), col("l")) > 90).count()
+    val ob = et - oa
+    val eb = et - ea
+    val hr = (oa * eb) / (ea * ob)
+    val r = Survival.hazardRatio(spark, sf).collect().head
+    assert(r.getLong(0) == et, s"events_total ${r.getLong(0)} != recount $et")
+    assert(r.getLong(1) == oa)
+    assert(math.abs(r.getDouble(2) - ea) < 1e-12)
+    assert(math.abs(r.getDouble(3) - eb) < 1e-9)
+    assert(math.abs(r.getDouble(4) - hr) < 1e-9,
+      s"hazard_ratio ${r.getDouble(4)} != replay $hr")
+    assert(math.abs(r.getDouble(5) - math.log(hr)) < 1e-8, "ln_hr")
+    val se = math.sqrt(1.0 / ea + 1.0 / eb)
+    assert(math.abs(r.getDouble(6) - se) < 1e-12, "ln_hr_se")
+    assert(math.abs(r.getDouble(7) - (r.getDouble(5) - 1.959963985 * se)) < 1e-12)
+    assert(math.abs(r.getDouble(8) - (r.getDouble(5) + 1.959963985 * se)) < 1e-12)
+    // sign consistency with the log-rank direction: z and ln HR agree
+    assert(math.signum(r.getDouble(5)) == math.signum(lr.getDouble(4))
+      || r.getDouble(5) == 0.0, "HR direction disagrees with log-rank z")
+  }
+
   test("lifeTable: textbook actuarial replay (half-credit censoring)") {
     val out = Survival.lifeTable(spark, sf).collect()
     assert(out.nonEmpty)
