@@ -283,6 +283,7 @@ object SparkEntry {
     "ab_permutation_test" -> ((s, d) => Drift.abPermutationTest(s, d)),
     "ab_power_mde" -> ((s, d) => Drift.abPowerMde(s, d)),
     "ab_srm_check" -> (Drift.abSrmCheck _),
+    "ab_delta_ratio_ci" -> (Drift.abDeltaRatio _),
     "eval_brier_score" -> (Evaluation.brierScore _),
     "eval_score_agreement" -> (Evaluation.scoreAgreement _),
     "stats_hodges_lehmann" -> (TimeSeries.hodgesLehmann _),
@@ -794,6 +795,7 @@ object SparkEntry {
     "ab_permutation_test" -> Drift.abPermutationTestSql(),
     "ab_power_mde" -> Drift.abPowerMdeSql(),
     "ab_srm_check" -> Drift.abSrmCheckSql,
+    "ab_delta_ratio_ci" -> Drift.abDeltaRatioSql,
     "eval_brier_score" -> Evaluation.brierScoreSql,
     "eval_score_agreement" -> Evaluation.scoreAgreementSql,
     "stats_hodges_lehmann" -> TimeSeries.hodgesLehmannSql,

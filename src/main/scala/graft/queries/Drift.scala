@@ -1147,6 +1147,127 @@ object Drift {
       |    / ((p1 - p0) * (p1 - p0))) AS BIGINT) END AS n_per_arm
       |FROM k ORDER BY mde_pct""".stripMargin
 
+  /** Delta-method z-test for a RATIO metric between the parity arms —
+    * revenue per event, the ΣY/ΣX readout (Deng, Knoblich & Lu, KDD
+    * 2018: ratio metrics violate the i.i.d. assumption a naive
+    * per-event t-test needs, because the denominator is itself
+    * random; the delta method on per-USER (y, x) pairs is the
+    * standard correction): per arm, R = ΣY/ΣX and
+    * Var(R) ≈ (σ_y² + R²σ_x² − 2R·σ_xy) / (n·x̄²); the lift z uses
+    * the pooled-independent variance.
+    *
+    * Exactness: per-user y (cents) and x (events) are exact BIGINTs;
+    * all second moments ride DECIMAL(18,0) products (the
+    * dispersion-index rule, VARCHAR-routed in the oracle); R, the
+    * variance chain and z are fixed IEEE chains on those, NULL on a
+    * degenerate variance.
+    *
+    * Scale: one events scan → per-user fold (user-keyed, map-side
+    * combined) → 2-row arm moment grid → 1-row pivot.
+    */
+  def abDeltaRatio(s: SparkSession, dir: String): DataFrame = {
+    val per = graft.Tables.events(s, dir)
+      .select((col("user_id") % 2).as("arm"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(sum(col("c")).as("y"), count(lit(1)).as("x"))
+    def dec(c: Column): Column = c.cast("decimal(18,0)")
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("x")).as("sx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("x"))).as("sxy"))
+    def side(p: String, a: Int): Seq[Column] = Seq(
+      sum(when(col("arm") === a.toLong, col("n"))).as(s"n_$p"),
+      sum(when(col("arm") === a.toLong, col("sy"))).as(s"sy_$p"),
+      sum(when(col("arm") === a.toLong, col("sx"))).as(s"sx_$p"),
+      sum(when(col("arm") === a.toLong, col("syy").cast("double")))
+        .as(s"syy_$p"),
+      sum(when(col("arm") === a.toLong, col("sxx").cast("double")))
+        .as(s"sxx_$p"),
+      sum(when(col("arm") === a.toLong, col("sxy").cast("double")))
+        .as(s"sxy_$p"))
+    val cols = side("a", 0) ++ side("b", 1)
+    val row = arms.agg(cols.head, cols.tail: _*)
+    def d(n: String): Column = col(n).cast("double")
+    def ratio(p: String): Column = d(s"sy_$p") / d(s"sx_$p")
+    // Var(R) per arm: (Syy − 2R·Sxy + R²·Sxx as CENTERED moments)/(n·x̄²)
+    // with centered m2 = Σab − ΣaΣb/n (one fixed chain each)
+    def varR(p: String): Column = {
+      val n = d(s"n_$p")
+      val r = ratio(p)
+      val cyy = col(s"syy_$p") - d(s"sy_$p") * d(s"sy_$p") / n
+      val cxx = col(s"sxx_$p") - d(s"sx_$p") * d(s"sx_$p") / n
+      val cxy = col(s"sxy_$p") - d(s"sy_$p") * d(s"sx_$p") / n
+      val xbar = d(s"sx_$p") / n
+      (cyy - lit(2.0) * r * cxy + r * r * cxx) / (n - lit(1.0)) /
+        (n * xbar * xbar)
+    }
+    row.select(
+      col("n_a"), col("n_b"),
+      (ratio("a") / lit(100.0)).as("ratio_a_dollars"),
+      (ratio("b") / lit(100.0)).as("ratio_b_dollars"),
+      ((ratio("b") - ratio("a")) / lit(100.0)).as("lift_dollars"),
+      when((col("n_a") > 1L) && (col("n_b") > 1L)
+        && (varR("a") + varR("b") > 0.0),
+        (ratio("b") - ratio("a")) / sqrt(varR("a") + varR("b"))).as("z"))
+  }
+
+  val abDeltaRatioSql: String = {
+    def varR(p: String): String = {
+      val n = s"CAST(n_$p AS DOUBLE)"
+      val r = s"(CAST(sy_$p AS DOUBLE) / CAST(sx_$p AS DOUBLE))"
+      val cyy = s"(syy_$p - CAST(sy_$p AS DOUBLE) * CAST(sy_$p AS DOUBLE) / $n)"
+      val cxx = s"(sxx_$p - CAST(sx_$p AS DOUBLE) * CAST(sx_$p AS DOUBLE) / $n)"
+      val cxy = s"(sxy_$p - CAST(sy_$p AS DOUBLE) * CAST(sx_$p AS DOUBLE) / $n)"
+      val xbar = s"(CAST(sx_$p AS DOUBLE) / $n)"
+      s"(($cyy - 2.0 * $r * $cxy + $r * $r * $cxx) / ($n - 1.0) / " +
+        s"($n * $xbar * $xbar))"
+    }
+    val ra = "(CAST(sy_a AS DOUBLE) / CAST(sx_a AS DOUBLE))"
+    val rb = "(CAST(sy_b AS DOUBLE) / CAST(sx_b AS DOUBLE))"
+    s"""WITH per AS (
+      |  SELECT user_id % 2 AS arm, user_id,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |arms AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+      |      AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+      |      AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+      |      AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM per GROUP BY arm),
+      |p AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+      |    SUM(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+      |    SUM(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+      |    SUM(CASE WHEN arm = 0 THEN syy END) AS syy_a,
+      |    SUM(CASE WHEN arm = 0 THEN sxx END) AS sxx_a,
+      |    SUM(CASE WHEN arm = 0 THEN sxy END) AS sxy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+      |    SUM(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+      |    SUM(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+      |    SUM(CASE WHEN arm = 1 THEN syy END) AS syy_b,
+      |    SUM(CASE WHEN arm = 1 THEN sxx END) AS sxx_b,
+      |    SUM(CASE WHEN arm = 1 THEN sxy END) AS sxy_b
+      |  FROM arms)
+      |SELECT n_a, n_b,
+      |  $ra / 100.0 AS ratio_a_dollars,
+      |  $rb / 100.0 AS ratio_b_dollars,
+      |  ($rb - $ra) / 100.0 AS lift_dollars,
+      |  CASE WHEN n_a > 1 AND n_b > 1
+      |        AND ${varR("a")} + ${varR("b")} > 0.0 THEN
+      |    ($rb - $ra) / sqrt(${varR("a")} + ${varR("b")})
+      |  END AS z
+      |FROM p""".stripMargin
+  }
+
   /** Sample-ratio-mismatch check on the parity assignment — the
     * sanity gate a real experimentation platform runs BEFORE any
     * lift readout (Fabijan et al., KDD 2019: a randomizer bug that

@@ -2057,6 +2057,38 @@ class StatsReplaySpec extends SparkSpec {
       s"hl ${row.getDouble(2)} != replay $hl")
   }
 
+  test("abDeltaRatio: textbook delta-method replay on per-user pairs") {
+    val per = Tables.events(spark, sf)
+      .selectExpr("user_id % 2 as arm", "user_id",
+        "cast(round(value * 100) as long) as c")
+      .groupBy("arm", "user_id")
+      .agg(sum(col("c")).as("y"), count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    def stats(a: Long): (Long, Double, Double) = {
+      val g = per.filter(_._1 == a)
+      val n = g.length
+      val (ys, xs) = (g.map(_._2), g.map(_._3))
+      val r = ys.sum / xs.sum
+      val my = ys.sum / n; val mx = xs.sum / n
+      val cyy = ys.map(v => (v - my) * (v - my)).sum / (n - 1)
+      val cxx = xs.map(v => (v - mx) * (v - mx)).sum / (n - 1)
+      val cxy = ys.zip(xs).map { case (a1, b1) =>
+        (a1 - my) * (b1 - mx) }.sum / (n - 1)
+      val varR = (cyy - 2 * r * cxy + r * r * cxx) / (n * mx * mx)
+      (n.toLong, r, varR)
+    }
+    val (na, ra, va) = stats(0); val (nb, rb, vb) = stats(1)
+    val z = (rb - ra) / math.sqrt(va + vb)
+    val row = Drift.abDeltaRatio(spark, sf).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(math.abs(row.getDouble(2) - ra / 100.0) < 1e-9, "ratio_a")
+    assert(math.abs(row.getDouble(3) - rb / 100.0) < 1e-9, "ratio_b")
+    assert(math.abs(row.getDouble(4) - (rb - ra) / 100.0) < 1e-9)
+    assert(math.abs(row.getDouble(5) - z) < 1e-6,
+      s"z ${row.getDouble(5)} != replay $z")
+  }
+
   test("abSrmCheck: direct count replay + alarm threshold semantics") {
     val users = Tables.events(spark, sf)
       .select(col("user_id")).distinct().collect().map(_.getLong(0))
