@@ -402,6 +402,8 @@ class PlanAuditSpec extends SparkSpec {
         "risk / cumulative-hazard windows over the distinct-duration grid",
       "survival_logrank" ->
         "two at-risk suffix windows over the distinct-duration grid",
+      "survival_hazard_ratio" ->
+        "the shared mantelGrid at-risk suffix window over the distinct-duration grid",
       "survival_aalen_johansen" ->
         "risk / KM-micronat / CIF-cumulation windows over the distinct-duration grid",
       "survival_rmst" ->
