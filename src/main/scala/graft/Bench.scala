@@ -57,6 +57,29 @@ object JvmStats {
       .map(_.getUsage.getUsed).sum
   def heapUsed: Long = mem.getHeapMemoryUsage.getUsed
   def heapCommitted: Long = mem.getHeapMemoryUsage.getCommitted
+  /** Cumulative PSI stall totals (microseconds) from
+    * `/proc/pressure/{cpu,memory,io}` — the HOST-level pressure record
+    * the r15 crash post-mortem lacked: a query whose wall balloons
+    * while the host's `some` stall total jumps was starved by
+    * co-tenants, readable straight off the artifact with no rerun.
+    * Returns (cpu_some, mem_some, mem_full, io_some, io_full); -1 when
+    * the psi interface is absent (non-Linux / CONFIG_PSI=n).
+    */
+  def psiTotalsUs: (Long, Long, Long, Long, Long) = {
+    def read(kind: String): (Long, Long) =
+      try {
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(s"/proc/pressure/$kind")).asScala
+        def total(prefix: String): Long =
+          lines.find(_.startsWith(prefix))
+            .flatMap(_.split(" ").find(_.startsWith("total=")))
+            .map(_.stripPrefix("total=").toLong).getOrElse(-1L)
+        (total("some"), total("full"))
+      } catch { case _: Throwable => (-1L, -1L) }
+    val (cs, _) = read("cpu"); val (ms, mf) = read("memory")
+    val (is, ifl) = read("io")
+    (cs, ms, mf, is, ifl)
+  }
 }
 
 /** Accumulates task-level execution metrics so a per-query snapshot can
@@ -98,21 +121,51 @@ object Bench {
     val tMainMs = JvmStats.uptimeMs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // one adjacency materialization for the whole graph family (the
-      // real-pipeline posture; the first graph query to run pays the
-      // build, the rest reuse it). Standalone per-query numbers:
-      // tools/bench_loop.sh / QBench, which leave the conf off.
-      .config(graft.queries.GraphQueries.CacheEdgesKey,
-        sys.env.getOrElse("SPARK_GRAFT_CACHE_EDGES", "true"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     val taskMetrics = new TaskMetricsListener
-    spark.sparkContext.addSparkListener(taskMetrics)
+    // r15 post-mortem: the driver bench JVM died mid-suite with exit 56
+    // = ExecutorExitCode.HEARTBEAT_FAILURE — in local[*] the in-process
+    // executor System.exit()s the WHOLE JVM after ~60 consecutive missed
+    // heartbeats to the same-JVM driver (a ~10-min GC storm or host
+    // stall), zeroing the round's artifacts. An in-process heartbeat
+    // self-kill is pure downside locally (there is no cluster manager to
+    // replace the executor), so the session builder disarms it: long
+    // interval, long network timeout, effectively-unbounded failure
+    // budget. On a REAL cluster these stay at their defaults — this
+    // builder is the local bench harness, not library code.
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeat.maxFailures", "10000")
+        // one adjacency materialization for the whole graph family (the
+        // real-pipeline posture; the first graph query to run pays the
+        // build, the rest reuse it). Standalone per-query numbers:
+        // tools/bench_loop.sh / QBench, which leave the conf off.
+        .config(graft.queries.GraphQueries.CacheEdgesKey,
+          sys.env.getOrElse("SPARK_GRAFT_CACHE_EDGES", "true"))
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(taskMetrics)
+      s
+    }
+    var spark = buildSession()
+    // one death costs one query, not the suite: a stopped context
+    // (executor OOM, harness-level stop — anything short of a hard JVM
+    // exit) is detected before the next query and the session rebuilt.
+    var rebuilds = 0
+    def ensureLive(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        rebuilds += 1
+        System.err.println(s"[bench] SparkContext stopped — rebuilding session (rebuild #$rebuilds)")
+        graft.queries.GraphQueries.clearEdgeCache()
+        spark = buildSession()
+      }
+      spark
+    }
     // warmup: pay JVM/codegen/parquet-footer/noop-writer startup outside
     // the timings — a representative scan+agg+sort pipeline through the
     // same write path the timed queries use, so the alphabetically-first
@@ -154,10 +207,32 @@ object Bench {
     }
     var failed = List.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Incremental per-query record (r15 lesson: the bench printed its
+    // JSON only at suite end, so a mid-suite JVM death — heartbeat
+    // self-kill, OOM-kill, SIGKILL — left the round with ZERO evidence
+    // for 374 completed-or-not queries). One JSONL line per query,
+    // flushed to disk the moment the query finishes: any death now
+    // leaves a parseable partial record of everything that completed.
+    val rowsPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "target/bench_rows.jsonl"))
+    val rowsWriter: Option[java.io.Writer] =
+      try {
+        if (rowsPath.getParent != null)
+          java.nio.file.Files.createDirectories(rowsPath.getParent)
+        Some(java.nio.file.Files.newBufferedWriter(rowsPath,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN cannot open $rowsPath: $e"); None
+      }
+    def emitRow(line: String): Unit = rowsWriter.foreach { w =>
+      try { w.write(line); w.write("\n"); w.flush() }
+      catch { case _: Throwable => () }
+    }
     def runTimed(name: String)(body: => Unit): (String, Double, Double, Boolean) = {
       val gc0 = JvmStats.gcTimeMs; val gcN0 = JvmStats.gcCount
       val jit0 = JvmStats.jitTimeMs; val cpu0 = JvmStats.processCpuNs
       val (usr0, sys0, minf0, majf0) = JvmStats.procStat
+      val (pc0, pms0, pmf0, pio0, piof0) = JvmStats.psiTotalsUs
       val tcpu0 = taskMetrics.taskCpuNs.get; val trun0 = taskMetrics.taskRunMs.get
       val nt0 = taskMetrics.nTasks.get
       val up0 = JvmStats.uptimeMs
@@ -178,8 +253,11 @@ object Bench {
       try { org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext) }
       catch { case _: Throwable => () }
       val (usr1, sys1, minf1, majf1) = JvmStats.procStat
+      val (pc1, pms1, pmf1, pio1, piof1) = JvmStats.psiTotalsUs
       val hz = 100.0 // USER_HZ; fine for a diagnostic ratio
       val taskCpuSec = (taskMetrics.taskCpuNs.get - tcpu0) / 1e9
+      // psi deltas in ms; -1 (interface absent) stays -1, not a bogus delta
+      def psiD(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else (b - a) / 1000
       stats(name) = s"""{"gc_ms":${JvmStats.gcTimeMs - gc0},"gc_n":${JvmStats.gcCount - gcN0},""" +
         s""""jit_ms":${JvmStats.jitTimeMs - jit0},"cpu_s":${math.round(cpuSec * 1000) / 1000.0},""" +
         s""""usr_s":${math.round((usr1 - usr0) / hz * 100) / 100.0},""" +
@@ -190,9 +268,15 @@ object Bench {
         s""""n_tasks":${taskMetrics.nTasks.get - nt0},""" +
         s""""t0_ms":$up0,"t1_ms":${JvmStats.uptimeMs},""" +
         s""""load":${math.round(JvmStats.loadAvg * 10) / 10.0},""" +
+        s""""psi_cpu_ms":${psiD(pc0, pc1)},"psi_mem_ms":${psiD(pms0, pms1)},""" +
+        s""""psi_mem_full_ms":${psiD(pmf0, pmf1)},"psi_io_ms":${psiD(pio0, pio1)},""" +
+        s""""psi_io_full_ms":${psiD(piof0, piof1)},""" +
         s""""cc_mb":${JvmStats.codeCacheUsed / (1 << 20)},""" +
         s""""heap_mb":${JvmStats.heapUsed / (1 << 20)},""" +
         s""""heap_comm_mb":${JvmStats.heapCommitted / (1 << 20)}}"""
+      emitRow(s"""{"q":"${esc(name)}","sec":${math.round(sec * 1000) / 1000.0},""" +
+        s""""task_cpu_s":${math.round(taskCpuSec * 1000) / 1000.0},"ok":$ok,""" +
+        s""""jvm":${stats(name)}}""")
       (name, sec, taskCpuSec, ok)
     }
     // the shared-adjacency cache build as its OWN timed row, so the
@@ -208,11 +292,28 @@ object Bench {
     // noop-format write: runs the DECLARED plan end to end (a bare
     // .count() would let the optimizer delete top-level sorts, so
     // every orderBy query's final sort would go unmeasured).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // heap discipline (r15: end-of-suite heap sat at 13.1-13.6 GB of
+    // 16 GB — <=20% headroom before the GC death spiral that fed the
+    // heartbeat self-kill). The one deliberately suite-lived allocation
+    // is the graph family's checkpointed edge cache; clearEdgeCache()
+    // only drops the map refs, the lineage-free checkpoint BLOCKS stay
+    // pinned in the block manager until unpersisted — so after the last
+    // graph_* query, explicitly unpersist every persistent RDD (at that
+    // boundary the edge frames are the only ones) and clear the map.
+    val lastGraph = ordered.lastIndexWhere(_._1.startsWith("graph_"))
     val results = cacheRows ++
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        runTimed(name) {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      ordered.zipWithIndex.map { case ((name, fn), i) =>
+        val r = runTimed(name) {
+          fn(ensureLive(), sfDir).write.format("noop").mode("overwrite").save()
         }
+        if (i == lastGraph && !spark.sparkContext.isStopped) {
+          graft.queries.GraphQueries.clearEdgeCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.err.println("[bench] graph family done — edge cache released")
+        }
+        r
       }
     val qs = results.map { case (k, v, _, _) => s"\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
@@ -233,7 +334,7 @@ object Bench {
     }
     val remeasured = stallSuspects.map { case (name, sec1, tcpu1, _) =>
       val (_, sec2, tcpu2, ok2) = runTimed(name + "__remeasure") {
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.queries(name)(ensureLive(), sfDir)
           .write.format("noop").mode("overwrite").save()
       }
       (name, sec1, tcpu1, sec2, tcpu2, ok2)
@@ -246,6 +347,14 @@ object Bench {
           ",\"task_cpu2_s\":" + math.round(t2 * 100) / 100.0 +
           ",\"ok2\":" + ok2 + "}"
     }.mkString("{", ",", "}")
+    // DIAGNOSTIC ONLY: the rerun executes with warm page cache and JIT,
+    // so wall2 is systematically a little lower even absent a stall —
+    // total_stall_adjusted carries that optimistic bias by construction.
+    // The headline the tooling quotes stays the raw "value"; readers
+    // separate warm-cache speedup from a genuine stall via the recorded
+    // task_cpu_s/task_cpu2_s ratios in the remeasured blob (a stall has
+    // wall >> task CPU on run 1 and wall ≈ task CPU on run 2; a warm
+    // cache merely shaves wall with a similar CPU both runs).
     val totalAdjusted = total - remeasured.collect {
       case (_, s1, _, s2, _, true) if s2 < s1 => s1 - s2
     }.sum
@@ -255,7 +364,24 @@ object Bench {
     failed = failed.filterNot(_.endsWith("__remeasure"))
     val failedJson = failed.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val statsJson = stats.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_stall_adjusted":${math.round(totalAdjusted * 100) / 100.0},"remeasured":$remeasuredJson,"queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,"jvm_stats":$statsJson,"sf":"${esc(sfDir)}"}"""
+    // End-of-suite heap guard (r15 item 2): after a full GC the live set
+    // must sit well under Xmx — a suite whose RETAINED heap creeps
+    // toward the ceiling is one hostile window away from the GC storm
+    // that killed r15's artifacts. Loud on violation (stderr + a false
+    // flag in both JSON records), but never fatal: a guard that crashes
+    // the bench would recreate the all-or-nothing artifact it guards
+    // against.
+    System.gc()
+    Thread.sleep(500) // let concurrent G1 cycles settle before sampling
+    val endHeapMb = JvmStats.heapUsed / (1 << 20)
+    val maxHeapMb = Runtime.getRuntime.maxMemory / (1 << 20)
+    val heapOk = endHeapMb < 0.7 * maxHeapMb
+    if (!heapOk)
+      System.err.println(s"[bench] HEAP GUARD VIOLATION: end-of-suite live set " +
+        s"$endHeapMb MB >= 70% of $maxHeapMb MB Xmx — find the leak before it " +
+        "becomes the next heartbeat death")
+    val heapJson = s""""end_heap_mb":$endHeapMb,"max_heap_mb":$maxHeapMb,"heap_guard_ok":$heapOk,"session_rebuilds":$rebuilds"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_stall_adjusted":${math.round(totalAdjusted * 100) / 100.0},"remeasured":$remeasuredJson,"queries":$qs,"failed":$failedJson,"t_main_ms":$tMainMs,$heapJson,"jvm_stats":$statsJson,"sf":"${esc(sfDir)}"}"""
     // The driver's stdout capture keeps only the LAST ~2000 chars, so
     // the full per-query line (~75 KB with jvm_stats) can never parse
     // from its tail — every BENCH_r0*.json shipped "parsed": null.
@@ -299,7 +425,8 @@ object Bench {
       .mkString("{", ",", "}")
     val cacheBuildJson = cacheRows.headOption
       .map(r => (math.round(r._2 * 100) / 100.0).toString).getOrElse("null")
-    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","total_stall_adjusted":${math.round(totalAdjusted * 100) / 100.0},"remeasured":$remeasuredJson,"n_queries":${results.size - cacheRows.size},"n_failed":${failed.size},"failed":$failedJson,"cache_build_s":$cacheBuildJson,"slowest":$slowest,"t_main_ms":$tMainMs,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","total_stall_adjusted":${math.round(totalAdjusted * 100) / 100.0},"remeasured":$remeasuredJson,"n_queries":${results.size - cacheRows.size},"n_failed":${failed.size},"failed":$failedJson,"cache_build_s":$cacheBuildJson,"slowest":$slowest,"t_main_ms":$tMainMs,$heapJson,"detail":$detailJson,"sf":"${esc(sfDir)}"}""")
+    rowsWriter.foreach(w => try w.close() catch { case _: Throwable => () })
     spark.stop()
   }
 }
