@@ -195,16 +195,20 @@ object Drift {
     * the excess reads directly.
     *
     * Exactness: the numerator Σ_v cnt_v·D_v² (D_v = cumA·m − cumB·n,
-    * the integer-scaled ECDF gap) is EXACT — spelled as the
-    * DECIMAL(18,0) product (cnt·D)·D per the decimal-moment rule, so
-    * no per-term grid truncation accumulates across the N summands
-    * (a micro-grid spelling measured a bias linear in N — an O(1)
-    * statistic can't carry per-term truncation); T = num/(N²·n·m) is
-    * one IEEE chain off the decimal→double cast (VARCHAR-routed in
-    * the oracle). Headroom: |D| ≤ n·m and cnt·D ≤ N·n·m must fit
-    * DECIMAL(18,0) — per-half counts to ~10⁵·10⁹ products; beyond
-    * that the gap pre-scales by `div N` at a documented resolution
-    * cost.
+    * the integer-scaled ECDF gap) is EXACT — every factor is cast to
+    * DECIMAL BEFORE any multiply (cnt → DECIMAL(10,0), D →
+    * DECIMAL(14,0) twice: 10+14+14 = 38 binds in both engines), so
+    * no BIGINT product exists anywhere in the term (the first
+    * spelling computed cnt·D in BIGINT first — a silent non-ANSI
+    * wrap past ~9.2e18, r16 advice item) and no per-term grid
+    * truncation accumulates across the N summands; T = num/(N²·n·m)
+    * is one IEEE chain off the decimal→double cast (VARCHAR-routed
+    * in the oracle). Headroom, LOUDLY enforced: |D| ≤ n·m must fit
+    * DECIMAL(14,0) (per-half counts to ~10⁷) — a wider D nulls its
+    * term on the Spark side, which the n_terms==n_terms_ok
+    * assert_true turns into an error instead of a silently smaller
+    * sum (DuckDB's own cast errors natively); beyond that envelope
+    * the gap pre-scales by `div N` at a documented resolution cost.
     *
     * Scale: identical to [[ks]] — per-VALUE fold, range-partitioned
     * prefix sums via [[graft.Graft.cumSumByRange]], 1-row reduce.
@@ -223,10 +227,16 @@ object Drift {
         (col("cumA") * col("nb") - col("cumB") * col("na")).as("d"),
         (col("ca") + col("cb")).as("cnt"))
       .select(col("na"), col("nb"),
-        ((col("cnt") * col("d")).cast("decimal(18,0)")
-          * col("d").cast("decimal(18,0)")).as("term"))
+        (col("cnt").cast("decimal(10,0)")
+          * col("d").cast("decimal(14,0)")
+          * col("d").cast("decimal(14,0)")).as("term"))
       .groupBy(col("na"), col("nb"))
-      .agg(sum(col("term")).as("num"))
+      .agg(sum(col("term")).as("num"),
+        count(lit(1)).as("n_terms"), count(col("term")).as("n_terms_ok"))
+      // overflow loudness: a D wider than DECIMAL(14,0) casts to null,
+      // and sum() would silently DROP that term — assert instead
+      .where(assert_true(col("n_terms") === col("n_terms_ok"),
+        lit("cvm: |D| exceeded DECIMAL(14,0) — pre-scale the gap by div N")).isNull)
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         (col("num").cast("double")
           / ((col("na") + col("nb")).cast("double")
@@ -261,9 +271,9 @@ object Drift {
       |  FROM pv),
       |agg AS (
       |  SELECT na, nb,
-      |    CAST(CAST(SUM(CAST((ca + cb) * (cumA * nb - cumB * na)
-      |        AS DECIMAL(18,0))
-      |      * CAST(cumA * nb - cumB * na AS DECIMAL(18,0))) AS VARCHAR)
+      |    CAST(CAST(SUM(CAST(ca + cb AS DECIMAL(10,0))
+      |      * CAST(cumA * nb - cumB * na AS DECIMAL(14,0))
+      |      * CAST(cumA * nb - cumB * na AS DECIMAL(14,0))) AS VARCHAR)
       |      AS DOUBLE) AS num
       |  FROM cum, t GROUP BY na, nb)
       |SELECT na AS n_a, nb AS n_b,

@@ -1838,11 +1838,19 @@ object EventQueries {
       .agg(count(lit(1)).as("n_intersect_exact"))
     val est = hllIntersect(s, dir)
       .select(col("type_a"), col("type_b"), col("est_intersect"))
-    inter
-      .join(sizes.select(col("event_type").as("type_a"),
-        col("n_set").as("n_a_exact")), "type_a")
+    // full (type_a < type_b) cross grid, NOT the inner join on shared
+    // users: a truly DISJOINT pair has no exact-intersection row, and
+    // an inclusion–exclusion estimate that is spuriously large for it
+    // would escape an inner-join audit entirely (r16 advice item) —
+    // the grid is |types|² metadata, free at any corpus scale
+    val grid = sizes.select(col("event_type").as("type_a"),
+        col("n_set").as("n_a_exact"))
       .join(sizes.select(col("event_type").as("type_b"),
-        col("n_set").as("n_b_exact")), "type_b")
+        col("n_set").as("n_b_exact")), col("type_a") < col("type_b"))
+    grid
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("n_intersect_exact",
+        coalesce(col("n_intersect_exact"), lit(0L)))
       .join(est, Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("n_a_exact"),
         col("n_b_exact"), col("n_intersect_exact"),
@@ -1864,13 +1872,15 @@ object EventQueries {
       |    CAST(COUNT(*) AS BIGINT) AS n_intersect_exact
       |  FROM tu a JOIN tu b
       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
-      |  GROUP BY 1, 2)
-      |SELECT type_a, type_b,
-      |  sa.n_set AS n_a_exact, sb.n_set AS n_b_exact, n_intersect_exact,
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+      |    sa.n_set AS n_a_exact, sb.n_set AS n_b_exact
+      |  FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type)
+      |SELECT type_a, type_b, n_a_exact, n_b_exact,
+      |  CAST(COALESCE(n_intersect_exact, 0) AS BIGINT) AS n_intersect_exact,
       |  CAST(0 AS BIGINT) AS envelope_violations
-      |FROM inter
-      |JOIN sz sa ON sa.event_type = type_a
-      |JOIN sz sb ON sb.event_type = type_b
+      |FROM grid LEFT JOIN inter USING (type_a, type_b)
       |ORDER BY type_a, type_b""".stripMargin
 
   /** Structural-oracle audit of [[topkRollup]]: at the configured

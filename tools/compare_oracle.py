@@ -260,17 +260,29 @@ def main(sfdir, outdir):
         bad += 1
     # dev-subset fast path: graft.Verify's name-filtered dumps leave most
     # queries MISSING — executing all 360 oracle SQLs (and the margin
-    # probe) against sf0.1 for a 2-query iteration wastes ~8 min. A full
-    # dump (the gate the claims tooling consumes) is unaffected: every
-    # query has a dump, so nothing is skipped.
+    # probe) against sf0.1 for a 2-query iteration wastes ~8 min.
+    # EXPLICIT OPT-IN ONLY (GRAFT_ORACLE_SUBSET=1): auto-detection made
+    # a full-gate run where ONE query crashed during the Verify dump
+    # silently degrade to subset mode — the crashed query was skipped
+    # instead of reported MISSING and the summary could still read
+    # "0 bad" on an incomplete gate (r16 advice item). Without the
+    # opt-in, a missing dump is a FAILURE, named per-query.
     dumped = {n for n in _os.listdir(outdir)
               if _os.path.isdir(_os.path.join(outdir, n))}
     exec_oracle = oracle
-    if dumped and len(dumped & set(oracle)) < len(oracle):
+    missing = sorted(set(oracle) - dumped)
+    if missing and _os.environ.get("GRAFT_ORACLE_SUBSET") == "1":
         exec_oracle = {n: q for n, q in oracle.items() if n in dumped}
-        print(f"subset run: executing {len(exec_oracle)}/{len(oracle)} "
-              f"oracles (only dumped queries); full-gate claims need a "
-              f"full dump", file=sys.stderr)
+        print(f"subset run (GRAFT_ORACLE_SUBSET=1): executing "
+              f"{len(exec_oracle)}/{len(oracle)} oracles; SKIPPED: "
+              f"{', '.join(missing)}; full-gate claims need a full dump",
+              file=sys.stderr)
+    elif missing:
+        for n in missing:
+            print(f"{n}: MISSING DUMP (query crashed in graft.Verify or "
+                  f"dump incomplete)")
+            bad += 1
+        exec_oracle = {n: q for n, q in oracle.items() if n in dumped}
     bad += measure_decimal_margins(con, exec_oracle)
     for name in sorted(exec_oracle):
         try:
