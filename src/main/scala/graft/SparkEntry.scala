@@ -43,6 +43,33 @@ object SparkEntry {
       LocalDateTime.parse("2025-09-11T00:00:00"))
   }
 
+  /** STREAMING spelling of [[dolarE2e]] — the reference's one real
+    * pipeline (raw zone → event-driven parse/load → interval query)
+    * exercised through Structured Streaming in the driver harness, not
+    * only in StreamingSpec: file discovery with the `dolar-*.json` glob
+    * (A4/A5), `Trigger.AvailableNow` drain (G1), checkpointed
+    * exactly-once foreachBatch (G3), per-microbatch atomicity (G5),
+    * corrupt-row drop + bad-file fail semantics (H1/H2) — then the same
+    * inclusive interval query as the batch twin. Rows-only by the
+    * class-4 adjudication (the tmp raw zone is a local fixture DuckDB
+    * cannot see); StreamingSpec pins the stream/batch output equality
+    * and checkpoint-replay exactly-once.
+    */
+  private def dolarE2eStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_dolar_e2e_stream")
+    val raw = tmp.resolve("raw").toString
+    val _ = RawZone.write(raw, 1704164645L,
+      """[["1757509256000","3920.12"],["1757509266000","3921.55"]]""")
+    val _ = RawZone.write(raw, 1704164646L,
+      """[["1757509276000","abc"],["1757509286000","3922.77"],["x"]]""")
+    val dest = tmp.resolve("dolar").toString
+    DolarIngest.stream(s, raw, dest, tmp.resolve("chk").toString)
+      .awaitTermination()
+    IntervalQuery.over(s.read.parquet(dest),
+      LocalDateTime.parse("2025-09-10T00:00:00"),
+      LocalDateTime.parse("2025-09-11T00:00:00"))
+  }
+
   /** Wire fixture for the oracle-checked reference-parity query: two good
     * pairs, a bad valor, a wrong-arity row, an over-arity row, and one
     * pair outside the queried interval (ts values from
@@ -95,6 +122,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity
     "dolar_e2e_interval" -> (dolarE2e _),
+    "dolar_e2e_stream" -> (dolarE2eStream _),
     "dolar_parity" -> (dolarParity _),
     "interval_events" -> (EventQueries.intervalEvents _),
     // relational: aggregation
@@ -471,9 +499,9 @@ object SparkEntry {
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
     "embed_intrinsic_dim" -> ((s, d) => EmbeddingQueries.intrinsicDim(s, d)),
     "ann_topk_cosine_i8" -> ((s, d) => EmbeddingQueries.annTopKI8(s, d)),
-    "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfTopK(s, d)),
-    "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqTopK(s, d)),
-    "ann_ivfpq_topk" -> ((s, d) => EmbeddingQueries.annIvfPqTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfAudit(s, d)),
+    "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqAudit(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => EmbeddingQueries.annIvfPqAudit(s, d)),
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
     "embed_knn_graph" -> ((s, d) => EmbeddingQueries.knnGraph(s, d)),
     "embed_mmr_topk" -> ((s, d) => EmbeddingQueries.mmrTopK(s, d)),
@@ -483,8 +511,8 @@ object SparkEntry {
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
     "embed_dim_ablation" -> (EmbeddingQueries.dimAblation _),
     "embed_threshold_sweep" -> (EmbeddingQueries.thresholdSweep _),
-    "embed_pca_project" -> ((s, d) => EmbeddingQueries.pcaProject(s, d)),
-    "embed_pca_explained" -> ((s, d) => EmbeddingQueries.pcaExplained(s, d)),
+    "embed_pca_project" -> ((s, d) => EmbeddingQueries.pcaProjectAudit(s, d)),
+    "embed_pca_explained" -> ((s, d) => EmbeddingQueries.pcaExplainedAudit(s, d)),
     // multimodal
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_dedup" -> (Multimodal.mediaDedup _),
@@ -557,21 +585,34 @@ object SparkEntry {
     *     exact columns + the contract-constant zero-miss column — so
     *     the no-FN claim is driver-checked; the fpp bound stays in
     *     SamplingSpec.)
-    *  3. '''Iterative FP state (k-means / eigen / greedy)''' — centroid
-    *     seeds, PQ codebooks, power-iteration eigenvectors and MMR's
-    *     greedy chain are deterministic here but not expressible as
-    *     engine-portable SQL: `ann_ivf_topk`/`ann_pq_topk`/
-    *     `ann_ivfpq_topk` (EmbeddingSpec
-    *     recall vs ORACLE-CHECKED `ann_exact_topk`), `embed_mmr_topk`
-    *     (EmbeddingSpec greedy replay), `embed_pca_explained`/
-    *     `embed_pca_project` (EmbeddingSpec orthonormality + variance
-    *     recompute; PlanAuditSpec narrow-map plan).
+    *  3. '''Iterative FP state (k-means / eigen / greedy)''' — the
+    *     class FULLY GRADUATED in r16, two different ways.
+    *     `embed_mmr_topk` got a FULL value oracle: its greedy chain is
+    *     sequential but k and poolN are query constants, so the DuckDB
+    *     twin UNROLLS the k argmax steps into single-row CTEs over the
+    *     same bit-exact cosines — the whole (rank, id, relevance,
+    *     score) chain hash-matches. The other five are structural
+    *     audits (the CDC pattern): `ann_ivf_topk`/`ann_pq_topk`/
+    *     `ann_ivfpq_topk` pin per-query size/recall-floor/rank-order
+    *     violations to 0 beside the DuckDB-recomputed exact-leg
+    *     (count, k-th cosine, id checksum), `embed_pca_explained` pins
+    *     orthonormality/eigen-order/explained-bounds plus the
+    *     from-the-data variance recompute of every eigenvalue, and
+    *     `embed_pca_project` pins Bessel contraction + score centering
+    *     per label beside nano-grid-exact Σ‖x‖². The ranked neighbor
+    *     lists, eigenvalues and projections stay the
+    *     EmbeddingSpec-pinned `annIvfTopK`/`annPqTopK`/`annIvfPqTopK`/
+    *     `pcaExplained`/`pcaProject` APIs (recall ≥ 0.75 at BOTH gate
+    *     SFs, orthonormality, variance-vs-eigenvalue agreement).
     *  4. '''Engine introspection / local fixtures''' — `compaction_plan`
     *     reads Spark's physical file listing (no DuckDB analogue;
-    *     CompactionSpec bins are exact), `dolar_e2e_interval` materializes
-    *     a tmp raw-zone fixture DuckDB can't see; its wire-literal twin
-    *     `dolar_parity` IS oracle-checked, so the e2e entry only adds the
-    *     ingest-path side effects (IngestSpec/StreamingSpec).
+    *     CompactionSpec bins are exact), `dolar_e2e_interval` and its
+    *     r16 streaming twin `dolar_e2e_stream` (the G1-G5 Structured
+    *     Streaming path in the driver harness) materialize tmp
+    *     raw-zone fixtures DuckDB can't see; their wire-literal twin
+    *     `dolar_parity` IS oracle-checked, so the e2e entries only add
+    *     the ingest-path side effects (IngestSpec/StreamingSpec,
+    *     including stream/batch output equality).
     *  5. '''Algorithm-internal artifacts''' — `text_bpe_train`/
     *     `text_bpe_encode` emit the merge table/token stream of an
     *     iterative trainer (AnalyticsOpsSpec: independent merge-round
@@ -938,6 +979,12 @@ object SparkEntry {
     "ann_topk_cosine" -> EmbeddingQueries.annTopKSql,
     "embed_intrinsic_dim" -> EmbeddingQueries.intrinsicDimSql(),
     "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
+    "ann_ivf_topk" -> EmbeddingQueries.annAuditSql,
+    "ann_pq_topk" -> EmbeddingQueries.annAuditSql,
+    "ann_ivfpq_topk" -> EmbeddingQueries.annAuditSql,
+    "embed_mmr_topk" -> EmbeddingQueries.mmrTopKSql,
+    "embed_pca_project" -> EmbeddingQueries.pcaProjectAuditSql,
+    "embed_pca_explained" -> EmbeddingQueries.pcaExplainedAuditSql(),
     "embed_centroid_by_label" -> EmbeddingQueries.centroidByLabelSql,
     "embed_silhouette" -> EmbeddingQueries.silhouetteSql,
     "embed_norm_quantiles" -> EmbeddingQueries.normQuantilesByLabelSql,

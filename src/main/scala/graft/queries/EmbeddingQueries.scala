@@ -819,6 +819,112 @@ object EmbeddingQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --- approx-ANN structural-oracle audits -------------------------------------
+  /** Shared audit body for the approx-ANN registry graduations (the
+    * CDC structural-oracle pattern, r15): the approximate top-k itself
+    * is not SQL-replayable (k-means codebooks, PQ codes), but its
+    * CONTRACT against the oracle-checked exact leg is — per query:
+    * exactly `k` ranked rows came back (`size_violations`) and the
+    * reported metric is monotone with rank (`rank_order_violations`);
+    * plus the AGGREGATE recall floor (`recall_floor_violations`,
+    * replicated per row): total hits across the query set ≥
+    * `minTotalHits` (35/50 = 0.70, matching how EmbeddingSpec pins
+    * recall — aggregate over the 5 queries at floor 0.75; a SINGLE
+    * query's recall legitimately dips below 0.7 on this isotropic
+    * corpus, measured 0.6 for q_id 4 at sf0.01, so a per-query pin
+    * would be a false alarm, while an aggregate break still lands
+    * near the ~0.5 random-coverage baseline a real bug produces). Those counters ride beside exact
+    * columns DuckDB recomputes from the raw parquet — the per-query
+    * exact-leg row count, k-th best cosine, and top-k id checksum — so
+    * the audit row is hash-checked end to end; the ranked neighbor
+    * lists stay the spec-pinned `annIvfTopK`/`annPqTopK`/
+    * `annIvfPqTopK` APIs.
+    */
+  private def annApproxAudit(approx: DataFrame, exact: DataFrame,
+                             metric: Column, metricAsc: Boolean,
+                             k: Int, minTotalHits: Int): DataFrame = {
+    val ex = exact.groupBy(col("q_id")).agg(
+      count(lit(1)).as("k_exact"),
+      max(when(col("rank") === k, col("cos"))).as("exact_kth_cos"),
+      sum(col("neighbor_id")).as("exact_id_sum"))
+    val wOrd = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val wAll = Window.partitionBy()
+    val ap = approx
+      .join(exact.select(col("q_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("q_id", "neighbor_id"), "left")
+      .withColumn("prev_m", lag(metric, 1).over(wOrd))
+      .groupBy(col("q_id")).agg(
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        sum(when(if (metricAsc) col("prev_m") > metric
+                 else col("prev_m") < metric, 1L).otherwise(0L))
+          .as("ord_bad"))
+      // the recall pin is AGGREGATE over the query set (a ≤5-row frame
+      // at this point — the global window is metadata-sized)
+      .withColumn("total_hits", sum(col("n_hits")).over(wAll))
+    ex.join(ap, Seq("q_id"))
+      .select(col("q_id"), col("k_exact"), col("exact_kth_cos"),
+        col("exact_id_sum"),
+        when(col("n_returned") =!= k, 1L).otherwise(0L)
+          .as("size_violations"),
+        when(col("total_hits") < minTotalHits, 1L).otherwise(0L)
+          .as("recall_floor_violations"),
+        when(col("ord_bad") > 0, 1L).otherwise(0L)
+          .as("rank_order_violations"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Registry spelling of `ann_ivf_topk` since r16: the IVF contract
+    * audit (see [[annApproxAudit]]); IVF ranks by cosine descending.
+    */
+  def annIvfAudit(s: SparkSession, dir: String): DataFrame =
+    annApproxAudit(annIvfTopK(s, dir), annTopK(s, dir),
+      col("cos"), metricAsc = false, k = 10, minTotalHits = 35)
+
+  /** Registry spelling of `ann_pq_topk` since r16: the PQ-ADC +
+    * exact-re-rank contract audit; PQ re-ranks by L2 `dist2` ascending.
+    */
+  def annPqAudit(s: SparkSession, dir: String): DataFrame =
+    annApproxAudit(annPqTopK(s, dir), annTopK(s, dir),
+      col("dist2"), metricAsc = true, k = 10, minTotalHits = 35)
+
+  /** Registry spelling of `ann_ivfpq_topk` since r16: the residual
+    * IVF-PQ contract audit; ranks by L2 `dist2` ascending.
+    */
+  def annIvfPqAudit(s: SparkSession, dir: String): DataFrame =
+    annApproxAudit(annIvfPqTopK(s, dir), annTopK(s, dir),
+      col("dist2"), metricAsc = true, k = 10, minTotalHits = 35)
+
+  /** DuckDB twin of the three ANN audits — the exact-leg columns
+    * recomputed from raw parquet (same CTEs as [[annTopKSql]]), the
+    * violation counters as the contract constants the Spark side must
+    * reproduce. One string serves all three registry keys: the exact
+    * leg is identical, only the (non-SQL-replayable) approx leg under
+    * audit differs.
+    */
+  val annAuditSql: String =
+    """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM nz WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, v FROM nz),
+      |sim AS (
+      |  SELECT q_id, neighbor_id,
+      |    list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+      |  FROM q, c WHERE q_id <> neighbor_id),
+      |r AS (SELECT q_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+      |      AS BIGINT) AS rank
+      |  FROM sim)
+      |SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+      |  MAX(CASE WHEN rank = 10 THEN cos END) AS exact_kth_cos,
+      |  CAST(SUM(neighbor_id) AS BIGINT) AS exact_id_sum,
+      |  CAST(0 AS BIGINT) AS size_violations,
+      |  CAST(0 AS BIGINT) AS recall_floor_violations,
+      |  CAST(0 AS BIGINT) AS rank_order_violations
+      |FROM r WHERE rank <= 10 GROUP BY q_id ORDER BY q_id""".stripMargin
+
   // --- centroids ---------------------------------------------------------------
   /** Per-label count and mean vector norm — grouped vector aggregation.
     * Oracle-deterministic: the per-row norms are bit-exact on both
@@ -1231,6 +1337,70 @@ object EmbeddingQueries {
       .toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
+  /** DuckDB twin of [[mmrTopK]] — a FULL value oracle for a greedy
+    * algorithm, by unrolling: the k-step greedy chain is inherently
+    * sequential, but k and poolN are CONSTANTS (10 and 20), so each
+    * step becomes one single-row CTE (`argmax over the pool minus the
+    * prefix, ORDER BY score DESC, id LIMIT 1`) referencing the
+    * previous step's selection prefix. Every float op is spelled in
+    * the same order as the Spark side (the in-order dot-product rule
+    * that makes [[annTopKSql]] hash-match; the driver-side greedy's
+    * `ab/(sqrt(aa)*sqrt(bb))` loop is the same left-to-right chain),
+    * `MAX` over selected-set cosines is order-free, and ties break on
+    * the same (score DESC, id) key — so the chains agree bit-for-bit
+    * and `embed_mmr_topk` graduates from rows-only to hash-checked.
+    * The unroll is gate-scale-only in LENGTH, not semantics: k is a
+    * query constant, never data-dependent.
+    */
+  val mmrTopKSql: String = {
+    val k = 10
+    // CAST(0.7 AS DOUBLE), never a bare 0.7: DuckDB parses the bare
+    // literal as DECIMAL(2,1), folds (1 - 0.7) to exact decimal 0.3
+    // (double 0.29999999999999999), while the Scala driver computes
+    // (1 - lambda) in doubles (0.30000000000000004) — a last-ulp score
+    // divergence that actually flipped hash equality at sf0.01
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.id, p.rel,
+         |    $lam * p.rel - (1 - $lam) * (
+         |      SELECT MAX(s.cs) FROM sim s
+         |      WHERE s.a_id = p.id
+         |        AND s.b_id IN (SELECT id FROM sel${i - 1})) AS score
+         |  FROM pool p
+         |  WHERE p.id NOT IN (SELECT id FROM sel${i - 1})
+         |  ORDER BY score DESC, p.id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1}
+         |          UNION ALL SELECT id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, id AS vec_id,
+         |  rel AS relevance, score AS mmr_score FROM s$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH nz AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |            WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+       |q AS MATERIALIZED (SELECT v AS qv FROM nz WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT nz.vec_id AS id, nz.v,
+       |    list_sum(list_transform(list_zip(nz.v, q.qv), x -> x[1] * x[2]))
+       |      / (sqrt(list_sum(list_transform(nz.v, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS rel
+       |  FROM nz, q WHERE nz.vec_id <> 0
+       |  ORDER BY rel DESC, nz.vec_id LIMIT 20),
+       |sim AS MATERIALIZED (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cs
+       |  FROM pool a JOIN pool b ON a.id <> b.id),
+       |s1 AS MATERIALIZED (SELECT p.id, p.rel, $lam * p.rel - (1 - $lam) * 0.0 AS score
+       |       FROM pool p ORDER BY score DESC, p.id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT id FROM s1),
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   // --- norm distribution by label ---------------------------------------------
   /** Per-label vector-norm quantiles — the drift/QA report an embedding
     * pipeline runs after each encoder batch (a label whose p50 norm
@@ -1551,6 +1721,185 @@ object EmbeddingQueries {
       (i.toLong, ev, ev / trace)
     }.toSeq.toDF("component", "eigenvalue", "explained_frac")
   }
+
+  // --- PCA structural-oracle audits ---------------------------------------
+  /** Shared driver-side PCA solve for the two audits: the same
+    * GramAgg one-pass moments + Jacobi eigensolve as
+    * [[pcaProject]]/[[pcaExplained]], returning everything the audits
+    * check (mean, trace, top-k eigenvalues, sign-canonical
+    * eigenvectors).
+    */
+  private def pcaSolve(s: SparkSession, dir: String, k: Int)
+      : (Long, Array[Double], Double, Seq[Double], Seq[Array[Double]]) = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val e = emb(s, dir).select(col("embedding").cast("array<double>").as("x"))
+    val gram = udaf(graft.functions.GramAgg, ExpressionEncoder[Seq[Double]]())
+    val m = e.agg(gram(col("x")).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.g")).head()
+    val nL = m.getLong(0)
+    val n = nL.toDouble
+    val sumv = m.getSeq[Double](1).toArray
+    val g = m.getSeq[Double](2).toArray
+    val d = sumv.length
+    val mean = sumv.map(_ / n)
+    val cov = Array.tabulate(d * d)(i => g(i) / n - mean(i / d) * mean(i % d))
+    val (eigVals, eigVecs) = jacobiEigen(cov, d)
+    val trace = (0 until d).map(i => cov(i * d + i)).sum
+    val top = eigVals.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(k)
+    val comps: Seq[Array[Double]] = top.map { case (_, ci) =>
+      val v = Array.tabulate(d)(r => eigVecs(r * d + ci))
+      val mi = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(mi) < 0) v.map(x => -x) else v
+    }.toSeq
+    (nL, mean, trace, top.map(_._1).toSeq, comps)
+  }
+
+  /** Registry spelling of `embed_pca_explained` since r16 (the CDC
+    * structural-oracle pattern): the eigensolve itself is driver-side
+    * iterative fp and not SQL-replayable, but its CONTRACT is —
+    * eigenvector orthonormality, non-increasing eigenvalue order,
+    * explained fractions inside [0, 1] with cumulative ≤ 1, and the
+    * strongest leg: each λ_j recomputed FROM THE DATA as the exact
+    * decimal population variance of the component's projection scores
+    * (var(x·v_j) must equal vᵀCv = λ_j up to solver precision; a
+    * wrong eigenpair fails this by construction). Violation counters
+    * ride beside exact columns DuckDB recomputes from raw parquet
+    * (row count and the decimal-summed Σ‖x‖², the same moments the
+    * PCA consumed), so the row is hash-checked; the eigenvalues stay
+    * the EmbeddingSpec-pinned [[pcaExplained]] API.
+    */
+  def pcaExplainedAudit(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val (nL, mean, trace, eigVals, comps) = pcaSolve(s, dir, k)
+    val n = nL.toDouble
+    val d = mean.length
+    // exact legs + per-component decimal score moments, one pass
+    val e = emb(s, dir).select(col("embedding").cast("array<double>").as("x"))
+    val scoreCols = comps.zipWithIndex.flatMap { case (v, j) =>
+      val mu = (0 until d).map(i => mean(i) * v(i)).sum
+      val sc = dot(col("x"), lit(v)) - lit(mu)
+      Seq(sum(sc.cast("decimal(30,15)")).as(s"s$j"),
+        sum((sc * sc).cast("decimal(30,15)")).as(s"q$j"))
+    }
+    val aggRow = e.agg(
+      // integer NANO grid (see pcaProjectAudit's sum_norm2_nano note):
+      // engine-exact where a decimal cast can straddle a half boundary
+      sum(round(dot(col("x"), col("x")) * lit(1e9)).cast("long"))
+        .as("norm2_nano"),
+      scoreCols: _*).head()
+    val sumNorm2Nano = aggRow.getLong(0)
+    val tol = 1e-9 * (math.abs(trace) + 1.0)
+    val varViol = (0 until k).count { j =>
+      val sSum = aggRow.getDecimal(1 + 2 * j).doubleValue()
+      val qSum = aggRow.getDecimal(2 + 2 * j).doubleValue()
+      val v = qSum / n - (sSum / n) * (sSum / n)
+      math.abs(v - eigVals(j)) > tol
+    }
+    val orthoViol = (for {
+      i <- 0 until k; j <- i until k
+    } yield {
+      val dd = (0 until d).map(t => comps(i)(t) * comps(j)(t)).sum
+      val target = if (i == j) 1.0 else 0.0
+      if (math.abs(dd - target) > 1e-8) 1 else 0
+    }).sum
+    val orderViol =
+      (1 until k).count(j => eigVals(j) > eigVals(j - 1))
+    val fracs = eigVals.map(_ / trace)
+    val boundsViol =
+      (if (fracs.exists(f => f < -1e-12 || f > 1.0 + 1e-9)) 1 else 0) +
+        (if (fracs.sum > 1.0 + 1e-9) 1 else 0)
+    import s.implicits._
+    (0 until k).map { j =>
+      (j.toLong, nL, sumNorm2Nano, orderViol.toLong, orthoViol.toLong,
+        boundsViol.toLong, varViol.toLong)
+    }.toDF("component", "n_vecs", "sum_norm2_nano", "eig_order_violations",
+      "orthonormality_violations", "explained_bounds_violations",
+      "variance_recompute_violations")
+      .orderBy(col("component"))
+  }
+
+  /** DuckDB twin of [[pcaExplainedAudit]] — k grid rows, the exact
+    * moments recomputed from raw parquet, the solver-contract
+    * counters as constants the Spark side must reproduce.
+    */
+  def pcaExplainedAuditSql(k: Int = 4): String =
+    s"""WITH ex AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CAST(ROUND(list_sum(list_transform(
+      |      embedding::DOUBLE[], x -> x * x)) * 1000000000.0, 0)
+      |      AS BIGINT)) AS BIGINT) AS sum_norm2_nano
+      |  FROM embeddings),
+      |grid AS (SELECT CAST(range AS BIGINT) AS component
+      |         FROM range(0, $k))
+      |SELECT component, n_vecs, sum_norm2_nano,
+      |  CAST(0 AS BIGINT) AS eig_order_violations,
+      |  CAST(0 AS BIGINT) AS orthonormality_violations,
+      |  CAST(0 AS BIGINT) AS explained_bounds_violations,
+      |  CAST(0 AS BIGINT) AS variance_recompute_violations
+      |FROM grid, ex ORDER BY component""".stripMargin
+
+  /** Registry spelling of `embed_pca_project` since r16: the per-row
+    * projections are driver-eigensolve-derived (not SQL-replayable),
+    * but projection GEOMETRY is checkable row by row — the energy a
+    * k-dim orthonormal projection captures can never exceed the
+    * centered norm (Σ_j pc_j² ≤ ‖x−μ‖², Bessel's inequality), and the
+    * score columns must be mean-centered (PCA projects the CENTERED
+    * data). Both ride as violation counters beside per-label exact
+    * columns (row count, decimal Σ‖x‖²) that DuckDB recomputes; the
+    * projections themselves stay the EmbeddingSpec-pinned
+    * [[pcaProject]] API.
+    */
+  def pcaProjectAudit(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val (nL, mean, trace, _, comps) = pcaSolve(s, dir, k)
+    val n = nL.toDouble
+    val d = mean.length
+    val mu2 = (0 until d).map(i => mean(i) * mean(i)).sum
+    val e = emb(s, dir).select(col("label"),
+      col("embedding").cast("array<double>").as("x"))
+    val pcCols = comps.zipWithIndex.map { case (v, j) =>
+      val mu = (0 until d).map(i => mean(i) * v(i)).sum
+      (dot(col("x"), lit(v)) - lit(mu)).as(s"pc$j")
+    }
+    val projected = e.select(col("label") +: dot(col("x"), col("x")).as("xx")
+      +: dot(col("x"), lit(mean)).as("xm") +: pcCols: _*)
+    val energy = (0 until k).map(j => col(s"pc$j") * col(s"pc$j"))
+      .reduce(_ + _)
+    val cnorm2 = col("xx") - lit(2.0) * col("xm") + lit(mu2)
+    // centering: per-component decimal score sums, one driver row
+    val centerAgg = projected.agg(
+      count(lit(1)).as("cnt"),
+      (0 until k).map(j =>
+        sum(col(s"pc$j").cast("decimal(30,15)")).as(s"s$j")): _*).head()
+    val cTol = 1e-9 * (math.abs(trace) + 1.0)
+    val centerViol = (0 until k).count { j =>
+      math.abs(centerAgg.getDecimal(1 + j).doubleValue() / n) > cTol
+    }
+    projected
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // integer NANO grid, not decimal->double: per-row double->
+        // DECIMAL(30,15) casts can land exactly on a rounding half
+        // (float32-origin values are dyadic) where the engines' half
+        // rules differ; round(x*1e9) of the SAME double under the
+        // shared positive-half-away rule is engine-exact, and the
+        // BIGINT sum is order-free. Headroom: ~1e11/row, 2^63 total.
+        sum(round(col("xx") * lit(1e9)).cast("long")).as("sum_norm2_nano"),
+        sum(when(energy > cnorm2 + lit(1e-9) * (cnorm2 + lit(1.0)), 1L)
+          .otherwise(0L)).as("contraction_violations"))
+      .withColumn("centering_violations", lit(centerViol.toLong))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB twin of [[pcaProjectAudit]] — per-label exact legs from
+    * raw parquet plus the geometry-contract constants.
+    */
+  val pcaProjectAuditSql: String =
+    """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CAST(ROUND(list_sum(list_transform(
+      |    embedding::DOUBLE[], x -> x * x)) * 1000000000.0, 0)
+      |    AS BIGINT)) AS BIGINT) AS sum_norm2_nano,
+      |  CAST(0 AS BIGINT) AS contraction_violations,
+      |  CAST(0 AS BIGINT) AS centering_violations
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix
     * (row-major). Returns (eigenvalues, eigenvector matrix with

@@ -439,7 +439,13 @@ class PlanAuditSpec extends SparkSpec {
       "ts_peaks" ->
         "±3-day neighbor max/count over the calendar day grid; top-5 cut",
       "graph_rich_club" ->
-        "suffix sums over the distinct-degree histogram grid (≤ max degree rows)")
+        "suffix sums over the distinct-degree histogram grid (≤ max degree rows)",
+      // r16 ANN contract audits: the aggregate-recall pin is a global
+      // sum over the ≤5-row per-query hit counts (metadata-sized by
+      // the fixed query set, never corpus-sized)
+      "ann_ivf_topk" -> "total-hits window over the 5-row query grid",
+      "ann_pq_topk" -> "total-hits window over the 5-row query grid",
+      "ann_ivfpq_topk" -> "total-hits window over the 5-row query grid")
     val hits = scala.collection.mutable.ListBuffer.empty[String]
     // staleness, third direction: an allowlist key that no longer names
     // a registered query protects nothing — the r10 list carried four

@@ -19,4 +19,54 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows at the smoke scale factor") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
+
+  // ---- claim-count drift gates (r15 verdict item 3) ----------------
+  // tools/update_claims.py only runs at round close, so a post-close
+  // commit could add a query and leave OPERATORS.md/README stale for a
+  // full round (it happened in r14 AND r15). These tests move the
+  // equality into `sbt test` itself: any registry change now fails the
+  // suite until `python3 tools/gen_operators.py` + update_claims
+  // regenerate the docs.
+
+  private def readRepoFile(name: String): String = {
+    val p = java.nio.file.Paths.get(name)
+    assert(java.nio.file.Files.isRegularFile(p), s"$name missing from repo root")
+    new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  test("OPERATORS.md header counts match the registry") {
+    val txt = readRepoFile("OPERATORS.md")
+    val m = """\*\*(\d+) registered queries\*\* \((\d+) oracle-checked[^,]*, (\d+) rows-only""".r
+      .findFirstMatchIn(txt)
+    assert(m.isDefined, "OPERATORS.md header count line not found")
+    val (total, oracled, rowsOnly) =
+      (m.get.group(1).toInt, m.get.group(2).toInt, m.get.group(3).toInt)
+    assert(total == SparkEntry.queries.size,
+      s"OPERATORS.md says $total queries, registry has ${SparkEntry.queries.size} — rerun tools/gen_operators.py")
+    assert(oracled == SparkEntry.oracleSql.size,
+      s"OPERATORS.md says $oracled oracle-checked, registry has ${SparkEntry.oracleSql.size}")
+    assert(rowsOnly == SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      s"OPERATORS.md says $rowsOnly rows-only, registry has ${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
+  }
+
+  test("OPERATORS.md rows cover exactly the registered queries") {
+    val txt = readRepoFile("OPERATORS.md")
+    val rows = """(?m)^\| `([a-z0-9_]+)` \|""".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- rows
+    val stale = rows -- SparkEntry.queries.keySet
+    assert(missing.isEmpty && stale.isEmpty,
+      s"OPERATORS.md drift — missing rows: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"stale rows: ${stale.toSeq.sorted.mkString(",")} — rerun tools/gen_operators.py")
+  }
+
+  test("README STATE block's registered-query count matches the registry") {
+    val txt = readRepoFile("README.md")
+    val state = txt.substring(txt.indexOf("STATE:BEGIN"), txt.indexOf("STATE:END"))
+    val m = """(\d+) registered queries""".r.findFirstMatchIn(state)
+    assert(m.isDefined, "README STATE block has no registered-query count")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} registered queries, registry has ${SparkEntry.queries.size} — rerun tools/update_claims.py")
+  }
 }
