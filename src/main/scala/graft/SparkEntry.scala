@@ -295,6 +295,7 @@ object SparkEntry {
     "ts_ljung_box" -> ((s, d) => TimeSeries.ljungBox(s, d)),
     "ts_pacf" -> (TimeSeries.pacf _),
     "ts_cross_correlation" -> (TimeSeries.crossCorrelation _),
+    "ts_granger_lag1" -> (TimeSeries.grangerLag1 _),
     "ts_permutation_entropy" -> (TimeSeries.permutationEntropy _),
     "ts_sample_entropy" -> (TimeSeries.sampleEntropy _),
     "ts_dickey_fuller" -> (TimeSeries.dickeyFuller _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "stats_page_trend" -> (Drift.pageTrend _),
     "events_wilson_ci" -> (EventQueries.wilsonCi _),
     "drift_cvm" -> (Drift.cvm _),
+    "stats_ansari_bradley" -> (Drift.ansariBradley _),
     "ts_holt_winters" -> ((s, d) => TimeSeries.holtWinters(s, d)),
     "events_rfm_migration" -> (EventQueries.rfmMigration _),
     "drift_effect_size" -> (Drift.effectSize _),
@@ -439,6 +441,7 @@ object SparkEntry {
     "text_quality_score" -> (TextQueries.qualityScore _),
     "text_quality_funnel" -> (TextQueries.qualityFunnel _),
     "text_char_entropy" -> (TextQueries.charEntropy _),
+    "text_bigram_entropy_rate" -> (TextQueries.bigramEntropyRate _),
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_scrub_pii" -> (TextQueries.scrubPii _),
@@ -474,6 +477,7 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.stratifiedSample _),
     "sample_systematic" -> (Sampling.systematicSample _),
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "sample_neyman_allocation" -> ((s, d) => Sampling.neymanAllocation(s, d)),
     "events_skew_histogram" -> (Sampling.skewHistogram _),
     "decontaminate_ngram" -> (Sampling.decontaminate _),
     "decontaminate_bloom" -> (Sampling.decontaminateBloomAudit _),
@@ -733,6 +737,7 @@ object SparkEntry {
     "text_quality_score" -> TextQueries.qualityScoreSql,
     "text_quality_funnel" -> TextQueries.qualityFunnelSql,
     "text_char_entropy" -> TextQueries.charEntropySql,
+    "text_bigram_entropy_rate" -> TextQueries.bigramEntropyRateSql,
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_scrub_pii" -> TextQueries.scrubPiiSql,
@@ -753,6 +758,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "sample_systematic" -> Sampling.systematicSampleSql,
     "sample_weighted" -> Sampling.weightedSampleSql,
+    "sample_neyman_allocation" -> Sampling.neymanAllocationSql,
     "events_skew_histogram" -> Sampling.skewHistogramSql,
     "events_funnel" -> EventQueries.funnelSql,
     "events_dau_wau" -> EventQueries.dauWauSql,
@@ -820,6 +826,7 @@ object SparkEntry {
     "ts_ljung_box" -> TimeSeries.ljungBoxSql,
     "ts_pacf" -> TimeSeries.pacfSql,
     "ts_cross_correlation" -> TimeSeries.crossCorrelationSql,
+    "ts_granger_lag1" -> TimeSeries.grangerLag1Sql,
     "ts_permutation_entropy" -> TimeSeries.permutationEntropySql,
     "ts_sample_entropy" -> TimeSeries.sampleEntropySql,
     "ts_dickey_fuller" -> TimeSeries.dickeyFullerSql,
@@ -843,6 +850,7 @@ object SparkEntry {
     "stats_page_trend" -> Drift.pageTrendSql,
     "events_wilson_ci" -> EventQueries.wilsonCiSql,
     "drift_cvm" -> Drift.cvmSql,
+    "stats_ansari_bradley" -> Drift.ansariBradleySql,
     "ts_holt_winters" -> TimeSeries.holtWintersSql(),
     "events_rfm_migration" -> EventQueries.rfmMigrationSql,
     "agg_approx_distinct" -> Relational.aggApproxDistinctAuditSql,

@@ -284,6 +284,162 @@ object Drift {
       |FROM agg""".stripMargin
   }
 
+  // --- Ansari–Bradley scale test ----------------------------------------------
+  /** Ansari–Bradley two-sample SCALE test between the temporal halves
+    * (Ansari & Bradley, Ann. Math. Stat. 1960) — the rank-based
+    * dispersion complement to this family's location tests ([[ks]]
+    * sees any difference, [[mannWhitney]] sees shift; AB specifically
+    * sees "did the SPREAD change"): rank the pooled sample, score
+    * each rank i as min(i, N+1−i) — small at both extremes, large in
+    * the middle — and sum the scores of the 'a' half. A compressed
+    * (low-variance) half concentrates in the middle and scores HIGH.
+    * Ties take midrank-averaged scores, computed EXACTLY per distinct
+    * value from the closed-form prefix sum g(t) = Σ_{i≤t} min(i,N+1−i)
+    * (two integer triangle formulas around the midpoint — every g is
+    * an exact BIGINT; headroom N²/4 < 2^63 to N ~ 6e9 observations).
+    * The per-value term c_a·(scoresum/cnt) is one shared IEEE chain
+    * landed on the integer MICRO grid before the cross-value sum, so
+    * the statistic is order-free and hash-exact; the ≤5e-7 per-value
+    * grid landing is measurement resolution, not an accumulating bias
+    * (the statistic is reported in micro units). Null mean/variance
+    * are the standard no-tie-correction closed forms (Hollander &
+    * Wolfe §5.2), parity-branched on N, with the z-score beside them.
+    *
+    * Scale: the [[ks]] shape — per-VALUE fold, range-partitioned
+    * prefix sums ([[graft.Graft.cumSumByRange]]), 1-row reduce.
+    */
+  def ansariBradley(s: SparkSession, dir: String): DataFrame = {
+    val perValue = sided(s, dir)
+      .groupBy(col("value"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = perValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // g(t) = sum_{i=1}^{t} min(i, N+1-i), exact integers: ascending
+    // triangle to the midpoint m1 = (N+1) div 2, descending after
+    def g(t: String): String =
+      s"""(case when $t <= m1 then ($t * ($t + 1)) div 2
+         | else (m1 * (m1 + 1)) div 2
+         |   + (((bigN - m1) * (bigN - m1 + 1)) - ((bigN - $t) * (bigN - $t + 1))) div 2
+         | end)""".stripMargin
+    val terms = graft.Graft.cumSumByRange(perValue, Seq(col("value")),
+        Seq(col("ca") -> "cumA", col("cb") -> "cumB"))
+      .crossJoin(broadcast(totals))
+      .select(col("ca"), (col("ca") + col("cb")).as("cnt"),
+        (col("cumA") + col("cumB")).as("hi"),
+        (col("na") + col("nb")).as("bigN"), col("na"), col("nb"))
+      .withColumn("m1", expr("(bigN + 1) div 2"))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .withColumn("scoresum", expr(s"${g("hi")} - ${g("lo")}"))
+      .select(col("na"), col("nb"),
+        round(col("ca").cast("double")
+          * (col("scoresum").cast("double") / col("cnt").cast("double"))
+          * lit(1e6)).cast("long").as("term_micro"))
+    terms.groupBy(col("na"), col("nb"))
+      .agg(sum(col("term_micro")).as("a_micro"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        (col("a_micro").cast("double") / lit(1e6)).as("ab_stat"),
+        when((col("na") + col("nb")) % 2L === 0L,
+          col("na").cast("double") * ((col("na") + col("nb")).cast("double") + lit(2.0)) / lit(4.0))
+          .otherwise(col("na").cast("double")
+            * ((col("na") + col("nb")).cast("double") + lit(1.0))
+            * ((col("na") + col("nb")).cast("double") + lit(1.0))
+            / (lit(4.0) * (col("na") + col("nb")).cast("double")))
+          .as("ab_null_mean"),
+        when((col("na") + col("nb")) % 2L === 0L,
+          col("na").cast("double") * col("nb").cast("double")
+            * ((col("na") + col("nb")).cast("double") + lit(2.0))
+            * ((col("na") + col("nb")).cast("double") - lit(2.0))
+            / (lit(48.0) * ((col("na") + col("nb")).cast("double") - lit(1.0))))
+          .otherwise(col("na").cast("double") * col("nb").cast("double")
+            * ((col("na") + col("nb")).cast("double") + lit(1.0))
+            * (lit(3.0) + (col("na") + col("nb")).cast("double")
+              * (col("na") + col("nb")).cast("double"))
+            / (lit(48.0) * (col("na") + col("nb")).cast("double")
+              * (col("na") + col("nb")).cast("double")))
+          .as("ab_null_var"))
+      .withColumn("ab_z",
+        (col("ab_stat") - col("ab_null_mean")) / sqrt(col("ab_null_var")))
+  }
+
+  val ansariBradleySql: String = {
+    def g(t: String): String =
+      s"""(CASE WHEN $t <= m1 THEN ${PortableSql.intDiv(s"($t * ($t + 1))", "2")}
+         | ELSE ${PortableSql.intDiv("(m1 * (m1 + 1))", "2")}
+         |   + ${PortableSql.intDiv(
+               s"(((bigN - m1) * (bigN - m1 + 1)) - ((bigN - $t) * (bigN - $t + 1)))", "2")}
+         | END)""".stripMargin
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |sided AS (
+      |  SELECT CASE WHEN us < CAST(((mn + mx) - ((mn + mx) % 2)) / 2 AS BIGINT)
+      |              THEN 'a' ELSE 'b' END AS side, value
+      |  FROM ev, b),
+      |pv AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM sided GROUP BY value),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |      FROM pv),
+      |cum AS (
+      |  SELECT ca, ca + cb AS cnt,
+      |    CAST(SUM(ca + cb) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+      |    na + nb AS bigN, na, nb
+      |  FROM pv, t),
+      |rng AS (
+      |  SELECT ca, cnt, hi, hi - cnt AS lo, bigN, na, nb,
+      |    ${PortableSql.intDiv("(bigN + 1)", "2")} AS m1
+      |  FROM cum),
+      |terms AS (
+      |  SELECT na, nb,
+      |    CAST(ROUND(CAST(ca AS DOUBLE)
+      |      * (CAST(${g("hi")} - ${g("lo")} AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |      * 1000000.0, 0) AS BIGINT) AS term_micro
+      |  FROM rng),
+      |agg AS (
+      |  SELECT na, nb, CAST(SUM(term_micro) AS BIGINT) AS a_micro
+      |  FROM terms GROUP BY na, nb)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(a_micro AS DOUBLE) / 1000000.0 AS ab_stat,
+      |  CASE WHEN (na + nb) % 2 = 0 THEN
+      |    CAST(na AS DOUBLE) * (CAST(na + nb AS DOUBLE) + 2.0) / 4.0
+      |  ELSE
+      |    CAST(na AS DOUBLE) * (CAST(na + nb AS DOUBLE) + 1.0)
+      |      * (CAST(na + nb AS DOUBLE) + 1.0)
+      |      / (4.0 * CAST(na + nb AS DOUBLE))
+      |  END AS ab_null_mean,
+      |  CASE WHEN (na + nb) % 2 = 0 THEN
+      |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |      * (CAST(na + nb AS DOUBLE) + 2.0) * (CAST(na + nb AS DOUBLE) - 2.0)
+      |      / (48.0 * (CAST(na + nb AS DOUBLE) - 1.0))
+      |  ELSE
+      |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |      * (CAST(na + nb AS DOUBLE) + 1.0)
+      |      * (3.0 + CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+      |      / (48.0 * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+      |  END AS ab_null_var,
+      |  (CAST(a_micro AS DOUBLE) / 1000000.0
+      |    - CASE WHEN (na + nb) % 2 = 0 THEN
+      |        CAST(na AS DOUBLE) * (CAST(na + nb AS DOUBLE) + 2.0) / 4.0
+      |      ELSE
+      |        CAST(na AS DOUBLE) * (CAST(na + nb AS DOUBLE) + 1.0)
+      |          * (CAST(na + nb AS DOUBLE) + 1.0)
+      |          / (4.0 * CAST(na + nb AS DOUBLE))
+      |      END)
+      |  / sqrt(CASE WHEN (na + nb) % 2 = 0 THEN
+      |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |        * (CAST(na + nb AS DOUBLE) + 2.0) * (CAST(na + nb AS DOUBLE) - 2.0)
+      |        / (48.0 * (CAST(na + nb AS DOUBLE) - 1.0))
+      |    ELSE
+      |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |        * (CAST(na + nb AS DOUBLE) + 1.0)
+      |        * (3.0 + CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+      |        / (48.0 * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+      |    END) AS ab_z
+      |FROM agg""".stripMargin
+  }
+
   // --- Mann–Whitney U / AUC ---------------------------------------------------
   /** Rank-based two-sample location test between the temporal halves —
     * the nonparametric complement to [[ks]] (Mann & Whitney, Ann. Math.

@@ -304,6 +304,84 @@ object Sampling {
       |ORDER BY source""".stripMargin
   }
 
+  // --- Neyman allocation -------------------------------------------------------
+  /** Neyman-optimal stratified sample allocation (Neyman, JRSS 1934):
+    * given a fixed audit budget of n = 1000 documents, how many to
+    * draw per language stratum to MINIMIZE the variance of the
+    * estimated mean document length — n_h ∝ N_h·σ_h, the design step
+    * that precedes every [[stratifiedSample]]-style quality audit of
+    * a training corpus (proportional allocation wastes budget on
+    * large-but-homogeneous strata; Neyman shifts it to where the
+    * variance lives).
+    *
+    * Exactness: per-stratum length moments are exact integers
+    * (BIGINT Σlen, DECIMAL Σlen² VARCHAR-routed), σ_h is one IEEE
+    * chain off them, the weight N_h·σ_h lands on the integer MICRO
+    * grid (round of identical doubles — positive-half rule agrees in
+    * both engines), and the final allocation is pure integer
+    * arithmetic: (budget·w_micro) div Σw_micro — so the row
+    * hash-matches despite the fp σ. Integer headroom: w_micro ≤
+    * N_h·σ_h·1e6 must stay under 2^63 (N_h·σ_h < 9.2e12 — petabyte
+    * corpora with ~1e4 length sigma hold to N_h ~ 1e9 docs per
+    * stratum; past that drop the micro scale a decade).
+    *
+    * Scale: one map-side-combined fold to the |langs|-row stratum
+    * grid; the budget share is grid-side algebra — the corpus is
+    * touched exactly once, nothing corpus-sized shuffles.
+    */
+  def neymanAllocation(s: SparkSession, dir: String,
+                       budget: Long = 1000L): DataFrame = {
+    val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val strata = docs(s, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("len")).as("s1"),
+        sum(d18(col("len")) * d18(col("len"))).as("s2"))
+      .select(col("lang"), col("n_pop"),
+        sqrt(col("s2").cast("string").cast("double")
+            / col("n_pop").cast("double")
+          - (col("s1").cast("double") / col("n_pop").cast("double"))
+            * (col("s1").cast("double") / col("n_pop").cast("double")))
+          .as("sigma_len"))
+      .select(col("lang"), col("n_pop"), col("sigma_len"),
+        round(col("n_pop").cast("double") * col("sigma_len") * lit(1e6))
+          .cast("long").as("w_micro"))
+    val tot = strata.agg(sum(col("w_micro")).as("w_total"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_pop"), col("sigma_len"),
+        (col("w_micro").cast("double") / col("w_total").cast("double"))
+          .as("alloc_share"),
+        expr(s"(w_micro * ${budget}L) div w_total").as("alloc_n"))
+      .orderBy(col("lang"))
+  }
+
+  val neymanAllocationSql: String = {
+    val alloc = PortableSql.intDiv("w_micro * 1000", "w_total")
+    s"""WITH m AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop,
+      |    CAST(SUM(len(text)) AS BIGINT) AS s1,
+      |    SUM(CAST(len(text) AS DECIMAL(18,0))
+      |        * CAST(len(text) AS DECIMAL(18,0))) AS s2
+      |  FROM documents GROUP BY lang),
+      |sg AS (
+      |  SELECT lang, n_pop,
+      |    sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n_pop AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE))) AS sigma_len
+      |  FROM m),
+      |w AS (
+      |  SELECT lang, n_pop, sigma_len,
+      |    CAST(ROUND(CAST(n_pop AS DOUBLE) * sigma_len * 1000000.0, 0)
+      |      AS BIGINT) AS w_micro
+      |  FROM sg),
+      |g AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+      |SELECT lang, n_pop, sigma_len,
+      |  CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) AS alloc_share,
+      |  $alloc AS alloc_n
+      |FROM w, g ORDER BY lang""".stripMargin
+  }
+
   // --- sequence packing --------------------------------------------------------
   /** Pack documents into fixed token-budget training chunks: documents
     * are laid out in deterministic (lang, doc_id) order, token counts

@@ -1320,6 +1320,84 @@ object TextQueries {
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // --- bigram conditional entropy rate -----------------------------------
+  /** Per-language bigram ENTROPY RATE H(W₂|W₁) = H(W₁,W₂) − H(W₁) —
+    * the information-theoretic compressibility read of a corpus
+    * (Shannon 1951's printed-English estimate, word-level): how many
+    * nats the NEXT word carries once the current word is known. The
+    * dataset-curation signal beside [[charEntropy]] (character
+    * diversity) and `docs_*` lexical diversity: a low rate flags
+    * templated/boilerplate-heavy sources an LLM data pipeline
+    * down-weights; the H(joint) and H(context) legs are reported
+    * beside the rate.
+    *
+    * Hash-exact by the micronat discipline: both entropies are
+    * n·lnµ(n) − Σ k·lnµ(k) over exact BIGINT counts (lnµ = round(ln·1e6),
+    * identical IEEE ln both engines), so the conditional difference
+    * collapses to the integer Σk·lnµ(k) gap between context and
+    * bigram folds; the only division is the final nats scaling.
+    *
+    * Scale: bigrams form INSIDE the token array (the [[bigrams]]
+    * indexed-transform spelling — no positional self-join of the
+    * corpus); two map-side-combined folds to (lang, gram) then one
+    * |langs|-row join. Nothing corpus-sized shuffles twice.
+    */
+  def bigramEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val pairs = docs(s, dir)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .select(col("lang"), explode(expr(
+        """transform(slice(w, 1, size(w) - 1),
+          |  (x, i) -> struct(x AS w1, concat(x, ' ', w[i + 1]) AS bg))"""
+          .stripMargin)).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val joint = pairs.groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("lang"))
+      .agg(sum(col("k")).as("n"),
+        sum(col("k") * lnMicro(col("k"))).as("sb"))
+    val ctx = pairs.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("lang"))
+      .agg(sum(col("k") * lnMicro(col("k"))).as("sc"))
+    joint.join(ctx, "lang")
+      .select(col("lang"), col("n").as("n_bigrams"),
+        (col("n") * lnMicro(col("n")) - col("sb")).as("h_joint_micronats"),
+        (col("n") * lnMicro(col("n")) - col("sc")).as("h_context_micronats"),
+        ((col("sc") - col("sb")).cast("double")
+          / (col("n").cast("double") * lit(1e6))).as("cond_entropy_nats"))
+      .orderBy(col("lang"))
+  }
+
+  val bigramEntropyRateSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |           FROM documents),
+      |p AS (SELECT doc_id, lang, unnest(w) AS word,
+      |             generate_subscripts(w, 1) AS pos FROM t),
+      |bg AS (SELECT a.lang AS lang, a.word AS w1,
+      |              a.word || ' ' || c.word AS bg
+      |       FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+      |kb AS (SELECT lang, bg, COUNT(*) AS k FROM bg GROUP BY lang, bg),
+      |hb AS (SELECT lang, CAST(SUM(k) AS BIGINT) AS n,
+      |    CAST(SUM(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS sb
+      |  FROM kb GROUP BY lang),
+      |kc AS (SELECT lang, w1, COUNT(*) AS k FROM bg GROUP BY lang, w1),
+      |hc AS (SELECT lang,
+      |    CAST(SUM(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) AS sc
+      |  FROM kc GROUP BY lang)
+      |SELECT hb.lang, n AS n_bigrams,
+      |  n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - sb
+      |    AS h_joint_micronats,
+      |  n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - sc
+      |    AS h_context_micronats,
+      |  CAST(sc - sb AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+      |    AS cond_entropy_nats
+      |FROM hb JOIN hc ON hb.lang = hc.lang
+      |ORDER BY hb.lang""".stripMargin
+
   // --- trigram conditional LM statistics ----------------------------------
   /** Top trigram continuations with conditional probability
     * P(w3 | w1 w2) = n(w1w2w3) / n(w1w2·) — the n-gram LM statistics

@@ -1189,6 +1189,131 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  // --- Granger causality (lag 1) ----------------------------------------------
+  /** Lag-1 Granger causality test of "does yesterday's ORDER COUNT
+    * help predict today's REVENUE beyond yesterday's revenue?"
+    * (Granger, Econometrica 1969): restricted OLS y_t ~ y_{t-1} vs
+    * unrestricted y_t ~ y_{t-1} + x_{t-1}, F = (SSR_r − SSR_u)·(m−3)
+    * / SSR_u with 1 numerator df — the causal-screening read a
+    * forecasting pipeline runs before admitting a covariate into the
+    * model ([[crossCorrelation]] measures association at lags; this
+    * asks whether the lagged covariate adds PREDICTIVE power).
+    *
+    * Exactness ([[Drift]] discipline): both series are exact integers
+    * (day counts; cents-summed revenue div 100), every raw moment is
+    * an exact DECIMAL(18,0)-product sum VARCHAR-routed to double, the
+    * centered moments and the closed-form 2-regressor normal-equation
+    * solve (b = M⁻¹ S via the 2×2 determinant) are one shared IEEE
+    * chain — both engines compute each centered moment ONCE and reuse
+    * it, so F hash-matches bit-for-bit.
+    *
+    * Scale: the fact table folds to the day grid first; the lag
+    * window and 1-row moment reduce run on day-cardinality rows
+    * (the [[TimeSeries]] bounded-grid posture).
+    */
+  def grangerLag1(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("d"))
+    val base = Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("x"), expr("sum(c) div 100").as("y"))
+    val pairs = base
+      .withColumn("yl", lag(col("y"), 1).over(wOrd))
+      .withColumn("xl", lag(col("x"), 1).over(wOrd))
+      .filter(col("yl").isNotNull && col("xl").isNotNull)
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    val dbl = (c: Column) => c.cast("string").cast("double")
+    val g = pairs.agg(count(lit(1)).as("m"),
+      sum(col("y")).as("sy"), sum(col("yl")).as("syl"),
+      sum(col("xl")).as("sxl"),
+      sum(d18(col("y")) * d18(col("y"))).as("syy"),
+      sum(d18(col("y")) * d18(col("yl"))).as("syyl"),
+      sum(d18(col("y")) * d18(col("xl"))).as("syxl"),
+      sum(d18(col("yl")) * d18(col("yl"))).as("sylyl"),
+      sum(d18(col("yl")) * d18(col("xl"))).as("sylxl"),
+      sum(d18(col("xl")) * d18(col("xl"))).as("sxlxl"))
+    val md = col("m").cast("double")
+    val cm = g.select(col("m"),
+      (dbl(col("syy")) - col("sy").cast("double") * col("sy").cast("double") / md).as("cyy"),
+      (dbl(col("sylyl")) - col("syl").cast("double") * col("syl").cast("double") / md).as("c11"),
+      (dbl(col("sxlxl")) - col("sxl").cast("double") * col("sxl").cast("double") / md).as("c22"),
+      (dbl(col("sylxl")) - col("syl").cast("double") * col("sxl").cast("double") / md).as("c12"),
+      (dbl(col("syyl")) - col("syl").cast("double") * col("sy").cast("double") / md).as("c1y"),
+      (dbl(col("syxl")) - col("sxl").cast("double") * col("sy").cast("double") / md).as("c2y"))
+    val det = col("c11") * col("c22") - col("c12") * col("c12")
+    val sol = cm.select(col("m"), col("cyy"), col("c11"), col("c1y"),
+      ((col("c1y") * col("c22") - col("c2y") * col("c12")) / det).as("b1"),
+      ((col("c2y") * col("c11") - col("c1y") * col("c12")) / det).as("b2"),
+      det.as("det"), col("c2y"))
+    sol.select(col("m").as("n_pairs"),
+      col("b1").as("beta_ylag"), col("b2").as("gamma_xlag"),
+      when(col("det") > 0.0 && col("c11") > 0.0
+          && col("cyy") - (col("b1") * col("c1y") + col("b2") * col("c2y")) > 0.0,
+        ((col("cyy") - col("c1y") * col("c1y") / col("c11"))
+          - (col("cyy") - (col("b1") * col("c1y") + col("b2") * col("c2y"))))
+          * (col("m").cast("double") - lit(3.0))
+          / (col("cyy") - (col("b1") * col("c1y") + col("b2") * col("c2y"))))
+        .otherwise(lit(null).cast("double")).as("f_stat"))
+  }
+
+  val grangerLag1Sql: String = {
+    val dollars = PortableSql.intDiv("rev_cents", "100")
+    s"""WITH day AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |xy AS (SELECT d, x, $dollars AS y FROM day),
+      |lagged AS (
+      |  SELECT y,
+      |    LAG(y, 1) OVER (ORDER BY d) AS yl,
+      |    LAG(x, 1) OVER (ORDER BY d) AS xl
+      |  FROM xy),
+      |pairs AS (SELECT y, yl, xl FROM lagged
+      |          WHERE yl IS NOT NULL AND xl IS NOT NULL),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(yl) AS BIGINT) AS syl,
+      |    CAST(SUM(xl) AS BIGINT) AS sxl,
+      |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy,
+      |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(yl AS DECIMAL(18,0))) AS syyl,
+      |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(xl AS DECIMAL(18,0))) AS syxl,
+      |    SUM(CAST(yl AS DECIMAL(18,0)) * CAST(yl AS DECIMAL(18,0))) AS sylyl,
+      |    SUM(CAST(yl AS DECIMAL(18,0)) * CAST(xl AS DECIMAL(18,0))) AS sylxl,
+      |    SUM(CAST(xl AS DECIMAL(18,0)) * CAST(xl AS DECIMAL(18,0))) AS sxlxl
+      |  FROM pairs),
+      |cm AS (
+      |  SELECT m,
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) AS cyy,
+      |    CAST(CAST(sylyl AS VARCHAR) AS DOUBLE)
+      |      - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE) / CAST(m AS DOUBLE) AS c11,
+      |    CAST(CAST(sxlxl AS VARCHAR) AS DOUBLE)
+      |      - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) / CAST(m AS DOUBLE) AS c22,
+      |    CAST(CAST(sylxl AS VARCHAR) AS DOUBLE)
+      |      - CAST(syl AS DOUBLE) * CAST(sxl AS DOUBLE) / CAST(m AS DOUBLE) AS c12,
+      |    CAST(CAST(syyl AS VARCHAR) AS DOUBLE)
+      |      - CAST(syl AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) AS c1y,
+      |    CAST(CAST(syxl AS VARCHAR) AS DOUBLE)
+      |      - CAST(sxl AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) AS c2y
+      |  FROM g),
+      |sol AS (
+      |  SELECT m, cyy, c11, c1y, c2y,
+      |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+      |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+      |    c11 * c22 - c12 * c12 AS det
+      |  FROM cm)
+      |SELECT m AS n_pairs, b1 AS beta_ylag, b2 AS gamma_xlag,
+      |  CASE WHEN det > 0 AND c11 > 0
+      |        AND cyy - (b1 * c1y + b2 * c2y) > 0 THEN
+      |    ((cyy - c1y * c1y / c11) - (cyy - (b1 * c1y + b2 * c2y)))
+      |      * (CAST(m AS DOUBLE) - 3.0) / (cyy - (b1 * c1y + b2 * c2y))
+      |  ELSE NULL END AS f_stat
+      |FROM sol""".stripMargin
+  }
+
   val crossCorrelationSql: String = {
     val dollars = PortableSql.intDiv("rev_cents", "100")
     s"""WITH day AS (

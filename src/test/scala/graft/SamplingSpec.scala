@@ -274,4 +274,43 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(r => r.getLong(0) -> r.getLong(2)).toMap == expected,
       "rankedByRange ranks diverge from the window-spelled ranks")
   }
+
+  test("neymanAllocation: textbook N_h*sigma_h replay; budget conservation") {
+    import graft.queries.Sampling
+    val lens = graft.Tables.load(spark, sf, "documents")
+      .select(col("lang"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val strata = lens.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val repl = strata.map { case (lang, ls) =>
+      val n = ls.length.toDouble
+      val mu = ls.sum / n
+      val sg = math.sqrt(ls.map(x => x * x).sum / n - mu * mu)
+      lang -> ((ls.length.toLong, sg, math.round(n * sg * 1e6)))
+    }
+    val wTot = repl.values.map(_._3).sum
+    val rows = Sampling.neymanAllocation(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == strata.keySet)
+    var allocSum = 0L
+    for (r <- rows) {
+      val (nPop, sg, wMicro) = repl(r.getString(0))
+      assert(r.getLong(1) == nPop, s"${r.getString(0)} N_h")
+      assert(math.abs(r.getDouble(2) - sg) < 1e-9 * (sg + 1.0),
+        s"${r.getString(0)} sigma ${r.getDouble(2)} != replay $sg")
+      assert(math.abs(r.getDouble(3) - wMicro.toDouble / wTot) < 1e-9,
+        s"${r.getString(0)} share")
+      // replay sigma carries double-accumulation ulps, so its micro
+      // weight can sit one grid unit off the engine's — compare the
+      // integer allocation within one unit
+      assert(math.abs(r.getLong(4) - 1000L * wMicro / wTot) <= 1L,
+        s"${r.getString(0)} alloc_n")
+      allocSum += r.getLong(4)
+    }
+    // truncating div: total allocation never exceeds the budget, and
+    // rounding loses at most one unit per stratum
+    assert(allocSum <= 1000L && allocSum >= 1000L - rows.length,
+      s"allocation total $allocSum outside [${1000 - rows.length}, 1000]")
+    // shares sum to 1 (exact integer weights over their own total)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"share sum $shareSum")
+  }
 }

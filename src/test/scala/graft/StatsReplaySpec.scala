@@ -2180,4 +2180,114 @@ class StatsReplaySpec extends SparkSpec {
     for (i <- 1 until m)
       assert(rows(i).getDouble(3) >= rows(i - 1).getDouble(3) - 1e-12)
   }
+
+  test("grangerLag1: plain-double OLS F replay on adjacent day pairs") {
+    val days = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100)).cast("long")
+          .as("c"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("x"), expr("sum(c) div 100").as("y"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val trip = days.sliding(2).map { w =>
+      (w(1)._2, w(0)._2, w(0)._1) // (y_t, y_{t-1}, x_{t-1})
+    }.toArray
+    val m = trip.length.toDouble
+    def mean(f: ((Double, Double, Double)) => Double) = trip.map(f).sum / m
+    val (my, myl, mxl) = (mean(_._1), mean(_._2), mean(_._3))
+    def cmom(f: ((Double, Double, Double)) => Double,
+             g: ((Double, Double, Double)) => Double,
+             mf: Double, mg: Double) =
+      trip.map(t => (f(t) - mf) * (g(t) - mg)).sum
+    val cyy = cmom(_._1, _._1, my, my); val c11 = cmom(_._2, _._2, myl, myl)
+    val c22 = cmom(_._3, _._3, mxl, mxl); val c12 = cmom(_._2, _._3, myl, mxl)
+    val c1y = cmom(_._2, _._1, myl, my); val c2y = cmom(_._3, _._1, mxl, my)
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    val ssrU = cyy - (b1 * c1y + b2 * c2y)
+    val ssrR = cyy - c1y * c1y / c11
+    val f = (ssrR - ssrU) * (m - 3.0) / ssrU
+    val row = TimeSeries.grangerLag1(spark, sf).collect().head
+    assert(row.getLong(0) == trip.length)
+    // the query's centered moments come from exact decimal sums; the
+    // replay accumulates plain doubles — agreement is relative-1e-9
+    assert(math.abs(row.getDouble(1) - b1) < 1e-9 * (math.abs(b1) + 1.0),
+      s"beta ${row.getDouble(1)} != replay $b1")
+    assert(math.abs(row.getDouble(2) - b2) < 1e-9 * (math.abs(b2) + 1.0),
+      s"gamma ${row.getDouble(2)} != replay $b2")
+    assert(math.abs(row.getDouble(3) - f) < 1e-6 * (math.abs(f) + 1.0),
+      s"F ${row.getDouble(3)} != replay $f")
+    // unrestricted SSR can only shrink vs restricted => F >= 0
+    assert(row.getDouble(3) >= 0.0)
+  }
+
+  test("ansariBradley: textbook midrank-score replay over the pooled halves") {
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mn = ev.map(_._1).min; val mx = ev.map(_._1).max
+    val mid = Math.floorDiv(mn + mx, 2L)
+    val pooled = ev.map { case (us, v) => (v, us < mid) }.sortBy(_._1)
+    val bigN = pooled.length
+    def score(i: Int): Double = math.min(i, bigN + 1 - i).toDouble
+    // midrank-averaged score per tied value, applied to every 'a' member
+    var a = 0.0; var i = 0
+    while (i < bigN) {
+      var j = i
+      while (j < bigN && pooled(j)._1 == pooled(i)._1) j += 1
+      val sbar = (i + 1 to j).map(score).sum / (j - i)
+      a += sbar * (i until j).count(pooled(_)._2)
+      i = j
+    }
+    val na = pooled.count(_._2).toLong; val nb = bigN - na
+    val row = Drift.ansariBradley(spark, sf).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    // per-value micro-grid landing: within 5e-7 * #distinct-values
+    assert(math.abs(row.getDouble(2) - a) < 1e-3 + 1e-9 * a,
+      s"AB ${row.getDouble(2)} != replay $a")
+    val nD = bigN.toDouble; val naD = na.toDouble; val nbD = nb.toDouble
+    val (em, vr) =
+      if (bigN % 2 == 0)
+        (naD * (nD + 2.0) / 4.0,
+          naD * nbD * (nD + 2.0) * (nD - 2.0) / (48.0 * (nD - 1.0)))
+      else
+        (naD * (nD + 1.0) * (nD + 1.0) / (4.0 * nD),
+          naD * nbD * (nD + 1.0) * (3.0 + nD * nD) / (48.0 * nD * nD))
+    assert(math.abs(row.getDouble(3) - em) < 1e-9 * em, "null mean")
+    assert(math.abs(row.getDouble(4) - vr) < 1e-9 * vr, "null var")
+    assert(math.abs(row.getDouble(5)
+      - (row.getDouble(2) - em) / math.sqrt(vr)) < 1e-9, "z chain")
+  }
+
+  test("bigramEntropyRate: plain-double conditional-entropy replay per lang") {
+    val docsRows = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docsRows.groupBy(_._1)
+    val out = TextQueries.bigramEntropyRate(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(4)))).toMap
+    for ((lang, docs) <- byLang) {
+      val bgs = docs.flatMap { case (_, text) =>
+        val w = text.split(" ", -1)
+        (0 until w.length - 1).map(i => (w(i), w(i) + " " + w(i + 1)))
+      }
+      if (bgs.nonEmpty) {
+        val n = bgs.length.toDouble
+        def h(counts: Iterable[Int]): Double =
+          math.log(n) - counts.map(k => k * math.log(k)).sum / n
+        val hj = h(bgs.groupBy(_._2).map(_._2.length))
+        val hc = h(bgs.groupBy(_._1).map(_._2.length))
+        val (nOut, condOut) = out(lang)
+        assert(nOut == bgs.length, s"$lang bigram count")
+        // micronat grid: each ln lands on 1e-6 nats
+        assert(math.abs(condOut - (hj - hc)) < 5e-6,
+          s"$lang cond entropy $condOut != replay ${hj - hc}")
+        // conditioning can only reduce entropy; both legs nonneg
+        assert(condOut >= -5e-6 && condOut <= hj + 5e-6)
+      }
+    }
+  }
 }
