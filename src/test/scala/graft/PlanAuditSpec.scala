@@ -420,6 +420,7 @@ class PlanAuditSpec extends SparkSpec {
       "ts_permutation_entropy" ->
         "two lead windows over the calendar day grid",
       "ts_dickey_fuller" -> "one lag window over the calendar day grid",
+      "ts_granger_lag1" -> "two lag windows over the calendar day grid",
       // stats_hodges_lehmann's day-grid lag window runs INSIDE its
       // Graft.materialize (the checkpoint truncates the visible plan),
       // so the sweep sees it clean — the bounded-grid argument lives
