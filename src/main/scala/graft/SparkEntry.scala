@@ -442,6 +442,8 @@ object SparkEntry {
     "text_quality_funnel" -> (TextQueries.qualityFunnel _),
     "text_char_entropy" -> (TextQueries.charEntropy _),
     "text_bigram_entropy_rate" -> (TextQueries.bigramEntropyRate _),
+    "text_vocab_overlap" -> ((s, d) => TextQueries.vocabOverlap(s, d)),
+    "docs_length_ks_pairs" -> (TextQueries.lengthKsPairs _),
     "text_lang_guess" -> (TextQueries.langGuessConfusion _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_scrub_pii" -> (TextQueries.scrubPii _),
@@ -738,6 +740,8 @@ object SparkEntry {
     "text_quality_funnel" -> TextQueries.qualityFunnelSql,
     "text_char_entropy" -> TextQueries.charEntropySql,
     "text_bigram_entropy_rate" -> TextQueries.bigramEntropyRateSql,
+    "text_vocab_overlap" -> TextQueries.vocabOverlapSql(),
+    "docs_length_ks_pairs" -> TextQueries.lengthKsPairsSql,
     "text_lang_guess" -> TextQueries.langGuessConfusionSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_scrub_pii" -> TextQueries.scrubPiiSql,

@@ -2726,6 +2726,167 @@ object TextQueries {
     * distributed TakeOrderedAndProject on the corpus vocabulary; all
     * later stages are K·|sources|²-bounded with broadcast grids.
     */
+  // --- cross-lingual vocabulary overlap ------------------------------------
+  /** Top-K vocabulary Jaccard for every language pair — the
+    * cross-lingual sharing read a tokenizer team makes before sizing a
+    * multilingual vocab (high overlap ⇒ shared subwords amortize;
+    * disjoint scripts ⇒ per-lang budget): per language the top-`topK`
+    * terms by frequency (count desc, then term — fully deterministic),
+    * then |A∩B| / |A∪B| per unordered pair.
+    *
+    * Exactness: term counts are integers, the top-K cut is a
+    * lang-PARTITIONED rank (never a global window), set sizes are
+    * exact COUNTs, Jaccard is one IEEE division of exact integers.
+    *
+    * Scale: one map-side-combined (lang, term) fold; the rank's
+    * exchange carries (lang, term, count) — vocabulary-sized, not
+    * corpus-sized; the pair join runs on |langs|·topK rows
+    * (metadata at any corpus size).
+    */
+  def vocabOverlap(s: SparkSession, dir: String, topK: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    val top = docs(s, dir)
+      .select(col("lang"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("lang"), col("term"))
+    val a = top.select(col("lang").as("lang_a"), col("term"))
+    val b = top.select(col("lang").as("lang_b"), col("term"))
+    val sizes = top.groupBy(col("lang")).agg(count(lit(1)).as("k"))
+    val inter = a.join(b, Seq("term"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val grid = sizes.select(col("lang").as("lang_a"), col("k").as("k_a"))
+      .join(sizes.select(col("lang").as("lang_b"), col("k").as("k_b")),
+        col("lang_a") < col("lang_b"))
+    grid.join(inter, Seq("lang_a", "lang_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("lang_a"), col("lang_b"), col("k_a"), col("k_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("k_a") + col("k_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  def vocabOverlapSql(topK: Int = 200): String =
+    s"""WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT lang, term, COUNT(*) AS n FROM tok
+      |        WHERE len(term) > 0 GROUP BY lang, term),
+      |top AS (
+      |  SELECT lang, term FROM (
+      |    SELECT lang, term,
+      |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      |    FROM cnt) r
+      |  WHERE rnk <= $topK),
+      |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS k FROM top GROUP BY lang),
+      |inter AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM top a JOIN top b ON a.term = b.term AND a.lang < b.lang
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+      |         sa.k AS k_a, sb.k AS k_b
+      |  FROM sz sa JOIN sz sb ON sa.lang < sb.lang)
+      |SELECT lang_a, lang_b, k_a, k_b,
+      |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(COALESCE(n_shared, 0) AS DOUBLE)
+      |    / CAST(k_a + k_b - COALESCE(n_shared, 0) AS DOUBLE) AS jaccard
+      |FROM grid LEFT JOIN inter USING (lang_a, lang_b)
+      |ORDER BY lang_a, lang_b""".stripMargin
+
+  // --- pairwise length-distribution KS ---------------------------------------
+  /** Exact two-sample Kolmogorov–Smirnov distance between every pair
+    * of languages' token-length distributions — the corpus-composition
+    * drift matrix (which language subcorpora have structurally
+    * different document shapes, the upstream read behind per-lang
+    * packing/chunking choices). For each unordered pair, D =
+    * max |F̂_a − F̂_b| over the merged length grid, computed on the
+    * exact integer lattice |cumA·n_b − cumB·n_a| (the [[graft.queries.Drift.ks]]
+    * discipline, per pair), so the matrix hash-matches despite being
+    * a supremum over empirical CDFs.
+    *
+    * Scale: the corpus folds once to (lang, n_tok) counts
+    * (vocabulary-of-lengths-sized); the pair expansion and cumsum
+    * windows run PARTITIONED by pair over that bounded grid —
+    * |langs|²·|distinct lengths| rows, never corpus-sized.
+    */
+  def lengthKsPairs(s: SparkSession, dir: String): DataFrame = {
+    val lens = docs(s, dir)
+      .select(col("lang"), size(words).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+    val tot = lens.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val a = lens.select(col("lang").as("lang_a"), col("n_tok"), col("c").as("ca"))
+    val b = lens.select(col("lang").as("lang_b"), col("n_tok"), col("c").as("cb"))
+    // merged per-pair length grid: full outer on n_tok within each pair
+    val pairGrid = tot.select(col("lang").as("lang_a"), col("n").as("na"))
+      .join(tot.select(col("lang").as("lang_b"), col("n").as("nb")),
+        col("lang_a") < col("lang_b"))
+    val merged = pairGrid
+      .crossJoin(lens.select(col("n_tok")).distinct())
+      .join(a, Seq("lang_a", "n_tok"), "left")
+      .join(b, Seq("lang_b", "n_tok"), "left")
+      .select(col("lang_a"), col("lang_b"), col("na"), col("nb"), col("n_tok"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .filter(col("ca") > 0L || col("cb") > 0L)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_a"), col("lang_b")).orderBy(col("n_tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    merged
+      .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
+        sum(col("ca")).over(wCum).as("cumA"),
+        sum(col("cb")).over(wCum).as("cumB"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cumA") * col("nb") - col("cumB") * col("na")))
+          .as("d_scaled"))
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("d_scaled"),
+        (col("d_scaled").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  val lengthKsPairsSql: String =
+    """WITH lens AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY lang, n_tok),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lens GROUP BY lang),
+      |grid AS (
+      |  SELECT ta.lang AS lang_a, tb.lang AS lang_b, ta.n AS na, tb.n AS nb
+      |  FROM tot ta JOIN tot tb ON ta.lang < tb.lang),
+      |lg AS (SELECT DISTINCT n_tok FROM lens),
+      |merged AS (
+      |  SELECT g.lang_a, g.lang_b, g.na, g.nb, lg.n_tok,
+      |    COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      |  FROM grid g CROSS JOIN lg
+      |  LEFT JOIN lens a ON a.lang = g.lang_a AND a.n_tok = lg.n_tok
+      |  LEFT JOIN lens b ON b.lang = g.lang_b AND b.n_tok = lg.n_tok
+      |  WHERE COALESCE(a.c, 0) > 0 OR COALESCE(b.c, 0) > 0),
+      |cum AS (
+      |  SELECT lang_a, lang_b, na, nb,
+      |    CAST(SUM(ca) OVER (PARTITION BY lang_a, lang_b ORDER BY n_tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumA,
+      |    CAST(SUM(cb) OVER (PARTITION BY lang_a, lang_b ORDER BY n_tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumB
+      |  FROM merged)
+      |SELECT lang_a, lang_b, MAX(na) AS n_a, MAX(nb) AS n_b,
+      |  CAST(MAX(ABS(cumA * nb - cumB * na)) AS BIGINT) AS d_scaled,
+      |  CAST(MAX(ABS(cumA * nb - cumB * na)) AS DOUBLE)
+      |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks
+      |FROM cum GROUP BY lang_a, lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   def sourceJsd(s: SparkSession, dir: String, topK: Int = 500): DataFrame = {
     val lnMicro = (c: Column) =>
       round(log(c.cast("double")) * lit(1e6)).cast("long")

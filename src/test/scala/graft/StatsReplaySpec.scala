@@ -2261,6 +2261,53 @@ class StatsReplaySpec extends SparkSpec {
       - (row.getDouble(2) - em) / math.sqrt(vr)) < 1e-9, "z chain")
   }
 
+  test("vocabOverlap: exact set-arithmetic replay of the top-K cut") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val top = toks.groupBy(_._1).view.mapValues { ws =>
+      ws.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(200).map(_._1).toSet
+    }.toMap
+    val rows = TextQueries.vocabOverlap(spark, sf).collect()
+    val langs = top.keys.toSeq.sorted
+    val expectPairs = for {
+      i <- langs.indices; j <- (i + 1) until langs.length
+    } yield (langs(i), langs(j))
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq
+      == expectPairs, "pair grid")
+    for (r <- rows) {
+      val (a, b) = (top(r.getString(0)), top(r.getString(1)))
+      assert(r.getLong(2) == a.size && r.getLong(3) == b.size)
+      assert(r.getLong(4) == (a & b).size,
+        s"${r.getString(0)}/${r.getString(1)} shared")
+      val jac = (a & b).size.toDouble / (a | b).size
+      assert(math.abs(r.getDouble(5) - jac) < 1e-12)
+    }
+  }
+
+  test("lengthKsPairs: brute-force two-sample KS replay per language pair") {
+    val lens = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = TextQueries.lengthKsPairs(spark, sf).collect()
+    for (r <- rows) {
+      val (xa, xb) = (lens(r.getString(0)), lens(r.getString(1)))
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      assert(r.getLong(2) == na && r.getLong(3) == nb)
+      val grid = (xa ++ xb).distinct.sorted
+      val d = grid.map { v =>
+        math.abs(xa.count(_ <= v) * nb - xb.count(_ <= v) * na)
+      }.max
+      assert(r.getLong(4) == d,
+        s"${r.getString(0)}/${r.getString(1)} D ${r.getLong(4)} != replay $d")
+      assert(math.abs(r.getDouble(5) - d.toDouble / (na.toDouble * nb.toDouble)) < 1e-15)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("bigramEntropyRate: plain-double conditional-entropy replay per lang") {
     val docsRows = Tables.load(spark, sf, "documents")
       .select(col("lang"), col("text")).collect()
