@@ -2746,13 +2746,17 @@ object TextQueries {
   def vocabOverlap(s: SparkSession, dir: String, topK: Int = 200): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
-    val top = docs(s, dir)
+    // materialized: three consumers (both join sides + sizes) would
+    // otherwise each re-run the corpus fold — at 100 TB that is the
+    // difference between one scan and three; the checkpointed frame is
+    // |langs|·topK rows
+    val top = graft.Graft.materialize(docs(s, dir)
       .select(col("lang"), explode(words).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
-      .select(col("lang"), col("term"))
+      .select(col("lang"), col("term")))
     val a = top.select(col("lang").as("lang_a"), col("term"))
     val b = top.select(col("lang").as("lang_b"), col("term"))
     val sizes = top.groupBy(col("lang")).agg(count(lit(1)).as("k"))
@@ -2818,9 +2822,12 @@ object TextQueries {
     * |langs|²·|distinct lengths| rows, never corpus-sized.
     */
   def lengthKsPairs(s: SparkSession, dir: String): DataFrame = {
-    val lens = docs(s, dir)
+    // materialized: four consumers (two join sides, totals, the
+    // distinct length grid) — one corpus scan instead of four; the
+    // checkpointed frame is (lang, distinct length)-sized
+    val lens = graft.Graft.materialize(docs(s, dir)
       .select(col("lang"), size(words).cast("long").as("n_tok"))
-      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c")))
     val tot = lens.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val a = lens.select(col("lang").as("lang_a"), col("n_tok"), col("c").as("ca"))
     val b = lens.select(col("lang").as("lang_b"), col("n_tok"), col("c").as("cb"))
