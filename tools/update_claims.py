@@ -45,11 +45,23 @@ def registry_size():
 
 
 def newest_driver_artifact():
-    """(path, round_no) of the newest CORRECTNESS_r*.json, or None."""
+    """(path, round_no) of the newest NON-EMPTY CORRECTNESS_r*.json, or
+    None. Empty artifacts are skipped: r15's arrived as `{}` (the bench
+    JVM died before the driver saw any rows), and citing it as "the
+    strongest evidence" would generate a 0/0 driver claim that reads as
+    zero coverage when the actual strongest driver evidence is the
+    previous round's."""
     best = None
     for p in glob.glob("CORRECTNESS_r*.json"):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p))
-        if m and (best is None or int(m.group(1)) > best[1]):
+        if not m:
+            continue
+        try:
+            if not json.load(open(p)):
+                continue
+        except Exception:
+            continue
+        if best is None or int(m.group(1)) > best[1]:
             best = (p, int(m.group(1)))
     return best
 
