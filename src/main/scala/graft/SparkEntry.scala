@@ -496,7 +496,7 @@ object SparkEntry {
     "dedup_prefix_jaccard" -> ((s, d) => TextQueries.dedupPrefixJaccard(s, d)),
     "dedup_components" -> (graft.llm.DedupClusters.dedupComponents _),
     "dedup_keep_best" -> (graft.llm.DedupClusters.dedupKeepBest _),
-    "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => MinHashDedup.nearDupPairsAudit(s, d)),
     "dedup_lsh_bucket_audit" ->
       ((s, d) => MinHashDedup.bucketConservationAudit(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatureAudit _),
@@ -508,7 +508,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => EmbeddingQueries.annIvfAudit(s, d)),
     "ann_pq_topk" -> ((s, d) => EmbeddingQueries.annPqAudit(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => EmbeddingQueries.annIvfPqAudit(s, d)),
-    "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLsh(s, d)),
+    "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLshAudit(s, d)),
     "embed_knn_graph" -> ((s, d) => EmbeddingQueries.knnGraph(s, d)),
     "embed_mmr_topk" -> ((s, d) => EmbeddingQueries.mmrTopK(s, d)),
     "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedup(s, d)),
@@ -567,29 +567,28 @@ object SparkEntry {
     *  2. '''Fixed-seed hash families DuckDB cannot replay''' — xxhash64
     *     MinHash permutations / SimHash planes / LSH band hashes aren't
     *     reproducible in portable SQL, but every reported PAIR passes an
-    *     exact verify stage: `dedup_minhash_lsh`
-    *     (DedupSpec recall vs `dedup_ngram_jaccard`'s ORACLE-CHECKED exact
-    *     Jaccard, precision, hot-bucket cap;
-    *     `dedup_minhash_signatures` graduated OUT in r15 — its registry
-    *     entry is the structural signature audit: shingle-total /
-    *     dup-text conservation recomputed by DuckDB from raw 3-grams
-    *     beside sig-length, order-invariance and identical-sets-sign-
-    *     identically violation counters pinned to 0), `dedup_lsh_bucket_audit`
-    *     (the cap's observability census over the same band hashes —
-    *     top-20 bucket sizes with over-cap drop counts; DedupSpec: a
-    *     planted 40-doc pile reports once per band with the exact
-    *     dropped count, the real corpus shows dropped_docs = 0
-    *     everywhere at the default cap; the REGISTERED spelling
-    *     graduated in r15 to the per-band conservation audit —
-    *     membership totals recomputed from raw text, drops pinned to
-    *     0 — while the top-k census detail stays this spec-pinned
-    *     API), `dedup_simhash` (DedupSpec),
-    *     `embed_neardup_lsh` (DedupSpec bucket-join plan + cosine verify),
+    *     exact verify stage, and as of r16 the two PAIR-EMITTING legs
+    *     graduated to recall-contract audits (the ANN-audit pattern):
+    *     `dedup_minhash_lsh`'s registry entry pins "every exact-Jaccard
+    *     ≥ 0.8 pair (DuckDB-recomputed via the oracle-checked
+    *     `dedup_ngram_jaccard` SQL) is reported" and "every reported
+    *     pair passed exact verify" as zero counters beside the exact
+    *     pair count/id checksum, and `embed_neardup_lsh`'s pins the
+    *     same contract against brute-force cosine ≥ 0.95 over the
+    *     bounded vec_id < 500 universe — the pair LISTS stay the
+    *     DedupSpec-pinned `nearDupPairs`/`nearDupLsh` APIs (recall vs
+    *     exact, precision, hot-bucket cap, bucket-join plan).
+    *     Still rows-only: `dedup_simhash` (DedupSpec),
     *     `embed_semdedup` (DedupSpec planted pair + cell-cap candidate
-    *     bound). (`decontaminate_bloom` graduated OUT of this class in
-    *     r12: its registry entry is now the structural-oracle audit —
-    *     exact columns + the contract-constant zero-miss column — so
-    *     the no-FN claim is driver-checked; the fpp bound stays in
+    *     bound — the keep/dup_of verdict depends on k-means cells, so
+    *     no fixed exact dual exists).
+    *     (Earlier graduations from this class: `dedup_minhash_signatures`
+    *     in r15 — the structural signature audit with shingle-total /
+    *     dup-text conservation and order-invariance counters;
+    *     `dedup_lsh_bucket_audit` in r15 — the per-band conservation
+    *     audit with drops pinned to 0, the top-k census staying the
+    *     spec-pinned API; `decontaminate_bloom` in r12 — exact columns
+    *     + the contract-constant zero-miss column, the fpp bound in
     *     SamplingSpec.)
     *  3. '''Iterative FP state (k-means / eigen / greedy)''' — the
     *     class FULLY GRADUATED in r16, two different ways.
@@ -992,6 +991,8 @@ object SparkEntry {
     "embed_intrinsic_dim" -> EmbeddingQueries.intrinsicDimSql(),
     "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
     "ann_ivf_topk" -> EmbeddingQueries.annAuditSql,
+    "dedup_minhash_lsh" -> graft.llm.MinHashDedup.nearDupPairsAuditSql,
+    "embed_neardup_lsh" -> EmbeddingQueries.nearDupLshAuditSql,
     "ann_pq_topk" -> EmbeddingQueries.annAuditSql,
     "ann_ivfpq_topk" -> EmbeddingQueries.annAuditSql,
     "embed_mmr_topk" -> EmbeddingQueries.mmrTopKSql,

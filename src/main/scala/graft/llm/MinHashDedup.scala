@@ -171,6 +171,54 @@ object MinHashDedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Registry spelling of `dedup_minhash_lsh` since r16 (the ANN-audit
+    * pattern): the LSH pair SET is fixed-seed-hash-dependent and not
+    * SQL-replayable, but its RECALL CONTRACT against the
+    * oracle-checked exact leg is — the exact-Jaccard ≥ 0.8 pair set
+    * (recomputed by DuckDB via the `dedup_ngram_jaccard` SQL, whose
+    * pairs at this corpus are planted near-identicals where 16×4
+    * banding misses with probability ≤ (1−s⁴)¹⁶ ≈ 1e-7) must be a
+    * subset of the reported pairs (`missed_true_pairs` pinned 0), and
+    * every reported pair carries an exact verified Jaccard ≥ the 0.5
+    * report threshold (`below_threshold_reported` pinned 0, the
+    * verify-stage contract). Those counters ride beside the exact
+    * pair count and id checksum DuckDB recomputes; the pair list
+    * itself stays the DedupSpec-pinned [[nearDupPairs]] API.
+    */
+  def nearDupPairsAudit(s: SparkSession, dir: String): DataFrame = {
+    val lsh = nearDupPairs(s, dir, minJaccard = 0.5)
+    val truePairs = graft.queries.TextQueries.dedupNgramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    // coalesce: an empty frame's sum is NULL, but the contract
+    // constant in the oracle is 0
+    val lshAgg = lsh.agg(
+      coalesce(sum(when(col("jaccard") < 0.5, 1L).otherwise(0L)), lit(0L))
+        .as("below_threshold_reported"))
+    truePairs
+      .join(lsh.select(col("a_id"), col("b_id"), lit(1L).as("hit")),
+        Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(col("a_id") + col("b_id")).as("true_pair_id_sum"),
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("missed_true_pairs"))
+      .crossJoin(broadcast(lshAgg))
+  }
+
+  /** DuckDB twin of [[nearDupPairsAudit]]: the exact ≥ 0.8 pair set
+    * from raw documents (same CTEs as the oracle-checked
+    * `dedup_ngram_jaccard`), the recall/verify counters as contract
+    * constants.
+    */
+  val nearDupPairsAuditSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+      |  CAST(SUM(a_id + b_id) AS BIGINT) AS true_pair_id_sum,
+      |  CAST(0 AS BIGINT) AS missed_true_pairs,
+      |  CAST(0 AS BIGINT) AS below_threshold_reported
+      |FROM (${graft.queries.TextQueries.dedupNgramJaccardSql
+               .replace("\n", "\n|  ")}) t
+      |WHERE jaccard >= 0.8""".stripMargin
+
   /** Oversize-(band, bucket) census — [[nearDupPairs]]'s cap made
     * observable. One row per (band, bucket) whose membership exceeds
     * `maxBucket`: (band, bucket, bucket_size, dropped_docs), largest

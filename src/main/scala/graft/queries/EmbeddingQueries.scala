@@ -264,6 +264,67 @@ object EmbeddingQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Registry spelling of `embed_neardup_lsh` since r16 (the ANN-audit
+    * pattern): the SRP bucket set is fixed-seed-hash-dependent, but
+    * the recall contract against brute-force cosine is checkable on a
+    * bounded universe — over vec_id < 500, every exact pair with
+    * cosine ≥ 0.95 (at this isotropic corpus only planted
+    * near-identicals reach 0.95, where an 8-band × 4-bit SRP miss has
+    * probability (θ/π)³²-ish ≲ 1e-7; random 64-dim cosines concentrate
+    * near 0) must appear in the reported pairs (`missed_true_pairs`
+    * pinned 0), and every reported pair carries a verified cosine ≥
+    * the 0.4 report threshold (`below_threshold_reported` pinned 0).
+    * Exact columns (pair count, id checksum) are recomputed by DuckDB
+    * from raw embeddings; the pair list stays the DedupSpec-pinned
+    * [[nearDupLsh]] API.
+    */
+  def nearDupLshAudit(s: SparkSession, dir: String): DataFrame = {
+    val lsh = nearDupLsh(s, dir)
+      .filter(col("a_id") < 500 && col("b_id") < 500)
+    val e = emb(s, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0)
+    val truePairs = broadcast(e.select(col("vec_id").as("a_id"),
+        col("v").as("a_v")))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")),
+        col("a_id") < col("b_id"))
+      .filter(cosine(col("a_v"), col("b_v")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+    // coalesce: an empty frame's sum is NULL, but the contract
+    // constant in the oracle is 0
+    val lshAgg = lsh.agg(
+      coalesce(sum(when(col("cos") < 0.4, 1L).otherwise(0L)), lit(0L))
+        .as("below_threshold_reported"))
+    truePairs
+      .join(lsh.select(col("a_id"), col("b_id"), lit(1L).as("hit")),
+        Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(col("a_id") + col("b_id")).as("true_pair_id_sum"),
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("missed_true_pairs"))
+      .crossJoin(broadcast(lshAgg))
+  }
+
+  /** DuckDB twin of [[nearDupLshAudit]] — brute-force cosine ≥ 0.95
+    * pairs over the bounded vec_id < 500 universe.
+    */
+  val nearDupLshAuditSql: String =
+    """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE vec_id < 500
+      |              AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.95)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+      |  CAST(SUM(a_id + b_id) AS BIGINT) AS true_pair_id_sum,
+      |  CAST(0 AS BIGINT) AS missed_true_pairs,
+      |  CAST(0 AS BIGINT) AS below_threshold_reported
+      |FROM p""".stripMargin
+
   // --- semantic dedup: cluster-then-prune --------------------------------------
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings, then within
