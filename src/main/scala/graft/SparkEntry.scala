@@ -24,23 +24,52 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** Self-contained reference-parity demo: fixture payloads (the byte
-    * payload from /root/reference/tests/tests.py:83 plus a bad-rows file)
-    * -> raw zone -> batch ingest (H1-H3 semantics) -> interval query.
+  /** Deterministic raw-zone fixture shared by the dolar e2e pair AND
+    * their DuckDB oracle: the same two payloads (the byte payload from
+    * /root/reference/tests/tests.py:83 plus a bad-rows file), staged
+    * byte-identically under a FIXED path on every run so the oracle can
+    * `read_text` the very files the Spark pipeline ingested. r17
+    * graduation: the per-run tmp dir was the only reason the e2e pair
+    * was rows-only (adjudicated class 4 through r16).
     */
-  private def dolarE2e(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_dolar_e2e")
-    val raw = tmp.resolve("raw").toString
-    val _ = RawZone.write(raw, 1704164645L,
+  private[graft] val E2eFixtureDir: String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_fixtures", "dolar_e2e", "raw").toString
+
+  private val E2eGoodEpoch = 1704164645L
+  private val E2eBadRowsEpoch = 1704164646L
+
+  private[graft] def stageE2eFixture(): String = {
+    val _ = RawZone.write(E2eFixtureDir, E2eGoodEpoch,
       """[["1757509256000","3920.12"],["1757509266000","3921.55"]]""")
     // one corrupt row (bad valor), one wrong arity — dropped + counted
-    val _ = RawZone.write(raw, 1704164646L,
+    val _ = RawZone.write(E2eFixtureDir, E2eBadRowsEpoch,
       """[["1757509276000","abc"],["1757509286000","3922.77"],["x"]]""")
+    // a stale glob-matching file from an older fixture version would
+    // silently widen both engines' inputs — drop anything not staged here
+    val keep = Set(RawZone.key(E2eGoodEpoch), RawZone.key(E2eBadRowsEpoch))
+    val dir = java.nio.file.Paths.get(E2eFixtureDir)
+    val listing = Files.list(dir)
+    try listing.forEach { p =>
+      val n = p.getFileName.toString
+      if (RawZone.matchesKey(n) && !keep(n)) { val _ = Files.deleteIfExists(p) }
+    } finally listing.close()
+    E2eFixtureDir
+  }
+
+  /** Self-contained reference-parity demo: staged fixture payloads
+    * -> raw zone -> batch ingest (H1-H3 semantics) -> interval query,
+    * formatted at the serving edge (F2). Hash-checked since r17 against
+    * DuckDB replaying the SAME staged files ([[dolarE2eSql]]).
+    */
+  private def dolarE2e(s: SparkSession, dir: String): DataFrame = {
+    val raw = stageE2eFixture()
+    val tmp = Files.createTempDirectory("graft_dolar_e2e")
     val dest = tmp.resolve("dolar").toString
     val _ = DolarIngest.batchToPath(s, raw, dest)
-    IntervalQuery.over(s.read.parquet(dest),
+    IntervalQuery.formatted(IntervalQuery.over(s.read.parquet(dest),
       LocalDateTime.parse("2025-09-10T00:00:00"),
-      LocalDateTime.parse("2025-09-11T00:00:00"))
+      LocalDateTime.parse("2025-09-11T00:00:00")))
   }
 
   /** STREAMING spelling of [[dolarE2e]] — the reference's one real
@@ -50,25 +79,80 @@ object SparkEntry {
     * (A4/A5), `Trigger.AvailableNow` drain (G1), checkpointed
     * exactly-once foreachBatch (G3), per-microbatch atomicity (G5),
     * corrupt-row drop + bad-file fail semantics (H1/H2) — then the same
-    * inclusive interval query as the batch twin. Rows-only by the
-    * class-4 adjudication (the tmp raw zone is a local fixture DuckDB
-    * cannot see); StreamingSpec pins the stream/batch output equality
-    * and checkpoint-replay exactly-once.
+    * inclusive interval query as the batch twin. Hash-checked since r17
+    * ([[dolarE2eSql]] over the staged fixture); StreamingSpec pins the
+    * stream/batch output equality and checkpoint-replay exactly-once.
     */
   private def dolarE2eStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = stageE2eFixture()
     val tmp = Files.createTempDirectory("graft_dolar_e2e_stream")
-    val raw = tmp.resolve("raw").toString
-    val _ = RawZone.write(raw, 1704164645L,
-      """[["1757509256000","3920.12"],["1757509266000","3921.55"]]""")
-    val _ = RawZone.write(raw, 1704164646L,
-      """[["1757509276000","abc"],["1757509286000","3922.77"],["x"]]""")
     val dest = tmp.resolve("dolar").toString
     DolarIngest.stream(s, raw, dest, tmp.resolve("chk").toString)
       .awaitTermination()
-    IntervalQuery.over(s.read.parquet(dest),
+    IntervalQuery.formatted(IntervalQuery.over(s.read.parquet(dest),
       LocalDateTime.parse("2025-09-10T00:00:00"),
-      LocalDateTime.parse("2025-09-11T00:00:00"))
+      LocalDateTime.parse("2025-09-11T00:00:00")))
   }
+
+  /** G2 in its CONTINUOUS spelling: the same raw-zone stream driven by
+    * `Trigger.ProcessingTime` instead of the batch-parity AvailableNow
+    * drain — the reference's on-file-arrival mode
+    * (/root/reference/lambda/zappa_settings.json:49-57) where the query
+    * stays up and each new object lands in a later microbatch. The
+    * two-batch choreography is deterministic: file 1 is fully drained
+    * (`processAllAvailable`) BEFORE file 2 is written, so the files
+    * cannot share a microbatch; StreamingSpec pins exactly two
+    * non-empty microbatches and the same output as the batch twin.
+    * Rows-only (class 4: the per-run tmp zone exists to exercise the
+    * live trigger, and the result duplicates the oracle-checked
+    * [[dolarE2eStream]] rows).
+    */
+  private def dolarE2eStreamPt(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_dolar_e2e_pt")
+    val raw = tmp.resolve("raw").toString
+    val dest = tmp.resolve("dolar").toString
+    val _ = RawZone.write(raw, E2eGoodEpoch,
+      """[["1757509256000","3920.12"],["1757509266000","3921.55"]]""")
+    val q = DolarIngest.stream(s, raw, dest, tmp.resolve("chk").toString,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable() // microbatch 1: file 1 alone
+      val _ = RawZone.write(raw, E2eBadRowsEpoch,
+        """[["1757509276000","abc"],["1757509286000","3922.77"],["x"]]""")
+      q.processAllAvailable() // microbatch 2: file 2, on a later tick
+    } finally q.stop()
+    IntervalQuery.formatted(IntervalQuery.over(s.read.parquet(dest),
+      LocalDateTime.parse("2025-09-10T00:00:00"),
+      LocalDateTime.parse("2025-09-11T00:00:00")))
+  }
+
+  /** DuckDB twin of the dolar e2e pair: replay the SAME staged raw-zone
+    * files ([[stageE2eFixture]] wrote them before the Spark result was
+    * dumped; Verify emits this SQL afterwards, so the files exist and
+    * are byte-stable when the oracle runs) through DuckDB's JSON
+    * functions — glob filter (A5), array-of-arrays parse (A6), per-row
+    * arity/convert predicate (B4/H2), second truncation (F1), decimal
+    * cast (F3), inclusive interval (B2), sort (C1), format (F2).
+    */
+  private val dolarE2eSql: String =
+    s"""WITH files AS (
+       |  SELECT content FROM read_text('$E2eFixtureDir/dolar-*.json')
+       |), pairs AS (
+       |  SELECT unnest(from_json(content, '["JSON"]')) AS pair FROM files
+       |), rows_ AS (
+       |  SELECT date_trunc('second',
+       |           epoch_ms(TRY_CAST(json_extract_string(pair, '$$[0]') AS BIGINT))) AS ts,
+       |         TRY_CAST(json_extract_string(pair, '$$[1]') AS DECIMAL(12,4)) AS v,
+       |         json_array_length(pair) AS arity
+       |  FROM pairs
+       |)
+       |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS fechahora,
+       |       CAST(v AS DOUBLE) AS valor
+       |FROM rows_
+       |WHERE arity = 2 AND ts IS NOT NULL AND v IS NOT NULL
+       |  AND ts >= TIMESTAMP '2025-09-10 00:00:00'
+       |  AND ts <= TIMESTAMP '2025-09-11 00:00:00'
+       |ORDER BY fechahora""".stripMargin
 
   /** Wire fixture for the oracle-checked reference-parity query: two good
     * pairs, a bad valor, a wrong-arity row, an over-arity row, and one
@@ -123,6 +207,7 @@ object SparkEntry {
     // reference parity
     "dolar_e2e_interval" -> (dolarE2e _),
     "dolar_e2e_stream" -> (dolarE2eStream _),
+    "dolar_e2e_stream_pt" -> (dolarE2eStreamPt _),
     "dolar_parity" -> (dolarParity _),
     "interval_events" -> (EventQueries.intervalEvents _),
     // relational: aggregation
@@ -464,7 +549,7 @@ object SparkEntry {
     "curation_pipeline" -> (TextQueries.curationPipeline _),
     "text_bpe_merge" -> (TextQueries.bpeMergeStep _),
     "text_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
-    "text_bpe_encode" -> ((s, d) => TextQueries.bpeEncode(s, d)),
+    "text_bpe_encode" -> ((s, d) => TextQueries.bpeEncodeAudit(s, d)),
     "text_perplexity" -> (TextQueries.perplexity _),
     "text_ccnet_buckets" -> (TextQueries.ccnetBuckets _),
     "text_tfidf_terms" -> (TextQueries.tfidfTerms _),
@@ -500,7 +585,7 @@ object SparkEntry {
     "dedup_lsh_bucket_audit" ->
       ((s, d) => MinHashDedup.bucketConservationAudit(s, d)),
     "dedup_minhash_signatures" -> (MinHashDedup.signatureAudit _),
-    "dedup_simhash" -> (SimHashDedup.fingerprints _),
+    "dedup_simhash" -> ((s, d) => SimHashDedup.nearDupPairsAudit(s, d)),
     // similarity search
     "ann_topk_cosine" -> (EmbeddingQueries.annTopK _),
     "embed_intrinsic_dim" -> ((s, d) => EmbeddingQueries.intrinsicDim(s, d)),
@@ -511,7 +596,7 @@ object SparkEntry {
     "embed_neardup_lsh" -> ((s, d) => EmbeddingQueries.nearDupLshAudit(s, d)),
     "embed_knn_graph" -> ((s, d) => EmbeddingQueries.knnGraph(s, d)),
     "embed_mmr_topk" -> ((s, d) => EmbeddingQueries.mmrTopK(s, d)),
-    "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedup(s, d)),
+    "embed_semdedup" -> ((s, d) => EmbeddingQueries.semDedupAudit(s, d)),
     "embed_centroid_by_label" -> (EmbeddingQueries.centroidByLabel _),
     "embed_silhouette" -> (EmbeddingQueries.silhouette _),
     "embed_norm_quantiles" -> (EmbeddingQueries.normQuantilesByLabel _),
@@ -578,10 +663,16 @@ object SparkEntry {
     *     bounded vec_id < 500 universe — the pair LISTS stay the
     *     DedupSpec-pinned `nearDupPairs`/`nearDupLsh` APIs (recall vs
     *     exact, precision, hot-bucket cap, bucket-join plan).
-    *     Still rows-only: `dedup_simhash` (DedupSpec),
-    *     `embed_semdedup` (DedupSpec planted pair + cell-cap candidate
-    *     bound — the keep/dup_of verdict depends on k-means cells, so
-    *     no fixed exact dual exists).
+    *     r17 closed the class: `dedup_simhash` graduated to the same
+    *     recall contract (every exact-Jaccard ≥ 0.8 pair reported by
+    *     the 4-table rotation probe, Hamming-verify leg pinned —
+    *     [[graft.llm.SimHashDedup.nearDupPairsAudit]]), and
+    *     `embed_semdedup` to a three-way geometric contract
+    *     (precision vs the DuckDB-recomputed global shadow set,
+    *     witness re-verify, uncapped in-cell min-keep completeness —
+    *     [[graft.queries.EmbeddingQueries.semDedupAudit]]); the
+    *     fingerprint / per-vector verdict lists stay the
+    *     DedupSpec/EmbeddingSpec-pinned APIs.
     *     (Earlier graduations from this class: `dedup_minhash_signatures`
     *     in r15 — the structural signature audit with shingle-total /
     *     dup-text conservation and order-invariance counters;
@@ -611,18 +702,27 @@ object SparkEntry {
     *     SFs, orthonormality, variance-vs-eigenvalue agreement).
     *  4. '''Engine introspection / local fixtures''' — `compaction_plan`
     *     reads Spark's physical file listing (no DuckDB analogue;
-    *     CompactionSpec bins are exact), `dolar_e2e_interval` and its
-    *     r16 streaming twin `dolar_e2e_stream` (the G1-G5 Structured
-    *     Streaming path in the driver harness) materialize tmp
-    *     raw-zone fixtures DuckDB can't see; their wire-literal twin
-    *     `dolar_parity` IS oracle-checked, so the e2e entries only add
-    *     the ingest-path side effects (IngestSpec/StreamingSpec,
-    *     including stream/batch output equality).
-    *  5. '''Algorithm-internal artifacts''' — `text_bpe_train`/
-    *     `text_bpe_encode` emit the merge table/token stream of an
-    *     iterative trainer (AnalyticsOpsSpec: independent merge-round
-    *     induction, char conservation, round-trip; the scorable step
-    *     `text_bpe_merge` IS oracle-checked);
+    *     CompactionSpec bins are exact). The dolar e2e pair GRADUATED
+    *     in r17: `dolar_e2e_interval`/`dolar_e2e_stream` now stage
+    *     their raw-zone fixture at a deterministic path
+    *     ([[stageE2eFixture]]) and are hash-checked against DuckDB
+    *     `read_text`-ing the SAME files ([[dolarE2eSql]]) — the
+    *     reference's one real pipeline is oracle-checked end to end.
+    *     Still class 4: `dolar_e2e_stream_pt`, the
+    *     Trigger.ProcessingTime spelling — its per-run tmp zone exists
+    *     to exercise the LIVE trigger choreography (two real
+    *     microbatches), and its rows duplicate the oracle-checked
+    *     stream twin; StreamingSpec pins the two-batch drain.
+    *  5. '''Algorithm-internal artifacts''' — `text_bpe_train` emits
+    *     the merge table of an iterative trainer (AnalyticsOpsSpec:
+    *     independent merge-round induction; the scorable step
+    *     `text_bpe_merge` IS oracle-checked, and `text_bpe_encode`
+    *     graduated in r17 to a round-trip/conservation contract —
+    *     corpus vocabulary and character mass recomputed by DuckDB
+    *     beside full-outer-join round-trip and residual-merge-pair
+    *     violation counters pinned to 0
+    *     ([[graft.queries.TextQueries.bpeEncodeAudit]]); the token
+    *     histogram stays the AnalyticsOpsSpec-pinned `bpeEncode` API);
     *     `multimodal_decode_stub`/`multimodal_frame_sample` run the
     *     codec seam over opaque binary (MultimodalSpec planted
     *     fixtures; the CDC chunk family graduated to structural
@@ -640,6 +740,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "dolar_parity" -> dolarParitySql,
+    "dolar_e2e_interval" -> dolarE2eSql,
+    "dolar_e2e_stream" -> dolarE2eSql,
     "interval_events" -> EventQueries.intervalEventsSql,
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
     "agg_orders_by_priority" -> Relational.aggOrdersByPrioritySql,
@@ -984,6 +1086,7 @@ object SparkEntry {
     "dedup_exact_substring" -> TextQueries.exactSubstringDedupSql,
     "dedup_cluster_sizes" -> TextQueries.dedupClusterSizesSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "text_bpe_encode" -> TextQueries.bpeEncodeAuditSql,
     "dedup_prefix_jaccard" -> TextQueries.dedupPrefixJaccardSql,
     "dedup_components" -> graft.llm.DedupClusters.dedupComponentsSql,
     "dedup_keep_best" -> graft.llm.DedupClusters.dedupKeepBestSql,
@@ -992,7 +1095,9 @@ object SparkEntry {
     "ann_topk_cosine_i8" -> EmbeddingQueries.annTopKI8Sql,
     "ann_ivf_topk" -> EmbeddingQueries.annAuditSql,
     "dedup_minhash_lsh" -> graft.llm.MinHashDedup.nearDupPairsAuditSql,
+    "dedup_simhash" -> graft.llm.SimHashDedup.nearDupPairsAuditSql,
     "embed_neardup_lsh" -> EmbeddingQueries.nearDupLshAuditSql,
+    "embed_semdedup" -> EmbeddingQueries.semDedupAuditSql,
     "ann_pq_topk" -> EmbeddingQueries.annAuditSql,
     "ann_ivfpq_topk" -> EmbeddingQueries.annAuditSql,
     "embed_mmr_topk" -> EmbeddingQueries.mmrTopKSql,

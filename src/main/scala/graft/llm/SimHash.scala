@@ -141,4 +141,62 @@ object SimHashDedup {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), simhash64(col("text")).as("simhash")),
       maxHamming)
+
+  /** Registry spelling of `dedup_simhash` since r17 (the
+    * [[MinHashDedup.nearDupPairsAudit]] recall-contract pattern,
+    * VERDICT r16 item 2): the fingerprints themselves are
+    * FNV-1a-dependent and not SQL-replayable, but the detector's
+    * RECALL CONTRACT against the oracle-checked exact leg is — every
+    * exact 3-gram-Jaccard ≥ 0.8 pair (recomputed by DuckDB via the
+    * `dedup_ngram_jaccard` SQL) must be reported by the 4-table
+    * rotation probe at `maxHamming` (`missed_true_pairs` pinned 0),
+    * and no reported pair may exceed the Hamming threshold
+    * (`over_threshold_reported` pinned 0, the verify-stage
+    * consistency leg). The probability argument: planted
+    * near-identicals share almost every token, so per bit the vote
+    * margin flips only where the few differing tokens outvote the
+    * shared mass — empirically the true pairs at both gate SFs sit at
+    * Hamming ≤ 3, inside the band where the 4 disjoint 16-bit windows
+    * GUARANTEE a collision (pigeonhole, see [[ProbeTables]]); the
+    * 0.8-Jaccard → small-Hamming link itself is the corpus property
+    * this pin makes observable (a drifting corpus turns the gate red
+    * rather than silently losing recall). Exact columns (pair count,
+    * id checksum) are recomputed by DuckDB from raw text; the pair
+    * list and fingerprint APIs stay DedupSpec-pinned
+    * ([[nearDupPairs]], [[fingerprints]]).
+    */
+  def nearDupPairsAudit(s: SparkSession, dir: String,
+                        maxHamming: Int = 8): DataFrame = {
+    val pairs = nearDupPairs(s, dir, maxHamming)
+    val truePairs = graft.queries.TextQueries.dedupNgramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    // coalesce: an empty frame's sum is NULL, but the contract
+    // constant in the oracle is 0
+    val verify = pairs.agg(
+      coalesce(sum(when(col("hamming") > maxHamming, 1L).otherwise(0L)), lit(0L))
+        .as("over_threshold_reported"))
+    truePairs
+      .join(pairs.select(col("a_id"), col("b_id"), lit(1L).as("hit")),
+        Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(col("a_id") + col("b_id")).as("true_pair_id_sum"),
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("missed_true_pairs"))
+      .crossJoin(broadcast(verify))
+  }
+
+  /** DuckDB twin of [[nearDupPairsAudit]]: the exact ≥ 0.8 pair set
+    * from raw documents (same CTEs as the oracle-checked
+    * `dedup_ngram_jaccard`), the recall/verify counters as contract
+    * constants.
+    */
+  val nearDupPairsAuditSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+      |  CAST(SUM(a_id + b_id) AS BIGINT) AS true_pair_id_sum,
+      |  CAST(0 AS BIGINT) AS missed_true_pairs,
+      |  CAST(0 AS BIGINT) AS over_threshold_reported
+      |FROM (${graft.queries.TextQueries.dedupNgramJaccardSql
+               .replace("\n", "\n|  ")}) t
+      |WHERE jaccard >= 0.8""".stripMargin
 }

@@ -279,7 +279,13 @@ object EmbeddingQueries {
     * [[nearDupLsh]] API.
     */
   def nearDupLshAudit(s: SparkSession, dir: String): DataFrame = {
-    val lsh = nearDupLsh(s, dir)
+    // precision leg over the FULL reported pair set (r16 ADVICE: the
+    // bounded filter below exists only for the brute-force RECALL leg;
+    // the verify-stage contract "every reported pair carries cosine ≥
+    // the report threshold" must cover pairs outside that universe too
+    // — it is a cheap aggregate over already-produced pairs)
+    val lshFull = nearDupLsh(s, dir)
+    val lsh = lshFull
       .filter(col("a_id") < 500 && col("b_id") < 500)
     val e = emb(s, dir)
       .filter(col("vec_id") < 500)
@@ -293,7 +299,7 @@ object EmbeddingQueries {
       .select(col("a_id"), col("b_id"))
     // coalesce: an empty frame's sum is NULL, but the contract
     // constant in the oracle is 0
-    val lshAgg = lsh.agg(
+    val lshAgg = lshFull.agg(
       coalesce(sum(when(col("cos") < 0.4, 1L).otherwise(0L)), lit(0L))
         .as("below_threshold_reported"))
     truePairs
@@ -393,6 +399,117 @@ object EmbeddingQueries {
         col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy(col("vec_id"))
   }
+
+  /** Registry spelling of `embed_semdedup` since r17 (the
+    * [[nearDupLshAudit]] bounded-universe contract pattern, VERDICT
+    * r16 item 2): the keep/dup_of verdict depends on k-means cells
+    * (engine-specific), but three geometric contracts are checkable
+    * against raw embeddings over the vec_id < 500 universe:
+    *
+    *   - '''precision''' (`pruned_without_global_witness` pinned 0):
+    *     a pruned vector's in-cell tau-neighbor is in particular a
+    *     GLOBAL lower-id tau-neighbor, so every pruned vector must lie
+    *     in the brute-force global shadow set DuckDB recomputes;
+    *   - '''witness validity''' (`witness_below_tau` pinned 0): each
+    *     pruned vector's reported `dup_of` must itself verify at
+    *     cosine ≥ tau when recomputed from the raw table — an
+    *     id-keyed re-join, independent of the capped candidate path;
+    *   - '''min-keep completeness''' (`kept_with_incell_shadow`
+    *     pinned 0): no kept vector may have a lower-id tau-neighbor in
+    *     its OWN cell — recomputed here as an uncapped brute-force
+    *     in-cell pair scan over the bounded slice (every lower-id
+    *     cell-mate of a bounded vector is itself bounded, so the slice
+    *     is exact, and at default maxCell the capped path coincides).
+    *
+    * Those counters ride beside the exact columns DuckDB recomputes
+    * from raw embeddings (bounded-universe size, global shadow-set
+    * count and id checksum). The per-vector verdict list stays the
+    * DedupSpec/EmbeddingSpec-pinned [[semDedup]] API.
+    */
+  def semDedupAudit(s: SparkSession, dir: String,
+                    tau: Double = 0.9): DataFrame = {
+    val verdicts = semDedup(s, dir, tau = tau)
+      .filter(col("vec_id") < 500)
+    val e = emb(s, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0)
+      .withColumn("nrm", norm(col("v")))
+    val pairCos = (dot(col("a_v"), col("b_v")) /
+      (col("a_nrm") * col("b_nrm"))).as("cos")
+    // exact global shadow set: b is shadowed iff SOME lower-id a has
+    // cosine >= tau (brute force over the 500-vector universe)
+    val shadowed = broadcast(e.select(col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("nrm").as("a_nrm")))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_nrm")), col("a_id") < col("b_id"))
+      .select(col("b_id"), pairCos)
+      .filter(col("cos") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    // uncapped in-cell shadow set under the SAME codebook assignment
+    val codebook = trainCodebook(s, dir)
+    val cells = assignCells(e.select(col("vec_id"), col("v")), codebook)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+    val inCellShadowed = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("nrm").as("a_nrm"))
+      .join(cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("b_v"), col("nrm").as("b_nrm")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"), pairCos)
+      .filter(col("cos") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    val globalAgg = shadowed.agg(
+      count(lit(1)).as("n_shadowed"),
+      coalesce(sum(col("vec_id")), lit(0L)).as("shadowed_id_sum"))
+    // witness validity: recompute cosine(vec, dup_of) from the raw table
+    val witnessAgg = verdicts.filter(!col("keep"))
+      .select(col("vec_id").as("b_id"), col("dup_of").as("a_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_nrm")), Seq("b_id"))
+      .select(pairCos)
+      .agg(coalesce(sum(when(col("cos") < tau, 1L).otherwise(0L)), lit(0L))
+        .as("witness_below_tau"))
+    val verdictAgg = verdicts
+      .join(shadowed.withColumn("glob", lit(1L)), Seq("vec_id"), "left")
+      .join(inCellShadowed.withColumn("incell", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(!col("keep") && col("glob").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("pruned_without_global_witness"),
+        coalesce(sum(when(col("keep") && col("incell").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("kept_with_incell_shadow"))
+    verdictAgg
+      .crossJoin(broadcast(globalAgg))
+      .crossJoin(broadcast(witnessAgg))
+      .select(col("n_vecs"), col("n_shadowed"), col("shadowed_id_sum"),
+        col("pruned_without_global_witness"), col("witness_below_tau"),
+        col("kept_with_incell_shadow"))
+  }
+
+  /** DuckDB twin of [[semDedupAudit]] — the bounded-universe size and
+    * brute-force global shadow set recomputed from raw embeddings, the
+    * three violation counters as contract constants.
+    */
+  val semDedupAuditSql: String =
+    """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |            WHERE vec_id < 500
+      |              AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+      |sh AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nz) AS n_vecs,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_shadowed,
+      |  (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM sh)
+      |    AS shadowed_id_sum,
+      |  CAST(0 AS BIGINT) AS pruned_without_global_witness,
+      |  CAST(0 AS BIGINT) AS witness_below_tau,
+      |  CAST(0 AS BIGINT) AS kept_with_incell_shadow""".stripMargin
 
   /** Candidate (a_id, b_id, cos) pairs for [[semDedup]], a_id < b_id,
     * with the a-side restricted to each cell's `maxCell` lowest-id
@@ -903,13 +1020,16 @@ object EmbeddingQueries {
     */
   private def annApproxAudit(approx: DataFrame, exact: DataFrame,
                              metric: Column, metricAsc: Boolean,
-                             k: Int, minTotalHits: Int): DataFrame = {
+                             k: Int, recallFloor: Double): DataFrame = {
+    val wOrd = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val wAll = Window.partitionBy()
+    // n_q comes from the EXACT leg (the ground-truth query universe),
+    // so a query the approx leg dropped entirely cannot loosen the floor
     val ex = exact.groupBy(col("q_id")).agg(
       count(lit(1)).as("k_exact"),
       max(when(col("rank") === k, col("cos"))).as("exact_kth_cos"),
       sum(col("neighbor_id")).as("exact_id_sum"))
-    val wOrd = Window.partitionBy(col("q_id")).orderBy(col("rank"))
-    val wAll = Window.partitionBy()
+      .withColumn("n_q", count(lit(1)).over(wAll))
     val ap = approx
       .join(exact.select(col("q_id"), col("neighbor_id"),
         lit(1L).as("hit")), Seq("q_id", "neighbor_id"), "left")
@@ -921,14 +1041,20 @@ object EmbeddingQueries {
                  else col("prev_m") < metric, 1L).otherwise(0L))
           .as("ord_bad"))
       // the recall pin is AGGREGATE over the query set (a ≤5-row frame
-      // at this point — the global window is metadata-sized)
+      // at this point — the global window is metadata-sized); the floor
+      // is derived IN-FRAME from the exact leg's own query count (r16
+      // ADVICE: a hardcoded 35 silently encoded the 5-query × k=10
+      // shape — if the query universe or k changes, a constant floor
+      // misscales without any loud failure)
       .withColumn("total_hits", sum(col("n_hits")).over(wAll))
     ex.join(ap, Seq("q_id"))
       .select(col("q_id"), col("k_exact"), col("exact_kth_cos"),
         col("exact_id_sum"),
         when(col("n_returned") =!= k, 1L).otherwise(0L)
           .as("size_violations"),
-        when(col("total_hits") < minTotalHits, 1L).otherwise(0L)
+        when(col("total_hits") <
+            ceil(lit(recallFloor) * col("n_q") * lit(k)).cast("long"), 1L)
+          .otherwise(0L)
           .as("recall_floor_violations"),
         when(col("ord_bad") > 0, 1L).otherwise(0L)
           .as("rank_order_violations"))
@@ -940,21 +1066,21 @@ object EmbeddingQueries {
     */
   def annIvfAudit(s: SparkSession, dir: String): DataFrame =
     annApproxAudit(annIvfTopK(s, dir), annTopK(s, dir),
-      col("cos"), metricAsc = false, k = 10, minTotalHits = 35)
+      col("cos"), metricAsc = false, k = 10, recallFloor = 0.70)
 
   /** Registry spelling of `ann_pq_topk` since r16: the PQ-ADC +
     * exact-re-rank contract audit; PQ re-ranks by L2 `dist2` ascending.
     */
   def annPqAudit(s: SparkSession, dir: String): DataFrame =
     annApproxAudit(annPqTopK(s, dir), annTopK(s, dir),
-      col("dist2"), metricAsc = true, k = 10, minTotalHits = 35)
+      col("dist2"), metricAsc = true, k = 10, recallFloor = 0.70)
 
   /** Registry spelling of `ann_ivfpq_topk` since r16: the residual
     * IVF-PQ contract audit; ranks by L2 `dist2` ascending.
     */
   def annIvfPqAudit(s: SparkSession, dir: String): DataFrame =
     annApproxAudit(annIvfPqTopK(s, dir), annTopK(s, dir),
-      col("dist2"), metricAsc = true, k = 10, minTotalHits = 35)
+      col("dist2"), metricAsc = true, k = 10, recallFloor = 0.70)
 
   /** DuckDB twin of the three ANN audits — the exact-leg columns
     * recomputed from raw parquet (same CTEs as [[annTopKSql]]), the

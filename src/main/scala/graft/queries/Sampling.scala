@@ -339,10 +339,22 @@ object Sampling {
         sum(col("len")).as("s1"),
         sum(d18(col("len")) * d18(col("len"))).as("s2"))
       .select(col("lang"), col("n_pop"),
-        sqrt(col("s2").cast("string").cast("double")
+        // greatest(·, 0) BEFORE the sqrt (r16 ADVICE): a near-constant
+        // stratum's E[X²]−E[X]² can cancel to a tiny NEGATIVE double,
+        // and sqrt of that is NaN — which Spark's round().cast(long)
+        // silently maps to 0 while DuckDB's CAST(... AS BIGINT) errors.
+        // Clamped identically on both sides, a degenerate stratum gets
+        // sigma = 0 and alloc_n = 0 (the Neyman answer for a stratum
+        // with no variance; budget shifts to where the variance lives).
+        // All-constant-strata corner: w_total = 0 makes alloc_n NULL in
+        // Spark via `div` — documented, not reachable on a text corpus
+        // with any length variation.
+        sqrt(greatest(
+          col("s2").cast("string").cast("double")
             / col("n_pop").cast("double")
           - (col("s1").cast("double") / col("n_pop").cast("double"))
-            * (col("s1").cast("double") / col("n_pop").cast("double")))
+            * (col("s1").cast("double") / col("n_pop").cast("double")),
+          lit(0d)))
           .as("sigma_len"))
       .select(col("lang"), col("n_pop"), col("sigma_len"),
         round(col("n_pop").cast("double") * col("sigma_len") * lit(1e6))
@@ -366,9 +378,10 @@ object Sampling {
       |  FROM documents GROUP BY lang),
       |sg AS (
       |  SELECT lang, n_pop,
-      |    sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n_pop AS DOUBLE)
+      |    sqrt(greatest(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n_pop AS DOUBLE)
       |      - (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE))
-      |        * (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE))) AS sigma_len
+      |        * (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE)),
+      |      CAST(0 AS DOUBLE))) AS sigma_len
       |  FROM m),
       |w AS (
       |  SELECT lang, n_pop, sigma_len,

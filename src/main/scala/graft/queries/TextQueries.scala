@@ -2188,17 +2188,118 @@ object TextQueries {
     * union covers every word of the corpus exactly once.
     */
   private[graft] def encodedVocab(s: SparkSession, dir: String,
-                                  rounds: Int): DataFrame = {
-    val (_, trained) = bpeCore(s, dir, rounds)
+                                  rounds: Int): DataFrame =
+    encodedVocabWithRules(s, dir, rounds)._2
+
+  private[graft] def encodedVocabWithRules(s: SparkSession, dir: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (rules, trained) = bpeCore(s, dir, rounds)
     val shorts = docs(s, dir)
       .select(explode(words).as("word"))
       .filter(length(col("word")) === 1)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .select(col("word"), array(col("word")).as("syms"), col("n"))
-    trained
+    (rules, trained
       .select(concat_ws("", col("syms")).as("word"), col("syms"), col("n"))
-      .unionAll(shorts)
+      .unionAll(shorts))
   }
+
+  /** Registry spelling of `text_bpe_encode` since r17 (VERDICT r16
+    * item 2, the structural-audit pattern): the token stream depends on
+    * the adaptively-trained merge rules (no SQL dual), but the encode
+    * CONTRACT is checkable and its conserved inputs are recomputable
+    * from raw text:
+    *
+    *   - '''round-trip''' — decoding every encoded vocabulary word
+    *     (concatenating its symbols) must reproduce the corpus
+    *     vocabulary EXACTLY: `vocab_words_not_in_corpus`,
+    *     `corpus_words_not_in_vocab` (a full-outer word join against an
+    *     independently recomputed (word, count) table) and
+    *     `count_mismatches` all pinned 0 — any symbol corruption breaks
+    *     the join or the multiplicity;
+    *   - '''merges applied exhaustively''' —
+    *     `residual_pair_violations` pinned 0: no learned (a, b) rule
+    *     survives adjacent anywhere in the encoded vocabulary (the
+    *     greedy fold must have consumed every occurrence it is defined
+    *     to consume; checked with the rules as literals over adjacent
+    *     symbol pairs);
+    *   - exact columns DuckDB recomputes from `documents`:
+    *     `n_distinct_words`, `n_word_occurrences`, and
+    *     `total_char_mass` — the last computed Spark-side from the
+    *     TOKEN HISTOGRAM (Σ len(token)·count over [[bpeEncode]]'s
+    *     output), so the hash equality IS the character-conservation
+    *     law tying the emitted token stream to the raw corpus.
+    *
+    * The token histogram itself stays the AnalyticsOpsSpec-pinned
+    * [[bpeEncode]] API (independent merge-round induction, per-word
+    * round-trip, residual-pair absence at word grain).
+    */
+  def bpeEncodeAudit(s: SparkSession, dir: String,
+                     rounds: Int = 3): DataFrame = {
+    val (rules, vocab0) = encodedVocabWithRules(s, dir, rounds)
+    val vocab = graft.Graft.materialize(vocab0)
+    // independent raw (word, count) table — same fold the trainer used,
+    // but joined at WORD grain against the trainer's final state
+    val raw = docs(s, dir)
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_raw"))
+    // U+0001 as the pair separator: the corpus separator is ' ', so no
+    // token contains it, making the adjacency key collision-free
+    val ruleKeys = rules.map { case (_, a, b, _) => a + "\u0001" + b }
+    // sequence(1, 0) DESCENDS in Spark, so a single-symbol word (every
+    // 1-char word; any fully-merged word) needs the explicit empty case
+    val adjacent = expr(
+      """CASE WHEN size(syms) < 2 THEN array()
+        |ELSE transform(sequence(1, size(syms) - 1),
+        |  i -> concat(element_at(syms, i), char(1), element_at(syms, i + 1)))
+        |END""".stripMargin)
+    val joined = vocab
+      .withColumn("residual",
+        if (ruleKeys.isEmpty) lit(false)
+        else arrays_overlap(adjacent, typedLit(ruleKeys)))
+      .join(raw, Seq("word"), "full_outer")
+    val vocabAgg = joined.agg(
+      coalesce(sum(when(col("n_raw").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("vocab_words_not_in_corpus"),
+      coalesce(sum(when(col("n").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("corpus_words_not_in_vocab"),
+      coalesce(sum(when(col("n").isNotNull && col("n_raw").isNotNull &&
+        col("n") =!= col("n_raw"), 1L).otherwise(0L)), lit(0L))
+        .as("count_mismatches"),
+      coalesce(sum(when(col("residual"), 1L).otherwise(0L)), lit(0L))
+        .as("residual_pair_violations"),
+      count(col("n_raw")).as("n_distinct_words"),
+      coalesce(sum(col("n_raw")), lit(0L)).as("n_word_occurrences"))
+    // char conservation measured on the EMITTED token histogram
+    val hist = vocab
+      .select(explode(col("syms")).as("token"), col("n"))
+      .agg(coalesce(sum(length(col("token")).cast("long") * col("n")), lit(0L))
+        .as("total_char_mass"))
+    vocabAgg.crossJoin(broadcast(hist))
+      .select(col("n_distinct_words"), col("n_word_occurrences"),
+        col("total_char_mass"), col("vocab_words_not_in_corpus"),
+        col("corpus_words_not_in_vocab"), col("count_mismatches"),
+        col("residual_pair_violations"))
+  }
+
+  /** DuckDB twin of [[bpeEncodeAudit]] — the corpus vocabulary size,
+    * word mass and character mass recomputed from raw text, the four
+    * violation counters as contract constants.
+    */
+  val bpeEncodeAuditSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |f AS (SELECT word, COUNT(*) AS n FROM w
+      |      WHERE length(word) >= 1 GROUP BY word)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+      |  CAST(SUM(n) AS BIGINT) AS n_word_occurrences,
+      |  CAST(SUM(length(word) * n) AS BIGINT) AS total_char_mass,
+      |  CAST(0 AS BIGINT) AS vocab_words_not_in_corpus,
+      |  CAST(0 AS BIGINT) AS corpus_words_not_in_vocab,
+      |  CAST(0 AS BIGINT) AS count_mismatches,
+      |  CAST(0 AS BIGINT) AS residual_pair_violations
+      |FROM f""".stripMargin
 
   // --- TF-IDF top terms ----------------------------------------------------
   /** Per-document top-3 terms by TF-IDF — the other classic term-weight

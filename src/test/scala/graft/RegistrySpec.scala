@@ -61,6 +61,36 @@ class RegistrySpec extends SparkSpec {
         s"stale rows: ${stale.toSeq.sorted.mkString(",")} — rerun tools/gen_operators.py")
   }
 
+  test("README STATE cites the NEWEST populated driver correctness artifact") {
+    // r16 verdict item 4: the STATE block shipped citing CORRECTNESS_r14
+    // while a populated r16 artifact sat beside it (update_claims.py only
+    // ran at the PREVIOUS close). This pins the cited artifact filename
+    // to the newest non-empty CORRECTNESS_r*.json in the repo, so a
+    // round-open regeneration is now mandatory, not a habit.
+    val txt = readRepoFile("README.md")
+    val state = txt.substring(txt.indexOf("STATE:BEGIN"), txt.indexOf("STATE:END"))
+    val cited = """CORRECTNESS_r(\d+)\.json""".r.findFirstMatchIn(state)
+    val populated = new java.io.File(".").listFiles.toSeq
+      .map(_.getName)
+      .flatMap { n =>
+        """^CORRECTNESS_r(\d+)\.json$""".r.findFirstMatchIn(n)
+          .filter { _ =>
+            // populated = parses to a non-empty JSON object; a bare `{}`
+            // (the r15 crash shape) or garbage must not count
+            val body = readRepoFile(n).trim
+            body.startsWith("{") && body.length > 2
+          }
+          .map(m => m.group(1).toInt)
+      }
+    assume(populated.nonEmpty, "no driver correctness artifacts in repo root")
+    assert(cited.isDefined,
+      "README STATE block cites no CORRECTNESS_r*.json artifact")
+    assert(cited.get.group(1).toInt == populated.max,
+      s"README STATE cites CORRECTNESS_r${cited.get.group(1)}.json but the " +
+        s"newest populated artifact is CORRECTNESS_r${populated.max}.json — " +
+        "rerun tools/update_claims.py")
+  }
+
   test("README STATE block's registered-query count matches the registry") {
     val txt = readRepoFile("README.md")
     val state = txt.substring(txt.indexOf("STATE:BEGIN"), txt.indexOf("STATE:END"))

@@ -43,6 +43,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(streamDest).count() == 4)
   }
 
+  test("G2: ProcessingTime trigger drains two files as two live microbatches") {
+    // the continuous spelling of the reference's on-arrival mode
+    // (zappa_settings.json:49-57): the query stays up between files, so
+    // a file written AFTER a full drain must land in a LATER microbatch
+    // — pinning `dolar_e2e_stream_pt`'s two-batch choreography and that
+    // the live-trigger output equals the batch ingest byte for byte.
+    val tmp = Files.createTempDirectory("graft_stream_pt_spec")
+    val raw = tmp.resolve("raw").toString
+    val dest = tmp.resolve("dolar").toString
+    RawZone.write(raw, 1L, """[["1757509256000","3920.00"],["1757509266000","3921.50"]]""")
+    val q = DolarIngest.stream(spark, raw, dest, tmp.resolve("chk").toString,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    val batches =
+      try {
+        q.processAllAvailable() // microbatch: file 1 alone
+        RawZone.write(raw, 2L, """[["1757509276000","abc"],["1757509286000","3922.25"],["x"]]""")
+        q.processAllAvailable() // later microbatch: file 2
+        q.recentProgress.count(_.numInputRows > 0)
+      } finally q.stop()
+    assert(batches == 2, s"expected exactly two non-empty microbatches, saw $batches")
+    val rows = spark.read.parquet(dest)
+      .orderBy(col("fechahora"))
+      .select(date_format(col("fechahora"), "yyyy-MM-dd HH:mm:ss"), col("valor").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(
+      ("2025-09-10 13:00:56", 3920.00),
+      ("2025-09-10 13:01:06", 3921.50),
+      ("2025-09-10 13:01:26", 3922.25)))
+  }
+
   test("streaming hourly window agg matches batch tumblingHourly") {
     val tmp = Files.createTempDirectory("graft_stream_ev")
     val out = tmp.resolve("hourly").toString

@@ -304,6 +304,27 @@ def main(sfdir, outdir):
             n = 0 if df is None else df.num_rows
             print(f"{name}: rows-only, {n} rows" + (" (EMPTY!)" if n == 0 else ""))
     print(f"== {ok} ok / {bad} bad == (local gate duckdb {duckdb.__version__})")
+    # fp-determinism lint (r16 verdict item 8): flag the three known
+    # hash-mismatch classes on any NEW/edited oracle SQL, so the next
+    # operator costs zero gate iterations. Runs AFTER the compare so the
+    # ok/bad line above stays parseable either way; a non-allowlisted
+    # finding still fails the process (bless via fp_lint.py --bless only
+    # once the gate is green).
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    import fp_lint
+    lint_bad = {}
+    allow = (json.load(open(fp_lint.ALLOW_PATH))
+             if _os.path.exists(fp_lint.ALLOW_PATH) else {})
+    for name, q in sorted(oracle.items()):
+        fs = [f for f in fp_lint.lint_sql(q) if f not in set(allow.get(name, []))]
+        if fs:
+            lint_bad[name] = fs
+            print(f"FP-LINT {name}: {'; '.join(fs)}")
+    if lint_bad:
+        print(f"== fp_lint: {len(lint_bad)} queries with non-allowlisted "
+              f"findings ==")
+        sys.exit(1)
+    print(f"== fp_lint: clean over {len(oracle)} oracle SQLs ==")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])

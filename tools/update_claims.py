@@ -58,8 +58,15 @@ def newest_driver_artifact():
             continue
         try:
             if not json.load(open(p)):
+                # empty ({}) is an adjudicated state (r15); say so anyway
+                print(f"WARN: skipping EMPTY driver artifact {p}",
+                      file=sys.stderr)
                 continue
-        except Exception:
+        except Exception as e:
+            # an UNPARSEABLE newest artifact must not silently demote the
+            # driver-evidence claim to an older round (r16 ADVICE)
+            print(f"WARN: skipping UNPARSEABLE driver artifact {p}: {e}",
+                  file=sys.stderr)
             continue
         if best is None or int(m.group(1)) > best[1]:
             best = (p, int(m.group(1)))
