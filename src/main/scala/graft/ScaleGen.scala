@@ -108,7 +108,7 @@ object ScaleGen {
     write(copies(emb) { (d, k) =>
       val flipped = if (k == 0) col("embedding")
         else expr(s"transform(embedding, (x, i) -> " +
-          s"CASE WHEN ((int(shiftright($k * 2654435761L, i % 31))) % 2) = 0 " +
+          s"CASE WHEN pmod(shiftright($k * 2654435761L, i % 31), 2L) = 0 " +
           s"THEN x ELSE -x END)")
       d.withColumn("vec_id", col("vec_id") + lit(k * mv))
         .withColumn("embedding", flipped) }, "embeddings")

@@ -25,7 +25,7 @@ run_one() { # $1=sfdir $2=query -> rep2 seconds on stdout
 echo -e "query\tbase_rep2_s\tscaled_rep2_s\tratio" > "$OUT"
 for n in "$@"; do
   a=$(run_one "$SF" "$n"); b=$(run_one "$BIG" "$n")
-  r=$(python3 -c "print(f'{float('${b:-nan}')/float('${a:-nan}'):.2f}')" 2>/dev/null || echo nan)
+  r=$(A="$a" B="$b" python3 -c 'import os;print(f"{float(os.environ[\"B\"])/float(os.environ[\"A\"]):.2f}")' 2>/dev/null || echo nan)
   echo -e "$n\t$a\t$b\t$r" | tee -a "$OUT" >&2
 done
 echo "scalecheck done -> $OUT" >&2
