@@ -37,6 +37,36 @@ object Graft {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** [[materialize]] that survives AS A PARTITIONED relation: the frame
+    * is hash-repartitioned on `keys` into `nParts` (explicit n — AQE
+    * cannot re-coalesce a user-numbered repartition), checkpointed, and
+    * the resulting relation re-declares `HashPartitioning(keys, nParts)`
+    * via [[org.apache.spark.sql.graftbridge.PartitioningBridge]].
+    * Needed because under AQE `localCheckpoint()` records
+    * `UnknownPartitioning` even when the physical layout is a fresh
+    * hash exchange, so every downstream join keyed on `keys` would
+    * re-exchange the materialized table — per ITERATION, for the
+    * Pregel-style loops (measured r17 on pagerank: three identical
+    * 1.17 M-row adjacency shuffles, ~17 s task CPU each, all deleted by
+    * this declaration). The declared partitioning is made true by
+    * construction here — never call the bridge on a frame whose rows
+    * were not laid out by exactly this repartition.
+    */
+  def materializeHashed(df: DataFrame, nParts: Int,
+                        keys: Seq[String]): DataFrame = {
+    val ck = materialize(df.repartition(nParts, keys.map(col): _*))
+    org.apache.spark.sql.graftbridge.PartitioningBridge
+      .declareHashPartitioning(ck, keys, nParts)
+  }
+
+  /** [[materializeHashed]] with the session's shuffle-partition count —
+    * the scale-adaptive default every caller should use.
+    */
+  def materializeHashed(df: DataFrame, keys: String*): DataFrame =
+    materializeHashed(df,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      keys)
+
   /** Unsigned UTF-8 byte ordering of strings — Spark's UTF8String
     * binary order, i.e. the order `repartitionByRange` gives a string
     * key. Every DRIVER-side sort that must replay a range partition's

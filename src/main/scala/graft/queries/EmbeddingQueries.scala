@@ -382,8 +382,17 @@ object EmbeddingQueries {
     * candidate-pair bound under a planted hot cell.
     */
   def semDedup(s: SparkSession, dir: String, nCent: Int = 16,
-               tau: Double = 0.9, maxCell: Int = 1000): DataFrame = {
-    val codebook = trainCodebook(s, dir, nCent)
+               tau: Double = 0.9, maxCell: Int = 1000): DataFrame =
+    semDedupWith(s, dir, trainCodebook(s, dir, nCent), tau, maxCell)
+
+  /** [[semDedup]] over a PRE-TRAINED codebook — so a caller that also
+    * needs the same codebook for its own legs ([[semDedupAudit]]'s
+    * uncapped in-cell recheck) trains ONCE instead of re-running the
+    * whole Lloyd loop for an identical (deterministic) result.
+    */
+  private def semDedupWith(s: SparkSession, dir: String,
+                           codebook: Seq[(Int, Seq[Double])],
+                           tau: Double, maxCell: Int = 1000): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(graft.functions.DotProductF64(col("v"), col("v")) > 0) // see annTopK
@@ -428,7 +437,11 @@ object EmbeddingQueries {
     */
   def semDedupAudit(s: SparkSession, dir: String,
                     tau: Double = 0.9): DataFrame = {
-    val verdicts = semDedup(s, dir, tau = tau)
+    // ONE Lloyd training serves both the verdict pipeline and the
+    // uncapped in-cell recheck below (they used to train independently
+    // — identical deterministic codebooks, double the training jobs)
+    val codebook = trainCodebook(s, dir)
+    val verdicts = semDedupWith(s, dir, codebook, tau = tau)
       .filter(col("vec_id") < 500)
     val e = emb(s, dir)
       .filter(col("vec_id") < 500)
@@ -447,7 +460,6 @@ object EmbeddingQueries {
       .filter(col("cos") >= tau)
       .select(col("b_id").as("vec_id")).distinct()
     // uncapped in-cell shadow set under the SAME codebook assignment
-    val codebook = trainCodebook(s, dir)
     val cells = assignCells(e.select(col("vec_id"), col("v")), codebook)
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
       .withColumn("nrm", norm(col("v")))
@@ -549,16 +561,22 @@ object EmbeddingQueries {
     */
   private def assignCells(e: DataFrame,
                           codebook: Seq[(Int, Seq[Double])]): DataFrame = {
-    val cosArr = array(codebook.map { case (_, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
-    }: _*)
+    // ONE codegen'd argmax loop whose generated source is independent
+    // of the codebook VALUES and of k (both ride the references table
+    // as array literals; see NearestCentroidPos's scaladoc for the
+    // janino/JIT-churn this replaces — the previous k-expression
+    // spelling inlined each centroid's scalar norm into the source, so
+    // every Lloyd iteration compiled a fresh class). Arithmetic and
+    // tie-breaking are bit-identical to the array_position(array_max)
+    // chain it replaces.
+    val cents = typedLit(codebook.flatMap(_._2))
+    val norms = typedLit(codebook.map { case (_, cv) =>
+      math.sqrt(cv.map(x => x * x).sum)
+    })
     val idArr = typedLit(codebook.map(_._1))
-    e.withColumn("nrm", norm(col("v")))
-      .withColumn("cos_arr", cosArr)
-      .withColumn("cent_id",
-        element_at(idArr, array_position(col("cos_arr"), array_max(col("cos_arr"))).cast("int")))
-      .drop("cos_arr", "nrm")
+    e.withColumn("cent_id",
+      element_at(idArr,
+        graft.functions.NearestCentroidPos(col("v"), cents, norms)))
   }
 
   /** Lloyd's k-means codebook over the embeddings, trained with

@@ -111,8 +111,18 @@ object GraphQueries {
     * sessions owning their context — get full cleanup at stop.)
     */
   private def sharedEdges(s: SparkSession, dir: String, kind: String,
-                          materializeDefault: Boolean)
-                         (build: => DataFrame): DataFrame =
+                          materializeDefault: Boolean,
+                          hashKey: Option[String] = None)
+                         (build: => DataFrame): DataFrame = {
+    // materialization spelling shared by both paths: when the kind has
+    // a dominant consumer key, checkpoint hash-DECLARED on it
+    // (Graft.materializeHashed) so every consumer groupBy/join on that
+    // key reads the cached layout with no exchange — one exchange paid
+    // at build time instead of one per consumer query
+    def mat(df: DataFrame): DataFrame = hashKey match {
+      case Some(k) => Graft.materializeHashed(df, k)
+      case None => Graft.materialize(df)
+    }
     if (s.conf.get(CacheEdgesKey, "false").toBoolean) {
       val key = (s, dir, kind)
       if (evictionHooked.add(s))
@@ -125,10 +135,11 @@ object GraphQueries {
             }
           })
       edgeCache.computeIfAbsent(key,
-        _ => new LazyFrame(() => Graft.materialize(build))).value
+        _ => new LazyFrame(() => mat(build))).value
     }
-    else if (materializeDefault) Graft.materialize(build)
+    else if (materializeDefault) mat(build)
     else build
+  }
 
   /** Three damped (d = 0.85) PageRank iterations from a uniform start
     * over the symmetrized customer–supplier graph; top 20 nodes.
@@ -149,7 +160,8 @@ object GraphQueries {
     * unordered trading pair appears in both directions exactly once.
     */
   private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    sharedEdges(s, dir, "trade", materializeDefault = false) {
+    sharedEdges(s, dir, "trade", materializeDefault = false,
+        hashKey = Some("src")) {
       val orders = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.load(s, dir, "lineitem")
@@ -179,8 +191,7 @@ object GraphQueries {
     // checkpoint dir) and Graft.materialize switches every such site
     // to reliable `.checkpoint()` when iterations are many or
     // executors preemptible.
-    val adj = Graft.materialize(edges.join(deg, "src")
-      .repartition(col("src")))
+    val adj = Graft.materializeHashed(edges.join(deg, "src"), "src")
 
     // initial ranks FROM THE CHECKPOINT (deriving them from `deg`
     // would silently recompute the whole scan→join→distinct edge
@@ -406,13 +417,14 @@ object GraphQueries {
     val teleportU = 15L * restartU / 100L             // 49999
     val edges = tradeEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val adj = Graft.materialize(edges.join(deg, "src")
-      .repartition(col("src")))
+    val adj = Graft.materializeHashed(edges.join(deg, "src"), "src")
     // node list is consumed once per iteration (the left join that
     // re-adds teleport mass) — materialize so the distinct doesn't
-    // re-run over the adjacency four times
-    val nodes = Graft.materialize(
-      adj.select(col("src").as("node")).distinct())
+    // re-run over the adjacency four times; hash-declared on node so
+    // the per-iteration left join reuses the layout instead of
+    // re-exchanging the vector every round
+    val nodes = Graft.materializeHashed(
+      adj.select(col("src").as("node")).distinct(), "node")
     val isSeed = col("node").isin(seeds: _*)
     var ranks = nodes.select(col("node"),
       when(isSeed, lit(restartU)).otherwise(lit(0L)).as("pr_u"))
@@ -527,7 +539,8 @@ object GraphQueries {
     * Same durability trade as rankedAll's checkpoint.
     */
   private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    sharedEdges(s, dir, "copurchase", materializeDefault = true) {
+    sharedEdges(s, dir, "copurchase", materializeDefault = true,
+        hashKey = Some("u")) {
       val items = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -543,7 +556,8 @@ object GraphQueries {
     * timing window.
     */
   private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
-    sharedEdges(s, dir, "bipartite", materializeDefault = true) {
+    sharedEdges(s, dir, "bipartite", materializeDefault = true,
+        hashKey = Some("sup")) {
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c"))
         .join(Tables.load(s, dir, "lineitem")
@@ -564,10 +578,25 @@ object GraphQueries {
     */
   def warmEdgeCaches(s: SparkSession, dir: String): Unit =
     if (s.conf.get(CacheEdgesKey, "false").toBoolean) {
-      val _ = tradeEdges(s, dir)
-      val _ = copurchaseEdges(s, dir)
-      val _ = bipartiteEdges(s, dir)
-      ()
+      // the three edge tables are INDEPENDENT materializations — run
+      // them as concurrent jobs (one driver thread each) so each
+      // build's straggler tail back-fills with the next build's tasks
+      // instead of leaving the executor idle (optimization-guide §2.6;
+      // measured r17: 7.1 s sequential → the longest single build).
+      // Failures propagate: the first build error rethrows here.
+      val builds: Seq[() => Unit] = Seq(
+        () => { val _ = tradeEdges(s, dir); () },
+        () => { val _ = copurchaseEdges(s, dir); () },
+        () => { val _ = bipartiteEdges(s, dir); () })
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = builds.map { b =>
+        val t = new Thread(() => try b() catch { case e: Throwable => errs.add(e) })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
     }
 
   def triangleCount(s: SparkSession, dir: String,
@@ -604,10 +633,13 @@ object GraphQueries {
     val outAdj0 = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // Partitioned mode consumes the adjacency in TWO shuffled joins —
-    // materialize it once (broadcast mode already computes it once per
-    // broadcast, driver-side, and re-checkpointing would only add a
-    // copy).
-    val outAdj = if (broadcastAdj) outAdj0 else Graft.materialize(outAdj0)
+    // materialize it once, ALREADY HASH-PARTITIONED on its key (the
+    // rankedAll discipline: LogicalRDD preserves outputPartitioning),
+    // so neither join re-exchanges it. (Broadcast mode already computes
+    // it once per broadcast, driver-side; re-checkpointing would only
+    // add a copy.)
+    val outAdj = if (broadcastAdj) outAdj0
+      else Graft.materializeHashed(outAdj0, "src")
     val perEdge = oriented
       .join(side(outAdj.select(col("src").as("au"), col("nbrs").as("nu"))),
         col("src") === col("au"))
@@ -645,8 +677,7 @@ object GraphQueries {
     */
   def khopReach(s: SparkSession, dir: String,
                 hops: Int = 3, seedMax: Long = 10): DataFrame = {
-    val edges = Graft.materialize(
-      tradeEdges(s, dir).repartition(col("src")))
+    val edges = Graft.materializeHashed(tradeEdges(s, dir), "src")
     val seeds = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") <= seedMax)
       .select(col("c_custkey").as("root"),
@@ -655,13 +686,12 @@ object GraphQueries {
     var visited = seeds
     var frontier = seeds
     for (h <- 1 to hops) {
-      val next = Graft.materialize(
+      val next = Graft.materializeHashed(
         frontier.join(edges, frontier("node") === edges("src"))
           .select(col("root"), edges("dst").as("node"))
           .distinct()
           .join(visited, Seq("root", "node"), "left_anti")
-          .withColumn("hop", lit(h))
-          .repartition(col("root"), col("node")))
+          .withColumn("hop", lit(h)), "root", "node")
       visited = visited.unionByName(next)
       frontier = next
     }
@@ -866,10 +896,10 @@ object GraphQueries {
       concat(lit("c"), col("c").cast("string")).as("src"),
       concat(lit("s"), col("sk").cast("string")).as("dst"),
       expr("1000000L div n_ord").as("w"))
-    val edges = Graft.materialize(
+    val edges = Graft.materializeHashed(
       half.unionByName(
-        half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .repartition(col("src")))
+        half.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+      "src")
     var dist = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") <= seedMax)
       .select(col("c_custkey").as("root"),
@@ -879,11 +909,10 @@ object GraphQueries {
       val relaxed = dist.join(edges, dist("node") === edges("src"))
         .select(col("root"), edges("dst").as("node"),
           (col("dist") + col("w")).as("dist"))
-      dist = Graft.materialize(
+      dist = Graft.materializeHashed(
         dist.unionByName(relaxed)
           .groupBy(col("root"), col("node"))
-          .agg(min(col("dist")).as("dist"))
-          .repartition(col("root"), col("node")))
+          .agg(min(col("dist")).as("dist")), "root", "node")
     }
     dist.filter(col("dist") > 0)
       .groupBy(col("root"))
@@ -941,22 +970,20 @@ object GraphQueries {
     */
   def labelPropagation(s: SparkSession, dir: String,
                        rounds: Int = 3): DataFrame = {
-    val edges = Graft.materialize(
-      tradeEdges(s, dir).repartition(col("src")))
+    val edges = Graft.materializeHashed(tradeEdges(s, dir), "src")
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (_ <- 1 to rounds) {
       val w = Window.partitionBy(col("node"))
         .orderBy(col("cnt").desc, col("lab"))
-      labels = Graft.materialize(
+      labels = Graft.materializeHashed(
         edges.join(labels, edges("src") === labels("node"))
           .select(edges("dst").as("node"), col("lab"))
           .groupBy(col("node"), col("lab"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select(col("node"), col("lab"))
-          .repartition(col("node")))
+          .select(col("node"), col("lab")), "node")
     }
     labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -1256,8 +1283,10 @@ object GraphQueries {
       .agg(sort_array(collect_list(col("v"))).as("nbrs"),
         count(lit(1)).as("deg"))
     // partitioned mode consumes the adjacency in TWO shuffled joins —
-    // materialize once (broadcast mode computes it once driver-side)
-    val adj = if (broadcastAdj) adj0 else Graft.materialize(adj0)
+    // materialize once, hash-partitioned on node so neither join
+    // re-exchanges it (broadcast mode computes it once driver-side)
+    val adj = if (broadcastAdj) adj0
+      else Graft.materializeHashed(adj0, "node")
     val side = adjSide(broadcastAdj)
     edges
       .join(side(adj.select(col("node").as("nu"), col("nbrs").as("au"),
@@ -1454,15 +1483,31 @@ object GraphQueries {
       .select(col("node"),
         expr("transform(pairs, x -> x.v)").as("nbrs"),
         expr("transform(pairs, x -> x.w)").as("wts"))
-    val adj = if (broadcastAdj) adj0 else Graft.materialize(adj0)
+    // partitioned mode: checkpoint ALREADY HASH-PARTITIONED on node
+    // (the rankedAll discipline — LogicalRDD preserves
+    // outputPartitioning), so neither consumer join re-exchanges the
+    // adjacency table
+    val adj =
+      if (broadcastAdj) adj0
+      else Graft.materializeHashed(adj0, "node")
+    // the u-side join attaches ONLY the neighbor-id array; the aligned
+    // micro-weights ride the V side, which arrives NODE-keyed in its
+    // own join and never crosses the per-edge exchange. The weight of a
+    // common neighbor w is a function of w alone, so summing the
+    // v-side's aligned weights over the SAME intersection is the
+    // identical exact-integer result — and the per-edge rows that
+    // re-shuffle from the u-join to the v-join carry HALF the array
+    // bytes (measured r17: the v-keyed exchange was 1.10 GB / 80.6 s
+    // task-CPU with both arrays riding, the dominant cost of the whole
+    // query).
     edges
-      .join(side(adj.select(col("node").as("nu"), col("nbrs").as("au"),
-        col("wts").as("awu"))), col("u") === col("nu"))
-      .join(side(adj.select(col("node").as("nv"), col("nbrs").as("av"))),
-        col("v") === col("nv"))
+      .join(side(adj.select(col("node").as("nu"), col("nbrs").as("au"))),
+        col("u") === col("nu"))
+      .join(side(adj.select(col("node").as("nv"), col("nbrs").as("av"),
+        col("wts").as("awv"))), col("v") === col("nv"))
       .select(col("u"), col("v"),
-        graft.functions.SortedIntersectWeightSum(col("au"), col("awu"),
-          col("av")).as(outName))
+        graft.functions.SortedIntersectWeightSum(col("av"), col("awv"),
+          col("au")).as(outName))
       .filter(col(outName) > 0)
       .orderBy(col(outName).desc, col("u"), col("v"))
       .limit(k)
@@ -1575,15 +1620,17 @@ object GraphQueries {
     */
   def kcorePeel(s: SparkSession, dir: String,
                 k: Int = 3, rounds: Int = 3): DataFrame = {
-    var edges = Graft.materialize(tradeEdges(s, dir))
+    // hash-declared on src: each round's degree fold AND the src-side
+    // semi join then read the materialized layout with no exchange
+    var edges = Graft.materializeHashed(tradeEdges(s, dir), "src")
     val out = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-      edges = Graft.materialize(
+      edges = Graft.materializeHashed(
         edges.join(keep, edges("src") === keep("node"), "left_semi")
           .join(keep.withColumnRenamed("node", "node2"),
-            edges("dst") === col("node2"), "left_semi"))
+            edges("dst") === col("node2"), "left_semi"), "src")
       out += edges.agg(countDistinct(col("src")).as("n_nodes"),
         count(lit(1)).as("n_edges"))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))

@@ -1420,10 +1420,30 @@ object Relational {
         .select(col("c_custkey"),
           Graft.ntileFromRank(5, iCol = "i", nCol = "n")
             .cast("long").as(name))
+    // the three rank passes are INDEPENDENT jobs over the one
+    // materialized base (each is a range-sample + checkpoint + offset
+    // collect) — run them from three driver threads so each pass's
+    // straggler tail back-fills with the next pass's tasks instead of
+    // serializing three full job latencies (optimization-guide §2.6;
+    // the warmEdgeCaches pattern)
+    val specs = Seq(col("last_order") -> "r_score",
+      col("frequency") -> "f_score", col("monetary") -> "m_score")
+    val scored = new Array[DataFrame](specs.length)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = specs.zipWithIndex.map { case ((c, nm), i) =>
+      val t = new Thread(() =>
+        try scored(i) = score(c, nm)
+        catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
     base
-      .join(score(col("last_order"), "r_score"), Seq("c_custkey"))
-      .join(score(col("frequency"), "f_score"), Seq("c_custkey"))
-      .join(score(col("monetary"), "m_score"), Seq("c_custkey"))
+      .join(scored(0), Seq("c_custkey"))
+      .join(scored(1), Seq("c_custkey"))
+      .join(scored(2), Seq("c_custkey"))
       .withColumn("segment",
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")))

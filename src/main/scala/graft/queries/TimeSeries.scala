@@ -605,24 +605,77 @@ object TimeSeries {
     */
   def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("t"))
+    // the lag window is global (allowlisted: day-grid cardinality), so
+    // its output lands in ONE partition — re-spread the bounded grid
+    // BEFORE the checkpoint or the |days|²/2 Walsh pairing below and
+    // its percentile partials inherit the single partition (measured
+    // r17: 9 tasks total, one task holding the whole 15.8 s pair+
+    // median CPU; respread → every core takes a slice). The partition
+    // count rides spark.sql.shuffle.partitions (pinned so AQE cannot
+    // re-coalesce the tiny grid back into one task), staying
+    // scale-adaptive via conf rather than a local constant.
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val deltas = Graft.materialize(
       dailyRevenue(s, dir)
         .select(datediff(col("d"), to_date(lit("1970-01-01")))
           .cast("long").as("t"), col("rev_cents"))
         .select(col("t"),
           (col("rev_cents") - lag(col("rev_cents"), 1).over(w)).as("dx"))
-        .filter(col("dx").isNotNull))
+        .filter(col("dx").isNotNull)
+        .repartition(nParts, col("t")))
+    val m = deltas.count()
+    // ta <= tb over distinct day keys ⇒ the pair count is exactly
+    // m(m+1)/2 — no need to count the nested-loop output
+    val np = m * (m + 1) / 2
+    if (np == 0)
+      return s.range(1).select(lit(0L).as("n_deltas"),
+        lit(0L).as("n_pairs"),
+        lit(null).cast("double").as("hl_pseudomedian_dollars"))
     val a = deltas.select(col("t").as("ta"), col("dx").as("xa"))
     val b = deltas.select(col("t").as("tb"), col("dx").as("xb"))
-    val n = deltas.agg(count(lit(1)).as("n_deltas"))
-    a.join(broadcast(b), col("ta") <= col("tb"))
-      .select((col("xa") + col("xb")).as("wsum"))
-      .agg(count(lit(1)).as("n_pairs"),
-        (percentile(col("wsum"), lit(0.5)) / lit(200.0))
-          .as("hl_pseudomedian_dollars"))
-      .crossJoin(broadcast(n))
-      .select(col("n_deltas"), col("n_pairs"),
-        col("hl_pseudomedian_dollars"))
+    // materialized: the sketch, the localizing counts and the two rank
+    // reads all consume the Walsh multiset — without the cut each
+    // pass would re-run the nested-loop pairing
+    val pairs = Graft.materialize(
+      a.join(broadcast(b), col("ta") <= col("tb"))
+        .select((col("xa") + col("xb")).as("wsum")))
+    // percentile(0.5) interpolates the two middle order statistics:
+    // 0.5·v(kLo) + 0.5·v(kHi) with kLo = (np+1) div 2, kHi = np div 2
+    // + 1 (equal when np is odd) — every term exact in double (Walsh
+    // sums ≪ 2^53), so this spelling is bit-identical to the
+    // percentile aggregate it replaces. The ranks are read with the
+    // theilSen banded order-statistic (sketch-bracket → exact counts →
+    // bounded TakeOrdered) instead of `percentile`'s object hash agg,
+    // whose per-partition boxed maps and one-task merge measured
+    // 16.8 s + 7.4 s on the 2.9 M-pair multiset (r17 stage probe).
+    val kLo = (np + 1) / 2
+    val kHi = np / 2 + 1
+    var qlo = 0.495
+    var qhi = 0.505
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      val bounds = pairs.stat.approxQuantile("wsum", Array(qlo, qhi), 1e-4)
+      val lo = bounds(0)
+      val hi = bounds(1)
+      val below = pairs.filter(col("wsum") < lo).count()
+      val band = pairs.filter(col("wsum") >= lo && col("wsum") <= hi)
+      val bandN = band.count()
+      if (kLo > below && kHi <= below + bandN) {
+        val vLo = band.orderBy(col("wsum")).limit((kLo - below).toInt)
+          .agg(max(col("wsum")).as("v_lo"))
+        val vHi = band.orderBy(col("wsum")).limit((kHi - below).toInt)
+          .agg(max(col("wsum")).as("v_hi"))
+        out = Some(vLo.crossJoin(broadcast(vHi))
+          .select(lit(m).as("n_deltas"), lit(np).as("n_pairs"),
+            ((lit(0.5) * col("v_lo").cast("double")
+              + lit(0.5) * col("v_hi").cast("double")) / lit(200.0))
+              .as("hl_pseudomedian_dollars")))
+      } else {
+        qlo = math.max(0.0, qlo - 0.1)
+        qhi = math.min(1.0, qhi + 0.1)
+      }
+    }
+    out.get
   }
 
   val hodgesLehmannSql: String =

@@ -276,4 +276,47 @@ class FunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("NearestCentroidPos bit-identical to the array_position(array_max) chain") {
+    // the combinator chain this expression replaced (r17 optimization:
+    // one value-independent generated class instead of a fresh class
+    // per codebook) — same dot order, same nrm·cn association, same
+    // first-max tie-break; equality here must be EXACT, including on a
+    // codebook with duplicated centroids (tie → lowest position)
+    val rnd = new scala.util.Random(41)
+    val k = 16
+    val dim = 64
+    val cents: Seq[Seq[Double]] =
+      (1 to k).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+        .updated(7, Seq.fill(dim)(0.25)) // plant a tie partner
+        .updated(11, Seq.fill(dim)(0.25))
+    val norms = cents.map(cv => math.sqrt(cv.map(x => x * x).sum))
+    val vecs = (1 to 50).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) :+
+      Seq.fill(dim)(0.25) // exact-tie probe: hits both planted centroids
+    val df = vecs.toDF("v").withColumn("nrm",
+      sqrt(graft.functions.DotProductF64(col("v"), col("v"))))
+    val oldChain = array(cents.map { cv =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      (graft.functions.DotProductF64(col("v"), typedLit(cv))
+        / (col("nrm") * lit(cn)))
+    }: _*)
+    val got = df.select(
+      graft.functions.NearestCentroidPos(col("v"),
+        typedLit(cents.flatten), typedLit(norms)).as("pos"),
+      array_position(oldChain, array_max(oldChain)).cast("int").as("want"))
+    assert(got.filter(col("pos") =!= col("want")).count() == 0)
+  }
+
+  test("NearestCentroidPos: null propagation and zero-k") {
+    val r = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.functions.NearestCentroidPos(
+        lit(null).cast("array<double>"), col("v"), col("v")))
+      .collect().head
+    assert(r.isNullAt(0))
+    val z = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.functions.NearestCentroidPos(col("v"),
+        typedLit(Seq.empty[Double]), typedLit(Seq.empty[Double])).as("p"))
+      .collect().head
+    assert(z.getInt(0) == 0) // no centroids -> position 0 (callers never pass k=0)
+  }
 }
