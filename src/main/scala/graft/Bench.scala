@@ -191,6 +191,14 @@ object Bench {
       val sib = p.resolveSibling("sf0.001")
       val warmDir = if (java.nio.file.Files.isDirectory(sib)) sib.toString
                     else sfDir
+      // r17 measured: extending this list with the graph iterative
+      // family did NOT transfer (their in-window JIT stayed ~7 s —
+      // their generated code is AQE-shape-dependent, so the sf0.001
+      // classes differ from the sf0.1 ones), while the ANN rows DID
+      // become warmable once assignCells stopped inlining codebook
+      // values into its generated source (NearestCentroidPos). The
+      // list therefore stays the r12 set; the A/B lives in
+      // OPTIMIZATION_r17.md.
       for (q <- Seq("agg_approx_distinct", "ann_ivf_topk", "string_funcs",
         "ann_ivfpq_topk", "dedup_exact_substring", "decontaminate_bloom",
         "graph_ppr_walks"))

@@ -114,11 +114,18 @@ object GraphQueries {
                           materializeDefault: Boolean,
                           hashKey: Option[String] = None)
                          (build: => DataFrame): DataFrame = {
-    // materialization spelling shared by both paths: when the kind has
-    // a dominant consumer key, checkpoint hash-DECLARED on it
-    // (Graft.materializeHashed) so every consumer groupBy/join on that
-    // key reads the cached layout with no exchange — one exchange paid
-    // at build time instead of one per consumer query
+    // materialization spelling shared by both paths: a kind MAY
+    // checkpoint hash-DECLARED on a key (Graft.materializeHashed) so
+    // consumers keyed on it skip their exchange. Measured r17: for
+    // THESE caches that is a net LOSS — the fan-out consumers
+    // (clustering_coeff, triangles, rich_club...) derive several
+    // identical aggregates above the cache, and with the exchange
+    // elided each branch re-scans and re-aggregates independently
+    // (the shared Exchange was the reuse/dedup point: 1.3 s -> 3.1 s
+    // on clustering_coeff with a declared key). Single-consumer-key
+    // ITERATIVE tables (pagerank/sssp/labelprop adjacency) declare
+    // their layout per query instead, where it deletes a per-iteration
+    // exchange and nothing fans out. All kinds therefore pass None.
     def mat(df: DataFrame): DataFrame = hashKey match {
       case Some(k) => Graft.materializeHashed(df, k)
       case None => Graft.materialize(df)
@@ -156,23 +163,40 @@ object GraphQueries {
     */
   /** Symmetrized distinct customer–supplier trade edges (src, dst) —
     * the ONE edge-table definition shared by pagerank and
-    * [[khopReach]]: node ids are "c<custkey>" / "s<suppkey>", each
-    * unordered trading pair appears in both directions exactly once.
+    * [[khopReach]]. Node ids are LONGS: customer c<k> rides as 2k,
+    * supplier s<k> as 2k+1 (collision-free, reversible) — an 8-byte
+    * key where the first spelling carried a "c<k>"/"s<k>" STRING
+    * through every distinct/join/aggregate exchange of the whole
+    * family (guide §2.3 "narrower types": long keys halve-or-better
+    * the shuffled key bytes and replace UTF8String hashing/compares
+    * with single-word ops on the hot paths; at 100 TB the key bytes
+    * of the iterate shuffles are the recurring cost). The public
+    * string ids are reconstructed ONLY at output boundaries via
+    * [[nodeStr]], so every registered query's results are unchanged
+    * (the oracle gate re-proves hash equality).
     */
   private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    sharedEdges(s, dir, "trade", materializeDefault = false,
-        hashKey = Some("src")) {
+    sharedEdges(s, dir, "trade", materializeDefault = false) {
       val orders = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
       val cs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
         .distinct()
       cs.unionByName(
         cs.select(col("dst").as("src"), col("src").as("dst")))
     }
+
+  /** Decode a [[tradeEdges]] long node id back to the public
+    * "c<custkey>" / "s<suppkey>" string — applied at output boundaries
+    * only (top-k projections, community labels), never on a shuffle
+    * key.
+    */
+  private[graft] def nodeStr(c: Column): Column =
+    when(c % 2L === 0L, concat(lit("c"), shiftright(c, 1).cast("string")))
+      .otherwise(concat(lit("s"), shiftright(c - 1L, 1).cast("string")))
 
   def rankedAll(s: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(s, dir)
@@ -206,7 +230,8 @@ object GraphQueries {
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("pr_u"))
         .select(col("dst").as("node"), col("pr_u"))
     }
-    ranks.select(col("node"), (col("pr_u").cast("double") / 1e6).as("pr"))
+    ranks.select(nodeStr(col("node")).as("node"),
+      (col("pr_u").cast("double") / 1e6).as("pr"))
   }
 
   // --- co-occurrence edges (market-basket) ------------------------------
@@ -412,7 +437,7 @@ object GraphQueries {
     * TakeOrdered(20).
     */
   def pprWalks(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val seeds = Seq("s1", "s2", "s3")
+    val seeds = Seq(3L, 5L, 7L) // s1/s2/s3 in the 2k+1 long encoding
     val restartU = 1000000L / seeds.length            // 333333
     val teleportU = 15L * restartU / 100L             // 49999
     val edges = tradeEdges(s, dir)
@@ -441,7 +466,8 @@ object GraphQueries {
             when(isSeed, lit(teleportU)).otherwise(lit(0L))).as("pr_u"))
     }
     ranks.filter(col("pr_u") > 0)
-      .select(col("node"), (col("pr_u").cast("double") / 1e6).as("ppr"))
+      .select(nodeStr(col("node")).as("node"),
+        (col("pr_u").cast("double") / 1e6).as("ppr"))
       .orderBy(col("ppr").desc, col("node"))
       .limit(k)
   }
@@ -539,8 +565,7 @@ object GraphQueries {
     * Same durability trade as rankedAll's checkpoint.
     */
   private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    sharedEdges(s, dir, "copurchase", materializeDefault = true,
-        hashKey = Some("u")) {
+    sharedEdges(s, dir, "copurchase", materializeDefault = true) {
       val items = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -556,8 +581,7 @@ object GraphQueries {
     * timing window.
     */
   private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
-    sharedEdges(s, dir, "bipartite", materializeDefault = true,
-        hashKey = Some("sup")) {
+    sharedEdges(s, dir, "bipartite", materializeDefault = true) {
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c"))
         .join(Tables.load(s, dir, "lineitem")
@@ -681,7 +705,7 @@ object GraphQueries {
     val seeds = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") <= seedMax)
       .select(col("c_custkey").as("root"),
-        concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+        (col("c_custkey") * 2L).as("node"), // tradeEdges long encoding
         lit(0).as("hop"))
     var visited = seeds
     var frontier = seeds
@@ -789,10 +813,10 @@ object GraphQueries {
   def modularity(s: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(s, dir)
     val comm = Tables.load(s, dir, "customer")
-      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+      .select((col("c_custkey") * 2L).as("node"),
         col("c_nationkey").as("community"))
       .unionByName(Tables.load(s, dir, "supplier")
-        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"),
+        .select((col("s_suppkey") * 2L + 1L).as("node"),
           col("s_nationkey").as("community")))
     val labeled = edges
       .join(comm.select(col("node").as("src"), col("community").as("src_comm")),
@@ -893,8 +917,8 @@ object GraphQueries {
       .groupBy(col("c"), col("sk"))
       .agg(count(lit(1)).as("n_ord"))
     val half = pairs.select(
-      concat(lit("c"), col("c").cast("string")).as("src"),
-      concat(lit("s"), col("sk").cast("string")).as("dst"),
+      (col("c") * 2L).as("src"),          // tradeEdges long encoding
+      (col("sk") * 2L + 1L).as("dst"),
       expr("1000000L div n_ord").as("w"))
     val edges = Graft.materializeHashed(
       half.unionByName(
@@ -903,7 +927,7 @@ object GraphQueries {
     var dist = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") <= seedMax)
       .select(col("c_custkey").as("root"),
-        concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+        (col("c_custkey") * 2L).as("node"),
         lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(edges, dist("node") === edges("src"))
@@ -971,8 +995,10 @@ object GraphQueries {
   def labelPropagation(s: SparkSession, dir: String,
                        rounds: Int = 3): DataFrame = {
     val edges = Graft.materializeHashed(tradeEdges(s, dir), "src")
+    // node ids are longs; the LABEL stays the public "c…"/"s…" STRING
+    // so the min-label tie-break keeps its original string ordering
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node"))
+      .withColumn("lab", nodeStr(col("node")))
     for (_ <- 1 to rounds) {
       val w = Window.partitionBy(col("node"))
         .orderBy(col("cnt").desc, col("lab"))
@@ -1620,17 +1646,22 @@ object GraphQueries {
     */
   def kcorePeel(s: SparkSession, dir: String,
                 k: Int = 3, rounds: Int = 3): DataFrame = {
-    // hash-declared on src: each round's degree fold AND the src-side
-    // semi join then read the materialized layout with no exchange
-    var edges = Graft.materializeHashed(tradeEdges(s, dir), "src")
+    // plain materialize, NOT hash-declared: each round fans the edge
+    // set out to THREE consumers (degree fold + two semi joins), and
+    // the A/B measured the declared layout a net loss here — the
+    // shared exchange was the dedup point, and the extra per-round
+    // repartition cost more than the elided exchanges (sf0.1: 1.9 s
+    // plain vs 3.2 s declared; 10×: 14.4 s vs 24.6 s) — the same
+    // fan-out mechanism as the shared-cache finding in sharedEdges.
+    var edges = Graft.materialize(tradeEdges(s, dir))
     val out = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-      edges = Graft.materializeHashed(
+      edges = Graft.materialize(
         edges.join(keep, edges("src") === keep("node"), "left_semi")
           .join(keep.withColumnRenamed("node", "node2"),
-            edges("dst") === col("node2"), "left_semi"), "src")
+            edges("dst") === col("node2"), "left_semi"))
       out += edges.agg(countDistinct(col("src")).as("n_nodes"),
         count(lit(1)).as("n_edges"))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
@@ -1720,7 +1751,8 @@ object GraphQueries {
     val w3 = hop(w2, "w2", "w3")
     w1.join(side(w2), Seq("node"))
       .join(side(w3), Seq("node"))
-      .select(col("node"), col("w1"), col("w2"), col("w3"),
+      .select(nodeStr(col("node")).as("node"), col("w1"), col("w2"),
+        col("w3"),
         (lit(64L) * col("w1") + lit(8L) * col("w2") + col("w3"))
           .as("katz64"))
       .orderBy(col("katz64").desc, col("node"))

@@ -657,9 +657,14 @@ object TimeSeries {
       val bounds = pairs.stat.approxQuantile("wsum", Array(qlo, qhi), 1e-4)
       val lo = bounds(0)
       val hi = bounds(1)
-      val below = pairs.filter(col("wsum") < lo).count()
+      // one scan localizes both counts (below-band and in-band)
+      val loc = pairs.agg(
+        sum(when(col("wsum") < lo, 1L).otherwise(0L)).as("below"),
+        sum(when(col("wsum") >= lo && col("wsum") <= hi, 1L).otherwise(0L))
+          .as("band_n")).collect().head
+      val below = loc.getLong(0)
       val band = pairs.filter(col("wsum") >= lo && col("wsum") <= hi)
-      val bandN = band.count()
+      val bandN = loc.getLong(1)
       if (kLo > below && kHi <= below + bandN) {
         val vLo = band.orderBy(col("wsum")).limit((kLo - below).toInt)
           .agg(max(col("wsum")).as("v_lo"))

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsOpsSpec extends SparkSpec {
 
+  /** Decode tradeEdges' long node ids (2k = "c<k>", 2k+1 = "s<k>") back
+    * to the public strings so the driver-side replays keep their
+    * original string-keyed logic and tie-break semantics.
+    */
+  private def decodeNode(n: Long): String =
+    if (n % 2 == 0) s"c${n / 2}" else s"s${(n - 1) / 2}"
+
   test("pagerank: damped ranks are > 0.15, top-20, deterministic") {
     val out = GraphQueries.pagerank(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
@@ -838,7 +845,7 @@ class AnalyticsOpsSpec extends SparkSpec {
     // independent driver-side replay: pull the (bounded at sf0.001)
     // edge list and count length-1/2/3 walks by brute force
     val edges = GraphQueries.tradeEdges(spark, sf).collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (decodeNode(r.getLong(0)), decodeNode(r.getLong(1))))
     val w1 = edges.groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
     val outNbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
     def hop(prev: Map[String, Long]): Map[String, Long] =
@@ -867,7 +874,7 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the exact integer div discipline (the ljung_box lesson: every
     // closed-form integer pipeline gets an independent replay)
     val edges = GraphQueries.tradeEdges(spark, sf).collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (decodeNode(r.getLong(0)), decodeNode(r.getLong(1))))
     val outDeg = edges.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
     val seeds = Set("s1", "s2", "s3")
     val restartU = 1000000L / 3; val teleportU = 15L * restartU / 100L

@@ -13,6 +13,13 @@ import graft.queries.{Drift, EventQueries, GraphQueries, Relational, Survival, T
   */
 class StatsReplaySpec extends SparkSpec {
 
+  /** Decode tradeEdges' long node ids (2k = "c<k>", 2k+1 = "s<k>") back
+    * to the public strings so the driver-side replays keep their
+    * original string-keyed logic and tie-break semantics.
+    */
+  private def decodeNode(n: Long): String =
+    if (n % 2 == 0) s"c${n / 2}" else s"s${(n - 1) / 2}"
+
   private lazy val daySeries: Array[(Long, Long)] =
     Tables.load(spark, sf, "orders")
       .select(to_date(col("o_orderdate")).as("d"),
@@ -1124,7 +1131,7 @@ class StatsReplaySpec extends SparkSpec {
 
   test("avgNeighborDegree: per-class k_nn replay from the edge list") {
     val edges = GraphQueries.tradeEdges(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)))
+      .collect().map(r => (decodeNode(r.getLong(0)), decodeNode(r.getLong(1))))
     val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val nbrSum = edges.groupBy(_._1).view
       .mapValues(_.map(e => BigInt(deg(e._2))).sum).toMap

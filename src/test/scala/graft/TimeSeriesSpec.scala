@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 class TimeSeriesSpec extends SparkSpec {
 
+  /** Decode tradeEdges' long node ids (2k = "c<k>", 2k+1 = "s<k>") back
+    * to the public strings so the driver-side replays keep their
+    * original string-keyed logic and tie-break semantics.
+    */
+  private def decodeNode(n: Long): String =
+    if (n % 2 == 0) s"c${n / 2}" else s"s${(n - 1) / 2}"
+
   test("seasonalDecompose: trend exists exactly where the 7-row window is full") {
     val out = TimeSeries.seasonalDecompose(spark, sf).collect()
     assert(out.length >= 14, "need a real daily series")
@@ -304,7 +311,7 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("assortativity: exact moment recompute over the edge list") {
     val edges = GraphQueries.tradeEdges(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)))
+      .collect().map(r => (decodeNode(r.getLong(0)), decodeNode(r.getLong(1))))
     val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
     val pairs = edges.map { case (u, v) => (deg(u), deg(v)) }
     val m = pairs.length.toLong
@@ -325,7 +332,7 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("labelPropagation: exact replay of 3 synchronous min-tie mode rounds") {
     val edges = GraphQueries.tradeEdges(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)))
+      .collect().map(r => (decodeNode(r.getLong(0)), decodeNode(r.getLong(1))))
     val adj = edges.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
     var lab: Map[String, String] = adj.keys.map(n => n -> n).toMap
     for (_ <- 1 to 3) {
